@@ -1,0 +1,317 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
+import graft.agg.ValueAggregators
+
+/** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
+  * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
+  * testdata, with an equivalent DuckDB oracle in [[oracles]]. Column names
+  * and types are aligned between the Spark plan and the oracle SQL — the
+  * driver hashes values after sorting columns by name.
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
+    "q01_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1995-09-02 00:00:00"))
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_shipdate")),
+
+    // Q02 — projection (FieldSelectionMapReduce): subset + reorder
+    "q02_project" -> ((s, d) =>
+      Tables.customer(s, d).select("c_mktsegment", "c_custkey", "c_name")),
+
+    // Q03 — WordCount (examples/WordCount.java:17)
+    "q03_wordcount" -> ((s, d) =>
+      TextOps.tokenCount(Tables.part(s, d), col("p_name"))),
+
+    // Q04 — Grep two-stage: extract, count, sort desc, top-10
+    "q04_grep" -> ((s, d) =>
+      TextOps.grep(Tables.part(s, d), col("p_name"), "l[a-z]+", 0, Some(10))
+        .withColumnRenamed("match", "tok")),
+
+    // Q05 — LongValueSum per key
+    "q05_sum" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))),
+
+    // Q06 — Long/StringValueMax/Min per nation
+    "q06_minmax" -> ((s, d) =>
+      Tables.customer(s, d).groupBy("c_nationkey").agg(
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        min(col("c_name")).as("min_name"),
+        max(col("c_name")).as("max_name"))),
+
+    // Q07 — UniqValueCount (exact distinct per key)
+    "q07_uniq" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(ValueAggregators.uniqValueCount(col("l_partkey")).as("uniq_parts"))),
+
+    // Q08 — ValueHistogram report (exact reference median = counts[len/2])
+    "q08_histogram" -> ((s, d) =>
+      ValueAggregators.histogramReport(Tables.orders(s, d),
+        col("o_custkey"), col("o_orderpriority"))),
+
+    // Q09 — inner composite join (CompositeInputFormat "inner")
+    "q09_inner_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).withColumnRenamed("o_custkey", "custkey")
+      val c = Tables.customer(s, d).withColumnRenamed("c_custkey", "custkey")
+      Joins.inner("custkey", o, c)
+        .select("custkey", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    }),
+
+    // Q10 — full-outer composite join (customers with no orders survive)
+    "q10_outer_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey"), col("o_totalprice"))
+      Joins.outer("custkey", c, o)
+        .select("custkey", "c_name", "o_orderkey", "o_totalprice")
+    }),
+
+    // Q11 — override join: rightmost snapshot wins (OverrideRecordReader)
+    "q11_override_join" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val snapA = sup.select(col("s_suppkey").as("suppkey"),
+        col("s_name"), col("s_acctbal"))
+      val snapB = sup.filter(col("s_suppkey") % 3 === 0)
+        .select(col("s_suppkey").as("suppkey"),
+          concat(col("s_name"), lit("_v2")).as("s_name"),
+          (col("s_acctbal") + 1000).as("s_acctbal"))
+      Joins.overrideJoin("suppkey", snapA, snapB)
+    }),
+
+    // Q12 — reduce-side tagged 3-way join (contrib data_join)
+    "q12_threeway_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "c_name", "l_quantity")
+    }),
+
+    // Q13 — global total-order sort (Sort/TeraSort; Spark RangePartitioner
+    // replaces TotalOrderPartitioner+InputSampler)
+    "q13_global_sort" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))),
+
+    // Q14 — sort -k flags (KeyFieldBasedComparator): field 2 numeric desc
+    "q14_keyfield_sort" -> ((s, d) => {
+      val lines = Tables.nation(s, d).select(concat_ws("|",
+        col("n_name"), col("n_nationkey"), col("n_regionkey")).as("line"))
+      lines.orderBy(
+        KeyFieldSort.sortKeys(col("line"), "-k2,2nr", "|") :+ col("line").asc: _*)
+    }),
+
+    // Q15 — secondary sort: per-customer orders ranked by date
+    "q15_secondary_sort" -> ((s, d) =>
+      SecondarySort.ranked(Tables.orders(s, d), col("o_custkey"),
+          col("o_orderdate").asc, col("o_orderkey").asc)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "rn")),
+
+    // Q16 — top-k by inverted count (Grep job 2 DecreasingComparator)
+    "q16_topk" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_returnflag"), col("l_linestatus"))
+        .limit(10)),
+
+    // Q17 — union of two slices (MultipleInputs) then aggregate
+    "q17_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val before = o.filter(col("o_orderdate") < lit("1995-01-01 00:00:00"))
+      val after = o.filter(col("o_orderdate") >= lit("1995-01-01 00:00:00"))
+      before.union(after).groupBy("o_orderpriority").agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Q18 — partitioned sink (MultipleOutputFormat → write.partitionBy),
+    // read back and verify per-partition counts
+    "q18_partitioned_sink" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q18"
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Q19 — deterministic sampling filters (PercentFilter + MD5Filter)
+    "q19_percent_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(Sampling.percentFilter(col("l_orderkey"), 10))
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))),
+    "q19_md5_filter" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(substring(md5(col("l_orderkey").cast("string")), 1, 1) === "0")
+        .groupBy("l_returnflag").agg(
+          count(lit(1)).as("cnt"), sum("l_quantity").as("sum_qty"))),
+
+    // Q20 — chained jobs (Grep/JobControl DAG): agg of an aggregate
+    "q20_chained" -> ((s, d) =>
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_custs"))),
+
+    // Q24 — combiner correctness: partial-agg path forced by a prior
+    // wide repartition; result must equal q05 exactly
+    "q24_combiner" -> ((s, d) =>
+      Tables.lineitem(s, d).repartition(32, col("l_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("sum_qty"))),
+
+    // Q25 — grouping-comparator edge: group by first field only, values
+    // ordered by second within the group
+    "q25_grouped_values" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(array_join(transform(sort_array(collect_list(col("l_linenumber"))),
+          _.cast("string")), ",").as("lines"))),
+
+    // FieldSelection as its own query: fields "3-" of a delimited line
+    "q02b_fieldselect" -> ((s, d) => {
+      val lines = Tables.customer(s, d).select(concat_ws("|",
+        col("c_custkey"), col("c_mktsegment"), col("c_name")).as("line"))
+      lines.select(FieldSelection.select(col("line"), "2-", "|").as("selected"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'""".stripMargin,
+
+    "q02_project" -> "SELECT c_mktsegment, c_custkey, c_name FROM customer",
+
+    "q03_wordcount" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split(p_name, ' ')) AS token FROM part) t
+        |WHERE length(token) > 0 GROUP BY token""".stripMargin,
+
+    "q04_grep" ->
+      """SELECT tok, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(p_name, 'l[a-z]+')) AS tok FROM part) t
+        |GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 10""".stripMargin,
+
+    "q05_sum" ->
+      "SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey",
+
+    "q06_minmax" ->
+      """SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+        |  min(c_name) AS min_name, max(c_name) AS max_name
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q07_uniq" ->
+      "SELECT l_suppkey, count(DISTINCT l_partkey) AS uniq_parts FROM lineitem GROUP BY l_suppkey",
+
+    "q08_histogram" ->
+      """WITH freq AS (
+        |  SELECT o_custkey AS key, o_orderpriority AS item, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT key, cnt,
+        |    row_number() OVER (PARTITION BY key ORDER BY cnt, item) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS n
+        |  FROM freq)
+        |SELECT key, count(*) AS n_items, min(cnt) AS min_cnt,
+        |  max(CASE WHEN rn = n // 2 + 1 THEN cnt END) AS median_cnt,
+        |  max(cnt) AS max_cnt, round(avg(cnt), 6) AS avg_cnt,
+        |  round(coalesce(stddev_pop(cnt), 0.0), 6) AS stddev_cnt
+        |FROM ranked GROUP BY key""".stripMargin,
+
+    "q09_inner_join" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q10_outer_join" ->
+      """SELECT custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey AS custkey, c_name FROM customer) c
+        |FULL JOIN (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders) o
+        |USING (custkey)""".stripMargin,
+
+    "q11_override_join" ->
+      """WITH a AS (
+        |  SELECT s_suppkey AS suppkey, s_name, s_acctbal, 0 AS src FROM supplier),
+        |b AS (
+        |  SELECT s_suppkey AS suppkey, s_name || '_v2' AS s_name,
+        |    s_acctbal + 1000 AS s_acctbal, 1 AS src
+        |  FROM supplier WHERE s_suppkey % 3 = 0),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY suppkey
+        |        ORDER BY src DESC, s_name DESC, s_acctbal DESC) AS rn FROM u)
+        |SELECT suppkey, s_name, s_acctbal FROM r WHERE rn = 1""".stripMargin,
+
+    "q12_threeway_join" ->
+      """SELECT l_orderkey, l_linenumber, o_custkey, c_name, l_quantity
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q13_global_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice, l_orderkey, l_linenumber""".stripMargin,
+
+    "q14_keyfield_sort" ->
+      """SELECT n_name || '|' || CAST(n_nationkey AS VARCHAR) || '|' ||
+        |  CAST(n_regionkey AS VARCHAR) AS line
+        |FROM nation
+        |ORDER BY CAST(string_split(line, '|')[2] AS DOUBLE) DESC, line""".stripMargin,
+
+    "q15_secondary_sort" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+        |FROM orders""".stripMargin,
+
+    "q16_topk" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem
+        |GROUP BY 1, 2 ORDER BY cnt DESC, l_returnflag, l_linestatus LIMIT 10""".stripMargin,
+
+    "q17_union" ->
+      """WITH u AS (
+        |  SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "q18_partitioned_sink" ->
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1",
+
+    "q19_percent_filter" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1""".stripMargin,
+
+    "q19_md5_filter" ->
+      """SELECT l_returnflag, count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY 1""".stripMargin,
+
+    "q20_chained" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_custs FROM c GROUP BY 1""".stripMargin,
+
+    "q24_combiner" ->
+      "SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY l_orderkey",
+
+    "q25_grouped_values" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+
+    "q02b_fieldselect" ->
+      """SELECT CAST(c_mktsegment AS VARCHAR) || '|' || c_name AS selected
+        |FROM customer""".stripMargin
+  )
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided TPC-H-ish parquet tables
+  * (see /root/repo/TESTDATA.md). All queries take the sf directory as a
+  * parameter so the same plan runs at any scale factor.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+}

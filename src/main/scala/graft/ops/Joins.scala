@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** N-way keyed joins mirroring the reference's composite-join grammar
+  * `inner/outer/override(tbl,...)` (hadoop-gpu-0.20.1/src/mapred/org/apache/
+  * hadoop/mapred/join/CompositeInputFormat.java:61-85) re-expressed as
+  * Catalyst join trees. The reference requires all sources pre-sorted and
+  * identically partitioned and then streams a merge join; Spark's
+  * SortMergeJoin *is* that algorithm, with the sort/partition step handled
+  * by the shuffle — and when one side is small we broadcast instead, which
+  * the reference could not do at all.
+  */
+object Joins {
+
+  /** inner(a, b, ...) — key must be present in every source
+    * (join/InnerJoinRecordReader.java:41). Per-key duplicates produce the
+    * cross-product, exactly like the reference's per-key iterators. */
+  def inner(key: String, sources: DataFrame*): DataFrame =
+    sources.reduce((a, b) => a.join(b, Seq(key), "inner"))
+
+  /** outer(a, b, ...) — emit every key; absent sources contribute nulls
+    * (join/OuterJoinRecordReader.java:41, TupleWritable presence bits →
+    * nullable columns). */
+  def outer(key: String, sources: DataFrame*): DataFrame =
+    sources.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
+
+  /** override(a, b, ...) — per key, the value comes from the RIGHTMOST
+    * source holding it (join/OverrideRecordReader.java:36); within a source,
+    * duplicates collapse to the first value of the preferred iterator.
+    *
+    * Implementation: tag each source with its index, union, keep per key the
+    * row with the max tag (ties broken deterministically by row content),
+    * i.e. a single hash aggregation — one shuffle, no join explosion, skew-
+    * safe under AQE. All sources must share a schema.
+    */
+  def overrideJoin(key: String, sources: DataFrame*): DataFrame = {
+    require(sources.nonEmpty)
+    val cols = sources.head.columns.toSeq
+    val tagged = sources.zipWithIndex.map { case (df, i) =>
+      df.select(cols.map(col): _*).withColumn("__src", lit(i))
+    }.reduce(_.unionByName(_))
+    val payload = struct((col("__src") +: cols.filterNot(_ == key).map(col)): _*)
+    tagged
+      .groupBy(col(key))
+      .agg(max(payload).as("__win"))
+      .select(col(key) +: cols.filterNot(_ == key)
+        .map(c => col(s"__win.$c").as(c)): _*)
+  }
+}
