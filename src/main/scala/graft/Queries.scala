@@ -140,7 +140,8 @@ object RelationalQueries {
     // Q18 — partitioned sink (MultipleOutputFormat → write.partitionBy),
     // read back and verify per-partition counts
     "q18_partitioned_sink" -> ((s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_q18"
+      // unique per Spark app so concurrent runs never race on the sink dir
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q18_${s.sparkContext.applicationId}"
       Tables.orders(s, d).write.mode("overwrite")
         .partitionBy("o_orderpriority").parquet(out)
       s.read.parquet(out).groupBy("o_orderpriority")

@@ -8,11 +8,19 @@ import org.apache.spark.sql.functions._
   * `FieldSelectionMapReduce` (hadoop-gpu-0.20.1/src/mapred/org/apache/hadoop/
   * mapred/lib/FieldSelectionMapReduce.java:37-53).
   *
-  * Spec grammar (same as the reference doc block): a comma-separated list of
-  * field specs, each one of
-  *   - `N`    — field N (1-based, as in `cut`)
+  * Spec grammar (same shape as the reference doc block): a comma-separated
+  * list of field specs, each one of
+  *   - `N`    — field N
   *   - `N-M`  — fields N..M inclusive
   *   - `N-`   — field N through the last field
+  *   - `-M`   — first field through field M
+  *
+  * DELIBERATE DEVIATION from the reference: field numbers here are 1-based
+  * (unix `cut` convention, and Spark's own `element_at`/`slice` convention),
+  * while `FieldSelectionMapReduce` is 0-based (its `"-3"` means fields
+  * 0..3). Callers translating reference specs must add 1 to each index.
+  * An empty range start (`-M`) defaults to the first field, matching the
+  * reference's empty-start handling (FieldSelectionMapReduce.java:202-208).
   *
   * The whole selection is re-joined with the separator. Everything stays a
   * Catalyst expression (split / slice / concat_ws) so it runs inside
@@ -27,9 +35,12 @@ object FieldSelection {
 
   def parseSpec(spec: String): Seq[Spec] =
     spec.split(",").toSeq.filter(_.nonEmpty).map { s =>
-      if (s.endsWith("-")) OpenRange(s.dropRight(1).toInt)
-      else if (s.contains("-")) {
-        val Array(a, b) = s.split("-", 2); Range(a.toInt, b.toInt)
+      if (s.endsWith("-")) {
+        val start = s.dropRight(1)
+        OpenRange(if (start.isEmpty) 1 else start.toInt)
+      } else if (s.contains("-")) {
+        val Array(a, b) = s.split("-", 2)
+        Range(if (a.isEmpty) 1 else a.toInt, b.toInt)
       } else Single(s.toInt)
     }
 

@@ -28,20 +28,28 @@ object Joins {
 
   /** override(a, b, ...) — per key, the value comes from the RIGHTMOST
     * source holding it (join/OverrideRecordReader.java:36); within a source,
-    * duplicates collapse to the first value of the preferred iterator.
+    * duplicates collapse to the FIRST value of the preferred iterator (the
+    * reference reads one value and skips the rest).
     *
-    * Implementation: tag each source with its index, union, keep per key the
-    * row with the max tag (ties broken deterministically by row content),
-    * i.e. a single hash aggregation — one shuffle, no join explosion, skew-
-    * safe under AQE. All sources must share a schema.
+    * Implementation: tag each source with its index and each row with a
+    * per-source ingestion ordinal (`monotonically_increasing_id`, which is
+    * ascending in partition-then-row order — the Spark analogue of the
+    * reference's sorted-file iterator order). Per key keep the row with the
+    * greatest (source, -ordinal) pair: rightmost source wins, and within
+    * that source the earliest row wins. A single hash aggregation — one
+    * shuffle, no join explosion, skew-safe under AQE. All sources must
+    * share a schema.
     */
   def overrideJoin(key: String, sources: DataFrame*): DataFrame = {
     require(sources.nonEmpty)
     val cols = sources.head.columns.toSeq
     val tagged = sources.zipWithIndex.map { case (df, i) =>
-      df.select(cols.map(col): _*).withColumn("__src", lit(i))
+      df.select(cols.map(col): _*)
+        .withColumn("__src", lit(i))
+        .withColumn("__ord", -monotonically_increasing_id())
     }.reduce(_.unionByName(_))
-    val payload = struct((col("__src") +: cols.filterNot(_ == key).map(col)): _*)
+    val payload = struct(
+      (Seq(col("__src"), col("__ord")) ++ cols.filterNot(_ == key).map(col)): _*)
     tagged
       .groupBy(col(key))
       .agg(max(payload).as("__win"))

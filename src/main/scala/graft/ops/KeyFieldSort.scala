@@ -43,13 +43,21 @@ object KeyFieldSort {
         reverse = opts.contains('r'))
     }.toSeq
 
-  /** Compile one spec to a sort Column over the line column. */
+  /** Compile one spec to a sort Column over the line column.
+    *
+    * Malformed lines never fail the job (GNU sort behavior): a line with
+    * fewer fields than `fromField` sorts as the empty string
+    * (`try_element_at` + coalesce instead of an ANSI out-of-bounds error),
+    * and a non-numeric field under `n` sorts as 0 (`try_cast` + coalesce
+    * instead of an ANSI cast error) — exactly how `sort -n` treats
+    * non-numeric leading text.
+    */
   def sortKey(line: Column, spec: KeySpec, sep: String = "\t"): Column = {
     val fields = split(line, java.util.regex.Pattern.quote(sep))
     val raw: Column = spec.toField match {
       case Some(t) if t == spec.fromField =>
         // single field, possibly a char sub-range
-        val f = element_at(fields, spec.fromField)
+        val f = coalesce(try_element_at(fields, lit(spec.fromField)), lit(""))
         (spec.fromChar, spec.toChar) match {
           case (1, None)     => f
           case (c, None)     => substring(f, c, Int.MaxValue / 2)
@@ -66,7 +74,8 @@ object KeyFieldSort {
         if (spec.fromChar > 1) substring(joined, spec.fromChar, Int.MaxValue / 2)
         else joined
     }
-    val typed = if (spec.numeric) raw.cast("double") else raw
+    val typed =
+      if (spec.numeric) coalesce(raw.try_cast("double"), lit(0.0)) else raw
     if (spec.reverse) typed.desc else typed.asc
   }
 
