@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
+import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -183,6 +184,27 @@ object RelationalQueries {
         .agg(array_join(transform(sort_array(collect_list(col("l_linenumber"))),
           _.cast("string")), ",").as("lines"))),
 
+    // Q21 — k-means (the fork's flagship app), distributed formulation:
+    // broadcast centroids + partial-agg recalc, integer-exact so the
+    // DuckDB oracle can unroll the same 4 Lloyd iterations
+    "q21_kmeans" -> ((s, _) => KMeans.fixtureQuery(s, 400, 4, 4)),
+
+    // Q21b — the reference's literal per-line semantics: one whole Lloyd
+    // run per input line (float math, converge on ≤1.0 movement, cap 100).
+    // Not SQL-expressible → rows-only gate; unit-tested in KMeansSpec.
+    "q21b_kmeans_local" -> ((s, _) =>
+      KMeansLocal.centroidsPerLine(KMeansLocal.fixtureLines(s, 10, 3, 50))),
+
+    // Q22 — matmul as join+agg (cpu-matmul.cc emits (i j, a*b) then sums)
+    "q22_matmul" -> ((s, _) => MatMul.fixtureQuery(s, 32)),
+
+    // Q22b — matmul's per-line dot product via zip_with+aggregate (pure
+    // map-side, no shuffle), verified against the relational oracle
+    "q22b_dot" -> ((s, _) => MatMul.fixtureDotQuery(s, 16)),
+
+    // Q23 — PiEstimator: Halton 2,3 darts, exact integer digit reversal
+    "q23_pi" -> ((s, _) => Pi.estimate(s, 60000)),
+
     // FieldSelection as its own query: fields "3-" of a delimited line
     "q02b_fieldselect" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(concat_ws("|",
@@ -191,7 +213,67 @@ object RelationalQueries {
     })
   )
 
+  /** DuckDB oracle for q21_kmeans: the same 4 integer Lloyd iterations
+    * unrolled as CTEs (assign via row_number argmin, recalc via integer
+    * floor-division means, empty clusters keep their centroid). */
+  private def kmeansOracleSql(n: Int, k: Int, iters: Int): String = {
+    val header =
+      s"""WITH pts AS (SELECT i AS pid, (i*37+11)%200 AS x, (i*53+7)%200 AS y
+         |  FROM range(0,$n) t(i)),
+         |c0 AS (SELECT i AS cid, (i*37+11)%200 AS cx, (i*53+7)%200 AS cy
+         |  FROM range(0,$k) t(i))""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val p = t - 1
+      s""",
+         |a$t AS (SELECT pid, x, y, cid, row_number() OVER (PARTITION BY pid
+         |    ORDER BY (x-cx)*(x-cx)+(y-cy)*(y-cy), cid) AS rn FROM pts, c$p),
+         |s$t AS (SELECT cid, CAST(sum(x)//count(*) AS BIGINT) AS nx,
+         |    CAST(sum(y)//count(*) AS BIGINT) AS ny, count(*) AS n
+         |  FROM a$t WHERE rn = 1 GROUP BY cid),
+         |c$t AS (SELECT c$p.cid, coalesce(s$t.nx, c$p.cx) AS cx,
+         |    coalesce(s$t.ny, c$p.cy) AS cy
+         |  FROM c$p LEFT JOIN s$t ON c$p.cid = s$t.cid)""".stripMargin
+    }.mkString
+    val footer =
+      s"""
+         |SELECT c$iters.cid, c$iters.cx, c$iters.cy,
+         |  CAST(coalesce(s$iters.n, 0) AS BIGINT) AS n
+         |FROM c$iters LEFT JOIN s$iters ON c$iters.cid = s$iters.cid""".stripMargin
+    header + steps + footer
+  }
+
+  /** DuckDB oracle for q23_pi: identical integer digit-reversal Halton. */
+  private def piOracleSql(n: Int): String = {
+    val m2 = (0 until 17).map(j => s"((i >> $j) & 1) * ${1L << (16 - j)}")
+      .mkString(" + ")
+    val p3 = Array.iterate(1L, 12)(_ * 3)
+    val m3 = (0 until 11).map(j => s"((i // ${p3(j)}) % 3) * ${p3(10 - j)}")
+      .mkString(" + ")
+    s"""WITH pts AS (SELECT i, ($m2) AS m2, ($m3) AS m3 FROM range(0,$n) t(i)),
+       |xy AS (SELECT m2 / 131072.0 AS x, m3 / 177147.0 AS y FROM pts)
+       |SELECT
+       |  CAST(count(*) FILTER (WHERE (x-0.5)*(x-0.5)+(y-0.5)*(y-0.5) <= 0.25) AS BIGINT) AS num_inside,
+       |  CAST(count(*) FILTER (WHERE (x-0.5)*(x-0.5)+(y-0.5)*(y-0.5) > 0.25) AS BIGINT) AS num_outside,
+       |  4.0 * (count(*) FILTER (WHERE (x-0.5)*(x-0.5)+(y-0.5)*(y-0.5) <= 0.25)) / $n.0 AS pi_est
+       |FROM xy""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q21_kmeans" -> kmeansOracleSql(400, 4, 4),
+
+    "q22_matmul" ->
+      """WITH a AS (SELECT x//32 AS i, x%32 AS k, (x%7)-3 AS v FROM range(0,1024) t(x)),
+        |b AS (SELECT x//32 AS k, x%32 AS j, (x%5)-2 AS v FROM range(0,1024) t(x))
+        |SELECT a.i, b.j, CAST(sum(a.v*b.v) AS BIGINT) AS cval
+        |FROM a JOIN b USING (k) GROUP BY a.i, b.j""".stripMargin,
+
+    "q22b_dot" ->
+      """WITH g AS (SELECT x//16 AS i, x%16 AS j FROM range(0,256) t(x))
+        |SELECT i, j, CAST(sum(((i*16+k)%7-3)*((k*16+j)%5-2)) AS BIGINT) AS dot
+        |FROM g, range(0,16) r(k) GROUP BY i, j""".stripMargin,
+
+    "q23_pi" -> piOracleSql(60000),
+
     "q01_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'""".stripMargin,
