@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
 import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
+import graft.pipeline.{Dedup, Similarity}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -205,6 +206,48 @@ object RelationalQueries {
     // Q23 — PiEstimator: Halton 2,3 darts, exact integer digit reversal
     "q23_pi" -> ((s, _) => Pi.estimate(s, 60000)),
 
+    // ---- training-data pipeline: deduplication over `documents` ----
+
+    // Q30 — exact dedup: hash-groupBy on md5(text), keep smallest doc_id
+    "q30_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+
+    // Q31 — MinHash + banded LSH candidates, exact-Jaccard verified.
+    // Oracle is the INDEPENDENT brute-force computation, so a hash match
+    // also proves the LSH stage had perfect recall at this threshold.
+    "q31_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
+    // Q32 — 60-bit SimHash fingerprint per document (tf-weighted)
+    "q32_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+
+    // Q33 — exact all-pairs word-3-gram Jaccard (inverted-index self-join)
+    "q33_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8)),
+
+    // ---- similarity search over `embeddings` ----
+
+    // Q34 — embedding-cosine near-dup pairs (threshold 0.5)
+    "q34_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.5)),
+
+    // Q35 — brute-force cosine top-3 for query vectors (vec_id % 100 = 0)
+    "q35_ann_topk" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(vecs,
+        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 3)
+    }),
+
+    // Q35b — random-hyperplane LSH-bucketed ANN (the scale path; recall
+    // is approximate by design → rows-only gate, spec-tested instead)
+    "q35b_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 3, planes = 4, dim = 64)),
+
     // FieldSelection as its own query: fields "3-" of a delimited line
     "q02b_fieldselect" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(concat_ws("|",
@@ -258,8 +301,76 @@ object RelationalQueries {
        |FROM xy""".stripMargin
   }
 
+  /** Brute-force word-3-gram Jaccard pairs in DuckDB — oracle for BOTH
+    * q31 (minhash-LSH) and q33 (exact): the LSH path must reproduce the
+    * exact result at this threshold. */
+  private val jaccardOracleSql: String =
+    """WITH w AS (SELECT doc_id,
+      |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+      |  FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+      |            for i in range(len(ws)-2)]) AS s
+      |  FROM w),
+      |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      |  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1,2)
+      |SELECT id_a, id_b, c / (na.n + nb.n - c) AS jaccard
+      |FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
+      |WHERE c / (na.n + nb.n - c) >= 0.8""".stripMargin
+
+  /** Cosine over double-cast embeddings, shared by q34/q35 oracles. */
+  private val embedNormSql: String =
+    """v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |nv AS (SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q21_kmeans" -> kmeansOracleSql(400, 4, 4),
+
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q31_dedup_minhash" -> jaccardOracleSql,
+    "q33_ngram_jaccard" -> jaccardOracleSql,
+
+    "q32_simhash" ->
+      """WITH toks AS (SELECT doc_id, w, count(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(text,' '), x -> len(x)>0)) AS w
+        |    FROM documents) t GROUP BY 1, 2),
+        |h AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT) AS h, cnt
+        |  FROM toks),
+        |bits AS (SELECT doc_id, j,
+        |    CASE WHEN sum(cnt * (((h >> j) & 1)*2 - 1)) > 0
+        |         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM h, range(0,60) r(j) GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(bit << j) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q34_embed_neardup" ->
+      s"""WITH $embedNormSql,
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(64), i -> a.e[i+1]*b.e[i+1]))
+        |      / (a.nrm*b.nrm) AS cos
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.5""".stripMargin,
+
+    "q35_ann_topk" ->
+      s"""WITH $embedNormSql,
+        |q AS (SELECT * FROM nv WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+        |    list_sum(list_transform(range(64), i -> q.e[i+1]*c.e[i+1]))
+        |      / (q.nrm*c.nrm) AS cos
+        |  FROM q, nv c WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, nb_id) AS rk FROM scored)
+        |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
+        |FROM r WHERE rk <= 3""".stripMargin,
 
     "q22_matmul" ->
       """WITH a AS (SELECT x//32 AS i, x%32 AS k, (x%7)-3 AS v FROM range(0,1024) t(x)),

@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four tiers, cheapest first:
+  *   - [[exact]]           — byte-identical texts (hash groupBy)
+  *   - [[simhash]]         — 60-bit weighted token fingerprint
+  *   - [[ngramJaccardPairs]] — exact all-pairs word-shingle Jaccard via an
+  *     inverted-index self-join (the correctness baseline; O(sum of
+  *     posting-list² ) — fine for medium corpora, superseded by LSH at scale)
+  *   - [[minhashLshPairs]] — MinHash signatures + banded LSH: candidates
+  *     come from equal band buckets, then exact Jaccard re-verification.
+  *     This is the 100 TB path: cost is O(docs × H) map-side work plus a
+  *     shuffle keyed on (band, bucket) whose fan-in is the near-dup rate,
+  *     not O(n²).
+  *
+  * All hashing goes through [[Portable]] so the DuckDB oracle reproduces
+  * results exactly; Jaccard values are single IEEE divisions of exact
+  * integer counts, so equality across engines is bit-level.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct text, keeping the smallest doc id.
+    * Grouping key is md5(text) so the shuffle carries 16 bytes per doc,
+    * not the document body. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  // ---------------------------------------------------------------- shingles
+
+  /** Word n-gram shingle strings of a text column (space-tokenized,
+    * empties dropped). */
+  def shingles(text: Column, n: Int): Column = {
+    val w = filter(split(text, " "), t => length(t) > 0)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (1 to n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array())
+  }
+
+  /** (id, sh) distinct 60-bit shingle-hash postings for a corpus. */
+  def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), Portable.hash60(col("s")).as("sh"))
+      .distinct()
+
+  /** Exact pairwise Jaccard >= threshold via inverted-index self-join.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val ds = shinglePostings(docs, idCol, textCol, n)
+    jaccardOf(ds, ds.as("a").join(ds.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter")), threshold)
+  }
+
+  /** Attach sizes and compute jaccard = inter / (na + nb - inter). */
+  private def jaccardOf(ds: DataFrame, inter: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Prime modulus for the affine minhash permutations: fits products of
+    * two 31-bit values in a signed 64-bit long without overflow. */
+  val P: Long = 2147483647L
+
+  /** Affine permutation coefficients (a_i, b_i), identical in the oracle. */
+  def hashParams(h: Int): Seq[(Long, Long)] =
+    (0 until h).map { i =>
+      (1L + ((i + 1) * 2654435761L) % (P - 1), ((i + 1) * 1013904223L) % P)
+    }
+
+  /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
+    *
+    * @param numHashes signature length H (= bands * rowsPerBand)
+    * @param bands     LSH bands; a pair is a candidate if any band matches
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numHashes: Int = 24, bands: Int = 8)
+      : DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val ds = shinglePostings(docs, idCol, textCol, n)
+
+    // signatures: one groupBy, H parallel min-aggregates (partial agg
+    // map-side, so the shuffle carries H longs per doc)
+    val params = hashParams(numHashes)
+    val x = col("sh") % P
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * x + lit(b)) % P).as(s"h$i")
+    }
+    val sigs = ds.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+
+    // band buckets: combine each band's r minhashes into one bucket key
+    val bandRows = sigs.select(col("id"), explode(array(
+      (0 until bands).map { j =>
+        val bsig = (0 until r).map(k => col(s"h${j * r + k}"))
+          .reduce((acc, c) => acc * 31 + c)
+        struct(lit(j).as("band"), bsig.as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+
+    val candidates = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    // exact verification restricted to candidates: join each side's
+    // postings; cost scales with candidate count, not corpus²
+    val inter = candidates
+      .join(ds.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(ds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    jaccardOf(ds, inter, threshold)
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 60-bit SimHash over space-tokenized words weighted by term frequency:
+    * bit j is set iff Σ_tokens cnt·(2·bit_j(hash(token))−1) > 0.
+    * One explode + two hash aggregations; integer-exact across engines. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 60): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+      .select(col("id"), Portable.hash60(col("w")).as("h"), col("cnt"))
+    val bitSums = (0 until bits).map { j =>
+      sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1))
+        .as(s"b$j")
+    }
+    toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id").as("doc_id"),
+        (0 until bits).map(j =>
+          shiftleft(when(col(s"b$j") > 0, 1L).otherwise(0L), j))
+          .reduce(_ + _).as("simhash"))
+  }
+}
