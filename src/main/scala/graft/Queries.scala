@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
 import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -248,6 +248,39 @@ object RelationalQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3, planes = 4, dim = 64)),
 
+    // ---- text analysis over `documents` ----
+
+    // Q36 — language ID by stopword-hit argmax (scores + decision)
+    "q36_langid" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text")),
+
+    // Q37 — quality scoring (length / punctuation / stopword ratios)
+    "q37_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")),
+
+    // Q38 — whitespace + BPE-ish token counting
+    "q38_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+
+    // Q39 — order-sensitive document fingerprint (position-weighted hash)
+    "q39_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+
+    // ---- multimodal binary columns ----
+
+    // Q40 — media metadata through the binary path (length + md5)
+    "q40_media_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text", "text"))),
+
+    // Q40b — stubbed decode + feature extraction via typed mapPartitions
+    // (codec is a deterministic fake; plumbing is real) → rows-only gate,
+    // value-checked in MultimodalSpec
+    "q40b_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(
+        Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text", "text"))
+        .toDF()),
+
     // FieldSelection as its own query: fields "3-" of a delimited line
     "q02b_fieldselect" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(concat_ws("|",
@@ -327,8 +360,77 @@ object RelationalQueries {
       |nv AS (SELECT vec_id, e,
       |    sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)""".stripMargin
 
+  /** SQL literal list for a stopword set, e.g. ['the','a']. */
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val langidOracleSql: String = {
+    val scores = TextAnalysis.stopwords.map { case (lang, list) =>
+      s"CAST(len(list_filter(ws, x -> list_contains(${sqlList(list)}, x))) AS INT) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1)
+      s"WHEN ${later.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id,
+       |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, $scores FROM w)
+       |SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")},
+       |  CASE $cases ELSE '${langs.last}' END AS detected
+       |FROM s""".stripMargin
+  }
+
+  private val qualityOracleSql: String = {
+    val en = sqlList(TextAnalysis.stopwords.head._2)
+    s"""WITH w AS (SELECT doc_id, text,
+       |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+       |  FROM documents),
+       |b AS (SELECT doc_id,
+       |    CAST(len(ws) AS INT) AS n_tokens,
+       |    CAST(list_sum(list_transform(ws, x -> CAST(len(x) AS BIGINT))) AS BIGINT) AS sum_len,
+       |    length(text) AS n_chars,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+       |    len(list_filter(ws, x -> list_contains($en, x))) AS stops
+       |  FROM w)
+       |SELECT doc_id, n_tokens,
+       |  sum_len / n_tokens AS avg_tok_len,
+       |  punct / n_chars AS punct_ratio,
+       |  stops / n_tokens AS stop_ratio,
+       |  0.4 * least(1.0, n_tokens / 100.0)
+       |    + 0.3 * (1.0 - punct / n_chars)
+       |    + 0.3 * least(1.0, (stops / n_tokens) * 5) AS quality
+       |FROM b""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q21_kmeans" -> kmeansOracleSql(400, 4, 4),
+
+    "q36_langid" -> langidOracleSql,
+    "q37_quality" -> qualityOracleSql,
+
+    "q38_tokens" ->
+      s"""SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '), x -> len(x)>0)) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.bpeishPattern}')) AS INT) AS bpe_tokens,
+        |  CAST(length(text) AS INT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "q39_fingerprint" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, CAST(list_sum(
+        |    [(i+1) * (CAST(concat('0x', substr(md5(ws[i+1]),1,15)) AS BIGINT) % 1000003)
+        |     for i in range(len(ws))]) % 1000000007 AS BIGINT) AS fp
+        |FROM w""".stripMargin,
+
+    // text is pure ASCII (verified octet_length(encode(text)) = length(text)
+    // corpus-wide), so md5(text) here equals Spark's md5 over utf-8 bytes
+    "q40_media_meta" ->
+      """SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum FROM documents""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, and order-sensitive fingerprinting.
+  * Everything is a single codegen'd projection (no UDFs, no shuffle), so
+  * cost is one linear scan regardless of corpus size, and every value is
+  * reproducible by the DuckDB oracle (integer counts + fixed-order IEEE
+  * arithmetic).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lists for the n-gram/stopword-hit
+    * language-ID heuristic. Shared with the oracle SQL builders. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有"))
+
+  private def words(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Stopword hits (with repeats) for one language list. */
+  private def hits(ws: Column, list: Seq[String]): Column =
+    size(filter(ws, w => array_contains(lit(list.toArray), w)))
+
+  /** Language ID by stopword-hit argmax; ties resolve in [[stopwords]]
+    * order (en before es before zh). Emits the per-language scores too so
+    * the oracle checks the whole computation, not just the argmax. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val scored = docs.select(
+      col(idCol).as("doc_id") +:
+      stopwords.map { case (lang, list) => hits(ws, list).as(s"s_$lang") }: _*)
+    val detected = stopwords.init.foldRight(lit(stopwords.last._1)) {
+      case ((lang, _), rest) =>
+        val later = stopwords.dropWhile(_._1 != lang).tail
+        when(later.map(o => col(s"s_$lang") >= col(s"s_${o._1}"))
+          .reduce(_ && _), lang).otherwise(rest)
+    }
+    scored.withColumn("detected", detected)
+  }
+
+  /** Heuristic quality score from length, punctuation, and stopword
+    * density — all ratios are int/int single divisions, then one fixed
+    * weighted sum, so scores are bit-equal across engines. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nTok = size(ws)
+    val nChars = length(t)
+    val sumLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), _ + _)
+    val punct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
+    val stops = hits(ws, stopwords.head._2)
+    docs.select(
+      col(idCol).as("doc_id"),
+      nTok.as("n_tokens"),
+      (sumLen / nTok).as("avg_tok_len"),
+      (punct.cast("double") / nChars).as("punct_ratio"),
+      (stops.cast("double") / nTok).as("stop_ratio"))
+      .withColumn("quality",
+        lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
+        lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.3) * least(lit(1.0), col("stop_ratio") * 5))
+  }
+
+  /** BPE-ish sub-token regex: letter runs, digit runs, single symbols. */
+  val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Whitespace token count + BPE-ish regex token count + char count. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(words(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+        .as("bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Order-sensitive document fingerprint (Rabin-Karp flavored): a
+    * position-weighted sum of per-word 60-bit hashes reduced mod primes
+    * chosen so no intermediate exceeds a signed 64-bit long. Distinguishes
+    * permuted documents, unlike bag-of-words hashing. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    val weighted = transform(ws,
+      (w, i) => (i.cast("long") + 1L) * (Portable.hash60(w) % 1000003L))
+    docs.select(
+      col(idCol).as("doc_id"),
+      (aggregate(weighted, lit(0L), _ + _) % 1000000007L).as("fp"))
+  }
+}
