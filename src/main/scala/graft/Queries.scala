@@ -281,6 +281,17 @@ object RelationalQueries {
         Multimodal.asMedia(Tables.documents(s, d), "doc_id", "text", "text"))
         .toDF()),
 
+    // ---- event-time processing over `events` (batch mode of the same
+    // plans the streaming specs run through MemoryStream) ----
+
+    // Q41 — tumbling 5-minute windows per event_type
+    "q41_windowed" -> ((s, d) =>
+      graft.streaming.EventStreams.windowedCounts(Tables.events(s, d))),
+
+    // Q42 — 30-minute-gap sessionization per user
+    "q42_sessions" -> ((s, d) =>
+      graft.streaming.EventStreams.sessionize(Tables.events(s, d))),
+
     // FieldSelection as its own query: fields "3-" of a delimited line
     "q02b_fieldselect" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(concat_ws("|",
@@ -406,6 +417,24 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q21_kmeans" -> kmeansOracleSql(400, 4, 4),
+
+    "q41_windowed" ->
+      """SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300 AS BIGINT)*1000000)
+        |    AS window_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q42_sessions" ->
+      """WITH o AS (SELECT user_id, ts,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q36_langid" -> langidOracleSql,
     "q37_quality" -> qualityOracleSql,

@@ -21,7 +21,19 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects by default. Read nanos as long (legacy conf) and convert to
+    * a proper timestamp; the corpus is microsecond-granular (verified
+    * epoch_ns % 1000 = 0 corpus-wide) so `div 1000` is lossless. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(spark, dir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time stream processing over the `events` table — NEW surface
+  * relative to the reference (Hadoop "streaming" is stdin/stdout batch
+  * scripting, SURVEY.md §2.8): built greenfield on Structured Streaming.
+  *
+  * Every transform here is defined once and runs in BOTH batch and
+  * streaming mode (the DataFrame is the same logical plan; Spark plans a
+  * micro-batch incremental version when the source is a stream). The
+  * correctness gate runs them in batch against DuckDB; the specs run them
+  * through MemoryStream.
+  *
+  * Scale notes: windowed aggregation shuffles on (window, key) with
+  * map-side partial aggregation; the watermark bounds state size — without
+  * it a 100 TB/day stream would accumulate state forever.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** File-based streaming source over the same parquet the batch path
+    * reads — schema locked, one file per micro-batch. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/events.parquet")
+
+  /** Tumbling 5-minute windows per event_type: count + value sum.
+    * Watermark (streaming only) allows state eviction 10 minutes past
+    * event time. */
+  def windowedCounts(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "10 minutes")
+      else events
+    src.groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** Session windows per user with a 30-minute inactivity gap. Sessions
+    * are half-open: a gap of exactly 30 minutes starts a new session. */
+  def sessionize(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+  }
+
+  final case class UserState(nEvents: Long, totalValue: Double)
+  final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing: running per-user totals via
+    * mapGroupsWithState (the Structured Streaming analogue of a custom
+    * stateful reducer). Works in batch too (state spans the one batch). */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.nEvents
+          var total = prev.totalValue
+          batch.foreach { e => n += 1; total += e.value }
+          state.update(UserState(n, total))
+          UserSnapshot(userId, n, total)
+      }
+  }
+
+  /** Convenience: run a streaming query over a memory sink until all
+    * available input is processed, return the sink contents. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}
