@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+      value: Double): Event =
+    Event(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+      user, typ, value, "{}")
+
+  private val events = Seq(
+    ev(1, 0, 1, "click", 1.0), ev(2, 1, 1, "click", 2.0),
+    ev(3, 4, 2, "view", 3.0),  ev(4, 6, 2, "click", 4.0),
+    ev(5, 40, 1, "view", 5.0))
+
+  test("windowedCounts (batch): 5-minute tumbling windows per type") {
+    val out = EventStreams.windowedCounts(events.toDF())
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    assert(out == Set(
+      (t(0), "click", 2L, 3.0), (t(0), "view", 1L, 3.0),
+      (t(5), "click", 1L, 4.0), (t(40), "view", 1L, 5.0)))
+  }
+
+  test("windowedCounts (streaming): same result through MemoryStream") {
+    val ms = MemoryStream[Event](spark)
+    ms.addData(events)
+    val out = EventStreams.runToMemory(
+        EventStreams.windowedCounts(ms.toDF()), "wc_test", OutputMode.Update())
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(out == batch)
+  }
+
+  test("sessionize: a 30-minute gap starts a new session") {
+    val out = EventStreams.sessionize(events.toDF())
+      .as[(Long, Timestamp, Long)].collect().toSet
+    val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // user 1: events at :00,:01 then :40 (39-min gap) -> two sessions
+    // user 2: events at :04,:06 -> one session
+    assert(out == Set(
+      (1L, t(0), 2L), (1L, t(40), 1L), (2L, t(4), 2L)))
+  }
+
+  test("runningUserTotals accumulates per user (batch mode)") {
+    val out = EventStreams.runningUserTotals(events.toDS())
+      .collect().map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+    assert(out(1L) == ((3L, 8.0)) && out(2L) == ((2L, 7.0)))
+  }
+
+  test("runningUserTotals maintains state across streaming micro-batches") {
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.runningUserTotals(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName("rut_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      ms.addData(events.take(2)) // user 1: 2 events
+      q.processAllAvailable()
+      ms.addData(events.drop(4)) // user 1: 1 more event
+      q.processAllAvailable()
+    } finally q.stop()
+    val snaps = spark.table("rut_test")
+      .as[(Long, Long, Double)].collect().filter(_._1 == 1L)
+    // second snapshot must include the first batch's state
+    assert(snaps.map(_._2).max == 3L)
+    assert(snaps.map(_._3).max == 8.0)
+  }
+}
+
+class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.agg.ValueAggregators
+
+  test("histogramReport medians use counts[len/2], not interpolation") {
+    // key "k": items a,a,a,b -> freq counts [1,3]; median = counts[1] = 3
+    val df = Seq(("k", "a"), ("k", "a"), ("k", "a"), ("k", "b"))
+      .toDF("key", "item")
+    val r = ValueAggregators.histogramReport(df, col("key"), col("item"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_items") == 2L)
+    assert(r.getAs[Long]("median_cnt") == 3L)
+    assert(r.getAs[Long]("min_cnt") == 1L && r.getAs[Long]("max_cnt") == 3L)
+  }
+
+  test("uniqValueCount is exact; approx variant is close") {
+    val df = (1 to 100).map(i => ("g", i % 10)).toDF("g", "v")
+    val exact = df.groupBy("g")
+      .agg(ValueAggregators.uniqValueCount(col("v"))).collect()(0).getLong(1)
+    val approx = df.groupBy("g")
+      .agg(ValueAggregators.uniqValueCountApprox(col("v"))).collect()(0).getLong(1)
+    assert(exact == 10L && math.abs(approx - 10L) <= 1)
+  }
+}
