@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench session runs 40+ queries in one long-lived JVM
+  // on a 128 GiB box; at 8g the later queries GC-thrash (observed 3-6x
+  // slowdowns and executor-heartbeat RPC timeouts under local[32]).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native dot product over `array<float>` / `array<double>` columns.
+  *
+  * The declarative form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` —
+  * is correct but runs the lambda through interpreted higher-order
+  * functions: one allocated intermediate array plus boxed arithmetic per
+  * pair, which dominates brute-force similarity scans (millions of pairs
+  * × vector dims). This Expression generates a tight primitive loop via
+  * `doGenCode` (the "custom Catalyst Expression beats a Scala UDF beats
+  * anything else" tier): no allocation, no boxing, whole-stage-codegen
+  * friendly.
+  *
+  * Arithmetic is `(double)a[i] * (double)b[i]` accumulated left-to-right
+  * — bit-identical to the cast-then-multiply declarative form and to the
+  * DuckDB oracle, so swapping implementations never moves a hash.
+  *
+  * Null semantics: null array → null result; elements are assumed
+  * non-null (dense embeddings). Length mismatch truncates to the shorter
+  * side, like `zip_with` with a null-producing lambda would not — we
+  * document rather than pay a per-row branch.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects array<float|double>, got ${left.dataType.sql}, " +
+      right.dataType.sql)
+
+  private def get(a: ArrayData, i: Int, t: DataType): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case _         => a.getDouble(i)
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += get(a, i, ta) * get(b, i, tb); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def getter(v: String, i: String, t: DataType): String = t match {
+        case FloatType => s"(double) $v.getFloat($i)"
+        case _         => s"$v.getDouble($i)"
+      }
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ${getter(a, i, elemType(left).get)} *
+         |        ${getter(b, i, elemType(right).get)};
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Idempotently register `vec_dot` in the session's function registry. */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (registered.add(spark.sessionState.hashCode().toString)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    }
+
+  /** Column API for the native dot product (register first). */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}
