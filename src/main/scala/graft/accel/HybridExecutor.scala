@@ -1,0 +1,106 @@
+package graft.accel
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Accelerator-aware operator execution, Spark-idiomatic.
+  *
+  * The reference runs the SAME logical map operator as either a CPU
+  * binary or a GPU binary, chosen per task by the scheduler
+  * (MapTask.java:375-379 picks the runner; Application.java:133-136 execs
+  * DistributedCache file [runOnGPU ? 1 : 0]). Two Spark-native shapes of
+  * that idea:
+  *
+  *  1. [[HybridExecutor.hybridMapPartitions]] — partition-level device
+  *     split: the α-policy assigns the first y partitions to the
+  *     accelerated implementation and the rest to the CPU one, exactly
+  *     like the fork marks y of the pending tasks setRunOnGPU(true).
+  *     On a real cluster the accelerated branch would additionally run
+  *     under a stage-level ResourceProfile requesting "gpu" task
+  *     resources; the variant-choice mechanics are identical.
+  *
+  *  2. [[AccelSwapRule]] — plan-level variant swap: an optimizer rule
+  *     (injectable via SparkSessionExtensions or
+  *     spark.experimental.extraOptimizations) that rewrites a registered
+  *     scalar UDF to its accelerated twin when the measured α favors it.
+  *
+  * Both are OPTIONAL and flagged — the CPU path is authoritative for
+  * correctness (SURVEY §4.3); no GPU exists in CI, so specs drive the
+  * policy with injected timings.
+  */
+object HybridExecutor {
+
+  /** Run `cpu` on some partitions and `accel` on others, split by the
+    * measured-means policy. Both functions MUST be semantically
+    * equivalent; results are unioned by partition. */
+  def hybridMapPartitions[T, U: Encoder](
+      ds: Dataset[T],
+      cpu: Iterator[T] => Iterator[U],
+      accel: Iterator[T] => Iterator[U],
+      profile: DeviceProfile,
+      times: Option[TaskTimes] = None): Dataset[U] = {
+    val nPart = ds.rdd.getNumPartitions
+    val (_, gpuParts) = HybridPolicy.split(nPart, profile)
+    ds.mapPartitions { it =>
+      val onAccel = TaskContext.getPartitionId() < gpuParts
+      val t0 = System.nanoTime()
+      val out = if (onAccel) accel(it) else cpu(it)
+      // wrap so completion time is recorded after the iterator drains
+      new Iterator[U] {
+        def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h) {
+            val sec = (System.nanoTime() - t0) / 1e9
+            times.foreach(t => if (onAccel) t.recordGpu(sec) else t.recordCpu(sec))
+          }
+          h
+        }
+        def next(): U = out.next()
+      }
+    }
+  }
+}
+
+/** Registry of CPU-UDF → accelerated-UDF variant pairs for the plan-level
+  * swap. `decide` is consulted at optimization time (the α-policy, or a
+  * feature flag). */
+object VariantRegistry {
+  final case class Variant(accelName: String, accelFn: AnyRef,
+      decide: () => Boolean)
+  private val variants =
+    new java.util.concurrent.ConcurrentHashMap[String, Variant]()
+
+  def register(cpuName: String, v: Variant): Unit = variants.put(cpuName, v)
+  def lookup(cpuName: String): Option[Variant] = Option(variants.get(cpuName))
+  def clear(): Unit = variants.clear()
+}
+
+/** Optimizer rule swapping registered UDFs to their accelerated variants.
+  * Install per-session with [[Accel.install]] or globally via
+  * `spark.sql.extensions=graft.accel.AccelExtensions`. */
+object AccelSwapRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case udf: ScalaUDF if udf.udfName.exists(n =>
+          VariantRegistry.lookup(n).exists(_.decide())) =>
+        val v = VariantRegistry.lookup(udf.udfName.get).get
+        udf.copy(function = v.accelFn, udfName = Some(v.accelName))
+    }
+}
+
+/** SparkSessionExtensions entry point (spark.sql.extensions config). */
+class AccelExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => AccelSwapRule)
+}
+
+object Accel {
+  /** Install the swap rule into an existing session. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(AccelSwapRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AccelSwapRule
+}

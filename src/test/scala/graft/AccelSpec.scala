@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, udf}
+
+import graft.accel._
+
+class HybridPolicySpec extends AnyFunSuite {
+
+  test("all load goes to GPU when GPUs absorb it faster") {
+    // 4 CPU + 1 GPU, GPU 8x faster (the fork's sample slot config,
+    // conf/mapred-site.xml 4+1), small pending load
+    val p = DeviceProfile(nCpu = 4, nGpu = 1, cpuMeanSec = 8.0, gpuMeanSec = 1.0)
+    val (x, y) = HybridPolicy.split(4, p)
+    assert((x, y) == (0, 4)) // 4 GPU tasks: 4s beats any CPU involvement
+  }
+
+  test("large load splits so device makespans balance") {
+    val p = DeviceProfile(4, 1, 8.0, 1.0)
+    val (x, y) = HybridPolicy.split(40, p)
+    assert(x + y == 40)
+    val f = HybridPolicy.makespan(x, y, p)
+    // optimal is ~ mixing: CPU-only = ceil(40/4)*8 = 80, GPU-only = 40
+    assert(f < HybridPolicy.fCpuOnly(40, p) && f < HybridPolicy.fGpuOnly(40, p))
+    assert(f == 28.0) // x=12 -> ceil(12/4)*8=24; y=28 -> 28; max=28
+  }
+
+  test("degenerate slot counts fall back to the available device") {
+    val cpuOnly = DeviceProfile(4, 0, 8.0, 0.0)
+    assert(HybridPolicy.split(10, cpuOnly) == ((10, 0)))
+    val gpuOnly = DeviceProfile(0, 2, 0.0, 1.0)
+    assert(HybridPolicy.split(10, gpuOnly) == ((0, 10)))
+  }
+
+  test("CPU slots offered only when load exceeds alpha * gpu capacity") {
+    val p = DeviceProfile(4, 2, 8.0, 1.0) // alpha = 8
+    assert(!HybridPolicy.offerCpu(15, p)) // 15 < 8*2
+    assert(HybridPolicy.offerCpu(16, p))
+  }
+
+}
+
+class HybridExecutorSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("TaskTimes feeds measured means into the profile") {
+    val t = new TaskTimes(spark.sparkContext)
+    t.recordCpu(6.0); t.recordCpu(10.0); t.recordGpu(2.0)
+    val p = t.profile(nCpu = 4, nGpu = 1)
+    assert(p.cpuMeanSec == 8.0 && p.gpuMeanSec == 2.0 && p.alpha == 4.0)
+  }
+
+  test("hybridMapPartitions: identical results whatever the split, and both devices run") {
+    val ds = spark.range(1000).repartition(8).as[Long]
+    val times = new TaskTimes(spark.sparkContext)
+    val double_ : Iterator[Long] => Iterator[Long] = _.map(_ * 2)
+    val out = HybridExecutor.hybridMapPartitions(
+      ds, double_, double_,
+      DeviceProfile(4, 4, 1.0, 1.0), Some(times)).collect().sorted
+    assert(out.toSeq == (0L until 1000L).map(_ * 2))
+    val p = times.profile(4, 4, defaultMean = -1.0)
+    assert(p.cpuMeanSec >= 0 && p.gpuMeanSec >= 0) // both branches recorded
+  }
+
+  test("AccelSwapRule swaps a registered UDF variant when policy says go") {
+    Accel.install(spark)
+    val cpuFn = (x: Long) => x + 1
+    val accelFn = (x: Long) => x + 1 // semantically equal twin
+    VariantRegistry.register("inc_cpu",
+      VariantRegistry.Variant("inc_accel", accelFn, () => true))
+    try {
+      val out = spark.range(3).select(
+        udf(cpuFn).withName("inc_cpu")(col("id")).as("v"))
+      assert(out.queryExecution.optimizedPlan.toString.contains("inc_accel"))
+      assert(out.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+      // policy off -> no swap
+      VariantRegistry.register("inc_cpu",
+        VariantRegistry.Variant("inc_accel", accelFn, () => false))
+      val kept = spark.range(3).select(
+        udf(cpuFn).withName("inc_cpu")(col("id")).as("v"))
+      assert(!kept.queryExecution.optimizedPlan.toString.contains("inc_accel"))
+    } finally VariantRegistry.clear()
+  }
+}
