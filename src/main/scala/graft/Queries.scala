@@ -292,6 +292,34 @@ object RelationalQueries {
     "q42_sessions" -> ((s, d) =>
       graft.streaming.EventStreams.sessionize(Tables.events(s, d))),
 
+    // ---- source/sink coverage ----
+
+    // Q43 — JDBC sink + partitioned JDBC source (DBOutputFormat /
+    // DBInputFormat / DBCountPageView shape) via in-memory Derby
+    "q43_jdbc_roundtrip" -> ((s, d) => {
+      import graft.sources.JdbcRoundTrip
+      val url = JdbcRoundTrip.memUrl(
+        s"graft_${s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")}")
+      val agg = Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+      JdbcRoundTrip.write(agg, url, "prio_counts")
+      JdbcRoundTrip.readPartitioned(s, url, "prio_counts",
+          "cnt", 0L, 10000000L, 2)
+        .select("o_orderpriority", "cnt")
+    }),
+
+    // Q44 — TextOutputFormat / KeyValueTextInputFormat roundtrip with a
+    // gzip codec (LineRecordReader reads it back transparently)
+    "q44_text_roundtrip" -> ((s, d) => {
+      import graft.sources.TextFormats
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q44_${s.sparkContext.applicationId}"
+      TextFormats.writeKeyValueText(Tables.lineitem(s, d),
+        col("l_orderkey"), col("l_quantity"), out, "\t", "gzip")
+      TextFormats.readKeyValueText(s, out)
+        .groupBy(col("key").cast("long").as("l_orderkey"))
+        .agg(sum(col("value").cast("double")).as("sum_qty"))
+    }),
+
     // FieldSelection as its own query: fields "3-" of a delimited line
     "q02b_fieldselect" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(concat_ws("|",
@@ -435,6 +463,12 @@ object RelationalQueries {
         |  FROM o)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q43_jdbc_roundtrip" ->
+      "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1",
+
+    "q44_text_roundtrip" ->
+      "SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",
 
     "q36_langid" -> langidOracleSql,
     "q37_quality" -> qualityOracleSql,
