@@ -314,7 +314,8 @@ object RelationalQueries {
       import graft.sources.TextFormats
       val out = s"${sys.props("java.io.tmpdir")}/graft_q44_${s.sparkContext.applicationId}"
       TextFormats.writeKeyValueText(Tables.lineitem(s, d),
-        col("l_orderkey"), col("l_quantity"), out, "\t", "gzip")
+        col("l_orderkey"), col("l_quantity"), out, "\t", "gzip",
+        numFiles = s.sparkContext.defaultParallelism)
       TextFormats.readKeyValueText(s, out)
         .groupBy(col("key").cast("long").as("l_orderkey"))
         .agg(sum(col("value").cast("double")).as("sum_qty"))

@@ -18,11 +18,22 @@ object TextFormats {
 
   /** TextOutputFormat: write "key<sep>value" lines; codec optional
     * (gzip/bzip2 readable back for free, like the reference's
-    * gzip-aware LineRecordReader). */
+    * gzip-aware LineRecordReader).
+    *
+    * `numFiles > 0` repartitions before the write. This matters for
+    * compressed text: gzip files are UNSPLITTABLE on read (one task per
+    * file, exactly the reference's isSplitable=false for codec'd inputs,
+    * mapred/TextInputFormat.java:45-49), so a single-partition upstream —
+    * e.g. one small parquet file — would serialize the whole write AND
+    * every downstream read. One file per available core keeps both sides
+    * parallel. */
   def writeKeyValueText(df: DataFrame, key: Column, value: Column,
-      path: String, sep: String = "\t", compression: String = "none"): Unit =
-    df.select(concat_ws(sep, key, value).as("value"))
-      .write.mode("overwrite").option("compression", compression).text(path)
+      path: String, sep: String = "\t", compression: String = "none",
+      numFiles: Int = 0): Unit = {
+    val lines = df.select(concat_ws(sep, key, value).as("value"))
+    val sized = if (numFiles > 0) lines.repartition(numFiles) else lines
+    sized.write.mode("overwrite").option("compression", compression).text(path)
+  }
 
   /** KeyValueTextInputFormat: (key, value) split at the FIRST separator. */
   def readKeyValueText(spark: SparkSession, path: String,
