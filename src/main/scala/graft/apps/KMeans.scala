@@ -152,22 +152,27 @@ object KMeansLocal {
     math.sqrt((dx * dx + dy * dy).toDouble).toFloat
   }
 
-  /** Parse a reference-format line "k n c1x c1y ... dnx dny" and run
-    * [[lloyd]]. Emits (key, cid, cx, cy) like the reference's
-    * `context.emit(key + '\t' + i, (int)x + '\t' + (int)y)`. */
+  /** Parse a reference-format line "k n c1x c1y ... dnx dny", run
+    * [[lloyd]], emit one (key, cid, cx, cy) per centroid — the map body
+    * the reference builds as both a CPU binary and a CUDA binary. */
+  def centroidsOfLine(key: String, value: String): Seq[(String, Int, Int, Int)] = {
+    val e = value.trim.split("\\s+")
+    val k = e(0).toInt
+    val n = e(1).toInt
+    val init = Array.tabulate(k)(i => (e(2 * i + 2).toFloat, e(2 * i + 3).toFloat))
+    val pts = Array.tabulate(n)(i =>
+      (e(2 * i + 2 * k + 2).toFloat, e(2 * i + 2 * k + 3).toFloat))
+    val (cents, _) = lloyd(k, init, pts)
+    cents.toSeq.zipWithIndex.map { case ((cx, cy), cid) => (key, cid, cx, cy) }
+  }
+
+  /** [[centroidsOfLine]] over a Dataset — `context.emit(key + '\t' + i,
+    * (int)x + '\t' + (int)y)` re-expressed as a typed flatMap. */
   def centroidsPerLine(lines: Dataset[(String, String)]): DataFrame = {
     val spark = lines.sparkSession
     import spark.implicits._
-    lines.flatMap { case (key, value) =>
-      val e = value.trim.split("\\s+")
-      val k = e(0).toInt
-      val n = e(1).toInt
-      val init = Array.tabulate(k)(i => (e(2 * i + 2).toFloat, e(2 * i + 3).toFloat))
-      val pts = Array.tabulate(n)(i =>
-        (e(2 * i + 2 * k + 2).toFloat, e(2 * i + 2 * k + 3).toFloat))
-      val (cents, _) = lloyd(k, init, pts)
-      cents.zipWithIndex.map { case ((cx, cy), cid) => (key, cid, cx, cy) }
-    }.toDF("key", "cid", "cx", "cy")
+    lines.flatMap { case (key, value) => centroidsOfLine(key, value) }
+      .toDF("key", "cid", "cx", "cy")
   }
 
   /** Deterministic multi-line fixture in the reference's input format. */

@@ -62,6 +62,24 @@ class HybridExecutorSpec extends AnyFunSuite with SparkTest {
     assert(p.cpuMeanSec >= 0 && p.gpuMeanSec >= 0) // both branches recorded
   }
 
+  test("hybrid per-line kmeans: device variants produce identical centroids") {
+    // the fork's flagship pairing: the same Lloyd map body shipped as a
+    // CPU binary and a GPU binary, split across device slots by the
+    // alpha-policy; here both variants are the CPU implementation (no GPU
+    // in CI) — the point is that variant CHOICE never changes results
+    import graft.apps.KMeansLocal
+    val lines = KMeansLocal.fixtureLines(spark, 6, 3, 40).repartition(4)
+    val mapBody: Iterator[(String, String)] => Iterator[(String, Int, Int, Int)] =
+      _.flatMap { case (k, v) => KMeansLocal.centroidsOfLine(k, v) }
+    val hybrid = HybridExecutor.hybridMapPartitions(
+        lines, mapBody, mapBody,
+        DeviceProfile(nCpu = 2, nGpu = 2, cpuMeanSec = 4.0, gpuMeanSec = 1.0))
+      .collect().toSet
+    val plain = KMeansLocal.centroidsPerLine(lines)
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(hybrid == plain && hybrid.size == 18) // 6 lines x k=3
+  }
+
   test("AccelSwapRule swaps a registered UDF variant when policy says go") {
     Accel.install(spark)
     val cpuFn = (x: Long) => x + 1
