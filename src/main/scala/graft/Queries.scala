@@ -56,6 +56,14 @@ object RelationalQueries {
       Tables.lineitem(s, d).groupBy("l_suppkey")
         .agg(ValueAggregators.uniqValueCount(col("l_partkey")).as("uniq_parts"))),
 
+    // Q07b — the 100 TB-safe distinct count: HLL sketch, constant memory
+    // per group vs UniqValueCount's unbounded set. Not reproducible in
+    // DuckDB (different HLL) → rows-only gate; accuracy spec-tested.
+    "q07b_uniq_approx" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_suppkey")
+        .agg(ValueAggregators.uniqValueCountApprox(col("l_partkey"))
+          .as("uniq_parts_approx"))),
+
     // Q08 — ValueHistogram report (exact reference median = counts[len/2])
     "q08_histogram" -> ((s, d) =>
       ValueAggregators.histogramReport(Tables.orders(s, d),

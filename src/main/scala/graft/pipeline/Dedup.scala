@@ -60,17 +60,18 @@ object Dedup {
     * Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val ds = shinglePostings(docs, idCol, textCol, n)
-    jaccardOf(ds, ds.as("a").join(ds.as("b"),
+    val ds = shinglePostings(docs, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    jaccardOf(sizes, ds.as("a").join(ds.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter")), threshold)
   }
 
-  /** Attach sizes and compute jaccard = inter / (na + nb - inter). */
-  private def jaccardOf(ds: DataFrame, inter: DataFrame,
-      threshold: Double): DataFrame = {
-    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n"))
+  /** Attach per-doc set sizes (id, n) and compute
+    * jaccard = inter / (na + nb - inter). */
+  private def jaccardOf(sizes: DataFrame, inter: DataFrame,
+      threshold: Double): DataFrame =
     inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
@@ -78,7 +79,6 @@ object Dedup {
         col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
 
   // ---------------------------------------------------------------- minhash
 
@@ -108,12 +108,14 @@ object Dedup {
     val ds = shinglePostings(docs, idCol, textCol, n).cache()
 
     // signatures: one groupBy, H parallel min-aggregates (partial agg
-    // map-side, so the shuffle carries H longs per doc)
+    // map-side, so the shuffle carries H longs per doc); the per-doc
+    // shingle-set size rides the same aggregation, saving the separate
+    // sizes pass the Jaccard step would otherwise make
     val params = hashParams(numHashes)
     val x = col("sh") % P
     val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * x + lit(b)) % P).as(s"h$i")
-    }
+    } :+ count(lit(1)).as("n")
     val sigs = ds.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
 
     // band buckets: combine each band's r minhashes into one bucket key
@@ -137,7 +139,7 @@ object Dedup {
       .join(ds.select(col("id").as("id_a"), col("sh")), "id_a")
       .join(ds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    jaccardOf(ds, inter, threshold)
+    jaccardOf(sigs.select(col("id"), col("n")), inter, threshold)
   }
 
   // ---------------------------------------------------------------- simhash
