@@ -214,6 +214,36 @@ object RelationalQueries {
     // Q23 — PiEstimator: Halton 2,3 darts, exact integer digit reversal
     "q23_pi" -> ((s, _) => Pi.estimate(s, 60000)),
 
+    // Q45 — custom typed Aggregator (UDAF tier): top-3 orders per
+    // customer with map-side partial top-k, k rows per key in the
+    // shuffle instead of the window form's full partition sort
+    "q45_topk_per_key" -> ((s, d) => {
+      import org.apache.spark.sql.functions.udaf
+      val topk = udaf(new graft.agg.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.product[(Double, Long)])
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "v")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rank"),
+          col("v._1").as("o_totalprice"), col("v._2").as("o_orderkey"))
+    }),
+
+    // Q46 — rollup (grouping sets; absent in the reference, free here)
+    "q46_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d).rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Q47 — intersect/except (§2.6: the reference hand-builds these from
+    // composite joins; Spark has them as operators)
+    "q47_setops" -> ((s, d) => {
+      val a = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 100000).select("o_custkey")
+      val b = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      a.intersect(b).withColumn("op", lit("both"))
+        .union(a.except(b).withColumn("op", lit("only_big")))
+    }),
+
     // ---- training-data pipeline: deduplication over `documents` ----
 
     // Q30 — exact dedup: hash-groupBy on md5(text), keep smallest doc_id
@@ -472,6 +502,25 @@ object RelationalQueries {
         |  FROM o)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    "q45_topk_per_key" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rank, o_totalprice, o_orderkey
+        |FROM (SELECT o_custkey, o_totalprice, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+
+    "q46_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q47_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, 'both' AS op FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'only_big' AS op FROM (SELECT * FROM a EXCEPT SELECT * FROM b)""".stripMargin,
 
     "q43_jdbc_roundtrip" ->
       "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1",

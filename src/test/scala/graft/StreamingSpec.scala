@@ -92,6 +92,18 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
     assert(r.getAs[Long]("min_cnt") == 1L && r.getAs[Long]("max_cnt") == 3L)
   }
 
+  test("TopKAggregator keeps k best with deterministic tie-break") {
+    val agg = new graft.agg.TopKAggregator(2)
+    val items = Seq((5.0, 9L), (7.0, 3L), (5.0, 1L), (2.0, 4L), (7.0, 8L))
+    val viaReduce = items.foldLeft(agg.zero)(agg.reduce)
+    assert(viaReduce == Seq((7.0, 3L), (7.0, 8L)))
+    // merge of split halves equals sequential reduce (combiner soundness)
+    val (l, r) = items.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    assert(merged == viaReduce)
+  }
+
   test("uniqValueCount is exact; approx variant is close") {
     val df = (1 to 100).map(i => ("g", i % 10)).toDF("g", "v")
     val exact = df.groupBy("g")
