@@ -25,12 +25,23 @@ object EventStreams {
       event_type: String, value: Double, props: String)
 
   /** File-based streaming source over the same parquet the batch path
-    * reads — schema locked, one file per micro-batch. */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+    * reads — schema locked, one file per micro-batch. Applies the same
+    * TIMESTAMP(NANOS) → timestamp conversion as the batch loader so
+    * event-time operators (watermarks, windows) see a real timestamp. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source wants a directory; glob-filter to the
+    // events file within the sf dir
+    val raw = spark.readStream
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$dir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** Tumbling 5-minute windows per event_type: count + value sum.
     * Watermark (streaming only) allows state eviction 10 minutes past

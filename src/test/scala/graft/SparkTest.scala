@@ -10,6 +10,8 @@ object SparkTest {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -41,6 +41,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(out == batch)
   }
 
+  test("file-source stream over the real events parquet matches batch") {
+    import org.apache.spark.sql.functions.{col, max}
+    val d = "/root/testdata/sf0.001"
+    val streamed = EventStreams.runToMemory(
+      EventStreams.windowedCounts(EventStreams.readEventStream(spark, d)),
+      "wc_file_test", OutputMode.Update())
+    val batch = EventStreams.windowedCounts(Tables.events(spark, d))
+    // update-mode sink may hold multiple versions per key; the final
+    // version of every window must match batch exactly
+    val latest = streamed.groupBy("window_start", "event_type")
+      .agg(max(org.apache.spark.sql.functions.struct("cnt", "sum_value")).as("m"))
+      .select(col("window_start"), col("event_type"),
+        col("m.cnt"), col("m.sum_value"))
+    assert(latest.count() == batch.count())
+    assert(latest.exceptAll(batch).count() == 0)
+  }
+
   test("sessionize: a 30-minute gap starts a new session") {
     val out = EventStreams.sessionize(events.toDF())
       .as[(Long, Timestamp, Long)].collect().toSet
