@@ -211,6 +211,10 @@ object RelationalQueries {
     // map-side, no shuffle), verified against the relational oracle
     "q22b_dot" -> ((s, _) => MatMul.fixtureDotQuery(s, 16)),
 
+    // Q22c — blocked matmul (cpu-submatmul.cc: block product per pair,
+    // elementwise block sum per output block), flattened to global cells
+    "q22c_submatmul" -> ((s, _) => MatMul.fixtureBlockQuery(s, 16, 4)),
+
     // Q23 — PiEstimator: Halton 2,3 darts, exact integer digit reversal
     "q23_pi" -> ((s, _) => Pi.estimate(s, 60000)),
 
@@ -605,6 +609,12 @@ object RelationalQueries {
       """WITH g AS (SELECT x//16 AS i, x%16 AS j FROM range(0,256) t(x))
         |SELECT i, j, CAST(sum(((i*16+k)%7-3)*((k*16+j)%5-2)) AS BIGINT) AS dot
         |FROM g, range(0,16) r(k) GROUP BY i, j""".stripMargin,
+
+    "q22c_submatmul" ->
+      """WITH a AS (SELECT x//16 AS i, x%16 AS k, (x%7)-3 AS v FROM range(0,256) t(x)),
+        |b AS (SELECT x//16 AS k, x%16 AS j, (x%5)-2 AS v FROM range(0,256) t(x))
+        |SELECT a.i AS gi, b.j AS gj, CAST(sum(a.v*b.v) AS BIGINT) AS v
+        |FROM a JOIN b USING (k) GROUP BY 1, 2""".stripMargin,
 
     "q23_pi" -> piOracleSql(60000),
 

@@ -1,6 +1,6 @@
 package graft.apps
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dense matrix multiply, re-expressed relationally — the reference runs it
@@ -38,6 +38,57 @@ object MatMul {
       expr(s"id div $t").as("k"), (col("id") % t).as("j"),
       ((col("id") % 5) - 2).as("v"))
     multiply(a, b)
+  }
+
+  /** Blocked matrix multiply — the reference's submatmul app
+    * (apps/pipes/matmul/cpu-submatmul/cpu-submatmul.cc:44-90+): map
+    * multiplies one m×m block pair SC = SA × SB, reduce sums blocks
+    * elementwise per output block (i, j).
+    *
+    * Blocks are flat row-major m² arrays. The per-pair block product runs
+    * in one expression; the cross-row elementwise block sum is
+    * posexplode → groupBy(bi, bj, pos) → sum — a plain relational
+    * aggregation, so partial aggregation and AQE apply as usual and no
+    * block ever needs to fit anywhere but one row. Output is flattened
+    * to global cells (gi, gj, v) for easy verification. */
+  def blockMultiply(a: DataFrame, b: DataFrame, m: Int): DataFrame = {
+    val prod = a.select(col("bi"), col("bk"), col("block").as("ab"))
+      .join(b.select(col("bk"), col("bj"), col("block").as("bb")), Seq("bk"))
+      .select(col("bi"), col("bj"),
+        transform(sequence(lit(0), lit(m * m - 1)), idx => {
+          val row = (idx / m).cast("int"); val c = idx % m
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+            (acc, k) => acc +
+              element_at(col("ab"), row * m + k + 1) *
+              element_at(col("bb"), k * m + c + 1))
+        }).as("sc"))
+    prod.select(col("bi"), col("bj"), posexplode(col("sc")).as(Seq("pos", "v")))
+      .groupBy("bi", "bj", "pos").agg(sum("v").as("v"))
+      .select(
+        (col("bi") * m + expr("pos div " + m)).as("gi"),
+        (col("bj") * m + col("pos") % m).as("gj"),
+        col("v"))
+  }
+
+  /** Blocked fixture: the same T×T integer matrices as [[fixtureQuery]]
+    * carved into m×m blocks, so the DuckDB oracle is the flat product. */
+  def fixtureBlockQuery(spark: SparkSession, t: Int, m: Int): DataFrame = {
+    require(t % m == 0)
+    val nb = t / m
+    def blocks(f: (Column, Column) => Column) =
+      spark.range(nb.toLong * nb).select(
+        expr(s"id div $nb").as("br"), (col("id") % nb).as("bc"))
+        .select(col("br"), col("bc"),
+          transform(sequence(lit(0), lit(m * m - 1)), idx => {
+            val gi = col("br") * m + (idx / m).cast("int")
+            val gj = col("bc") * m + idx % m
+            f(gi, gj)
+          }).as("block"))
+    val a = blocks((gi, gj) => (gi * t + gj) % 7 - 3)
+      .select(col("br").as("bi"), col("bc").as("bk"), col("block"))
+    val b = blocks((gi, gj) => (gi * t + gj) % 5 - 2)
+      .select(col("br").as("bk"), col("bc").as("bj"), col("block"))
+    blockMultiply(a, b, m)
   }
 
   /** Array-form fixture over a T×T grid of (i,j) lines. */
