@@ -73,12 +73,14 @@ object Multimodal {
     media.withColumn("payload",
       expr(s"substring(payload, 1, $n)").cast("binary"))
 
-  /** ======= STUB ======= "frame sample": every k-th 16-byte block of the
-    * payload as one frame row (media_id, frame_no, frame). Mirrors video
-    * frame extraction's explode shape. */
+  /** ======= STUB ======= "frame sample": every k-th 8-byte block of the
+    * payload as one hex frame row (media_id, frame_no, frame). Mirrors
+    * video frame extraction's explode shape. Hex, not base64: Spark's
+    * base64 line-wraps at 76 chars (MIME), which would break the
+    * fixed-width `\G` chunking. */
   def frameSampleStub(media: DataFrame, everyK: Int): DataFrame =
     media.select(col("media_id"),
-        posexplode(split(base64(col("payload")), s"(?<=\\G.{${16 * everyK}})"))
+        posexplode(split(hex(col("payload")), s"(?<=\\G.{${16 * everyK}})"))
           .as(Seq("frame_no", "frame")))
       .filter(length(col("frame")) > 0)
 

@@ -149,6 +149,18 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(f.fake_width == 16 + (s % 64) && f.fake_height == 16 + ((s / 64) % 64))
   }
 
+  test("frameSampleStub explodes fixed-size frames with positions") {
+    val doc = Seq((1L, "x" * 100)).toDF("doc_id", "text") // 100 bytes
+    val m = Multimodal.asMedia(doc, "doc_id", "text", "demo")
+    val frames = Multimodal.frameSampleStub(m, everyK = 1)
+      .select("frame_no", "frame").as[(Int, String)].collect().sortBy(_._1)
+    // hex of 100 bytes = 200 chars -> 12 full 16-char frames + 8-char tail
+    assert(frames.length == 13)
+    assert(frames.init.forall(_._2.length == 16))
+    assert(frames.last._2.length == 8)
+    assert(frames.map(_._1).toSeq == (0 until 13))
+  }
+
   test("resizeStub truncates payloads") {
     val out = Multimodal.resizeStub(media, 2)
       .select(length(col("payload"))).as[Int].collect()(0)
