@@ -1,0 +1,108 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.accel.{DeviceProfile, HybridPolicy}
+import graft.agg.TopKAggregator
+import graft.apps.KMeansLocal
+import graft.ops.KeyFieldSort
+
+/** Property-based tests — the scalacheck upgrade of the reference's
+  * generator-driven tests (TestDatamerge's random co-partitioned sources,
+  * RandomWriter; SURVEY §5). These target the pure algorithmic kernels so
+  * thousands of cases run without Spark job overhead. */
+object HybridPolicyProps extends Properties("HybridPolicy") {
+
+  private val profiles = for {
+    nCpu <- Gen.choose(0, 8)
+    nGpu <- Gen.choose(0, 4)
+    if nCpu + nGpu > 0
+    cpuMean <- Gen.choose(1, 100).map(_.toDouble)
+    gpuMean <- Gen.choose(1, 100).map(_.toDouble)
+  } yield DeviceProfile(nCpu, nGpu, cpuMean, gpuMean)
+
+  property("split is optimal over every alternative split") =
+    forAll(profiles, Gen.choose(0, 60)) { (p, pending) =>
+      val (x, y) = HybridPolicy.split(pending, p)
+      val f = HybridPolicy.makespan(x, y, p)
+      x + y == pending && x >= 0 && y >= 0 &&
+        (0 to pending).forall(alt =>
+          f <= HybridPolicy.makespan(pending - alt, alt, p))
+    }
+
+  property("mixing never loses to single-device execution") =
+    forAll(profiles, Gen.choose(0, 60)) { (p, pending) =>
+      val (x, y) = HybridPolicy.split(pending, p)
+      val f = HybridPolicy.makespan(x, y, p)
+      f <= HybridPolicy.fCpuOnly(pending, p) + 1e-9 &&
+        f <= HybridPolicy.fGpuOnly(pending, p) + 1e-9
+    }
+}
+
+object TopKAggregatorProps extends Properties("TopKAggregator") {
+
+  private val items = Gen.listOf(Gen.zip(
+    Gen.choose(-1000, 1000).map(_.toDouble), Gen.choose(0L, 50L)))
+
+  property("reduce == full sort take k (duplicates kept)") =
+    forAll(items, Gen.choose(1, 5)) { (xs, k) =>
+      val agg = new TopKAggregator(k)
+      xs.foldLeft(agg.zero)(agg.reduce) ==
+        xs.sortBy { case (v, id) => (-v, id) }.take(k)
+    }
+
+  property("merge of any split equals sequential reduce (combiner law)") =
+    forAll(items, Gen.choose(0, 100), Gen.choose(1, 5)) { (xs, cut, k) =>
+      val agg = new TopKAggregator(k)
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)) == xs.foldLeft(agg.zero)(agg.reduce)
+    }
+}
+
+object KMeansLocalProps extends Properties("KMeansLocal") {
+
+  private val problems = for {
+    k <- Gen.choose(1, 4)
+    n <- Gen.choose(k, 40)
+    pts <- Gen.listOfN(n, Gen.zip(
+      Gen.choose(0, 99).map(_.toFloat), Gen.choose(0, 99).map(_.toFloat)))
+  } yield (k, pts.toArray)
+
+  property("centroids stay in the data bounding box; iterations bounded") =
+    forAll(problems) { case (k, pts) =>
+      val (cents, iters) = KMeansLocal.lloyd(k, pts.take(k), pts)
+      val xs = pts.map(_._1); val ys = pts.map(_._2)
+      iters >= 1 && iters <= 100 && cents.length == k &&
+        cents.forall { case (cx, cy) =>
+          cx >= xs.min.toInt - 1 && cx <= xs.max.toInt + 1 &&
+          cy >= ys.min.toInt - 1 && cy <= ys.max.toInt + 1
+        }
+    }
+}
+
+object KeyFieldSortProps extends Properties("KeyFieldSort") {
+
+  property("parse handles every generated -k spec shape") = {
+    val specGen = for {
+      f <- Gen.choose(1, 9)
+      c <- Gen.option(Gen.choose(1, 5))
+      to <- Gen.option(Gen.choose(1, 9))
+      opts <- Gen.someOf("n", "r").map(_.mkString)
+    } yield {
+      val from = s"$f${c.map("." + _).getOrElse("")}"
+      s"-k$from$opts${to.map("," + _).getOrElse("")}"
+    }
+    forAll(specGen) { s =>
+      val parsed = KeyFieldSort.parse(s)
+      parsed.length == 1 && parsed.head.fromField >= 1
+    }
+  }
+
+  property("multiple specs compose in order") =
+    forAll(Gen.choose(1, 4)) { n =>
+      val s = (1 to n).map(i => s"-k$i,${i}n").mkString(" ")
+      KeyFieldSort.parse(s).length == n
+    }
+}

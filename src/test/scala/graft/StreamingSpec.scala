@@ -68,6 +68,27 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       (1L, t(0), 2L), (1L, t(40), 1L), (2L, t(4), 2L)))
   }
 
+  test("watermark drops events later than the 10-minute bound") {
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.windowedCounts(ms.toDF())
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // batch 1: max event time 10:40 -> watermark advances to 10:30
+      ms.addData(Seq(ev(1, 0, 1, "click", 1.0), ev(2, 40, 1, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: an event 40 minutes behind the watermark — dropped —
+      // and one inside the bound — kept
+      ms.addData(Seq(
+        Event(3, Timestamp.valueOf("2024-01-01 09:50:00"), 1, "late", 1.0, "{}"),
+        ev(4, 35, 1, "kept", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val types = spark.table("late_test")
+      .select("event_type").as[String].collect().toSet
+    assert(!types.contains("late") && types.contains("kept"))
+  }
+
   test("runningUserTotals accumulates per user (batch mode)") {
     val out = EventStreams.runningUserTotals(events.toDS())
       .collect().map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
