@@ -23,16 +23,28 @@ object Bench {
       Tables.names.foreach(n => Tables(spark, sfDir, n).schema)
       SparkEntry.queries.get("q05_sum").foreach(_(spark, sfDir).count())
     } catch { case scala.util.control.NonFatal(_) => () }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(_) => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+          -1L
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s $sec%8.3f s" +
+        (if (errors.contains(name)) "  FAILED" else ""))
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,7 +12,9 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events needs the nanos-timestamp workaround; never read it raw
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
@@ -27,7 +29,7 @@ object Tables {
     * epoch_ns % 1000 = 0 corpus-wide) so `div 1000` is lossless. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(spark, dir, "events")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     if (raw.schema("ts").dataType == LongType)

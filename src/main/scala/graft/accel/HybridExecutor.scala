@@ -47,15 +47,22 @@ object HybridExecutor {
     ds.mapPartitions { it =>
       val onAccel = TaskContext.getPartitionId() < gpuParts
       val t0 = System.nanoTime()
+      // Record exactly one duration sample per task: hasNext() is commonly
+      // called again on a drained iterator, and early-terminating consumers
+      // (limit) never drain it at all — the completion listener covers those.
+      var recorded = false
+      def record(): Unit = if (!recorded) {
+        recorded = true
+        val sec = (System.nanoTime() - t0) / 1e9
+        times.foreach(t => if (onAccel) t.recordGpu(sec) else t.recordCpu(sec))
+      }
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => record()))
       val out = if (onAccel) accel(it) else cpu(it)
-      // wrap so completion time is recorded after the iterator drains
       new Iterator[U] {
         def hasNext: Boolean = {
           val h = out.hasNext
-          if (!h) {
-            val sec = (System.nanoTime() - t0) / 1e9
-            times.foreach(t => if (onAccel) t.recordGpu(sec) else t.recordCpu(sec))
-          }
+          if (!h) record()
           h
         }
         def next(): U = out.next()

@@ -87,16 +87,13 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 object VectorOps {
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  /** Idempotently register `vec_dot` in the session's function registry. */
+  /** Register `vec_dot` in the session's function registry.
+    * createOrReplaceTempFunction is already idempotent and cheap, so no
+    * registration guard: a guard keyed on anything weaker than session
+    * identity risks skipping a session that still needs the function. */
   def ensureRegistered(spark: SparkSession): Unit =
-    if (registered.add(spark.sessionState.hashCode().toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
 
   /** Column API for the native dot product (register first). */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

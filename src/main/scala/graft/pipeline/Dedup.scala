@@ -62,10 +62,23 @@ object Dedup {
       n: Int, threshold: Double): DataFrame = {
     val ds = shinglePostings(docs, idCol, textCol, n).cache()
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("n"))
-    jaccardOf(sizes, ds.as("a").join(ds.as("b"),
+    val pairs = jaccardOf(sizes, ds.as("a").join(ds.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter")), threshold)
+    materializeThenRelease(pairs, ds)
+  }
+
+  /** Eagerly materialize the (near-dup-rate-sized, i.e. small relative to
+    * the postings) pair result, then drop the cached postings so repeated
+    * invocations in a long-lived JVM don't accumulate storage blocks.
+    * localCheckpoint blocks are reclaimed by the ContextCleaner once the
+    * returned plan is unreachable. */
+  private def materializeThenRelease(result: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist(false))
+    out
   }
 
   /** Attach per-doc set sizes (id, n) and compute
@@ -116,7 +129,11 @@ object Dedup {
     val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * x + lit(b)) % P).as(s"h$i")
     } :+ count(lit(1)).as("n")
+    // sigs feeds both the banding path and the Jaccard size lookup; cache
+    // so the H-way min aggregation runs once (docs × (H+1) longs — small
+    // relative to the postings at any scale)
     val sigs = ds.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+      .cache()
 
     // band buckets: combine each band's r minhashes into one bucket key
     val bandRows = sigs.select(col("id"), explode(array(
@@ -139,7 +156,8 @@ object Dedup {
       .join(ds.select(col("id").as("id_a"), col("sh")), "id_a")
       .join(ds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    jaccardOf(sigs.select(col("id"), col("n")), inter, threshold)
+    val pairs = jaccardOf(sigs.select(col("id"), col("n")), inter, threshold)
+    materializeThenRelease(pairs, ds, sigs)
   }
 
   // ---------------------------------------------------------------- simhash

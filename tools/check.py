@@ -16,26 +16,48 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    # normalize for comparison: round floats, stringify everything
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-    # Sort by non-float columns first so two floats straddling the
-    # round(6) boundary cannot flip relative row order between the two
-    # frames; floats participate only as a coarse (round-2) tie-break.
-    non_float = [c for c in df.columns if df[c].dtype.kind != "f"]
-    floats = [c for c in df.columns if df[c].dtype.kind == "f"]
-    key_cols = non_float + floats
+def compare_frames(a: pd.DataFrame, b: pd.DataFrame, atol=1e-6):
+    """Order-insensitive frame equality that never keys a sort on floats.
 
-    def sort_key(s):
-        if s.dtype.kind == "f":
-            return s.round(2)
-        return s.astype(str)
-
-    df = df.sort_values(by=key_cols, ignore_index=True, key=sort_key)
-    return df
+    Non-float columns: both frames sorted by all of them (stringified),
+    then compared positionally. Float columns: within each tie-group of
+    the non-float key, compared as sorted multisets with tolerance —
+    positional order inside a tie-group is engine-dependent and must not
+    matter. Returns (ok, msg)."""
+    import numpy as np
+    a = a[sorted(a.columns)].reset_index(drop=True)
+    b = b[sorted(b.columns)].reset_index(drop=True)
+    is_float = {c: a[c].dtype.kind == "f" or b[c].dtype.kind == "f"
+                for c in a.columns}
+    non_float = [c for c in a.columns if not is_float[c]]
+    floats = [c for c in a.columns if is_float[c]]
+    if non_float:
+        a = a.sort_values(by=non_float, ignore_index=True,
+                          key=lambda s: s.astype(str))
+        b = b.sort_values(by=non_float, ignore_index=True,
+                          key=lambda s: s.astype(str))
+        for c in non_float:
+            if not a[c].astype(str).equals(b[c].astype(str)):
+                diff = a[c].astype(str) != b[c].astype(str)
+                i = diff.idxmax()
+                return False, (f"{c}: first diff row {i}: "
+                               f"spark={a[c][i]!r} oracle={b[c][i]!r}")
+    if floats:
+        gkey = (a[non_float].astype(str).agg("\x00".join, axis=1)
+                if non_float else pd.Series([""] * len(a)))
+        for c in floats:
+            fa = pd.to_numeric(a[c]).groupby(gkey).apply(
+                lambda s: np.sort(s.to_numpy(dtype=float)))
+            fb = pd.to_numeric(b[c]).groupby(gkey).apply(
+                lambda s: np.sort(s.to_numpy(dtype=float)))
+            for g in fa.index:
+                va, vb = fa[g], fb[g]
+                if len(va) != len(vb) or not np.allclose(
+                        va, vb, rtol=0, atol=atol, equal_nan=True):
+                    return False, (f"{c}: float multiset mismatch in "
+                                   f"group {g!r}: spark={va[:5]} "
+                                   f"oracle={vb[:5]}")
+    return True, ""
 
 
 def main():
@@ -68,27 +90,10 @@ def main():
         cols_ok = sorted(sdf.columns) == sorted(odf.columns)
         vals_ok = False
         if rows_ok and cols_ok:
-            a, b = canon(sdf.copy()), canon(odf.copy())
             try:
-                vals_ok = a.astype(str).equals(b.astype(str))
+                vals_ok, msg = compare_frames(sdf.copy(), odf.copy())
                 if not vals_ok:
-                    # tolerate float representation diffs
-                    vals_ok = True
-                    for c in a.columns:
-                        if a[c].astype(str).equals(b[c].astype(str)):
-                            continue
-                        try:
-                            fa = pd.to_numeric(a[c])
-                            fb = pd.to_numeric(b[c])
-                            if ((fa - fb).abs() < 1e-6).all():
-                                continue
-                        except Exception:
-                            pass
-                        vals_ok = False
-                        diff = a[c].astype(str) != b[c].astype(str)
-                        i = diff.idxmax()
-                        print(f"  {name}.{c}: first diff row {i}: "
-                              f"spark={a[c][i]!r} oracle={b[c][i]!r}")
+                    print(f"  {name}: {msg}")
             except Exception as e:
                 print(f"  {name}: compare error {e}")
         status = "OK" if (rows_ok and cols_ok and vals_ok) else "FAIL"
