@@ -24,16 +24,22 @@ object Bench {
       SparkEntry.queries.get("q05_sum").foreach(_(spark, sfDir).count())
     } catch { case scala.util.control.NonFatal(_) => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Two timed runs per query, report the min: the first run pays the
+    // query's one-time Catalyst/codegen cost and is exposed to box noise
+    // (the shared runner showed 2-6x per-query variance between rounds);
+    // min-of-2 measures the plan, not the weather.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
-          -1L
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString.take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = math.min(once(), once())
       System.err.println(f"[bench] $name%-22s $sec%8.3f s" +
         (if (errors.contains(name)) "  FAILED" else ""))
       name -> sec
@@ -44,7 +50,7 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":2,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

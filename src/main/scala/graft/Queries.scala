@@ -368,6 +368,68 @@ object RelationalQueries {
       val lines = Tables.customer(s, d).select(concat_ws("|",
         col("c_custkey"), col("c_mktsegment"), col("c_name")).as("line"))
       lines.select(FieldSelection.select(col("line"), "2-", "|").as("selected"))
+    }),
+
+    // Q48 — TeraGen + global sort + TeraValidate (examples/terasort/*):
+    // deterministic generator, sampled-range-partitioned sort, then the
+    // validator's per-partition order scan + boundary compare + checksum
+    "q48_teragen" -> ((s, d) => {
+      import graft.sources.Generators
+      val sorted = Generators
+        .teraGen(s, 100000L, s.sparkContext.defaultParallelism)
+        .orderBy("key")
+      Generators.teraValidate(sorted, "key")
+    }),
+
+    // Q49 — StreamXmlRecordReader: multi-line tag-delimited records
+    // written then read back via end-tag record splitting (roundtrip id)
+    "q49_xml_roundtrip" -> ((s, d) => {
+      import graft.sources.XmlRecords
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q49_${s.sparkContext.applicationId}"
+      XmlRecords.writeXml(Tables.documents(s, d).select("doc_id", "text"),
+        "doc", Seq("doc_id", "text"), out,
+        numFiles = s.sparkContext.defaultParallelism)
+      XmlRecords.readXml(s, out, "doc", Seq("doc_id", "text"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    }),
+
+    // Q50 — SkipBadRecords: poison rows planted in a CSV sink are dropped
+    // by the malformed-record parser mode, aggregation runs on the rest
+    "q50_skip_bad" -> ((s, d) => {
+      import graft.sources.BadRecords
+      import org.apache.spark.sql.types._
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q50_${s.sparkContext.applicationId}"
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      BadRecords.writeWithPoison(li, col("l_orderkey") % 97 === 0, out,
+        numFiles = s.sparkContext.defaultParallelism)
+      val schema = new StructType()
+        .add("l_orderkey", LongType).add("l_linenumber", IntegerType)
+        .add("l_quantity", DoubleType).add("l_returnflag", StringType)
+      BadRecords.readSkippingBad(s, out, schema)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+    }),
+
+    // Q51 — MultipleOutputs: two named sinks from one cached pass, read
+    // back and recombined (proves both sinks saw the same single scan)
+    "q51_multi_out" -> ((s, d) => {
+      import graft.sources.MultiSink
+      val base = s"${sys.props("java.io.tmpdir")}/graft_q51_${s.sparkContext.applicationId}"
+      val urgent = s"$base/urgent"; val counts = s"$base/counts"
+      MultiSink.writeNamed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderpriority"),
+        Seq(
+          ((df: DataFrame) =>
+            df.filter(col("o_orderpriority") === "1-URGENT"), urgent),
+          ((df: DataFrame) =>
+            df.groupBy("o_orderpriority").agg(count(lit(1)).as("n")), counts)))
+      s.read.parquet(counts).join(
+          s.read.parquet(urgent).groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n_urgent_sink")),
+          Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n"),
+          coalesce(col("n_urgent_sink"), lit(0L)).as("n_urgent_sink"))
     })
   )
 
@@ -528,6 +590,33 @@ object RelationalQueries {
 
     "q43_jdbc_roundtrip" ->
       "SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY 1",
+
+    // q48: same deterministic generator in SQL; a correct sort must yield
+    // misordered = 0 and the full-population checksum
+    "q48_teragen" ->
+      """WITH g AS (SELECT substr(md5(CAST(i AS VARCHAR)),1,10) AS key
+        |  FROM range(0,100000) t(i))
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(concat('0x', substr(md5(key),1,15)) AS BIGINT)
+        |    % 1000003) AS BIGINT) AS checksum,
+        |  CAST(0 AS BIGINT) AS misordered
+        |FROM g""".stripMargin,
+
+    // q49: XML write/read is a roundtrip — identity over documents
+    "q49_xml_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
+
+    // q50: the poison predicate, applied directly
+    "q50_skip_bad" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 97 <> 0 GROUP BY 1""".stripMargin,
+
+    // q51: per-priority counts; the urgent sink re-count equals n there
+    "q51_multi_out" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN count(*)
+        |       ELSE CAST(0 AS BIGINT) END AS n_urgent_sink
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q44_text_roundtrip" ->
       "SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1",

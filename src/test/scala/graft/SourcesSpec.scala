@@ -78,3 +78,101 @@ class SortValidationSpec extends AnyFunSuite with SparkTest {
     assert(prices.zip(prices.tail).forall { case (a, b) => a <= b })
   }
 }
+
+class GeneratorsSpec extends AnyFunSuite with SparkTest {
+  import graft.sources.Generators
+
+  test("teraGen is deterministic and shuffle-free with the asked parallelism") {
+    val g = Generators.teraGen(spark, 1000, 4)
+    assert(g.rdd.getNumPartitions == 4)
+    val a = g.collect().map(_.toString).sorted
+    val b = Generators.teraGen(spark, 1000, 2).collect().map(_.toString).sorted
+    assert(a.sameElements(b)) // content independent of parallelism
+  }
+
+  test("teraValidate flags disorder and passes a real sort") {
+    val sorted = Generators.teraGen(spark, 5000, 4).orderBy("key")
+    val ok = Generators.teraValidate(sorted, "key").collect()(0)
+    assert(ok.getAs[Long]("n_rows") == 5000L)
+    assert(ok.getAs[Long]("misordered") == 0L)
+    // an UNSORTED frame of the same content must be flagged
+    val unsorted = Generators.teraGen(spark, 5000, 4)
+    val bad = Generators.teraValidate(unsorted, "key").collect()(0)
+    assert(bad.getAs[Long]("misordered") > 0L)
+    assert(bad.getAs[Long]("checksum") == ok.getAs[Long]("checksum"))
+  }
+}
+
+class XmlRecordsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.sources.XmlRecords
+
+  test("multi-line tag-delimited records roundtrip across line boundaries") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_xmlspec_${System.nanoTime}"
+    val df = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta epsilon zeta"))
+      .toDF("id", "body")
+    XmlRecords.writeXml(df, "rec", Seq("id", "body"), path, numFiles = 2)
+    val back = XmlRecords.readXml(spark, path, "rec", Seq("id", "body"))
+      .select(col("id").cast("long"), col("body"))
+      .as[(Long, String)].collect().toSet
+    assert(back == Set((1L, "alpha beta"), (2L, "gamma"),
+      (3L, "delta epsilon zeta")))
+  }
+}
+
+class BadRecordsSpec extends AnyFunSuite with SparkTest {
+  import graft.sources.BadRecords
+  import org.apache.spark.sql.types._
+
+  test("DROPMALFORMED skips planted poison rows, keeps the rest") {
+    import spark.implicits._
+    val path = s"${sys.props("java.io.tmpdir")}/graft_badspec_${System.nanoTime}"
+    val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "name")
+    BadRecords.writeWithPoison(df, col("id") % 10 === 0, path)
+    val schema = new StructType().add("id", LongType).add("name", StringType)
+    val back = BadRecords.readSkippingBad(spark, path, schema)
+    assert(back.count() == 90)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) ==
+      (1L to 100L).filter(_ % 10 != 0).sum)
+  }
+}
+
+class MultiSinkSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.sources.MultiSink
+
+  test("two named sinks from one cached pass") {
+    val base = s"${sys.props("java.io.tmpdir")}/graft_msink_${System.nanoTime}"
+    val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par")
+    MultiSink.writeNamed(df, Seq(
+      ((d: org.apache.spark.sql.DataFrame) => d.filter(col("par") === "even"),
+        s"$base/even"),
+      ((d: org.apache.spark.sql.DataFrame) =>
+        d.groupBy("par").agg(count(lit(1)).as("n")), s"$base/counts")))
+    assert(spark.read.parquet(s"$base/even").count() == 25)
+    assert(spark.read.parquet(s"$base/counts").as[(String, Long)]
+      .collect().toMap == Map("even" -> 25L, "odd" -> 25L))
+  }
+}
+
+class PipeFailureSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("nonzero exit fails the task instead of truncating output") {
+    val ds = Seq("a", "b", "c").toDS().coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      PipeOps.pipe(ds, Seq("sh", "-c", "head -n 1; exit 3")).collect()
+    }
+    assert(ex.getMessage.contains("exited 3") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exited 3")))
+  }
+
+  test("a stderr-flooding child does not deadlock the task") {
+    val ds = Seq("x").toDS().coalesce(1)
+    // 1 MiB of stderr — far beyond the ~64KB OS pipe buffer
+    val out = PipeOps.pipe(ds, Seq("sh", "-c",
+      "yes err 2>/dev/null | head -c 1048576 1>&2; cat")).collect()
+    assert(out.sameElements(Array("x")))
+  }
+}
