@@ -28,7 +28,12 @@ object Bench {
     // query's one-time Catalyst/codegen cost and is exposed to box noise
     // (the shared runner showed 2-6x per-query variance between rounds);
     // min-of-2 measures the plan, not the weather.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local bisection
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }

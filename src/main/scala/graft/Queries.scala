@@ -411,6 +411,41 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
     }),
 
+    // Q52 — ValueAggregatorJob: the aggregation is DESCRIBED as
+    // "aggType:field" strings; all descriptors fold in one shuffle.
+    // Integral-valued columns keep every sum bit-exact across engines.
+    "q52_descriptors" -> ((s, d) =>
+      graft.agg.DescriptorJob.aggregate(Tables.lineitem(s, d),
+        col("l_returnflag"),
+        Seq("LongValueSum:l_linenumber", "DoubleValueSum:l_quantity",
+          "LongValueMax:l_orderkey", "LongValueMin:l_partkey",
+          "StringValueMax:l_linestatus", "StringValueMin:l_linestatus",
+          "UniqValueCount:l_suppkey"))),
+
+    // Q53 — KeyFieldBasedPartitioner: repartition delimited lines by a
+    // hash of fields 1-2, then count per field-key using ONLY
+    // within-partition work (mapPartitions, no shuffle after the
+    // repartition). The result equals a global GROUP BY count iff every
+    // field-key landed wholly in one partition — the oracle check IS the
+    // co-location proof.
+    "q53_keyfield_partition" -> ((s, d) => {
+      import s.implicits._
+      val lines = Tables.lineitem(s, d).select(concat_ws("\t",
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_linenumber")).as("line"))
+      val parted = graft.ops.KeyFieldPartition
+        .partitionByFields(lines, col("line"), 1, 2, 32)
+      parted
+        .select(graft.ops.KeyFieldPartition
+          .fieldKey(col("line"), 1, 2).as("k"))
+        .as[String]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach(k => m.update(k, m.getOrElse(k, 0L) + 1L))
+          m.iterator
+        }.toDF("k", "n")
+    }),
+
     // Q51 — MultipleOutputs: two named sinks from one cached pass, read
     // back and recombined (proves both sinks saw the same single scan)
     "q51_multi_out" -> ((s, d) => {
@@ -610,6 +645,25 @@ object RelationalQueries {
     "q50_skip_bad" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 97 <> 0 GROUP BY 1""".stripMargin,
+
+    // q52: the descriptor list, unrolled
+    "q52_descriptors" ->
+      """SELECT l_returnflag,
+        |  sum(l_linenumber) AS longvaluesum_l_linenumber,
+        |  sum(l_quantity) AS doublevaluesum_l_quantity,
+        |  max(l_orderkey) AS longvaluemax_l_orderkey,
+        |  min(l_partkey) AS longvaluemin_l_partkey,
+        |  max(l_linestatus) AS stringvaluemax_l_linestatus,
+        |  min(l_linestatus) AS stringvaluemin_l_linestatus,
+        |  count(DISTINCT l_suppkey) AS uniqvaluecount_l_suppkey
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // q53: global counts per field-key; matches the Spark side only if
+    // the repartition co-located every key (chr(9) = the tab separator)
+    "q53_keyfield_partition" ->
+      """SELECT l_returnflag || chr(9) || l_linestatus AS k,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // q51: per-priority counts; the urgent sink re-count equals n there
     "q51_multi_out" ->

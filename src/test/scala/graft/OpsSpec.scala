@@ -92,3 +92,58 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((1, "a", 1), (1, "b", 2), (2, "z", 1)))
   }
 }
+
+class DescriptorJobSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.agg.DescriptorJob
+
+  test("descriptor strings compile to one single-shuffle aggregation") {
+    val df = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 5L, "z"))
+      .toDF("k", "v", "s")
+    val out = DescriptorJob.aggregate(df, col("k"),
+      Seq("LongValueSum:v", "LongValueMax:v", "StringValueMin:s",
+        "UniqValueCount:s"))
+    val rows = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    assert(rows("a") == ((3L, 2L, "x", 2L)))
+    assert(rows("b") == ((5L, 5L, "z", 1L)))
+    // Non-distinct descriptors all share ONE shuffle (map-side partials
+    // feed a single Exchange, like the reference's combiner). UniqValueCount
+    // is excluded: an exact distinct legitimately needs its own expansion.
+    val nonDistinct = DescriptorJob.aggregate(df, col("k"),
+      Seq("LongValueSum:v", "LongValueMax:v", "StringValueMin:s"))
+    val shuffles = nonDistinct.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(shuffles == 1)
+  }
+
+  test("user-defined descriptor type (plugin by name)") {
+    DescriptorJob.register("ValueConcat",
+      v => concat_ws(",", sort_array(collect_list(v))))
+    val df = Seq(("a", "q"), ("a", "p")).toDF("k", "v")
+    val out = DescriptorJob.aggregate(df, col("k"), Seq("ValueConcat:v"))
+    assert(out.collect()(0).getString(1) == "p,q")
+    intercept[IllegalArgumentException] {
+      DescriptorJob.compile("NoSuchAgg:v")
+    }
+  }
+}
+
+class KeyFieldPartitionSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.ops.KeyFieldPartition
+
+  test("rows sharing the selected key fields land in one partition") {
+    val lines = (1 to 200).map(i => s"g${i % 7}\t${i % 3}\tpayload$i")
+    val df = lines.toDF("line")
+    val parted = KeyFieldPartition.partitionByFields(
+      df, col("line"), 1, 2, numPartitions = 8)
+    assert(parted.rdd.getNumPartitions == 8)
+    val spread = parted
+      .select(KeyFieldPartition.fieldKey(col("line"), 1, 2).as("k"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("k").agg(countDistinct("pid").as("nparts"))
+      .agg(max("nparts")).collect()(0).getLong(0)
+    assert(spread == 1L) // every field-key entirely within one partition
+  }
+}
