@@ -446,6 +446,20 @@ object RelationalQueries {
         }.toDF("k", "n")
     }),
 
+    // Q54 — Hadoop Streaming pipe under the oracle gate: rows stream
+    // through an external `tr` process (one fork per partition, stdin fed
+    // by a writer thread, stderr drained, nonzero exit fails the task)
+    // and are re-parsed as key \t value — PipeMapper end to end.
+    "q54_pipe" -> ((s, d) => {
+      import s.implicits._
+      val lines = Tables.customer(s, d)
+        .select(concat_ws("\t", col("c_custkey"), col("c_name")).as("line"))
+        .as[String]
+      graft.ops.PipeOps.pipe(lines, Seq("tr", "a-z", "A-Z"))
+        .map { l => val Array(k, v) = l.split("\t", 2); (k.toLong, v) }
+        .toDF("k", "v")
+    }),
+
     // Q51 — MultipleOutputs: two named sinks from one cached pass, read
     // back and recombined (proves both sinks saw the same single scan)
     "q51_multi_out" -> ((s, d) => {
@@ -664,6 +678,10 @@ object RelationalQueries {
       """SELECT l_returnflag || chr(9) || l_linestatus AS k,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // q54: the pipe command is `tr a-z A-Z` — pure per-row upper-case
+    "q54_pipe" ->
+      "SELECT c_custkey AS k, upper(c_name) AS v FROM customer",
 
     // q51: per-priority counts; the urgent sink re-count equals n there
     "q51_multi_out" ->

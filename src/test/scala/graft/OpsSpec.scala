@@ -147,3 +147,32 @@ class KeyFieldPartitionSpec extends AnyFunSuite with SparkTest {
     assert(spread == 1L) // every field-key entirely within one partition
   }
 }
+
+class CountersSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.metrics.Counters
+
+  test("observed metrics ride the action — no second scan") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L).toDF("v")
+    val (instrumented, obs) = Counters.observed(df, "job",
+      Seq("in_records" -> count(lit(1)),
+          "big" -> Counters.countWhere(col("v") > 3),
+          "total" -> sum("v")))
+    val out = instrumented.filter(col("v") =!= 99).count()
+    assert(out == 5)
+    val m = obs.get
+    assert(m("in_records") == 5L)
+    assert(m("big") == 2L)
+    assert(m("total") == 15L)
+  }
+
+  test("accumulator counter from inside a typed lambda") {
+    val df = Seq("a", "bb", "ccc").toDF("s")
+    val acc = Counters.counter(df, "long_strings")
+    val n = df.as[String].map { s =>
+      if (s.length > 1) acc.add(1); s.length
+    }.reduce(_ + _)
+    assert(n == 6)
+    assert(acc.value == 2L)
+  }
+}
