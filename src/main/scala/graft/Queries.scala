@@ -290,6 +290,21 @@ object RelationalQueries {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 3, planes = 4, dim = 64)),
 
+    // Q35c — IVF ANN (the inverted-file scale path): coarse quantizer
+    // trained on the corpus, map-side cell assignment, probe-nearest-cells
+    // + exact re-rank. nprobe < nlist → approximate → rows-only gate;
+    // the probe-all == brute-force identity is spec-tested. The quantizer
+    // trains on a deterministic ~10% sample — at 100 TB the index trains
+    // on a sample and quantizes the full corpus map-side.
+    "q35c_ann_ivf" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val cents = Similarity.trainCoarseQuantizer(
+        vecs.filter(col("vec_id") % 10 === 0), "embedding",
+        nlist = 64, dim = 64)
+      Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        k = 3, nlist = 64, nprobe = 8, dim = 64, cents = cents)
+    }),
+
     // ---- text analysis over `documents` ----
 
     // Q36 — language ID by stopword-hit argmax (scores + decision)

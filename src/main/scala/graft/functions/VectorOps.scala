@@ -91,9 +91,13 @@ object VectorOps {
     * createOrReplaceTempFunction is already idempotent and cheap, so no
     * registration guard: a guard keyed on anything weaker than session
     * identity risks skipping a session that still needs the function. */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cells",
+      exprs => NearestCellsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
 
   /** Column API for the native dot product (register first). */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -82,6 +82,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(ranks.forall(rs => rs.map(_._3).sorted.toSeq == (1 to rs.size)))
   }
 
+  test("ivfTopK with nprobe = nlist equals brute force exactly") {
+    val eight = Seq.tabulate(8)(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(eight, eight,
+        "vec_id", "embedding", 3)
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(eight, "vec_id", "embedding", k = 3,
+        nlist = 4, nprobe = 4, dim = 4)
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK with nprobe < nlist returns a subset of valid neighbors") {
+    val out = Similarity.ivfTopK(vecs, "vec_id", "embedding", k = 2,
+        nlist = 2, nprobe = 1, dim = 3)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(out.forall { case (q, nb, _, _) => q != nb })
+    val ranks = out.groupBy(_._1).values
+    assert(ranks.forall(rs => rs.map(_._3).sorted.toSeq == (1 to rs.size)))
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplanes(2, 4).map(_.toSeq).toSeq ==
       Similarity.hyperplanes(2, 4).map(_.toSeq).toSeq)
