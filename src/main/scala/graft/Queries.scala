@@ -475,6 +475,22 @@ object RelationalQueries {
         .toDF("k", "v")
     }),
 
+    // Q55 — semi/anti joins (§2.3: absent as reference operators, the
+    // idiom was a hand-built reducer presence test; Spark has them as
+    // first-class join types that never materialize the right side's
+    // columns). Customers with an urgent order vs customers with none,
+    // in one union'd result; both joins broadcast the filtered key set.
+    "q55_semi_anti" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val cust = Tables.customer(s, d)
+      val semi = cust.join(urgent, col("c_custkey") === col("o_custkey"),
+        "left_semi").select(col("c_custkey"), lit("has_urgent").as("cls"))
+      val anti = cust.join(urgent, col("c_custkey") === col("o_custkey"),
+        "left_anti").select(col("c_custkey"), lit("no_urgent").as("cls"))
+      semi.unionByName(anti)
+    }),
+
     // Q51 — MultipleOutputs: two named sinks from one cached pass, read
     // back and recombined (proves both sinks saw the same single scan)
     "q51_multi_out" -> ((s, d) => {
@@ -697,6 +713,18 @@ object RelationalQueries {
     // q54: the pipe command is `tr a-z A-Z` — pure per-row upper-case
     "q54_pipe" ->
       "SELECT c_custkey AS k, upper(c_name) AS v FROM customer",
+
+    // q55: EXISTS / NOT EXISTS — the SQL forms of semi/anti
+    "q55_semi_anti" ->
+      """SELECT c_custkey, 'has_urgent' AS cls FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, 'no_urgent' AS cls FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
 
     // q51: per-priority counts; the urgent sink re-count equals n there
     "q51_multi_out" ->

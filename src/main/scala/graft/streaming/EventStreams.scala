@@ -67,6 +67,19 @@ object EventStreams {
         col("session_window.start").as("session_start"), col("n_events"))
   }
 
+  /** Streaming exact deduplication — the training-pipeline dedup
+    * operator in its streaming form. Keyed on `keys`; in streaming mode
+    * uses dropDuplicatesWithinWatermark so the dedup state is EVICTABLE:
+    * a key is remembered only while it can still collide under the
+    * watermark delay, which is what keeps state bounded on an unbounded
+    * (100 TB/day) stream. Batch mode degrades to plain dropDuplicates —
+    * same logical contract, whole-input scope. */
+  def dedupStream(events: DataFrame, delay: String, keys: String*): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   final case class UserState(nEvents: Long, totalValue: Double)
   final case class UserSnapshot(user_id: Long, n_events: Long, total_value: Double)
 

@@ -112,6 +112,28 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(snaps.map(_._2).max == 3L)
     assert(snaps.map(_._3).max == 8.0)
   }
+
+  test("dedupStream drops in-stream duplicates across micro-batches") {
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.dedupStream(ms.toDF(), "10 minutes", "event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(events.take(3))
+      q.processAllAvailable()
+      // event_id 2 again (same watermark window) + a fresh event
+      ms.addData(Seq(ev(2, 2, 9, "dup", 9.9), ev(6, 7, 3, "click", 6.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_test").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 6L)) // the re-sent id 2 was dropped
+    // batch mode: same contract over the whole input
+    val batch = EventStreams.dedupStream(
+      (events ++ Seq(ev(2, 2, 9, "dup", 9.9))).toDF(), "10 minutes",
+      "event_id")
+    assert(batch.count() == events.size)
+  }
 }
 
 class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
