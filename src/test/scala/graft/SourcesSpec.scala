@@ -26,6 +26,28 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
       compression = "gzip")
     assert(TextFormats.readKeyValueText(spark, path).count() == 2)
   }
+
+  // BloomMapFile (io/BloomMapFile.java:45 — MapFile + bloom filter for
+  // fast negative key probes) → Parquet per-column bloom filters: the
+  // same capability at the row-group level, declared at write time and
+  // used by the reader to skip row groups on point predicates.
+  test("parquet bloom filter on the key column: declared, written, readable") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_bloom_${System.nanoTime}"
+    val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    df.repartition(2).write
+      .option("parquet.bloom.filter.enabled#k", "true")
+      .option("parquet.bloom.filter.expected.ndv#k", "1000")
+      .parquet(path)
+    val back = spark.read.parquet(path)
+    // point probes behave identically with the bloom metadata present
+    assert(back.filter(col("k") === 500L).count() == 1)
+    assert(back.filter(col("k") === 5000L).count() == 0)
+    // and the filter is pushed to the scan, where the bloom applies
+    val plan = back.filter(col("k") === 500L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,500)"),
+      s"expected pushed point predicate in:\n$plan")
+  }
 }
 
 class JdbcRoundTripSpec extends AnyFunSuite with SparkTest {
