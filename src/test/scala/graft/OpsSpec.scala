@@ -66,6 +66,26 @@ class JoinsSpec extends AnyFunSuite with SparkTest {
     assert(Joins.outer("k", a, b).select("k").as[Int].collect().sorted.toSeq
       == Seq(1, 2, 3))
   }
+
+  test("nested composite expression: outer(inner(A,B), outer(C,D))") {
+    // the reference's TestDatamerge.java:261-295 shape — join trees nest
+    // because each join is itself a keyed source
+    val a = Seq((1, "a1"), (2, "a2")).toDF("k", "va")
+    val b = Seq((1, "b1"), (2, "b2"), (3, "b3")).toDF("k", "vb")
+    val c = Seq((2, "c2"), (4, "c4")).toDF("k", "vc")
+    val d = Seq((4, "d4"), (5, "d5")).toDF("k", "vd")
+    val nested = Joins.outer("k", Joins.inner("k", a, b),
+      Joins.outer("k", c, d))
+    val rows = nested.orderBy("k")
+      .as[(Int, Option[String], Option[String], Option[String], Option[String])]
+      .collect().toSeq
+    assert(rows == Seq(
+      (1, Some("a1"), Some("b1"), None, None),       // inner-only key
+      (2, Some("a2"), Some("b2"), Some("c2"), None), // both sides
+      (4, None, None, Some("c4"), Some("d4")),       // right-outer-only
+      (5, None, None, None, Some("d5"))))
+    // key 3 is absent: inner(A,B) dropped it and C/D never had it
+  }
 }
 
 class TextOpsSpec extends AnyFunSuite with SparkTest {
