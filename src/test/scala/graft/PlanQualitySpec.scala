@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Executable plan-quality assertions — the properties that make these
+  * plans survive a 100 TB scale-up, checked on the real queries' executed
+  * plans so a refactor that silently loses pushdown, partial aggregation,
+  * a broadcast, or sampled range partitioning fails the build rather than
+  * the next benchmark. */
+class PlanQualitySpec extends AnyFunSuite with SparkTest {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, d)
+    df.collect() // executedPlan after AQE finalizes
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val p = plan("q01_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    // pruned read schema: the 5 selected columns only, not all 16
+    assert(p.contains("ReadSchema") && !p.contains("l_comment"), p)
+  }
+
+  test("q05: aggregation runs map-side partials before the shuffle") {
+    val p = plan("q05_sum")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q09: small dimension side broadcasts") {
+    val p = plan("q09_inner_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q13: global sort uses sampled range partitioning") {
+    val p = plan("q13_global_sort")
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q16: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q16_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q35c: IVF candidate join is keyed on the cell, vectors pruned from the rank shuffle") {
+    val p = plan("q35c_ann_ivf")
+    // the map-side partial top-k aggregate emits only (q_id, buffer) —
+    // the rank shuffle never carries an embedding column
+    val aggLine = p.linesIterator.find(_.contains("partial_collect_list"))
+    assert(aggLine.isDefined, p.take(4000))
+    assert(aggLine.get.matches(""".*output=\[q_id#\d+L?, buf#\d+\].*"""),
+      aggLine.get)
+  }
+}
