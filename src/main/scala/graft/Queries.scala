@@ -491,6 +491,22 @@ object RelationalQueries {
       semi.unionByName(anti)
     }),
 
+    // Q56 — ValueHistogram details (ValueHistogram.java:134
+    // getReportDetails: the per-key value/frequency pairs themselves,
+    // TreeMap-sorted — vs q08's summary stats). Two-level aggregation;
+    // the inner count shuffles (key, item), the outer list is bounded by
+    // item cardinality per key.
+    "q56_histogram_details" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("o_custkey")
+        .agg(concat_ws(",", transform(
+          array_sort(collect_list(struct(
+            col("o_orderpriority").as("item"), col("cnt")))),
+          e => concat(e.getField("item"), lit(":"),
+            e.getField("cnt").cast("string")))).as("details"))),
+
     // Q51 — MultipleOutputs: two named sinks from one cached pass, read
     // back and recombined (proves both sinks saw the same single scan)
     "q51_multi_out" -> ((s, d) => {
@@ -725,6 +741,14 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey
         |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // q56: the per-key frequency table, item-sorted, as item:count pairs
+    "q56_histogram_details" ->
+      """SELECT o_custkey,
+        |  string_agg(item || ':' || cnt, ',' ORDER BY item) AS details
+        |FROM (SELECT o_custkey, o_orderpriority AS item, count(*) AS cnt
+        |      FROM orders GROUP BY 1, 2)
+        |GROUP BY 1""".stripMargin,
 
     // q51: per-priority counts; the urgent sink re-count equals n there
     "q51_multi_out" ->

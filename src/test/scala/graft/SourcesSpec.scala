@@ -50,6 +50,30 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
   }
 }
 
+class MultipleInputsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // MultipleInputs + DelegatingMapper (mapred/lib/MultipleInputs.java:34):
+  // each path gets its own InputFormat AND its own Mapper, outputs merge
+  // into one job. Spark-native: per-source read + per-source transform to
+  // a common schema, then unionByName.
+  test("heterogeneous sources, per-source mappers, one union") {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_minputs_${System.nanoTime}"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.parquet(s"$tmp/pq")
+    Seq("3|GAMMA", "4|DELTA").toDF("line")
+      .write.text(s"$tmp/txt")
+    val fromParquet = spark.read.parquet(s"$tmp/pq") // already (id, name)
+    val fromText = spark.read.text(s"$tmp/txt")      // needs its own mapper
+      .select(split(col("value"), "\\|").as("f"))
+      .select(col("f").getItem(0).cast("long").as("id"),
+        lower(col("f").getItem(1)).as("name"))
+    val unioned = fromParquet.unionByName(fromText)
+    assert(unioned.as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")))
+  }
+}
+
 class JdbcRoundTripSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 

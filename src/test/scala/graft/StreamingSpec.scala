@@ -134,6 +134,24 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       "event_id")
     assert(batch.count() == events.size)
   }
+
+  test("multiSinkStream: one stream feeds two named parquet sinks") {
+    import org.apache.spark.sql.functions._
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_msink_${System.nanoTime}"
+    val ms = MemoryStream[Event](spark)
+    val q = EventStreams.multiSinkStream(ms.toDF(), Seq(
+      ((b: org.apache.spark.sql.DataFrame) =>
+        b.filter(col("event_type") === "click").select("event_id"),
+        s"$tmp/clicks"),
+      ((b: org.apache.spark.sql.DataFrame) =>
+        b.select("event_id", "user_id"), s"$tmp/all")))
+    try {
+      ms.addData(events.take(3)); q.processAllAvailable()
+      ms.addData(events.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$tmp/clicks").count() == 3) // 3 clicks
+    assert(spark.read.parquet(s"$tmp/all").count() == events.size)
+  }
 }
 
 class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
