@@ -261,6 +261,13 @@ object RelationalQueries {
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
         n = 3, threshold = 0.8)),
 
+    // Q31b — near-dup pairs → keep/drop decisions: connected components
+    // over the LSH pair graph, each doc mapped to its component's min id
+    // (iterative min-label propagation; oracle is a recursive CTE)
+    "q31b_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.minhashLshPairs(Tables.documents(s, d),
+        "doc_id", "text", n = 3, threshold = 0.8))),
+
     // Q32 — 60-bit SimHash fingerprint per document (tf-weighted)
     "q32_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
@@ -791,6 +798,18 @@ object RelationalQueries {
 
     "q31_dedup_minhash" -> jaccardOracleSql,
     "q33_ngram_jaccard" -> jaccardOracleSql,
+
+    // q31b: transitive closure over the same pair graph; keep_id = min
+    // reachable id (including self)
+    "q31b_dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardOracleSql),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r
+        |    JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS keep_id
+        |FROM reach GROUP BY src""".stripMargin,
 
     "q32_simhash" ->
       """WITH toks AS (SELECT doc_id, w, count(*) AS cnt FROM (

@@ -160,6 +160,49 @@ object Dedup {
     materializeThenRelease(pairs, ds, sigs)
   }
 
+  // ---------------------------------------------------------------- clusters
+
+  /** Connected-component cluster assignment over near-dup pairs — the
+    * step that turns pairwise similarity into keep/drop decisions: every
+    * document in a component maps to the component's minimum id (its
+    * canonical representative). Input is (id_a, id_b, ...) with
+    * id_a < id_b; output is (doc_id, keep_id) for every id appearing in
+    * a pair.
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * minimum of its own label and its neighbors' labels; converges in
+    * diameter rounds (near-dup clusters are tiny — planted corpora
+    * converge in 2-3). Each round is one join + one aggregation; labels
+    * are localCheckpoint'd per round so the lineage (and thus the plan)
+    * stays flat instead of doubling per iteration — the standard Spark
+    * iterative-algorithm discipline. Convergence is detected by counting
+    * changed labels (one tiny job per round, on label-sized data). */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nbr_lbl"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = updated.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = updated
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over space-tokenized words weighted by term frequency:

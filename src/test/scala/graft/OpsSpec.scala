@@ -168,6 +168,25 @@ class KeyFieldPartitionSpec extends AnyFunSuite with SparkTest {
   }
 }
 
+class SkewSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.ops.Skew
+
+  test("salted join equals the plain join and joins on (key, salt)") {
+    // one hot key (90% of rows) + a long tail
+    val skewed = ((1 to 900).map(i => (42, s"hot$i")) ++
+      (1 to 100).map(i => (i % 7, s"cold$i"))).toDF("k", "v")
+    val dim = Seq((42, "d42"), (0, "d0"), (3, "d3")).toDF("k", "d")
+    val salted = Skew.saltedJoin(skewed, dim, "k", salt = 8, col("v"))
+    val plain = skewed.join(dim, Seq("k"), "inner")
+    assert(salted.count() == plain.count())
+    assert(salted.as[(Int, String, String)].collect().toSet ==
+      plain.as[(Int, String, String)].collect().toSet)
+    // the physical join key carries the salt column
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+}
+
 class CountersSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
   import graft.metrics.Counters

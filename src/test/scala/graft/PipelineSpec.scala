@@ -38,6 +38,14 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(lsh == exact && exact == Set((0L, 1L)))
   }
 
+  test("clusters: chains merge transitively, components stay separate") {
+    // chain 1-2, 2-3 (one component) and isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = graft.pipeline.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("simhash: identical texts collide, disjoint texts differ") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
