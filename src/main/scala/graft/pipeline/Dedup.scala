@@ -169,18 +169,52 @@ object Dedup {
     * id_a < id_b; output is (doc_id, keep_id) for every id appearing in
     * a pair.
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * minimum of its own label and its neighbors' labels; converges in
-    * diameter rounds (near-dup clusters are tiny — planted corpora
-    * converge in 2-3). Each round is one join + one aggregation; labels
-    * are localCheckpoint'd per round so the lineage (and thus the plan)
+    * Adaptive execution: below `driverThreshold` pairs, union-find on the
+    * driver (one collect of bare id pairs — the graph is near-dup-rate-
+    * sized, not corpus-sized); above it, distributed iterative min-label
+    * propagation — each round, every node takes the minimum of its own
+    * label and its neighbors' labels; converges in diameter rounds
+    * (near-dup clusters are tiny — planted corpora converge in 2-3).
+    * Each round is one join + one aggregation; labels are
+    * localCheckpoint'd per round so the lineage (and thus the plan)
     * stays flat instead of doubling per iteration — the standard Spark
     * iterative-algorithm discipline. Convergence is detected by counting
     * changed labels (one tiny job per round, on label-sized data). */
-  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+  def clusters(pairs: DataFrame, maxIters: Int = 20,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // Adaptive: the pair graph is near-dup-rate-sized — usually tiny
+    // relative to the corpus. Below the threshold, union-find on the
+    // driver costs one collect of id pairs; the distributed path's
+    // per-round job overhead only pays off on genuinely large graphs
+    // (the same economics as a broadcast-join threshold).
+    if (p.count() <= driverThreshold) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      p.as[(Long, Long)].collect().foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union toward the smaller root = min-id canonical
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+        parent.getOrElseUpdate(a, find(a))
+        parent.getOrElseUpdate(b, find(b))
+      }
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("doc_id", "keep_id")
+    }
+    val edges = p
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionAll(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))

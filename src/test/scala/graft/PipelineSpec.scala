@@ -41,9 +41,13 @@ class DedupSpec extends AnyFunSuite with SparkTest {
   test("clusters: chains merge transitively, components stay separate") {
     // chain 1-2, 2-3 (one component) and isolated pair 7-9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
-    val out = graft.pipeline.Dedup.clusters(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L)
+    // driver union-find path (under threshold)
+    assert(graft.pipeline.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap == expected)
+    // distributed label-propagation path (threshold forced to 0)
+    assert(graft.pipeline.Dedup.clusters(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap == expected)
   }
 
   test("simhash: identical texts collide, disjoint texts differ") {
