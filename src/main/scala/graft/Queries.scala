@@ -312,6 +312,19 @@ object RelationalQueries {
         k = 3, nlist = 64, nprobe = 8, dim = 64, cents = cents)
     }),
 
+    // Q57 — deterministic data mixing: stratified per-source sampling +
+    // train/test split tags, decided by the portable content hash of the
+    // id (pure function of the row — identical across engines, re-runs
+    // and repartitionings; sample(seed) is none of those). Map-side
+    // predicate, no shuffle.
+    "q57_stratified_split" -> ((s, d) =>
+      Tables.documents(s, d)
+        .filter(Sampling.stratified(col("source"), col("doc_id"),
+          Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25),
+          defaultFrac = 0.1))
+        .select(col("doc_id"), col("source"),
+          Sampling.splitTag(col("doc_id"), 0.2).as("split"))),
+
     // ---- text analysis over `documents` ----
 
     // Q36 — language ID by stopword-hit argmax (scores + decision)
@@ -748,6 +761,19 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey
         |    AND o.o_orderpriority = '1-URGENT')""".stripMargin,
+
+    // q57: same md5 position arithmetic as Spark's Portable.hash60
+    "q57_stratified_split" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) % 10000 AS pos
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN pos < 2000 THEN 'test' ELSE 'train' END AS split
+        |FROM h
+        |WHERE pos < CASE source WHEN 'src1' THEN 10000
+        |  WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
+        |  ELSE 1000 END""".stripMargin,
 
     // q56: the per-key frequency table, item-sorted, as item:count pairs
     "q56_histogram_details" ->

@@ -29,4 +29,33 @@ object Sampling {
   def md5Filter(key: Column, frequency: Int): Column =
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(frequency)) === 0
+
+  /** The id's position in [0, 1) under the portable content hash —
+    * the basis of stratified sampling and train/test splits. Unlike
+    * `sample(seed)`, the decision is a pure function of the ROW (not of
+    * partitioning or task replay), so results are identical across
+    * engines, re-runs, and repartitionings. */
+  def hashPosition(id: Column, denom: Int = 10000): Column =
+    pmod(graft.pipeline.Portable.hash60(id.cast("string")), lit(denom.toLong))
+
+  /** Stratified sample: per-class keep fractions (training-data mixing —
+    * e.g. downsample boilerplate-heavy sources, upsample rare languages).
+    * A row of class c is kept iff hashPosition(id) < fracs(c) * denom.
+    * Classes absent from `fracs` keep `defaultFrac`. Map-side predicate;
+    * no shuffle, no RNG state. */
+  def stratified(classCol: Column, id: Column, fracs: Map[String, Double],
+      defaultFrac: Double = 0.0, denom: Int = 10000): Column = {
+    val frac = coalesce(
+      element_at(typedLit(fracs), classCol.cast("string")),
+      lit(defaultFrac))
+    hashPosition(id, denom) < (frac * denom).cast("long")
+  }
+
+  /** Deterministic train/test split tag for a row id: "test" for the
+    * hash-lowest `testFrac` of rows, "train" otherwise. Stable under
+    * re-runs and engine changes — the property a reproducible pipeline
+    * needs from its split. */
+  def splitTag(id: Column, testFrac: Double, denom: Int = 10000): Column =
+    when(hashPosition(id, denom) < (testFrac * denom).toLong, lit("test"))
+      .otherwise(lit("train"))
 }

@@ -168,6 +168,34 @@ class KeyFieldPartitionSpec extends AnyFunSuite with SparkTest {
   }
 }
 
+class StratifiedSamplingSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.ops.Sampling
+
+  test("split is a pure function of the row: stable under repartition") {
+    val df = (1L to 500L).toDF("id")
+    val tag = Sampling.splitTag(col("id"), 0.2)
+    val once = df.select(col("id"), tag).as[(Long, String)].collect().toMap
+    val again = df.repartition(13).select(col("id"), tag)
+      .as[(Long, String)].collect().toMap
+    assert(once == again)
+    val testFrac = once.values.count(_ == "test").toDouble / once.size
+    assert(testFrac > 0.12 && testFrac < 0.28, s"testFrac=$testFrac")
+  }
+
+  test("stratified keeps per-class fractions; unknown classes use default") {
+    val df = (1L to 3000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "zzz"))
+      .toDF("id", "cls")
+    val kept = df.filter(Sampling.stratified(col("cls"), col("id"),
+        Map("a" -> 1.0, "b" -> 0.3), defaultFrac = 0.0))
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(kept("a") == 1000L)                       // frac 1.0 keeps all
+    assert(kept("b") > 180L && kept("b") < 420L)     // ~0.3 of 1000
+    assert(!kept.contains("zzz"))                    // default 0 drops all
+  }
+}
+
 class SkewSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
   import graft.ops.Skew
