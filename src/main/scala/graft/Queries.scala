@@ -398,6 +398,19 @@ object RelationalQueries {
         .agg(sum(col("value").cast("double")).as("sum_qty"))
     }),
 
+    // Q58 — the reference's native container, end to end: write orders
+    // as a real Text/Text SequenceFile (splittable, sync-marked), read
+    // it back through the Hadoop bridge, aggregate
+    "q58_seqfile_roundtrip" -> ((s, d) => {
+      import graft.sources.SequenceFiles
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q58_${s.sparkContext.applicationId}"
+      SequenceFiles.write(Tables.orders(s, d)
+        .select(col("o_orderkey").cast("string").as("key"),
+          col("o_orderpriority").as("value")), "key", "value", out)
+      SequenceFiles.read(s, out)
+        .groupBy(col("value")).agg(count(lit(1)).as("n"))
+    }),
+
     // FieldSelection as its own query: fields "3-" of a delimited line
     "q02b_fieldselect" -> ((s, d) => {
       val lines = Tables.customer(s, d).select(concat_ws("|",
@@ -774,6 +787,11 @@ object RelationalQueries {
         |WHERE pos < CASE source WHEN 'src1' THEN 10000
         |  WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
         |  ELSE 1000 END""".stripMargin,
+
+    // q58: per-priority counts survive the SequenceFile roundtrip
+    "q58_seqfile_roundtrip" ->
+      """SELECT o_orderpriority AS value, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // q56: the per-key frequency table, item-sorted, as item:count pairs
     "q56_histogram_details" ->

@@ -50,6 +50,27 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
   }
 }
 
+class SequenceFilesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("Text/Text SequenceFile roundtrip through the Hadoop bridge") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_seq_${System.nanoTime}"
+    val df = Seq(("k1", "v with\ttab"), ("k2", "v2"), ("k3", ""))
+      .toDF("key", "value")
+    graft.sources.SequenceFiles.write(df, "key", "value", path)
+    // the files on disk really are SequenceFiles (magic header "SEQ")
+    val part = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val magic = new Array[Byte](3)
+    val in = new java.io.FileInputStream(part)
+    try in.read(magic) finally in.close()
+    assert(new String(magic, "US-ASCII") == "SEQ")
+    val back = graft.sources.SequenceFiles.read(spark, path)
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("k1", "v with\ttab"), ("k2", "v2"), ("k3", "")))
+  }
+}
+
 class MultipleInputsSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
