@@ -102,6 +102,15 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension frame (the DistributedCache side-file pattern —
+    * filecache/DistributedCache.java — in streaming form). The static
+    * side is broadcast per batch when small; no stream state, no
+    * watermark needed — the dimension is re-read per micro-batch, so
+    * slowly-changing dims pick up updates between batches. */
+  def enrich(events: DataFrame, dim: DataFrame, keys: String*): DataFrame =
+    events.join(dim, keys, "left")
+
   /** Streaming MultipleOutputs: one stream feeds N named sinks via
     * foreachBatch — each micro-batch is cached once, every sink derives
     * and writes from the cached batch (the single-pass multi-collector

@@ -135,6 +135,20 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(batch.count() == events.size)
   }
 
+  test("enrich: stream-static join tags events with dimension data") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ms = MemoryStream[Event](spark)
+    ms.addData(events)
+    val got = EventStreams.runToMemory(
+      EventStreams.enrich(ms.toDF(), dim, "user_id")
+        .select(col("event_id"), col("tier")),
+      "enrich_test", OutputMode.Append())
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L) == Some("gold") && got(3L) == Some("basic"))
+    assert(got.size == events.size)
+  }
+
   test("multiSinkStream: one stream feeds two named parquet sinks") {
     import org.apache.spark.sql.functions._
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_msink_${System.nanoTime}"
