@@ -45,6 +45,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q30: exact-dedup shuffle carries the 16-byte fingerprint, not the document body") {
+    val p = plan("q30_dedup_exact")
+    // the grouping key is the hoisted md5 (_groupingexpression); the
+    // exchange and the partial aggregate must not reference the text col
+    val exchange = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+    assert(exchange.contains("_groupingexpression"), p.take(3000))
+    assert(!exchange.contains("text#"), exchange)
+    val partial = p.linesIterator.find(_.contains("partial_min")).getOrElse("")
+    assert(!partial.contains("text#"), partial)
+  }
+
+  test("q12: three-way join broadcasts both dimension sides") {
+    val p = plan("q12_threeway_join")
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, p.take(3000))
+  }
+
   test("q35c: IVF candidate join is keyed on the cell, vectors pruned from the rank shuffle") {
     val p = plan("q35c_ann_ivf")
     // the map-side partial top-k aggregate emits only (q_id, buffer) —
