@@ -106,3 +106,31 @@ object KeyFieldSortProps extends Properties("KeyFieldSort") {
       KeyFieldSort.parse(s).length == n
     }
 }
+
+object NearestCellsProps extends Properties("NearestCells") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import graft.functions.NearestCells
+
+  private val cases = for {
+    dim <- Gen.choose(1, 8)
+    nlist <- Gen.choose(1, 12)
+    nprobe <- Gen.choose(1, 12)
+    vec <- Gen.listOfN(dim, Gen.choose(-50, 50).map(_.toDouble))
+    cents <- Gen.listOfN(nlist,
+      Gen.listOfN(dim, Gen.choose(-50, 50).map(_.toDouble)))
+  } yield (vec.toArray, cents.map(_.toArray).toArray, nprobe)
+
+  property("kernel equals naive argsort by (distance, cell)") =
+    forAll(cases) { case (vec, cents, nprobe) =>
+      val dim = vec.length
+      val got = NearestCells.nearest(new GenericArrayData(vec),
+        isFloat = false, cents.flatten, cents.map(_.map(x => x * x).sum),
+        dim, nprobe).toSeq
+      val expect = cents.zipWithIndex.map { case (c, i) =>
+        val key = c.map(x => x * x).sum -
+          2.0 * c.zip(vec).map { case (a, b) => a * b }.sum
+        (key, i)
+      }.sortBy(identity).take(math.min(nprobe, cents.length)).map(_._2).toSeq
+      got == expect
+    }
+}
