@@ -369,6 +369,19 @@ object RelationalQueries {
     "q42_sessions" -> ((s, d) =>
       graft.streaming.EventStreams.sessionize(Tables.events(s, d))),
 
+    // Q42b — arbitrary stateful processing (mapGroupsWithState) under
+    // the oracle gate via its batch mode: the same typed state function
+    // that maintains per-user running totals across streaming
+    // micro-batches (spec'd in StreamingSpec) runs here over the whole
+    // input as one group pass — snapshots must equal a plain aggregate.
+    "q42b_stateful_totals" -> ((s, d) => {
+      import s.implicits._
+      graft.streaming.EventStreams.runningUserTotals(
+        Tables.events(s, d).as[graft.streaming.EventStreams.Event])
+        .toDF()
+        .withColumn("total_value", round(col("total_value"), 4))
+    }),
+
     // ---- source/sink coverage ----
 
     // Q43 — JDBC sink + partitioned JDBC source (DBOutputFormat /
@@ -787,6 +800,12 @@ object RelationalQueries {
         |WHERE pos < CASE source WHEN 'src1' THEN 10000
         |  WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500
         |  ELSE 1000 END""".stripMargin,
+
+    // q42b: the state fold over all events == the plain aggregate
+    "q42b_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
 
     // q58: per-priority counts survive the SequenceFile roundtrip
     "q58_seqfile_roundtrip" ->
