@@ -34,17 +34,22 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
-      def once(): Double = {
+      // A failed run yields no timing sample: min() must never mix a
+      // fast-failure duration with a real run, and one success clears a
+      // transient first-run error.
+      def once(): Option[Double] = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case scala.util.control.NonFatal(e) =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString.take(200)
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      val sec = math.min(once(), once())
+      val samples = Seq(once(), once()).flatten
+      if (samples.nonEmpty) errors.remove(name)
+      val sec = if (samples.nonEmpty) samples.min else 0.0
       System.err.println(f"[bench] $name%-22s $sec%8.3f s" +
         (if (errors.contains(name)) "  FAILED" else ""))
       name -> sec

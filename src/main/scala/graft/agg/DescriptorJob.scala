@@ -31,6 +31,8 @@ object DescriptorJob {
   /** Compile one "aggType:field" descriptor to an aggregate column named
     * "<aggtype>_<field>" (lowercased — stable oracle-friendly names). */
   def compile(spec: String): Column = {
+    require(spec.contains(":"),
+      s"malformed descriptor '$spec': expected \"aggType:field\"")
     val Array(aggType, field) = spec.split(":", 2)
     val v = col(field)
     val agg = aggType match {

@@ -114,11 +114,16 @@ object NearestCells {
     val used = new Array[Boolean](nlist)
     var j = 0
     while (j < k) {
+      // seed best with the first unused cell so an all-NaN distance row
+      // (NaN comparisons are always false) still selects deterministically
+      // instead of indexing used(-1)
       var best = -1
-      var bd = Double.PositiveInfinity
+      var bd = 0.0
       var cc = 0
       while (cc < nlist) {
-        if (!used(cc) && dists(cc) < bd) { bd = dists(cc); best = cc }
+        if (!used(cc) && (best < 0 || dists(cc) < bd)) {
+          bd = dists(cc); best = cc
+        }
         cc += 1
       }
       used(best) = true

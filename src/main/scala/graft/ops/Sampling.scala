@@ -45,10 +45,16 @@ object Sampling {
     * no shuffle, no RNG state. */
   def stratified(classCol: Column, id: Column, fracs: Map[String, Double],
       defaultFrac: Double = 0.0, denom: Int = 10000): Column = {
-    val frac = coalesce(
-      element_at(typedLit(fracs), classCol.cast("string")),
-      lit(defaultFrac))
-    hashPosition(id, denom) < (frac * denom).cast("long")
+    // thresholds rounded ONCE on the driver: (0.29 * 10000).toLong would
+    // truncate the 2899.999... double to 2899, silently dropping one
+    // hash bucket per class vs any engine that writes `pos < 2900`
+    val thresholds = fracs.map { case (k, f) =>
+      k -> math.round(f * denom)
+    }
+    val threshold = coalesce(
+      element_at(typedLit(thresholds), classCol.cast("string")),
+      lit(math.round(defaultFrac * denom)))
+    hashPosition(id, denom) < threshold
   }
 
   /** Deterministic train/test split tag for a row id: "test" for the
@@ -56,6 +62,6 @@ object Sampling {
     * re-runs and engine changes — the property a reproducible pipeline
     * needs from its split. */
   def splitTag(id: Column, testFrac: Double, denom: Int = 10000): Column =
-    when(hashPosition(id, denom) < (testFrac * denom).toLong, lit("test"))
+    when(hashPosition(id, denom) < math.round(testFrac * denom), lit("test"))
       .otherwise(lit("train"))
 }

@@ -234,6 +234,11 @@ object Dedup {
       labels = updated
       it += 1
     }
+    // wrong keep/drop decisions must be loud, not silent: a component
+    // with diameter > maxIters would exit with intermediate labels
+    if (!converged) throw new IllegalStateException(
+      s"label propagation did not converge in $maxIters rounds — " +
+      "raise maxIters (component diameter exceeds it)")
     labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
   }
 

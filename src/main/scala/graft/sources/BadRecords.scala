@@ -22,7 +22,13 @@ object BadRecords {
     * deliberately malformed line. The poison keeps the column arity but
     * every field is unparseable garbage — an under-length line would just
     * be null-padded by the CSV reader, not flagged malformed; a type
-    * failure is what marks the record bad. */
+    * failure is what marks the record bad.
+    *
+    * CAVEAT: fields are joined unquoted (concat_ws) — a string field
+    * containing the separator or a newline would itself parse as
+    * malformed downstream. Fine for the numeric/enum test columns this
+    * harness feeds it; quote upstream (or use df.write.csv with quoting)
+    * for free-text fields. */
   def writeWithPoison(df: DataFrame, poisonWhen: Column, path: String,
       numFiles: Int = 0): Unit = {
     val line = concat_ws(",", df.columns.map(col): _*)

@@ -115,16 +115,29 @@ object EventStreams {
     * foreachBatch — each micro-batch is cached once, every sink derives
     * and writes from the cached batch (the single-pass multi-collector
     * economics of mapred/lib/MultipleOutputs.java:116, in streaming
-    * form). Parquet sinks, exactly-once per sink via the stream's own
-    * checkpointing + idempotent overwrite of each batch's output. */
+    * form). Each batch OVERWRITES its own `batch=<id>` subdirectory, so
+    * replaying a batch (failure mid-foreachBatch, restart from the
+    * checkpoint) is idempotent — append-mode sinks would duplicate rows
+    * on replay. Readers see one partitioned parquet dataset per sink.
+    * Pass `checkpointLocation` for restartable exactly-once: replays
+    * resume at the failed batch id and overwrite only it. Without one,
+    * a restarted query renumbers from batch 0 — start it against fresh
+    * sink directories. */
   def multiSinkStream(events: DataFrame,
-      sinks: Seq[(DataFrame => DataFrame, String)]): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val cached = batch.cache()
-      try sinks.foreach { case (derive, path) =>
-        derive(cached).write.mode("append").parquet(path)
-      } finally { cached.unpersist(false); () }
-    }.start()
+      sinks: Seq[(DataFrame => DataFrame, String)],
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = events.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val cached = batch.cache()
+        try sinks.foreach { case (derive, path) =>
+          derive(cached).write.mode("overwrite")
+            .parquet(s"$path/batch=$batchId")
+        } finally { cached.unpersist(false); () }
+    }
+    checkpointLocation.fold(writer)(
+      cp => writer.option("checkpointLocation", cp)).start()
+  }
 
   /** Convenience: run a streaming query over a memory sink until all
     * available input is processed, return the sink contents. */
