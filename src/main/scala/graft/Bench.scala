@@ -47,19 +47,25 @@ object Bench {
             None
         }
       }
-      val samples = Seq(once(), once()).flatten
-      if (samples.nonEmpty) errors.remove(name)
-      val sec = if (samples.nonEmpty) samples.min else 0.0
-      System.err.println(f"[bench] $name%-22s $sec%8.3f s" +
+      val runs = Seq(once(), once())
+      val samples = runs.flatten
+      // only a fully clean pair clears the error: one success + one
+      // failure is a real (non-idempotent / flaky) defect worth surfacing
+      if (samples.length == runs.length) errors.remove(name)
+      val sec = samples.minOption
+      System.err.println(f"[bench] $name%-22s ${sec.getOrElse(0.0)}%8.3f s" +
         (if (errors.contains(name)) "  FAILED" else ""))
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // queries that never produced a sample are omitted from the timing
+    // map (a 0.0 entry reads as an ultra-fast success when diffed
+    // against the baseline); they remain visible in the errors map
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":2,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,7 +23,10 @@ object KeyFieldPartition {
   def fieldKey(line: Column, fromField: Int, toField: Int,
       sep: String = "\t"): Column = {
     val parts = split(line, java.util.regex.Pattern.quote(sep))
-    concat_ws(sep, (fromField to toField).map(i => parts.getItem(i - 1)): _*)
+    // get() is null-safe where parts(i) under ANSI mode (Spark 4 default)
+    // throws INVALID_ARRAY_INDEX on short lines; concat_ws skips nulls,
+    // matching the reference partitioner's tolerance of short keys
+    concat_ws(sep, (fromField to toField).map(i => get(parts, lit(i - 1))): _*)
   }
 
   /** Repartition so rows sharing fields [fromField, toField] co-locate. */

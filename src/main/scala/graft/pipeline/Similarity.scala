@@ -118,6 +118,10 @@ object Similarity {
       .select(transform(col(vecCol), _.cast("double")).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
       .sortBy(_.toSeq)
+    // ragged centroid rows would silently misalign NearestCellsExpr's
+    // flat c*dim offsets — reject mismatched input up front
+    data.find(_.length != dim).foreach(v => throw new IllegalArgumentException(
+      s"vector of length ${v.length} does not match dim=$dim"))
     var cents: Array[Array[Double]] =
       if (data.length >= nlist) data.take(nlist).map(_.clone())
       else data.map(_.clone()) ++ Array.tabulate(nlist - data.length, dim)(
@@ -159,7 +163,14 @@ object Similarity {
       cents: Array[Array[Double]] = null): DataFrame = {
     val quantizer =
       if (cents != null) cents
-      else trainCoarseQuantizer(vecs, vecCol, nlist, dim)
+      // default training input is a BOUNDED slice, never the full corpus:
+      // trainCoarseQuantizer collects its input to the driver (its scale
+      // contract), and at 100 TB an unbounded collect is a driver OOM.
+      // Callers wanting a specific sampling policy pre-train and pass
+      // `cents` (q35c trains on a deterministic id-hash sample).
+      else trainCoarseQuantizer(
+        vecs.select(col(vecCol)).limit(math.max(nlist * 64, 4096)),
+        vecCol, nlist, dim)
     val base = withNorm(vecs, idCol, vecCol)
     val corpus = base.withColumn("cell",
       element_at(nearestCells(col("v"), quantizer, 1), 1))
@@ -189,11 +200,17 @@ object Similarity {
     * Ordering: cos desc, nb_id asc — deterministic tie-break. */
   private def rankTopK(candidates: DataFrame, k: Int): DataFrame =
     candidates
-      .groupBy("q_id").agg(slice(array_sort(collect_list(
-        struct((-col("cos")).as("nc"), col("nb_id")))), 1, k).as("top"))
+      // sort key: -cos ascending, with NaN cos (zero-norm vectors) mapped
+      // to -Infinity so it ranks FIRST — matching window `ORDER BY cos
+      // DESC`, where Spark treats NaN as greater than any double; the
+      // original cos rides along as a payload field
+      .groupBy("q_id").agg(slice(array_sort(collect_list(struct(
+        when(isnan(col("cos")), lit(Double.NegativeInfinity))
+          .otherwise(-col("cos")).as("nc"),
+        col("nb_id"), col("cos")))), 1, k).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "v")))
       .select(col("q_id"), col("v.nb_id").as("nb_id"),
-        (col("pos") + 1).cast("int").as("rank"), (-col("v.nc")).as("cos"))
+        (col("pos") + 1).cast("int").as("rank"), col("v.cos").as("cos"))
 
   /** LSH-bucketed approximate top-k: candidates share the query's sign
     * bucket; exact cosine re-ranks within the bucket. Recall depends on

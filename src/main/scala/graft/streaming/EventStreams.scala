@@ -75,8 +75,14 @@ object EventStreams {
     * (100 TB/day) stream. Batch mode degrades to plain dropDuplicates —
     * same logical contract, whole-input scope. */
   def dedupStream(events: DataFrame, delay: String, keys: String*): DataFrame =
+    dedupStreamOn(events, "ts", delay, keys: _*)
+
+  /** [[dedupStream]] with an explicit event-time column (the watermark
+    * must anchor on the frame's actual event-time attribute). */
+  def dedupStreamOn(events: DataFrame, tsCol: String, delay: String,
+      keys: String*): DataFrame =
     if (events.isStreaming)
-      events.withWatermark("ts", delay)
+      events.withWatermark(tsCol, delay)
         .dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
