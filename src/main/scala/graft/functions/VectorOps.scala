@@ -97,6 +97,8 @@ object VectorOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nearest_cells",
       exprs => NearestCellsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash60", exprs => Hash60Expr(exprs(0)), "built-in")
   }
 
   /** Column API for the native dot product (register first). */

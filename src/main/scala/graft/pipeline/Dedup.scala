@@ -50,11 +50,13 @@ object Dedup {
 
   /** (id, sh) distinct 60-bit shingle-hash postings for a corpus. */
   def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
     docs.select(col(idCol).as("id"),
         explode(shingles(col(textCol), n)).as("s"))
-      .select(col("id"), Portable.hash60(col("s")).as("sh"))
+      .select(col("id"), Portable.hash60Fast(col("s")).as("sh"))
       .distinct()
+  }
 
   /** Exact pairwise Jaccard >= threshold via inverted-index self-join.
     * Returns (id_a, id_b, jaccard) with id_a < id_b. */
@@ -249,10 +251,11 @@ object Dedup {
     * One explode + two hash aggregations; integer-exact across engines. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 60): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
     val toks = docs.select(col(idCol).as("id"),
         explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("w"))
       .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
-      .select(col("id"), Portable.hash60(col("w")).as("h"), col("cnt"))
+      .select(col("id"), Portable.hash60Fast(col("w")).as("h"), col("cnt"))
     val bitSums = (0 until bits).map { j =>
       sum(col("cnt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1))
         .as(s"b$j")

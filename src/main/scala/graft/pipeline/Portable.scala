@@ -23,6 +23,14 @@ object Portable {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The same value via the native [[graft.functions.Hash60Expr]] — no
+    * intermediate hex/substring/base-10 strings (3 allocations saved per
+    * value, which dominates shingle-scale hashing). Bit-equality with
+    * [[hash60]] is property-tested. Requires
+    * [[graft.functions.VectorOps.ensureRegistered]] on the session. */
+  def hash60Fast(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("hash60", c)
+
   /** The same value DuckDB-side, for oracle builders. */
   def hash60Sql(sqlExpr: String): String =
     s"CAST(concat('0x', substr(md5($sqlExpr),1,15)) AS BIGINT)"

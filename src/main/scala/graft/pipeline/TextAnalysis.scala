@@ -84,9 +84,10 @@ object TextAnalysis {
     * chosen so no intermediate exceeds a signed 64-bit long. Distinguishes
     * permuted documents, unlike bag-of-words hashing. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
     val ws = words(col(textCol))
     val weighted = transform(ws,
-      (w, i) => (i.cast("long") + 1L) * (Portable.hash60(w) % 1000003L))
+      (w, i) => (i.cast("long") + 1L) * (Portable.hash60Fast(w) % 1000003L))
     docs.select(
       col(idCol).as("doc_id"),
       (aggregate(weighted, lit(0L), _ + _) % 1000000007L).as("fp"))

@@ -134,3 +134,25 @@ object NearestCellsProps extends Properties("NearestCells") {
       got == expect
     }
 }
+
+object Hash60Props extends Properties("Hash60") {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Reference implementation: the declarative form's arithmetic —
+    * first 15 hex chars of md5, parsed base-16. */
+  private def reference(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  property("native kernel == declarative md5/substring/conv arithmetic") =
+    forAll(Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.listOf(Gen.choose(32, 0x10FFFF)
+        .retryUntil(c => !Character.isSurrogate(c.toChar) || c > 0xFFFF))
+        .map(_.flatMap(Character.toChars(_)).mkString))) { s =>
+      graft.functions.Hash60.hash60(UTF8String.fromString(s)) == reference(s)
+    }
+}
