@@ -88,10 +88,9 @@ object RelationalQueries {
     }),
 
     // Q11 — override join: rightmost snapshot wins (OverrideRecordReader).
-    // Both snapshots are unique-keyed by construction (supplier PK), so the
-    // impl's first-row-wins within-source tie-break and the oracle's
-    // content tie-break coincide; overrideJoin's Scaladoc documents the
-    // duplicate-key deviation.
+    // overrideJoin's within-source tie-break is content-based (greatest
+    // non-key tuple), exactly the oracle's ORDER BY src DESC, s_name DESC,
+    // s_acctbal DESC — so impl and oracle agree even under duplicate keys.
     "q11_override_join" -> ((s, d) => {
       val sup = Tables.supplier(s, d)
       val snapA = sup.select(col("s_suppkey").as("suppkey"),
@@ -279,10 +278,24 @@ object RelationalQueries {
 
     // ---- similarity search over `embeddings` ----
 
-    // Q34 — embedding-cosine near-dup pairs (threshold 0.5)
+    // Q34 — embedding-cosine near-dup pairs (threshold 0.5), EXACT
+    // all-pairs baseline: the oracle-checkable form. The scale path is
+    // q34b (LSH-bucketed, same output contract).
     "q34_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.5)),
+
+    // Q34b — LSH-bucketed near-dup pairs (the scale path): OR-amplified
+    // sign-LSH candidates, exact cosine verify. Precision is exact;
+    // recall is tuned by (planes, tables) against the threshold's angle —
+    // τ=0.5 is a WIDE angle (59°), so few planes + many tables; in the
+    // real near-dup regime (τ≥0.9) planes=8-16 prunes far harder. The
+    // hyperplanes are md5-seeded → the result is deterministic, and with
+    // these parameters recall on this corpus is total, so the EXACT
+    // oracle gates it; the high-τ recall law is spec-tested (PipelineSpec).
+    "q34b_embed_neardup_lsh" -> ((s, d) =>
+      Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", threshold = 0.5, planes = 4, tables = 16, dim = 64)),
 
     // Q35 — brute-force cosine top-3 for query vectors (vec_id % 100 = 0)
     "q35_ann_topk" -> ((s, d) => {
@@ -301,13 +314,14 @@ object RelationalQueries {
     // trained on the corpus, map-side cell assignment, probe-nearest-cells
     // + exact re-rank. nprobe < nlist → approximate → rows-only gate;
     // the probe-all == brute-force identity is spec-tested. The quantizer
-    // trains on a deterministic ~10% sample — at 100 TB the index trains
-    // on a sample and quantizes the full corpus map-side.
+    // trains on a deterministic BOUNDED sample (top-4096 by content hash —
+    // a proportional % filter at 100 TB would still collect terabytes to
+    // the driver); the index quantizes the full corpus map-side.
     "q35c_ann_ivf" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
       val cents = Similarity.trainCoarseQuantizer(
-        vecs.filter(col("vec_id") % 10 === 0), "embedding",
-        nlist = 64, dim = 64)
+        Similarity.trainingSample(vecs, "vec_id", "embedding", 4096),
+        "embedding", nlist = 64, dim = 64)
       Similarity.ivfTopK(vecs, "vec_id", "embedding",
         k = 3, nlist = 64, nprobe = 8, dim = 64, cents = cents)
     }),
@@ -417,9 +431,13 @@ object RelationalQueries {
     "q58_seqfile_roundtrip" -> ((s, d) => {
       import graft.sources.SequenceFiles
       val out = s"${sys.props("java.io.tmpdir")}/graft_q58_${s.sparkContext.applicationId}"
+      // gzip BLOCK — the oracle gate proves the COMPRESSED roundtrip
+      // (SequenceFileOutputFormat.java:58-77); uncompressed + bzip2/RECORD
+      // variants are spec-gated (SourcesSpec)
       SequenceFiles.write(Tables.orders(s, d)
         .select(col("o_orderkey").cast("string").as("key"),
-          col("o_orderpriority").as("value")), "key", "value", out)
+          col("o_orderpriority").as("value")), "key", "value", out,
+        codec = "gzip", compressionType = "BLOCK")
       SequenceFiles.read(s, out)
         .groupBy(col("value")).agg(count(lit(1)).as("n"))
     }),
@@ -753,10 +771,11 @@ object RelationalQueries {
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem WHERE l_orderkey % 97 <> 0 GROUP BY 1""".stripMargin,
 
-    // q52: the descriptor list, unrolled
+    // q52: the descriptor list, unrolled. sum(INTEGER) is HUGEINT in
+    // DuckDB (renders 798766.0 vs Spark's long 798766) — CAST, like q22/q39.
     "q52_descriptors" ->
       """SELECT l_returnflag,
-        |  sum(l_linenumber) AS longvaluesum_l_linenumber,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS longvaluesum_l_linenumber,
         |  sum(l_quantity) AS doublevaluesum_l_quantity,
         |  max(l_orderkey) AS longvaluemax_l_orderkey,
         |  min(l_partkey) AS longvaluemin_l_partkey,
@@ -890,6 +909,16 @@ object RelationalQueries {
         |FROM bits GROUP BY doc_id""".stripMargin,
 
     "q34_embed_neardup" ->
+      s"""WITH $embedNormSql,
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(64), i -> a.e[i+1]*b.e[i+1]))
+        |      / (a.nrm*b.nrm) AS cos
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.5""".stripMargin,
+
+    // q34b: deterministic (md5-seeded hyperplanes) and total-recall on
+    // this corpus at these parameters → gated by the SAME exact oracle
+    "q34b_embed_neardup_lsh" ->
       s"""WITH $embedNormSql,
         |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_sum(list_transform(range(64), i -> a.e[i+1]*b.e[i+1]))

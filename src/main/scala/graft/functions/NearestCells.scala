@@ -30,7 +30,14 @@ case class NearestCellsExpr(first: Expression, second: Expression,
 
   @transient private lazy val cents: Array[Array[Double]] = {
     val arr = second.eval().asInstanceOf[ArrayData]
-    Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+    val m = Array.tabulate(arr.numElements())(i => arr.getArray(i).toDoubleArray())
+    // the kernel reads the matrix as flat c*dim offsets — a ragged row
+    // would silently misalign every distance, so fail loudly instead
+    m.find(_.length != m(0).length).foreach(r =>
+      throw new IllegalArgumentException(
+        s"nearest_cells: ragged centroid matrix (row of length ${r.length}" +
+        s" vs ${m(0).length})"))
+    m
   }
   @transient private lazy val dim: Int =
     if (cents.isEmpty) 0 else cents(0).length

@@ -29,32 +29,28 @@ object Joins {
   /** override(a, b, ...) — per key, the value comes from the RIGHTMOST
     * source holding it (join/OverrideRecordReader.java:36). Within the
     * preferred source, the reference's fillJoinCollector emits EVERY
-    * value it holds for the key; collapsing duplicates to the FIRST row
-    * of that source is a deliberate deviation (one row per key is the
-    * upsert semantics users actually want from "override"). Callers with
-    * duplicate keys inside a single source should be aware of the
-    * first-row-wins tie-break; the acceptance suite only feeds
-    * unique-per-source keys, where impl and oracle agree trivially.
+    * value it holds for the key; collapsing duplicates to ONE row per key
+    * is a deliberate deviation (the upsert semantics users actually want
+    * from "override"). The tie-break within the winning source is
+    * CONTENT-BASED: the greatest row by the non-key column tuple wins —
+    * a pure function of the data, so the result is identical across
+    * partition layouts, shuffles and replays (an ingestion-order ordinal
+    * like `monotonically_increasing_id` is none of those).
     *
-    * Implementation: tag each source with its index and each row with a
-    * per-source ingestion ordinal (`monotonically_increasing_id`, which is
-    * ascending in partition-then-row order — the Spark analogue of the
-    * reference's sorted-file iterator order). Per key keep the row with the
-    * greatest (source, -ordinal) pair: rightmost source wins, and within
-    * that source the earliest row wins. A single hash aggregation — one
-    * shuffle, no join explosion, skew-safe under AQE. All sources must
-    * share a schema.
+    * Implementation: tag each source with its index; per key keep the
+    * max of struct(source, non-key columns) — rightmost source first,
+    * row content as tie-break. A single hash aggregation — one shuffle,
+    * map-side partial agg, no join explosion, skew-safe under AQE. All
+    * sources must share a schema.
     */
   def overrideJoin(key: String, sources: DataFrame*): DataFrame = {
     require(sources.nonEmpty)
     val cols = sources.head.columns.toSeq
     val tagged = sources.zipWithIndex.map { case (df, i) =>
-      df.select(cols.map(col): _*)
-        .withColumn("__src", lit(i))
-        .withColumn("__ord", -monotonically_increasing_id())
+      df.select(cols.map(col): _*).withColumn("__src", lit(i))
     }.reduce(_.unionByName(_))
     val payload = struct(
-      (Seq(col("__src"), col("__ord")) ++ cols.filterNot(_ == key).map(col)): _*)
+      (col("__src") +: cols.filterNot(_ == key).map(col)): _*)
     tagged
       .groupBy(col(key))
       .agg(max(payload).as("__win"))

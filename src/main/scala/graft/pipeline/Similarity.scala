@@ -64,7 +64,9 @@ object Similarity {
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding-space
-    * near-duplicate detection. */
+    * near-duplicate detection, EXACT baseline. O(n²) cartesian: use only
+    * when the corpus fits a broadcast / as a correctness oracle. The scale
+    * path is [[lshNearDupPairs]] — same output contract, bucketed shuffle. */
   def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = withNorm(vecs, idCol, vecCol)
@@ -77,8 +79,50 @@ object Similarity {
 
   /** Deterministic random hyperplanes: planes × dim doubles in [-1, 1),
     * derived from md5 seeds (no RNG state, reproducible everywhere). */
-  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(planes, dim)((p, d) => Portable.unitFromSeed(s"plane_${p}_$d"))
+  def hyperplanes(planes: Int, dim: Int, seed: String = "plane")
+      : Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, d) =>
+      Portable.unitFromSeed(s"${seed}_${p}_$d"))
+
+  /** LSH-bucketed near-dup pairs — the scale path for [[nearDupPairs]].
+    * OR-amplified sign-LSH (the hyperplane analog of minhash banding,
+    * [[graft.pipeline.Dedup.minhashLsh]]): `tables` independent sets of
+    * `planes` hyperplanes; a pair is a candidate iff it shares a bucket in
+    * ANY table, then exact cosine verifies every candidate — so output
+    * precision is exact and only recall is approximate. Per-pair recall at
+    * cosine c is 1-(1-(1-θ/π)^planes)^tables with θ = arccos(c): more
+    * planes → smaller buckets (cheaper join), more tables → higher recall.
+    *
+    * Scale shape: candidate generation shuffles (table, bucket, id) ONLY —
+    * the vectors never ride the bucket join — and verification joins
+    * vectors back on the deduplicated candidate ids. At 100 TB the
+    * all-pairs baseline is O(n²); this is O(Σ bucket²) on ids + O(pairs)
+    * exact dots. */
+  def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int = 8, tables: Int = 8, dim: Int = 64)
+      : DataFrame = {
+    val base = withNorm(vecs, idCol, vecCol)
+    val hps = Array.tabulate(tables)(t =>
+      hyperplanes(planes, dim, seed = s"table${t}_plane"))
+    // (id, (table, bucket)) — buckets are a map-side projection; the
+    // candidate self-join carries ids only, never embeddings
+    val ids = base.select(col("id"), explode(array(
+      (0 until tables).map(t =>
+        struct(lit(t).as("t"), bucketOf(col("v"), hps(t)).as("b"))): _*))
+      .as("tb"))
+    val pairs = ids.as("a").join(ids.as("b"),
+        col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct() // a pair colliding in several tables verifies once
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
 
   /** Sign-bucket id of a vector under the given hyperplanes. */
   def bucketOf(vec: Column, planes: Array[Array[Double]]): Column =
@@ -88,6 +132,23 @@ object Similarity {
     }.reduce(_ + _)
 
   // ---------------------------------------------------------------- IVF
+
+  /** Deterministic BOUNDED quantizer-training sample: the `cap` rows with
+    * the smallest portable content hash of their id (ties by id). Stable
+    * across runs, partitionings and engines — unlike `limit(cap)`, whose
+    * row set depends on scan order — and bounded unlike a proportional
+    * `hash % k` filter, which at 100 TB still collects terabytes.
+    * Physically a TakeOrderedAndProject: partial top-cap per partition,
+    * only cap rows per partition cross the wire — never a full sort. */
+  def trainingSample(vecs: DataFrame, idCol: String, vecCol: String,
+      cap: Int): DataFrame = {
+    VectorOps.ensureRegistered(vecs.sparkSession)
+    vecs.select(Portable.hash60Fast(col(idCol).cast("string")).as("h"),
+        col(idCol).as("i"), col(vecCol))
+      .orderBy(col("h"), col("i"))
+      .limit(cap)
+      .select(col(vecCol))
+  }
 
   /** The `nprobe` nearest quantizer cells, ascending by distance —
     * backed by the native [[graft.functions.NearestCells]] expression
@@ -163,13 +224,14 @@ object Similarity {
       cents: Array[Array[Double]] = null): DataFrame = {
     val quantizer =
       if (cents != null) cents
-      // default training input is a BOUNDED slice, never the full corpus:
-      // trainCoarseQuantizer collects its input to the driver (its scale
-      // contract), and at 100 TB an unbounded collect is a driver OOM.
-      // Callers wanting a specific sampling policy pre-train and pass
-      // `cents` (q35c trains on a deterministic id-hash sample).
+      // default training input is a BOUNDED DETERMINISTIC slice, never the
+      // full corpus: trainCoarseQuantizer collects its input to the driver
+      // (its scale contract), and at 100 TB an unbounded collect is a
+      // driver OOM; a bare limit() would be bounded but scan-order-
+      // dependent, breaking the deterministic contract. Callers wanting a
+      // specific sampling policy pre-train and pass `cents`.
       else trainCoarseQuantizer(
-        vecs.select(col(vecCol)).limit(math.max(nlist * 64, 4096)),
+        trainingSample(vecs, idCol, vecCol, math.max(nlist * 64, 4096)),
         vecCol, nlist, dim)
     val base = withNorm(vecs, idCol, vecCol)
     val corpus = base.withColumn("cell",

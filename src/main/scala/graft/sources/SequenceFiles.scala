@@ -22,16 +22,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SequenceFiles {
 
+  private def codecClass(name: String) = name match {
+    case "none"    => None
+    case "deflate" => Some(classOf[org.apache.hadoop.io.compress.DefaultCodec])
+    case "gzip"    => Some(classOf[org.apache.hadoop.io.compress.GzipCodec])
+    case "bzip2"   => Some(classOf[org.apache.hadoop.io.compress.BZip2Codec])
+    case other => throw new IllegalArgumentException(
+      s"unknown SequenceFile codec '$other' (none|deflate|gzip|bzip2)")
+  }
+
   /** Write (key string, value string) rows as a Text/Text SequenceFile.
-    * Overwrite semantics (the RDD save API has none of its own). */
+    * Overwrite semantics (the RDD save API has none of its own).
+    *
+    * `codec` + `compressionType` mirror the reference's
+    * SequenceFileOutputFormat.setOutputCompressorClass /
+    * setOutputCompressionType (mapred/SequenceFileOutputFormat.java:41,
+    * 58-77): BLOCK compresses runs of records together (the
+    * splittable-and-dense default — sync markers between blocks keep a
+    * 100 TB directory splittable), RECORD compresses each value alone.
+    * The read side is codec-transparent, like the reference's reader. */
   def write(df: DataFrame, keyCol: String, valueCol: String,
-      path: String): Unit = {
+      path: String, codec: String = "none",
+      compressionType: String = "BLOCK"): Unit = {
+    val sc = df.sparkSession.sparkContext
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    df.select(keyCol, valueCol).rdd
+    val rdd = df.select(keyCol, valueCol).rdd
       .map(r => (new Text(r.getString(0)), new Text(r.getString(1))))
-      .saveAsSequenceFile(path)
+    codecClass(codec) match {
+      case None => rdd.saveAsSequenceFile(path)
+      case Some(c) =>
+        require(compressionType == "BLOCK" || compressionType == "RECORD",
+          s"compressionType must be BLOCK or RECORD, got $compressionType")
+        val conf = new org.apache.hadoop.mapred.JobConf(sc.hadoopConfiguration)
+        conf.set("mapreduce.output.fileoutputformat.compress", "true")
+        conf.set("mapreduce.output.fileoutputformat.compress.codec", c.getName)
+        conf.set("mapreduce.output.fileoutputformat.compress.type",
+          compressionType)
+        rdd.saveAsHadoopFile(path, classOf[Text], classOf[Text],
+          classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Text, Text]],
+          conf)
+    }
   }
 
   /** Read a Text/Text SequenceFile directory as a (key, value) frame. */

@@ -26,7 +26,9 @@ object TextFormats {
     * mapred/TextInputFormat.java:45-49), so a single-partition upstream —
     * e.g. one small parquet file — would serialize the whole write AND
     * every downstream read. One file per available core keeps both sides
-    * parallel. */
+    * parallel. bzip2 (io/compress/BZip2Codec.java) IS block-splittable on
+    * read, so it tolerates fewer/larger files — at 100 TB prefer bzip2 or
+    * a container format over gzip for anything re-read in parallel. */
   def writeKeyValueText(df: DataFrame, key: Column, value: Column,
       path: String, sep: String = "\t", compression: String = "none",
       numFiles: Int = 0): Unit = {

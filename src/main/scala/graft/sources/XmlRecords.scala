@@ -17,11 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object XmlRecords {
 
-  /** Write one multi-line `<tag>...</tag>` element per row. */
+  /** Write one multi-line `<tag>...</tag>` element per row. NULL fields
+    * are written as empty elements (a null would null the whole concat and
+    * concat_ws would silently drop the element) — so nulls round-trip as
+    * empty strings, the reference's Text-based behavior. */
   def writeXml(df: DataFrame, tag: String, fields: Seq[String],
       path: String, numFiles: Int = 0): Unit = {
     val body = fields.map(f =>
-      concat(lit(s"  <$f>"), col(f).cast("string"), lit(s"</$f>")))
+      concat(lit(s"  <$f>"),
+        coalesce(col(f).cast("string"), lit("")), lit(s"</$f>")))
     val lines = df.select(
       concat_ws("\n", lit(s"<$tag>") +: body :+ lit(s"</$tag>"): _*)
         .as("value"))

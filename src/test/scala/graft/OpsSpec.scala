@@ -53,10 +53,15 @@ class JoinsSpec extends AnyFunSuite with SparkTest {
     assert(out == Map(1 -> "a1", 2 -> "b2", 3 -> "c3"))
   }
 
-  test("overrideJoin: within the preferred source the first row wins") {
-    val a = Seq((1, "first"), (1, "second")).toDF("k", "v").coalesce(1)
-    val out = Joins.overrideJoin("k", a).as[(Int, String)].collect()
-    assert(out.toSeq == Seq((1, "first")))
+  test("overrideJoin: duplicate keys in one source break ties by content, " +
+      "independent of partition layout") {
+    val rows = Seq((1, "bb"), (1, "aa"), (1, "cc"), (2, "zz"))
+    for (parts <- Seq(1, 7)) {
+      val a = rows.toDF("k", "v").repartition(parts)
+      val out = Joins.overrideJoin("k", a).as[(Int, String)].collect().toMap
+      // greatest non-key tuple wins — a pure function of the data
+      assert(out == Map(1 -> "cc", 2 -> "zz"), s"parts=$parts")
+    }
   }
 
   test("inner requires the key in every source; outer keeps all keys") {

@@ -116,6 +116,51 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(ranks.forall(rs => rs.map(_._3).sorted.toSeq == (1 to rs.size)))
   }
 
+  // 24 deterministic pseudo-random 8-dim vectors + 6 planted near-dups
+  // (small perturbations of the first 6 — cosine >= ~0.99)
+  private def bigCorpus = {
+    val base = Seq.tabulate(24)(i => (i.toLong, Array.tabulate(8)(d =>
+      (((i * 2654435761L + d * 40503L) % 1000L) / 1000.0 - 0.5).toFloat)))
+    val dups = Seq.tabulate(6)(i => (100L + i,
+      base(i)._2.zipWithIndex.map { case (v, d) =>
+        v + (((i + d) % 3) - 1) * 0.01f }))
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("lshNearDupPairs recalls every exact pair, with exact cosines") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b, math.rint(c * 1e9) / 1e9) }.toSet
+    val exact = norm(Similarity.nearDupPairs(bigCorpus, "vec_id",
+      "embedding", 0.9))
+    val lsh = norm(Similarity.lshNearDupPairs(bigCorpus, "vec_id",
+      "embedding", 0.9, planes = 4, tables = 8, dim = 8))
+    assert(exact.size >= 6, s"fixture lost its planted pairs: $exact")
+    // precision is exact by construction (every candidate is verified);
+    // equality proves 100% recall on the fixture
+    assert(lsh == exact)
+  }
+
+  test("trainingSample is bounded and partition-layout independent") {
+    val s1 = Similarity.trainingSample(bigCorpus, "vec_id", "embedding", 10)
+      .as[Array[Float]].collect().map(_.toSeq).toSet
+    val s2 = Similarity.trainingSample(bigCorpus.repartition(7), "vec_id",
+        "embedding", 10)
+      .as[Array[Float]].collect().map(_.toSeq).toSet
+    assert(s1.size == 10 && s1 == s2)
+  }
+
+  test("ragged centroid matrix fails loudly, not silently misaligned") {
+    val ragged = Array(Array(1.0, 0.0, 0.0), Array(1.0))
+    val ex = intercept[Throwable] {
+      vecs.select(graft.functions.NearestCells(
+        col("embedding"), ragged, 1)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(ex).exists(m => m != null && m.contains("ragged")))
+  }
+
   test("hyperplanes are deterministic across calls") {
     assert(Similarity.hyperplanes(2, 4).map(_.toSeq).toSeq ==
       Similarity.hyperplanes(2, 4).map(_.toSeq).toSeq)

@@ -19,12 +19,22 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
     assert(back == Set(("k1", "a\tb"), ("k2", "plain")))
   }
 
-  test("gzip-compressed text reads back transparently") {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_textgz_${System.nanoTime}"
-    val df = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
-    TextFormats.writeKeyValueText(df, col("k"), col("v"), path,
-      compression = "gzip")
-    assert(TextFormats.readKeyValueText(spark, path).count() == 2)
+  test("gzip- and bzip2-compressed text roundtrip transparently") {
+    val rows = (1 to 50).map(i => (s"k$i", s"value $i")).toSet
+    for ((codec, ext) <- Seq(("gzip", ".gz"), ("bzip2", ".bz2"))) {
+      val path =
+        s"${sys.props("java.io.tmpdir")}/graft_text_${codec}_${System.nanoTime}"
+      TextFormats.writeKeyValueText(rows.toSeq.toDF("k", "v"),
+        col("k"), col("v"), path, compression = codec)
+      // the codec really engaged (files carry its extension)...
+      val parts = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(parts.nonEmpty && parts.forall(_.getName.endsWith(ext)))
+      // ...and the bytes decode back to the exact rows
+      val back = TextFormats.readKeyValueText(spark, path)
+        .as[(String, String)].collect().toSet
+      assert(back == rows, s"$codec roundtrip mismatch")
+    }
   }
 
   // BloomMapFile (io/BloomMapFile.java:45 — MapFile + bloom filter for
@@ -68,6 +78,28 @@ class SequenceFilesSpec extends AnyFunSuite with SparkTest {
     val back = graft.sources.SequenceFiles.read(spark, path)
       .as[(String, String)].collect().toSet
     assert(back == Set(("k1", "v with\ttab"), ("k2", "v2"), ("k3", "")))
+  }
+
+  test("compressed roundtrips: gzip BLOCK / bzip2 RECORD / deflate") {
+    val rows = (1 to 200).map(i => (s"k$i", s"value_$i " * 5)).toSet
+    val df = rows.toSeq.toDF("key", "value")
+    for ((codec, ctype, marker) <- Seq(
+        ("gzip", "BLOCK", "GzipCodec"),
+        ("bzip2", "RECORD", "BZip2Codec"),
+        ("deflate", "BLOCK", "DefaultCodec"))) {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_seq_${codec}_${ctype}_${System.nanoTime}"
+      graft.sources.SequenceFiles.write(df, "key", "value", path,
+        codec = codec, compressionType = ctype)
+      // the header really names the codec (proves compression engaged)
+      val part = new java.io.File(path).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val head = java.nio.file.Files.readAllBytes(part.toPath).take(256)
+      assert(new String(head, "ISO-8859-1").contains(marker),
+        s"$codec header missing $marker")
+      val back = graft.sources.SequenceFiles.read(spark, path)
+        .as[(String, String)].collect().toSet
+      assert(back == rows, s"$codec/$ctype roundtrip mismatch")
+    }
   }
 }
 
@@ -184,6 +216,17 @@ class XmlRecordsSpec extends AnyFunSuite with SparkTest {
       .as[(Long, String)].collect().toSet
     assert(back == Set((1L, "alpha beta"), (2L, "gamma"),
       (3L, "delta epsilon zeta")))
+  }
+
+  test("null fields round-trip as empty strings (documented coercion)") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_xmlnull_${System.nanoTime}"
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "body")
+    XmlRecords.writeXml(df, "rec", Seq("id", "body"), path)
+    val back = XmlRecords.readXml(spark, path, "rec", Seq("id", "body"))
+      .select(col("id").cast("long"), col("body"))
+      .as[(Long, String)].collect().toSet
+    // both rows survive with every element present; null became ""
+    assert(back == Set((1L, "x"), (2L, "")))
   }
 }
 

@@ -43,20 +43,30 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, atol=1e-6):
                 return False, (f"{c}: first diff row {i}: "
                                f"spark={a[c][i]!r} oracle={b[c][i]!r}")
     if floats:
+        # Compare float columns as per-row TUPLES within each tie group —
+        # sorting each column independently would discard cross-column row
+        # association and accept genuinely mismatched results.
         gkey = (a[non_float].astype(str).agg("\x00".join, axis=1)
                 if non_float else pd.Series([""] * len(a)))
-        for c in floats:
-            fa = pd.to_numeric(a[c]).groupby(gkey).apply(
-                lambda s: np.sort(s.to_numpy(dtype=float)))
-            fb = pd.to_numeric(b[c]).groupby(gkey).apply(
-                lambda s: np.sort(s.to_numpy(dtype=float)))
-            for g in fa.index:
-                va, vb = fa[g], fb[g]
-                if len(va) != len(vb) or not np.allclose(
-                        va, vb, rtol=0, atol=atol, equal_nan=True):
-                    return False, (f"{c}: float multiset mismatch in "
-                                   f"group {g!r}: spark={va[:5]} "
-                                   f"oracle={vb[:5]}")
+        fa = np.column_stack([pd.to_numeric(a[c]).to_numpy(dtype=float)
+                              for c in floats])
+        fb = np.column_stack([pd.to_numeric(b[c]).to_numpy(dtype=float)
+                              for c in floats])
+        for g in gkey.unique():
+            ia, ib = (gkey == g).to_numpy(), (gkey == g).to_numpy()
+            va, vb = fa[ia], fb[ib]
+            if len(va) != len(vb):
+                return False, f"float group {g!r}: row count mismatch"
+            # Sort rows of each side by the rounded tuple of all float
+            # columns, then compare row-wise with tolerance.
+            ra = np.round(va / atol) if atol else va
+            rb = np.round(vb / atol) if atol else vb
+            va = va[np.lexsort(ra.T[::-1])]
+            vb = vb[np.lexsort(rb.T[::-1])]
+            if not np.allclose(va, vb, rtol=0, atol=atol, equal_nan=True):
+                return False, (f"float tuple mismatch in group {g!r}: "
+                               f"spark={va[:3].tolist()} "
+                               f"oracle={vb[:3].tolist()}")
     return True, ""
 
 
