@@ -8,10 +8,15 @@ import org.apache.spark.sql.functions._
   * `KeyFieldHelper` (hadoop-gpu-0.20.1/src/mapred/org/apache/hadoop/mapred/
   * lib/KeyFieldBasedComparator.java:35-57, KeyFieldHelper.java).
   *
-  * Supported option grammar (the subset the reference tests exercise):
-  *   -kF[.C][opts][,T[.C2][opts]]
-  * where F/T are 1-based field numbers, C/C2 1-based char offsets within the
-  * field, and opts ⊆ {n (numeric), r (reverse)}. Multiple `-k` specs compose
+  * Supported option grammar (KeyFieldHelper.parseOption/parseKey,
+  * exercised by the reference's TestKeyFieldHelper):
+  *   [-n|-r|-nr] -kF[.C][opts][,T[.C2][opts]] ...
+  * where F/T are 1-based field numbers, C/C2 1-based char offsets within
+  * the field, and opts ⊆ {n (numeric), r (reverse)}. A char offset may
+  * cross fields (`-k1.2,3.4` = char 2 of field 1 through char 4 of field
+  * 3, separators included); C2 = 0 (or omitted) means the END of field T.
+  * Global `-n`/`-r`/`-nr` flags apply to every spec that carries no opts
+  * of its own (KeyFieldHelper.java:185-190). Multiple `-k` specs compose
   * left-to-right (primary, secondary, ...).
   *
   * Each spec compiles to a Catalyst sort expression over `split(line, sep)`
@@ -28,20 +33,43 @@ object KeyFieldSort {
       numeric: Boolean, reverse: Boolean)
 
   private val SpecRe =
-    """-k(\d+)(?:\.(\d+))?([nr]*)(?:,(\d+)(?:\.(\d+))?([nr]*))?""".r
+    """(\d+)(?:\.(\d+))?([nr]*)(?:,(\d+)(?:\.(\d+))?([nr]*))?""".r
 
-  def parse(options: String): Seq[KeySpec] =
-    SpecRe.findAllMatchIn(options).map { m =>
-      val opts = Option(m.group(3)).getOrElse("") +
-        Option(m.group(6)).getOrElse("")
-      KeySpec(
-        fromField = m.group(1).toInt,
-        fromChar = Option(m.group(2)).map(_.toInt).getOrElse(1),
-        toField = Option(m.group(4)).map(_.toInt),
-        toChar = Option(m.group(5)).map(_.toInt),
-        numeric = opts.contains('n'),
-        reverse = opts.contains('r'))
-    }.toSeq
+  def parse(options: String): Seq[KeySpec] = {
+    val toks = options.trim.split("\\s+").filter(_.nonEmpty)
+    var gNum = false; var gRev = false
+    val specs = scala.collection.mutable.ArrayBuffer[KeySpec]()
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case "-n"         => gNum = true
+        case "-r"         => gRev = true
+        case "-nr" | "-rn" => gNum = true; gRev = true
+        case t if t.startsWith("-k") =>
+          // -k<spec> and "-k <spec>" are both accepted (parseKey:198-205)
+          val body =
+            if (t.length > 2) t.substring(2)
+            else { i += 1; if (i < toks.length) toks(i) else "" }
+          SpecRe.findPrefixMatchOf(body).foreach { m =>
+            val opts = Option(m.group(3)).getOrElse("") +
+              Option(m.group(6)).getOrElse("")
+            specs += KeySpec(
+              fromField = m.group(1).toInt,
+              fromChar = Option(m.group(2)).map(_.toInt).getOrElse(1),
+              toField = Option(m.group(4)).map(_.toInt),
+              toChar = Option(m.group(5)).map(_.toInt),
+              numeric = opts.contains('n'),
+              reverse = opts.contains('r'))
+          }
+        case _ => // unknown tokens are ignored, like the reference
+      }
+      i += 1
+    }
+    // global flags reach only specs with no opts of their own
+    specs.toSeq.map(k =>
+      if (!k.numeric && !k.reverse) k.copy(numeric = gNum, reverse = gRev)
+      else k)
+  }
 
   /** Compile one spec to a sort Column over the line column.
     *
@@ -55,18 +83,27 @@ object KeyFieldSort {
   def sortKey(line: Column, spec: KeySpec, sep: String = "\t"): Column = {
     val fields = split(line, java.util.regex.Pattern.quote(sep))
     val raw: Column = spec.toField match {
-      case Some(t) if t == spec.fromField =>
-        // single field, possibly a char sub-range
-        val f = coalesce(try_element_at(fields, lit(spec.fromField)), lit(""))
-        (spec.fromChar, spec.toChar) match {
-          case (1, None)     => f
-          case (c, None)     => substring(f, c, Int.MaxValue / 2)
-          case (c, Some(c2)) => substring(f, c, c2 - c + 1)
-        }
       case Some(t) =>
-        // field range joined with sep (sort -k f,t semantics)
-        array_join(slice(fields, lit(spec.fromField),
+        // fields F..T joined with sep; char offsets count THROUGH the
+        // separators, exactly KeyFieldHelper.getStartOffset/getEndOffset
+        // (position = Σ field lengths + separators, then the 1-based char)
+        val joined = array_join(slice(fields, lit(spec.fromField),
           lit(math.max(0, t - spec.fromField + 1))), sep)
+        // 1-based end position inside `joined`; None = end of field T
+        // (endChar 0 / omitted, KeyFieldHelper.getEndOffset:152-154)
+        val endPos: Option[Column] = spec.toChar.filter(_ > 0).map { c2 =>
+          if (t == spec.fromField) lit(c2)
+          else length(array_join(slice(fields, lit(spec.fromField),
+            lit(t - spec.fromField)), sep)) + lit(sep.length + c2)
+        }
+        (spec.fromChar, endPos) match {
+          case (1, None) => joined
+          case (c, None) => substring(joined, c, Int.MaxValue / 2)
+          case (c, Some(e)) =>
+            // an end before the start yields the empty key, like the
+            // reference's -1/end-clamped offsets
+            joined.substr(lit(c), greatest(e - lit(c - 1), lit(0)))
+        }
       case None =>
         // open range: field..end of line
         val joined = array_join(

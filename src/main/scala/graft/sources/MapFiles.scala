@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MapFile — the reference's sorted, indexed K/V store and its partitioned
+  * point lookup (io/MapFile.java; `MapFileOutputFormat.getEntry`,
+  * mapred/MapFileOutputFormat.java:39,96-115: hash the key to pick the
+  * partition's MapFile, then binary-search its index).
+  *
+  * Spark-native layout: a bucketed, per-bucket-sorted parquet table
+  * (`bucketBy(n, key).sortBy(key)`) is the same physical contract —
+  * hash-partitioned files, keys sorted inside each, with parquet
+  * row-group min/max + optional bloom filters playing the MapFile index.
+  *
+  * [[getEntry]] is the reference lookup re-expressed as pruning: the
+  * bucketed-scan rule keeps ONLY the key's bucket (1 of n file groups —
+  * `getEntry`'s `partitioner.getPartition` step), and the pushed `key = k`
+  * predicate lets parquet skip row groups by min/max stats (the index
+  * seek). At 100 TB a point probe touches one bucket's files and, within
+  * them, only the row groups whose range covers the key — no job-wide
+  * scan, no shuffle. */
+object MapFiles {
+
+  /** Persist the MapFile layout: `buckets` hash buckets, each sorted by
+    * `keyCol` (MapFileOutputFormat.getRecordWriter's sorted writer). */
+  def write(df: DataFrame, keyCol: String, buckets: Int,
+      table: String): Unit =
+    df.write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#" + keyCol, "true")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+
+  /** Point-probe queries only prune buckets when the scan stays bucketed:
+    * Spark's DisableUnnecessaryBucketedScan rule trades the bucketed
+    * layout for plain codegen scans when it sees no join/agg downstream —
+    * which also silently discards bucket PRUNING. For MapFile-style point
+    * reads the layout IS the index, so lookups pin the auto rule off for
+    * the session (lazily-executed frames see the execution-time conf, so
+    * a set-and-restore around construction would not stick). */
+  private def pinBucketedScan(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+
+  /** Point lookup — `MapFileOutputFormat.getEntry`: all rows for `key`,
+    * read from exactly one bucket with the predicate pushed to the scan. */
+  def getEntry(spark: SparkSession, table: String, keyCol: String,
+      key: Any): DataFrame = {
+    pinBucketedScan(spark)
+    spark.table(table).filter(col(keyCol) === lit(key))
+  }
+
+  /** Batched point lookups (IN-list) — still bucket-pruned: only the
+    * buckets holding any of the probed keys are read. */
+  def getEntries(spark: SparkSession, table: String, keyCol: String,
+      keys: Seq[Any]): DataFrame = {
+    pinBucketedScan(spark)
+    spark.table(table).filter(col(keyCol).isin(keys: _*))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.MapFiles
+
+/** `MapFileOutputFormat.getEntry` (mapred/MapFileOutputFormat.java:96-115)
+  * over the bucketed sorted layout: a point key must read ONE bucket's
+  * files with the predicate pushed into the parquet scan. */
+class MapFilesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("getEntry prunes to a single bucket and pushes the key predicate") {
+    val df = (1L to 10000L).map(i => (i, s"v$i")).toDF("k", "v")
+    MapFiles.write(df, "k", buckets = 8, table = "mapfile_t")
+    try {
+      val probe = MapFiles.getEntry(spark, "mapfile_t", "k", 4242L)
+      val plan = probe.queryExecution.executedPlan.toString
+      // the getPartition step: 1 of 8 buckets survives pruning
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected single-bucket scan in:\n$plan")
+      // the index-seek step: key predicate reaches the parquet reader
+      assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,4242)"),
+        s"expected pushed point predicate in:\n$plan")
+      assert(probe.as[(Long, String)].collect().toSeq == Seq((4242L, "v4242")))
+      // a miss is an empty frame, not an error (getClosest not emulated)
+      assert(MapFiles.getEntry(spark, "mapfile_t", "k", -1L).count() == 0)
+      // batched probes stay bucket-pruned (at most one bucket per key)
+      val batch = MapFiles.getEntries(spark, "mapfile_t", "k",
+        Seq(7L, 4242L, 9999L))
+      val bplan = batch.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(bplan).map(_.group(1).toInt)
+      assert(sel.exists(_ <= 3), s"expected <=3 buckets in:\n$bplan")
+      assert(batch.count() == 3)
+    } finally spark.sql("DROP TABLE IF EXISTS mapfile_t")
+  }
+}

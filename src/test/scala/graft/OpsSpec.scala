@@ -39,6 +39,45 @@ class KeyFieldSortSpec extends AnyFunSuite with SparkTest {
     val lines = Seq("only", "two|b")
     assert(sorted(lines, "-k2,2") == Seq("only", "two|b"))
   }
+
+  // cross-field char offsets — KeyFieldHelper.getStartOffset/getEndOffset
+  // (positions run through the separators) with TestKeyFieldHelper's
+  // canonical "-k1.2,3.4"-shaped specs
+  test("cross-field char range -k2.2,3.2: char 2 of f2 through char 2 of f3") {
+    val lines = Seq("a|xyz|wq|t", "b|abc|dxq|t", "c|abc|daq|t")
+    // keys are "yz|wq", "bc|dx", "bc|da" -> "bc|da" < "bc|dx" < "yz|wq"
+    assert(sorted(lines, "-k2.2,3.2") ==
+      Seq("c|abc|daq|t", "b|abc|dxq|t", "a|xyz|wq|t"))
+  }
+
+  test("endChar 0 means end of field (-k1.2,2.0 == -k1.2,2)") {
+    val lines = Seq("ba|z", "ab|y", "bb|a")
+    assert(sorted(lines, "-k1.2,2.0") == sorted(lines, "-k1.2,2"))
+    // key is char2 of f1 through end of f2: "a|z", "b|y", "b|a"
+    assert(sorted(lines, "-k1.2,2.0") == Seq("ba|z", "bb|a", "ab|y"))
+  }
+
+  test("global -nr flags reach only specs without their own opts") {
+    val lines = Seq("1|b", "3|a", "2|c")
+    // "-nr -k1,1" == "-k1,1nr" (global applies)
+    assert(sorted(lines, "-nr -k1,1") == sorted(lines, "-k1,1nr"))
+    assert(sorted(lines, "-nr -k1,1") == Seq("3|a", "2|c", "1|b"))
+    // "-nr -k1,1n" keeps ONLY the spec's own n — NOT reversed
+    // (KeyFieldHelper.java:185-190; TestKeyFieldHelper's "-nr -k1.2,3.4n")
+    assert(sorted(lines, "-nr -k1,1n") == Seq("1|b", "2|c", "3|a"))
+  }
+
+  test("detached spec body: '-k 2,2' parses like '-k2,2'") {
+    val lines = Seq("a|z", "b|y")
+    assert(sorted(lines, "-k 2,2") == sorted(lines, "-k2,2"))
+    assert(sorted(lines, "-k 2,2") == Seq("b|y", "a|z"))
+  }
+
+  test("end position before start yields the empty key (clamped, no error)") {
+    val lines = Seq("abc|q", "abd|r")
+    // -k1.3,1.1: end < start -> empty key for every row; tie falls to line
+    assert(sorted(lines, "-k1.3,1.1") == Seq("abc|q", "abd|r"))
+  }
 }
 
 class JoinsSpec extends AnyFunSuite with SparkTest {
