@@ -590,6 +590,37 @@ object RelationalQueries {
           Seq("o_orderpriority"), "left")
         .select(col("o_orderpriority"), col("n"),
           coalesce(col("n_urgent_sink"), lit(0L)).as("n_urgent_sink"))
+    }),
+
+    // Q59 — NullOutputFormat (mapred/lib/NullOutputFormat.java): the
+    // discard-everything sink. Spark-native: format("noop") runs the FULL
+    // job (every task executes — the reference's use case: jobs run for
+    // side effects/counters) and writes nothing. The gate executes the
+    // noop write, then returns the same aggregation for the oracle —
+    // proving the sink consumed the plan without disturbing its result.
+    "q59_noop_sink" -> ((s, d) => {
+      val agg = Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      agg.write.mode("overwrite").format("noop").save()
+      agg
+    }),
+
+    // Q60 — MultiFile/CombineFileInputFormat (mapred/MultiFileInputFormat
+    // .java:42, one split packing many small files): write a deliberately
+    // over-split copy (64 tiny parquet files), read it back — Spark's
+    // FilePartition packing (maxPartitionBytes + openCostInBytes) bin-packs
+    // them into a handful of scan partitions, the CombineFile semantics.
+    // The oracle proves the packed scan loses no rows; the packing factor
+    // itself is asserted in SourcesSpec.
+    "q60_combine_small_files" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q60_${s.sparkContext.applicationId}"
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment", "c_acctbal")
+        .repartition(64).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal")).as("sum_bal"))
     })
   )
 
@@ -830,6 +861,16 @@ object RelationalQueries {
     "q58_seqfile_roundtrip" ->
       """SELECT o_orderpriority AS value, count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q59: the noop sink must not disturb the aggregation it consumed
+    "q59_noop_sink" ->
+      """SELECT l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // q60: the bin-packed many-small-files scan loses no rows
+    "q60_combine_small_files" ->
+      """SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal
+        |FROM customer GROUP BY 1""".stripMargin,
 
     // q56: the per-key frequency table, item-sorted, as item:count pairs
     "q56_histogram_details" ->

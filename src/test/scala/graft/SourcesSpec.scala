@@ -60,6 +60,26 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
   }
 }
 
+class CombineFilesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  // MultiFileInputFormat/CombineFileInputFormat (mapred/MultiFileInputFormat
+  // .java:42): many small files pack into few splits. Spark's FilePartition
+  // bin-packing (maxPartitionBytes/openCostInBytes) is the same machinery —
+  // assert it actually engages, so a 100 TB directory of small files does
+  // not explode into one task per file.
+  test("64 tiny files bin-pack into a handful of scan partitions") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_combine_${System.nanoTime}"
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(64).write.parquet(path)
+    val files = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 32, s"expected many small files, got $files")
+    val parts = spark.read.parquet(path).rdd.getNumPartitions
+    assert(parts <= 8, s"$files files should pack into <=8 partitions, got $parts")
+  }
+}
+
 class SequenceFilesSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
