@@ -63,6 +63,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(broadcasts >= 2, p.take(3000))
   }
 
+  test("q34b: LSH near-dup candidate generation shuffles ids, never embeddings") {
+    val p = plan("q34b_embed_neardup_lsh")
+    // the quadratic stage (bucket self-join + candidate distinct) must
+    // move ids only; vectors join back AFTER the distinct, keyed by id
+    // (linear). At small sf the bucket join broadcasts (id, tb) pairs —
+    // also vector-free; the distinct's partial aggregate is the stage
+    // that must emit exactly [id_a, id_b].
+    val partial = p.linesIterator.filter(l =>
+      l.contains("HashAggregate(keys=[id_a#") && l.contains("functions=[]"))
+    assert(partial.nonEmpty, p.take(4000))
+    assert(partial.forall(
+      _.matches(""".*output=\[id_a#\d+L?, id_b#\d+L?\].*""")), p.take(4000))
+    // and no bucket-keyed exchange (shuffled or broadcast) carries a vector
+    val bucketEx = p.linesIterator.filter(l =>
+      l.contains("Exchange") && l.contains("tb#")).mkString("\n")
+    assert(!bucketEx.contains(", v#") && !bucketEx.contains("embedding#"),
+      bucketEx)
+  }
+
   test("q35c: IVF candidate join is keyed on the cell, vectors pruned from the rank shuffle") {
     val p = plan("q35c_ann_ivf")
     // the map-side partial top-k aggregate emits only (q_id, buffer) —
