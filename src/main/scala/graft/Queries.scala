@@ -297,6 +297,16 @@ object RelationalQueries {
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
         "embedding", threshold = 0.5, planes = 4, tables = 16, dim = 64)),
 
+    // Q34c — embedding dedup END TO END: LSH threshold pairs → connected
+    // components → canonical keep id per vector (the q31b recipe on the
+    // embedding modality; same adaptive union-find / label-propagation
+    // clusterer, oracle = recursive-CTE closure over the exact pairs)
+    "q34c_embed_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(Similarity.lshNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", threshold = 0.5, planes = 4, tables = 16,
+          dim = 64))
+        .select(col("doc_id").as("vec_id"), col("keep_id"))),
+
     // Q35 — brute-force cosine top-3 for query vectors (vec_id % 100 = 0)
     "q35_ann_topk" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
@@ -966,6 +976,23 @@ object RelationalQueries {
         |      / (a.nrm*b.nrm) AS cos
         |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.5""".stripMargin,
+
+    // q34c: transitive closure over the exact embedding pairs (q31b's
+    // recursive-CTE recipe on the embedding modality)
+    "q34c_embed_dedup_clusters" ->
+      s"""WITH RECURSIVE $embedNormSql,
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(64), i -> a.e[i+1]*b.e[i+1]))
+        |      / (a.nrm*b.nrm) AS cos
+        |  FROM nv a JOIN nv b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (SELECT src, dst FROM edges
+        |  UNION SELECT r.src, e.dst FROM reach r
+        |    JOIN edges e ON r.dst = e.src)
+        |SELECT src AS vec_id, least(src, min(dst)) AS keep_id
+        |FROM reach GROUP BY src""".stripMargin,
 
     "q35_ann_topk" ->
       s"""WITH $embedNormSql,

@@ -150,6 +150,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(s1.size == 10 && s1 == s2)
   }
 
+  test("ivfTopK recall@3 vs brute force on the real sf0.01 corpus") {
+    val d = "/root/testdata/sf0.01"
+    val corpus = Tables.embeddings(spark, d)
+    val brute = Similarity.bruteForceTopK(corpus, corpus,
+        "vec_id", "embedding", 3)
+      .select("q_id", "nb_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        k = 3, nlist = 64, nprobe = 8, dim = 64,
+        cents = Similarity.trainCoarseQuantizer(
+          Similarity.trainingSample(corpus, "vec_id", "embedding", 4096),
+          "embedding", nlist = 64, dim = 64))
+      .select("q_id", "nb_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@3 at nprobe=8/64: $recall%.3f")
+    // deterministic (md5-seeded init, hash-sampled training): a recall
+    // drop below the floor means the index, not the weather, regressed
+    assert(recall >= 0.6, f"recall $recall%.3f")
+  }
+
   test("ragged centroid matrix fails loudly, not silently misaligned") {
     val ragged = Array(Array(1.0, 0.0, 0.0), Array(1.0))
     val ex = intercept[Throwable] {
