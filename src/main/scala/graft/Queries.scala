@@ -616,6 +616,20 @@ object RelationalQueries {
       agg
     }),
 
+    // Q61 — MapFileOutputFormat.getEntry (mapred/MapFileOutputFormat
+    // .java:96-115): persist the MapFile layout (bucketed + per-bucket
+    // sorted + key bloom), then point-probe it. The probe reads ONE
+    // bucket's files with the predicate pushed to parquet (plan-asserted
+    // in MapFilesSpec); the oracle proves the probed rows are exact.
+    "q61_mapfile_lookup" -> ((s, d) => {
+      import graft.sources.MapFiles
+      MapFiles.write(Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal"),
+        "c_custkey", buckets = 8, table = "q61_mapfile")
+      MapFiles.getEntries(s, "q61_mapfile", "c_custkey",
+        Seq(1L, 42L, 1400L))
+    }),
+
     // Q60 — MultiFile/CombineFileInputFormat (mapred/MultiFileInputFormat
     // .java:42, one split packing many small files): write a deliberately
     // over-split copy (64 tiny parquet files), read it back — Spark's
@@ -881,6 +895,13 @@ object RelationalQueries {
     "q60_combine_small_files" ->
       """SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // q61: the point probe returns exactly the keyed rows (1400 misses
+    // at sf0.01 — customer has 1500 rows at sf0.1 scaling, but c_custkey
+    // coverage is what the oracle decides, identically on both sides)
+    "q61_mapfile_lookup" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN (1, 42, 1400)""".stripMargin,
 
     // q56: the per-key frequency table, item-sorted, as item:count pairs
     "q56_histogram_details" ->
