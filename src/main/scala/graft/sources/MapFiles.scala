@@ -57,4 +57,14 @@ object MapFiles {
     pinBucketedScan(spark)
     spark.table(table).filter(col(keyCol).isin(keys: _*))
   }
+
+  /** The smallest row with key >= `key` — MapFile.Reader.getClosest
+    * (io/MapFile.java, the seek primitive getEntry is built on). A range
+    * probe cannot bucket-prune (hash buckets scatter the order), but the
+    * pushed >= predicate skips row groups by min/max stats and the plan
+    * is a TakeOrderedAndProject — per-partition top-1, no global sort. */
+  def getClosest(spark: SparkSession, table: String, keyCol: String,
+      key: Any): DataFrame =
+    spark.table(table).filter(col(keyCol) >= lit(key))
+      .orderBy(col(keyCol)).limit(1)
 }

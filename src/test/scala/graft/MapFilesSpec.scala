@@ -36,4 +36,18 @@ class MapFilesSpec extends AnyFunSuite with SparkTest {
       assert(batch.count() == 3)
     } finally spark.sql("DROP TABLE IF EXISTS mapfile_t")
   }
+
+  test("getClosest seeks the smallest key >= probe, without a global sort") {
+    val df = Seq(10L, 20L, 30L).flatMap(k => Seq((k, s"v$k"))).toDF("k", "v")
+    MapFiles.write(df, "k", buckets = 4, table = "mapfile_c")
+    try {
+      val probe = MapFiles.getClosest(spark, "mapfile_c", "k", 15L)
+      assert(probe.as[(Long, String)].collect().toSeq == Seq((20L, "v20")))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+      assert(plan.contains("GreaterThanOrEqual(k,15)"), plan)
+      // past-the-end probe returns empty, like getClosest's null
+      assert(MapFiles.getClosest(spark, "mapfile_c", "k", 99L).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS mapfile_c")
+  }
 }
