@@ -25,11 +25,21 @@ object MapFiles {
   /** Persist the MapFile layout: `buckets` hash buckets, each sorted by
     * `keyCol` (MapFileOutputFormat.getRecordWriter's sorted writer). */
   def write(df: DataFrame, keyCol: String, buckets: Int,
-      table: String): Unit =
+      table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an in-memory catalog restarts empty while its warehouse directory
+    // survives on disk; saveAsTable then refuses the stale location
+    // (LOCATION_ALREADY_EXISTS) — clear it before writing
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#" + keyCol, "true")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .saveAsTable(table)
+  }
 
   /** Point-probe queries only prune buckets when the scan stays bucketed:
     * Spark's DisableUnnecessaryBucketedScan rule trades the bucketed
