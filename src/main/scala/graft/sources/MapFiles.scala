@@ -68,6 +68,41 @@ object MapFiles {
     spark.table(table).filter(col(keyCol).isin(keys: _*))
   }
 
+  /** SetFile (io/SetFile.java:27) — a MapFile holding keys only. The
+    * layout is the distinct sorted key set; [[containsKey]] is the
+    * membership probe, bucket-pruned like [[getEntry]]. */
+  def writeSet(df: DataFrame, keyCol: String, buckets: Int,
+      table: String): Unit =
+    write(df.select(keyCol).distinct(), keyCol, buckets, table)
+
+  /** SetFile membership probe — reads one bucket, and inside it the
+    * bloom filter + min/max stats answer most negatives from metadata. */
+  def containsKey(spark: SparkSession, table: String, keyCol: String,
+      key: Any): Boolean =
+    !getEntry(spark, table, keyCol, key).limit(1).isEmpty
+
+  /** ArrayFile (io/ArrayFile.java:29) — values addressed by their long
+    * append position. The index is assigned by zipWithIndex over the
+    * frame's current row order (the ArrayFile contract IS append order;
+    * fix the order upstream with sort/coalesce if it must be stable),
+    * then persisted in the MapFile layout keyed by `idx`. */
+  def writeArray(df: DataFrame, buckets: Int, table: String): Unit = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.LongType, nullable = false)
+        +: df.schema.fields)
+    val indexed = spark.createDataFrame(
+      df.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(i +: r.toSeq) },
+      schema)
+    write(indexed, "idx", buckets, table)
+  }
+
+  /** ArrayFile.get(n): the n-th appended row (bucket-pruned point read). */
+  def getNth(spark: SparkSession, table: String, n: Long): DataFrame =
+    getEntry(spark, table, "idx", n)
+
   /** The smallest row with key >= `key` — MapFile.Reader.getClosest
     * (io/MapFile.java, the seek primitive getEntry is built on). A range
     * probe cannot bucket-prune (hash buckets scatter the order), but the

@@ -108,6 +108,28 @@ object EventStreams {
       }
   }
 
+  /** Stream-STREAM equi-join within an event-time bound — the pattern
+    * the reference could only approximate with two chained batch jobs:
+    * match rows of two live streams on `key` when their event times lie
+    * within `within` of each other. Both sides carry a watermark so the
+    * join STATE IS BOUNDED: once the watermark passes t - within, buffered
+    * rows older than that are evicted — at 100 TB/day of events, state
+    * holds only the `within`-wide tail of each stream, not the history.
+    * Inner join; columns are prefixed left_/right_ to keep both sides'
+    * payloads addressable. */
+  def joinStreamsWithin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, within: String): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"left_$c")).withWatermark(s"left_$tsCol", within)
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"right_$c")).withWatermark(s"right_$tsCol", within)
+    l.join(r,
+      col(s"left_$key") === col(s"right_$key") &&
+      col(s"right_$tsCol").between(
+        col(s"left_$tsCol") - expr(s"INTERVAL $within"),
+        col(s"left_$tsCol") + expr(s"INTERVAL $within")))
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension frame (the DistributedCache side-file pattern —
     * filecache/DistributedCache.java — in streaming form). The static

@@ -37,6 +37,30 @@ class MapFilesSpec extends AnyFunSuite with SparkTest {
     } finally spark.sql("DROP TABLE IF EXISTS mapfile_t")
   }
 
+  test("SetFile: distinct keys persisted, membership probes bucket-pruned") {
+    val df = Seq(1L, 2L, 2L, 3L, 3L).toDF("k")
+    MapFiles.writeSet(df, "k", buckets = 4, table = "setfile_t")
+    try {
+      // duplicates collapsed to the distinct sorted set
+      assert(spark.table("setfile_t").as[Long].collect().sorted.toSeq
+        == Seq(1L, 2L, 3L))
+      assert(MapFiles.containsKey(spark, "setfile_t", "k", 2L))
+      assert(!MapFiles.containsKey(spark, "setfile_t", "k", 99L))
+    } finally spark.sql("DROP TABLE IF EXISTS setfile_t")
+  }
+
+  test("ArrayFile: rows addressed by append position") {
+    val df = Seq("a", "b", "c", "d").toDF("v").coalesce(1)
+    MapFiles.writeArray(df, buckets = 2, table = "arrayfile_t")
+    try {
+      assert(MapFiles.getNth(spark, "arrayfile_t", 0L)
+        .select("v").as[String].collect().toSeq == Seq("a"))
+      assert(MapFiles.getNth(spark, "arrayfile_t", 3L)
+        .select("v").as[String].collect().toSeq == Seq("d"))
+      assert(MapFiles.getNth(spark, "arrayfile_t", 9L).count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS arrayfile_t")
+  }
+
   test("getClosest seeks the smallest key >= probe, without a global sort") {
     val df = Seq(10L, 20L, 30L).flatMap(k => Seq((k, s"v$k"))).toDF("k", "v")
     MapFiles.write(df, "k", buckets = 4, table = "mapfile_c")

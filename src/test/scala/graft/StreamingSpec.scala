@@ -167,6 +167,27 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(s"$tmp/all").count() == events.size)
   }
 
+  test("stream-stream join matches events within the time bound only") {
+    val clicks = MemoryStream[Event](spark)
+    val views = MemoryStream[Event](spark)
+    val joined = EventStreams.joinStreamsWithin(
+      clicks.toDF(), views.toDF(), "user_id", "ts", "10 minutes")
+      .select("left_event_id", "right_event_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: click at :00, views at :05 (in bound) and :40 (out);
+      // user 2: view at :05 but no click — no match
+      clicks.addData(Seq(ev(1, 0, 1, "click", 1.0)))
+      views.addData(Seq(ev(10, 5, 1, "view", 1.0),
+        ev(11, 40, 1, "view", 1.0), ev(12, 5, 2, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_test")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("parquet file sink + checkpoint: restart resumes exactly-once") {
     // the durable pipeline shape: file source -> file sink with a real
     // checkpoint; a restart must pick up ONLY the new input files and the
