@@ -105,7 +105,10 @@ object Similarity {
     val hps = Array.tabulate(tables)(t =>
       hyperplanes(planes, dim, seed = s"table${t}_plane"))
     // (id, (table, bucket)) — buckets are a map-side projection; the
-    // candidate self-join carries ids only, never embeddings
+    // candidate self-join carries ids only, never embeddings. Left
+    // declarative (no cache/checkpoint): when both join sides shuffle —
+    // the at-scale shape — ReusedExchange computes the bucket projection
+    // once, and the lazy plan stays inspectable end to end
     val ids = base.select(col("id"), explode(array(
       (0 until tables).map(t =>
         struct(lit(t).as("t"), bucketOf(col("v"), hps(t)).as("b"))): _*))
