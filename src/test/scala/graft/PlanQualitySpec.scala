@@ -82,6 +82,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       bucketEx)
   }
 
+  test("q34b at shuffle scale: the bucket projection computes once (ReusedExchange)") {
+    // at real scale the candidate self-join shuffles both sides; the
+    // (id, bucket) projection — planes × tables dots per vector — must
+    // be computed once and reused, not once per side
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q34b_embed_neardup_lsh")(spark, d)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
+        || p.contains("TableCacheQueryStage"), p.take(4000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q35c: IVF candidate join is keyed on the cell, vectors pruned from the rank shuffle") {
     val p = plan("q35c_ann_ivf")
     // the map-side partial top-k aggregate emits only (q_id, buffer) —
