@@ -115,10 +115,14 @@ object EventStreams {
     * join STATE IS BOUNDED: once the watermark passes t - within, buffered
     * rows older than that are evicted — at 100 TB/day of events, state
     * holds only the `within`-wide tail of each stream, not the history.
-    * Inner join; columns are prefixed left_/right_ to keep both sides'
-    * payloads addressable. */
+    * Columns are prefixed left_/right_ to keep both sides' payloads
+    * addressable. `joinType` "inner" (default) or "left_outer"/
+    * "right_outer"/"full_outer": outer rows emit with nulls once the
+    * watermark passes their bound — the join can prove no match will
+    * arrive, so results are final, not provisional. */
   def joinStreamsWithin(left: DataFrame, right: DataFrame, key: String,
-      tsCol: String, within: String): DataFrame = {
+      tsCol: String, within: String, joinType: String = "inner")
+      : DataFrame = {
     val l = left.columns.foldLeft(left)((d, c) =>
       d.withColumnRenamed(c, s"left_$c")).withWatermark(s"left_$tsCol", within)
     val r = right.columns.foldLeft(right)((d, c) =>
@@ -127,7 +131,8 @@ object EventStreams {
       col(s"left_$key") === col(s"right_$key") &&
       col(s"right_$tsCol").between(
         col(s"left_$tsCol") - expr(s"INTERVAL $within"),
-        col(s"left_$tsCol") + expr(s"INTERVAL $within")))
+        col(s"left_$tsCol") + expr(s"INTERVAL $within")),
+      joinType)
   }
 
   /** Stream-static enrichment: join each micro-batch against a static

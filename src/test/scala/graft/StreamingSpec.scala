@@ -188,6 +188,33 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == Set((1L, 10L)))
   }
 
+  test("left-outer stream-stream join emits the unmatched row after the " +
+      "watermark closes its bound") {
+    val clicks = MemoryStream[Event](spark)
+    val views = MemoryStream[Event](spark)
+    val joined = EventStreams.joinStreamsWithin(
+      clicks.toDF(), views.toDF(), "user_id", "ts", "10 minutes",
+      joinType = "left_outer")
+      .select("left_event_id", "right_event_id")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // click at :00 with no matching view; click at :02 with one
+      clicks.addData(Seq(ev(1, 0, 1, "click", 1.0), ev(2, 2, 2, "click", 1.0)))
+      views.addData(Seq(ev(10, 5, 2, "view", 1.0)))
+      q.processAllAvailable()
+      // push BOTH watermarks past :00 + 10 min so the join can prove no
+      // view for user 1 will ever arrive — the null-padded row finalizes
+      clicks.addData(Seq(ev(3, 50, 9, "click", 1.0)))
+      views.addData(Seq(ev(11, 50, 9, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_outer_test")
+      .as[(Long, Option[Long])].collect().toSet
+    assert(got.contains((2L, Some(10L))), got)   // matched pair
+    assert(got.contains((1L, None)), got)        // finalized unmatched
+  }
+
   test("parquet file sink + checkpoint: restart resumes exactly-once") {
     // the durable pipeline shape: file source -> file sink with a real
     // checkpoint; a restart must pick up ONLY the new input files and the
