@@ -26,13 +26,22 @@ object MapFiles {
     * `keyCol` (MapFileOutputFormat.getRecordWriter's sorted writer). */
   def write(df: DataFrame, keyCol: String, buckets: Int,
       table: String): Unit = {
+    require(!table.contains("."),
+      "MapFiles tables are unqualified names in the current database " +
+      s"(got '$table')")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an in-memory catalog restarts empty while its warehouse directory
     // survives on disk; saveAsTable then refuses the stale location
-    // (LOCATION_ALREADY_EXISTS) — clear it before writing
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // (LOCATION_ALREADY_EXISTS) — clear it before writing. Managed tables
+    // live at <warehouse>/<table> in default, <warehouse>/<db>.db/<table>
+    // elsewhere.
+    val db = spark.catalog.currentDatabase
+    val dbDir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val parent = if (db == "default") dbDir
+      else new org.apache.hadoop.fs.Path(dbDir, s"${db.toLowerCase}.db")
+    val loc = new org.apache.hadoop.fs.Path(parent, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
@@ -79,7 +88,7 @@ object MapFiles {
     * bloom filter + min/max stats answer most negatives from metadata. */
   def containsKey(spark: SparkSession, table: String, keyCol: String,
       key: Any): Boolean =
-    !getEntry(spark, table, keyCol, key).limit(1).isEmpty
+    !getEntry(spark, table, keyCol, key).isEmpty
 
   /** ArrayFile (io/ArrayFile.java:29) — values addressed by their long
     * append position. The index is assigned by zipWithIndex over the

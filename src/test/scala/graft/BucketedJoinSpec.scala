@@ -23,6 +23,7 @@ class BucketedJoinSpec extends AnyFunSuite with SparkTest {
     Tables.customer(spark, d).select("c_custkey", "c_name")
       .write.mode("overwrite").bucketBy(4, "c_custkey").sortBy("c_custkey")
       .saveAsTable("customer_b")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // disable broadcast so the join must pick a shuffle-or-bucket path
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -38,7 +39,7 @@ class BucketedJoinSpec extends AnyFunSuite with SparkTest {
         col("o_custkey") === col("c_custkey")).count()
       assert(viaBuckets == viaShuffle)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
     }

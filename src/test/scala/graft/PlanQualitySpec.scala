@@ -86,6 +86,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     // at real scale the candidate self-join shuffles both sides; the
     // (id, bucket) projection — planes × tables dots per vector — must
     // be computed once and reused, not once per side
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = SparkEntry.queries("q34b_embed_neardup_lsh")(spark, d)
@@ -93,7 +94,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
         || p.contains("TableCacheQueryStage"), p.take(4000))
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q35c: IVF candidate join is keyed on the cell, vectors pruned from the rank shuffle") {

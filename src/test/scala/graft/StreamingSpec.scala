@@ -208,6 +208,15 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       clicks.addData(Seq(ev(3, 50, 9, "click", 1.0)))
       views.addData(Seq(ev(11, 50, 9, "view", 1.0)))
       q.processAllAvailable()
+      // eviction rows may emit in the no-data micro-batch AFTER the one
+      // that advanced the watermark; processAllAvailable does not wait
+      // for it — poll briefly instead of asserting a racing snapshot
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def sunk() = spark.table("ssj_outer_test")
+        .as[(Long, Option[Long])].collect().toSet
+      while (!sunk().contains((1L, None)) && System.nanoTime() < deadline) {
+        Thread.sleep(200); q.processAllAvailable()
+      }
     } finally q.stop()
     val got = spark.table("ssj_outer_test")
       .as[(Long, Option[Long])].collect().toSet

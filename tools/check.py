@@ -46,24 +46,34 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, atol=1e-6):
         # Compare float columns as per-row TUPLES within each tie group —
         # sorting each column independently would discard cross-column row
         # association and accept genuinely mismatched results.
+        # rows of a and b are aligned by the non-float sort above, so one
+        # group mask applies to both sides
         gkey = (a[non_float].astype(str).agg("\x00".join, axis=1)
                 if non_float else pd.Series([""] * len(a)))
         fa = np.column_stack([pd.to_numeric(a[c]).to_numpy(dtype=float)
                               for c in floats])
         fb = np.column_stack([pd.to_numeric(b[c]).to_numpy(dtype=float)
                               for c in floats])
+
+        def paired_ok(va, vb, key_a, key_b):
+            va = va[np.lexsort(key_a.T[::-1])]
+            vb = vb[np.lexsort(key_b.T[::-1])]
+            return np.allclose(va, vb, rtol=0, atol=atol, equal_nan=True)
+
         for g in gkey.unique():
-            ia, ib = (gkey == g).to_numpy(), (gkey == g).to_numpy()
-            va, vb = fa[ia], fb[ib]
+            mask = (gkey == g).to_numpy()
+            va, vb = fa[mask], fb[mask]
             if len(va) != len(vb):
                 return False, f"float group {g!r}: row count mismatch"
-            # Sort rows of each side by the rounded tuple of all float
-            # columns, then compare row-wise with tolerance.
-            ra = np.round(va / atol) if atol else va
-            rb = np.round(vb / atol) if atol else vb
-            va = va[np.lexsort(ra.T[::-1])]
-            vb = vb[np.lexsort(rb.T[::-1])]
-            if not np.allclose(va, vb, rtol=0, atol=atol, equal_nan=True):
+            # Pair rows across sides by sorting each on its float tuple.
+            # Quantized keys (round(v/atol)) make near-equal values sort
+            # identically on both sides; raw keys cover values that the
+            # quantization itself splits across a bucket boundary. Either
+            # pairing passing means a valid within-atol row matching exists.
+            with np.errstate(invalid="ignore", over="ignore"):
+                ra = np.round(va / atol) if atol else va
+                rb = np.round(vb / atol) if atol else vb
+            if not (paired_ok(va, vb, ra, rb) or paired_ok(va, vb, va, vb)):
                 return False, (f"float tuple mismatch in group {g!r}: "
                                f"spark={va[:3].tolist()} "
                                f"oracle={vb[:3].tolist()}")
