@@ -602,6 +602,22 @@ object RelationalQueries {
           coalesce(col("n_urgent_sink"), lit(0L)).as("n_urgent_sink"))
     }),
 
+    // Q62 — salted skew join (beyond the reference, which has no answer
+    // to a hot reducer key): scatter the skewed probe side over 8
+    // deterministic sub-keys, replicate the build side 8-fold, join on
+    // (key, salt). The oracle is the PLAIN join — salting must be
+    // result-invariant, and the deterministic salt (not rand()) keeps it
+    // so under task replay.
+    "q62_salted_join" -> ((s, d) => {
+      import graft.ops.Skew
+      Skew.saltedJoin(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+        "l_orderkey", salt = 8, col("l_linenumber"))
+    }),
+
     // Q59 — NullOutputFormat (mapred/lib/NullOutputFormat.java): the
     // discard-everything sink. Spark-native: format("noop") runs the FULL
     // job (every task executes — the reference's use case: jobs run for
@@ -895,6 +911,11 @@ object RelationalQueries {
     "q60_combine_small_files" ->
       """SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // q62: the salted join must equal the plain join exactly
+    "q62_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
 
     // q61: the point probe returns exactly the keyed rows (1400 misses
     // at sf0.01 — customer has 1500 rows at sf0.1 scaling, but c_custkey
