@@ -65,10 +65,16 @@ object KeyFieldSort {
       }
       i += 1
     }
-    // global flags reach only specs with no opts of their own
-    specs.toSeq.map(k =>
-      if (!k.numeric && !k.reverse) k.copy(numeric = gNum, reverse = gRev)
-      else k)
+    // global flags reach only specs with no opts of their own; with no -k
+    // specs at all, the globals become a whole-line key (KeyFieldHelper
+    // .parseOption adds the global flags as one allKeySpecs entry, so
+    // "sort -n" means numeric over the whole line, not lexicographic)
+    if (specs.isEmpty && (gNum || gRev))
+      Seq(KeySpec(1, 1, None, None, gNum, gRev))
+    else
+      specs.toSeq.map(k =>
+        if (!k.numeric && !k.reverse) k.copy(numeric = gNum, reverse = gRev)
+        else k)
   }
 
   /** Compile one spec to a sort Column over the line column.

@@ -33,14 +33,12 @@ object MapFiles {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // an in-memory catalog restarts empty while its warehouse directory
     // survives on disk; saveAsTable then refuses the stale location
-    // (LOCATION_ALREADY_EXISTS) — clear it before writing. Managed tables
-    // live at <warehouse>/<table> in default, <warehouse>/<db>.db/<table>
-    // elsewhere.
+    // (LOCATION_ALREADY_EXISTS) — clear it before writing. Resolve the
+    // database's real location from the catalog (honors CREATE DATABASE
+    // ... LOCATION) rather than deriving it from the warehouse conf.
     val db = spark.catalog.currentDatabase
-    val dbDir = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"))
-    val parent = if (db == "default") dbDir
-      else new org.apache.hadoop.fs.Path(dbDir, s"${db.toLowerCase}.db")
+    val parent = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.catalog.getDatabase(db).locationUri))
     val loc = new org.apache.hadoop.fs.Path(parent, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
@@ -54,28 +52,42 @@ object MapFiles {
     * Spark's DisableUnnecessaryBucketedScan rule trades the bucketed
     * layout for plain codegen scans when it sees no join/agg downstream —
     * which also silently discards bucket PRUNING. For MapFile-style point
-    * reads the layout IS the index, so lookups pin the auto rule off for
-    * the session (lazily-executed frames see the execution-time conf, so
-    * a set-and-restore around construction would not stick). */
-  private def pinBucketedScan(spark: SparkSession): Unit =
-    spark.conf.set(
-      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    * reads the layout IS the index, so lookups plan against a dedicated
+    * child session (shared SparkContext + catalog, private SQLConf) with
+    * the auto rule off. The caller's session conf is never touched — a
+    * set-and-restore there cannot work because lazily-executed frames
+    * read the execution-time conf, and a permanent set would silently
+    * de-optimize unrelated bucketed scans session-wide. */
+  private val lookupSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def lookupSession(spark: SparkSession): SparkSession =
+    lookupSessions.synchronized {
+      var s = lookupSessions.get(spark)
+      if (s == null) {
+        s = spark.newSession()
+        s.conf.set(
+          "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        lookupSessions.put(spark, s)
+      }
+      // permanent tables ride the shared external catalog; only the
+      // database pointer needs mirroring
+      if (s.catalog.currentDatabase != spark.catalog.currentDatabase)
+        s.catalog.setCurrentDatabase(spark.catalog.currentDatabase)
+      s
+    }
 
   /** Point lookup — `MapFileOutputFormat.getEntry`: all rows for `key`,
     * read from exactly one bucket with the predicate pushed to the scan. */
   def getEntry(spark: SparkSession, table: String, keyCol: String,
-      key: Any): DataFrame = {
-    pinBucketedScan(spark)
-    spark.table(table).filter(col(keyCol) === lit(key))
-  }
+      key: Any): DataFrame =
+    lookupSession(spark).table(table).filter(col(keyCol) === lit(key))
 
   /** Batched point lookups (IN-list) — still bucket-pruned: only the
     * buckets holding any of the probed keys are read. */
   def getEntries(spark: SparkSession, table: String, keyCol: String,
-      keys: Seq[Any]): DataFrame = {
-    pinBucketedScan(spark)
-    spark.table(table).filter(col(keyCol).isin(keys: _*))
-  }
+      keys: Seq[Any]): DataFrame =
+    lookupSession(spark).table(table).filter(col(keyCol).isin(keys: _*))
 
   /** SetFile (io/SetFile.java:27) — a MapFile holding keys only. The
     * layout is the distinct sorted key set; [[containsKey]] is the
@@ -91,20 +103,42 @@ object MapFiles {
     !getEntry(spark, table, keyCol, key).isEmpty
 
   /** ArrayFile (io/ArrayFile.java:29) — values addressed by their long
-    * append position. The index is assigned by zipWithIndex over the
-    * frame's current row order (the ArrayFile contract IS append order;
-    * fix the order upstream with sort/coalesce if it must be stable),
-    * then persisted in the MapFile layout keyed by `idx`. */
+    * append position. The index derives from the frame's current row
+    * order (the ArrayFile contract IS append order; fix the order
+    * upstream with sort/coalesce if it must be stable), then the rows are
+    * persisted in the MapFile layout keyed by `idx`.
+    *
+    * Kept fully in Catalyst: `monotonically_increasing_id` encodes
+    * (partition << 33 | position-within-partition); one tiny job collects
+    * the per-partition row counts (O(num partitions), the same extra pass
+    * zipWithIndex would make) and the global index is then pure offset
+    * arithmetic — idx = cumulative_offset[p] + within-partition position
+    * — so the write plan stays native (codegen + AQE), no RDD round-trip.
+    * Like zipWithIndex, the source is evaluated twice; both passes see
+    * the same order for deterministic inputs. */
   def writeArray(df: DataFrame, buckets: Int, table: String): Unit = {
-    val spark = df.sparkSession
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("idx",
-        org.apache.spark.sql.types.LongType, nullable = false)
-        +: df.schema.fields)
-    val indexed = spark.createDataFrame(
-      df.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(i +: r.toSeq) },
-      schema)
+    val mid = "_mapfile_mid"
+    val withMid = df.withColumn(mid, monotonically_increasing_id())
+    val counts = withMid
+      .groupBy(shiftright(col(mid), 33).as("p"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty) {
+      write(df.withColumn("idx", lit(0L)).select(
+        col("idx") +: df.columns.map(col): _*), "idx", buckets, table)
+      return
+    }
+    // idx = cum[p] + (mid - (p << 33)); fold the partition-base term into
+    // the per-partition constant so the row expression is one map lookup
+    // plus one add
+    var cum = 0L
+    val adjusted = counts.map { case (p, c) =>
+      val base = cum - (p << 33); cum += c; (p, base)
+    }.toMap
+    val indexed = withMid
+      .withColumn("idx",
+        element_at(typedLit(adjusted), shiftright(col(mid), 33)) + col(mid))
+      .select(col("idx") +: df.columns.map(col): _*)
     write(indexed, "idx", buckets, table)
   }
 

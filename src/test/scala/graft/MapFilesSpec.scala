@@ -34,6 +34,11 @@ class MapFilesSpec extends AnyFunSuite with SparkTest {
         .findFirstMatchIn(bplan).map(_.group(1).toInt)
       assert(sel.exists(_ <= 3), s"expected <=3 buckets in:\n$bplan")
       assert(batch.count() == 3)
+      // the probes plan against a child session — the CALLER's conf is
+      // untouched, so unrelated bucketed scans keep the auto rule
+      assert(spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled") == "true",
+        "point probes must not flip the caller session's bucketed-scan conf")
     } finally spark.sql("DROP TABLE IF EXISTS mapfile_t")
   }
 
@@ -59,6 +64,24 @@ class MapFilesSpec extends AnyFunSuite with SparkTest {
         .select("v").as[String].collect().toSeq == Seq("d"))
       assert(MapFiles.getNth(spark, "arrayfile_t", 9L).count() == 0)
     } finally spark.sql("DROP TABLE IF EXISTS arrayfile_t")
+  }
+
+  test("ArrayFile: multi-partition append order indexes 0..n-1 in row order") {
+    import org.apache.spark.sql.functions.col
+    // parallelize preserves seq order across partitions, so the global
+    // index must equal the element value — exercises the per-partition
+    // offset arithmetic (no RDD zipWithIndex in the write path)
+    val df = spark.sparkContext.parallelize(0L until 997L, 7).toDF("v")
+    MapFiles.writeArray(df, buckets = 4, table = "arrayfile_mp")
+    try {
+      val rows = spark.table("arrayfile_mp")
+        .select(col("idx"), col("v")).as[(Long, Long)].collect()
+      assert(rows.length == 997)
+      assert(rows.forall { case (idx, v) => idx == v },
+        s"index != append order at ${rows.filter(r => r._1 != r._2).take(5).toSeq}")
+      assert(MapFiles.getNth(spark, "arrayfile_mp", 500L)
+        .select("v").as[Long].collect().toSeq == Seq(500L))
+    } finally spark.sql("DROP TABLE IF EXISTS arrayfile_mp")
   }
 
   test("getClosest seeks the smallest key >= probe, without a global sort") {

@@ -67,6 +67,19 @@ class KeyFieldSortSpec extends AnyFunSuite with SparkTest {
     assert(sorted(lines, "-nr -k1,1n") == Seq("1|b", "2|c", "3|a"))
   }
 
+  test("global flags with no -k spec become a whole-line key") {
+    // KeyFieldHelper.parseOption adds the bare globals as one key spec, so
+    // "sort -n" is numeric-over-the-whole-line, not plain lexicographic
+    assert(KeyFieldSort.parse("-n") ==
+      Seq(KeyFieldSort.KeySpec(1, 1, None, None, numeric = true, reverse = false)))
+    assert(KeyFieldSort.parse("-nr") ==
+      Seq(KeyFieldSort.KeySpec(1, 1, None, None, numeric = true, reverse = true)))
+    assert(KeyFieldSort.parse("") == Seq.empty)
+    val lines = Seq("10", "9", "100")
+    assert(sorted(lines, "-n") == Seq("9", "10", "100"))
+    assert(sorted(lines, "-r") == Seq("9", "100", "10"))
+  }
+
   test("detached spec body: '-k 2,2' parses like '-k2,2'") {
     val lines = Seq("a|z", "b|y")
     assert(sorted(lines, "-k 2,2") == sorted(lines, "-k2,2"))
