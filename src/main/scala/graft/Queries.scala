@@ -256,16 +256,26 @@ object RelationalQueries {
     // Q31 — MinHash + banded LSH candidates, exact-Jaccard verified.
     // Oracle is the INDEPENDENT brute-force computation, so a hash match
     // also proves the LSH stage had perfect recall at this threshold.
-    "q31_dedup_minhash" -> ((s, d) =>
+    "q31_dedup_minhash" -> ((s, d) => {
+      // (24 hashes, 6 bands) DERIVED from the banding law: recall ≥ 0.95
+      // at the 0.8 threshold within a 24-hash signature budget (planted
+      // near-dups sit at J ≥ 0.97, where this recall is ≥ 0.999998 —
+      // why the independent exact oracle can gate the LSH path)
+      val (h, b) = Dedup.minhashParams(threshold = 0.8, targetRecall = 0.95,
+        maxHashes = 24)
       Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        n = 3, threshold = 0.8)),
+        n = 3, threshold = 0.8, numHashes = h, bands = b)
+    }),
 
     // Q31b — near-dup pairs → keep/drop decisions: connected components
     // over the LSH pair graph, each doc mapped to its component's min id
     // (iterative min-label propagation; oracle is a recursive CTE)
-    "q31b_dedup_clusters" -> ((s, d) =>
+    "q31b_dedup_clusters" -> ((s, d) => {
+      val (h, b) = Dedup.minhashParams(threshold = 0.8, targetRecall = 0.95,
+        maxHashes = 24)
       Dedup.clusters(Dedup.minhashLshPairs(Tables.documents(s, d),
-        "doc_id", "text", n = 3, threshold = 0.8))),
+        "doc_id", "text", n = 3, threshold = 0.8, numHashes = h, bands = b))
+    }),
 
     // Q32 — 60-bit SimHash fingerprint per document (tf-weighted)
     "q32_simhash" -> ((s, d) =>
@@ -293,19 +303,30 @@ object RelationalQueries {
     // hyperplanes are md5-seeded → the result is deterministic, and with
     // these parameters recall on this corpus is total, so the EXACT
     // oracle gates it; the high-τ recall law is spec-tested (PipelineSpec).
-    "q34b_embed_neardup_lsh" -> ((s, d) =>
+    "q34b_embed_neardup_lsh" -> ((s, d) => {
+      // (4 planes, 16 tables) DERIVED from the recall law: recall ≥ 0.97
+      // at τ=0.5 within a 16-table explode budget. τ=0.5 is a wide angle,
+      // so the auto strategy verifies inside the bucket join (see the
+      // lshNearDupPairs strategy note); recall on this corpus is total —
+      // verified against the exact oracle at sf0.01 AND sf0.1.
+      val (p, t) = Similarity.lshParams(threshold = 0.5, targetRecall = 0.97,
+        maxTables = 16)
       Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id",
-        "embedding", threshold = 0.5, planes = 4, tables = 16, dim = 64)),
+        "embedding", threshold = 0.5, planes = p, tables = t, dim = 64)
+    }),
 
     // Q34c — embedding dedup END TO END: LSH threshold pairs → connected
     // components → canonical keep id per vector (the q31b recipe on the
     // embedding modality; same adaptive union-find / label-propagation
     // clusterer, oracle = recursive-CTE closure over the exact pairs)
-    "q34c_embed_dedup_clusters" -> ((s, d) =>
+    "q34c_embed_dedup_clusters" -> ((s, d) => {
+      val (p, t) = Similarity.lshParams(threshold = 0.5, targetRecall = 0.97,
+        maxTables = 16)
       Dedup.clusters(Similarity.lshNearDupPairs(Tables.embeddings(s, d),
-          "vec_id", "embedding", threshold = 0.5, planes = 4, tables = 16,
+          "vec_id", "embedding", threshold = 0.5, planes = p, tables = t,
           dim = 64))
-        .select(col("doc_id").as("vec_id"), col("keep_id"))),
+        .select(col("doc_id").as("vec_id"), col("keep_id"))
+    }),
 
     // Q35 — brute-force cosine top-3 for query vectors (vec_id % 100 = 0)
     "q35_ann_topk" -> ((s, d) => {

@@ -107,6 +107,44 @@ object Dedup {
       (1L + ((i + 1) * 2654435761L) % (P - 1), ((i + 1) * 1013904223L) % P)
     }
 
+  /** Per-pair recall of banded minhash LSH at Jaccard `j`:
+    * 1 − (1 − j^rowsPerBand)^bands — the banding law the docstrings
+    * quote, as code (calibration and specs share it). */
+  def minhashRecall(jaccard: Double, rowsPerBand: Int, bands: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(jaccard, rowsPerBand), bands)
+
+  /** Derive (numHashes, bands) from the banding law instead of
+    * hand-picking: the smallest band count reaching `targetRecall` at
+    * `threshold`, at the LARGEST rows-per-band whose total signature
+    * length (bands × rows) fits `maxHashes`.
+    *
+    * Why largest-rows-first: a band's random-collision rate falls
+    * geometrically with its row count (j₀^rows for background Jaccard
+    * j₀), so band width buys candidate selectivity — the dominant cost
+    * at scale — while the hash budget caps the map-side signature work
+    * (one min-aggregate per hash per doc). Throws if even rows=1 cannot
+    * reach the target within `maxHashes`. */
+  def minhashParams(threshold: Double, targetRecall: Double,
+      maxHashes: Int = 24): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold=$threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"target=$targetRecall")
+    def bandsFor(r: Int): Option[Int] = {
+      val jr = math.pow(threshold, r)
+      if (jr >= 1.0) Some(1)
+      else {
+        val b = math.ceil(math.log1p(-targetRecall) / math.log1p(-jr))
+        if (!b.isFinite || b * r > maxHashes) None
+        else Some(math.max(1.0, b).toInt)
+      }
+    }
+    (maxHashes to 1 by -1).iterator
+      .map(r => bandsFor(r).map(b => (b * r, b)))
+      .collectFirst { case Some(hb) => hb }
+      .getOrElse(throw new IllegalArgumentException(
+        s"recall $targetRecall at threshold $threshold needs more than " +
+        s"$maxHashes hashes even at rows=1 — raise maxHashes"))
+  }
+
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
     *
     * @param numHashes signature length H (= bands * rowsPerBand)

@@ -84,6 +84,47 @@ object Similarity {
     Array.tabulate(planes, dim)((p, d) =>
       Portable.unitFromSeed(s"${seed}_${p}_$d"))
 
+  /** Per-pair recall of OR-amplified sign-LSH at cosine `c`:
+    * 1 − (1 − s^planes)^tables with s = 1 − arccos(c)/π (the probability
+    * one hyperplane agrees on the pair). The law the docstrings quote,
+    * as code — calibration and specs share this single source of truth. */
+  def lshRecall(cosine: Double, planes: Int, tables: Int): Double = {
+    val s = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(s, planes), tables)
+  }
+
+  /** Derive (planes, tables) from the recall law instead of hand-picking:
+    * the smallest table count achieving `targetRecall` at `threshold`, at
+    * the LARGEST plane count whose required tables fit `maxTables`.
+    *
+    * Why largest-planes-first: every extra plane halves the random-pair
+    * bucket-collision rate (≈2^-planes per table) — the candidate join is
+    * the dominant cost at scale, so selectivity is bought first and the
+    * table budget caps the map-side explode factor (each table is one
+    * more (bucket, id) row per input vector). Throws if even planes=1
+    * cannot reach the target within `maxTables`. */
+  def lshParams(threshold: Double, targetRecall: Double,
+      maxTables: Int = 32, maxPlanes: Int = 24): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold=$threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"target=$targetRecall")
+    val s = 1.0 - math.acos(threshold) / math.Pi
+    def tablesFor(p: Int): Option[Int] = {
+      val sp = math.pow(s, p)
+      if (sp <= 0.0) None
+      else if (sp >= 1.0) Some(1)
+      else {
+        val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-sp))
+        if (!t.isFinite || t > maxTables) None else Some(math.max(1.0, t).toInt)
+      }
+    }
+    (maxPlanes to 1 by -1).iterator
+      .map(p => tablesFor(p).map(t => (p, t)))
+      .collectFirst { case Some(pt) => pt }
+      .getOrElse(throw new IllegalArgumentException(
+        s"recall $targetRecall at threshold $threshold needs more than " +
+        s"$maxTables tables even at planes=1 — raise maxTables"))
+  }
+
   /** LSH-bucketed near-dup pairs — the scale path for [[nearDupPairs]].
     * OR-amplified sign-LSH (the hyperplane analog of minhash banding,
     * [[graft.pipeline.Dedup.minhashLsh]]): `tables` independent sets of
@@ -93,38 +134,69 @@ object Similarity {
     * cosine c is 1-(1-(1-θ/π)^planes)^tables with θ = arccos(c): more
     * planes → smaller buckets (cheaper join), more tables → higher recall.
     *
-    * Scale shape: candidate generation shuffles (table, bucket, id) ONLY —
-    * the vectors never ride the bucket join — and verification joins
-    * vectors back on the deduplicated candidate ids. At 100 TB the
+    * Scale shape (the default, auto-chosen when the random-pair candidate
+    * rate is near zero): candidate generation shuffles (table, bucket, id)
+    * ONLY — the vectors never ride the bucket join — and verification
+    * joins vectors back on the deduplicated candidate ids. At 100 TB the
     * all-pairs baseline is O(n²); this is O(Σ bucket²) on ids + O(pairs)
-    * exact dots. */
+    * exact dots. Wide-angle thresholds (τ ≈ 0.5), where candidates are a
+    * large fraction of all pairs, flip to in-join verification — see the
+    * strategy note in the body; `carryVectors` overrides the choice. */
   def lshNearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int = 8, tables: Int = 8, dim: Int = 64)
-      : DataFrame = {
+      threshold: Double, planes: Int = 8, tables: Int = 8, dim: Int = 64,
+      carryVectors: Option[Boolean] = None): DataFrame = {
     val base = withNorm(vecs, idCol, vecCol)
     val hps = Array.tabulate(tables)(t =>
       hyperplanes(planes, dim, seed = s"table${t}_plane"))
-    // (id, (table, bucket)) — buckets are a map-side projection; the
-    // candidate self-join carries ids only, never embeddings. Left
-    // declarative (no cache/checkpoint): when both join sides shuffle —
-    // the at-scale shape — ReusedExchange computes the bucket projection
-    // once, and the lazy plan stays inspectable end to end
-    val ids = base.select(col("id"), explode(array(
+    val buckets = (v: Column) => explode(array(
       (0 until tables).map(t =>
-        struct(lit(t).as("t"), bucketOf(col("v"), hps(t)).as("b"))): _*))
-      .as("tb"))
-    val pairs = ids.as("a").join(ids.as("b"),
-        col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct() // a pair colliding in several tables verifies once
-    pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("va"),
-        col("nrm").as("na")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb"),
-        col("nrm").as("nb")), Seq("id_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+        struct(lit(t).as("t"), bucketOf(v, hps(t)).as("b"))): _*)).as("tb")
+    // Two physical strategies with identical output. The discriminator is
+    // the RANDOM-pair candidate rate f = 1-(1-2^-planes)^tables (random
+    // vectors agree with a hyperplane w.p. 1/2): at scale parameters
+    // (high τ → many planes) f ≈ tables·2^-planes ≈ 0 and the candidate
+    // set is near-dup-rate-sized, so shuffling bare id pairs and joining
+    // vectors back is cheapest; at wide angles (τ ≈ 0.5, the q34b demo
+    // regime) f is a large fraction of ALL pairs — materializing and
+    // re-shuffling an O(f·n²) pair set three times (distinct + two
+    // vector join-backs) costs far more than letting the vectors ride
+    // the (linear, tables·n-row) bucket exchange and verifying inside
+    // the join, where candidate pairs are born and die in one stage.
+    val randomRate = 1.0 - math.pow(1.0 - math.pow(0.5, planes), tables)
+    if (carryVectors.getOrElse(randomRate > 0.01)) {
+      val bucketed = base.select(col("id"), col("v"), col("nrm"),
+        buckets(col("v")))
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+            .as("cos"))
+        .filter(col("cos") >= threshold)
+        // a pair colliding in several tables verifies more than once but
+        // yields bit-identical cos; dedup AFTER the filter, where the
+        // frame is result-sized rather than candidate-sized
+        .distinct()
+    } else {
+      // (id, (table, bucket)) — buckets are a map-side projection; the
+      // candidate self-join carries ids only, never embeddings. Left
+      // declarative (no cache/checkpoint): when both join sides shuffle —
+      // the at-scale shape — ReusedExchange computes the bucket projection
+      // once, and the lazy plan stays inspectable end to end
+      val ids = base.select(col("id"), buckets(col("v")))
+      val pairs = ids.as("a").join(ids.as("b"),
+          col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct() // a pair colliding in several tables verifies once
+      pairs
+        .join(base.select(col("id").as("id_a"), col("v").as("va"),
+          col("nrm").as("na")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("v").as("vb"),
+          col("nrm").as("nb")), Seq("id_b"))
+        .withColumn("cos",
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cos"))
+    }
   }
 
   /** Sign-bucket id of a vector under the given hyperplanes. */

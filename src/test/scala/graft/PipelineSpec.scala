@@ -59,6 +59,26 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     val ham = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
     assert(ham <= 15, s"hamming $ham")
   }
+
+  test("minhashParams derives (hashes, bands) meeting the banding law, maximal band width") {
+    for (tau <- Seq(0.5, 0.8, 0.9); target <- Seq(0.9, 0.95)) {
+      val maxH = 48
+      val (h, b) = Dedup.minhashParams(tau, target, maxHashes = maxH)
+      val r = h / b
+      assert(h % b == 0 && h <= maxH, s"tau=$tau target=$target -> ($h, $b)")
+      assert(Dedup.minhashRecall(tau, r, b) >= target,
+        s"tau=$tau target=$target -> ($h, $b)")
+      // bands minimal for this width...
+      if (b > 1) assert(Dedup.minhashRecall(tau, r, b - 1) < target,
+        s"bands not minimal: tau=$tau -> ($h, $b)")
+      // ...and width maximal under the hash budget (r+1 rows/band cannot
+      // reach the target within maxH hashes)
+      assert(Dedup.minhashRecall(tau, r + 1, maxH / (r + 1)) < target,
+        s"rows not maximal: tau=$tau -> ($h, $b)")
+    }
+    // pins the oracle-gated q31/q31b call site: derived, not hand-picked
+    assert(Dedup.minhashParams(0.8, 0.95, maxHashes = 24) == (24, 6))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTest {
@@ -139,6 +159,70 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     // precision is exact by construction (every candidate is verified);
     // equality proves 100% recall on the fixture
     assert(lsh == exact)
+  }
+
+  test("lshParams derives (planes, tables) meeting the recall law, maximal selectivity") {
+    for (tau <- Seq(0.5, 0.8, 0.9); target <- Seq(0.9, 0.97)) {
+      val maxT = 32
+      val (p, t) = Similarity.lshParams(tau, target, maxTables = maxT)
+      assert(t <= maxT, s"tau=$tau target=$target -> ($p, $t)")
+      // the recall law holds at the threshold...
+      assert(Similarity.lshRecall(tau, p, t) >= target,
+        s"tau=$tau target=$target -> ($p, $t)")
+      // ...tables is minimal for this plane count...
+      if (t > 1) assert(Similarity.lshRecall(tau, p, t - 1) < target,
+        s"tables not minimal: tau=$tau -> ($p, $t)")
+      // ...and planes is maximal under the table budget (one more plane
+      // cannot reach the target even with every table allowed)
+      assert(Similarity.lshRecall(tau, p + 1, maxT) < target,
+        s"planes not maximal: tau=$tau -> ($p, $t)")
+    }
+    // pins the oracle-gated q34b/q34c call site: derived, not hand-picked
+    assert(Similarity.lshParams(0.5, 0.97, maxTables = 16) == (4, 16))
+  }
+
+  // 40 deterministic 32-dim vectors + 8 pairs PLANTED AT cosine ≈ 0.55 —
+  // just above the τ=0.5 threshold, the hardest recall point (the q34b
+  // regime). v = c·u + √(1−c²)·w⊥ with w⊥ ⊥ u gives cos(u, v) = c.
+  private def nearThresholdCorpus = {
+    def raw(seed: Long) = Array.tabulate(32)(d =>
+      (((seed * 6364136223846793005L + d * 1442695040888963407L) >>> 33)
+        % 2000L) / 1000.0 - 1.0)
+    def scale(v: Array[Double], s: Double) = v.map(_ * s)
+    def normed(v: Array[Double]) =
+      scale(v, 1.0 / math.sqrt(v.map(x => x * x).sum))
+    val c = 0.55
+    val base = Seq.tabulate(40)(i => (i.toLong, normed(raw(i + 1))))
+    val planted = Seq.tabulate(8) { i =>
+      val u = base(i)._2
+      val w = normed(raw(1000L + i))
+      val uw = u.zip(w).map { case (a, b) => a * b }.sum
+      val orth = normed(w.zip(u).map { case (b, a) => b - uw * a })
+      (200L + i, u.zip(orth).map { case (a, b) =>
+        c * a + math.sqrt(1 - c * c) * b })
+    }
+    (base ++ planted).map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+  }
+
+  test("near-threshold pairs: both LSH strategies equal the exact baseline " +
+      "at derived parameters") {
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b, math.rint(c * 1e9) / 1e9) }.toSet
+    val exact = norm(Similarity.nearDupPairs(nearThresholdCorpus, "vec_id",
+      "embedding", 0.5))
+    // the total-recall premise is exercised by MANY pairs sitting just
+    // above the threshold, not one lucky survivor
+    assert(exact.size >= 8, s"fixture lost its planted pairs: $exact")
+    val (p, t) = Similarity.lshParams(0.5, targetRecall = 0.995,
+      maxTables = 64)
+    for (carry <- Seq(true, false)) {
+      val lsh = norm(Similarity.lshNearDupPairs(nearThresholdCorpus,
+        "vec_id", "embedding", 0.5, planes = p, tables = t, dim = 32,
+        carryVectors = Some(carry)))
+      assert(lsh == exact, s"carryVectors=$carry: $lsh != $exact")
+    }
   }
 
   test("trainingSample is bounded and partition-layout independent") {

@@ -63,15 +63,35 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(broadcasts >= 2, p.take(3000))
   }
 
-  test("q34b: LSH near-dup candidate generation shuffles ids, never embeddings") {
+  test("q34b (wide-angle): verification runs inside the bucket join, no candidate-pair shuffle") {
     val p = plan("q34b_embed_neardup_lsh")
-    // the quadratic stage (bucket self-join + candidate distinct) must
-    // move ids only; vectors join back AFTER the distinct, keyed by id
-    // (linear). At small sf the bucket join broadcasts (id, tb) pairs —
-    // also vector-free; the distinct's partial aggregate is the stage
-    // that must emit exactly [id_a, id_b].
+    // at τ=0.5 the candidate set is a large fraction of ALL pairs, so the
+    // plan must never materialize it: the only pair-keyed aggregate is
+    // the POST-verification distinct, whose keys include the cos — i.e.
+    // it runs on the result-sized filtered frame, not the candidate set
+    val pairAggs = p.linesIterator.filter(l =>
+      l.contains("HashAggregate(keys=[id_a#") && l.contains("functions=[]"))
+      .toSeq
+    assert(pairAggs.nonEmpty, p.take(4000))
+    assert(pairAggs.forall(_.contains("cos#")),
+      "found a pre-verification candidate-pair aggregate:\n" +
+        pairAggs.mkString("\n"))
+  }
+
+  test("lshNearDupPairs at scale parameters: candidate generation shuffles ids, never embeddings") {
+    // high-τ regime (many planes, random collision rate ~0): the
+    // quadratic stage (bucket self-join + candidate distinct) must move
+    // ids only; vectors join back AFTER the distinct, keyed by id
+    // (linear). The distinct's partial aggregate is the stage that must
+    // emit exactly [id_a, id_b].
+    val df = graft.pipeline.Similarity.lshNearDupPairs(
+      Tables.embeddings(spark, d), "vec_id", "embedding",
+      threshold = 0.9, planes = 12, tables = 8, dim = 64)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     val partial = p.linesIterator.filter(l =>
       l.contains("HashAggregate(keys=[id_a#") && l.contains("functions=[]"))
+      .toSeq
     assert(partial.nonEmpty, p.take(4000))
     assert(partial.forall(
       _.matches(""".*output=\[id_a#\d+L?, id_b#\d+L?\].*""")), p.take(4000))
@@ -83,13 +103,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
   }
 
   test("q34b at shuffle scale: the bucket projection computes once (ReusedExchange)") {
-    // at real scale the candidate self-join shuffles both sides; the
-    // (id, bucket) projection — planes × tables dots per vector — must
-    // be computed once and reused, not once per side
+    // at shuffle scale the bucket self-join shuffles both sides; the
+    // bucketed projection — planes × tables dots per vector — must be
+    // computed once and reused, not once per side
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = SparkEntry.queries("q34b_embed_neardup_lsh")(spark, d)
+      // sf0.01, not sf0.001: the larger corpus yields a non-empty result —
+      // an all-empty output lets AQE collapse the final plan to
+      // EmptyRelation, leaving no exchange to assert on
+      val df = SparkEntry.queries("q34b_embed_neardup_lsh")(
+        spark, "/root/testdata/sf0.01")
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
