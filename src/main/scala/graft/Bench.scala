@@ -67,6 +67,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":2,"errors":$errJson,"sf":"$sfDir"}""")
+    RelationalQueries.cleanupTmpSinks(spark)
     spark.stop()
   }
 }

@@ -17,6 +17,25 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Delete the tmp sink directories this application wrote — the
+    * roundtrip gates (q18/q44/q49/q50/q51/q58/q60/q63) write under
+    * java.io.tmpdir with the applicationId in the directory name, so
+    * concurrent apps never collide AND this sweep targets exactly our
+    * own leftovers. Called by Bench/Verify/test teardown so repeated
+    * driver runs don't accumulate dead sink dirs. */
+  def cleanupTmpSinks(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete()
+    }
+    Option(new java.io.File(sys.props("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft_q") &&
+        f.getName.endsWith(appId))
+      .foreach(rm)
+  }
+
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
     "q01_filter" -> ((s, d) =>
@@ -682,6 +701,48 @@ object RelationalQueries {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // Q63 — heterogeneous MultipleInputs (mapred/lib/MultipleInputs
+    // .java:34, DelegatingInputFormat.java:45, DelegatingMapper): one
+    // logical table arriving as THREE physical formats — header CSV,
+    // parquet, and a Text/Text SequenceFile whose value needs a custom
+    // parse — each path read by its own format with its own mapper into
+    // one schema, then unionByName'd and aggregated. The reference
+    // dispatches per-path (InputFormat, Mapper) pairs from one job; the
+    // Spark-native form is per-path readers + parse projections feeding
+    // one declarative union, which Catalyst plans as a single multi-scan
+    // job (each branch keeps its own pushdown/pruning). Oracle = the
+    // plain aggregate over the parquet orders table: heterogeneous
+    // ingestion must be lossless.
+    "q63_hetero_inputs" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q63_${s.sparkContext.applicationId}"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      o.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .write.mode("overwrite").option("header", "true").csv(s"$out/csv")
+      o.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+        .write.mode("overwrite").parquet(s"$out/parquet")
+      graft.sources.SequenceFiles.write(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === 2)
+          .select(col("o_orderkey").cast("string").as("k"),
+            concat_ws("|", col("o_orderpriority"),
+              col("o_totalprice").cast("string")).as("v")),
+        "k", "v", s"$out/seq")
+      // per-path parse — the DelegatingMapper role
+      val fromCsv = s.read.option("header", "true")
+        .schema("o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE")
+        .csv(s"$out/csv")
+      val fromParquet = s.read.parquet(s"$out/parquet")
+      val fromSeq = graft.sources.SequenceFiles.read(s, s"$out/seq")
+        .select(col("key").cast("bigint").as("o_orderkey"),
+          split(col("value"), "\\|").getItem(0).as("o_orderpriority"),
+          split(col("value"), "\\|").getItem(1).cast("double")
+            .as("o_totalprice"))
+      fromCsv.unionByName(fromParquet).unionByName(fromSeq)
+        .groupBy("o_orderpriority").agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
     })
   )
 
@@ -932,6 +993,14 @@ object RelationalQueries {
     "q60_combine_small_files" ->
       """SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS sum_bal
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // q63: heterogeneous-format ingestion (csv + parquet + SequenceFile
+    // slices of orders) must be lossless — the oracle aggregates the
+    // plain table
+    "q63_hetero_inputs" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // q62: the salted join must equal the plain join exactly
     "q62_salted_join" ->

@@ -41,6 +41,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    RelationalQueries.cleanupTmpSinks(spark)
     spark.stop()
   }
 }

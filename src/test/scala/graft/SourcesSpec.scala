@@ -10,7 +10,7 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
   test("key/value text roundtrip splits at the FIRST separator only") {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_textspec_${System.nanoTime}"
+    val path = tmpDir("textspec")
     val df = Seq(("k1", "a\tb"), ("k2", "plain")).toDF("k", "v")
     TextFormats.writeKeyValueText(df, col("k"), col("v"), path)
     val back = TextFormats.readKeyValueText(spark, path)
@@ -23,7 +23,7 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
     val rows = (1 to 50).map(i => (s"k$i", s"value $i")).toSet
     for ((codec, ext) <- Seq(("gzip", ".gz"), ("bzip2", ".bz2"))) {
       val path =
-        s"${sys.props("java.io.tmpdir")}/graft_text_${codec}_${System.nanoTime}"
+        tmpDir(s"text_$codec")
       TextFormats.writeKeyValueText(rows.toSeq.toDF("k", "v"),
         col("k"), col("v"), path, compression = codec)
       // the codec really engaged (files carry its extension)...
@@ -42,7 +42,7 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
   // same capability at the row-group level, declared at write time and
   // used by the reader to skip row groups on point predicates.
   test("parquet bloom filter on the key column: declared, written, readable") {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_bloom_${System.nanoTime}"
+    val path = tmpDir("bloom")
     val df = (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
     df.repartition(2).write
       .option("parquet.bloom.filter.enabled#k", "true")
@@ -69,7 +69,7 @@ class CombineFilesSpec extends AnyFunSuite with SparkTest {
   // assert it actually engages, so a 100 TB directory of small files does
   // not explode into one task per file.
   test("64 tiny files bin-pack into a handful of scan partitions") {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_combine_${System.nanoTime}"
+    val path = tmpDir("combine")
     (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
       .repartition(64).write.parquet(path)
     val files = new java.io.File(path).listFiles()
@@ -84,7 +84,7 @@ class SequenceFilesSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
   test("Text/Text SequenceFile roundtrip through the Hadoop bridge") {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_seq_${System.nanoTime}"
+    val path = tmpDir("seq")
     val df = Seq(("k1", "v with\ttab"), ("k2", "v2"), ("k3", ""))
       .toDF("key", "value")
     graft.sources.SequenceFiles.write(df, "key", "value", path)
@@ -107,7 +107,7 @@ class SequenceFilesSpec extends AnyFunSuite with SparkTest {
         ("gzip", "BLOCK", "GzipCodec"),
         ("bzip2", "RECORD", "BZip2Codec"),
         ("deflate", "BLOCK", "DefaultCodec"))) {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_seq_${codec}_${ctype}_${System.nanoTime}"
+      val path = tmpDir(s"seq_${codec}_$ctype")
       graft.sources.SequenceFiles.write(df, "key", "value", path,
         codec = codec, compressionType = ctype)
       // the header really names the codec (proves compression engaged)
@@ -131,7 +131,7 @@ class MultipleInputsSpec extends AnyFunSuite with SparkTest {
   // into one job. Spark-native: per-source read + per-source transform to
   // a common schema, then unionByName.
   test("heterogeneous sources, per-source mappers, one union") {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_minputs_${System.nanoTime}"
+    val tmp = tmpDir("minputs")
     Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
       .write.parquet(s"$tmp/pq")
     Seq("3|GAMMA", "4|DELTA").toDF("line")
@@ -227,7 +227,7 @@ class XmlRecordsSpec extends AnyFunSuite with SparkTest {
   import graft.sources.XmlRecords
 
   test("multi-line tag-delimited records roundtrip across line boundaries") {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_xmlspec_${System.nanoTime}"
+    val path = tmpDir("xmlspec")
     val df = Seq((1L, "alpha beta"), (2L, "gamma"), (3L, "delta epsilon zeta"))
       .toDF("id", "body")
     XmlRecords.writeXml(df, "rec", Seq("id", "body"), path, numFiles = 2)
@@ -239,7 +239,7 @@ class XmlRecordsSpec extends AnyFunSuite with SparkTest {
   }
 
   test("null fields round-trip as empty strings (documented coercion)") {
-    val path = s"${sys.props("java.io.tmpdir")}/graft_xmlnull_${System.nanoTime}"
+    val path = tmpDir("xmlnull")
     val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "body")
     XmlRecords.writeXml(df, "rec", Seq("id", "body"), path)
     val back = XmlRecords.readXml(spark, path, "rec", Seq("id", "body"))
@@ -256,7 +256,7 @@ class BadRecordsSpec extends AnyFunSuite with SparkTest {
 
   test("DROPMALFORMED skips planted poison rows, keeps the rest") {
     import spark.implicits._
-    val path = s"${sys.props("java.io.tmpdir")}/graft_badspec_${System.nanoTime}"
+    val path = tmpDir("badspec")
     val df = (1L to 100L).map(i => (i, s"v$i")).toDF("id", "name")
     BadRecords.writeWithPoison(df, col("id") % 10 === 0, path)
     val schema = new StructType().add("id", LongType).add("name", StringType)
@@ -272,7 +272,7 @@ class MultiSinkSpec extends AnyFunSuite with SparkTest {
   import graft.sources.MultiSink
 
   test("two named sinks from one cached pass") {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_msink_${System.nanoTime}"
+    val base = tmpDir("msink")
     val df = (1L to 50L).map(i => (i, if (i % 2 == 0) "even" else "odd"))
       .toDF("id", "par")
     MultiSink.writeNamed(df, Seq(

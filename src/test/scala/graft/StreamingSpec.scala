@@ -151,7 +151,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
 
   test("multiSinkStream: one stream feeds two named parquet sinks") {
     import org.apache.spark.sql.functions._
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_msink_${System.nanoTime}"
+    val tmp = tmpDir("msink")
     val ms = MemoryStream[Event](spark)
     val q = EventStreams.multiSinkStream(ms.toDF(), Seq(
       ((b: org.apache.spark.sql.DataFrame) =>
@@ -229,8 +229,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     // checkpoint; a restart must pick up ONLY the new input files and the
     // sink must hold every row exactly once (no replay duplicates, no
     // gaps) — the streaming analog of FileOutputCommitter's guarantees
-    val base =
-      s"${sys.props("java.io.tmpdir")}/graft_stream_e2e_${System.nanoTime}"
+    val base = tmpDir("stream_e2e")
     val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
     val sch = new org.apache.spark.sql.types.StructType()
       .add("id", org.apache.spark.sql.types.LongType)
