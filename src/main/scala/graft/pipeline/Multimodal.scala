@@ -7,22 +7,28 @@ import org.apache.spark.sql.functions._
   *
   * Media assets are opaque `binary` payload columns plus a typed metadata
   * struct — the Spark-side plumbing (schema, partitioning, per-partition
-  * batch iteration, feature schema) is real and tested; only the codec is
-  * a STUB, because no image/audio libraries exist in this environment.
-  * Swapping [[decodeStub]] for a real decoder (JNI, ONNX, or an Arrow
-  * `mapInArrow` bridge to a Python worker) changes no plan shape: the
-  * operator stays a narrow mapPartitions over the payload column, so it
-  * scales linearly and never shuffles the binary data.
+  * batch iteration, feature schema) is real and tested. IMAGE decode is
+  * real: [[decodeImageHeader]] reads width/height/channels from PNG/JPEG/
+  * GIF/BMP headers via the JDK's public ImageIO registry. Audio/video
+  * remain a declared STUB (no codecs in this environment); swapping
+  * [[decodeStub]] for a real decoder (JNI, ONNX, or an Arrow `mapInArrow`
+  * bridge to a Python worker) changes no plan shape: the operator stays a
+  * narrow mapPartitions over the payload column, so it scales linearly
+  * and never shuffles the binary data.
   */
 object Multimodal {
 
   /** Typed metadata carried alongside each payload. */
   final case class MediaMeta(kind: String, nBytes: Long)
 
-  /** Feature row produced by the (stubbed) decode + feature-extract. */
+  /** Feature row produced by decode + feature-extract. `decoded` is true
+    * when a real image header supplied the dimensions ([[decodeImageHeader]]);
+    * false means the payload is not a recognized image and the
+    * deterministic stub dims stand in (the declared-stub path). */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Int,
-      byte_sum: Long, fake_width: Int, fake_height: Int)
+      byte_sum: Long, width: Int, height: Int, channels: Int,
+      decoded: Boolean)
 
   /** Wrap a text-ish table as media rows: payload = utf-8 bytes, typed
     * meta struct. In production the payload column would come straight
@@ -36,23 +42,57 @@ object Multimodal {
         length(encode(col(textCol), "UTF-8")).cast("long").as("nBytes"))
         .as("meta"))
 
+  /** REAL image-header decode through the JDK's public ImageIO registry
+    * (PNG/JPEG/GIF/BMP readers ship with Java SE and run headless):
+    * (width, height, channels), with the dimensions read from the format
+    * header — `ImageReader.getWidth/getHeight` never decode pixel data,
+    * so the per-row cost is a few hundred bytes of parsing regardless of
+    * payload size, exactly what a 100 TB metadata-extraction pass wants.
+    * Returns None when no installed reader recognizes the payload (then
+    * the deterministic stub stands in for the non-image modalities this
+    * container has no codecs for). */
+  def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val channels =
+            try {
+              val types = r.getImageTypes(0)
+              if (types.hasNext) types.next().getNumBands else 3
+            } catch { case scala.util.control.NonFatal(_) => 3 }
+          Some((w, h, channels))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
   /** ======= STUB =======
-    * Deterministic fake "decode": derives pseudo-dimensions and a byte
-    * checksum from the payload instead of invoking a codec. The batch
-    * shape (one Iterator per partition — the same contract a Pandas/Arrow
-    * UDF batch loop has) and the output schema are the real thing. */
+    * Deterministic fake "decode" for payloads no installed codec reads
+    * (audio/video in this container): derives pseudo-dimensions and a
+    * byte checksum from the payload. The batch shape (one Iterator per
+    * partition — the same contract a Pandas/Arrow UDF batch loop has)
+    * and the output schema are the real thing. */
   def decodeStub(payload: Array[Byte], kind: String): (Long, Int, Int) = {
     var s = 0L
     var i = 0
     while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
-    // ??? real codec goes here; fake dims are payload-derived so tests
-    // are deterministic
+    // fake dims are payload-derived so tests are deterministic
     val w = 16 + (s % 64).toInt
     val h = 16 + ((s / 64) % 64).toInt
     (s, w, h)
   }
 
-  /** Per-partition batched decode + feature extraction. */
+  /** Per-partition batched decode + feature extraction: real image
+    * headers where a codec exists, the declared stub elsewhere. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -60,8 +100,18 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
       .mapPartitions { batch =>
         batch.map { case (id, payload, kind) =>
-          val (sum, w, h) = decodeStub(payload, kind)
-          MediaFeatures(id, kind, payload.length, sum, w, h)
+          var s = 0L
+          var i = 0
+          while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
+          decodeImageHeader(payload) match {
+            case Some((w, h, c)) =>
+              MediaFeatures(id, kind, payload.length, s, w, h, c,
+                decoded = true)
+            case None =>
+              val (_, w, h) = decodeStub(payload, kind)
+              MediaFeatures(id, kind, payload.length, s, w, h, 0,
+                decoded = false)
+          }
         }
       }
   }

@@ -328,7 +328,43 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     val f = Multimodal.extractFeatures(media).collect()(0)
     val s = 'a'.toInt + 'b'.toInt + 'c'.toInt // 294
     assert(f.media_id == 7L && f.n_bytes == 3 && f.byte_sum == s)
-    assert(f.fake_width == 16 + (s % 64) && f.fake_height == 16 + ((s / 64) % 64))
+    assert(!f.decoded && f.channels == 0)
+    assert(f.width == 16 + (s % 64) && f.height == 16 + ((s / 64) % 64))
+  }
+
+  // deterministic in-memory fixtures: the JDK's own writers produce the
+  // bytes, its readers parse them back — real codec both ways
+  private def imageBytes(w: Int, h: Int, imgType: Int, fmt: String)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("extractFeatures: REAL image headers decode width/height/channels") {
+    val rgb = java.awt.image.BufferedImage.TYPE_INT_RGB
+    val gray = java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val rows = Seq(
+      (1L, imageBytes(20, 7, rgb, "png")),
+      (2L, imageBytes(5, 9, gray, "png")),
+      (3L, imageBytes(33, 17, rgb, "jpg")),
+      (4L, "not an image".getBytes("UTF-8")))
+    val mediaDf = rows.toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image").as("kind"),
+        length(col("payload")).cast("long").as("nBytes")))
+    val out = Multimodal.extractFeatures(mediaDf).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(1L).decoded && (out(1L).width, out(1L).height,
+      out(1L).channels) == ((20, 7, 3)), out(1L))
+    assert(out(2L).decoded && (out(2L).width, out(2L).height,
+      out(2L).channels) == ((5, 9, 1)), out(2L))
+    assert(out(3L).decoded && (out(3L).width, out(3L).height,
+      out(3L).channels) == ((33, 17, 3)), out(3L))
+    // unrecognized payloads fall back to the declared stub, loudly flagged
+    assert(!out(4L).decoded && out(4L).channels == 0)
   }
 
   test("frameSampleStub explodes fixed-size frames with positions") {
