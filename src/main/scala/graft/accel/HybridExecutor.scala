@@ -69,6 +69,52 @@ object HybridExecutor {
       }
     }
   }
+
+  /** Stage-level resource request for the accelerated branch — the
+    * Spark-idiomatic form of the fork's GPU slot (the reference models
+    * "a GPU" as a dedicated TaskTracker slot type,
+    * JobQueueTaskScheduler.java:171-214 + TaskTracker GPU slot config):
+    * a profile whose tasks each claim `gpusPerTask` of the executor's
+    * discovered "gpu" resources, applied per-stage via
+    * `rdd.withResources`. */
+  def accelResourceProfile(cpusPerTask: Int = 1, gpusPerTask: Double = 1.0)
+      : org.apache.spark.resource.ResourceProfile =
+    new org.apache.spark.resource.ResourceProfileBuilder()
+      .require(new org.apache.spark.resource.TaskResourceRequests()
+        .cpus(cpusPerTask).resource("gpu", gpusPerTask))
+      .build()
+
+  /** The cluster-grade form of [[hybridMapPartitions]]: the α-policy
+    * decides how many partitions run accelerated, and that branch becomes
+    * its OWN stage carrying a GPU [[accelResourceProfile]] — Spark's
+    * scheduler then places those tasks on executors with free "gpu"
+    * addresses, exactly the role the fork's scheduler plays when it marks
+    * y of the pending tasks setRunOnGPU(true). Returns
+    * (cpuBranch, acceleratedBranch); union/consume them as one job.
+    *
+    * Attaching a task ResourceProfile requires standalone/YARN/k8s (and
+    * executing it, executors with discovered "gpu" addresses);
+    * `local[n]` rejects even the attachment — Spark's
+    * ResourceProfileManager.isSupported throws. CI therefore gates the
+    * split arithmetic + branch semantics with `accelResources = None`
+    * and asserts the documented rejection with `Some(profile)`
+    * (AccelSpec) — the same injected-measurement discipline the α-policy
+    * specs use. */
+  def stagedBranches[T, U: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[T],
+      cpu: Iterator[T] => Iterator[U],
+      accel: Iterator[T] => Iterator[U],
+      profile: DeviceProfile,
+      accelResources: Option[org.apache.spark.resource.ResourceProfile])
+      : (org.apache.spark.rdd.RDD[U], org.apache.spark.rdd.RDD[U]) = {
+    val (_, gpuParts) = HybridPolicy.split(rdd.getNumPartitions, profile)
+    val mapped = org.apache.spark.rdd.PartitionPruningRDD
+      .create(rdd, _ < gpuParts).mapPartitions(accel)
+    val accelRdd = accelResources.fold(mapped)(mapped.withResources)
+    val cpuRdd = org.apache.spark.rdd.PartitionPruningRDD
+      .create(rdd, _ >= gpuParts).mapPartitions(cpu)
+    (cpuRdd, accelRdd)
+  }
 }
 
 /** Registry of CPU-UDF → accelerated-UDF variant pairs for the plan-level

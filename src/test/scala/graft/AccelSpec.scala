@@ -80,6 +80,37 @@ class HybridExecutorSpec extends AnyFunSuite with SparkTest {
     assert(hybrid == plain && hybrid.size == 18) // 6 lines x k=3
   }
 
+  test("stage-level ResourceProfile: the alpha-split drives the accelerated stage's resource request") {
+    val rp = HybridExecutor.accelResourceProfile(cpusPerTask = 1,
+      gpusPerTask = 1.0)
+    assert(rp.taskResources.contains("gpu") &&
+      rp.taskResources("gpu").amount == 1.0, rp.taskResources)
+    assert(rp.taskResources(
+      org.apache.spark.resource.ResourceProfile.CPUS).amount == 1.0)
+
+    val base = spark.range(1000).repartition(8).as[Long].rdd
+    val dp = DeviceProfile(nCpu = 4, nGpu = 4, cpuMeanSec = 1.0,
+      gpuMeanSec = 1.0)
+    val (x, y) = HybridPolicy.split(8, dp) // balanced devices -> (4, 4)
+    assert((x, y) == ((4, 4)))
+    val double_ : Iterator[Long] => Iterator[Long] = _.map(_ * 2)
+    val (cpuRdd, accelRdd) = HybridExecutor.stagedBranches(
+      base, double_, double_, dp, None)
+    // the split arithmetic drives which partitions form the accelerated
+    // stage; both branches together cover the input exactly once
+    assert(accelRdd.getNumPartitions == y && cpuRdd.getNumPartitions == x)
+    assert((cpuRdd.collect() ++ accelRdd.collect()).sorted.toSeq ==
+      (0L until 1000L).map(_ * 2))
+    // attaching the GPU task profile needs standalone/YARN/k8s — local[n]
+    // rejects it in ResourceProfileManager.isSupported; this documents
+    // the CI constraint as an executable assertion
+    val rejected = intercept[org.apache.spark.SparkException] {
+      HybridExecutor.stagedBranches(base, double_, double_, dp, Some(rp))
+    }
+    assert(rejected.getMessage.contains("TaskResourceProfiles"),
+      rejected.getMessage)
+  }
+
   test("AccelSwapRule swaps a registered UDF variant when policy says go") {
     Accel.install(spark)
     val cpuFn = (x: Long) => x + 1
