@@ -77,17 +77,29 @@ object MapFiles {
       s
     }
 
+  /** The child session's table frame, cache-refreshed: a rewrite through
+    * the CALLER's session (write → DROP TABLE) invalidates only the
+    * caller's relation cache — the child session would keep serving the
+    * replaced table's stale file listing (FAILED_READ_FILE on the next
+    * probe). One refresh per probe = one directory listing, noise next
+    * to the read itself. */
+  private def lookupTable(spark: SparkSession, table: String): DataFrame = {
+    val s = lookupSession(spark)
+    s.catalog.refreshTable(table)
+    s.table(table)
+  }
+
   /** Point lookup — `MapFileOutputFormat.getEntry`: all rows for `key`,
     * read from exactly one bucket with the predicate pushed to the scan. */
   def getEntry(spark: SparkSession, table: String, keyCol: String,
       key: Any): DataFrame =
-    lookupSession(spark).table(table).filter(col(keyCol) === lit(key))
+    lookupTable(spark, table).filter(col(keyCol) === lit(key))
 
   /** Batched point lookups (IN-list) — still bucket-pruned: only the
     * buckets holding any of the probed keys are read. */
   def getEntries(spark: SparkSession, table: String, keyCol: String,
       keys: Seq[Any]): DataFrame =
-    lookupSession(spark).table(table).filter(col(keyCol).isin(keys: _*))
+    lookupTable(spark, table).filter(col(keyCol).isin(keys: _*))
 
   /** SetFile (io/SetFile.java:27) — a MapFile holding keys only. The
     * layout is the distinct sorted key set; [[containsKey]] is the

@@ -42,6 +42,21 @@ class MapFilesSpec extends AnyFunSuite with SparkTest {
     } finally spark.sql("DROP TABLE IF EXISTS mapfile_t")
   }
 
+  test("rewrite then re-probe: the child lookup session never serves a stale file listing") {
+    // the Bench double-run shape: write -> probe -> REWRITE -> probe; the
+    // cached child session must refresh the replaced table's files
+    val df1 = (1L to 100L).map(i => (i, s"old$i")).toDF("k", "v")
+    val df2 = (1L to 100L).map(i => (i, s"new$i")).toDF("k", "v")
+    try {
+      MapFiles.write(df1, "k", buckets = 4, table = "mapfile_rw")
+      assert(MapFiles.getEntry(spark, "mapfile_rw", "k", 7L)
+        .select("v").as[String].collect().toSeq == Seq("old7"))
+      MapFiles.write(df2, "k", buckets = 4, table = "mapfile_rw")
+      assert(MapFiles.getEntry(spark, "mapfile_rw", "k", 7L)
+        .select("v").as[String].collect().toSeq == Seq("new7"))
+    } finally spark.sql("DROP TABLE IF EXISTS mapfile_rw")
+  }
+
   test("SetFile: distinct keys persisted, membership probes bucket-pruned") {
     val df = Seq(1L, 2L, 2L, 3L, 3L).toDF("k")
     MapFiles.writeSet(df, "k", buckets = 4, table = "setfile_t")
