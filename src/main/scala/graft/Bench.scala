@@ -59,14 +59,24 @@ object Bench {
     }
     // queries that never produced a sample are omitted from the timing
     // map (a 0.0 entry reads as an ultra-fast success when diffed
-    // against the baseline); they remain visible in the errors map
-    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + v }
+    // against the baseline); they remain visible in the errors map.
+    // Values are rounded to ms and trailing zeros stripped: the harness
+    // reading this line keeps only the LAST ~2000 chars of output, and
+    // full-precision doubles pushed the line past that window (every
+    // prior round's parse came back null) — ms resolution is far below
+    // the box noise anyway.
+    def fmt(v: Double): String = {
+      val s = f"$v%.3f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":2,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":2,"errors":$errJson,"sf":"$sfDir"}""")
     RelationalQueries.cleanupTmpSinks(spark)
     spark.stop()
   }
