@@ -743,6 +743,25 @@ object RelationalQueries {
         .groupBy("o_orderpriority").agg(
           count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Q64 — MultipleTextOutputFormat.generateFileNameForKeyValue
+    // (mapred/lib/MultipleOutputFormat.java:51,118): free-form
+    // row-derived output FILE names, not just key=value directories.
+    // Write every order as a text line into a file named from its
+    // priority, read the directory back, and aggregate per FILE — the
+    // oracle computes the same name expression from the table, so the
+    // gate proves each row landed in exactly the file its value derives.
+    "q64_named_files" -> ((s, d) => {
+      import graft.sources.MultiSink
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q64_${s.sparkContext.applicationId}"
+      MultiSink.writeNamedByRow(Tables.orders(s, d),
+        concat(lit("prio_"), substring(col("o_orderpriority"), 1, 1)),
+        col("o_orderkey"), out)
+      s.read.text(out)
+        .select(element_at(split(input_file_name(), "/"), -1).as("file"),
+          col("value").cast("bigint").as("k"))
+        .groupBy("file").agg(count(lit(1)).as("n"), sum("k").as("sum_key"))
     })
   )
 
@@ -1000,6 +1019,13 @@ object RelationalQueries {
     "q63_hetero_inputs" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q64: every row lands in the file its value derives (per-file
+    // counts and key sums equal the table-side name expression)
+    "q64_named_files" ->
+      """SELECT concat('prio_', substring(o_orderpriority, 1, 1)) AS file,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1""".stripMargin,
 
     // q62: the salted join must equal the plain join exactly

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Several named outputs from one job — the reference's MultipleOutputs
   * (mapred/lib/MultipleOutputs.java:116,283): a single map/reduce pass
@@ -22,5 +23,56 @@ object MultiSink {
     try sinks.foreach { case (derive, path) =>
       derive(cached).write.mode("overwrite").parquet(path)
     } finally cached.unpersist(false)
+  }
+
+  /** Free-form, row-derived output FILE names —
+    * `MultipleTextOutputFormat.generateFileNameForKeyValue`
+    * (mapred/lib/MultipleOutputFormat.java:51,118: the writer keys a
+    * record to an arbitrary file name computed from (key, value)).
+    *
+    * Spark-native: the name expression is just a column; `partitionBy`
+    * routes rows to per-name directories in ONE distributed pass (the
+    * task-parallel part), then a driver-side commit pass renames each
+    * committed leaf to the bare generated name — `<dir>/<name>` for a
+    * single part, `<dir>/<name>-NNNNN` for multi-part names (the
+    * reference's writer appends nothing because one reducer owns one
+    * file; multi-part names come from multi-task names there too).
+    * The rename pass is O(distinct names) driver FS calls — the same
+    * cardinality bound the reference hits with one open RecordWriter
+    * per name (MultipleOutputFormat.java:104-126 caches them).
+    *
+    * Rows are written as text lines from `lineCol`. With `onePerName`
+    * (default), rows are first repartitioned on the name so each name
+    * commits exactly ONE file — the reference's one-RecordWriter-per-name
+    * layout; pass false to keep the upstream partitioning (one part per
+    * task per name, suffixed -NNNNN), the choice a 100 TB writer makes
+    * when single name groups exceed one task's output. */
+  def writeNamedByRow(df: DataFrame, nameCol: org.apache.spark.sql.Column,
+      lineCol: org.apache.spark.sql.Column, dir: String,
+      onePerName: Boolean = true): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val staging = new Path(dir, "_staging")
+    val named = df.select(nameCol.as("_name"),
+      lineCol.cast("string").as("value"))
+    (if (onePerName) named.repartition(col("_name")) else named)
+      .write.mode("overwrite").partitionBy("_name").text(staging.toString)
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new Path(dir)
+    fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
+      val name = java.net.URLDecoder.decode(
+        d.getPath.getName.stripPrefix("_name="), "UTF-8")
+      val parts = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val target =
+          if (parts.length == 1) new Path(out, name)
+          else new Path(out, f"$name-$i%05d")
+        if (fs.exists(target)) fs.delete(target, false)
+        fs.rename(f.getPath, target)
+      }
+    }
+    fs.delete(staging, true)
   }
 }

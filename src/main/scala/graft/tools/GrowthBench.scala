@@ -1,0 +1,236 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, Similarity}
+
+/** Scaling measurement: run the dedup/ANN tiers at 1x / 2x / 10x the
+  * sf0.1 corpus and report runtime growth exponents — the executable
+  * check behind the "this tier is the 100 TB path" claims (the plan
+  * asserts structure; this measures it).
+  *
+  * Scaled corpora derive from the sf0.1 testdata deterministically:
+  *  - documents: copy j maps every token w -> w_j (a token bijection —
+  *    Jaccard-invariant, so each copy reproduces the planted near-dup
+  *    structure exactly, while cross-copy shingle sets are disjoint).
+  *    This scales like sharded real data: the near-dup RATE stays
+  *    constant, so candidate volume grows linearly.
+  *  - embeddings: copy j > 0 draws fresh hash-derived pseudo-random
+  *    vectors (the source corpus is random with no planted near-dups —
+  *    copies match its statistics; perturbed copies would instead plant
+  *    cross-copy near-dups the 1x corpus doesn't have).
+  *
+  * Expected shapes, measured here: minhash-LSH and ngram-Jaccard grow
+  * ~linearly on shard-like corpora; the EXACT embedding all-pairs
+  * baseline grows quadratically (documented as oracle-only); sign-LSH at
+  * scale parameters stays subquadratic, and calibrating planes up with
+  * log2(growth) holds per-bucket occupancy constant; IVF with fixed
+  * nlist degrades toward quadratic (bucket occupancy grows), while
+  * scaling nlist with the corpus restores near-linear cost — the
+  * documented "parameters track corpus size" recipe.
+  */
+object GrowthBench {
+
+  private def time(label: String, f: => DataFrame): Double = {
+    val t0 = System.nanoTime()
+    val n = f.count()
+    val s = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[growth] $label%-34s $s%8.2f s  rows=$n")
+    s
+  }
+
+  /** Bucket-occupancy histogram of the sign-LSH projection: per-bucket
+    * candidate pairs are C(occ, 2) — the quantity the planes parameter
+    * controls. Logged so "subquadratic" is visible in the candidate
+    * counts, not only in wall time. */
+  private def lshHistogram(spark: SparkSession, dir: String, label: String,
+      planes: Int, tables: Int): Unit = {
+    val vecs = Tables.embeddings(spark, dir)
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val hps = Array.tabulate(tables)(t =>
+      Similarity.hyperplanes(planes, 64, seed = s"table${t}_plane"))
+    val buckets = vecs.select(col("vec_id"), explode(array(
+      (0 until tables).map(t => struct(lit(t).as("t"),
+        Similarity.bucketOf(col("embedding"), hps(t)).as("b"))): _*)).as("tb"))
+      .groupBy("tb").agg(count(lit(1)).as("occ"))
+    val row = buckets.agg(
+      count(lit(1)).as("n_buckets"), max("occ").as("max_occ"),
+      avg("occ").as("avg_occ"),
+      sum(col("occ") * (col("occ") - 1) / 2).as("cand_pairs")).collect()(0)
+    System.err.println(s"[growth] $label planes=$planes tables=$tables " +
+      s"buckets=${row.getLong(0)} max_occ=${row.getLong(1)} " +
+      f"avg_occ=${row.getDouble(2)}%.1f cand_pairs=${row.getDouble(3)}%.0f")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val base = if (args.length > 1) args(1) else "/tmp/graft_growth"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    /** Materialize the k-times corpus once; reruns reuse it. */
+    def gen(k: Int): String = {
+      val out = s"$base/x$k"
+      val ok = new java.io.File(s"$out/_OK")
+      if (!ok.exists()) {
+        val docs = Tables.documents(spark, src)
+        (0 until k).map(j =>
+          if (j == 0) docs
+          else docs
+            .withColumn("doc_id", col("doc_id") + lit(j * 1000000L))
+            .withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", "$1_" + j)))
+          .reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/documents.parquet")
+        val vecs = Tables.embeddings(spark, src)
+        (0 until k).map(j =>
+          if (j == 0) vecs
+          else vecs
+            .withColumn("vec_id", col("vec_id") + lit(j * 1000000L))
+            .withColumn("embedding", expr(
+              s"transform(sequence(0, 63), i -> " +
+              s"cast(pmod(hash(vec_id, $j, i), 2000) / 1000.0d - 1.0d as float))")))
+          .reduce(_ unionAll _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+        ok.getParentFile.mkdirs(); ok.createNewFile()
+      }
+      out
+    }
+
+    // the 1x point is ALSO generator-laid-out (k=1): the source tables
+    // are single parquet files (1 scan partition), the scaled corpora 32
+    // — comparing across layouts inverts small-scale ratios (the 2x
+    // corpus scans with 32x the parallelism). Same layout at every
+    // scale isolates the algorithmic growth.
+    val x1 = gen(1)
+    val x2 = gen(2)
+    val x10 = gen(10)
+    // warm the JVM/codegen/footers so growth ratios aren't billed setup:
+    // table scans, then every query SHAPE once at the cheap scale — the
+    // first execution of each plan pays Catalyst + whole-stage codegen
+    // compilation, which at sub-5s 1x timings would otherwise swamp the
+    // growth signal (and even produce nonsense negative exponents)
+    Seq(x1, x2, x10).foreach { d =>
+      Tables.documents(spark, d).count(); Tables.embeddings(spark, d).count()
+    }
+    locally {
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      Dedup.minhashLshPairs(Tables.documents(spark, x1), "doc_id", "text",
+        n = 3, threshold = 0.8, numHashes = h, bands = b).count()
+      Dedup.ngramJaccardPairs(Tables.documents(spark, x1), "doc_id", "text",
+        n = 3, threshold = 0.8).count()
+      val (p, tb) = Similarity.lshParams(0.5, 0.97, maxTables = 16)
+      Similarity.nearDupPairs(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", 0.5).count()
+      Similarity.lshNearDupPairs(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", 0.5, planes = p, tables = tb, dim = 64).count()
+      Dedup.clusters(Similarity.lshNearDupPairs(Tables.embeddings(spark, x1),
+        "vec_id", "embedding", 0.5, planes = p, tables = tb, dim = 64)).count()
+      Similarity.lshNearDupPairs(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", 0.9, planes = 12, tables = 8, dim = 64).count()
+      Similarity.ivfTopK(Tables.embeddings(spark, x1), "vec_id", "embedding",
+        k = 3, nlist = 64, nprobe = 8, dim = 64).count()
+    }
+
+    val t = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // documents tiers (n = 5k / 10k / 50k)
+    for ((tag, d) <- Seq("1x" -> x1, "2x" -> x2, "10x" -> x10)) {
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      t(s"q31_minhash_$tag") = time(s"q31_minhash_$tag",
+        Dedup.minhashLshPairs(Tables.documents(spark, d), "doc_id", "text",
+          n = 3, threshold = 0.8, numHashes = h, bands = b))
+      t(s"q33_ngram_exact_$tag") = time(s"q33_ngram_exact_$tag",
+        Dedup.ngramJaccardPairs(Tables.documents(spark, d), "doc_id", "text",
+          n = 3, threshold = 0.8))
+    }
+
+    // the exact all-pairs baseline at 10x (n = 20k, 200M pairs): the
+    // quadratic blow-up, measured — sub-second 1x/2x points sit at the
+    // job-overhead floor, so the exponent is taken 2x -> 10x
+    t("q34_exact_10x") = time("q34_exact_10x",
+      Similarity.nearDupPairs(Tables.embeddings(spark, x10), "vec_id",
+        "embedding", 0.5))
+
+    // embedding tiers, wide-angle regime (tau = 0.5; n = 2k / 4k):
+    // candidates are a constant large fraction of ALL pairs at this
+    // threshold, so quadratic growth is EXPECTED for both the exact
+    // baseline and the LSH demo — measured to document it, not excuse it
+    val (p05, t05) = Similarity.lshParams(0.5, 0.97, maxTables = 16)
+    for ((tag, d) <- Seq("1x" -> x1, "2x" -> x2)) {
+      t(s"q34_exact_$tag") = time(s"q34_exact_$tag",
+        Similarity.nearDupPairs(Tables.embeddings(spark, d), "vec_id",
+          "embedding", 0.5))
+      t(s"q34b_lsh_tau05_$tag") = time(s"q34b_lsh_tau05_$tag",
+        Similarity.lshNearDupPairs(Tables.embeddings(spark, d), "vec_id",
+          "embedding", 0.5, planes = p05, tables = t05, dim = 64))
+      t(s"q34c_clusters_tau05_$tag") = time(s"q34c_clusters_tau05_$tag",
+        Dedup.clusters(Similarity.lshNearDupPairs(Tables.embeddings(spark, d),
+          "vec_id", "embedding", 0.5, planes = p05, tables = t05, dim = 64)))
+    }
+
+    // embedding tier, scale regime (tau = 0.9, id-only shuffle shape;
+    // n = 2k / 20k): fixed planes vs planes scaled by +log2(growth)
+    // (occupancy-constant calibration)
+    t("lsh_tau09_fixed_1x") = time("lsh_tau09_fixed_1x",
+      Similarity.lshNearDupPairs(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", 0.9, planes = 12, tables = 8, dim = 64))
+    t("lsh_tau09_fixed_10x") = time("lsh_tau09_fixed_10x",
+      Similarity.lshNearDupPairs(Tables.embeddings(spark, x10), "vec_id",
+        "embedding", 0.9, planes = 12, tables = 8, dim = 64))
+    t("lsh_tau09_scaled_10x") = time("lsh_tau09_scaled_10x",
+      Similarity.lshNearDupPairs(Tables.embeddings(spark, x10), "vec_id",
+        "embedding", 0.9, planes = 15, tables = 8, dim = 64))
+    lshHistogram(spark, x1, "hist_tau09_1x", planes = 12, tables = 8)
+    lshHistogram(spark, x10, "hist_tau09_10x_fixed", planes = 12, tables = 8)
+    lshHistogram(spark, x10, "hist_tau09_10x_scaled", planes = 15, tables = 8)
+
+    // IVF ANN (n = 2k / 20k): fixed nlist vs nlist scaled with the corpus
+    t("q35c_ivf_fixed_1x") = time("q35c_ivf_fixed_1x",
+      Similarity.ivfTopK(Tables.embeddings(spark, x1), "vec_id", "embedding",
+        k = 3, nlist = 64, nprobe = 8, dim = 64))
+    t("q35c_ivf_fixed_10x") = time("q35c_ivf_fixed_10x",
+      Similarity.ivfTopK(Tables.embeddings(spark, x10), "vec_id", "embedding",
+        k = 3, nlist = 64, nprobe = 8, dim = 64))
+    t("q35c_ivf_scaled_10x") = time("q35c_ivf_scaled_10x",
+      Similarity.ivfTopK(Tables.embeddings(spark, x10), "vec_id", "embedding",
+        k = 3, nlist = 640, nprobe = 8, dim = 64))
+
+    def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
+      System.err.println(
+        f"[growth] exponent $label%-28s ${math.log(tk / t1) / math.log(k)}%5.2f")
+    System.err.println("[growth] --- runtime growth exponents (T ~ n^e) ---")
+    exp("q31_minhash 1x->10x", t("q31_minhash_1x"), t("q31_minhash_10x"), 10)
+    exp("q33_ngram_exact 1x->10x", t("q33_ngram_exact_1x"),
+      t("q33_ngram_exact_10x"), 10)
+    exp("q34_exact 1x->2x", t("q34_exact_1x"), t("q34_exact_2x"), 2)
+    exp("q34_exact 2x->10x", t("q34_exact_2x"), t("q34_exact_10x"), 5)
+    exp("q34b_lsh_tau05 1x->2x", t("q34b_lsh_tau05_1x"),
+      t("q34b_lsh_tau05_2x"), 2)
+    exp("q34c_clusters_tau05 1x->2x", t("q34c_clusters_tau05_1x"),
+      t("q34c_clusters_tau05_2x"), 2)
+    exp("lsh_tau09 fixed 1x->10x", t("lsh_tau09_fixed_1x"),
+      t("lsh_tau09_fixed_10x"), 10)
+    exp("lsh_tau09 scaled 1x->10x", t("lsh_tau09_fixed_1x"),
+      t("lsh_tau09_scaled_10x"), 10)
+    exp("q35c_ivf fixed 1x->10x", t("q35c_ivf_fixed_1x"),
+      t("q35c_ivf_fixed_10x"), 10)
+    exp("q35c_ivf scaled 1x->10x", t("q35c_ivf_fixed_1x"),
+      t("q35c_ivf_scaled_10x"), 10)
+
+    val json = t.map { case (k, v) => f""""$k":$v%.2f""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"growth","points":$json}""")
+    spark.stop()
+  }
+}

@@ -284,6 +284,31 @@ class MultiSinkSpec extends AnyFunSuite with SparkTest {
     assert(spark.read.parquet(s"$base/counts").as[(String, Long)]
       .collect().toMap == Map("even" -> 25L, "odd" -> 25L))
   }
+
+  test("writeNamedByRow: rows land in files named by their values") {
+    val dir = tmpDir("namedfiles")
+    val df = (1L to 40L).map(i => (i, if (i % 2 == 0) "ev" else "od"))
+      .toDF("id", "par").repartition(4)
+    MultiSink.writeNamedByRow(df,
+      concat(lit("group_"), col("par")), col("id"), dir)
+    // one bare file per generated name (plus local-FS .crc sidecars,
+    // hidden dot-files every Spark reader skips), holding exactly its rows
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.toSeq == Seq("group_ev", "group_od"), files.toSeq)
+    val ev = scala.io.Source.fromFile(s"$dir/group_ev").getLines()
+      .map(_.toLong).toSeq
+    assert(ev.sorted == (2L to 40L by 2), ev)
+    // multi-part mode: per-task files keep a -NNNNN suffix, same rows
+    val dir2 = tmpDir("namedfiles_mp")
+    MultiSink.writeNamedByRow(df,
+      concat(lit("g_"), col("par")), col("id"), dir2, onePerName = false)
+    val all = spark.read.text(dir2).as[String].collect().map(_.toLong)
+    assert(all.sorted.toSeq == (1L to 40L), all.sorted.toSeq)
+    val names2 = new java.io.File(dir2).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(names2.forall(n => n.startsWith("g_ev") || n.startsWith("g_od")))
+  }
 }
 
 class PipeFailureSpec extends AnyFunSuite with SparkTest {
