@@ -66,7 +66,9 @@ object Bench {
     // prior round's parse came back null) — ms resolution is far below
     // the box noise anyway.
     def fmt(v: Double): String = {
-      val s = f"$v%.3f"
+      // Locale.ROOT: the f-interpolator is locale-sensitive and a
+      // comma-decimal default locale would corrupt the JSON
+      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }

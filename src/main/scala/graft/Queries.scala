@@ -739,10 +739,14 @@ object RelationalQueries {
           split(col("value"), "\\|").getItem(0).as("o_orderpriority"),
           split(col("value"), "\\|").getItem(1).cast("double")
             .as("o_totalprice"))
+      // integer-cents sum: commutative, so the 3-format union's
+      // accumulation order can't drift a rounded double across a cent
+      // boundary vs the oracle's single-scan order
       fromCsv.unionByName(fromParquet).unionByName(fromSeq)
         .groupBy("o_orderpriority").agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("total"))
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("total_cents"))
     }),
 
     // Q64 — MultipleTextOutputFormat.generateFileNameForKeyValue
@@ -1018,7 +1022,8 @@ object RelationalQueries {
     // plain table
     "q63_hetero_inputs" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
         |FROM orders GROUP BY 1""".stripMargin,
 
     // q64: every row lands in the file its value derives (per-file

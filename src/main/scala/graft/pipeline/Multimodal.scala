@@ -52,9 +52,14 @@ object Multimodal {
     * the deterministic stub stands in for the non-image modalities this
     * container has no codecs for). */
   def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    // memory-backed stream, NOT ImageIO.createImageInputStream: the
+    // default SPI honors ImageIO.getUseCache() and spools a temp FILE per
+    // call — a disk write per row on the hot path, and an IOException
+    // (full/read-only tmpdir) where a bad payload should just mean None
+    var iis: javax.imageio.stream.ImageInputStream = null
     try {
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
       else {
@@ -85,11 +90,14 @@ object Multimodal {
     var s = 0L
     var i = 0
     while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
-    // fake dims are payload-derived so tests are deterministic
-    val w = 16 + (s % 64).toInt
-    val h = 16 + ((s / 64) % 64).toInt
+    val (w, h) = stubDims(s)
     (s, w, h)
   }
+
+  /** Deterministic fake dims from an already-computed byte sum (so the
+    * feature extractor never walks the payload twice). */
+  def stubDims(byteSum: Long): (Int, Int) =
+    (16 + (byteSum % 64).toInt, 16 + ((byteSum / 64) % 64).toInt)
 
   /** Per-partition batched decode + feature extraction: real image
     * headers where a codec exists, the declared stub elsewhere. */
@@ -108,7 +116,7 @@ object Multimodal {
               MediaFeatures(id, kind, payload.length, s, w, h, c,
                 decoded = true)
             case None =>
-              val (_, w, h) = decodeStub(payload, kind)
+              val (w, h) = stubDims(s)
               MediaFeatures(id, kind, payload.length, s, w, h, 0,
                 decoded = false)
           }

@@ -82,7 +82,12 @@ object MapFiles {
     * caller's relation cache — the child session would keep serving the
     * replaced table's stale file listing (FAILED_READ_FILE on the next
     * probe). One refresh per probe = one directory listing, noise next
-    * to the read itself. */
+    * to the read itself.
+    *
+    * Contract: `table` must be a CATALOG table (what [[write]] creates).
+    * Session-scoped temp views are not visible from the child session —
+    * they also lack the bucketed layout this whole lookup path exists
+    * to exploit. */
   private def lookupTable(spark: SparkSession, table: String): DataFrame = {
     val s = lookupSession(spark)
     s.catalog.refreshTable(table)

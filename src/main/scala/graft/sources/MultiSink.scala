@@ -58,21 +58,56 @@ object MultiSink {
     (if (onePerName) named.repartition(col("_name")) else named)
       .write.mode("overwrite").partitionBy("_name").text(staging.toString)
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // commit renames go through the RAW filesystem: the local checksum
+    // wrapper builds its .crc sidecar path with the colon-parsing Path
+    // child-constructor (the bug worked around below) and fails on names
+    // containing ':'; committed outputs don't need local crc sidecars
+    val rawFs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
     val out = new Path(dir)
     fs.listStatus(staging).filter(_.isDirectory).foreach { d =>
-      val name = java.net.URLDecoder.decode(
-        d.getPath.getName.stripPrefix("_name="), "UTF-8")
+      // invert Hive partition-path escaping exactly (%XX sequences only —
+      // URLDecoder would additionally rewrite a literal '+' to a space)
+      val name = unescapePathName(d.getPath.getName.stripPrefix("_name="))
       val parts = fs.listStatus(d.getPath)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)
       parts.zipWithIndex.foreach { case (f, i) =>
-        val target =
-          if (parts.length == 1) new Path(out, name)
-          else new Path(out, f"$name-$i%05d")
-        if (fs.exists(target)) fs.delete(target, false)
-        fs.rename(f.getPath, target)
+        // mergePaths, not new Path(parent, name): the child-constructor
+        // URI-parses the name, so a ':' in it reads as a scheme and throws
+        val target = Path.mergePaths(out,
+          new Path(if (parts.length == 1) s"/$name" else f"/$name-$i%05d"))
+        // names may contain '/' (the reference's generateFileNameFor-
+        // KeyValue returns relative paths) — materialize the parent
+        if (target.getParent != null) rawFs.mkdirs(target.getParent)
+        if (rawFs.exists(target)) rawFs.delete(target, false)
+        // a silent rename failure would drop every row of this name when
+        // staging is deleted below — fail the job loudly instead
+        if (!rawFs.rename(f.getPath, target))
+          throw new java.io.IOException(
+            s"rename ${f.getPath} -> $target failed; staging preserved")
       }
     }
     fs.delete(staging, true)
+  }
+
+  /** Inverse of Hive's escapePathName: decode %XX escapes, pass every
+    * other character (including '+') through untouched. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append((Character.digit(s.charAt(i + 1), 16) * 16 +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }

@@ -140,6 +140,13 @@ object GrowthBench {
         "embedding", 0.9, planes = 12, tables = 8, dim = 64).count()
       Similarity.ivfTopK(Tables.embeddings(spark, x1), "vec_id", "embedding",
         k = 3, nlist = 64, nprobe = 8, dim = 64).count()
+      // the SCALED variants compile different codegen'd plans (different
+      // hyperplane/centroid literals) — warm them too, or their one-time
+      // compile cost lands exactly on the scaled-vs-fixed comparison
+      Similarity.lshNearDupPairs(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", 0.9, planes = 15, tables = 8, dim = 64).count()
+      Similarity.ivfTopK(Tables.embeddings(spark, x1), "vec_id", "embedding",
+        k = 3, nlist = 640, nprobe = 8, dim = 64).count()
     }
 
     val t = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -228,7 +235,9 @@ object GrowthBench {
     exp("q35c_ivf scaled 1x->10x", t("q35c_ivf_fixed_1x"),
       t("q35c_ivf_scaled_10x"), 10)
 
-    val json = t.map { case (k, v) => f""""$k":$v%.2f""" }
+    val json = t.map { case (k, v) =>
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"growth","points":$json}""")
     spark.stop()

@@ -309,6 +309,21 @@ class MultiSinkSpec extends AnyFunSuite with SparkTest {
       .filterNot(_.startsWith("."))
     assert(names2.forall(n => n.startsWith("g_ev") || n.startsWith("g_od")))
   }
+
+  test("writeNamedByRow: subdir and Hive-escaped characters in names round-trip") {
+    val dir = tmpDir("namedspecial")
+    // '/' puts the file in a subdirectory (the reference's
+    // generateFileNameForKeyValue returns relative paths); '+' and ':'
+    // exercise the Hive path-escaping inverse (URLDecoder would have
+    // turned the '+' into a space)
+    val df = Seq((1L, "2024/01"), (2L, "a+b"), (3L, "t:x")).toDF("id", "name")
+    MultiSink.writeNamedByRow(df, col("name"), col("id"), dir)
+    def read(rel: String) =
+      scala.io.Source.fromFile(new java.io.File(dir, rel)).getLines().toSeq
+    assert(read("2024/01") == Seq("1"))
+    assert(read("a+b") == Seq("2"))
+    assert(read("t:x") == Seq("3"))
+  }
 }
 
 class PipeFailureSpec extends AnyFunSuite with SparkTest {
