@@ -99,6 +99,9 @@ object VectorOps {
       exprs => NearestCellsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash60", exprs => Hash60Expr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_buckets",
+      exprs => SignBucketsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   /** Column API for the native dot product (register first). */

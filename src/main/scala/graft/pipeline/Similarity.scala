@@ -149,12 +149,13 @@ object Similarity {
     val hps = Array.tabulate(tables)(t =>
       hyperplanes(planes, dim, seed = s"table${t}_plane"))
     // one LONG key per (table, bucket) — table index in the high bits —
-    // instead of a struct: cheaper to hash, sort, and shuffle on the
-    // candidate join's hot path (planes ≤ 48 by construction here)
-    require(planes < 48, s"planes=$planes overflows the packed bucket key")
-    val buckets = (v: Column) => explode(array(
-      (0 until tables).map(t =>
-        shiftleft(lit(t.toLong), 48) + bucketOf(v, hps(t))): _*)).as("tb")
+    // computed by the native sign_buckets expression: the declarative
+    // array-of-literal-dots form embeds tables × planes × dim literal
+    // doubles and falls out of JIT-able codegen (measured ~1s of
+    // interpreted projection at sf0.1); the native kernel is a tight
+    // loop over a reference-object matrix (planes < 48 enforced there)
+    val buckets = (v: Column) =>
+      explode(graft.functions.SignBuckets(v, hps)).as("tb")
     // Two physical strategies with identical output. The discriminator is
     // the RANDOM-pair candidate rate f = 1-(1-2^-planes)^tables (random
     // vectors agree with a hyperplane w.p. 1/2): at scale parameters

@@ -225,6 +225,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("sign_buckets equals the declarative per-table bucketOf") {
+    import org.apache.spark.sql.functions.{array, shiftleft}
+    val hps = Array.tabulate(3)(t =>
+      Similarity.hyperplanes(4, 8, seed = s"parity$t"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSet
+    val native = rows(bigCorpus.select(col("vec_id"),
+      graft.functions.SignBuckets(col("embedding"), hps).as("bs")))
+    val declarative = rows(bigCorpus.select(col("vec_id"),
+      array((0 until 3).map(t => shiftleft(lit(t.toLong), 48) +
+        Similarity.bucketOf(col("embedding"), hps(t))): _*).as("bs")))
+    assert(native == declarative)
+  }
+
   test("trainingSample is bounded and partition-layout independent") {
     val s1 = Similarity.trainingSample(bigCorpus, "vec_id", "embedding", 10)
       .as[Array[Float]].collect().map(_.toSeq).toSet

@@ -135,6 +135,35 @@ object NearestCellsProps extends Properties("NearestCells") {
     }
 }
 
+object SignBucketsProps extends Properties("SignBuckets") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import graft.functions.SignBuckets
+
+  private val cases = for {
+    dim <- Gen.choose(1, 8)
+    planes <- Gen.choose(1, 5)
+    tables <- Gen.choose(1, 4)
+    vec <- Gen.listOfN(dim, Gen.choose(-50, 50).map(_.toDouble))
+    rows <- Gen.listOfN(tables * planes,
+      Gen.listOfN(dim, Gen.choose(-50, 50).map(_.toDouble)))
+  } yield (vec.toArray, rows.map(_.toArray).toArray, planes, tables)
+
+  property("kernel equals the declarative strict-sign bit packing") =
+    forAll(cases) { case (vec, rows, planes, tables) =>
+      val got = SignBuckets.buckets(new GenericArrayData(vec),
+        isFloat = false, rows.flatten, vec.length, planes, tables).toSeq
+      val expect = (0 until tables).map { t =>
+        val bucket = (0 until planes).foldLeft(0L) { (acc, p) =>
+          val dot = rows(t * planes + p).zip(vec)
+            .map { case (a, b) => a * b }.sum
+          if (dot > 0.0) acc | (1L << p) else acc
+        }
+        (t.toLong << 48) | bucket
+      }
+      got == expect
+    }
+}
+
 object Hash60Props extends Properties("Hash60") {
   import org.apache.spark.unsafe.types.UTF8String
 
