@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
 import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -18,7 +18,7 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Delete the tmp sink directories this application wrote — the
-    * roundtrip gates (q18/q44/q49/q50/q51/q58/q60/q63) write under
+    * roundtrip gates (q18/q44/q49/q50/q51/q58/q60/q63/q69) write under
     * java.io.tmpdir with the applicationId in the directory name, so
     * concurrent apps never collide AND this sweep targets exactly our
     * own leftovers. Called by Bench/Verify/test teardown so repeated
@@ -766,6 +766,52 @@ object RelationalQueries {
         .select(element_at(split(input_file_name(), "/"), -1).as("file"),
           col("value").cast("bigint").as("k"))
         .groupBy("file").agg(count(lit(1)).as("n"), sum("k").as("sum_key"))
+    }),
+
+    // ---- corpus curation (training-data pipeline, beyond the reference) ----
+
+    // Q65 — Gopher-style repetition metrics: duplicate-word fraction,
+    // modal word/bigram multiplicity, and the repetitive flag. One
+    // map-side projection, no shuffle (see Curation.repetitionMetrics).
+    "q65_repetition" -> ((s, d) =>
+      Curation.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")),
+
+    // Q66 — benchmark-contamination screen: corpus docs sharing any word
+    // 4-gram with the held-out eval slice (doc_id % 97 == 0 plays the
+    // benchmark). Broadcast probe of hashed grams — no corpus shuffle.
+    "q66_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.contamination(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", n = 4)
+    }),
+
+    // Q67 — per-domain quota: keep the 10 docs per source that rank first
+    // under the portable content hash (deterministic uniform cap).
+    "q67_domain_quota" -> ((s, d) =>
+      Curation.domainQuota(Tables.documents(s, d), "doc_id", "source",
+        "text", k = 10)),
+
+    // Q68 — PII-style masking over events.props: emails/phones/digit runs
+    // to typed placeholders + per-kind counts (the corpus has digit runs;
+    // email/phone paths are exercised on planted fixtures in CurationSpec).
+    "q68_pii_mask" -> ((s, d) =>
+      Curation.maskPii(Tables.events(s, d), "event_id", "props")),
+
+    // Q69 — deterministic training shards: content-hash shard id, written
+    // as partitioned parquet (one dir per shard, content-hash row order),
+    // read back and aggregated per shard — the oracle recomputes the
+    // shard expression table-side, so the gate proves every row landed in
+    // exactly the shard its content derives.
+    "q69_train_shards" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q69_${s.sparkContext.applicationId}"
+      Curation.writeShards(
+        Tables.documents(s, d).select("doc_id", "text", "n_chars"),
+        "text", numShards = 8, out)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     })
   )
 
@@ -1032,6 +1078,77 @@ object RelationalQueries {
       """SELECT concat('prio_', substring(o_orderpriority, 1, 1)) AS file,
         |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // q65: integer repetition counts; fractions are single int/int
+    // divisions so doubles (and the threshold flag) are bit-equal
+    "q65_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, ws, len(ws) AS n, list_distinct(ws) AS uq,
+        |    [ws[i+1]||' '||ws[i+2] for i in range(len(ws)-1)] AS bg
+        |  FROM w),
+        |m AS (SELECT doc_id,
+        |    CAST(n AS INT) AS n_tokens,
+        |    CAST(n - len(uq) AS INT) AS dup_words,
+        |    CAST(list_max(list_transform(uq,
+        |      u -> len(list_filter(ws, x -> x = u)))) AS INT) AS top_word_cnt,
+        |    CAST(list_max(list_transform(list_distinct(bg),
+        |      g -> len(list_filter(bg, x -> x = g)))) AS INT) AS top_bigram_cnt
+        |  FROM b)
+        |SELECT doc_id, n_tokens, dup_words, top_word_cnt, top_bigram_cnt,
+        |  CAST(dup_words AS DOUBLE) / n_tokens AS dup_word_frac,
+        |  CAST(top_bigram_cnt AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
+        |  (CAST(dup_words AS DOUBLE) / n_tokens > 0.68)
+        |    OR (CAST(top_bigram_cnt AS DOUBLE) / (n_tokens - 1) > 0.08)
+        |    AS repetitive
+        |FROM m""".stripMargin,
+
+    // q66: distinct shared word-4-grams vs the doc_id%97 eval slice
+    "q66_contamination" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |            for i in range(len(ws)-3)]) AS s
+        |  FROM w),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT doc_id, count(*) AS shared_grams
+        |FROM sh WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
+        |GROUP BY doc_id""".stripMargin,
+
+    // q67: the cap keeps exactly the k first docs per source under the
+    // content-hash order (rank included, so the order itself is gated)
+    "q67_domain_quota" ->
+      """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |      PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10""".stripMargin,
+
+    // q68: RE2-compatible patterns evaluate identically under Java regex;
+    // DuckDB needs the 'g' flag to match Spark's replace-all
+    "q68_pii_mask" ->
+      """SELECT event_id,
+        |  CAST(len(regexp_extract_all(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(props,
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS INT) AS n_phones,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_numbers,
+        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]+', '<NUM>', 'g') AS masked
+        |FROM events""".stripMargin,
+
+    // q69: the shard expression recomputed table-side — per-shard counts
+    // and char sums must survive the partitioned write + readback
+    "q69_train_shards" ->
+      s"""SELECT ${graft.pipeline.Portable.hash60Sql("text")} % 8 AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // q62: the salted join must equal the plain join exactly
     "q62_salted_join" ->

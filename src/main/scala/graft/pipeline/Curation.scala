@@ -1,0 +1,173 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of the dedup/similarity/text-analysis tiers: repetition metrics
+  * (Gopher-style quality signals), benchmark-contamination screening,
+  * per-domain quota capping, PII-style masking, and deterministic shard
+  * assignment for the final training shuffle.
+  *
+  * Design rules shared with [[TextAnalysis]]: every per-document value is
+  * a pure function of the row (reproducible across engines, re-runs, and
+  * repartitionings — no RNG, no partition-dependent state), integer
+  * counts wherever possible, and any double is produced by a single
+  * division of two integers so the DuckDB oracle is bit-equal.
+  */
+object Curation {
+
+  private def words(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Max multiplicity over the distinct elements of an array — the count
+    * of the modal element. O(distinct × n) per row, map-side only: for
+    * natural-language documents the distinct vocabulary per doc is small
+    * and this stays a linear scan of the corpus with NO shuffle, which is
+    * the whole point at 100 TB (a groupBy(doc, word) would shuffle every
+    * token).
+    */
+  private def topMultiplicity(arr: Column): Column =
+    array_max(transform(array_distinct(arr),
+      w => size(filter(arr, x => x === w))))
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    * use duplicate-line/paragraph fractions and top-n-gram fractions as
+    * quality filters; this corpus is single-line so the word and bigram
+    * levels are the meaningful ones).
+    *
+    * Emits integer counts plus the derived fractions:
+    *   - `dup_words`       tokens minus distinct tokens
+    *   - `top_word_cnt`    multiplicity of the modal token
+    *   - `top_bigram_cnt`  multiplicity of the modal word-bigram
+    *   - `dup_word_frac`   dup_words / n_tokens
+    *   - `top_bigram_frac` top_bigram_cnt / (n_tokens − 1)
+    *   - `repetitive`      the Gopher-flavored flag; default thresholds
+    *                       sit at the corpus's p90/p95 (measured at
+    *                       sf0.01: dup_word_frac p50 0.54 / p90 0.68 /
+    *                       max 0.72; top_bigram_frac p50 0.033 / p95
+    *                       0.087 / max 0.167) so the flag isolates the
+    *                       repetitive tail rather than the organic bulk
+    *
+    * Entirely map-side (one projection, no shuffle, no UDF) — cost is one
+    * linear scan regardless of corpus size.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      dupFracMax: Double = 0.68, topBigramFracMax: Double = 0.08): DataFrame = {
+    val ws = words(col(textCol))
+    val bg = Dedup.shingles(col(textCol), 2)
+    docs.select(
+        col(idCol).as("doc_id"),
+        size(ws).as("n_tokens"),
+        (size(ws) - size(array_distinct(ws))).as("dup_words"),
+        topMultiplicity(ws).as("top_word_cnt"),
+        topMultiplicity(bg).as("top_bigram_cnt"))
+      .withColumn("dup_word_frac",
+        col("dup_words").cast("double") / col("n_tokens"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_cnt").cast("double") / (col("n_tokens") - 1))
+      .withColumn("repetitive",
+        col("dup_word_frac") > dupFracMax ||
+        col("top_bigram_frac") > topBigramFracMax)
+  }
+
+  /** Benchmark-contamination screen: for every corpus document, the number
+    * of distinct word n-grams it shares with ANY document of the held-out
+    * evaluation set (the n-gram-overlap decontamination rule used for
+    * GPT-3/Gopher/Llama training sets). Returns only contaminated docs —
+    * `(doc_id, shared_grams)` with `shared_grams >= minShared` — since at
+    * corpus scale the clean set is the overwhelming majority.
+    *
+    * Shape at 100 TB: the eval set is benchmark-sized (thousands of docs,
+    * millions of grams — broadcastable by construction); corpus grams are
+    * hashed 60-bit map-side ([[Portable.hash60Fast]]) so the probe
+    * carries (id, 8-byte gram) and the join is a broadcast hash probe
+    * with NO corpus shuffle; only the (rare) hits reach the per-doc
+    * count aggregation.
+    */
+  def contamination(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minShared: Long = 1L): DataFrame = {
+    val corpusGrams = Dedup.shinglePostings(corpus, idCol, textCol, n)
+    val evalGrams = Dedup.shinglePostings(eval, idCol, textCol, n)
+      .select(col("sh")).distinct()
+    corpusGrams.join(broadcast(evalGrams), "sh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("shared_grams")) // postings are distinct per doc
+      .filter(col("shared_grams") >= minShared)
+  }
+
+  /** Per-domain quota capping (the Common-Crawl-style "at most k documents
+    * per registered domain" rule): keep the k docs per group that rank
+    * first under the portable content hash — a deterministic uniform
+    * sample, not a popularity-ordered one, so no domain's internal
+    * ordering biases what survives. Returns (doc_id, group, rk).
+    *
+    * One hash-partition shuffle on the group key; `WindowExec` sorts each
+    * group and spills if a domain exceeds memory. For pathological
+    * mega-domains the bounded-heap [[graft.agg.TopKAggregator]] (q45) is
+    * the partial-aggregating alternative: it caps per-group state at k
+    * BEFORE the shuffle, at the cost of losing the rank column's
+    * generality. The window form is the declarative default.
+    */
+  def domainQuota(docs: DataFrame, idCol: String, groupCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(textCol)), col(idCol))
+    docs.select(col(idCol).as("doc_id"), col(groupCol),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** PII-style masking: replace emails, North-American phone numbers, and
+    * bare digit runs with typed placeholder tokens, and count each kind.
+    * Patterns are written in the RE2-compatible subset (no backrefs, no
+    * lookaround) so Java regex (Spark) and RE2 (DuckDB/Go scrubbers)
+    * agree byte-for-byte. Order matters and is part of the contract:
+    * emails before phones before numbers, so a masked email's digits are
+    * not re-masked. Map-side codegen'd projection — linear scan, no
+    * shuffle.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val numberPattern = "[0-9]+"
+
+  def maskPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0)))
+    df.select(
+      col(idCol),
+      cnt(emailPattern).as("n_emails"),
+      cnt(phonePattern).as("n_phones"),
+      cnt(numberPattern).as("n_numbers"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"),
+        numberPattern, "<NUM>").as("masked"))
+  }
+
+  /** Deterministic shard id in [0, numShards) from document content — the
+    * final "global shuffle" of a training-data pipeline, as a pure
+    * function of the row: every engine, run, and retry agrees on the
+    * shard of every document, so shard sets are reproducible and
+    * incremental re-runs are stable (unlike `repartition(n)` round-robin,
+    * which depends on input split order).
+    */
+  def shardId(text: Column, numShards: Int): Column =
+    pmod(Portable.hash60(text), lit(numShards.toLong))
+
+  /** Write the corpus as content-sharded parquet: one directory per
+    * shard, rows within a shard ordered by content hash (a deterministic
+    * within-shard shuffle — adjacent source docs land apart). The
+    * repartition targets one write task per shard; at real scale use
+    * `numShards` well above executor count and this is exactly the
+    * classic sharded-training-set writer.
+    */
+  def writeShards(docs: DataFrame, textCol: String, numShards: Int,
+      out: String): Unit =
+    docs.withColumn("shard", shardId(col(textCol), numShards))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(md5(col(textCol)))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Curation
+
+class CurationSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("repetitionMetrics: hand-computed counts, fractions, and the flag") {
+    val docs = Seq(
+      (1L, "a a b c"),       // dup=1, top word 2, bigrams (a a)(a b)(b c)
+      (2L, "x x x x x"),     // dup=4, top word 5, 4x bigram (x x)
+      (3L, "p q r s t")      // no repetition at all
+    ).toDF("doc_id", "text")
+    // toy docs are a few tokens long, so use mid-range thresholds (the
+    // corpus defaults are calibrated to real document lengths)
+    val out = Curation.repetitionMetrics(docs, "doc_id", "text",
+        dupFracMax = 0.5, topBigramFracMax = 0.5)
+      .orderBy("doc_id")
+      .select("n_tokens", "dup_words", "top_word_cnt", "top_bigram_cnt",
+        "dup_word_frac", "top_bigram_frac", "repetitive")
+      .as[(Int, Int, Int, Int, Double, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (4, 1, 2, 1, 0.25, 1.0 / 3, false),
+      (5, 4, 5, 4, 0.8, 1.0, true),
+      (5, 0, 1, 1, 0.0, 0.25, false)))
+  }
+
+  test("repetitionMetrics plans as one map-side projection — no shuffle") {
+    val df = SparkEntry.queries("q65_repetition")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("contamination finds exactly the docs sharing a 4-gram with eval") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the dog"), // shares 4-grams
+      (11L, "entirely unrelated words live in this document"),
+      (12L, "one quick brown fox jumps here")          // shares exactly one
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (90L, "the quick brown fox jumps far away")
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(corpus, eval, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    // doc 10 shares "the quick brown fox" and "quick brown fox jumps";
+    // doc 12 shares only "quick brown fox jumps"; doc 11 nothing
+    assert(out == Map(10L -> 2L, 12L -> 1L))
+  }
+
+  test("contamination probe broadcasts the eval grams; corpus grams do not shuffle with text") {
+    val df = SparkEntry.queries("q66_contamination")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n")
+    assert(!exchanges.contains("text#"), exchanges)
+  }
+
+  test("domainQuota keeps min(k, group size) rows per group, invariant to input partitioning") {
+    val docs = (1L to 30L).map(i =>
+      (i, if (i % 3 == 0) "a" else "b", s"doc number $i")).toSeq
+      .toDF("doc_id", "source", "text")
+    val base = Curation.domainQuota(docs, "doc_id", "source", "text", k = 7)
+      .as[(Long, String, Int)].collect().toSet
+    val counts = base.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts == Map("a" -> 7, "b" -> 7))
+    assert(base.forall(_._3 <= 7))
+    val repart = Curation.domainQuota(docs.repartition(7), "doc_id",
+      "source", "text", k = 7).as[(Long, String, Int)].collect().toSet
+    assert(repart == base)
+  }
+
+  test("maskPii masks emails, phones, then numbers, with per-kind counts") {
+    val rows = Seq(
+      (1L, "call 555-867-5309 or mail bob@example.com x2 42"),
+      (2L, "no pii here at all")
+    ).toDF("event_id", "props")
+    val out = Curation.maskPii(rows, "event_id", "props")
+      .orderBy("event_id")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      // n_numbers counts every digit run of the ORIGINAL text (5: three
+      // inside the phone, the x2, the 42) — masking order then collapses
+      // the phone before bare-number replacement sees it
+      (1L, 1, 1, 5, "call <PHONE> or mail <EMAIL> x<NUM> <NUM>"),
+      (2L, 0, 0, 0, "no pii here at all")))
+  }
+
+  test("shardId is a pure content function: stable across partitioning, in range") {
+    val docs = (1L to 100L).map(i => (i, s"document body $i")).toSeq
+      .toDF("doc_id", "text")
+    val a = docs.select(col("doc_id"),
+      Curation.shardId(col("text"), 8).as("s")).as[(Long, Long)]
+      .collect().toMap
+    val b = docs.repartition(13).select(col("doc_id"),
+      Curation.shardId(col("text"), 8).as("s")).as[(Long, Long)]
+      .collect().toMap
+    assert(a == b)
+    assert(a.values.forall(s => s >= 0 && s < 8))
+    assert(a.values.toSet.size > 1) // actually spreads
+  }
+
+  test("writeShards roundtrip: every row lands in its content-derived shard dir") {
+    val docs = (1L to 50L).map(i => (i, s"shardable text $i")).toSeq
+      .toDF("doc_id", "text")
+    val out = tmpDir("curation_shards")
+    Curation.writeShards(docs, "text", numShards = 4, out)
+    val back = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        Curation.shardId(col("text"), 4).as("expect"))
+    assert(back.count() == 50)
+    assert(back.filter(col("shard") =!= col("expect")).count() == 0)
+  }
+}
