@@ -812,6 +812,18 @@ object RelationalQueries {
       s.read.parquet(out)
         .groupBy(col("shard").cast("long").as("shard"))
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+
+    // Q70 — the end-to-end cleaning pipeline (dedup + repetition + quality
+    // + contamination) as per-source survival stats; the oracle recomputes
+    // every verdict from scratch in SQL, so the gate covers the whole
+    // composition, not just the pieces.
+    "q70_clean_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.cleanCorpus(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", "source")
     })
   )
 
@@ -1149,6 +1161,68 @@ object RelationalQueries {
       s"""SELECT ${graft.pipeline.Portable.hash60Sql("text")} % 8 AS shard,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q70: every verdict recomputed from scratch — dedup via the md5
+    // window, repetition and quality via their metric CTEs, contamination
+    // via the 4-gram screen — then rolled up per source
+    "q70_clean_corpus" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |w AS (SELECT doc_id, source, text,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM corpus),
+        |b AS (SELECT doc_id, ws, len(ws) AS n, list_distinct(ws) AS uq,
+        |    [ws[i+1]||' '||ws[i+2] for i in range(len(ws)-1)] AS bg
+        |  FROM w),
+        |rep AS (SELECT doc_id,
+        |    (CAST(n - len(uq) AS DOUBLE) / n > 0.68)
+        |      OR (CAST(list_max(list_transform(list_distinct(bg),
+        |          g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
+        |        / (n - 1) > 0.08) AS repetitive
+        |  FROM b),
+        |qm AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |      AS punct,
+        |    len(list_filter(ws, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |      AS stops
+        |  FROM w),
+        |qual AS (SELECT doc_id,
+        |    0.4 * least(1.0, n_tokens / 100.0)
+        |      + 0.3 * (1.0 - punct / n_chars)
+        |      + 0.3 * least(1.0, (stops / n_tokens) * 5) AS quality
+        |  FROM qm),
+        |dup AS (SELECT doc_id,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |  FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |            for i in range(len(ws)-3)]) AS s
+        |  FROM w),
+        |evw AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |evsh AS (SELECT DISTINCT
+        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |            for i in range(len(ws)-3)]) AS s
+        |  FROM evw),
+        |cont AS (SELECT DISTINCT doc_id, true AS is_cont FROM sh
+        |  WHERE s IN (SELECT s FROM evsh))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  CAST(sum(CASE WHEN coalesce(is_cont, false) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_quality,
+        |  CAST(sum(CASE WHEN NOT is_dup AND NOT repetitive
+        |      AND NOT coalesce(is_cont, false) AND quality >= 0.5
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM corpus
+        |JOIN rep USING (doc_id) JOIN qual USING (doc_id)
+        |JOIN dup USING (doc_id) LEFT JOIN cont USING (doc_id)
+        |GROUP BY source""".stripMargin,
 
     // q62: the salted join must equal the plain join exactly
     "q62_salted_join" ->

@@ -72,6 +72,17 @@ object Curation {
         col("top_bigram_frac") > topBigramFracMax)
   }
 
+  /** The `repetitive` verdict of [[repetitionMetrics]] as one composable
+    * Column over raw text (same integer divisions, so the same flag). */
+  def repetitiveFlag(text: Column, dupFracMax: Double = 0.68,
+      topBigramFracMax: Double = 0.08): Column = {
+    val ws = words(text)
+    val bg = Dedup.shingles(text, 2)
+    val dupFrac = (size(ws) - size(array_distinct(ws))).cast("double") / size(ws)
+    val bgFrac = topMultiplicity(bg).cast("double") / (size(ws) - 1)
+    dupFrac > dupFracMax || bgFrac > topBigramFracMax
+  }
+
   /** Benchmark-contamination screen: for every corpus document, the number
     * of distinct word n-grams it shares with ANY document of the held-out
     * evaluation set (the n-gram-overlap decontamination rule used for
@@ -145,6 +156,48 @@ object Curation {
           regexp_replace(t, emailPattern, "<EMAIL>"),
           phonePattern, "<PHONE>"),
         numberPattern, "<NUM>").as("masked"))
+  }
+
+  /** The end-to-end corpus-cleaning pipeline (the C4/Gopher recipe shape):
+    * exact dedup (keep the min-id copy), repetition filter, quality floor,
+    * and benchmark-contamination screen, reported as per-source survival
+    * statistics — `(source, n_docs, n_dup, n_repetitive, n_contaminated,
+    * n_low_quality, n_kept)`. Drop reasons are independent indicators (a
+    * doc can fail several); `n_kept` counts docs failing none.
+    *
+    * 100 TB shape: ONE map-side projection computes every per-doc verdict
+    * column plus the md5 fingerprint — document bodies never shuffle. The
+    * dedup agg exchanges (16-byte fp, 8-byte id); the contamination probe
+    * broadcasts eval grams ([[contamination]]); the verdict joins exchange
+    * ids and booleans only; the final rollup is a partial-agg'd groupBy on
+    * the (low-cardinality) source key.
+    */
+  def cleanCorpus(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, srcCol: String, qualityFloor: Double = 0.5,
+      contaminationN: Int = 4): DataFrame = {
+    val t = col(textCol)
+    val flagged = corpus.select(
+      col(idCol).as("doc_id"), col(srcCol).as("source"),
+      repetitiveFlag(t).as("repetitive"),
+      (TextAnalysis.qualityExpr(t) < qualityFloor).as("low_quality"),
+      md5(t).as("fp"))
+    val first = flagged.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("is_first"))
+    val cont = contamination(corpus, evalSet, idCol, textCol, contaminationN)
+      .select(col("doc_id"), lit(true).as("cont"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    flagged.join(first, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_first"), lit(false)) === lit(false))
+      .withColumn("is_cont", coalesce(col("cont"), lit(false)))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("is_dup")).as("n_dup"),
+        cnt(col("repetitive")).as("n_repetitive"),
+        cnt(col("is_cont")).as("n_contaminated"),
+        cnt(col("low_quality")).as("n_low_quality"),
+        cnt(!col("is_dup") && !col("repetitive") && !col("is_cont") &&
+          !col("low_quality")).as("n_kept"))
   }
 
   /** Deterministic shard id in [0, numShards) from document content — the

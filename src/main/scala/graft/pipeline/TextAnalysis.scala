@@ -67,6 +67,22 @@ object TextAnalysis {
         lit(0.3) * least(lit(1.0), col("stop_ratio") * 5))
   }
 
+  /** The quality score as a single composable Column over raw text —
+    * the same arithmetic as [[qualityScore]]'s `quality` output (identical
+    * int-division/IEEE order, asserted equal in CurationSpec), for
+    * pipelines that fold the score into one projection instead of
+    * joining the metrics frame. */
+  def qualityExpr(t: Column): Column = {
+    val ws = words(t)
+    val nTok = size(ws)
+    val nChars = length(t)
+    val punct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
+    val stops = hits(ws, stopwords.head._2)
+    lit(0.4) * least(lit(1.0), nTok / 100.0) +
+      lit(0.3) * (lit(1.0) - punct.cast("double") / nChars) +
+      lit(0.3) * least(lit(1.0), (stops.cast("double") / nTok) * 5)
+  }
+
   /** BPE-ish sub-token regex: letter runs, digit runs, single symbols. */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 

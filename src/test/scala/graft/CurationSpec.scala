@@ -105,6 +105,35 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(a.values.toSet.size > 1) // actually spreads
   }
 
+  test("composable qualityExpr / repetitiveFlag equal the metric-frame outputs bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaExpr = docs.select(col("doc_id"),
+      graft.pipeline.TextAnalysis.qualityExpr(col("text")).as("q"),
+      Curation.repetitiveFlag(col("text")).as("r"))
+    val viaFrames = graft.pipeline.TextAnalysis
+      .qualityScore(docs, "doc_id", "text").select("doc_id", "quality")
+      .join(Curation.repetitionMetrics(docs, "doc_id", "text")
+        .select("doc_id", "repetitive"), "doc_id")
+    // exact equality, not tolerance: both must run the same int divisions
+    assert(viaExpr.join(viaFrames, "doc_id")
+      .filter(col("q") =!= col("quality") || col("r") =!= col("repetitive"))
+      .count() == 0)
+  }
+
+  test("cleanCorpus: per-source totals reconcile and every doc is accounted for") {
+    val d = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q70_clean_corpus")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val corpus = spark.read.parquet(s"$d/documents.parquet")
+      .filter(col("doc_id") % 97 =!= 0)
+    assert(out.map(_._2).sum == corpus.count())
+    // kept never exceeds docs minus any single drop reason
+    out.foreach { case (_, n, dup, rep, cont, lowq, kept) =>
+      assert(kept <= n - Seq(dup, rep, cont, lowq).max)
+      assert(kept >= n - dup - rep - cont - lowq) // reasons can overlap
+    }
+  }
+
   test("writeShards roundtrip: every row lands in its content-derived shard dir") {
     val docs = (1L to 50L).map(i => (i, s"shardable text $i")).toSeq
       .toDF("doc_id", "text")
