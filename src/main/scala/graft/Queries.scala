@@ -814,6 +814,27 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
     }),
 
+    // Q40c — REAL audio metadata round-trip: wrap each doc's bytes as a
+    // canonical PCM WAV container, then recover sample rate / channels /
+    // bit depth / frame count by PARSING the RIFF chunk list; the oracle
+    // derives the same numbers arithmetically (n_frames = bytes /
+    // block-align), so the gate proves the parser inverts the container
+    // format. Narrow typed map — no shuffle, header-only reads.
+    "q40c_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val wav = Multimodal.wavBytes(text.getBytes("UTF-8"),
+            sampleRate = 16000, channels = 1, bitsPerSample = 16)
+          val m = Multimodal.decodeWavHeader(wav).getOrElse(
+            Multimodal.WavMeta(-1, -1, -1, -1)) // mismatch, not crash
+          (id, m.sampleRate, m.channels, m.bitsPerSample, m.nFrames)
+        }
+        .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+          "n_frames")
+    }),
+
     // Q70 — the end-to-end cleaning pipeline (dedup + repetition + quality
     // + contamination) as per-source survival stats; the oracle recomputes
     // every verdict from scratch in SQL, so the gate covers the whole
@@ -1161,6 +1182,14 @@ object RelationalQueries {
       s"""SELECT ${graft.pipeline.Portable.hash60Sql("text")} % 8 AS shard,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // q40c: the container round-trip must recover exactly the sample
+    // parameters and the frame count implied by the payload length
+    // (16-bit mono -> block align 2; text is pure ASCII, see q40)
+    "q40c_audio_meta" ->
+      """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
+        |  16 AS bits_per_sample, CAST(length(text) // 2 AS INT) AS n_frames
+        |FROM documents""".stripMargin,
 
     // q70: every verdict recomputed from scratch — dedup via the md5
     // window, repetition and quality via their metric CTEs, contamination

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   * struct — the Spark-side plumbing (schema, partitioning, per-partition
   * batch iteration, feature schema) is real and tested. IMAGE decode is
   * real: [[decodeImageHeader]] reads width/height/channels from PNG/JPEG/
-  * GIF/BMP headers via the JDK's public ImageIO registry. Audio/video
-  * remain a declared STUB (no codecs in this environment); swapping
+  * GIF/BMP headers via the JDK's public ImageIO registry. AUDIO header
+  * decode is real for the WAV/RIFF container ([[decodeWavHeader]], a
+  * codec-free byte format, round-trip gated by q40c). Compressed audio
+  * and video remain a declared STUB (no codecs in this environment);
+  * swapping
   * [[decodeStub]] for a real decoder (JNI, ONNX, or an Arrow `mapInArrow`
   * bridge to a Python worker) changes no plan shape: the operator stays a
   * narrow mapPartitions over the payload column, so it scales linearly
@@ -80,12 +83,70 @@ object Multimodal {
     finally if (iis != null) iis.close()
   }
 
+  /** Parsed WAV (RIFF/WAVE) header metadata. */
+  final case class WavMeta(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nFrames: Int)
+
+  /** REAL audio-header decode for the WAV/RIFF container (a public,
+    * codec-free byte format — PCM WAV needs no decoder library): walks
+    * the chunk list to the `fmt ` and `data` chunks and returns sample
+    * rate, channel count, bit depth, and frame count. Like
+    * [[decodeImageHeader]], only the header bytes are touched — per-row
+    * cost is independent of payload size. Returns None for anything that
+    * is not a well-formed RIFF/WAVE payload (then the declared stub
+    * stands in; compressed audio and video stay stubbed — no codecs in
+    * this environment). */
+  def decodeWavHeader(payload: Array[Byte]): Option[WavMeta] = {
+    def u16(i: Int) = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+    def u32(i: Int) = (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+      ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    def tag(i: Int) = new String(payload, i, 4, "US-ASCII")
+    if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var pos = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // rate, ch, bits, blockAlign
+      var dataSize = -1L
+      while (pos + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = tag(pos)
+        val size = u32(pos + 4)
+        if (id == "fmt " && pos + 24 <= payload.length)
+          fmt = Some((u32(pos + 12).toInt, u16(pos + 10), u16(pos + 22),
+            u16(pos + 20)))
+        else if (id == "data") dataSize = size
+        pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      fmt.collect { case (rate, ch, bits, block) if block > 0 && dataSize >= 0 =>
+        WavMeta(rate, ch, bits, (dataSize / block).toInt)
+      }
+    }
+  }
+
+  /** The writer half of the WAV round-trip gate: a canonical 44-byte
+    * PCM RIFF/WAVE container around raw bytes. */
+  def wavBytes(pcm: Array[Byte], sampleRate: Int, channels: Int,
+      bitsPerSample: Int): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val byteRate = sampleRate * blockAlign
+    val b = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    b.array()
+  }
+
   /** ======= STUB =======
     * Deterministic fake "decode" for payloads no installed codec reads
-    * (audio/video in this container): derives pseudo-dimensions and a
-    * byte checksum from the payload. The batch shape (one Iterator per
-    * partition — the same contract a Pandas/Arrow UDF batch loop has)
-    * and the output schema are the real thing. */
+    * (compressed audio / video in this container): derives
+    * pseudo-dimensions and a byte checksum from the payload. The batch
+    * shape (one Iterator per partition — the same contract a
+    * Pandas/Arrow UDF batch loop has) and the output schema are the
+    * real thing. */
   def decodeStub(payload: Array[Byte], kind: String): (Long, Int, Int) = {
     var s = 0L
     var i = 0

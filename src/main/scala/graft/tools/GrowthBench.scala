@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Curation, Dedup, Similarity}
 
 /** Scaling measurement: run the dedup/ANN tiers at 1x / 2x / 10x the
   * sf0.1 corpus and report runtime growth exponents — the executable
@@ -213,6 +213,34 @@ object GrowthBench {
       Similarity.ivfTopK(Tables.embeddings(spark, x10), "vec_id", "embedding",
         k = 3, nlist = 640, nprobe = 8, dim = 64))
 
+    // curation tier (documents n = 5k / 10k / 50k): repetition metrics
+    // are pure map-side, the cleaning pipeline shuffles only ids/flags,
+    // contamination is a broadcast gram probe — all expected ~linear.
+    // (The token bijection keeps cross-copy grams disjoint, so the
+    // contamination hit RATE stays constant as the corpus scales.)
+    def evalSplit(d: String) = {
+      val docs = Tables.documents(spark, d)
+      (docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0))
+    }
+    locally { // warm the curation plan shapes
+      val (c, e) = evalSplit(x1)
+      Curation.repetitionMetrics(Tables.documents(spark, x1),
+        "doc_id", "text").count()
+      Curation.contamination(c, e, "doc_id", "text", n = 4).count()
+      Curation.cleanCorpus(c, e, "doc_id", "text", "source").count()
+    }
+    for ((tag, d) <- Seq("1x" -> x1, "2x" -> x2, "10x" -> x10)) {
+      val (c, e) = evalSplit(d)
+      t(s"q65_repetition_$tag") = time(s"q65_repetition_$tag",
+        Curation.repetitionMetrics(Tables.documents(spark, d),
+          "doc_id", "text"))
+      t(s"q66_contamination_$tag") = time(s"q66_contamination_$tag",
+        Curation.contamination(c, e, "doc_id", "text", n = 4))
+      t(s"q70_clean_$tag") = time(s"q70_clean_$tag",
+        Curation.cleanCorpus(c, e, "doc_id", "text", "source"))
+    }
+
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
       System.err.println(
         f"[growth] exponent $label%-28s ${math.log(tk / t1) / math.log(k)}%5.2f")
@@ -234,6 +262,11 @@ object GrowthBench {
       t("q35c_ivf_fixed_10x"), 10)
     exp("q35c_ivf scaled 1x->10x", t("q35c_ivf_fixed_1x"),
       t("q35c_ivf_scaled_10x"), 10)
+    exp("q65_repetition 1x->10x", t("q65_repetition_1x"),
+      t("q65_repetition_10x"), 10)
+    exp("q66_contamination 1x->10x", t("q66_contamination_1x"),
+      t("q66_contamination_10x"), 10)
+    exp("q70_clean 1x->10x", t("q70_clean_1x"), t("q70_clean_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +

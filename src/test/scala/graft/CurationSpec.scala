@@ -134,6 +134,14 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("cleanCorpus: no exchange carries document bodies (the 100 TB claim)") {
+    val df = SparkEntry.queries("q70_clean_corpus")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(exchanges.nonEmpty && !exchanges.contains("text#"), exchanges)
+  }
+
   test("writeShards roundtrip: every row lands in its content-derived shard dir") {
     val docs = (1L to 50L).map(i => (i, s"shardable text $i")).toSeq
       .toDF("doc_id", "text")

@@ -381,6 +381,44 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(!out(4L).decoded && out(4L).channels == 0)
   }
 
+  test("WAV round-trip: the RIFF parse recovers exactly the container parameters") {
+    val pcm = Array.tabulate[Byte](320)(i => (i % 251).toByte)
+    val wav = Multimodal.wavBytes(pcm, 8000, 2, 16) // blockAlign 4 -> 80 frames
+    assert(Multimodal.decodeWavHeader(wav)
+      .contains(Multimodal.WavMeta(8000, 2, 16, 80)))
+    // odd-length data floors the frame count
+    val mono = Multimodal.wavBytes(Array[Byte](1, 2, 3, 4, 5), 44100, 1, 16)
+    assert(Multimodal.decodeWavHeader(mono)
+      .contains(Multimodal.WavMeta(44100, 1, 16, 2)))
+    // non-WAV payloads are None, never garbage
+    assert(Multimodal.decodeWavHeader("RIFFxxxx".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWavHeader("plain text here".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("WAV parse agrees with the JDK's own javax.sound reader") {
+    val wav = Multimodal.wavBytes(Array.fill[Byte](96)(3), 8000, 2, 16)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    val mine = Multimodal.decodeWavHeader(wav).get
+    assert(f.getSampleRate == mine.sampleRate.toFloat &&
+      f.getChannels == mine.channels &&
+      f.getSampleSizeInBits == mine.bitsPerSample &&
+      ais.getFrameLength == mine.nFrames.toLong)
+  }
+
+  test("WAV parse walks past foreign chunks (LIST before fmt)") {
+    val base = Multimodal.wavBytes(Array.fill[Byte](40)(1), 16000, 1, 16)
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.take(12) ++ list ++ base.drop(12)
+    java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, spliced.length - 8) // fix the RIFF size field
+    assert(Multimodal.decodeWavHeader(spliced)
+      .contains(Multimodal.WavMeta(16000, 1, 16, 20)))
+  }
+
   test("frameSampleStub explodes fixed-size frames with positions") {
     val doc = Seq((1L, "x" * 100)).toDF("doc_id", "text") // 100 bytes
     val m = Multimodal.asMedia(doc, "doc_id", "text", "demo")
