@@ -835,6 +835,13 @@ object RelationalQueries {
           "n_frames")
     }),
 
+    // Q71 — token-budget packing: each source contributes ~600 whitespace
+    // tokens, docs taken greedily in content-hash order; the running
+    // total column makes the cut itself part of the gate.
+    "q71_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
+        "source", budgetTokens = 600L)),
+
     // Q70 — the end-to-end cleaning pipeline (dedup + repetition + quality
     // + contamination) as per-source survival stats; the oracle recomputes
     // every verdict from scratch in SQL, so the gate covers the whole
@@ -1190,6 +1197,21 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS INT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q71: running token totals over the same hash order; the first
+    // over-budget doc stays (take-while-greedy), later ones drop
+    "q71_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text,' '), x -> len(x)>0))
+        |      AS INT) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens - n_tokens < 600""".stripMargin,
 
     // q70: every verdict recomputed from scratch — dedup via the md5
     // window, repetition and quality via their metric CTEs, contamination

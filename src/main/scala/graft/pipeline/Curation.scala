@@ -57,16 +57,22 @@ object Curation {
       dupFracMax: Double = 0.68, topBigramFracMax: Double = 0.08): DataFrame = {
     val ws = words(col(textCol))
     val bg = Dedup.shingles(col(textCol), 2)
+    // degenerate docs (empty / single-token) define as zero counts and
+    // 0.0 fractions, not null arithmetic: array_max of an empty array is
+    // null and n/(n-1) divides by zero at n=1
     docs.select(
         col(idCol).as("doc_id"),
         size(ws).as("n_tokens"),
         (size(ws) - size(array_distinct(ws))).as("dup_words"),
-        topMultiplicity(ws).as("top_word_cnt"),
-        topMultiplicity(bg).as("top_bigram_cnt"))
+        coalesce(topMultiplicity(ws), lit(0)).as("top_word_cnt"),
+        coalesce(topMultiplicity(bg), lit(0)).as("top_bigram_cnt"))
       .withColumn("dup_word_frac",
-        col("dup_words").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          col("dup_words").cast("double") / col("n_tokens")).otherwise(0.0))
       .withColumn("top_bigram_frac",
-        col("top_bigram_cnt").cast("double") / (col("n_tokens") - 1))
+        when(col("n_tokens") > 1,
+          col("top_bigram_cnt").cast("double") / (col("n_tokens") - 1))
+          .otherwise(0.0))
       .withColumn("repetitive",
         col("dup_word_frac") > dupFracMax ||
         col("top_bigram_frac") > topBigramFracMax)
@@ -78,8 +84,12 @@ object Curation {
       topBigramFracMax: Double = 0.08): Column = {
     val ws = words(text)
     val bg = Dedup.shingles(text, 2)
-    val dupFrac = (size(ws) - size(array_distinct(ws))).cast("double") / size(ws)
-    val bgFrac = topMultiplicity(bg).cast("double") / (size(ws) - 1)
+    val dupFrac = when(size(ws) > 0,
+      (size(ws) - size(array_distinct(ws))).cast("double") / size(ws))
+      .otherwise(0.0)
+    val bgFrac = when(size(ws) > 1,
+      coalesce(topMultiplicity(bg), lit(0)).cast("double") / (size(ws) - 1))
+      .otherwise(0.0)
     dupFrac > dupFracMax || bgFrac > topBigramFracMax
   }
 
@@ -128,6 +138,32 @@ object Curation {
     docs.select(col(idCol).as("doc_id"), col(groupCol),
         row_number().over(w).as("rk"))
       .filter(col("rk") <= k)
+  }
+
+  /** Token-budget packing (the "sample a fixed-token-count training mix"
+    * step): per group, walk the docs in portable content-hash order and
+    * keep each doc whose predecessors haven't yet consumed the budget —
+    * so every group contributes ≈ `budgetTokens` whitespace tokens (the
+    * first over-budget doc is kept, matching the greedy take-while; the
+    * returned `cum_tokens` running total makes the cut auditable).
+    * Deterministic: a pure function of (group, content) — re-runs and
+    * engines agree on the sampled set. Returns
+    * `(doc_id, group, n_tokens, cum_tokens)`.
+    *
+    * Same shuffle shape as [[domainQuota]]: one hash partition by group,
+    * per-group sort in `WindowExec` (spillable). The kept OUTPUT is
+    * budget-bounded per group even when a group's input is huge.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, budgetTokens: Long): DataFrame = {
+    val projected = docs.select(col(idCol).as("doc_id"), col(groupCol),
+      size(words(col(textCol))).as("n_tokens"), md5(col(textCol)).as("_h"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    projected.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .drop("_h")
   }
 
   /** PII-style masking: replace emails, North-American phone numbers, and

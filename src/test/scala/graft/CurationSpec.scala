@@ -28,6 +28,22 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       (5, 0, 1, 1, 0.0, 0.25, false)))
   }
 
+  test("repetitionMetrics: degenerate docs yield zeros, never nulls") {
+    val docs = Seq((1L, ""), (2L, "solo"), (3L, "  ")).toDF("doc_id", "text")
+    val out = Curation.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Int, Int, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 0, 0, 0, 0.0, 0.0, false),
+      (2L, 1, 0, 1, 0, 0.0, 0.0, false),
+      (3L, 0, 0, 0, 0, 0.0, 0.0, false)))
+    // the composable flag agrees on the same degenerate inputs
+    val flags = docs.select(Curation.repetitiveFlag(col("text")))
+      .as[Boolean].collect().toSeq
+    assert(flags == Seq(false, false, false))
+  }
+
   test("repetitionMetrics plans as one map-side projection — no shuffle") {
     val df = SparkEntry.queries("q65_repetition")(spark, "/root/testdata/sf0.001")
     df.collect()
@@ -73,6 +89,30 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     val repart = Curation.domainQuota(docs.repartition(7), "doc_id",
       "source", "text", k = 7).as[(Long, String, Int)].collect().toSet
     assert(repart == base)
+  }
+
+  test("tokenBudgetSample: greedy take-while in hash order, first over-budget doc kept") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i <= 20) "g1" else "g2",
+        Seq.fill(10)(s"w$i").mkString(" "))) // 10 tokens per doc
+      .toDF("doc_id", "source", "text")
+    val out = Curation.tokenBudgetSample(docs, "doc_id", "text",
+      "source", budgetTokens = 35L)
+      .as[(Long, String, Int, Long)].collect()
+    val byGroup = out.groupBy(_._2)
+    // 10-token docs against a 35-token budget: cum 10,20,30 are under,
+    // the 4th doc starts at 30 < 35 so it is kept too (cum 40), the 5th
+    // starts at 40 and drops -> exactly 4 docs, 40 tokens per group
+    assert(byGroup.keySet == Set("g1", "g2"))
+    byGroup.values.foreach { g =>
+      assert(g.length == 4)
+      assert(g.map(_._4).max == 40L)
+    }
+    // determinism: the kept set is a pure content function
+    val again = Curation.tokenBudgetSample(docs.repartition(9), "doc_id",
+      "text", "source", budgetTokens = 35L)
+      .as[(Long, String, Int, Long)].collect()
+    assert(again.toSet == out.toSet)
   }
 
   test("maskPii masks emails, phones, then numbers, with per-kind counts") {
