@@ -835,6 +835,18 @@ object RelationalQueries {
           "n_frames")
     }),
 
+    // Q72 — broadcast decontamination: the stream-compatible map-side
+    // variant of q66 (no join — eval gram hashes ride a broadcast sorted
+    // array; exact membership). Gated against the exact-SQL complement.
+    "q72_broadcast_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminateBroadcast(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text", n = 4)
+        .select("doc_id", "source")
+    }),
+
     // Q71 — token-budget packing: each source contributes ~600 whitespace
     // tokens, docs taken greedily in content-hash order; the running
     // total column makes the cut itself part of the gate.
@@ -1197,6 +1209,22 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS INT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q72: survivors = corpus minus the exact shared-gram set
+    "q72_broadcast_decontam" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |            for i in range(len(ws)-3)]) AS s
+        |  FROM w),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev))
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |""".stripMargin,
 
     // q71: running token totals over the same hash order; the first
     // over-budget doc stays (take-while-greedy), later ones drop

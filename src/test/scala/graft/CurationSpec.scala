@@ -115,6 +115,52 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(again.toSet == out.toSet)
   }
 
+  test("decontaminateBroadcast equals the exact join screen on batch, and runs unchanged on a stream") {
+    val corpus = Seq(
+      (10L, "s1", "the quick brown fox jumps over the dog"),
+      (11L, "s1", "entirely unrelated words live in this document"),
+      (12L, "s2", "one quick brown fox jumps here")
+    ).toDF("doc_id", "source", "text")
+    val eval = Seq((90L, "s9", "the quick brown fox jumps far away"))
+      .toDF("doc_id", "source", "text")
+    val batchKept = Curation.decontaminateBroadcast(corpus, eval,
+      "doc_id", "text", n = 4).select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(11L)) // 10 and 12 share 4-grams with eval
+    // the same call compiles as a streaming plan: map-side only, no state
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    ms.addData((10L, "s1", "the quick brown fox jumps over the dog"),
+      (11L, "s1", "entirely unrelated words live in this document"),
+      (12L, "s2", "one quick brown fox jumps here"))
+    val streamDf = ms.toDF().toDF("doc_id", "source", "text")
+    val q = Curation.decontaminateBroadcast(streamDf, eval, "doc_id",
+        "text", n = 4)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bloom_decontam_test")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bloom_decontam_test")
+      .as[Long].collect().toSet
+    assert(streamed == batchKept)
+  }
+
+  test("decontaminateBroadcast sketch mode is one-sided: contaminated docs never survive") {
+    val d = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val exactKept = Curation.decontaminateBroadcast(corpus, eval,
+      "doc_id", "text", n = 4).select("doc_id").as[Long].collect().toSet
+    val sketchKept = Curation.decontaminateBroadcast(corpus, eval,
+      "doc_id", "text", n = 4, fpp = Some(1e-6))
+      .select("doc_id").as[Long].collect().toSet
+    // Bloom may over-drop (false positives) but NEVER under-drop
+    assert(sketchKept.subsetOf(exactKept))
+    val dropped = exactKept.size - sketchKept.size
+    assert(dropped <= exactKept.size / 20,
+      s"sketch over-dropped $dropped of ${exactKept.size}")
+  }
+
   test("maskPii masks emails, phones, then numbers, with per-kind counts") {
     val rows = Seq(
       (1L, "call 555-867-5309 or mail bob@example.com x2 42"),
