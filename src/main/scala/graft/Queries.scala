@@ -847,6 +847,20 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q73 — incremental dedup: the doc_id>=400 slice plays the daily
+    // increment screened against the doc_id<400 corpus; only CROSS pairs
+    // form. Same derived LSH params as q31 (recall proven total there by
+    // the exact oracle — the crossing subset inherits it).
+    "q73_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      Dedup.incrementalMinhashPairs(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", n = 3, threshold = 0.8,
+        numHashes = h, bands = b)
+    }),
+
     // Q71 — token-budget packing: each source contributes ~600 whitespace
     // tokens, docs taken greedily in content-hash order; the running
     // total column makes the cut itself part of the gate.
@@ -1209,6 +1223,12 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS INT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q73: the exact cross-boundary Jaccard pairs — corpus-internal and
+    // batch-internal pairs must NOT appear
+    "q73_incremental_dedup" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
+        |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
 
     // q72: survivors = corpus minus the exact shared-gram set
     "q72_broadcast_decontam" ->

@@ -145,6 +145,30 @@ object Dedup {
         s"$maxHashes hashes even at rows=1 — raise maxHashes"))
   }
 
+  /** (id, h0..h{H-1}, n) minhash signatures + shingle-set size from
+    * postings: one groupBy, H parallel min-aggregates (partial agg
+    * map-side, so the shuffle carries H longs per doc); the per-doc
+    * size rides the same aggregation, saving a separate sizes pass. */
+  private def signaturesOf(ds: DataFrame, numHashes: Int): DataFrame = {
+    val params = hashParams(numHashes)
+    val x = col("sh") % P
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * x + lit(b)) % P).as(s"h$i")
+    } :+ count(lit(1)).as("n")
+    ds.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** (id, band, bsig) band-bucket rows: each band's r minhashes combined
+    * into one bucket key. */
+  private def bandRowsOf(sigs: DataFrame, bands: Int, r: Int): DataFrame =
+    sigs.select(col("id"), explode(array(
+      (0 until bands).map { j =>
+        val bsig = (0 until r).map(k => col(s"h${j * r + k}"))
+          .reduce((acc, c) => acc * 31 + c)
+        struct(lit(j).as("band"), bsig.as("bsig"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
     *
     * @param numHashes signature length H (= bands * rowsPerBand)
@@ -160,29 +184,12 @@ object Dedup {
     // lineage per consumer
     val ds = shinglePostings(docs, idCol, textCol, n).cache()
 
-    // signatures: one groupBy, H parallel min-aggregates (partial agg
-    // map-side, so the shuffle carries H longs per doc); the per-doc
-    // shingle-set size rides the same aggregation, saving the separate
-    // sizes pass the Jaccard step would otherwise make
-    val params = hashParams(numHashes)
-    val x = col("sh") % P
-    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * x + lit(b)) % P).as(s"h$i")
-    } :+ count(lit(1)).as("n")
     // sigs feeds both the banding path and the Jaccard size lookup; cache
     // so the H-way min aggregation runs once (docs × (H+1) longs — small
     // relative to the postings at any scale)
-    val sigs = ds.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-      .cache()
+    val sigs = signaturesOf(ds, numHashes).cache()
 
-    // band buckets: combine each band's r minhashes into one bucket key
-    val bandRows = sigs.select(col("id"), explode(array(
-      (0 until bands).map { j =>
-        val bsig = (0 until r).map(k => col(s"h${j * r + k}"))
-          .reduce((acc, c) => acc * 31 + c)
-        struct(lit(j).as("band"), bsig.as("bsig"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val bandRows = bandRowsOf(sigs, bands, r)
 
     val candidates = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
@@ -198,6 +205,46 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val pairs = jaccardOf(sigs.select(col("id"), col("n")), inter, threshold)
     materializeThenRelease(pairs, ds, sigs)
+  }
+
+  /** INCREMENTAL MinHash-LSH dedup: which docs of a NEW batch are
+    * near-dups of an EXISTING corpus — the production shape, where daily
+    * increments are screened against the accumulated corpus without ever
+    * re-pairing the corpus against itself. Returns
+    * `(id_a = corpus id, id_b = batch id, jaccard)` for every cross pair
+    * at or above `threshold`; batch-internal and corpus-internal pairs
+    * are never formed (the band join keys corpus rows only against batch
+    * rows), so incremental cost is O(batch shingles + cross candidates),
+    * independent of corpus². Ids must be disjoint across the two inputs
+    * (they key the verification joins).
+    *
+    * Signatures use the same [[hashParams]] permutations as
+    * [[minhashLshPairs]], so in production the corpus side's signatures
+    * and band rows are a precomputed table appended per increment —
+    * computed here from the same recipe, bit-identical either way.
+    */
+  def incrementalMinhashPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      numHashes: Int = 24, bands: Int = 6): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val cds = shinglePostings(corpus, idCol, textCol, n).cache()
+    val bds = shinglePostings(batch, idCol, textCol, n).cache()
+    val csigs = signaturesOf(cds, numHashes).cache()
+    val bsigs = signaturesOf(bds, numHashes).cache()
+    val candidates = bandRowsOf(csigs, bands, r).as("x")
+      .join(bandRowsOf(bsigs, bands, r).as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val inter = candidates
+      .join(cds.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(bds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = csigs.select(col("id"), col("n"))
+      .unionByName(bsigs.select(col("id"), col("n")))
+    val pairs = jaccardOf(sizes, inter, threshold)
+    materializeThenRelease(pairs, cds, bds, csigs, bsigs)
   }
 
   // ---------------------------------------------------------------- clusters

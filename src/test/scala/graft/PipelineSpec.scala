@@ -30,6 +30,17 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((0L, 1L, 1.0), (0L, 2L, 0.556), (1L, 2L, 0.556)))
   }
 
+  test("incrementalMinhashPairs finds only cross pairs — never batch- or corpus-internal ones") {
+    val corpus = docs.filter($"doc_id".isin(0L, 3L))
+    val batch = docs.filter($"doc_id".isin(1L, 2L))
+    val out = Dedup.incrementalMinhashPairs(corpus, batch, "doc_id", "text",
+        n = 3, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 0-1 exact dup (J=1) and 0-2 near dup (J=5/9) cross the boundary;
+    // the batch-internal near-dup 1-2 (J=5/9) must NOT be reported
+    assert(out == Set((0L, 1L), (0L, 2L)))
+  }
+
   test("minhash LSH recalls the exact-dup and high-jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
