@@ -102,19 +102,24 @@ object Curation {
     *
     * Shape at 100 TB: the eval set is benchmark-sized (thousands of docs,
     * millions of grams — broadcastable by construction); corpus grams are
-    * hashed 60-bit map-side ([[Portable.hash60Fast]]) so the probe
-    * carries (id, 8-byte gram) and the join is a broadcast hash probe
-    * with NO corpus shuffle; only the (rare) hits reach the per-doc
-    * count aggregation.
+    * hashed 60-bit map-side ([[Portable.hash60Fast]]) and probe the
+    * broadcast WITHOUT any pre-dedup — deduplication happens in the
+    * per-doc `countDistinct` AFTER the join, so only the (rare) hit rows
+    * ever reach an exchange. The corpus never shuffles at all, not even
+    * its gram hashes (plan-asserted in CurationSpec: the only exchange is
+    * the hit aggregation's).
     */
   def contamination(corpus: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, minShared: Long = 1L): DataFrame = {
-    val corpusGrams = Dedup.shinglePostings(corpus, idCol, textCol, n)
+    graft.functions.VectorOps.ensureRegistered(corpus.sparkSession)
+    val corpusGrams = corpus.select(col(idCol).as("id"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .select(col("id"), Portable.hash60Fast(col("s")).as("sh"))
     val evalGrams = Dedup.shinglePostings(eval, idCol, textCol, n)
       .select(col("sh")).distinct()
     corpusGrams.join(broadcast(evalGrams), "sh")
       .groupBy(col("id").as("doc_id"))
-      .agg(count(lit(1)).as("shared_grams")) // postings are distinct per doc
+      .agg(countDistinct(col("sh")).as("shared_grams"))
       .filter(col("shared_grams") >= minShared)
   }
 

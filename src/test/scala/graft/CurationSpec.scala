@@ -67,14 +67,26 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(out == Map(10L -> 2L, 12L -> 1L))
   }
 
-  test("contamination probe broadcasts the eval grams; corpus grams do not shuffle with text") {
+  test("contamination probe broadcasts the eval grams; only hit rows reach an exchange") {
     val df = SparkEntry.queries("q66_contamination")(spark, "/root/testdata/sf0.001")
     df.collect()
+    // final plan only — AQE appends an "Initial Plan" section that would
+    // double-count nodes
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("BroadcastHashJoin"), p)
-    val exchanges = p.linesIterator.filter(_.contains("Exchange"))
-      .mkString("\n")
-    assert(!exchanges.contains("text#"), exchanges)
+      .split("== Initial Plan ==")(0)
+    val lines = p.linesIterator.toSeq
+    val join = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    assert(join >= 0, p)
+    // the streamed (corpus) side sits between the join and its broadcast
+    // branch: it must reach the parquet scan with NO exchange — the
+    // corpus never shuffles, not even its gram hashes
+    val bcast = lines.indexWhere(_.contains("BroadcastExchange"), join)
+    val streamed = lines.slice(join + 1, bcast)
+    assert(streamed.exists(_.contains("FileScan")), p)
+    assert(!streamed.exists(_.contains("Exchange")), p)
+    // and nothing anywhere shuffles document bodies
+    assert(!lines.filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text#")), p)
   }
 
   test("domainQuota keeps min(k, group size) rows per group, invariant to input partitioning") {
