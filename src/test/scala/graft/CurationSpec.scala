@@ -89,6 +89,20 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       .exists(_.contains("text#")), p)
   }
 
+  test("domainQuota and tokenBudgetSample plan one group-key exchange; bodies never shuffle") {
+    for (q <- Seq("q67_domain_quota", "q71_token_budget")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val exchanges = p.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.size == 1, s"$q:\n$p")
+      assert(exchanges.head.contains("source#"), s"$q: ${exchanges.head}")
+      assert(!exchanges.head.contains("text#"), s"$q: ${exchanges.head}")
+    }
+  }
+
   test("domainQuota keeps min(k, group size) rows per group, invariant to input partitioning") {
     val docs = (1L to 30L).map(i =>
       (i, if (i % 3 == 0) "a" else "b", s"doc number $i")).toSeq
