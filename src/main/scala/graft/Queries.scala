@@ -828,7 +828,7 @@ object RelationalQueries {
           val wav = Multimodal.wavBytes(text.getBytes("UTF-8"),
             sampleRate = 16000, channels = 1, bitsPerSample = 16)
           val m = Multimodal.decodeWavHeader(wav).getOrElse(
-            Multimodal.WavMeta(-1, -1, -1, -1)) // mismatch, not crash
+            Multimodal.WavMeta(-1, -1, -1, -1L)) // mismatch, not crash
           (id, m.sampleRate, m.channels, m.bitsPerSample, m.nFrames)
         }
         .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
@@ -1146,7 +1146,10 @@ object RelationalQueries {
         |FROM orders GROUP BY 1""".stripMargin,
 
     // q65: integer repetition counts; fractions are single int/int
-    // divisions so doubles (and the threshold flag) are bit-equal
+    // divisions so doubles (and the threshold flag) are bit-equal.
+    // Zero-guards mirror the Spark side exactly (empty / single-token
+    // docs are zeros, not NULL arithmetic) — the gated corpus has none,
+    // but the oracle must encode the same semantics it checks.
     "q65_repetition" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
@@ -1157,18 +1160,26 @@ object RelationalQueries {
         |m AS (SELECT doc_id,
         |    CAST(n AS INT) AS n_tokens,
         |    CAST(n - len(uq) AS INT) AS dup_words,
-        |    CAST(list_max(list_transform(uq,
-        |      u -> len(list_filter(ws, x -> x = u)))) AS INT) AS top_word_cnt,
-        |    CAST(list_max(list_transform(list_distinct(bg),
-        |      g -> len(list_filter(bg, x -> x = g)))) AS INT) AS top_bigram_cnt
-        |  FROM b)
+        |    CAST(coalesce(list_max(list_transform(uq,
+        |      u -> len(list_filter(ws, x -> x = u)))), 0) AS INT)
+        |      AS top_word_cnt,
+        |    CAST(coalesce(list_max(list_transform(list_distinct(bg),
+        |      g -> len(list_filter(bg, x -> x = g)))), 0) AS INT)
+        |      AS top_bigram_cnt
+        |  FROM b),
+        |f AS (SELECT doc_id, n_tokens, dup_words, top_word_cnt,
+        |    top_bigram_cnt,
+        |    CASE WHEN n_tokens > 0
+        |      THEN CAST(dup_words AS DOUBLE) / n_tokens
+        |      ELSE 0.0 END AS dup_word_frac,
+        |    CASE WHEN n_tokens > 1
+        |      THEN CAST(top_bigram_cnt AS DOUBLE) / (n_tokens - 1)
+        |      ELSE 0.0 END AS top_bigram_frac
+        |  FROM m)
         |SELECT doc_id, n_tokens, dup_words, top_word_cnt, top_bigram_cnt,
-        |  CAST(dup_words AS DOUBLE) / n_tokens AS dup_word_frac,
-        |  CAST(top_bigram_cnt AS DOUBLE) / (n_tokens - 1) AS top_bigram_frac,
-        |  (CAST(dup_words AS DOUBLE) / n_tokens > 0.68)
-        |    OR (CAST(top_bigram_cnt AS DOUBLE) / (n_tokens - 1) > 0.08)
-        |    AS repetitive
-        |FROM m""".stripMargin,
+        |  dup_word_frac, top_bigram_frac,
+        |  dup_word_frac > 0.68 OR top_bigram_frac > 0.08 AS repetitive
+        |FROM f""".stripMargin,
 
     // q66: distinct shared word-4-grams vs the doc_id%97 eval slice
     "q66_contamination" ->
@@ -1221,7 +1232,7 @@ object RelationalQueries {
     // (16-bit mono -> block align 2; text is pure ASCII, see q40)
     "q40c_audio_meta" ->
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
-        |  16 AS bits_per_sample, CAST(length(text) // 2 AS INT) AS n_frames
+        |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
 
     // q73: the exact cross-boundary Jaccard pairs — corpus-internal and
@@ -1273,10 +1284,13 @@ object RelationalQueries {
         |    [ws[i+1]||' '||ws[i+2] for i in range(len(ws)-1)] AS bg
         |  FROM w),
         |rep AS (SELECT doc_id,
-        |    (CAST(n - len(uq) AS DOUBLE) / n > 0.68)
-        |      OR (CAST(list_max(list_transform(list_distinct(bg),
-        |          g -> len(list_filter(bg, x -> x = g)))) AS DOUBLE)
-        |        / (n - 1) > 0.08) AS repetitive
+        |    (CASE WHEN n > 0 THEN CAST(n - len(uq) AS DOUBLE) / n
+        |       ELSE 0.0 END > 0.68)
+        |      OR (CASE WHEN n > 1
+        |        THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
+        |          g -> len(list_filter(bg, x -> x = g)))), 0) AS DOUBLE)
+        |          / (n - 1)
+        |        ELSE 0.0 END > 0.08) AS repetitive
         |  FROM b),
         |qm AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
         |    length(text) AS n_chars,
@@ -1313,10 +1327,11 @@ object RelationalQueries {
         |    AS n_repetitive,
         |  CAST(sum(CASE WHEN coalesce(is_cont, false) THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_contaminated,
-        |  CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_low_quality,
+        |  CAST(sum(CASE WHEN coalesce(quality < 0.5, true) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_low_quality,
         |  CAST(sum(CASE WHEN NOT is_dup AND NOT repetitive
-        |      AND NOT coalesce(is_cont, false) AND quality >= 0.5
+        |      AND NOT coalesce(is_cont, false)
+        |      AND coalesce(quality >= 0.5, false)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM corpus
         |JOIN rep USING (doc_id) JOIN qual USING (doc_id)

@@ -18,8 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private def words(text: Column): Column =
-    filter(split(text, " "), w => length(w) > 0)
+  private def words(text: Column): Column = TextAnalysis.words(text)
 
   /** Max multiplicity over the distinct elements of an array — the count
     * of the modal element. O(distinct × n) per row, map-side only: for
@@ -267,10 +266,15 @@ object Curation {
       textCol: String, srcCol: String, qualityFloor: Double = 0.5,
       contaminationN: Int = 4): DataFrame = {
     val t = col(textCol)
+    // degenerate docs (no tokens / no chars) have NULL quality — count
+    // them low-quality rather than letting a NULL verdict leave them in
+    // n_docs but in no drop bucket and not in n_kept (the reconciliation
+    // contract above)
     val flagged = corpus.select(
       col(idCol).as("doc_id"), col(srcCol).as("source"),
       repetitiveFlag(t).as("repetitive"),
-      (TextAnalysis.qualityExpr(t) < qualityFloor).as("low_quality"),
+      coalesce(TextAnalysis.qualityExpr(t) < qualityFloor, lit(true))
+        .as("low_quality"),
       md5(t).as("fp"))
     val first = flagged.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select(col("doc_id"), lit(true).as("is_first"))

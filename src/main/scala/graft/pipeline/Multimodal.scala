@@ -83,9 +83,10 @@ object Multimodal {
     finally if (iis != null) iis.close()
   }
 
-  /** Parsed WAV (RIFF/WAVE) header metadata. */
+  /** Parsed WAV (RIFF/WAVE) header metadata. `nFrames` is a Long: an
+    * 8-bit mono PCM data chunk may legally exceed 2^31 frames. */
   final case class WavMeta(sampleRate: Int, channels: Int,
-      bitsPerSample: Int, nFrames: Int)
+      bitsPerSample: Int, nFrames: Long)
 
   /** REAL audio-header decode for the WAV/RIFF container (a public,
     * codec-free byte format — PCM WAV needs no decoder library): walks
@@ -103,20 +104,35 @@ object Multimodal {
     def tag(i: Int) = new String(payload, i, 4, "US-ASCII")
     if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
     else {
-      var pos = 12
+      // Long position arithmetic: chunk sizes are UNSIGNED 32-bit, so
+      // .toInt truncation on a >=2GB (or corrupt) size field would walk
+      // pos backwards or freeze it — loop forever instead of returning
+      // None. With Long math an oversized chunk just runs pos past the
+      // payload and the loop exits.
+      var pos = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // rate, ch, bits, blockAlign
+      var audioFormat = -1
       var dataSize = -1L
       while (pos + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
-        val id = tag(pos)
-        val size = u32(pos + 4)
-        if (id == "fmt " && pos + 24 <= payload.length)
-          fmt = Some((u32(pos + 12).toInt, u16(pos + 10), u16(pos + 22),
-            u16(pos + 20)))
-        else if (id == "data") dataSize = size
-        pos += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+        val p = pos.toInt // safe: bounded by payload.length here
+        val id = tag(p)
+        val size = u32(p + 4)
+        if (id == "fmt " && pos + 24 <= payload.length) {
+          audioFormat = u16(p + 8)
+          fmt = Some((u32(p + 12).toInt, u16(p + 10), u16(p + 22),
+            u16(p + 20)))
+        } else if (id == "data") dataSize = size
+        pos += 8L + size + (size & 1L) // chunks are word-aligned
       }
-      fmt.collect { case (rate, ch, bits, block) if block > 0 && dataSize >= 0 =>
-        WavMeta(rate, ch, bits, (dataSize / block).toInt)
+      // only uncompressed formats (1 = PCM, 3 = IEEE float) have
+      // blockAlign = bytes-per-frame; a compressed-audio RIFF container
+      // (e.g. MP3-in-WAV, format 0x55) must fall through to the declared
+      // stub rather than claim a meaningless frame count
+      fmt.collect {
+        case (rate, ch, bits, block)
+            if (audioFormat == 1 || audioFormat == 3) &&
+              block > 0 && dataSize >= 0 =>
+          WavMeta(rate, ch, bits, dataSize / block)
       }
     }
   }

@@ -19,7 +19,9 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
     "zh" -> Seq("的", "是", "在", "了", "我", "有"))
 
-  private def words(text: Column): Column =
+  /** The canonical tokenizer every pipeline metric shares (package-private
+    * so Curation reuses this definition instead of copying it). */
+  private[pipeline] def words(text: Column): Column =
     filter(split(text, " "), w => length(w) > 0)
 
   /** Stopword hits (with repeats) for one language list. */
@@ -55,16 +57,22 @@ object TextAnalysis {
       lit(0L), _ + _)
     val punct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
     val stops = hits(ws, stopwords.head._2)
+    // zero-guards: ANSI mode throws on the 0/0 a degenerate (empty /
+    // whitespace-only) doc would hit; such docs score 0.0 ratios
     docs.select(
       col(idCol).as("doc_id"),
       nTok.as("n_tokens"),
-      (sumLen / nTok).as("avg_tok_len"),
-      (punct.cast("double") / nChars).as("punct_ratio"),
-      (stops.cast("double") / nTok).as("stop_ratio"))
+      when(nTok > 0, sumLen / nTok).otherwise(0.0).as("avg_tok_len"),
+      when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0)
+        .as("punct_ratio"),
+      when(nTok > 0, stops.cast("double") / nTok).otherwise(0.0)
+        .as("stop_ratio"))
       .withColumn("quality",
-        lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
-        lit(0.3) * (lit(1.0) - col("punct_ratio")) +
-        lit(0.3) * least(lit(1.0), col("stop_ratio") * 5))
+        when(col("n_tokens") > 0, // degenerate docs: 0.0, matching qualityExpr
+          lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * least(lit(1.0), col("stop_ratio") * 5))
+          .otherwise(0.0))
   }
 
   /** The quality score as a single composable Column over raw text —
@@ -78,9 +86,13 @@ object TextAnalysis {
     val nChars = length(t)
     val punct = nChars - length(regexp_replace(t, "[.,!?;:]", ""))
     val stops = hits(ws, stopwords.head._2)
-    lit(0.4) * least(lit(1.0), nTok / 100.0) +
-      lit(0.3) * (lit(1.0) - punct.cast("double") / nChars) +
-      lit(0.3) * least(lit(1.0), (stops.cast("double") / nTok) * 5)
+    // CASE short-circuits, so the guarded branch never divides by zero
+    // (ANSI mode throws on 0/0); degenerate docs score a well-defined 0.0
+    when(nTok > 0 && nChars > 0,
+      lit(0.4) * least(lit(1.0), nTok / 100.0) +
+        lit(0.3) * (lit(1.0) - punct.cast("double") / nChars) +
+        lit(0.3) * least(lit(1.0), (stops.cast("double") / nTok) * 5))
+      .otherwise(0.0)
   }
 
   /** BPE-ish sub-token regex: letter runs, digit runs, single symbols. */

@@ -232,6 +232,22 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       .count() == 0)
   }
 
+  test("cleanCorpus: degenerate docs land in a drop bucket, never in limbo") {
+    val corpus = Seq(
+      (1L, "s1", ""),               // empty: NULL quality -> low_quality
+      (2L, "s1", "   "),            // whitespace-only: same
+      (3L, "s1", ((1 to 50).map(i => s"w$i") ++
+        Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
+        .mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val eval = Seq((90L, "s9", "zz yy xx ww vv uu")).toDF("doc_id", "source", "text")
+    val out = Curation.cleanCorpus(corpus, eval, "doc_id", "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val (_, n, dup, rep, cont, lowq, kept) = out(0)
+    assert(n == 3 && lowq == 2 && kept == 1, out.toSeq)
+    assert(kept >= n - dup - rep - cont - lowq, out.toSeq)
+  }
+
   test("cleanCorpus: per-source totals reconcile and every doc is accounted for") {
     val d = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("q70_clean_corpus")(spark, d)

@@ -418,6 +418,22 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       ais.getFrameLength == mine.nFrames.toLong)
   }
 
+  test("WAV parse rejects compressed containers and survives hostile chunk sizes") {
+    // MP3-in-RIFF (audioFormat 0x55): blockAlign is not bytes-per-frame,
+    // so the parser must decline rather than report a garbage frame count
+    val pcm = Multimodal.wavBytes(Array.fill[Byte](40)(1), 16000, 1, 16)
+    val compressed = pcm.clone()
+    compressed(20) = 0x55.toByte // fmt chunk's audioFormat field, LE low byte
+    assert(Multimodal.decodeWavHeader(compressed).isEmpty)
+    // unsigned 32-bit chunk size near 2^32: Int truncation would freeze
+    // or reverse the chunk walk (infinite loop); Long math must return
+    val hostile = pcm.clone()
+    java.nio.ByteBuffer.wrap(hostile)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0xFFFFFFF8) // fmt chunk size field
+    assert(Multimodal.decodeWavHeader(hostile).isEmpty)
+  }
+
   test("WAV parse walks past foreign chunks (LIST before fmt)") {
     val base = Multimodal.wavBytes(Array.fill[Byte](40)(1), 16000, 1, 16)
     val list = "LIST".getBytes("US-ASCII") ++
