@@ -847,6 +847,16 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q74 — temperature mixing at alpha=0.5 over the SKEWED lang column
+    // (en is ~3.4x fr, so the head language genuinely downsamples —
+    // `source` is uniform at this sf and would make the gate vacuous);
+    // the oracle recomputes counts, rates, and the hash predicate from
+    // scratch in SQL (pow agreement across engines is absorbed by the
+    // shared round-to-denom threshold contract).
+    "q74_temperature_mix" -> ((s, d) =>
+      Curation.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
+        alpha = 0.5)),
+
     // Q73 — incremental dedup: the doc_id>=400 slice plays the daily
     // increment screened against the doc_id<400 corpus; only CROSS pairs
     // form. Same derived LSH params as q31 (recall proven total there by
@@ -1234,6 +1244,22 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q74: counts -> rates -> rounded thresholds -> hash predicate, all
+    // recomputed in SQL; round() to 1e4 buckets makes the pow() values
+    // engine-robust (a last-ulp difference cannot move a threshold)
+    "q74_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM c),
+        |r AS (SELECT lang,
+        |    CAST(round(pow(n / nmin, -0.5) * 10000) AS BIGINT) AS thr
+        |  FROM c, m),
+        |h AS (SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15))
+        |      AS BIGINT) % 10000 AS pos
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h JOIN r USING (lang)
+        |WHERE pos < thr""".stripMargin,
 
     // q73: the exact cross-boundary Jaccard pairs — corpus-internal and
     // batch-internal pairs must NOT appear

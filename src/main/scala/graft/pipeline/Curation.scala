@@ -248,6 +248,34 @@ object Curation {
         numberPattern, "<NUM>").as("masked"))
   }
 
+  /** Temperature-based source mixing (the multilingual / Pile-style
+    * α-sampling recipe): target source shares ∝ n_s^alpha, realized as
+    * deterministic per-source keep-rates r_s = (n_s / n_min)^(alpha−1) —
+    * alpha=1 keeps everything (natural mix), alpha=0 equalizes every
+    * source to the smallest, between flattens the head toward the tail.
+    * The smallest source always keeps rate 1.
+    *
+    * Two-phase, both scale-safe: a per-source count aggregate (one row
+    * per source — collected driver-side like every bounded-dimension
+    * action in this library) builds a LITERAL threshold map; the sample
+    * itself is [[graft.ops.Sampling.stratified]]'s map-side content-hash
+    * predicate — the corpus is never shuffled, and the kept set is a pure
+    * function of (row, counts), stable across re-runs and engines.
+    */
+  def temperatureMix(docs: DataFrame, idCol: String, srcCol: String,
+      alpha: Double, denom: Int = 10000): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0,1]")
+    val counts = docs.groupBy(col(srcCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min.toDouble
+    val fracs = counts.map { case (s, n) =>
+      s -> math.pow(n / nMin, alpha - 1.0)
+    }
+    docs.filter(graft.ops.Sampling.stratified(col(srcCol), col(idCol),
+        fracs, defaultFrac = 0.0, denom = denom))
+      .select(col(idCol).as("doc_id"), col(srcCol))
+  }
+
   /** The end-to-end corpus-cleaning pipeline (the C4/Gopher recipe shape):
     * exact dedup (keep the min-id copy), repetition filter, quality floor,
     * and benchmark-contamination screen, reported as per-source survival

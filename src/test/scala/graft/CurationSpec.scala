@@ -203,6 +203,28 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       (2L, 0, 0, 0, "no pii here at all")))
   }
 
+  test("temperatureMix: alpha=1 keeps all, alpha=0 equalizes toward the smallest source") {
+    val docs = ((1L to 400L).map(i => (i, "big")) ++
+      (401L to 440L).map(i => (i, "small")))
+      .map { case (i, s) => (i, s, s"text $i") }
+      .toDF("doc_id", "source", "text")
+    val all = Curation.temperatureMix(docs, "doc_id", "source", alpha = 1.0)
+    assert(all.count() == 440) // natural mix untouched
+    val flat = Curation.temperatureMix(docs, "doc_id", "source", alpha = 0.0)
+      .groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // keep-rate for big = 40/400 = 0.1 -> ~40 expected of 400 (hash
+    // noise ±; the threshold is exact, membership is hash-distributed)
+    assert(flat("small") == 40)
+    assert(flat("big") > 20 && flat("big") < 60, flat)
+    // rerun determinism incl. under different partitioning
+    val again = Curation.temperatureMix(docs.repartition(7), "doc_id",
+      "source", alpha = 0.0).as[(Long, String)].collect().toSet
+    val base = Curation.temperatureMix(docs, "doc_id", "source", alpha = 0.0)
+      .as[(Long, String)].collect().toSet
+    assert(again == base)
+  }
+
   test("shardId is a pure content function: stable across partitioning, in range") {
     val docs = (1L to 100L).map(i => (i, s"document body $i")).toSeq
       .toDF("doc_id", "text")
