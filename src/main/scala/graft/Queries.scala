@@ -847,6 +847,25 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q76 — FILTERED vector search (the vector-DB "search within a
+    // predicate" feature): top-3 cosine neighbors among label<3 vectors
+    // only. Spark-first this is pure composition — the relational filter
+    // goes in front of the ANN operator and Catalyst pushes it to the
+    // parquet scan (plan-asserted in CurationSpec), so the search space
+    // shrinks BEFORE any distance math; the same composition drops into
+    // lshTopK/ivfTopK for the approximate tiers.
+    "q76_filtered_ann" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(vecs.filter(col("label") < 3),
+        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 3)
+    }),
+
+    // Q75 — unigram-LM fluency proxy: average corpus frequency of each
+    // doc's tokens (integer sums + one division — log-free, so the
+    // oracle is bit-equal).
+    "q75_fluency" -> ((s, d) =>
+      TextAnalysis.fluencyScore(Tables.documents(s, d), "doc_id", "text")),
+
     // Q74 — temperature mixing at alpha=0.5 over the SKEWED lang column
     // (en is ~3.4x fr, so the head language genuinely downsamples —
     // `source` is uniform at this sf and would make the gate vacuous);
@@ -1244,6 +1263,35 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q76: the same rank query with the label predicate on the corpus
+    // side only (queries keep their own eligibility)
+    "q76_filtered_ann" ->
+      s"""WITH $embedNormSql,
+        |q AS (SELECT * FROM nv WHERE vec_id % 100 = 0),
+        |c AS (SELECT nv.* FROM nv
+        |  JOIN embeddings e ON e.vec_id = nv.vec_id WHERE e.label < 3),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+        |    list_sum(list_transform(range(64), i -> q.e[i+1]*c.e[i+1]))
+        |      / (q.nrm*c.nrm) AS cos
+        |  FROM q, c WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, nb_id) AS rk FROM scored)
+        |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // q75: vocabulary counts joined back per token occurrence
+    "q75_fluency" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text,' '), x -> len(x)>0))
+        |      AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_freq,
+        |  CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / count(*) AS avg_freq
+        |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     // q74: counts -> rates -> rounded thresholds -> hash predicate, all
     // recomputed in SQL; round() to 1e4 buckets makes the pow() values

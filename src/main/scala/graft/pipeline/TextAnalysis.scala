@@ -95,6 +95,33 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
+  /** Corpus-relative fluency score: the average corpus frequency of a
+    * doc's tokens — a unigram-LM quality proxy (docs full of corpus-rare
+    * tokens score low, like high-perplexity docs under a real LM) that
+    * stays INTEGER-EXACT: per-doc output is sum(corpus count of token,
+    * with repeats) and one final int/int division, so the oracle is
+    * bit-equal (no log/pow).
+    *
+    * Two phases, both scale-shaped: the vocabulary count aggregate
+    * shuffles (token-hash, count) pairs — vocab-sized, not corpus-sized —
+    * and the per-doc score joins each token posting against it. The join
+    * is keyed on the token hash; its "the"-sized head keys are the
+    * classic skew case, so at broadcast-viable vocab sizes Spark's
+    * planner broadcasts (this corpus), and beyond that
+    * [[graft.ops.Skew]]'s salted join is the drop-in (same key column).
+    */
+  def fluencyScore(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("cnt").as("sum_freq"))
+      .withColumn("avg_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+  }
+
   /** BPE-ish sub-token regex: letter runs, digit runs, single symbols. */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 

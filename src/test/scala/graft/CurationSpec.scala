@@ -292,6 +292,13 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(exchanges.nonEmpty && !exchanges.contains("text#"), exchanges)
   }
 
+  test("filtered ANN pushes the label predicate into the corpus parquet scan") {
+    val df = SparkEntry.queries("q76_filtered_ann")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("LessThan(label,3)"), p)
+  }
+
   test("writeShards roundtrip: every row lands in its content-derived shard dir") {
     val docs = (1L to 50L).map(i => (i, s"shardable text $i")).toSeq
       .toDF("doc_id", "text")
