@@ -60,25 +60,36 @@ object Bench {
     // queries that never produced a sample are omitted from the timing
     // map (a 0.0 entry reads as an ultra-fast success when diffed
     // against the baseline); they remain visible in the errors map.
-    // Values are rounded to ms and trailing zeros stripped: the harness
-    // reading this line keeps only the LAST ~2000 chars of output, and
-    // full-precision doubles pushed the line past that window (every
-    // prior round's parse came back null) — ms resolution is far below
-    // the box noise anyway.
-    def fmt(v: Double): String = {
+    // The harness reading this line keeps only the LAST ~2000 chars of
+    // output, so the line must FIT that window or its head (and the JSON)
+    // is lost — full-precision doubles broke every pre-r6 round's parse,
+    // and at 87 queries even ms precision overflows. Emit the RICHEST
+    // variant that fits: decimals degrade 3dp -> 2dp -> 1dp (10ms is
+    // already far below box noise) before any field is dropped.
+    def fmt(v: Double, dp: Int): String = {
       // Locale.ROOT: the f-interpolator is locale-sensitive and a
       // comma-decimal default locale would corrupt the JSON
-      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val qs = results.collect { case (k, Some(v)) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"runs":2,"errors":$errJson,"sf":"$sfDir"}""")
+    def line(dp: Int, full: Boolean): String = {
+      val qs = results.collect { case (k, Some(v)) =>
+        s"\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
+      val mid = if (full) s""","unit":"sec","queries":$qs,"runs":2"""
+        else s""","queries":$qs"""
+      // errors always ride along — a dropped error map would hide a
+      // failing query from the driver
+      s"""{"metric":"total","value":${fmt(total, dp)}$mid,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    val budget = 1950
+    val out = Seq(line(3, true), line(2, true), line(2, false),
+      line(1, false)).find(_.length <= budget).getOrElse(line(1, false))
+    println(out)
     RelationalQueries.cleanupTmpSinks(spark)
     spark.stop()
   }
