@@ -847,6 +847,22 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q77 — CROSS-MODAL hybrid retrieval (the RAG shape): vector top-3
+    // among only the documents whose TEXT passes the quality floor — the
+    // eligibility set comes from a different table (documents), joined
+    // semi onto the embedding corpus before any distance math. vec_id
+    // and doc_id align 1:1 in the testdata.
+    "q77_hybrid_search" -> ((s, d) => {
+      val eligible = TextAnalysis.qualityScore(Tables.documents(s, d),
+          "doc_id", "text")
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id").as("vec_id"))
+      val vecs = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+        vecs.join(eligible, Seq("vec_id"), "left_semi"),
+        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 3)
+    }),
+
     // Q76 — FILTERED vector search (the vector-DB "search within a
     // predicate" feature): top-3 cosine neighbors among label<3 vectors
     // only. Spark-first this is pure composition — the relational filter
@@ -1263,6 +1279,23 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q77: eligibility from the documents table's quality metric, then
+    // the same rank query over the restricted corpus
+    "q77_hybrid_search" ->
+      s"""WITH $embedNormSql,
+        |qual AS (SELECT doc_id FROM ($qualityOracleSql) t
+        |  WHERE quality >= 0.5),
+        |q AS (SELECT * FROM nv WHERE vec_id % 100 = 0),
+        |c AS (SELECT nv.* FROM nv JOIN qual ON qual.doc_id = nv.vec_id),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+        |    list_sum(list_transform(range(64), i -> q.e[i+1]*c.e[i+1]))
+        |      / (q.nrm*c.nrm) AS cos
+        |  FROM q, c WHERE q.vec_id <> c.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, nb_id) AS rk FROM scored)
+        |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
+        |FROM r WHERE rk <= 3""".stripMargin,
 
     // q76: the same rank query with the label predicate on the corpus
     // side only (queries keep their own eligibility)

@@ -229,6 +229,11 @@ object GrowthBench {
         "doc_id", "text").count()
       Curation.contamination(c, e, "doc_id", "text", n = 4).count()
       Curation.cleanCorpus(c, e, "doc_id", "text", "source").count()
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      Dedup.incrementalMinhashPairs(c, e, "doc_id", "text", n = 3,
+        threshold = 0.8, numHashes = h, bands = b).count()
+      graft.pipeline.TextAnalysis.fluencyScore(
+        Tables.documents(spark, x1), "doc_id", "text").count()
     }
     for ((tag, d) <- Seq("1x" -> x1, "2x" -> x2, "10x" -> x10)) {
       val (c, e) = evalSplit(d)
@@ -239,6 +244,17 @@ object GrowthBench {
         Curation.contamination(c, e, "doc_id", "text", n = 4))
       t(s"q70_clean_$tag") = time(s"q70_clean_$tag",
         Curation.cleanCorpus(c, e, "doc_id", "text", "source"))
+      t(s"q75_fluency_$tag") = time(s"q75_fluency_$tag",
+        graft.pipeline.TextAnalysis.fluencyScore(
+          Tables.documents(spark, d), "doc_id", "text"))
+      // incremental dedup: the BATCH stays the source-corpus 500-doc
+      // eval-sized slice while the screened corpus grows — the
+      // production shape (fixed daily increment, growing archive)
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      val batch = evalSplit(x1)._2
+      t(s"q73_incremental_$tag") = time(s"q73_incremental_$tag",
+        Dedup.incrementalMinhashPairs(c, batch, "doc_id", "text", n = 3,
+          threshold = 0.8, numHashes = h, bands = b))
     }
 
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
@@ -267,6 +283,9 @@ object GrowthBench {
     exp("q66_contamination 1x->10x", t("q66_contamination_1x"),
       t("q66_contamination_10x"), 10)
     exp("q70_clean 1x->10x", t("q70_clean_1x"), t("q70_clean_10x"), 10)
+    exp("q75_fluency 1x->10x", t("q75_fluency_1x"), t("q75_fluency_10x"), 10)
+    exp("q73_incremental 1x->10x", t("q73_incremental_1x"),
+      t("q73_incremental_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
