@@ -87,8 +87,11 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total, dp)}$mid,"errors":$errJson,"sf":"$sfDir"}"""
     }
     val budget = 1950
-    val out = Seq(line(3, true), line(2, true), line(2, false),
-      line(1, false)).find(_.length <= budget).getOrElse(line(1, false))
+    // precision degrades fully before any field is dropped (1dp saves
+    // ~1 char/query — more than the 22 chars the fields cost)
+    val out = Seq(line(3, true), line(2, true), line(1, true),
+      line(2, false), line(1, false))
+      .find(_.length <= budget).getOrElse(line(1, false))
     println(out)
     RelationalQueries.cleanupTmpSinks(spark)
     spark.stop()

@@ -883,8 +883,9 @@ object RelationalQueries {
       TextAnalysis.fluencyScore(Tables.documents(s, d), "doc_id", "text")),
 
     // Q74 — temperature mixing at alpha=0.5 over the SKEWED lang column
-    // (en is ~3.4x fr, so the head language genuinely downsamples —
-    // `source` is uniform at this sf and would make the gate vacuous);
+    // (en is ~2.4-2.8x the smallest lang across sfs, so the head
+    // language genuinely downsamples to a ~0.6 keep-rate — `source` is
+    // uniform at this sf and would make the gate vacuous);
     // the oracle recomputes counts, rates, and the hash predicate from
     // scratch in SQL (pow agreement across engines is absorbed by the
     // shared round-to-denom threshold contract).
@@ -1330,14 +1331,14 @@ object RelationalQueries {
     // recomputed in SQL; round() to 1e4 buckets makes the pow() values
     // engine-robust (a last-ulp difference cannot move a threshold)
     "q74_temperature_mix" ->
-      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM c),
         |r AS (SELECT lang,
         |    CAST(round(pow(n / nmin, -0.5) * 10000) AS BIGINT) AS thr
         |  FROM c, m),
         |h AS (SELECT doc_id, lang,
-        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,15))
-        |      AS BIGINT) % 10000 AS pos
+        |    ${graft.pipeline.Portable.hash60Sql("CAST(doc_id AS VARCHAR)")}
+        |      % 10000 AS pos
         |  FROM documents)
         |SELECT doc_id, lang FROM h JOIN r USING (lang)
         |WHERE pos < thr""".stripMargin,

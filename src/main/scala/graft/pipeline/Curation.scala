@@ -265,8 +265,13 @@ object Curation {
   def temperatureMix(docs: DataFrame, idCol: String, srcCol: String,
       alpha: Double, denom: Int = 10000): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha outside [0,1]")
+    // null group keys are skipped: they'd be an invalid typedLit map key,
+    // and stratified's defaultFrac=0.0 drops their rows anyway
     val counts = docs.groupBy(col(srcCol)).count().collect()
+      .filter(!_.isNullAt(0))
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) // empty input: empty output, same shape
+      return docs.select(col(idCol).as("doc_id"), col(srcCol)).limit(0)
     val nMin = counts.values.min.toDouble
     val fracs = counts.map { case (s, n) =>
       s -> math.pow(n / nMin, alpha - 1.0)

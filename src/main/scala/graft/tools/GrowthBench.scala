@@ -247,8 +247,8 @@ object GrowthBench {
       t(s"q75_fluency_$tag") = time(s"q75_fluency_$tag",
         graft.pipeline.TextAnalysis.fluencyScore(
           Tables.documents(spark, d), "doc_id", "text"))
-      // incremental dedup: the BATCH stays the source-corpus 500-doc
-      // eval-sized slice while the screened corpus grows — the
+      // incremental dedup: the BATCH stays the 1x corpus's 52-doc
+      // (doc_id%97==0) eval slice while the screened corpus grows — the
       // production shape (fixed daily increment, growing archive)
       val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
       val batch = evalSplit(x1)._2

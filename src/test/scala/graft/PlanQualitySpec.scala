@@ -11,6 +11,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
 
   private val d = "/root/testdata/sf0.001"
 
+  test("every oracle SQL string is fully rendered (no stray interpolations)") {
+    // a """..."""-literal missing its s-prefix ships "${...}" verbatim to
+    // DuckDB as a syntax error — caught here instead of at driver time
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(!sql.contains("${"), s"$name oracle has an unrendered splice")
+    }
+    // every oracle key must have a query, and the flagship queries all
+    // have oracles (declared no-oracle surfaces are the known five)
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
+      (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toString)
+    assert(noOracle == Set("q07b_uniq_approx", "q21b_kmeans_local",
+      "q35b_ann_lsh", "q35c_ann_ivf", "q40b_media_features"), noOracle)
+  }
+
   private def plan(q: String): String = {
     val df = SparkEntry.queries(q)(spark, d)
     df.collect() // executedPlan after AQE finalizes
