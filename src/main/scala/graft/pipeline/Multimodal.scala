@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * real: [[decodeImageHeader]] reads width/height/channels from PNG/JPEG/
   * GIF/BMP headers via the JDK's public ImageIO registry. AUDIO header
   * decode is real for the WAV/RIFF container ([[decodeWavHeader]], a
-  * codec-free byte format, round-trip gated by q40c). Compressed audio
-  * and video remain a declared STUB (no codecs in this environment);
-  * swapping
+  * codec-free byte format, round-trip gated by q40c). MULTI-FRAME decode
+  * is real for animated GIF ([[decodeGifFrames]] — frame count and
+  * per-frame dimensions, the video-frame-inventory analogue). Compressed
+  * audio and true video remain a declared STUB (no codecs in this
+  * environment); swapping
   * [[decodeStub]] for a real decoder (JNI, ONNX, or an Arrow `mapInArrow`
   * bridge to a Python worker) changes no plan shape: the operator stays a
   * narrow mapPartitions over the payload column, so it scales linearly
@@ -207,6 +209,36 @@ object Multimodal {
   def resizeStub(media: DataFrame, n: Int): DataFrame =
     media.withColumn("payload",
       expr(s"substring(payload, 1, $n)").cast("binary"))
+
+  /** REAL multi-frame decode for animated GIF — the one multi-frame
+    * container the JDK ships a codec for: frame count plus per-frame
+    * (width, height) via the ImageIO reader's metadata API
+    * (`getNumImages(true)` walks the frame directory; per-frame
+    * dimensions come from the header of each frame, no pixel decode).
+    * The real-video analogue of [[frameSampleStub]]'s plan shape: one
+    * narrow pass annotating each payload with its frame inventory.
+    * Returns None for non-GIF payloads. */
+  def decodeGifFrames(payload: Array[Byte]): Option[Seq[(Int, Int)]] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      var out: Option[Seq[(Int, Int)]] = None
+      while (out.isEmpty && readers.hasNext) {
+        val r = readers.next()
+        try {
+          if (r.getFormatName.equalsIgnoreCase("gif")) {
+            r.setInput(iis, false, true)
+            val n = r.getNumImages(true)
+            out = Some((0 until n).map(i => (r.getWidth(i), r.getHeight(i))))
+          }
+        } finally r.dispose()
+      }
+      out
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
 
   /** ======= STUB ======= "frame sample": every k-th 8-byte block of the
     * payload as one hex frame row (media_id, frame_no, frame). Mirrors

@@ -446,6 +446,27 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       .contains(Multimodal.WavMeta(16000, 1, 16, 20)))
   }
 
+  test("animated GIF frames decode with real per-frame dimensions") {
+    // build a 3-frame animated GIF with the JDK's own writer
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 1 to 3) {
+      val img = new java.awt.image.BufferedImage(10 + i, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val frames = Multimodal.decodeGifFrames(bos.toByteArray)
+    assert(frames.contains(Seq((11, 6), (12, 6), (13, 6))), frames)
+    // non-GIF payloads (even valid images) decline
+    assert(Multimodal.decodeGifFrames(
+      imageBytes(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB, "png")).isEmpty)
+    assert(Multimodal.decodeGifFrames("not media".getBytes("UTF-8")).isEmpty)
+  }
+
   test("frameSampleStub explodes fixed-size frames with positions") {
     val doc = Seq((1L, "x" * 100)).toDF("doc_id", "text") // 100 bytes
     val m = Multimodal.asMedia(doc, "doc_id", "text", "demo")
