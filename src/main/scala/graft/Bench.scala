@@ -86,7 +86,9 @@ object Bench {
       // failing query from the driver
       s"""{"metric":"total","value":${fmt(total, dp)}$mid,"errors":$errJson,"sf":"$sfDir"}"""
     }
-    val budget = 1950
+    // the harness window is ~2000 chars; leave only a newline's margin —
+    // a tighter budget needlessly drops precision or fields
+    val budget = 1995
     // precision degrades fully before any field is dropped (1dp saves
     // ~1 char/query — more than the 22 chars the fields cost)
     val out = Seq(line(3, true), line(2, true), line(1, true),
