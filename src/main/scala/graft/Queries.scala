@@ -847,6 +847,13 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q78 — exact-substring duplication coverage (Lee et al. shape):
+    // token positions inside 8-token spans that appear verbatim in
+    // another document — the per-doc signal for span-removal dedup.
+    "q78_substring_dup" -> ((s, d) =>
+      Dedup.substringDupCoverage(Tables.documents(s, d), "doc_id", "text",
+        l = 8)),
+
     // Q77 — CROSS-MODAL hybrid retrieval (the RAG shape): vector top-3
     // among only the documents whose TEXT passes the quality floor — the
     // eligibility set comes from a different table (documents), joined
@@ -1280,6 +1287,26 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q78: gram strings stand in for the hashes (same injectivity
+    // assumption as q33); coverage = distinct covered token indices
+    "q78_substring_dup" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    array_to_string(ws[i+1:i+8], ' ') AS s
+        |  FROM w, unnest(range(len(ws)-7)) t(i)),
+        |dup AS (SELECT s FROM g GROUP BY s
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM g JOIN dup USING (s), unnest(range(8)) r(j)),
+        |per AS (SELECT doc_id, count(*) AS dup_span_tokens
+        |  FROM cov GROUP BY 1),
+        |sz AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens FROM w)
+        |SELECT doc_id, n_tokens, dup_span_tokens,
+        |  CAST(dup_span_tokens AS DOUBLE) / n_tokens AS dup_span_frac
+        |FROM per JOIN sz USING (doc_id)""".stripMargin,
 
     // q77: eligibility from the documents table's quality metric, then
     // the same rank query over the restricted corpus

@@ -247,6 +247,45 @@ object Dedup {
     materializeThenRelease(pairs, cds, bds, csigs, bsigs)
   }
 
+  /** Exact-substring duplication coverage (the Lee et al. 2021
+    * "Deduplicating Training Data" shape, token-granular): for every doc,
+    * how many of its token positions sit inside an `l`-token span that
+    * also appears verbatim in ANOTHER document. Returns
+    * `(doc_id, n_tokens, dup_span_tokens, dup_span_frac)` for docs with
+    * any coverage — the per-doc signal a span-removal pass keys on.
+    *
+    * Plan shape at scale: positional `l`-gram postings (8-byte hash +
+    * position) feed one count-distinct-docs aggregation — the classic
+    * inverted-index shuffle, map-side partial, bodies never move; the
+    * position-coverage explode runs only on rows whose gram is globally
+    * duplicated (rare), then dedups (doc, idx) pairs. Cross-doc only:
+    * within-doc repetition is [[graft.pipeline.Curation.repetitionMetrics]]'s
+    * job.
+    */
+  def substringDupCoverage(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(shingles(col(textCol), l)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        graft.pipeline.Portable.hash60Fast(col("s")).as("sh"))
+    val dup = grams.groupBy("sh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("sh")
+    val covered = grams.join(dup, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("idx"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_span_tokens"))
+    val sizes = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), " "), w => length(w) > 0))
+        .as("n_tokens"))
+    covered.join(sizes, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("dup_span_tokens"),
+        (col("dup_span_tokens").cast("double") / col("n_tokens"))
+          .as("dup_span_frac"))
+  }
+
   // ---------------------------------------------------------------- clusters
 
   /** Connected-component cluster assignment over near-dup pairs — the

@@ -30,6 +30,16 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((0L, 1L, 1.0), (0L, 2L, 0.556), (1L, 2L, 0.556)))
   }
 
+  test("substringDupCoverage counts exactly the cross-doc duplicated span positions") {
+    val out = Dedup.substringDupCoverage(docs, "doc_id", "text", l = 4)
+      .select("doc_id", "n_tokens", "dup_span_tokens")
+      .as[(Long, Int, Long)].collect().toSet
+    // docs 0/1 are identical (all 9 positions covered); doc 2 shares the
+    // 7-token prefix "the quick brown fox jumps over the" -> 4 common
+    // 4-grams covering positions 0-6; doc 3 shares nothing
+    assert(out == Set((0L, 9, 9L), (1L, 9, 9L), (2L, 9, 7L)))
+  }
+
   test("incrementalMinhashPairs finds only cross pairs — never batch- or corpus-internal ones") {
     val corpus = docs.filter($"doc_id".isin(0L, 3L))
     val batch = docs.filter($"doc_id".isin(1L, 2L))
