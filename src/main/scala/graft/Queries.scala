@@ -847,6 +847,13 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q79 — span-removal dedup: the q78 coverage signal applied as a
+    // transform — every doc rewritten with its cross-doc 8-token spans
+    // removed; oracle reconstructs the same texts via ordered string_agg.
+    "q79_span_removal" -> ((s, d) =>
+      Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+        l = 8)),
+
     // Q78 — exact-substring duplication coverage (Lee et al. shape):
     // token positions inside 8-token spans that appear verbatim in
     // another document — the per-doc signal for span-removal dedup.
@@ -1287,6 +1294,27 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q79: drop covered indices, reassemble in order
+    "q79_span_removal" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    array_to_string(ws[i+1:i+8], ' ') AS s
+        |  FROM w, unnest(range(len(ws)-7)) t(i)),
+        |dup AS (SELECT s FROM g GROUP BY s
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+        |  FROM g JOIN dup USING (s), unnest(range(8)) r(j)),
+        |tok AS (SELECT doc_id, i AS idx, ws[i+1] AS tk
+        |  FROM w, unnest(range(len(ws))) t(i))
+        |SELECT tok.doc_id,
+        |  coalesce(string_agg(tk, ' ' ORDER BY tok.idx)
+        |    FILTER (WHERE cov.idx IS NULL), '') AS text
+        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+        |  AND tok.idx = cov.idx
+        |GROUP BY tok.doc_id""".stripMargin,
 
     // q78: gram strings stand in for the hashes (same injectivity
     // assumption as q33); coverage = distinct covered token indices

@@ -286,6 +286,42 @@ object Dedup {
           .as("dup_span_frac"))
   }
 
+  /** Span-removal dedup (the C4-style transform the
+    * [[substringDupCoverage]] signal keys): rewrite every document with
+    * its cross-doc-duplicated `l`-token spans removed (ALL covered
+    * positions drop, in every doc carrying them — symmetric by
+    * definition). Returns `(doc_id, text)` for EVERY input doc (cleaned
+    * where covered, verbatim otherwise).
+    *
+    * The token bodies never shuffle: the covered-position sets aggregate
+    * to one int-array row per affected doc (dup-rate-sized), join back
+    * on doc_id, and the removal is a map-side indexed `filter` over the
+    * token array. Reassembly therefore costs one id-keyed join, not a
+    * corpus-wide token re-shuffle.
+    */
+  def removeDuplicatedSpans(docs: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(shingles(col(textCol), l)).as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        graft.pipeline.Portable.hash60Fast(col("s")).as("sh"))
+    val dup = grams.groupBy("sh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("sh")
+    val dropIdx = grams.join(dup, "sh")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("idx"))
+      .groupBy("doc_id").agg(collect_set("idx").as("drop_idx"))
+    val ws = filter(split(col(textCol), " "), w => length(w) > 0)
+    docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .join(dropIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"), array_join(
+        filter(col("ws"), (w, i) =>
+          !array_contains(coalesce(col("drop_idx"),
+            array().cast("array<int>")), i)), " ").as("text"))
+  }
+
   // ---------------------------------------------------------------- clusters
 
   /** Connected-component cluster assignment over near-dup pairs — the

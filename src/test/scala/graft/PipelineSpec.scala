@@ -40,6 +40,14 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((0L, 9, 9L), (1L, 9, 9L), (2L, 9, 7L)))
   }
 
+  test("removeDuplicatedSpans rewrites docs with covered spans dropped, others verbatim") {
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", l = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "" && out(1L) == "")    // fully duplicated docs vanish
+    assert(out(2L) == "sleepy dog")           // shared 7-token prefix drops
+    assert(out(3L) == "completely different words appear in this one here now")
+  }
+
   test("incrementalMinhashPairs finds only cross pairs — never batch- or corpus-internal ones") {
     val corpus = docs.filter($"doc_id".isin(0L, 3L))
     val batch = docs.filter($"doc_id".isin(1L, 2L))
