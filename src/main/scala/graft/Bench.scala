@@ -82,13 +82,12 @@ object Bench {
         s"\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
       val mid = if (full) s""","unit":"sec","queries":$qs,"runs":2"""
         else s""","queries":$qs"""
-      // errors ride along whenever any exist — a dropped error map would
-      // hide a failing query from the driver; the lean rung may drop the
-      // EMPTY map and the sf path (the driver sets SPARK_GRAFT_SF_DIR
-      // itself), buying ~41 chars when the suite outgrows everything else
+      // the errors key ALWAYS rides along (even empty) — the driver may
+      // access it unconditionally and a missing map would also hide a
+      // failing query; the lean rung drops only the sf path (~29 chars),
+      // which the driver itself supplies via SPARK_GRAFT_SF_DIR
       val tailFields =
-        if (lean && errors.isEmpty) ""
-        else if (lean) s""","errors":$errJson"""
+        if (lean) s""","errors":$errJson"""
         else s""","errors":$errJson,"sf":"$sfDir""""
       s"""{"metric":"total","value":${fmt(total, dp)}$mid$tailFields}"""
     }

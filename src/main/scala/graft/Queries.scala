@@ -1309,12 +1309,14 @@ object RelationalQueries {
         |  FROM g JOIN dup USING (s), unnest(range(8)) r(j)),
         |tok AS (SELECT doc_id, i AS idx, ws[i+1] AS tk
         |  FROM w, unnest(range(len(ws))) t(i))
-        |SELECT tok.doc_id,
+        |SELECT d.doc_id,
         |  coalesce(string_agg(tk, ' ' ORDER BY tok.idx)
-        |    FILTER (WHERE cov.idx IS NULL), '') AS text
-        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
-        |  AND tok.idx = cov.idx
-        |GROUP BY tok.doc_id""".stripMargin,
+        |    FILTER (WHERE tok.idx IS NOT NULL AND cov.idx IS NULL), '')
+        |    AS text
+        |FROM documents d
+        |LEFT JOIN tok ON tok.doc_id = d.doc_id
+        |LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.idx
+        |GROUP BY d.doc_id""".stripMargin,
 
     // q78: gram strings stand in for the hashes (same injectivity
     // assumption as q33); coverage = distinct covered token indices

@@ -262,19 +262,34 @@ object Dedup {
     * within-doc repetition is [[graft.pipeline.Curation.repetitionMetrics]]'s
     * job.
     */
-  def substringDupCoverage(docs: DataFrame, idCol: String, textCol: String,
-      l: Int): DataFrame = {
+  /** (doc_id, idx) token positions covered by a cross-doc-duplicated
+    * `l`-gram — the shared core of [[substringDupCoverage]] and
+    * [[removeDuplicatedSpans]], so the coverage signal and the removal
+    * transform can never drift apart. Postings are cached for their
+    * double consumption (dup aggregation + probe side) and released
+    * after the result materializes. May contain duplicate (doc_id, idx)
+    * rows (overlapping spans) — consumers dedup as their aggregate
+    * requires. */
+  private def coveredPositions(docs: DataFrame, idCol: String,
+      textCol: String, l: Int): DataFrame = {
     graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
     val grams = docs.select(col(idCol).as("doc_id"),
         posexplode(shingles(col(textCol), l)).as(Seq("pos", "s")))
       .select(col("doc_id"), col("pos"),
         graft.pipeline.Portable.hash60Fast(col("s")).as("sh"))
+      .cache()
     val dup = grams.groupBy("sh")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1).select("sh")
     val covered = grams.join(dup, "sh")
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("idx"))
+    materializeThenRelease(covered, grams)
+  }
+
+  def substringDupCoverage(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    val covered = coveredPositions(docs, idCol, textCol, l)
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("dup_span_tokens"))
     val sizes = docs.select(col(idCol).as("doc_id"),
@@ -301,17 +316,7 @@ object Dedup {
     */
   def removeDuplicatedSpans(docs: DataFrame, idCol: String,
       textCol: String, l: Int): DataFrame = {
-    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
-    val grams = docs.select(col(idCol).as("doc_id"),
-        posexplode(shingles(col(textCol), l)).as(Seq("pos", "s")))
-      .select(col("doc_id"), col("pos"),
-        graft.pipeline.Portable.hash60Fast(col("s")).as("sh"))
-    val dup = grams.groupBy("sh")
-      .agg(countDistinct("doc_id").as("nd"))
-      .filter(col("nd") > 1).select("sh")
-    val dropIdx = grams.join(dup, "sh")
-      .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(l - 1))).as("idx"))
+    val dropIdx = coveredPositions(docs, idCol, textCol, l)
       .groupBy("doc_id").agg(collect_set("idx").as("drop_idx"))
     val ws = filter(split(col(textCol), " "), w => length(w) > 0)
     docs.select(col(idCol).as("doc_id"), ws.as("ws"))

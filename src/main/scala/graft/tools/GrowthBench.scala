@@ -234,6 +234,8 @@ object GrowthBench {
         threshold = 0.8, numHashes = h, bands = b).count()
       graft.pipeline.TextAnalysis.fluencyScore(
         Tables.documents(spark, x1), "doc_id", "text").count()
+      Dedup.substringDupCoverage(Tables.documents(spark, x1),
+        "doc_id", "text", l = 8).count()
     }
     for ((tag, d) <- Seq("1x" -> x1, "2x" -> x2, "10x" -> x10)) {
       val (c, e) = evalSplit(d)
@@ -247,6 +249,9 @@ object GrowthBench {
       t(s"q75_fluency_$tag") = time(s"q75_fluency_$tag",
         graft.pipeline.TextAnalysis.fluencyScore(
           Tables.documents(spark, d), "doc_id", "text"))
+      t(s"q78_substring_$tag") = time(s"q78_substring_$tag",
+        Dedup.substringDupCoverage(Tables.documents(spark, d),
+          "doc_id", "text", l = 8))
       // incremental dedup: the BATCH stays the 1x corpus's 52-doc
       // (doc_id%97==0) eval slice while the screened corpus grows — the
       // production shape (fixed daily increment, growing archive)
@@ -286,6 +291,8 @@ object GrowthBench {
     exp("q75_fluency 1x->10x", t("q75_fluency_1x"), t("q75_fluency_10x"), 10)
     exp("q73_incremental 1x->10x", t("q73_incremental_1x"),
       t("q73_incremental_10x"), 10)
+    exp("q78_substring 1x->10x", t("q78_substring_1x"),
+      t("q78_substring_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
