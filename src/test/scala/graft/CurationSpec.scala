@@ -187,6 +187,35 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       s"sketch over-dropped $dropped of ${exactKept.size}")
   }
 
+  test("streaming curation capstone: quality + repetition + decontamination compose on one stream, matching batch verdicts") {
+    import graft.pipeline.TextAnalysis
+    val rows = Seq(
+      (1L, "the a of and to in is it that for " + (1 to 60).map(i => s"v$i").mkString(" ")),
+      (2L, "spam spam spam spam spam spam spam spam"),        // repetitive
+      (3L, "contaminated quick brown fox jumps straight over"), // shares eval grams
+      (4L, "x")                                                // low quality
+    )
+    val eval = Seq((90L, "contaminated quick brown fox jumps far"))
+      .toDF("doc_id", "text")
+    def pipelineOf(df: org.apache.spark.sql.DataFrame) =
+      Curation.decontaminateBroadcast(
+        df.filter(!Curation.repetitiveFlag(col("text"), 0.68, 0.5))
+          .filter(TextAnalysis.qualityExpr(col("text")) >= 0.5),
+        eval, "doc_id", "text", n = 4)
+    val batchKept = pipelineOf(rows.toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept == Set(1L), batchKept)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)
+    ms.addData(rows)
+    val q = pipelineOf(ms.toDF().toDF("doc_id", "text")).select("doc_id")
+      .writeStream.format("memory").queryName("curation_capstone")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("curation_capstone").as[Long].collect().toSet
+      == batchKept)
+  }
+
   test("maskPii masks emails, phones, then numbers, with per-kind counts") {
     val rows = Seq(
       (1L, "call 555-867-5309 or mail bob@example.com x2 42"),
