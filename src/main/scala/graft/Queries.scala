@@ -847,6 +847,13 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q80 — sequence packing: every doc assigned to the fixed-600-token
+    // training batch it starts in, per content-hash shard — shard, order,
+    // and batch are all pure content functions (replay-stable layout).
+    "q80_seq_packing" -> ((s, d) =>
+      Curation.packBatches(Tables.documents(s, d), "doc_id", "text",
+        numShards = 4, budgetTokens = 600L)),
+
     // Q79 — span-removal dedup: the q78 coverage signal applied as a
     // transform — every doc rewritten with its cross-doc 8-token spans
     // removed; oracle reconstructs the same texts via ordered string_agg.
@@ -1294,6 +1301,20 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q80: the same running totals, integer-divided into batch ids
+    "q80_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    ${graft.pipeline.Portable.hash60Sql("text")} % 4 AS shard,
+        |    CAST(len(list_filter(string_split(text,' '), x -> len(x)>0))
+        |      AS INT) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((CAST(sum(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    - n_tokens) // 600 AS BIGINT) AS batch_id
+        |FROM t""".stripMargin,
 
     // q79: drop covered indices, reassemble in order
     "q79_span_removal" ->

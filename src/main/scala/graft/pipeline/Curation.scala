@@ -220,6 +220,36 @@ object Curation {
       .drop("_h")
   }
 
+  /** Sequence packing for training batches: assign every document to the
+    * fixed-token-budget batch in which it STARTS when the shard's docs
+    * are laid end-to-end in portable content-hash order — the classic
+    * whole-document greedy fill (a doc that straddles a boundary belongs
+    * to the batch it starts in, so batches overflow by at most one doc,
+    * never split one). Deterministic integer arithmetic end-to-end:
+    * batch_id = (running_total_before_doc) div budget over the
+    * hash-ordered running sum. Returns
+    * `(doc_id, shard, n_tokens, batch_id)`.
+    *
+    * Same shuffle shape as [[tokenBudgetSample]]: one hash partition by
+    * shard, per-shard sorted window (spillable); the shard key itself is
+    * [[shardId]]'s content hash, so the whole layout — shard, order, and
+    * batch — is a pure function of document content.
+    */
+  def packBatches(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int, budgetTokens: Long): DataFrame = {
+    val projected = docs.select(col(idCol).as("doc_id"),
+      shardId(col(textCol), numShards).as("shard"),
+      size(words(col(textCol))).as("n_tokens"),
+      md5(col(textCol)).as("_h"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    projected.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("batch_id",
+        expr(s"(cum - n_tokens) div ${budgetTokens}L"))
+      .select("doc_id", "shard", "n_tokens", "batch_id")
+  }
+
   /** PII-style masking: replace emails, North-American phone numbers, and
     * bare digit runs with typed placeholder tokens, and count each kind.
     * Patterns are written in the RE2-compatible subset (no backrefs, no

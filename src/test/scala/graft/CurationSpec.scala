@@ -216,6 +216,25 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       == batchKept)
   }
 
+  test("packBatches: whole-doc greedy fill — every batch starts under budget, assignment is content-pure") {
+    val docs = (1L to 60L).map(i => (i, Seq.fill(10)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.packBatches(docs, "doc_id", "text", numShards = 2,
+      budgetTokens = 35L).as[(Long, Long, Int, Long)].collect()
+    // 10-token docs, 35-token budget: cum-before runs 0,10,20,30,40... so
+    // batches hold docs starting at <35, <70, ... -> 4 docs per batch
+    out.groupBy(r => (r._2, r._4)).values.foreach(g => assert(g.size <= 4))
+    // batch ids are contiguous from 0 within each shard
+    out.groupBy(_._2).values.foreach { g =>
+      val ids = g.map(_._4).distinct.sorted.toSeq
+      assert(ids == (0L until ids.length).toSeq, ids)
+    }
+    val again = Curation.packBatches(docs.repartition(11), "doc_id",
+      "text", numShards = 2, budgetTokens = 35L)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(again.toSet == out.toSet)
+  }
+
   test("maskPii masks emails, phones, then numbers, with per-kind counts") {
     val rows = Seq(
       (1L, "call 555-867-5309 or mail bob@example.com x2 42"),
