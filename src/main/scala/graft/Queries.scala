@@ -847,6 +847,12 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q81 — vocabulary build + integer encoding: token ids by frequency
+    // rank (count desc, token asc), every doc re-emitted as its ordered
+    // id sequence — the final step before training.
+    "q81_vocab_encode" -> ((s, d) =>
+      TextAnalysis.vocabEncode(Tables.documents(s, d), "doc_id", "text")),
+
     // Q80 — sequence packing: every doc assigned to the fixed-600-token
     // training batch it starts in, per content-hash shard — shard, order,
     // and batch are all pure content functions (replay-stable layout).
@@ -1301,6 +1307,20 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q81: rank the vocabulary, re-encode every doc in order
+    "q81_vocab_encode" ->
+      """WITH toks AS (SELECT doc_id, i AS pos, ws[i+1] AS tok FROM
+        |    (SELECT doc_id,
+        |       list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |     FROM documents) w, unnest(range(len(ws))) t(i)),
+        |vocab AS (SELECT tok, row_number() OVER (
+        |    ORDER BY count(*) DESC, tok) AS token_id
+        |  FROM toks GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  string_agg(token_id, ',' ORDER BY pos) AS ids
+        |FROM toks JOIN vocab USING (tok)
+        |GROUP BY doc_id""".stripMargin,
 
     // q80: the same running totals, integer-divided into batch ids
     "q80_seq_packing" ->

@@ -122,6 +122,37 @@ object TextAnalysis {
         col("sum_freq").cast("double") / col("n_tokens"))
   }
 
+  /** Vocabulary building + integer encoding — the final step before
+    * training: token ids are assigned by corpus frequency rank (count
+    * desc, then token asc — fully deterministic), and every document is
+    * re-emitted as its id sequence (comma-joined, order-preserving).
+    * Returns `(doc_id, n_tokens, ids)`.
+    *
+    * Scale shape: the vocabulary aggregate shuffles (token, count) pairs
+    * — vocab-sized; the rank window is a single partition over the
+    * VOCABULARY (not the corpus — acceptable to ~100M tokens, beyond
+    * which rank by (count, hash-bucket) ranges; documented trade). The
+    * encode join is per-token-occurrence, then an ordered reassembly
+    * keyed by (doc, position) — the one inherently corpus-wide shuffle a
+    * re-encoding pass cannot avoid.
+    */
+  def vocabEncode(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("token_id", row_number().over(
+        Window.orderBy(col("cnt").desc, col("tok"))))
+      .select("tok", "token_id")
+    toks.join(vocab, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("token_id")))),
+          s => s.getField("token_id")), ",").as("ids"))
+  }
+
   /** BPE-ish sub-token regex: letter runs, digit runs, single symbols. */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 

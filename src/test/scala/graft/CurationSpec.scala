@@ -235,6 +235,16 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(again.toSet == out.toSet)
   }
 
+  test("vocabEncode: ids by frequency rank, documents re-encoded in order") {
+    val docs = Seq((1L, "b a b"), (2L, "c a b")).toDF("doc_id", "text")
+    val out = graft.pipeline.TextAnalysis.vocabEncode(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect()
+      .map { case (id, n, ids) => id -> ((n, ids)) }.toMap
+    // counts: b=3 -> id 1, a=2 -> id 2, c=1 -> id 3
+    assert(out(1L) == ((3L, "1,2,1")), out)
+    assert(out(2L) == ((3L, "3,2,1")), out)
+  }
+
   test("maskPii masks emails, phones, then numbers, with per-kind counts") {
     val rows = Seq(
       (1L, "call 555-867-5309 or mail bob@example.com x2 42"),
