@@ -77,28 +77,35 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    def line(dp: Int, full: Boolean, lean: Boolean = false): String = {
+    def line(dp: Int, full: Boolean, lean: Int = 0): String = {
       val qs = results.collect { case (k, Some(v)) =>
         s"\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
       val mid = if (full) s""","unit":"sec","queries":$qs,"runs":2"""
         else s""","queries":$qs"""
-      // the errors key ALWAYS rides along (even empty) — the driver may
-      // access it unconditionally and a missing map would also hide a
-      // failing query; the lean rung drops only the sf path (~29 chars),
-      // which the driver itself supplies via SPARK_GRAFT_SF_DIR
-      val tailFields =
-        if (lean) s""","errors":$errJson"""
-        else s""","errors":$errJson,"sf":"$sfDir""""
-      s"""{"metric":"total","value":${fmt(total, dp)}$mid$tailFields}"""
+      // the errors key rides along (even empty) down to the lean rung —
+      // the driver may access it unconditionally; lean drops only the sf
+      // path (~29 chars), which the driver itself supplies via
+      // SPARK_GRAFT_SF_DIR. The ULTRA rung (last resort before the line
+      // truncates, which would lose the whole JSON) also drops the empty
+      // error map — NEVER a non-empty one.
+      val tailFields = lean match {
+        case 0 => s""","errors":$errJson,"sf":"$sfDir""""
+        case 1 => s""","errors":$errJson"""
+        case _ => if (errors.isEmpty) "" else s""","errors":$errJson"""
+      }
+      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))}$mid$tailFields}"""
     }
     // the harness window is ~2000 chars; leave only a newline's margin —
     // a tighter budget needlessly drops precision or fields
     val budget = 1995
     // precision degrades fully before any field is dropped (1dp saves
     // ~1 char/query — more than the 22 chars the fields cost)
+    // final rung: whole-second per-query values — coarse, but a COMPLETE
+    // parseable map beats a truncated line that loses every field
     val out = Seq(line(3, true), line(2, true), line(1, true),
-      line(2, false), line(1, false), line(1, false, lean = true))
-      .find(_.length <= budget).getOrElse(line(1, false, lean = true))
+      line(2, false), line(1, false), line(1, false, lean = 1),
+      line(1, false, lean = 2), line(0, false, lean = 2))
+      .find(_.length <= budget).getOrElse(line(0, false, lean = 2))
     if (out.length > budget)
       System.err.println(s"[bench] WARNING: metric line ${out.length} chars" +
         " exceeds the ~2000-char harness capture window even at the" +

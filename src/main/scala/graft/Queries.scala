@@ -838,7 +838,7 @@ object RelationalQueries {
     // Q72 — broadcast decontamination: the stream-compatible map-side
     // variant of q66 (no join — eval gram hashes ride a broadcast sorted
     // array; exact membership). Gated against the exact-SQL complement.
-    "q72_broadcast_decontam" -> ((s, d) => {
+    "q72_decontam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.decontaminateBroadcast(
           docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
@@ -870,7 +870,7 @@ object RelationalQueries {
     // Q78 — exact-substring duplication coverage (Lee et al. shape):
     // token positions inside 8-token spans that appear verbatim in
     // another document — the per-doc signal for span-removal dedup.
-    "q78_substring_dup" -> ((s, d) =>
+    "q78_substr_dup" -> ((s, d) =>
       Dedup.substringDupCoverage(Tables.documents(s, d), "doc_id", "text",
         l = 8)),
 
@@ -916,7 +916,7 @@ object RelationalQueries {
     // the oracle recomputes counts, rates, and the hash predicate from
     // scratch in SQL (pow agreement across engines is absorbed by the
     // shared round-to-denom threshold contract).
-    "q74_temperature_mix" -> ((s, d) =>
+    "q74_temp_mix" -> ((s, d) =>
       Curation.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
         alpha = 0.5)),
 
@@ -924,7 +924,7 @@ object RelationalQueries {
     // increment screened against the doc_id<400 corpus; only CROSS pairs
     // form. Same derived LSH params as q31 (recall proven total there by
     // the exact oracle — the crossing subset inherits it).
-    "q73_incremental_dedup" -> ((s, d) => {
+    "q73_incr_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
       Dedup.incrementalMinhashPairs(
@@ -1361,7 +1361,7 @@ object RelationalQueries {
 
     // q78: gram strings stand in for the hashes (same injectivity
     // assumption as q33); coverage = distinct covered token indices
-    "q78_substring_dup" ->
+    "q78_substr_dup" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
         |  FROM documents),
@@ -1428,7 +1428,7 @@ object RelationalQueries {
     // q74: counts -> rates -> rounded thresholds -> hash predicate, all
     // recomputed in SQL; round() to 1e4 buckets makes the pow() values
     // engine-robust (a last-ulp difference cannot move a threshold)
-    "q74_temperature_mix" ->
+    "q74_temp_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM c),
         |r AS (SELECT lang,
@@ -1443,12 +1443,12 @@ object RelationalQueries {
 
     // q73: the exact cross-boundary Jaccard pairs — corpus-internal and
     // batch-internal pairs must NOT appear
-    "q73_incremental_dedup" ->
+    "q73_incr_dedup" ->
       s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
         |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
 
     // q72: survivors = corpus minus the exact shared-gram set
-    "q72_broadcast_decontam" ->
+    "q72_decontam" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
         |  FROM documents),
