@@ -18,7 +18,7 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Delete the tmp sink directories this application wrote — the
-    * roundtrip gates (q18/q44/q49/q50/q51/q58/q60/q63/q69) write under
+    * roundtrip gates (q18/q44/q49/q50/q51/q58/q60/q63/q69/q82) write under
     * java.io.tmpdir with the applicationId in the directory name, so
     * concurrent apps never collide AND this sweep targets exactly our
     * own leftovers. Called by Bench/Verify/test teardown so repeated
@@ -847,6 +847,32 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // Q82 — ORC roundtrip (the other columnar format Spark ships a native
+    // vectorized reader for): write a lineitem slice as ORC, read back
+    // with a pushed predicate, aggregate per flag. Integer-cents sum for
+    // engine-exact totals (the q63 discipline).
+    "q82_orc_roundtrip" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_q82_${s.sparkContext.applicationId}"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).filter(col("l_quantity") >= 30)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+    }),
+
+    // Q83 — JSON property parsing: events.props is a JSON document —
+    // extract the k field (codegen'd JsonPath, no UDF) and aggregate per
+    // event type; the oracle uses DuckDB's native JSON extraction.
+    "q83_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+
     // Q81 — vocabulary build + integer encoding: token ids by frequency
     // rank (count desc, token asc), every doc re-emitted as its ordered
     // id sequence — the final step before training.
@@ -1307,6 +1333,22 @@ object RelationalQueries {
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+
+    // q82: the ORC write/read must be lossless and the filter exact
+    "q82_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
+        |FROM lineitem WHERE l_quantity >= 30 GROUP BY 1""".stripMargin,
+
+    // q83: JSON field extraction agrees across engines
+    "q83_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     // q81: rank the vocabulary, re-encode every doc in order
     "q81_vocab_encode" ->

@@ -32,6 +32,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     df.queryExecution.executedPlan.toString
   }
 
+  test("q82: the predicate pushes into the ORC scan") {
+    val df = SparkEntry.queries("q82_orc_roundtrip")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("orc"), p)
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(l_quantity,30"), p)
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_filter")
     assert(p.contains("PushedFilters: ["), p)
