@@ -779,7 +779,7 @@ object RelationalQueries {
     // Q66 — benchmark-contamination screen: corpus docs sharing any word
     // 4-gram with the held-out eval slice (doc_id % 97 == 0 plays the
     // benchmark). Broadcast probe of hashed grams — no corpus shuffle.
-    "q66_contamination" -> ((s, d) => {
+    "q66_contam" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.contamination(
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
@@ -789,7 +789,7 @@ object RelationalQueries {
 
     // Q67 — per-domain quota: keep the 10 docs per source that rank first
     // under the portable content hash (deterministic uniform cap).
-    "q67_domain_quota" -> ((s, d) =>
+    "q67_quota" -> ((s, d) =>
       Curation.domainQuota(Tables.documents(s, d), "doc_id", "source",
         "text", k = 10)),
 
@@ -804,7 +804,7 @@ object RelationalQueries {
     // read back and aggregated per shard — the oracle recomputes the
     // shard expression table-side, so the gate proves every row landed in
     // exactly the shard its content derives.
-    "q69_train_shards" -> ((s, d) => {
+    "q69_shards" -> ((s, d) => {
       val out = s"${sys.props("java.io.tmpdir")}/graft_q69_${s.sparkContext.applicationId}"
       Curation.writeShards(
         Tables.documents(s, d).select("doc_id", "text", "n_chars"),
@@ -820,7 +820,7 @@ object RelationalQueries {
     // derives the same numbers arithmetically (n_frames = bytes /
     // block-align), so the gate proves the parser inverts the container
     // format. Narrow typed map — no shuffle, header-only reads.
-    "q40c_audio_meta" -> ((s, d) => {
+    "q40c_audio" -> ((s, d) => {
       import s.implicits._
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .as[(Long, String)]
@@ -851,7 +851,7 @@ object RelationalQueries {
     // vectorized reader for): write a lineitem slice as ORC, read back
     // with a pushed predicate, aggregate per flag. Integer-cents sum for
     // engine-exact totals (the q63 discipline).
-    "q82_orc_roundtrip" -> ((s, d) => {
+    "q82_orc_rt" -> ((s, d) => {
       val out = s"${sys.props("java.io.tmpdir")}/graft_q82_${s.sparkContext.applicationId}"
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_returnflag", "l_quantity")
@@ -865,7 +865,7 @@ object RelationalQueries {
     // Q83 — JSON property parsing: events.props is a JSON document —
     // extract the k field (codegen'd JsonPath, no UDF) and aggregate per
     // event type; the oracle uses DuckDB's native JSON extraction.
-    "q83_json_props" -> ((s, d) =>
+    "q83_json" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_type"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -876,20 +876,20 @@ object RelationalQueries {
     // Q81 — vocabulary build + integer encoding: token ids by frequency
     // rank (count desc, token asc), every doc re-emitted as its ordered
     // id sequence — the final step before training.
-    "q81_vocab_encode" -> ((s, d) =>
+    "q81_encode" -> ((s, d) =>
       TextAnalysis.vocabEncode(Tables.documents(s, d), "doc_id", "text")),
 
     // Q80 — sequence packing: every doc assigned to the fixed-600-token
     // training batch it starts in, per content-hash shard — shard, order,
     // and batch are all pure content functions (replay-stable layout).
-    "q80_seq_packing" -> ((s, d) =>
+    "q80_packing" -> ((s, d) =>
       Curation.packBatches(Tables.documents(s, d), "doc_id", "text",
         numShards = 4, budgetTokens = 600L)),
 
     // Q79 — span-removal dedup: the q78 coverage signal applied as a
     // transform — every doc rewritten with its cross-doc 8-token spans
     // removed; oracle reconstructs the same texts via ordered string_agg.
-    "q79_span_removal" -> ((s, d) =>
+    "q79_spanrm" -> ((s, d) =>
       Dedup.removeDuplicatedSpans(Tables.documents(s, d), "doc_id", "text",
         l = 8)),
 
@@ -905,7 +905,7 @@ object RelationalQueries {
     // eligibility set comes from a different table (documents), joined
     // semi onto the embedding corpus before any distance math. vec_id
     // and doc_id align 1:1 in the testdata.
-    "q77_hybrid_search" -> ((s, d) => {
+    "q77_hybrid" -> ((s, d) => {
       val eligible = TextAnalysis.qualityScore(Tables.documents(s, d),
           "doc_id", "text")
         .filter(col("quality") >= 0.5)
@@ -923,7 +923,7 @@ object RelationalQueries {
     // parquet scan (plan-asserted in CurationSpec), so the search space
     // shrinks BEFORE any distance math; the same composition drops into
     // lshTopK/ivfTopK for the approximate tiers.
-    "q76_filtered_ann" -> ((s, d) => {
+    "q76_filtered" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(vecs.filter(col("label") < 3),
         vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 3)
@@ -963,7 +963,7 @@ object RelationalQueries {
     // Q71 — token-budget packing: each source contributes ~600 whitespace
     // tokens, docs taken greedily in content-hash order; the running
     // total column makes the cut itself part of the gate.
-    "q71_token_budget" -> ((s, d) =>
+    "q71_budget" -> ((s, d) =>
       Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
         "source", budgetTokens = 600L)),
 
@@ -971,7 +971,7 @@ object RelationalQueries {
     // + contamination) as per-source survival stats; the oracle recomputes
     // every verdict from scratch in SQL, so the gate covers the whole
     // composition, not just the pieces.
-    "q70_clean_corpus" -> ((s, d) => {
+    "q70_clean" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Curation.cleanCorpus(
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
@@ -1281,7 +1281,7 @@ object RelationalQueries {
         |FROM f""".stripMargin,
 
     // q66: distinct shared word-4-grams vs the doc_id%97 eval slice
-    "q66_contamination" ->
+    "q66_contam" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
         |  FROM documents),
@@ -1296,7 +1296,7 @@ object RelationalQueries {
 
     // q67: the cap keeps exactly the k first docs per source under the
     // content-hash order (rank included, so the order itself is gated)
-    "q67_domain_quota" ->
+    "q67_quota" ->
       """SELECT doc_id, source, CAST(rk AS INT) AS rk FROM (
         |  SELECT doc_id, source, row_number() OVER (
         |      PARTITION BY source ORDER BY md5(text), doc_id) AS rk
@@ -1321,7 +1321,7 @@ object RelationalQueries {
 
     // q69: the shard expression recomputed table-side — per-shard counts
     // and char sums must survive the partitioned write + readback
-    "q69_train_shards" ->
+    "q69_shards" ->
       s"""SELECT ${graft.pipeline.Portable.hash60Sql("text")} % 8 AS shard,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1""".stripMargin,
@@ -1329,20 +1329,20 @@ object RelationalQueries {
     // q40c: the container round-trip must recover exactly the sample
     // parameters and the frame count implied by the payload length
     // (16-bit mono -> block align 2; text is pure ASCII, see q40)
-    "q40c_audio_meta" ->
+    "q40c_audio" ->
       """SELECT doc_id AS media_id, 16000 AS sample_rate, 1 AS channels,
         |  16 AS bits_per_sample, CAST(length(text) // 2 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
 
     // q82: the ORC write/read must be lossless and the filter exact
-    "q82_orc_roundtrip" ->
+    "q82_orc_rt" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
         |    AS qty_cents
         |FROM lineitem WHERE l_quantity >= 30 GROUP BY 1""".stripMargin,
 
     // q83: JSON field extraction agrees across engines
-    "q83_json_props" ->
+    "q83_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
         |    AS BIGINT) AS sum_k,
@@ -1351,7 +1351,7 @@ object RelationalQueries {
         |FROM events GROUP BY 1""".stripMargin,
 
     // q81: rank the vocabulary, re-encode every doc in order
-    "q81_vocab_encode" ->
+    "q81_encode" ->
       """WITH toks AS (SELECT doc_id, i AS pos, ws[i+1] AS tok FROM
         |    (SELECT doc_id,
         |       list_filter(string_split(text,' '), x -> len(x)>0) AS ws
@@ -1365,7 +1365,7 @@ object RelationalQueries {
         |GROUP BY doc_id""".stripMargin,
 
     // q80: the same running totals, integer-divided into batch ids
-    "q80_seq_packing" ->
+    "q80_packing" ->
       s"""WITH t AS (SELECT doc_id,
         |    ${graft.pipeline.Portable.hash60Sql("text")} % 4 AS shard,
         |    CAST(len(list_filter(string_split(text,' '), x -> len(x)>0))
@@ -1379,7 +1379,7 @@ object RelationalQueries {
         |FROM t""".stripMargin,
 
     // q79: drop covered indices, reassemble in order
-    "q79_span_removal" ->
+    "q79_spanrm" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
         |  FROM documents),
@@ -1423,7 +1423,7 @@ object RelationalQueries {
 
     // q77: eligibility from the documents table's quality metric, then
     // the same rank query over the restricted corpus
-    "q77_hybrid_search" ->
+    "q77_hybrid" ->
       s"""WITH $embedNormSql,
         |qual AS (SELECT doc_id FROM ($qualityOracleSql) t
         |  WHERE quality >= 0.5),
@@ -1440,7 +1440,7 @@ object RelationalQueries {
 
     // q76: the same rank query with the label predicate on the corpus
     // side only (queries keep their own eligibility)
-    "q76_filtered_ann" ->
+    "q76_filtered" ->
       s"""WITH $embedNormSql,
         |q AS (SELECT * FROM nv WHERE vec_id % 100 = 0),
         |c AS (SELECT nv.* FROM nv
@@ -1507,7 +1507,7 @@ object RelationalQueries {
 
     // q71: running token totals over the same hash order; the first
     // over-budget doc stays (take-while-greedy), later ones drop
-    "q71_token_budget" ->
+    "q71_budget" ->
       """WITH t AS (SELECT doc_id, source,
         |    CAST(len(list_filter(string_split(text,' '), x -> len(x)>0))
         |      AS INT) AS n_tokens,
@@ -1523,7 +1523,7 @@ object RelationalQueries {
     // q70: every verdict recomputed from scratch — dedup via the md5
     // window, repetition and quality via their metric CTEs, contamination
     // via the 4-gram screen — then rolled up per source
-    "q70_clean_corpus" ->
+    "q70_clean" ->
       """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
         |w AS (SELECT doc_id, source, text,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws

@@ -68,7 +68,7 @@ class CurationSpec extends AnyFunSuite with SparkTest {
   }
 
   test("contamination probe broadcasts the eval grams; only hit rows reach an exchange") {
-    val df = SparkEntry.queries("q66_contamination")(spark, "/root/testdata/sf0.001")
+    val df = SparkEntry.queries("q66_contam")(spark, "/root/testdata/sf0.001")
     df.collect()
     // final plan only — AQE appends an "Initial Plan" section that would
     // double-count nodes
@@ -90,7 +90,7 @@ class CurationSpec extends AnyFunSuite with SparkTest {
   }
 
   test("domainQuota and tokenBudgetSample plan one group-key exchange; bodies never shuffle") {
-    for (q <- Seq("q67_domain_quota", "q71_token_budget")) {
+    for (q <- Seq("q67_quota", "q71_budget")) {
       val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -330,7 +330,7 @@ class CurationSpec extends AnyFunSuite with SparkTest {
 
   test("cleanCorpus: per-source totals reconcile and every doc is accounted for") {
     val d = "/root/testdata/sf0.001"
-    val out = SparkEntry.queries("q70_clean_corpus")(spark, d)
+    val out = SparkEntry.queries("q70_clean")(spark, d)
       .as[(String, Long, Long, Long, Long, Long, Long)].collect()
     val corpus = spark.read.parquet(s"$d/documents.parquet")
       .filter(col("doc_id") % 97 =!= 0)
@@ -343,7 +343,7 @@ class CurationSpec extends AnyFunSuite with SparkTest {
   }
 
   test("cleanCorpus: no exchange carries document bodies (the 100 TB claim)") {
-    val df = SparkEntry.queries("q70_clean_corpus")(spark, "/root/testdata/sf0.001")
+    val df = SparkEntry.queries("q70_clean")(spark, "/root/testdata/sf0.001")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
@@ -351,7 +351,7 @@ class CurationSpec extends AnyFunSuite with SparkTest {
   }
 
   test("filtered ANN pushes the label predicate into the corpus parquet scan") {
-    val df = SparkEntry.queries("q76_filtered_ann")(spark, "/root/testdata/sf0.001")
+    val df = SparkEntry.queries("q76_filtered")(spark, "/root/testdata/sf0.001")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("PushedFilters") && p.contains("LessThan(label,3)"), p)

@@ -33,7 +33,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
   }
 
   test("q82: the predicate pushes into the ORC scan") {
-    val df = SparkEntry.queries("q82_orc_roundtrip")(spark, d)
+    val df = SparkEntry.queries("q82_orc_rt")(spark, d)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("orc"), p)
