@@ -102,6 +102,11 @@ object VectorOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_buckets",
       exprs => SignBucketsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs",
+      exprs => MinhashSigsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Column API for the native dot product (register first). */

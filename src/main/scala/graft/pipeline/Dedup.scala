@@ -171,14 +171,58 @@ object Dedup {
 
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
     *
+    * Two signature strategies, identical results (spec-asserted):
+    *   - `mapSideSigs = false`: the declarative aggregate — distinct
+    *     postings shuffle once for signatures and again for verification.
+    *   - `mapSideSigs = true` (default): the native
+    *     [[graft.functions.MinhashSigsExpr]] computes every signature in
+    *     the SCAN projection (zero exchanges), and the posting shuffle
+    *     runs candidate-restricted only — at 100 TB that turns the
+    *     corpus-wide signature shuffle into a near-dup-rate-sized one.
+    *
     * @param numHashes signature length H (= bands * rowsPerBand)
     * @param bands     LSH bands; a pair is a candidate if any band matches
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, numHashes: Int = 24, bands: Int = 6)
-      : DataFrame = {
+      n: Int, threshold: Double, numHashes: Int = 24, bands: Int = 6,
+      mapSideSigs: Boolean = true): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
+    if (mapSideSigs) {
+      graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+      // signatures in the scan projection: (H+1 longs per doc, no
+      // exchange); docs with fewer than n words yield null = no shingles
+      val sigs = docs.select(col(idCol).as("id"),
+          call_function("minhash_sigs", col(textCol), lit(n), lit(numHashes))
+            .as("sig"))
+        .filter(col("sig").isNotNull)
+        .select(col("id") +:
+          (0 until numHashes).map(i =>
+            element_at(col("sig"), i + 1).as(s"h$i")) :+
+          element_at(col("sig"), numHashes + 1).as("n"): _*)
+        .cache()
+      val bandRows = bandRowsOf(sigs, bands, r)
+      val candidates = bandRows.as("x").join(bandRows.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+        .localCheckpoint(true) // reused by the semi-join and both probes
+      // verification postings for CANDIDATE docs only — the only shuffle
+      // of shingle hashes is near-dup-rate-sized
+      val candIds = candidates
+        .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+        .distinct()
+      val ds = shinglePostings(
+        docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, n)
+        .cache()
+      val inter = candidates
+        .join(ds.select(col("id").as("id_a"), col("sh")), "id_a")
+        .join(ds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val pairs = jaccardOf(sigs.select(col("id"), col("n")), inter, threshold)
+      return materializeThenRelease(pairs, ds, sigs)
+    }
     // postings feed signature-building, candidate verification (twice) and
     // size counts — cache instead of recomputing the explode+md5+distinct
     // lineage per consumer

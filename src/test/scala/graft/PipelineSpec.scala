@@ -59,6 +59,43 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((0L, 1L), (0L, 2L)))
   }
 
+  test("map-side minhash signatures equal the aggregate path bit-for-bit (pairs and jaccards)") {
+    for (d <- Seq(docs,
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))) {
+      val agg = Dedup.minhashLshPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.4, mapSideSigs = false)
+        .as[(Long, Long, Double)].collect().toSet
+      val mapSide = Dedup.minhashLshPairs(d, "doc_id", "text", n = 3,
+        threshold = 0.4, mapSideSigs = true)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(mapSide == agg)
+    }
+  }
+
+  test("map-side minhash signature values equal the aggregate signatures themselves") {
+    import org.apache.spark.sql.functions.{element_at, call_function}
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaExpr = d.select(col("doc_id"),
+        call_function("minhash_sigs", col("text"), lit(3), lit(24)).as("s"))
+      .filter(col("s").isNotNull)
+      .select(col("doc_id"), element_at(col("s"), 1).as("h0"),
+        element_at(col("s"), 24).as("h23"), element_at(col("s"), 25).as("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val viaAgg = {
+      val ds = graft.pipeline.Dedup.shinglePostings(d, "doc_id", "text", 3)
+      val params = graft.pipeline.Dedup.hashParams(24)
+      val P = graft.pipeline.Dedup.P
+      val x = col("sh") % P
+      ds.groupBy(col("id")).agg(
+          min((lit(params.head._1) * x + lit(params.head._2)) % P).as("h0"),
+          min((lit(params(23)._1) * x + lit(params(23)._2)) % P).as("h23"),
+          count(lit(1)).as("n"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    }
+    assert(viaExpr == viaAgg)
+  }
+
   test("minhash LSH recalls the exact-dup and high-jaccard pairs") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

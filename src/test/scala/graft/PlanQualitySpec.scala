@@ -32,6 +32,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     df.queryExecution.executedPlan.toString
   }
 
+  test("minhash signatures compute in the scan projection — zero exchanges") {
+    // q31's own executed plan is hidden behind its localCheckpoint, so
+    // assert on the signature stage itself: scan -> project, NO exchange
+    // (the aggregate twin needs a corpus-wide posting shuffle here)
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val sigs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"),
+        call_function("minhash_sigs", col("text"), lit(3), lit(24)).as("s"))
+    sigs.collect()
+    val p = sigs.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("minhashsigs"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("q82: the predicate pushes into the ORC scan") {
     val df = SparkEntry.queries("q82_orc_rt")(spark, d)
     df.collect()
