@@ -49,10 +49,15 @@ object Hash60 {
     () => java.security.MessageDigest.getInstance("MD5"))
 
   /** First 60 bits of md5(utf8 bytes): bytes [0,8) big-endian >>> 4. */
-  def hash60(s: UTF8String): Long = {
+  def hash60(s: UTF8String): Long = hash60(s.getBytes, 0, -1)
+
+  /** Same hash over a byte slice (len < 0 = to the end) — the shingle
+    * walkers hash sub-ranges of one document buffer without slicing. */
+  def hash60(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = digests.get()
     md.reset()
-    val d = md.digest(s.getBytes)
+    md.update(bytes, off, if (len < 0) bytes.length - off else len)
+    val d = md.digest()
     val top8 =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |

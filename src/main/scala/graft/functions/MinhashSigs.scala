@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -47,7 +46,9 @@ case class MinhashSigsExpr(child: Expression, n: Int, numHashes: Int)
 
   override def nullSafeEval(v: Any): Any = {
     val out = MinhashSigs.eval(v.asInstanceOf[UTF8String], n, numHashes)
-    if (out == null) null else new GenericArrayData(out)
+    if (out == null) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out) // no per-element boxing
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,7 +59,7 @@ case class MinhashSigsExpr(child: Expression, n: Int, numHashes: Int)
          |if ($arr == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
          |}
        """.stripMargin
     })
@@ -69,15 +70,18 @@ case class MinhashSigsExpr(child: Expression, n: Int, numHashes: Int)
 
 object MinhashSigs {
 
-  /** Affine permutation coefficients — MUST stay identical to
-    * `Dedup.hashParams` (the spec asserts signature equality, which
-    * covers this). Cached per (H). */
+  /** The affine-permutation modulus — THE single source (`Dedup.P`
+    * aliases this). */
+  val P = 2147483647L
+
+  /** Affine permutation coefficients, flat-packed [a0,b0,a1,b1,…] — THE
+    * single source of the permutation family (`Dedup.hashParams` derives
+    * its pair view from this, so the two signature strategies cannot
+    * drift). Cached per H. */
   private val paramCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
 
-  private val P = 2147483647L
-
-  private def params(h: Int): Array[Long] =
+  def affineParams(h: Int): Array[Long] =
     paramCache.computeIfAbsent(h, _ => {
       val out = new Array[Long](2 * h)
       var i = 0
@@ -89,41 +93,67 @@ object MinhashSigs {
       out
     })
 
-  /** Null when the doc has fewer than n words (no shingles). */
+  /** Null when the doc has fewer than n words (no shingles). The walk is
+    * allocation-light on purpose — this runs once per document in the
+    * scan projection: primitive offset arrays, an open-addressed
+    * primitive long set for the distinct filter, and the shared
+    * ThreadLocal digest via [[Hash60.hash60]]. */
   def eval(text: UTF8String, n: Int, numHashes: Int): Array[Long] = {
     val bytes = text.getBytes
-    // word start/end offsets, skipping empty tokens
-    val starts = new java.util.ArrayList[Int]()
-    val ends = new java.util.ArrayList[Int]()
+    // word start/end offsets, skipping empty tokens; a doc of L bytes
+    // has at most (L+1)/2 words
+    val maxWords = bytes.length / 2 + 1
+    val starts = new Array[Int](maxWords)
+    val ends = new Array[Int](maxWords)
+    var words = 0
     var i = 0
     while (i < bytes.length) {
       while (i < bytes.length && bytes(i) == ' ') i += 1
       if (i < bytes.length) {
-        starts.add(i)
+        starts(words) = i
         while (i < bytes.length && bytes(i) != ' ') i += 1
-        ends.add(i)
+        ends(words) = i
+        words += 1
       }
     }
-    val words = starts.size()
     if (words < n) return null
-    val ab = params(numHashes)
+    val ab = affineParams(numHashes)
     val mins = new Array[Long](numHashes + 1)
     java.util.Arrays.fill(mins, 0, numHashes, Long.MaxValue)
-    val seen = new java.util.HashSet[java.lang.Long]()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // open-addressed set of the distinct 60-bit hashes; 0 marks an empty
+    // slot, so the (2^-60-probability) hash value 0 is tracked by a
+    // dedicated flag to stay bit-exact with the aggregate twin;
+    // capacity 2x shingles keeps probes short
+    val shingleCount = words - n + 1
+    var cap = java.lang.Integer.highestOneBit(
+      math.max(4, shingleCount * 2) - 1) << 1
+    if (cap <= 0) cap = 4
+    val table = new Array[Long](cap)
+    var seenZero = false
+    var distinct = 0
     var w = 0
     while (w + n <= words) {
       // the shingle is the exact byte range from word w's start to word
       // w+n-1's end — single-space contract makes this identical to the
       // regex twin's captured string
-      md.reset()
-      md.update(bytes, starts.get(w), ends.get(w + n - 1) - starts.get(w))
-      val d = md.digest()
-      val sh = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
-        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
-        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
-      if (seen.add(sh)) {
+      val sh = Hash60.hash60(bytes,
+        starts(w), ends(w + n - 1) - starts(w))
+      var fresh = false
+      if (sh == 0L) {
+        fresh = !seenZero
+        seenZero = true
+      } else {
+        var slot = (java.lang.Long.hashCode(sh) & (cap - 1))
+        var done = false
+        while (!done) {
+          val cur = table(slot)
+          if (cur == 0L) { table(slot) = sh; fresh = true; done = true }
+          else if (cur == sh) done = true
+          else slot = (slot + 1) & (cap - 1)
+        }
+      }
+      if (fresh) {
+        distinct += 1
         val x = sh % P
         var k = 0
         while (k < numHashes) {
@@ -134,7 +164,7 @@ object MinhashSigs {
       }
       w += 1
     }
-    mins(numHashes) = seen.size().toLong
+    mins(numHashes) = distinct.toLong
     mins
   }
 }

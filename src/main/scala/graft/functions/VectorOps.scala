@@ -104,8 +104,21 @@ object VectorOps {
       exprs => SignBucketsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs",
-      exprs => MinhashSigsExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
+      exprs => {
+        // n and H shape the output and the codegen — they must be
+        // literals; accept any integral literal and fail with the
+        // function's name rather than a ClassCastException
+        def intArg(e: Expression, name: String): Int = {
+          require(e.foldable, s"minhash_sigs: $name must be a literal")
+          e.eval() match {
+            case n: java.lang.Number => n.intValue()
+            case other => throw new IllegalArgumentException(
+              s"minhash_sigs: $name must be integral, got $other")
+          }
+        }
+        MinhashSigsExpr(exprs(0), intArg(exprs(1), "n"),
+          intArg(exprs(2), "numHashes"))
+      },
       "built-in")
   }
 

@@ -98,14 +98,17 @@ object Dedup {
   // ---------------------------------------------------------------- minhash
 
   /** Prime modulus for the affine minhash permutations: fits products of
-    * two 31-bit values in a signed 64-bit long without overflow. */
-  val P: Long = 2147483647L
+    * two 31-bit values in a signed 64-bit long without overflow.
+    * Single-sourced from [[graft.functions.MinhashSigs]] so the
+    * declarative and map-side signature strategies can never drift. */
+  val P: Long = graft.functions.MinhashSigs.P
 
-  /** Affine permutation coefficients (a_i, b_i), identical in the oracle. */
-  def hashParams(h: Int): Seq[(Long, Long)] =
-    (0 until h).map { i =>
-      (1L + ((i + 1) * 2654435761L) % (P - 1), ((i + 1) * 1013904223L) % P)
-    }
+  /** Affine permutation coefficients (a_i, b_i), identical in the oracle —
+    * the pair view of [[graft.functions.MinhashSigs.affineParams]]. */
+  def hashParams(h: Int): Seq[(Long, Long)] = {
+    val flat = graft.functions.MinhashSigs.affineParams(h)
+    (0 until h).map(i => (flat(2 * i), flat(2 * i + 1)))
+  }
 
   /** Per-pair recall of banded minhash LSH at Jaccard `j`:
     * 1 − (1 − j^rowsPerBand)^bands — the banding law the docstrings
@@ -169,6 +172,25 @@ object Dedup {
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
 
+  /** Band-bucket self-join: distinct candidate pairs with id_a < id_b —
+    * the one LSH candidate construction every minhash tier shares. */
+  private def candidatesOf(bandRows: DataFrame): DataFrame =
+    bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+  /** Exact shingle-intersection counts per candidate pair: the a-side
+    * joins dsA's postings, the b-side dsB's (same frame for self-dedup,
+    * distinct frames for the incremental corpus/batch screen). */
+  private def interOf(candidates: DataFrame, dsA: DataFrame,
+      dsB: DataFrame): DataFrame =
+    candidates
+      .join(dsA.select(col("id").as("id_a"), col("sh")), "id_a")
+      .join(dsB.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+
   /** MinHash + banded LSH near-dup pairs with exact-Jaccard verification.
     *
     * Two signature strategies, identical results (spec-asserted):
@@ -201,12 +223,7 @@ object Dedup {
             element_at(col("sig"), i + 1).as(s"h$i")) :+
           element_at(col("sig"), numHashes + 1).as("n"): _*)
         .cache()
-      val bandRows = bandRowsOf(sigs, bands, r)
-      val candidates = bandRows.as("x").join(bandRows.as("y"),
-          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        .distinct()
+      val candidates = candidatesOf(bandRowsOf(sigs, bands, r))
         .localCheckpoint(true) // reused by the semi-join and both probes
       // verification postings for CANDIDATE docs only — the only shuffle
       // of shingle hashes is near-dup-rate-sized
@@ -216,10 +233,7 @@ object Dedup {
       val ds = shinglePostings(
         docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, n)
         .cache()
-      val inter = candidates
-        .join(ds.select(col("id").as("id_a"), col("sh")), "id_a")
-        .join(ds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val inter = interOf(candidates, ds, ds)
       val pairs = jaccardOf(sigs.select(col("id"), col("n")), inter, threshold)
       return materializeThenRelease(pairs, ds, sigs)
     }
@@ -233,20 +247,9 @@ object Dedup {
     // relative to the postings at any scale)
     val sigs = signaturesOf(ds, numHashes).cache()
 
-    val bandRows = bandRowsOf(sigs, bands, r)
-
-    val candidates = bandRows.as("x").join(bandRows.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-
     // exact verification restricted to candidates: join each side's
     // postings; cost scales with candidate count, not corpus²
-    val inter = candidates
-      .join(ds.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(ds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val inter = interOf(candidatesOf(bandRowsOf(sigs, bands, r)), ds, ds)
     val pairs = jaccardOf(sigs.select(col("id"), col("n")), inter, threshold)
     materializeThenRelease(pairs, ds, sigs)
   }
@@ -281,10 +284,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val inter = candidates
-      .join(cds.select(col("id").as("id_a"), col("sh")), "id_a")
-      .join(bds.select(col("id").as("id_b"), col("sh")), Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val inter = interOf(candidates, cds, bds)
     val sizes = csigs.select(col("id"), col("n"))
       .unionByName(bsigs.select(col("id"), col("n")))
     val pairs = jaccardOf(sizes, inter, threshold)
