@@ -16,6 +16,14 @@ run / fork := true
 // prefixes every line with "[info] ", which breaks that parse.
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
+// The bench driver keeps only the LAST ~2000 chars of stdout; sbt's
+// "[success] Total time: ..." trailer (~76 chars) printed AFTER the bench
+// JSON line clipped the line's head every round <= 6. Suppress it so the
+// JSON line graft.Bench prints is the absolute last stdout.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not another setting;
+// keep the lint quiet about it (and about the bare run/outputStrategy twin).
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -24,17 +24,19 @@ object Bench {
       SparkEntry.queries.get("q05_sum").foreach(_(spark, sfDir).count())
     } catch { case scala.util.control.NonFatal(_) => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // Two timed runs per query, report the min: the first run pays the
+    // Three timed runs per query, report the MEDIAN: the first run pays the
     // query's one-time Catalyst/codegen cost and is exposed to box noise
-    // (the shared runner showed 2-6x per-query variance between rounds);
-    // min-of-2 measures the plan, not the weather.
+    // (the shared runner showed 2-6x per-query variance between rounds —
+    // r5 flagged 7 queries, r6 flagged 4, every one cleared by session
+    // medians); median-of-3 measures the plan, not the weather, and unlike
+    // min it cannot be flattered by one lucky cache-hot run.
     // optional comma-separated subset for local bisection
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (name, fn) =>
-      // A failed run yields no timing sample: min() must never mix a
+      // A failed run yields no timing sample: the median must never mix a
       // fast-failure duration with a real run, and one success clears a
       // transient first-run error.
       def once(): Option[Double] = {
@@ -47,12 +49,15 @@ object Bench {
             None
         }
       }
-      val runs = Seq(once(), once())
+      val runs = Seq(once(), once(), once())
       val samples = runs.flatten
-      // only a fully clean pair clears the error: one success + one
+      // only a fully clean triple clears the error: a mix of success and
       // failure is a real (non-idempotent / flaky) defect worth surfacing
       if (samples.length == runs.length) errors.remove(name)
-      val sec = samples.minOption
+      // median of however many samples survived (1 -> itself; 2 -> lower
+      // of the two, i.e. the min-of-2 the r4 baselines were recorded with)
+      val sec = if (samples.isEmpty) None
+        else Some(samples.sorted.apply((samples.length - 1) / 2))
       System.err.println(f"[bench] $name%-22s ${sec.getOrElse(0.0)}%8.3f s" +
         (if (errors.contains(name)) "  FAILED" else ""))
       name -> sec
@@ -80,7 +85,7 @@ object Bench {
     def line(dp: Int, full: Boolean, lean: Int = 0): String = {
       val qs = results.collect { case (k, Some(v)) =>
         s"\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
-      val mid = if (full) s""","unit":"sec","queries":$qs,"runs":2"""
+      val mid = if (full) s""","unit":"sec","queries":$qs,"runs":3"""
         else s""","queries":$qs"""
       // the errors key rides along (even empty) down to the lean rung —
       // the driver may access it unconditionally; lean drops only the sf
@@ -95,9 +100,11 @@ object Bench {
       }
       s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))}$mid$tailFields}"""
     }
-    // the harness window is ~2000 chars; leave only a newline's margin —
-    // a tighter budget needlessly drops precision or fields
-    val budget = 1995
+    // the harness window is ~2000 chars and this line is the LAST stdout
+    // (build.sbt sets showSuccess := false so sbt's "[success]" trailer no
+    // longer prints after it — that trailer clipped the head every round
+    // <= 6); 1950 leaves margin for a stray shutdown line
+    val budget = 1950
     // precision degrades fully before any field is dropped (1dp saves
     // ~1 char/query — more than the 22 chars the fields cost)
     // final rung: whole-second per-query values — coarse, but a COMPLETE
@@ -110,8 +117,11 @@ object Bench {
       System.err.println(s"[bench] WARNING: metric line ${out.length} chars" +
         " exceeds the ~2000-char harness capture window even at the" +
         " leanest encoding — the driver's parse will truncate")
-    println(out)
+    // Cleanup and stop BEFORE printing: the JSON line must be the absolute
+    // last stdout so the harness's last-2000-chars window contains its head.
     RelationalQueries.cleanupTmpSinks(spark)
     spark.stop()
+    println(out)
+    Console.out.flush()
   }
 }
