@@ -362,18 +362,24 @@ object RelationalQueries {
 
     // Q35c — IVF ANN (the inverted-file scale path): coarse quantizer
     // trained on the corpus, map-side cell assignment, probe-nearest-cells
-    // + exact re-rank. nprobe < nlist → approximate → rows-only gate;
-    // the probe-all == brute-force identity is spec-tested. The quantizer
-    // trains on a deterministic BOUNDED sample (top-4096 by content hash —
-    // a proportional % filter at 100 TB would still collect terabytes to
-    // the driver); the index quantizes the full corpus map-side.
+    // + exact re-rank. (nlist, nprobe) are DERIVED from the corpus size by
+    // ivfParams (occupancy-constant nlist, recall-floor nprobe) — and the
+    // whole pipeline (hash-bounded sample, Lloyd training, assignment,
+    // probing, re-rank) is deterministic integer/double arithmetic, so the
+    // DuckDB oracle reproduces the approximate result EXACTLY. The
+    // quantizer trains on a deterministic BOUNDED sample (smallest content
+    // hashes — a proportional % filter at 100 TB would still collect
+    // terabytes to the driver); the index quantizes the corpus map-side.
     "q35c_ann_ivf" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = 0.8)
       val cents = Similarity.trainCoarseQuantizer(
-        Similarity.trainingSample(vecs, "vec_id", "embedding", 4096),
-        "embedding", nlist = 64, dim = 64)
+        Similarity.trainingSample(vecs, "vec_id", "embedding",
+          math.max(nlist * 64, 4096)),
+        "embedding", nlist = nlist, dim = 64)
       Similarity.ivfTopK(vecs, "vec_id", "embedding",
-        k = 3, nlist = 64, nprobe = 8, dim = 64, cents = cents)
+        k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
     }),
 
     // Q57 — deterministic data mixing: stratified per-source sampling +
@@ -1042,6 +1048,105 @@ object RelationalQueries {
       |SELECT id_a, id_b, c / (na.n + nb.n - c) AS jaccard
       |FROM i JOIN n na ON na.doc_id = id_a JOIN n nb ON nb.doc_id = id_b
       |WHERE c / (na.n + nb.n - c) >= 0.8""".stripMargin
+
+  /** DuckDB reproduction of sign-LSH bucketed top-k (q35b). The bucket of
+    * a vector is a pure function of data and the md5-seeded hyperplanes
+    * ([[Similarity.hyperplanes]]), so the oracle recomputes it exactly:
+    * each projection is the explicit left-associated 64-term sum — the
+    * same evaluation order as the native VecDot kernel — against plane
+    * weights shipped as CAST('…' AS DOUBLE) string literals (strtod is
+    * correctly rounded, so the literal recovers the identical double;
+    * DuckDB's DECIMAL literal→double path is not guaranteed to). */
+  private def lshAnnOracleSql(k: Int, planes: Int, dim: Int): String = {
+    val hp = graft.pipeline.Similarity.hyperplanes(planes, dim)
+    def proj(p: Int): String =
+      (0 until dim).map(i => s"e[${i + 1}]*CAST('${hp(p)(i)}' AS DOUBLE)")
+        .mkString(" + ")
+    val bucket = (0 until planes)
+      .map(p => s"(CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+    s"""WITH $embedNormSql,
+      |bk AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM nv),
+      |cand AS (SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+      |    list_sum(list_transform(range($dim), i -> a.e[i+1]*b.e[i+1]))
+      |      / (a.nrm*b.nrm) AS cos
+      |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, nb_id) AS rk FROM cand)
+      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
+      |FROM r WHERE rk <= $k""".stripMargin
+  }
+
+  /** DuckDB reproduction of the FULL IVF pipeline (q35c): hash-bounded
+    * training sample, `iters` unrolled Lloyd rounds, map-side assignment,
+    * nprobe-cell probing, exact cosine re-rank. (nlist, nprobe, cap)
+    * derive from count(*) with the same integer / exact-binary-fraction
+    * arithmetic as [[Similarity.ivfParams]], so both engines compute the
+    * identical parameters at any scale factor. Distance forms mirror each
+    * Scala phase deliberately: training assignment uses Σ(v−c)² (the
+    * trainCoarseQuantizer loop), corpus assignment/probing uses
+    * |c|² − 2·v·c (the NearestCellsExpr key; |v|² drops out of the
+    * ordering), both with ties to the lower cell id. Centroids only pick
+    * integer candidate sets — the output cos values are data-only, so the
+    * cross-engine fp exposure is argmin near-ties between distinct
+    * centroids (distances ~1e-1 apart vs drift ~1e-13). */
+  private def ivfOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
+      dim: Int): String = {
+    // probe fraction as the exact binary fracNum/8, matching ivfParams
+    val sqDist = s"list_sum(list_transform(range($dim), " +
+      "i -> (s.e[i+1]-c.cent[i+1])*(s.e[i+1]-c.cent[i+1])))"
+    val probeKey = s"c.cn2 - 2*list_sum(list_transform(range($dim), " +
+      "i -> v.e[i+1]*c.cent[i+1]))"
+    val lloyd = (1 to iters).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""a$t AS (SELECT sid, e, cell FROM (
+        |    SELECT s.sid, s.e, c.cell, row_number() OVER (PARTITION BY s.sid
+        |        ORDER BY $sqDist, c.cell) AS rk
+        |    FROM samp s CROSS JOIN $prev c) WHERE rk = 1),
+        |m$t AS (SELECT cell, list(av ORDER BY i) AS cent FROM (
+        |    SELECT cell, i, sum(e[i])/count(*) AS av
+        |    FROM a$t, range(1, ${dim + 1}) t(i) GROUP BY cell, i)
+        |  GROUP BY cell),
+        |c$t AS (SELECT c.cell, coalesce(m.cent, c.cent) AS cent
+        |  FROM $prev c LEFT JOIN m$t m USING (cell)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH $embedNormSql,
+      |p AS (SELECT count(*) AS n,
+      |    GREATEST(1, LEAST(count(*), (count(*) + ${occ - 1}) // $occ))
+      |      AS nlist FROM nv),
+      |p2 AS (SELECT n, nlist,
+      |    GREATEST(1, LEAST(nlist,
+      |      CAST(ceil(($fracNum * nlist) / 8.0) AS BIGINT))) AS nprobe,
+      |    GREATEST(nlist * 64, 4096) AS cap FROM p),
+      |samp AS (SELECT vec_id AS sid, e FROM (
+      |    SELECT vec_id, e, row_number() OVER (ORDER BY
+      |      ${graft.pipeline.Portable.hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
+      |    FROM nv) WHERE rn <= (SELECT cap FROM p2)),
+      |c0 AS (SELECT rn - 1 AS cell, e AS cent FROM (
+      |    SELECT e, row_number() OVER (ORDER BY e) AS rn FROM samp)
+      |  WHERE rn <= (SELECT nlist FROM p2)),
+      |$lloyd
+      |cn AS (SELECT cell, cent,
+      |    list_sum(list_transform(cent, x -> x*x)) AS cn2 FROM c$iters),
+      |asg AS (SELECT vec_id, e, nrm, cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $probeKey, c.cell) AS rk
+      |    FROM nv v CROSS JOIN cn c) WHERE rk = 1),
+      |prb AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell FROM (
+      |    SELECT v.vec_id, v.e, v.nrm, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY $probeKey, c.cell) AS rk
+      |    FROM nv v CROSS JOIN cn c) WHERE rk <= (SELECT nprobe FROM p2)),
+      |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
+      |    list_sum(list_transform(range($dim), i -> p.qe[i+1]*a.e[i+1]))
+      |      / (p.qn*a.nrm) AS cos
+      |  FROM prb p JOIN asg a USING (cell) WHERE p.q_id <> a.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, nb_id) AS rk FROM cand)
+      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
+      |FROM r WHERE rk <= $k""".stripMargin
+  }
 
   /** Cosine over double-cast embeddings, shared by q34/q35 oracles. */
   private val embedNormSql: String =
@@ -1721,6 +1826,18 @@ object RelationalQueries {
         |    ORDER BY cos DESC, nb_id) AS rk FROM scored)
         |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
         |FROM r WHERE rk <= 3""".stripMargin,
+
+    // q35b: the md5-seeded hyperplanes make the sign buckets a pure
+    // function of the data, so the oracle reproduces the APPROXIMATE
+    // result exactly — the ANN tier's recall is oracle-gated, not spec-
+    // gated (was a declared no-oracle row through r6)
+    "q35b_ann_lsh" -> lshAnnOracleSql(k = 3, planes = 4, dim = 64),
+
+    // q35c: the full IVF pipeline re-derived in SQL — params from
+    // count(*) (ivfParams), hash-bounded sample, 3 Lloyd rounds,
+    // assignment, probing, re-rank (was a declared no-oracle row)
+    "q35c_ann_ivf" ->
+      ivfOracleSql(k = 3, fracNum = 4, occ = 32, iters = 3, dim = 64),
 
     "q22_matmul" ->
       """WITH a AS (SELECT x//32 AS i, x%32 AS k, (x%7)-3 AS v FROM range(0,1024) t(x)),

@@ -213,6 +213,55 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF
 
+  /** Probe-fraction floors measured on the reference data model
+    * (hash-random embeddings — CLUSTERLESS, the adversarial case for any
+    * inverted-file index, where recall tracks the probed fraction of the
+    * corpus because cells carry no cluster structure to exploit). Each row
+    * is (recall floor, nprobe/nlist fraction): the fraction's measured
+    * recall@3 met the floor at every tested scale (n=500 and n=2000, and
+    * the IvfParamsSpec synthetic rescale). Fractions are binary-exact
+    * multiples of 1/8 so Spark and a DuckDB oracle derive the identical
+    * nprobe from the identical formula. On real clustered embeddings the
+    * same fraction over-delivers — this table is the worst-case floor. */
+  private[graft] val ivfProbeFracs: Seq[(Double, Double)] = Seq(
+    0.55 -> 0.25, 0.70 -> 0.375, 0.80 -> 0.5,
+    0.90 -> 0.625, 0.95 -> 0.75, 1.0 -> 1.0)
+
+  /** Derive `(nlist, nprobe)` for [[ivfTopK]] from the corpus size — the
+    * IVF analog of [[lshParams]]/[[Dedup.minhashParams]]: parameters from
+    * the data, not hand-picked constants (the reference's
+    * `mapred/lib/InputSampler.java:49` sampled-calibration idea).
+    *
+    * - `nlist = ceil(n / targetOccupancy)`: constant cell occupancy. The
+    *   measured growth law (BASELINE.md, GrowthBench): T ~ n^2.06 with
+    *   nlist FIXED, n^1.00 with nlist tracking n — cell occupancy, not
+    *   cell count, is what must stay constant as the corpus grows.
+    * - `nprobe = ceil(frac(targetRecall) * nlist)` from the measured
+    *   [[ivfProbeFracs]] floors. Probed work per query is frac·n — on
+    *   clusterless data no inverted file does better (there is no
+    *   structure to exploit); on clustered corpora callers wanting the
+    *   runtime-linear regime instead pass a fixed nprobe to [[ivfTopK]]
+    *   and lean on cluster locality for recall.
+    *
+    * Both formulas are integer/exact-binary arithmetic, so an external
+    * oracle (DuckDB) reproduces them bit-for-bit from `count(*)`. */
+  def ivfParams(n: Long, targetRecall: Double = 0.8,
+      targetOccupancy: Int = 32): (Int, Int) = {
+    require(n > 0, s"n=$n")
+    require(targetRecall > 0.0 && targetRecall <= 1.0, s"target=$targetRecall")
+    require(targetOccupancy > 0, s"occupancy=$targetOccupancy")
+    // Int.MaxValue clamp: a >68-billion-row corpus at occupancy 32 would
+    // overflow Int nlist — at that size the caller shards the index anyway
+    val nlist = math.min(Int.MaxValue.toLong, math.max(1L,
+      math.min(n, (n + targetOccupancy - 1) / targetOccupancy)))
+    val frac = ivfProbeFracs
+      .collectFirst { case (floor, f) if targetRecall <= floor => f }
+      .getOrElse(1.0)
+    val nprobe = math.max(1L,
+      math.min(nlist, math.ceil(frac * nlist).toLong))
+    (nlist.toInt, nprobe.toInt)
+  }
+
   /** Deterministic BOUNDED quantizer-training sample: the `cap` rows with
     * the smallest portable content hash of their id (ties by id). Stable
     * across runs, partitionings and engines — unlike `limit(cap)`, whose

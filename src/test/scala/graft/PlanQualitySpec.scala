@@ -23,7 +23,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toString)
     assert(noOracle == Set("q07b_uniq_approx", "q21b_kmeans_local",
-      "q35b_ann_lsh", "q35c_ann_ivf", "q40b_media_features"), noOracle)
+      "q40b_media_features"), noOracle)
   }
 
   private def plan(q: String): String = {
