@@ -129,11 +129,17 @@ object TextAnalysis {
     * Returns `(doc_id, n_tokens, ids)`.
     *
     * Scale shape: the vocabulary aggregate shuffles (token, count) pairs
-    * — vocab-sized; the rank window is a single partition over the
-    * VOCABULARY (not the corpus — acceptable to ~100M tokens, beyond
-    * which rank by (count, hash-bucket) ranges; documented trade). The
-    * encode join is per-token-occurrence, then an ordered reassembly
-    * keyed by (doc, position) — the one inherently corpus-wide shuffle a
+    * — vocab-sized; the frequency rank is TWO-LEVEL, never a
+    * single-partition window. Buckets are `(cnt, first char of token)`
+    * — order-aligned with the global (cnt desc, tok asc) rank, since
+    * every token of bucket (c, "a") precedes every token of (c, "b") —
+    * so global rank = collected cumulative bucket offset + within-bucket
+    * row_number. The offsets collect is bounded by (distinct frequency
+    * values × leading characters), orders of magnitude below the
+    * vocabulary itself (a longer prefix widens the split if a single
+    * (cnt, char) bucket ever dominates). The encode join is
+    * per-token-occurrence, then an ordered reassembly keyed by
+    * (doc, position) — the one inherently corpus-wide shuffle a
     * re-encoding pass cannot avoid.
     */
   def vocabEncode(docs: DataFrame, idCol: String, textCol: String)
@@ -141,9 +147,25 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
       posexplode(words(col(textCol))).as(Seq("pos", "tok")))
-    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("token_id", row_number().over(
-        Window.orderBy(col("cnt").desc, col("tok"))))
+    // localCheckpoint: the counted vocabulary feeds both the offsets
+    // collect and the final plan — materialize the (vocab-sized)
+    // aggregate once instead of re-running the corpus-wide count
+    val counted = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("bkt", substring(col("tok"), 1, 1))
+      .localCheckpoint()
+    val sizes = counted.groupBy("cnt", "bkt").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (c, b, _) => (-c, b) }
+    val offsets = sizes
+      .zip(sizes.scanLeft(0L) { case (acc, (_, _, n)) => acc + n })
+      .map { case ((c, b, _), off) => (c, b, off) }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = counted
+      .join(broadcast(offsets.toSeq.toDF("cnt", "bkt", "off")),
+        Seq("cnt", "bkt"))
+      .withColumn("token_id", col("off") + row_number().over(
+        Window.partitionBy("cnt", "bkt").orderBy("tok")))
       .select("tok", "token_id")
     toks.join(vocab, "tok")
       .groupBy("doc_id")

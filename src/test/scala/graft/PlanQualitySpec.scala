@@ -169,4 +169,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(aggLine.get.matches(""".*output=\[q_id#\d+L?, buf#\d+\].*"""),
       aggLine.get)
   }
+
+  test("q81: the vocabulary rank is two-level — no single-partition exchange") {
+    // a global row_number window would funnel the whole vocabulary
+    // through Exchange SinglePartition; the (cnt, prefix)-bucketed rank
+    // + broadcast offsets must leave no single-partition stage anywhere
+    val p = plan("q81_encode")
+    assert(!p.contains("SinglePartition"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
 }
