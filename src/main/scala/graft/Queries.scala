@@ -983,6 +983,27 @@ object RelationalQueries {
         docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
         docs.filter(pmod(col("doc_id"), lit(97)) === 0),
         "doc_id", "text", "source")
+    }),
+
+    // Q70s — the q70 cleaning pipeline as ONE STREAMING query: the corpus
+    // arrives via readStream (file source), every verdict computes
+    // stream-side (stateless projections + stream-static fingerprint-
+    // index dedup join + broadcast decontamination), and the per-source
+    // rollup is the single streaming aggregation (complete mode). Gated
+    // by the SAME DuckDB oracle as q70 — batch and stream must agree row
+    // for row, the strongest form of the §2.8 batch=stream claim.
+    "q70s_stream" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      graft.streaming.EventStreams.runToMemory(
+        Curation.cleanCorpusStream(stream, corpus, evalSet,
+          "doc_id", "text", "source"),
+        "q70s_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
     })
   )
 
@@ -1199,6 +1220,73 @@ object RelationalQueries {
        |    + 0.3 * least(1.0, (stops / n_tokens) * 5) AS quality
        |FROM b""".stripMargin
   }
+
+  /** q70 + q70s shared oracle: every verdict recomputed from scratch —
+    * dedup via the md5 window, repetition and quality via their metric
+    * CTEs, contamination via the 4-gram screen — then rolled up per
+    * source. One SQL gates both the batch and the streaming pipeline. */
+  private val cleanCorpusOracleSql: String =
+    """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
+        |w AS (SELECT doc_id, source, text,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM corpus),
+        |b AS (SELECT doc_id, ws, len(ws) AS n, list_distinct(ws) AS uq,
+        |    [ws[i+1]||' '||ws[i+2] for i in range(len(ws)-1)] AS bg
+        |  FROM w),
+        |rep AS (SELECT doc_id,
+        |    (CASE WHEN n > 0 THEN CAST(n - len(uq) AS DOUBLE) / n
+        |       ELSE 0.0 END > 0.68)
+        |      OR (CASE WHEN n > 1
+        |        THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
+        |          g -> len(list_filter(bg, x -> x = g)))), 0) AS DOUBLE)
+        |          / (n - 1)
+        |        ELSE 0.0 END > 0.08) AS repetitive
+        |  FROM b),
+        |qm AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |      AS punct,
+        |    len(list_filter(ws, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','for'], x)))
+        |      AS stops
+        |  FROM w),
+        |qual AS (SELECT doc_id,
+        |    0.4 * least(1.0, n_tokens / 100.0)
+        |      + 0.3 * (1.0 - punct / n_chars)
+        |      + 0.3 * least(1.0, (stops / n_tokens) * 5) AS quality
+        |  FROM qm),
+        |dup AS (SELECT doc_id,
+        |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |  FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |            for i in range(len(ws)-3)]) AS s
+        |  FROM w),
+        |evw AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |evsh AS (SELECT DISTINCT
+        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |            for i in range(len(ws)-3)]) AS s
+        |  FROM evw),
+        |cont AS (SELECT DISTINCT doc_id, true AS is_cont FROM sh
+        |  WHERE s IN (SELECT s FROM evsh))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive,
+        |  CAST(sum(CASE WHEN coalesce(is_cont, false) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_contaminated,
+        |  CAST(sum(CASE WHEN coalesce(quality < 0.5, true) THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_low_quality,
+        |  CAST(sum(CASE WHEN NOT is_dup AND NOT repetitive
+        |      AND NOT coalesce(is_cont, false)
+        |      AND coalesce(quality >= 0.5, false)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM corpus
+        |JOIN rep USING (doc_id) JOIN qual USING (doc_id)
+        |JOIN dup USING (doc_id) LEFT JOIN cont USING (doc_id)
+        |GROUP BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q21_kmeans" -> kmeansOracleSql(400, 4, 4),
@@ -1628,68 +1716,13 @@ object RelationalQueries {
     // q70: every verdict recomputed from scratch — dedup via the md5
     // window, repetition and quality via their metric CTEs, contamination
     // via the 4-gram screen — then rolled up per source
-    "q70_clean" ->
-      """WITH corpus AS (SELECT * FROM documents WHERE doc_id % 97 <> 0),
-        |w AS (SELECT doc_id, source, text,
-        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
-        |  FROM corpus),
-        |b AS (SELECT doc_id, ws, len(ws) AS n, list_distinct(ws) AS uq,
-        |    [ws[i+1]||' '||ws[i+2] for i in range(len(ws)-1)] AS bg
-        |  FROM w),
-        |rep AS (SELECT doc_id,
-        |    (CASE WHEN n > 0 THEN CAST(n - len(uq) AS DOUBLE) / n
-        |       ELSE 0.0 END > 0.68)
-        |      OR (CASE WHEN n > 1
-        |        THEN CAST(coalesce(list_max(list_transform(list_distinct(bg),
-        |          g -> len(list_filter(bg, x -> x = g)))), 0) AS DOUBLE)
-        |          / (n - 1)
-        |        ELSE 0.0 END > 0.08) AS repetitive
-        |  FROM b),
-        |qm AS (SELECT doc_id, CAST(len(ws) AS INT) AS n_tokens,
-        |    length(text) AS n_chars,
-        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-        |      AS punct,
-        |    len(list_filter(ws, x -> list_contains(
-        |      ['the','a','of','and','to','in','is','it','that','for'], x)))
-        |      AS stops
-        |  FROM w),
-        |qual AS (SELECT doc_id,
-        |    0.4 * least(1.0, n_tokens / 100.0)
-        |      + 0.3 * (1.0 - punct / n_chars)
-        |      + 0.3 * least(1.0, (stops / n_tokens) * 5) AS quality
-        |  FROM qm),
-        |dup AS (SELECT doc_id,
-        |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
-        |  FROM corpus),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
-        |            for i in range(len(ws)-3)]) AS s
-        |  FROM w),
-        |evw AS (SELECT doc_id,
-        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
-        |  FROM documents WHERE doc_id % 97 = 0),
-        |evsh AS (SELECT DISTINCT
-        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
-        |            for i in range(len(ws)-3)]) AS s
-        |  FROM evw),
-        |cont AS (SELECT DISTINCT doc_id, true AS is_cont FROM sh
-        |  WHERE s IN (SELECT s FROM evsh))
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
-        |  CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_repetitive,
-        |  CAST(sum(CASE WHEN coalesce(is_cont, false) THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_contaminated,
-        |  CAST(sum(CASE WHEN coalesce(quality < 0.5, true) THEN 1 ELSE 0
-        |    END) AS BIGINT) AS n_low_quality,
-        |  CAST(sum(CASE WHEN NOT is_dup AND NOT repetitive
-        |      AND NOT coalesce(is_cont, false)
-        |      AND coalesce(quality >= 0.5, false)
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM corpus
-        |JOIN rep USING (doc_id) JOIN qual USING (doc_id)
-        |JOIN dup USING (doc_id) LEFT JOIN cont USING (doc_id)
-        |GROUP BY source""".stripMargin,
+    "q70_clean" -> cleanCorpusOracleSql,
+
+    // q70s: the SAME composition as ONE streaming query (readStream ->
+    // stateless verdicts -> stream-static fp-index dedup join ->
+    // broadcast decontamination -> complete-mode rollup), gated by the
+    // SAME oracle — the strongest form of the batch=stream claim
+    "q70s_stream" -> cleanCorpusOracleSql,
 
     // q62: the salted join must equal the plain join exactly
     "q62_salted_join" ->

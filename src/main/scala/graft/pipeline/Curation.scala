@@ -152,15 +152,11 @@ object Curation {
       fpp: Option[Double] = None): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.VectorOps.ensureRegistered(spark)
-    val evalGrams = Dedup.shinglePostings(evalSet, idCol, textCol, n)
-      .select("sh")
     val anyHit = fpp match {
-      case None =>
-        val sorted = evalGrams.distinct().collect().map(_.getLong(0)).sorted
-        val setB = spark.sparkContext.broadcast(sorted)
-        udf((grams: Seq[Long]) => grams != null &&
-          grams.exists(g => java.util.Arrays.binarySearch(setB.value, g) >= 0))
+      case None => evalGramHit(evalSet, idCol, textCol, n)
       case Some(p) =>
+        val evalGrams = Dedup.shinglePostings(evalSet, idCol, textCol, n)
+          .select("sh")
         val bf = evalGrams.stat.bloomFilter("sh",
           math.max(1L, evalGrams.count()), p)
         val bfB = spark.sparkContext.broadcast(bf)
@@ -170,6 +166,24 @@ object Curation {
     val grams = transform(Dedup.shingles(col(textCol), n),
       s => Portable.hash60Fast(s))
     corpus.filter(!anyHit(grams))
+  }
+
+  /** Exact broadcast eval-gram membership predicate: applied to a hashed
+    * gram array, TRUE iff any gram is in the eval set's distinct gram
+    * hashes (driver-collected — benchmark-bounded — then broadcast as a
+    * sorted array + binary search). Completely stateless, so the same
+    * predicate runs unchanged on a batch frame or a stream — it is both
+    * [[decontaminateBroadcast]]'s exact path and [[cleanCorpusStream]]'s
+    * contamination verdict. */
+  private def evalGramHit(evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val spark = evalSet.sparkSession
+    val sorted = Dedup.shinglePostings(evalSet, idCol, textCol, n)
+      .select("sh").distinct().collect().map(_.getLong(0)).sorted
+    val setB = spark.sparkContext.broadcast(sorted)
+    udf((grams: Seq[Long]) => grams != null &&
+      grams.exists(g => java.util.Arrays.binarySearch(setB.value, g) >= 0))
   }
 
   /** Per-domain quota capping (the Common-Crawl-style "at most k documents
@@ -343,19 +357,67 @@ object Curation {
       .select(col("doc_id"), lit(true).as("is_first"))
     val cont = contamination(corpus, evalSet, idCol, textCol, contaminationN)
       .select(col("doc_id"), lit(true).as("cont"))
-    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
-    flagged.join(first, Seq("doc_id"), "left")
+    survivalRollup(flagged.join(first, Seq("doc_id"), "left")
       .join(cont, Seq("doc_id"), "left")
       .withColumn("is_dup", coalesce(col("is_first"), lit(false)) === lit(false))
-      .withColumn("is_cont", coalesce(col("cont"), lit(false)))
-      .groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        cnt(col("is_dup")).as("n_dup"),
-        cnt(col("repetitive")).as("n_repetitive"),
-        cnt(col("is_cont")).as("n_contaminated"),
-        cnt(col("low_quality")).as("n_low_quality"),
-        cnt(!col("is_dup") && !col("repetitive") && !col("is_cont") &&
-          !col("low_quality")).as("n_kept"))
+      .withColumn("is_cont", coalesce(col("cont"), lit(false))))
+  }
+
+  /** Per-source survival stats from a fully-flagged frame — the one
+    * aggregation [[cleanCorpus]] and [[cleanCorpusStream]] share, so the
+    * batch and streaming pipelines cannot drift apart. */
+  private def survivalRollup(flags: DataFrame): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    flags.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      cnt(col("is_dup")).as("n_dup"),
+      cnt(col("repetitive")).as("n_repetitive"),
+      cnt(col("is_cont")).as("n_contaminated"),
+      cnt(col("low_quality")).as("n_low_quality"),
+      cnt(!col("is_dup") && !col("repetitive") && !col("is_cont") &&
+        !col("low_quality")).as("n_kept"))
+  }
+
+  /** The [[cleanCorpus]] composition as ONE STREAMING query — the §2.8
+    * batch=stream claim for the whole pipeline, oracle-gated (q70s runs
+    * this over a `readStream` of the corpus against the same DuckDB
+    * oracle as q70). Streaming shape of each stage:
+    *
+    *  - repetition / quality / fingerprint: stateless map-side
+    *    projections — the IDENTICAL expressions to the batch path;
+    *  - dedup: first-occurrence-wins against the corpus FINGERPRINT
+    *    INDEX (min doc id per md5 of the static `corpus` frame), a
+    *    stream-static left join. A stream deduplicates against an index,
+    *    not via unbounded per-key state (the q73 incremental-dedup
+    *    archive shape) — and unlike streaming `dropDuplicates`, whose
+    *    winner depends on arrival order, the index verdict is
+    *    order-independent, which is what lets one oracle gate both modes;
+    *  - contamination: the broadcast gram probe ([[evalGramHit]] — no
+    *    join, no state);
+    *  - rollup: the single streaming aggregation (complete output mode),
+    *    shared with the batch path via [[survivalRollup]].
+    */
+  def cleanCorpusStream(stream: DataFrame, corpus: DataFrame,
+      evalSet: DataFrame, idCol: String, textCol: String, srcCol: String,
+      qualityFloor: Double = 0.5, contaminationN: Int = 4): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(stream.sparkSession)
+    val t = col(textCol)
+    val hit = evalGramHit(evalSet, idCol, textCol, contaminationN)
+    val grams = transform(Dedup.shingles(t, contaminationN),
+      s => Portable.hash60Fast(s))
+    val flagged = stream.select(
+      col(idCol).as("doc_id"), col(srcCol).as("source"),
+      repetitiveFlag(t).as("repetitive"),
+      coalesce(TextAnalysis.qualityExpr(t) < qualityFloor, lit(true))
+        .as("low_quality"),
+      hit(grams).as("is_cont"),
+      md5(t).as("fp"))
+    val index = corpus
+      .groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("first_id"))
+    survivalRollup(flagged.join(index, Seq("fp"), "left")
+      .withColumn("is_dup",
+        coalesce(col("doc_id") =!= col("first_id"), lit(false))))
   }
 
   /** Deterministic shard id in [0, numShards) from document content — the

@@ -187,6 +187,35 @@ class CurationSpec extends AnyFunSuite with SparkTest {
       s"sketch over-dropped $dropped of ${exactKept.size}")
   }
 
+  test("cleanCorpusStream equals cleanCorpus row for row (incl. dedup + rollup)") {
+    val rows = Seq(
+      (1L, "srcA", "the a of and to in is it that for " +
+        (1 to 60).map(i => s"w$i").mkString(" ")),
+      (2L, "srcA", "spam spam spam spam spam spam spam spam"),
+      (3L, "srcB", "contaminated quick brown fox jumps straight over"),
+      (4L, "srcB", "x"),
+      (5L, "srcB", "spam spam spam spam spam spam spam spam")) // dup of 2
+    val eval = Seq((90L, "srcE", "contaminated quick brown fox jumps far"))
+      .toDF("doc_id", "source", "text")
+    val corpus = rows.toDF("doc_id", "source", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = norm(Curation.cleanCorpus(corpus, eval,
+      "doc_id", "text", "source"))
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)
+    ms.addData(rows)
+    val streamed = norm(graft.streaming.EventStreams.runToMemory(
+      Curation.cleanCorpusStream(ms.toDF().toDF("doc_id", "source", "text"),
+        corpus, eval, "doc_id", "text", "source"),
+      "clean_stream_test",
+      org.apache.spark.sql.streaming.OutputMode.Complete()))
+    assert(batch == streamed, s"batch=$batch stream=$streamed")
+    // the fixture exercises every verdict: a dup pair, a repetitive doc,
+    // a contaminated doc, a low-quality doc, and one clean survivor
+    assert(batch.exists(r => r._1 == "srcA" && r._7 == 1L), batch)
+  }
+
   test("streaming curation capstone: quality + repetition + decontamination compose on one stream, matching batch verdicts") {
     import graft.pipeline.TextAnalysis
     val rows = Seq(
