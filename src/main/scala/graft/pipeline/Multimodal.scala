@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * decode is real for the WAV/RIFF container ([[decodeWavHeader]], a
   * codec-free byte format, round-trip gated by q40c). MULTI-FRAME decode
   * is real for animated GIF ([[decodeGifFrames]] — frame count and
-  * per-frame dimensions, the video-frame-inventory analogue). Compressed
+  * per-frame dimensions, the video-frame-inventory analogue). PIXEL
+  * decode is real too ([[decodePixelFeatures]]): per-channel means and
+  * a 16-bin luminance histogram for every format an installed ImageIO
+  * codec fully reads (PNG/BMP/GIF/JPEG), exact-value spec'd. Compressed
   * audio and true video remain a declared STUB (no codecs in this
   * environment); swapping
   * [[decodeStub]] for a real decoder (JNI, ONNX, or an Arrow `mapInArrow`
@@ -29,11 +32,16 @@ object Multimodal {
   /** Feature row produced by decode + feature-extract. `decoded` is true
     * when a real image header supplied the dimensions ([[decodeImageHeader]]);
     * false means the payload is not a recognized image and the
-    * deterministic stub dims stand in (the declared-stub path). */
+    * deterministic stub dims stand in (the declared-stub path).
+    * `pixel_decoded` is true when a full REAL pixel decode also ran
+    * ([[decodePixelFeatures]] — PNG/BMP/GIF/JPEG in this JDK): then
+    * `ch_means` holds the per-channel sample means and `lum_hist` the
+    * 16-bin luminance histogram; both are empty on the stub path. */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Int,
       byte_sum: Long, width: Int, height: Int, channels: Int,
-      decoded: Boolean)
+      decoded: Boolean, pixel_decoded: Boolean,
+      ch_means: Seq[Double], lum_hist: Seq[Long])
 
   /** Wrap a text-ish table as media rows: payload = utf-8 bytes, typed
     * meta struct. In production the payload column would come straight
@@ -178,8 +186,69 @@ object Multimodal {
   def stubDims(byteSum: Long): (Int, Int) =
     (16 + (byteSum % 64).toInt, 16 + ((byteSum / 64) % 64).toInt)
 
+  /** REAL pixel-level features for any payload an installed ImageIO
+    * codec fully decodes (PNG/BMP/GIF/JPEG ship with this JDK): the
+    * per-channel sample means plus a 16-bin luminance histogram
+    * (integer Rec.601 luma for >=3-band images, the single band
+    * otherwise; bins of 16 levels, over-range samples clamp to the top
+    * bin so 16-bit imagery doesn't index out). Deterministic integer
+    * accumulation; each mean is one double division at the end.
+    * Returns None when no installed reader decodes the payload — then
+    * only the header/stub tiers apply (compressed audio and true video
+    * remain the declared stub: no codecs in this environment). */
+  def decodePixelFeatures(payload: Array[Byte])
+      : Option[(Array[Double], Array[Long])] = {
+    // memory-backed stream for the same reason as decodeImageHeader:
+    // the default SPI spools a temp FILE per call with useCache on
+    var iis: javax.imageio.stream.ImageInputStream = null
+    try {
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val raster = r.read(0).getRaster
+          val w = raster.getWidth
+          val h = raster.getHeight
+          val bands = raster.getNumBands
+          if (w <= 0 || h <= 0 || bands <= 0) None
+          else {
+            val sums = new Array[Long](bands)
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var b = 0
+                while (b < bands) {
+                  sums(b) += raster.getSample(x, y, b); b += 1
+                }
+                val luma =
+                  if (bands >= 3)
+                    (raster.getSample(x, y, 0) * 299 +
+                      raster.getSample(x, y, 1) * 587 +
+                      raster.getSample(x, y, 2) * 114) / 1000
+                  else raster.getSample(x, y, 0)
+                hist(math.min(15, math.max(0, luma / 16))) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Some((sums.map(_.toDouble / n), hist))
+          }
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (iis != null) iis.close()
+  }
+
   /** Per-partition batched decode + feature extraction: real image
-    * headers where a codec exists, the declared stub elsewhere. */
+    * headers AND real pixel features (means + luminance histogram)
+    * where a codec exists, the declared stub elsewhere. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -192,12 +261,16 @@ object Multimodal {
           while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
           decodeImageHeader(payload) match {
             case Some((w, h, c)) =>
+              val px = decodePixelFeatures(payload)
               MediaFeatures(id, kind, payload.length, s, w, h, c,
-                decoded = true)
+                decoded = true, pixel_decoded = px.isDefined,
+                ch_means = px.map(_._1.toSeq).getOrElse(Seq.empty),
+                lum_hist = px.map(_._2.toSeq).getOrElse(Seq.empty))
             case None =>
               val (w, h) = stubDims(s)
               MediaFeatures(id, kind, payload.length, s, w, h, 0,
-                decoded = false)
+                decoded = false, pixel_decoded = false,
+                Seq.empty, Seq.empty)
           }
         }
       }

@@ -504,6 +504,51 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       out(3L).channels) == ((33, 17, 3)), out(3L))
     // unrecognized payloads fall back to the declared stub, loudly flagged
     assert(!out(4L).decoded && out(4L).channels == 0)
+    assert(!out(4L).pixel_decoded && out(4L).ch_means.isEmpty)
+    // the losslessly-coded payloads also pixel-decode for real
+    assert(out(1L).pixel_decoded && out(2L).pixel_decoded)
+  }
+
+  test("extractFeatures: REAL pixel features (channel means + luminance histogram) for PNG and BMP") {
+    // solid-color RGB PNG: exact per-channel means and a single hot
+    // luminance bin — luma = (40*299 + 80*587 + 120*114)/1000 = 72
+    val w = 8; val h = 4
+    val solid = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      solid.setRGB(x, y, (40 << 16) | (80 << 8) | 120)
+    // gray PNG: one band, value 200 everywhere -> bin 200/16 = 12
+    val gray = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (x <- 0 until w; y <- 0 until h)
+      gray.getRaster.setSample(x, y, 0, 200)
+    // BMP gradient: red = 10x (mean 35), green = 7, blue = 20y (mean 30)
+    val grad = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until w; y <- 0 until h)
+      grad.setRGB(x, y, ((10 * x) << 16) | (7 << 8) | (20 * y))
+    def bytes(img: java.awt.image.BufferedImage, fmt: String) = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val rows = Seq((1L, bytes(solid, "png")), (2L, bytes(gray, "png")),
+      (3L, bytes(grad, "bmp")))
+    val mediaDf = rows.toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image").as("kind"),
+        length(col("payload")).cast("long").as("nBytes")))
+    val out = Multimodal.extractFeatures(mediaDf).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(out(1L).pixel_decoded &&
+      out(1L).ch_means == Seq(40.0, 80.0, 120.0), out(1L))
+    assert(out(1L).lum_hist(72 / 16) == w.toLong * h &&
+      out(1L).lum_hist.sum == w.toLong * h, out(1L))
+    assert(out(2L).pixel_decoded && out(2L).ch_means == Seq(200.0) &&
+      out(2L).lum_hist(12) == w.toLong * h, out(2L))
+    assert(out(3L).pixel_decoded &&
+      out(3L).ch_means == Seq(35.0, 7.0, 30.0), out(3L))
+    // the histogram always partitions the pixels, whatever the content
+    assert(out(3L).lum_hist.sum == w.toLong * h, out(3L))
   }
 
   test("WAV round-trip: the RIFF parse recovers exactly the container parameters") {
