@@ -21,12 +21,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregate path is spec-gated (`MinhashSigsSpec`), and the q31 oracle
   * gates the end-to-end result.
   *
-  * Contract shared with `Dedup.shingles`: single-space-separated text
-  * (the regex twin treats a doc with doubled spaces as having no shingle
-  * across the gap; this walker, like the rest of the pipeline, assumes
-  * normalized text — normalize upstream otherwise). Documents with fewer
-  * than `n` words have no shingles and return null (absent from the
-  * aggregate path for the same reason).
+  * Tokenization is BIT-EXACT with `Dedup.shingles` on arbitrary text:
+  * words are `\S+` runs (all six Java-regex whitespace bytes separate),
+  * and a shingle only forms across gaps of exactly one 0x20 — the regex
+  * twin's `(?=(\S+ \S+ ...))` lookahead semantics — so doubled spaces,
+  * tabs and newlines break the window identically in both paths.
+  * Documents with fewer than `n` words, or whose every window crosses a
+  * non-single-space gap, have no shingles and return null (absent from
+  * the aggregate path for the same reason).
   */
 case class MinhashSigsExpr(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
@@ -98,20 +100,26 @@ object MinhashSigs {
     * scan projection: primitive offset arrays, an open-addressed
     * primitive long set for the distinct filter, and the shared
     * ThreadLocal digest via [[Hash60.hash60]]. */
+  /** Whitespace byte in the Java-regex `\s` sense: [ \t\n\x0B\f\r] —
+    * exactly the separators the `\S+` regex twin tokenizes on (all six
+    * are < 0x80, so UTF-8 multibyte sequences can never collide). */
+  @inline private def isSep(b: Byte): Boolean =
+    b == ' ' || (b >= 0x09 && b <= 0x0d)
+
   def eval(text: UTF8String, n: Int, numHashes: Int): Array[Long] = {
     val bytes = text.getBytes
-    // word start/end offsets, skipping empty tokens; a doc of L bytes
-    // has at most (L+1)/2 words
+    // word start/end offsets (\S+ runs, like the regex twin); a doc of
+    // L bytes has at most (L+1)/2 words
     val maxWords = bytes.length / 2 + 1
     val starts = new Array[Int](maxWords)
     val ends = new Array[Int](maxWords)
     var words = 0
     var i = 0
     while (i < bytes.length) {
-      while (i < bytes.length && bytes(i) == ' ') i += 1
+      while (i < bytes.length && isSep(bytes(i))) i += 1
       if (i < bytes.length) {
         starts(words) = i
-        while (i < bytes.length && bytes(i) != ' ') i += 1
+        while (i < bytes.length && !isSep(bytes(i))) i += 1
         ends(words) = i
         words += 1
       }
@@ -122,19 +130,38 @@ object MinhashSigs {
     java.util.Arrays.fill(mins, 0, numHashes, Long.MaxValue)
     // open-addressed set of the distinct 60-bit hashes; 0 marks an empty
     // slot, so the (2^-60-probability) hash value 0 is tracked by a
-    // dedicated flag to stay bit-exact with the aggregate twin;
-    // capacity 2x shingles keeps probes short
+    // dedicated flag to stay bit-exact with the aggregate twin.
+    // Capacity is computed in LONG and clamped to 2^30: shingleCount*2
+    // in Int arithmetic overflows negative for a near-2 GiB document,
+    // and the old cap=4 fallback would let 4 distinct hashes fill the
+    // table and spin the insert probe forever. words <= L/2+1 <= 2^30
+    // guarantees cap >= shingleCount, so an empty slot always exists
+    // and every probe terminates; below the clamp the capacity is
+    // >= 2x shingles, keeping probes short.
     val shingleCount = words - n + 1
-    var cap = java.lang.Integer.highestOneBit(
-      math.max(4, shingleCount * 2) - 1) << 1
-    if (cap <= 0) cap = 4
+    val want = math.max(4L, math.min(1L << 30, shingleCount.toLong * 2L))
+    val cap = 1 << (64 - java.lang.Long.numberOfLeadingZeros(want - 1))
     val table = new Array[Long](cap)
     var seenZero = false
     var distinct = 0
+    // the regex twin ((?=(\S+ \S+ ...))\S+) only matches a shingle whose
+    // words are joined by EXACTLY one 0x20: any other gap (doubled space,
+    // tab, newline) breaks the window. lastBad tracks the most recent
+    // non-single-space gap at or below the window's last gap; the
+    // shingle at w is real iff no such gap sits inside [w, w+n-2].
+    var lastBad = -1
+    var gp = 0 // next gap index to classify (gap g joins words g, g+1)
     var w = 0
     while (w + n <= words) {
+      while (gp <= w + n - 2) {
+        if (!(starts(gp + 1) == ends(gp) + 1 && bytes(ends(gp)) == ' '))
+          lastBad = gp
+        gp += 1
+      }
+      if (lastBad >= w) { w += 1 }
+      else {
       // the shingle is the exact byte range from word w's start to word
-      // w+n-1's end — single-space contract makes this identical to the
+      // w+n-1's end — the single-space gaps make this identical to the
       // regex twin's captured string
       val sh = Hash60.hash60(bytes,
         starts(w), ends(w + n - 1) - starts(w))
@@ -163,7 +190,11 @@ object MinhashSigs {
         }
       }
       w += 1
+      }
     }
+    // a doc whose every window crosses a non-single-space gap has NO
+    // shingles at all — absent from the aggregate path, so null here too
+    if (distinct == 0) return null
     mins(numHashes) = distinct.toLong
     mins
   }

@@ -20,16 +20,29 @@ object Curation {
 
   private def words(text: Column): Column = TextAnalysis.words(text)
 
-  /** Max multiplicity over the distinct elements of an array — the count
-    * of the modal element. O(distinct × n) per row, map-side only: for
-    * natural-language documents the distinct vocabulary per doc is small
-    * and this stays a linear scan of the corpus with NO shuffle, which is
-    * the whole point at 100 TB (a groupBy(doc, word) would shuffle every
-    * token).
+  /** Max multiplicity over the elements of an array — the count of the
+    * modal element. One pass over a SORTED copy (equal elements are
+    * adjacent, so a running (prev, run, best) fold finds the longest
+    * run): O(n log n) per row instead of the O(distinct × n) nested
+    * transform/filter, which went quadratic on long high-diversity
+    * documents. Still map-side only, which is the whole point at 100 TB
+    * (a groupBy(doc, word) would shuffle every token). Returns null for
+    * an empty array, like the array_max it replaces.
     */
-  private def topMultiplicity(arr: Column): Column =
-    array_max(transform(array_distinct(arr),
-      w => size(filter(arr, x => x === w))))
+  private def topMultiplicity(arr: Column): Column = {
+    val folded = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(st.getField("prev") <=> x,
+          st.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    when(size(arr) > 0, folded)
+  }
 
   /** Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
     * use duplicate-line/paragraph fractions and top-n-gram fractions as

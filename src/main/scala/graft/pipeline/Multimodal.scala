@@ -127,7 +127,9 @@ object Multimodal {
         val p = pos.toInt // safe: bounded by payload.length here
         val id = tag(p)
         val size = u32(p + 4)
-        if (id == "fmt " && pos + 24 <= payload.length) {
+        // a declared fmt size < 16 means the format fields would read
+        // the NEXT chunk's bytes — reject instead of parsing garbage
+        if (id == "fmt " && size >= 16 && pos + 24 <= payload.length) {
           audioFormat = u16(p + 8)
           fmt = Some((u32(p + 12).toInt, u16(p + 10), u16(p + 22),
             u16(p + 20)))

@@ -72,6 +72,42 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("map-side sigs equal the aggregate path on hostile whitespace (tabs, newlines, doubled spaces)") {
+    // the regex twin only shingles across single 0x20 gaps — the byte
+    // walker must agree on every \s variant, not just normalized text
+    val hostile = Seq(
+      (10L, "plain single spaced words here okay"),
+      (11L, "tab\tsplits the window here badly"),
+      (12L, "doubled  space gap in this doc"),
+      (13L, "line\nbreak and\r\nmore text follows here"),
+      (14L, "a\tb\tc"),                 // 3 words but zero shingles at n=3
+      (15L, " leading and trailing  "),
+      (16L, "\t\n  \r")                 // whitespace-only
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val agg = Dedup.minhashLshPairs(hostile, "doc_id", "text", n = n,
+        threshold = 0.1, mapSideSigs = false)
+        .as[(Long, Long, Double)].collect().toSet
+      val mapSide = Dedup.minhashLshPairs(hostile, "doc_id", "text", n = n,
+        threshold = 0.1, mapSideSigs = true)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(mapSide == agg, s"n=$n: $mapSide vs $agg")
+    }
+    // signature-level identity on the hostile docs too
+    import org.apache.spark.sql.functions.call_function
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val sigs = hostile.select(col("doc_id"),
+        call_function("minhash_sigs", col("text"), lit(3), lit(8)).as("s"))
+      .as[(Long, Option[Seq[Long]])].collect().toMap
+    // docs whose every 3-window crosses a bad gap must be null — the
+    // regex twin produces no posting row for them either
+    val postingIds = Dedup.shinglePostings(hostile, "doc_id", "text", 3)
+      .select("id").distinct().as[Long].collect().toSet
+    assert(sigs(14L).isEmpty && sigs(16L).isEmpty, sigs)
+    assert(sigs(10L).nonEmpty && sigs(11L).nonEmpty, sigs)
+    assert(sigs.filter(_._2.nonEmpty).keySet == postingIds, sigs)
+  }
+
   test("map-side minhash signature values equal the aggregate signatures themselves") {
     import org.apache.spark.sql.functions.{element_at, call_function}
     graft.functions.VectorOps.ensureRegistered(spark)
@@ -591,6 +627,13 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       .putInt(16, 0xFFFFFFF8) // fmt chunk size field
     assert(Multimodal.decodeWavHeader(hostile).isEmpty)
+    // a truncated fmt chunk (declared size < 16) would read the NEXT
+    // chunk's bytes as format fields — must be rejected, not parsed
+    val shortFmt = pcm.clone()
+    java.nio.ByteBuffer.wrap(shortFmt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 8) // fmt declares 8 bytes: too short for the fields
+    assert(Multimodal.decodeWavHeader(shortFmt).isEmpty)
   }
 
   test("WAV parse walks past foreign chunks (LIST before fmt)") {
