@@ -103,8 +103,10 @@ object Bench {
     // the harness window is ~2000 chars and this line is the LAST stdout
     // (build.sbt sets showSuccess := false so sbt's "[success]" trailer no
     // longer prints after it — that trailer clipped the head every round
-    // <= 6); 1950 leaves margin for a stray shutdown line
-    val budget = 1950
+    // <= 6); line + newline must fit 2000, and at 94 queries the 1dp
+    // rung measures ~1955, so a tighter "safety" budget would needlessly
+    // drop the suite to whole-second values
+    val budget = 1995
     // precision degrades fully before any field is dropped (1dp saves
     // ~1 char/query — more than the 22 chars the fields cost)
     // final rung: whole-second per-query values — coarse, but a COMPLETE

@@ -236,6 +236,8 @@ object GrowthBench {
         Tables.documents(spark, x1), "doc_id", "text").count()
       Dedup.substringDupCoverage(Tables.documents(spark, x1),
         "doc_id", "text", l = 8).count()
+      graft.pipeline.TextAnalysis.vocabEncode(
+        Tables.documents(spark, x1), "doc_id", "text").count()
     }
     for ((tag, d) <- Seq("1x" -> x1, "2x" -> x2, "10x" -> x10)) {
       val (c, e) = evalSplit(d)
@@ -252,6 +254,12 @@ object GrowthBench {
       t(s"q78_substring_$tag") = time(s"q78_substring_$tag",
         Dedup.substringDupCoverage(Tables.documents(spark, d),
           "doc_id", "text", l = 8))
+      // two-level vocabulary rank (r7): the corpus-wide token count agg
+      // plus per-occurrence encode join should dominate ~linearly; the
+      // bucketed rank never funnels the vocabulary into one partition
+      t(s"q81_encode_$tag") = time(s"q81_encode_$tag",
+        graft.pipeline.TextAnalysis.vocabEncode(
+          Tables.documents(spark, d), "doc_id", "text"))
       // incremental dedup: the BATCH stays the 1x corpus's 52-doc
       // (doc_id%97==0) eval slice while the screened corpus grows — the
       // production shape (fixed daily increment, growing archive)
@@ -293,6 +301,7 @@ object GrowthBench {
       t("q73_incremental_10x"), 10)
     exp("q78_substring 1x->10x", t("q78_substring_1x"),
       t("q78_substring_10x"), 10)
+    exp("q81_encode 1x->10x", t("q81_encode_1x"), t("q81_encode_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
