@@ -354,11 +354,16 @@ object RelationalQueries {
         vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 3)
     }),
 
-    // Q35b — random-hyperplane LSH-bucketed ANN (the scale path; recall
-    // is approximate by design → rows-only gate, spec-tested instead)
-    "q35b_ann_lsh" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        k = 3, planes = 4, dim = 64)),
+    // Q35b — random-hyperplane LSH-bucketed ANN. The plane count DERIVES
+    // from the corpus size (signAnnParams: occupancy-constant sign
+    // buckets, integer ceil-log2), and the md5-seeded hyperplanes make
+    // the buckets a pure function of the data — so the DuckDB oracle
+    // reproduces the APPROXIMATE result exactly at any scale factor.
+    "q35b_ann_lsh" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      Similarity.lshTopK(vecs, "vec_id", "embedding",
+        k = 3, planes = Similarity.signAnnParams(vecs.count()), dim = 64)
+    }),
 
     // Q35c — IVF ANN (the inverted-file scale path): coarse quantizer
     // trained on the corpus, map-side cell assignment, probe-nearest-cells
@@ -1077,16 +1082,27 @@ object RelationalQueries {
     * same evaluation order as the native VecDot kernel — against plane
     * weights shipped as CAST('…' AS DOUBLE) string literals (strtod is
     * correctly rounded, so the literal recovers the identical double;
-    * DuckDB's DECIMAL literal→double path is not guaranteed to). */
-  private def lshAnnOracleSql(k: Int, planes: Int, dim: Int): String = {
-    val hp = graft.pipeline.Similarity.hyperplanes(planes, dim)
+    * DuckDB's DECIMAL literal→double path is not guaranteed to). The
+    * PLANE COUNT derives from count(*) exactly as
+    * [[Similarity.signAnnParams]] does (integer ceil-log2 via bin()
+    * digits), gating which of the `maxPlanes` pre-embedded hyperplane
+    * terms contribute — so one static SQL string tracks the derived
+    * parameter at every scale factor. */
+  private def lshAnnOracleSql(k: Int, maxPlanes: Int, occ: Int,
+      dim: Int): String = {
+    val hp = graft.pipeline.Similarity.hyperplanes(maxPlanes, dim)
     def proj(p: Int): String =
       (0 until dim).map(i => s"e[${i + 1}]*CAST('${hp(p)(i)}' AS DOUBLE)")
         .mkString(" + ")
-    val bucket = (0 until planes)
-      .map(p => s"(CASE WHEN ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+    val bucket = (0 until maxPlanes)
+      .map(p => s"(CASE WHEN $p < (SELECT planes FROM pp)" +
+        s" AND ${proj(p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
     s"""WITH $embedNormSql,
+      |pp AS (SELECT LEAST($maxPlanes, GREATEST(1, CASE
+      |    WHEN (count(*) + ${occ - 1}) // $occ <= 1 THEN 1
+      |    ELSE length(bin(CAST((count(*) + ${occ - 1}) // $occ - 1
+      |      AS BIGINT))) END)) AS planes FROM nv),
       |bk AS (SELECT vec_id, e, nrm, $bucket AS bucket FROM nv),
       |cand AS (SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
       |    list_sum(list_transform(range($dim), i -> a.e[i+1]*b.e[i+1]))
@@ -1863,8 +1879,10 @@ object RelationalQueries {
     // q35b: the md5-seeded hyperplanes make the sign buckets a pure
     // function of the data, so the oracle reproduces the APPROXIMATE
     // result exactly — the ANN tier's recall is oracle-gated, not spec-
-    // gated (was a declared no-oracle row through r6)
-    "q35b_ann_lsh" -> lshAnnOracleSql(k = 3, planes = 4, dim = 64),
+    // gated (was a declared no-oracle row through r6); plane count
+    // count(*)-derived on both sides (signAnnParams)
+    "q35b_ann_lsh" -> lshAnnOracleSql(k = 3, maxPlanes = 12, occ = 32,
+      dim = 64),
 
     // q35c: the full IVF pipeline re-derived in SQL — params from
     // count(*) (ivfParams), hash-bounded sample, 3 Lloyd rounds,

@@ -204,6 +204,25 @@ object Similarity {
     }
   }
 
+  /** Derive the hyperplane count for [[lshTopK]] from the corpus size:
+    * the smallest `planes` whose 2^planes sign buckets hold mean
+    * occupancy <= `targetOccupancy` — the same occupancy-constant law as
+    * [[ivfParams]]' nlist (and the GrowthBench "+log2(growth) planes"
+    * calibration, which held candidate volume linear across a 10x
+    * scale-up). Pure integer arithmetic (ceil-log2 via leading zeros),
+    * so a DuckDB oracle derives the identical count from count(*);
+    * clamped to `maxPlanes` (each plane is one dim-length dot per row —
+    * and the oracle must pre-embed maxPlanes literal hyperplanes). */
+  def signAnnParams(n: Long, targetOccupancy: Int = 32,
+      maxPlanes: Int = 12): Int = {
+    require(n > 0 && targetOccupancy > 0, s"n=$n occ=$targetOccupancy")
+    val targetBuckets = (n + targetOccupancy - 1) / targetOccupancy
+    val planes =
+      if (targetBuckets <= 1) 1
+      else 64 - java.lang.Long.numberOfLeadingZeros(targetBuckets - 1)
+    math.max(1, math.min(maxPlanes, planes))
+  }
+
   /** Sign-bucket id of a vector under the given hyperplanes. */
   def bucketOf(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, p) =>

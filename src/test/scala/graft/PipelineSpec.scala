@@ -397,6 +397,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(np == nl)
   }
 
+  test("signAnnParams: occupancy-constant plane count, integer ceil-log2") {
+    assert(Similarity.signAnnParams(1L) == 1)
+    assert(Similarity.signAnnParams(32L) == 1)   // one target bucket
+    assert(Similarity.signAnnParams(500L) == 4)  // the sf0.01 gate's count
+    assert(Similarity.signAnnParams(2000L) == 6) // sf0.1
+    // occupancy law below the clamp: the smallest power of two covering
+    // ceil(n/32) buckets
+    for (n <- Seq(100L, 1000L, 10000L, 100000L, 1000000L)) {
+      val p = Similarity.signAnnParams(n, maxPlanes = 40)
+      val tb = (n + 31) / 32
+      assert((1L << p) >= tb && (p == 1 || (1L << (p - 1)) < tb),
+        s"n=$n p=$p tb=$tb")
+    }
+    // the clamp bounds the per-row projection cost (and the oracle's
+    // pre-embedded literal planes)
+    assert(Similarity.signAnnParams(100000000L) == 12)
+  }
+
   test("ivfParams-derived IVF meets its recall floor across a 16x scale-up") {
     // synthetic clusterless corpora (the adversarial data model the
     // ivfProbeFracs floors are calibrated for) at two scales: the floors
