@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
 import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
-import graft.pipeline.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -386,6 +386,18 @@ object RelationalQueries {
       Similarity.ivfTopK(vecs, "vec_id", "embedding",
         k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
     }),
+
+    // Q84 — embedding int8 quantization audit: per-vector scale, code
+    // checksum, and worst-case reconstruction error, all in ONE map-side
+    // projection (the 4x memory/shuffle-reduction tier for vector
+    // pipelines — quantize once, candidate-generate over int8, re-rank
+    // survivors at full precision). Every value is engine-reproducible:
+    // max is order-independent and both engines round half away from
+    // zero on the same doubles.
+    "q84_quant" -> ((s, d) =>
+      Quantize.int8Audit(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("scale"), col("q_sum"),
+          col("max_err"))),
 
     // Q57 — deterministic data mixing: stratified per-source sampling +
     // train/test split tags, decided by the portable content hash of the
@@ -1889,6 +1901,28 @@ object RelationalQueries {
     // assignment, probing, re-rank (was a declared no-oracle row)
     "q35c_ann_ivf" ->
       ivfOracleSql(k = 3, fracNum = 4, occ = 32, iters = 3, dim = 64),
+
+    // q84: symmetric int8 quantization recomputed exactly — max-abs
+    // scale, round-half-away codes (both engines round identically on
+    // the same doubles), element-wise reconstruction error
+    "q84_quant" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        |q AS (SELECT vec_id, e, scale,
+        |    CASE WHEN scale > 0 THEN list_transform(e, x ->
+        |        CAST(GREATEST(-127.0, LEAST(127.0,
+        |          round(x / scale * 127.0))) AS INT))
+        |      ELSE list_transform(e, x -> 0) END AS qc
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(list_transform(qc, c -> CAST(c AS BIGINT)))
+        |    AS BIGINT) AS q_sum,
+        |  list_max(list_transform(range(64),
+        |    i -> abs(e[i+1] - qc[i+1]/127.0*scale))) AS max_err
+        |FROM q""".stripMargin,
 
     "q22_matmul" ->
       """WITH a AS (SELECT x//32 AS i, x%32 AS k, (x%7)-3 AS v FROM range(0,1024) t(x)),

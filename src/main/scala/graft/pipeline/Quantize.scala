@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization — the memory/shuffle-reduction tier of a
+  * 100 TB vector pipeline: symmetric per-vector int8 (the standard
+  * inference-serving scheme) stores 1 byte per element plus one scale,
+  * 4x less than float32, which is exactly the factor the ANN candidate
+  * joins shuffle and cache. The intended composition is
+  * quantize-once-store-forever, run candidate generation (sign buckets /
+  * IVF cells / brute scans) over the int8 corpus, and re-rank the few
+  * survivors against full precision ([[Similarity]] operators).
+  *
+  * Everything here is a pure map-side projection of the row — no
+  * shuffle, no state — and every output value is reproducible by a
+  * second engine exactly: scale is a max (order-independent), the
+  * quantized codes use round-half-away-from-zero on double arithmetic
+  * (Spark's decimal-string HALF_UP and DuckDB's round() agree on every
+  * double: the shortest decimal repr identifies the binary value
+  * uniquely, and 0.5 boundaries are exactly representable), and the
+  * reconstruction error audit is one division and one subtraction per
+  * element in the same order on both sides.
+  */
+object Quantize {
+
+  /** Per-vector symmetric int8 codes: scale = max |x_i| (double), code_i
+    * = clamp(round(x_i / scale * 127), -127, 127). A zero vector (scale
+    * 0) quantizes to all-zero codes rather than NaN-poisoning the row —
+    * the guard matters under Spark 4's ANSI mode, where casting a NaN
+    * round() result would throw. Output: (id, scale, q array<int>). */
+  private def codes(v: Column, scale: Column): Column =
+    when(scale > 0.0,
+      transform(v, x => greatest(lit(-127.0), least(lit(127.0),
+        round(x / scale * 127.0))).cast("int")))
+      .otherwise(transform(v, _ => lit(0)))
+
+  def int8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    vecs.select(col(idCol).as("id"), scale.as("scale"),
+      codes(v, scale).as("q"))
+  }
+
+  /** Reconstructed double vector from (scale, codes): r_i = q_i / 127 *
+    * scale — the exact expression the error audit and any re-rank
+    * composition must share. */
+  def dequantize(q: Column, scale: Column): Column =
+    transform(q, c => c.cast("double") / 127.0 * scale)
+
+  /** Quantization audit per vector: the int8 codes plus their worst-case
+    * reconstruction error against the original (max over elements of
+    * |x_i - q_i/127*scale|). The symmetric-scheme bound is scale/254
+    * (half a quantization step) — spec-gated, and the q84 oracle
+    * recomputes every value exactly in DuckDB. `q_sum` rides along as a
+    * compact code checksum. Output: (id, scale, q_sum, max_err). */
+  def int8Audit(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame =
+    // stacked projections, not a join back to the source — Catalyst
+    // collapses them into ONE map-side project, so the audit of a
+    // 100 TB corpus is a single scan with zero exchanges
+    vecs
+      .select(col(idCol).as("id"),
+        transform(col(vecCol), _.cast("double")).as("x"))
+      .withColumn("scale",
+        aggregate(col("x"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("q", codes(col("x"), col("scale")))
+      .select(
+        col("id"),
+        col("scale"),
+        aggregate(col("q"), lit(0L), (a, c) => a + c.cast("long"))
+          .as("q_sum"),
+        aggregate(
+          zip_with(col("x"), dequantize(col("q"), col("scale")),
+            (x, r) => abs(x - r)),
+          lit(0.0), (a, e) => greatest(a, e)).as("max_err"))
+}

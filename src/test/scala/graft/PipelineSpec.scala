@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Portable, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Portable, Quantize, Similarity, TextAnalysis}
 
 class DedupSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
@@ -488,6 +488,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     info(f"recall@3 at nprobe=4/64: clusterless $flat%.3f clustered $clus%.3f")
     assert(clus >= 0.9, f"clustered recall $clus%.3f")
     assert(clus > flat, f"clustered $clus%.3f should beat clusterless $flat%.3f")
+  }
+
+  test("int8 quantization: exact codes, half-step error bound, zero-vector safe") {
+    val rows = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: no NaN poison
+      (3L, Array(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    // exact representable fractions: 1.0 -> 127, -0.5 -> round(-63.5) =
+    // -64 (half away from zero), 0.25 -> round(31.75) = 32
+    val q1 = Quantize.int8(rows, "vec_id", "embedding")
+      .filter(col("id") === 1L).select("q").as[Seq[Int]].collect()(0)
+    assert(q1 == Seq(127, -64, 32, 0), q1)
+    val audit = Quantize.int8Audit(rows, "vec_id", "embedding")
+      .as[(Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(audit(1L)._2 == 1.0 && audit(1L)._3 == 95L, audit(1L)) // 127-64+32
+    assert(audit(2L)._2 == 0.0 && audit(2L)._3 == 0L &&
+      audit(2L)._4 == 0.0, audit(2L))
+    // worst-case reconstruction error <= half a quantization step
+    assert(audit(1L)._4 <= 1.0 / 254 + 1e-12, audit(1L))
+    assert(audit(3L)._2 == 2.0 && audit(3L)._4 <= 2.0 / 254 + 1e-12)
+    // the bound holds for EVERY vector of the real corpus
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val bad = Quantize.int8Audit(corpus, "vec_id", "embedding")
+      .filter(col("max_err") > col("scale") / 254 + 1e-9).count()
+    assert(bad == 0L, s"$bad vectors exceed the half-step bound")
+  }
+
+  test("dequantized top-1 neighbors agree with exact top-1 on the real corpus") {
+    // the 100 TB composition: candidate-generate over int8, re-rank the
+    // survivors at full precision. The premise is that quantized
+    // geometry preserves neighborhoods — measure top-1 agreement.
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val deq = Quantize.int8(corpus, "vec_id", "embedding")
+      .select(col("id").as("vec_id"),
+        transform(Quantize.dequantize(col("q"), col("scale")),
+          _.cast("float")).as("embedding"))
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 1)
+        .select("q_id", "nb_id").as[(Long, Long)].collect().toMap
+    val exact = top1(corpus)
+    val quant = top1(deq)
+    val agree = exact.count { case (q, nb) => quant.get(q).contains(nb) }
+    val frac = agree.toDouble / exact.size
+    info(f"top-1 agreement after int8 round-trip: $frac%.4f")
+    assert(frac >= 0.9, f"agreement $frac%.4f")
   }
 
   test("ragged centroid matrix fails loudly, not silently misaligned") {
