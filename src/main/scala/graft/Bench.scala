@@ -120,9 +120,16 @@ object Bench {
         " exceeds the ~2000-char harness capture window even at the" +
         " leanest encoding — the driver's parse will truncate")
     // Cleanup and stop BEFORE printing: the JSON line must be the absolute
-    // last stdout so the harness's last-2000-chars window contains its head.
-    RelationalQueries.cleanupTmpSinks(spark)
-    spark.stop()
+    // last stdout so the harness's last-2000-chars window contains its
+    // head. Both are best-effort — an exception here must never eat the
+    // already-computed metric line (that would null the driver's parse,
+    // the exact failure mode this ordering exists to fix).
+    try RelationalQueries.cleanupTmpSinks(spark)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] tmp-sink cleanup failed: $e") }
+    try spark.stop()
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] spark.stop failed: $e") }
     println(out)
     Console.out.flush()
   }

@@ -36,6 +36,11 @@ object RelationalQueries {
       .foreach(rm)
   }
 
+  /** q35c's recall target — ONE definition feeds both the Spark query
+    * (ivfParams) and the DuckDB oracle's probe-fraction numerator, so
+    * recalibrating either cannot silently desynchronize them. */
+  private val q35cTargetRecall = 0.8
+
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
     "q01_filter" -> ((s, d) =>
@@ -378,10 +383,10 @@ object RelationalQueries {
     "q35c_ann_ivf" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
       val (nlist, nprobe) =
-        Similarity.ivfParams(vecs.count(), targetRecall = 0.8)
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
       val cents = Similarity.trainCoarseQuantizer(
         Similarity.trainingSample(vecs, "vec_id", "embedding",
-          math.max(nlist * 64, 4096)),
+          Similarity.trainingCap(nlist)),
         "embedding", nlist = nlist, dim = 64)
       Similarity.ivfTopK(vecs, "vec_id", "embedding",
         k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
@@ -1166,7 +1171,7 @@ object RelationalQueries {
       |p2 AS (SELECT n, nlist,
       |    GREATEST(1, LEAST(nlist,
       |      CAST(ceil(($fracNum * nlist) / 8.0) AS BIGINT))) AS nprobe,
-      |    GREATEST(nlist * 64, 4096) AS cap FROM p),
+      |    LEAST(2147483647, GREATEST(nlist * 64, 4096)) AS cap FROM p),
       |samp AS (SELECT vec_id AS sid, e FROM (
       |    SELECT vec_id, e, row_number() OVER (ORDER BY
       |      ${graft.pipeline.Portable.hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
@@ -1893,14 +1898,19 @@ object RelationalQueries {
     // result exactly — the ANN tier's recall is oracle-gated, not spec-
     // gated (was a declared no-oracle row through r6); plane count
     // count(*)-derived on both sides (signAnnParams)
-    "q35b_ann_lsh" -> lshAnnOracleSql(k = 3, maxPlanes = 12, occ = 32,
-      dim = 64),
+    "q35b_ann_lsh" -> lshAnnOracleSql(k = 3,
+      maxPlanes = graft.pipeline.Similarity.maxSignPlanes,
+      occ = graft.pipeline.Similarity.defaultOccupancy, dim = 64),
 
     // q35c: the full IVF pipeline re-derived in SQL — params from
     // count(*) (ivfParams), hash-bounded sample, 3 Lloyd rounds,
     // assignment, probing, re-rank (was a declared no-oracle row)
     "q35c_ann_ivf" ->
-      ivfOracleSql(k = 3, fracNum = 4, occ = 32, iters = 3, dim = 64),
+      ivfOracleSql(k = 3,
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
 
     // q84: symmetric int8 quantization recomputed exactly — max-abs
     // scale, round-half-away codes (both engines round identically on

@@ -36,7 +36,10 @@ object Multimodal {
     * `pixel_decoded` is true when a full REAL pixel decode also ran
     * ([[decodePixelFeatures]] — PNG/BMP/GIF/JPEG in this JDK): then
     * `ch_means` holds the per-channel sample means and `lum_hist` the
-    * 16-bin luminance histogram; both are empty on the stub path. */
+    * 16-bin luminance histogram; both are empty on the stub path.
+    * Palette-indexed images resolve through the ColorModel, so their
+    * `ch_means` is always 3 r/g/b entries even when `channels` (the
+    * header's raster band count) is 1. */
   final case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Int,
       byte_sum: Long, width: Int, height: Int, channels: Int,
@@ -64,11 +67,14 @@ object Multimodal {
     * Returns None when no installed reader recognizes the payload (then
     * the deterministic stub stands in for the non-image modalities this
     * container has no codecs for). */
-  def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int, Int)] = {
-    // memory-backed stream, NOT ImageIO.createImageInputStream: the
-    // default SPI honors ImageIO.getUseCache() and spools a temp FILE per
-    // call — a disk write per row on the hot path, and an IOException
-    // (full/read-only tmpdir) where a bad payload should just mean None
+  /** Shared reader boilerplate for the single-image decoders: a
+    * memory-backed stream, NOT ImageIO.createImageInputStream — the
+    * default SPI honors ImageIO.getUseCache() and spools a temp FILE per
+    * call (a disk write per row on the hot path, and an IOException
+    * where a bad payload should just mean None). Any decode exception
+    * maps to None. */
+  private def withReader[T](payload: Array[Byte])(
+      f: javax.imageio.ImageReader => Option[T]): Option[T] = {
     var iis: javax.imageio.stream.ImageInputStream = null
     try {
       iis = new javax.imageio.stream.MemoryCacheImageInputStream(
@@ -77,21 +83,25 @@ object Multimodal {
       if (!readers.hasNext) None
       else {
         val r = readers.next()
-        try {
-          r.setInput(iis, true, true)
-          val w = r.getWidth(0)
-          val h = r.getHeight(0)
-          val channels =
-            try {
-              val types = r.getImageTypes(0)
-              if (types.hasNext) types.next().getNumBands else 3
-            } catch { case scala.util.control.NonFatal(_) => 3 }
-          Some((w, h, channels))
-        } finally r.dispose()
+        try { r.setInput(iis, true, true); f(r) } finally r.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     finally if (iis != null) iis.close()
   }
+
+  private def headerOf(r: javax.imageio.ImageReader): (Int, Int, Int) = {
+    val w = r.getWidth(0)
+    val h = r.getHeight(0)
+    val channels =
+      try {
+        val types = r.getImageTypes(0)
+        if (types.hasNext) types.next().getNumBands else 3
+      } catch { case scala.util.control.NonFatal(_) => 3 }
+    (w, h, channels)
+  }
+
+  def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    withReader(payload)(r => Some(headerOf(r)))
 
   /** Parsed WAV (RIFF/WAVE) header metadata. `nFrames` is a Long: an
     * 8-bit mono PCM data chunk may legally exceed 2^31 frames. */
@@ -199,54 +209,80 @@ object Multimodal {
     * only the header/stub tiers apply (compressed audio and true video
     * remain the declared stub: no codecs in this environment). */
   def decodePixelFeatures(payload: Array[Byte])
+      : Option[(Array[Double], Array[Long])] =
+    withReader(payload)(r => pixelStats(r.read(0)))
+
+  /** Channel means + 16-bin luminance histogram of a decoded image.
+    * PALETTE-INDEXED images (every GIF, indexed PNG) resolve through the
+    * ColorModel into r/g/b — their raster samples are palette INDICES,
+    * and averaging indices would report e.g. an all-white GIF whose
+    * white sits at palette slot 0 as pitch black. Component images read
+    * the raster directly, each band sampled once per pixel. */
+  private def pixelStats(img: java.awt.image.BufferedImage)
       : Option[(Array[Double], Array[Long])] = {
-    // memory-backed stream for the same reason as decodeImageHeader:
-    // the default SPI spools a temp FILE per call with useCache on
-    var iis: javax.imageio.stream.ImageInputStream = null
-    try {
-      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val r = readers.next()
-        try {
-          r.setInput(iis, true, true)
-          val raster = r.read(0).getRaster
-          val w = raster.getWidth
-          val h = raster.getHeight
-          val bands = raster.getNumBands
-          if (w <= 0 || h <= 0 || bands <= 0) None
-          else {
-            val sums = new Array[Long](bands)
-            val hist = new Array[Long](16)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                var b = 0
-                while (b < bands) {
-                  sums(b) += raster.getSample(x, y, b); b += 1
-                }
-                val luma =
-                  if (bands >= 3)
-                    (raster.getSample(x, y, 0) * 299 +
-                      raster.getSample(x, y, 1) * 587 +
-                      raster.getSample(x, y, 2) * 114) / 1000
-                  else raster.getSample(x, y, 0)
-                hist(math.min(15, math.max(0, luma / 16))) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val n = w.toLong * h
-            Some((sums.map(_.toDouble / n), hist))
-          }
-        } finally r.dispose()
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val n = w.toLong * h
+    val hist = new Array[Long](16)
+    if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+      val sums = new Array[Long](3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sums(0) += r; sums(1) += g; sums(2) += b
+          hist((r * 299 + g * 587 + b * 114) / 1000 / 16) += 1
+          x += 1
+        }
+        y += 1
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
-    finally if (iis != null) iis.close()
+      Some((sums.map(_.toDouble / n), hist))
+    } else {
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      if (bands <= 0) return None
+      val sums = new Array[Long](bands)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          // sample each band ONCE, keeping the first three for luma
+          var s0 = 0; var s1 = 0; var s2 = 0
+          var b = 0
+          while (b < bands) {
+            val v = raster.getSample(x, y, b)
+            sums(b) += v
+            if (b == 0) s0 = v else if (b == 1) s1 = v else if (b == 2) s2 = v
+            b += 1
+          }
+          val luma =
+            if (bands >= 3) (s0 * 299 + s1 * 587 + s2 * 114) / 1000 else s0
+          hist(math.min(15, math.max(0, luma / 16))) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Some((sums.map(_.toDouble / n), hist))
+    }
   }
+
+  /** Header AND pixel features in ONE reader session — the feature
+    * extractor's path: a second reader per row (one for the header, one
+    * for the pixels) doubled the SPI scan and header parse for nothing. */
+  private[pipeline] def decodeImageFull(payload: Array[Byte])
+      : Option[(Int, Int, Int, Option[(Array[Double], Array[Long])])] =
+    withReader(payload) { r =>
+      val (w, h, c) = headerOf(r)
+      val px =
+        try pixelStats(r.read(0))
+        catch { case scala.util.control.NonFatal(_) => None }
+      Some((w, h, c, px))
+    }
 
   /** Per-partition batched decode + feature extraction: real image
     * headers AND real pixel features (means + luminance histogram)
@@ -261,9 +297,8 @@ object Multimodal {
           var s = 0L
           var i = 0
           while (i < payload.length) { s += payload(i) & 0xff; i += 1 }
-          decodeImageHeader(payload) match {
-            case Some((w, h, c)) =>
-              val px = decodePixelFeatures(payload)
+          decodeImageFull(payload) match {
+            case Some((w, h, c, px)) =>
               MediaFeatures(id, kind, payload.length, s, w, h, c,
                 decoded = true, pixel_decoded = px.isDefined,
                 ch_means = px.map(_._1.toSeq).getOrElse(Seq.empty),

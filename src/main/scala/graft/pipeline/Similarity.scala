@@ -213,8 +213,8 @@ object Similarity {
     * so a DuckDB oracle derives the identical count from count(*);
     * clamped to `maxPlanes` (each plane is one dim-length dot per row —
     * and the oracle must pre-embed maxPlanes literal hyperplanes). */
-  def signAnnParams(n: Long, targetOccupancy: Int = 32,
-      maxPlanes: Int = 12): Int = {
+  def signAnnParams(n: Long, targetOccupancy: Int = defaultOccupancy,
+      maxPlanes: Int = maxSignPlanes): Int = {
     require(n > 0 && targetOccupancy > 0, s"n=$n occ=$targetOccupancy")
     val targetBuckets = (n + targetOccupancy - 1) / targetOccupancy
     val planes =
@@ -246,6 +246,33 @@ object Similarity {
     0.55 -> 0.25, 0.70 -> 0.375, 0.80 -> 0.5,
     0.90 -> 0.625, 0.95 -> 0.75, 1.0 -> 1.0)
 
+  /** The shared occupancy constant of [[ivfParams]] and [[signAnnParams]]
+    * — oracle builders reference it so the SQL twins cannot drift. */
+  val defaultOccupancy: Int = 32
+
+  /** Lloyd rounds [[trainCoarseQuantizer]] runs by default — the q35c
+    * oracle unrolls exactly this many CTE iterations. */
+  val defaultLloydIters: Int = 3
+
+  /** [[signAnnParams]]' plane-count clamp — the q35b oracle pre-embeds
+    * exactly this many hyperplane literal projections. */
+  val maxSignPlanes: Int = 12
+
+  /** The probe fraction for `targetRecall` as its exact numerator over
+    * 8 — the integer the DuckDB oracles repeat (every [[ivfProbeFracs]]
+    * fraction is a binary-exact multiple of 1/8 by construction, and
+    * this throws if a recalibration ever breaks that invariant instead
+    * of letting the SQL twin silently diverge). */
+  def probeFracEighths(targetRecall: Double): Int = {
+    val frac = ivfProbeFracs
+      .collectFirst { case (floor, f) if targetRecall <= floor => f }
+      .getOrElse(1.0)
+    val num = frac * 8
+    require(num == num.toInt.toDouble,
+      s"probe fraction $frac is not a multiple of 1/8")
+    num.toInt
+  }
+
   /** Derive `(nlist, nprobe)` for [[ivfTopK]] from the corpus size — the
     * IVF analog of [[lshParams]]/[[Dedup.minhashParams]]: parameters from
     * the data, not hand-picked constants (the reference's
@@ -265,7 +292,7 @@ object Similarity {
     * Both formulas are integer/exact-binary arithmetic, so an external
     * oracle (DuckDB) reproduces them bit-for-bit from `count(*)`. */
   def ivfParams(n: Long, targetRecall: Double = 0.8,
-      targetOccupancy: Int = 32): (Int, Int) = {
+      targetOccupancy: Int = defaultOccupancy): (Int, Int) = {
     require(n > 0, s"n=$n")
     require(targetRecall > 0.0 && targetRecall <= 1.0, s"target=$targetRecall")
     require(targetOccupancy > 0, s"occupancy=$targetOccupancy")
@@ -273,13 +300,19 @@ object Similarity {
     // overflow Int nlist — at that size the caller shards the index anyway
     val nlist = math.min(Int.MaxValue.toLong, math.max(1L,
       math.min(n, (n + targetOccupancy - 1) / targetOccupancy)))
-    val frac = ivfProbeFracs
-      .collectFirst { case (floor, f) if targetRecall <= floor => f }
-      .getOrElse(1.0)
+    val frac = probeFracEighths(targetRecall) / 8.0
     val nprobe = math.max(1L,
       math.min(nlist, math.ceil(frac * nlist).toLong))
     (nlist.toInt, nprobe.toInt)
   }
+
+  /** Bounded training-sample size for an nlist-cell quantizer: 64 points
+    * per cell, floored at 4096, computed in Long (an Int `nlist * 64`
+    * wraps at nlist > 2^25) and capped at Int.MaxValue — the q35c oracle
+    * computes the same LEAST/GREATEST in BIGINT. */
+  def trainingCap(nlist: Int): Int =
+    math.min(Int.MaxValue.toLong,
+      math.max(nlist.toLong * 64L, 4096L)).toInt
 
   /** Deterministic BOUNDED quantizer-training sample: the `cap` rows with
     * the smallest portable content hash of their id (ties by id). Stable
@@ -321,7 +354,7 @@ object Similarity {
     * into one cell, making the candidate join quadratic again); ties and
     * empty cells resolve identically across runs. */
   def trainCoarseQuantizer(vecs: DataFrame, vecCol: String, nlist: Int,
-      dim: Int, iters: Int = 3): Array[Array[Double]] = {
+      dim: Int, iters: Int = defaultLloydIters): Array[Array[Double]] = {
     import scala.math.Ordering.Implicits._
     val data = vecs
       .select(transform(col(vecCol), _.cast("double")).as("v"))
@@ -379,7 +412,7 @@ object Similarity {
       // dependent, breaking the deterministic contract. Callers wanting a
       // specific sampling policy pre-train and pass `cents`.
       else trainCoarseQuantizer(
-        trainingSample(vecs, idCol, vecCol, math.max(nlist * 64, 4096)),
+        trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
         vecCol, nlist, dim)
     val base = withNorm(vecs, idCol, vecCol)
     val corpus = base.withColumn("cell",

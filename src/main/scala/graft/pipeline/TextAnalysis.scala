@@ -153,9 +153,21 @@ object TextAnalysis {
     val counted = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .withColumn("bkt", substring(col("tok"), 1, 1))
       .localCheckpoint()
+    // bucket order must be Spark/DuckDB's string order — UNSIGNED UTF-8
+    // byte comparison (code-point order), NOT Java's UTF-16 compareTo,
+    // which ranks supplementary-plane characters (surrogates, 0xD800+)
+    // BELOW private-use BMP ones and would assign swapped offsets
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
     val sizes = counted.groupBy("cnt", "bkt").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      .sortBy { case (c, b, _) => (-c, b) }
+      .sortBy { case (c, b, _) => (-c, b) }(
+        Ordering.Tuple2(Ordering.Long, utf8Order))
     val offsets = sizes
       .zip(sizes.scanLeft(0L) { case (acc, (_, _, n)) => acc + n })
       .map { case ((c, b, _), off) => (c, b, off) }

@@ -696,6 +696,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(out(3L).lum_hist.sum == w.toLong * h, out(3L))
   }
 
+  test("palette-indexed images resolve through the ColorModel, not raw palette indices") {
+    // an all-white GIF whose color table stores white at INDEX 0: raw
+    // raster samples are all 0 (pitch black if misread as intensities);
+    // the color-model path must report white regardless of slot order
+    val w = 6; val h = 5
+    val cm = new java.awt.image.IndexColorModel(8, 2,
+      Array[Byte](-1, 0), Array[Byte](-1, 0), Array[Byte](-1, 0))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    // raster already all zeros = palette slot 0 = white
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "no gif writer")
+    val px = Multimodal.decodePixelFeatures(bos.toByteArray)
+    assert(px.isDefined)
+    val (means, hist) = px.get
+    assert(means.toSeq == Seq(255.0, 255.0, 255.0), means.toSeq)
+    assert(hist(15) == w.toLong * h && hist.sum == w.toLong * h,
+      hist.toSeq)
+  }
+
   test("WAV round-trip: the RIFF parse recovers exactly the container parameters") {
     val pcm = Array.tabulate[Byte](320)(i => (i % 251).toByte)
     val wav = Multimodal.wavBytes(pcm, 8000, 2, 16) // blockAlign 4 -> 80 frames
