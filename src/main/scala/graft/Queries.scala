@@ -392,6 +392,13 @@ object RelationalQueries {
         k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
     }),
 
+    // Q85 — overlapping token-window chunking (context-window prep for
+    // training/retrieval): 64-token windows advancing by 56 (overlap 8),
+    // one map-side explode, chunk identity a pure function of the row.
+    "q85_chunks" -> ((s, d) =>
+      Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        windowTokens = 64, overlap = 8)),
+
     // Q84 — embedding int8 quantization audit: per-vector scale, code
     // checksum, and worst-case reconstruction error, all in ONE map-side
     // projection (the 4x memory/shuffle-reduction tier for vector
@@ -1911,6 +1918,21 @@ object RelationalQueries {
           q35cTargetRecall),
         occ = graft.pipeline.Similarity.defaultOccupancy,
         iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // q85: same integer window arithmetic (`//` = the Spark side's
+    // exact floor-over-double), 1-based inclusive list slices
+    "q85_chunks" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, n,
+        |    unnest(range(1 + (GREATEST(0, n - 64) + 55) // 56)) AS c
+        |  FROM n)
+        |SELECT doc_id, CAST(c AS INT) AS chunk_id,
+        |  array_to_string(ws[c*56+1 : c*56+64], ' ') AS chunk,
+        |  CAST(LEAST(64, n - c*56) AS INT) AS n_tokens
+        |FROM c""".stripMargin,
 
     // q84: symmetric int8 quantization recomputed exactly — max-abs
     // scale, round-half-away codes (both engines round identically on

@@ -290,6 +290,42 @@ object Curation {
   val phonePattern = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
   val numberPattern = "[0-9]+"
 
+  /** Overlapping token-window chunking — context-window preparation for
+    * training and retrieval: each document re-emits as windows of
+    * `windowTokens` tokens advancing by `windowTokens - overlap` (the
+    * last window may be shorter; token-less documents emit nothing).
+    * Pure map-side explode — a 100 TB corpus chunks in one scan with no
+    * shuffle, and chunk identity is a pure function of the row, so
+    * re-runs and engines agree. Integer arithmetic only:
+    * nChunks = 1 + (max(0, n - window) + stride - 1) / stride.
+    * Returns (doc_id, chunk_id, chunk, n_tokens). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, overlap: Int): DataFrame = {
+    require(windowTokens > 0 && overlap >= 0 && overlap < windowTokens,
+      s"window=$windowTokens overlap=$overlap")
+    val stride = windowTokens - overlap
+    docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") > 0)
+      // floor over double is exact here (n is an Int-ranged count, far
+      // below 2^52); Spark's `/` on integers is double division, so the
+      // explicit floor IS the integer ceil-division DuckDB writes as `//`
+      .withColumn("nc",
+        (lit(1) + floor((greatest(lit(0), col("n") - windowTokens)
+          + (stride - 1)) / lit(stride))).cast("int"))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), col("nc") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        array_join(slice(col("ws"),
+          col("chunk_id") * stride + 1, lit(windowTokens)), " ")
+          .as("chunk"),
+        least(lit(windowTokens), col("n") - col("chunk_id") * stride)
+          .cast("int").as("n_tokens"))
+  }
+
   def maskPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0)))

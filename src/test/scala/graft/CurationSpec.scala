@@ -264,6 +264,37 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(again.toSet == out.toSet)
   }
 
+  test("chunkDocuments: overlapping windows cover every token, last chunk short") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "a b"),                            // shorter than one window
+      (3L, "   ")                             // token-less: emits nothing
+    ).toDF("doc_id", "text")
+    val out = Curation.chunkDocuments(docs, "doc_id", "text",
+        windowTokens = 4, overlap = 1)
+      .as[(Long, Int, String, Int)].collect().toSet
+    // stride 3: chunks at tokens 1-4, 4-7, 7-10 (1-based)
+    assert(out == Set(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "a b", 2)), out)
+    // coverage property on a spread of lengths: every token index lands
+    // in some chunk, consecutive chunks share exactly `overlap` tokens
+    // except the (possibly short) last one
+    for (n <- Seq(1, 3, 4, 5, 8, 63, 64, 65, 200); ov <- Seq(0, 8)) {
+      val doc = Seq((9L, (1 to n).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = Curation.chunkDocuments(doc, "doc_id", "text", 64, ov)
+        .orderBy("chunk_id")
+        .as[(Long, Int, String, Int)].collect()
+      val covered = chunks.flatMap(_._3.split(" ")).toSet
+      assert(covered == (1 to n).map(i => s"w$i").toSet, s"n=$n ov=$ov")
+      assert(chunks.map(_._4).sum == n + (chunks.length - 1) * ov,
+        s"n=$n ov=$ov: overlap accounting")
+    }
+  }
+
   test("vocabEncode: ids by frequency rank, documents re-encoded in order") {
     val docs = Seq((1L, "b a b"), (2L, "c a b")).toDF("doc_id", "text")
     val out = graft.pipeline.TextAnalysis.vocabEncode(docs, "doc_id", "text")
