@@ -103,10 +103,11 @@ object Bench {
     // the harness window is ~2000 chars and this line is the LAST stdout
     // (build.sbt sets showSuccess := false so sbt's "[success]" trailer no
     // longer prints after it — that trailer clipped the head every round
-    // <= 6); line + newline must fit 2000, and at 94 queries the 1dp
-    // rung measures ~1955, so a tighter "safety" budget would needlessly
-    // drop the suite to whole-second values
-    val budget = 1995
+    // <= 6). The EXACT cap is 1999: line + trailing newline must fit the
+    // 2000-char tail for the head to survive. At 96 queries the leanest
+    // 1dp rung measures 1998, so every char of margin surrendered here
+    // drops the whole suite to whole-second values.
+    val budget = 1998
     // precision degrades fully before any field is dropped (1dp saves
     // ~1 char/query — more than the 22 chars the fields cost)
     // final rung: whole-second per-query values — coarse, but a COMPLETE

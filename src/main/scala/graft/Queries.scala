@@ -395,7 +395,7 @@ object RelationalQueries {
     // Q85 — overlapping token-window chunking (context-window prep for
     // training/retrieval): 64-token windows advancing by 56 (overlap 8),
     // one map-side explode, chunk identity a pure function of the row.
-    "q85_chunks" -> ((s, d) =>
+    "q85_win" -> ((s, d) =>
       Curation.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
         windowTokens = 64, overlap = 8)),
 
@@ -406,7 +406,7 @@ object RelationalQueries {
     // survivors at full precision). Every value is engine-reproducible:
     // max is order-independent and both engines round half away from
     // zero on the same doubles.
-    "q84_quant" -> ((s, d) =>
+    "q84_i8" -> ((s, d) =>
       Quantize.int8Audit(Tables.embeddings(s, d), "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("scale"), col("q_sum"),
           col("max_err"))),
@@ -1021,7 +1021,7 @@ object RelationalQueries {
     // rollup is the single streaming aggregation (complete mode). Gated
     // by the SAME DuckDB oracle as q70 — batch and stream must agree row
     // for row, the strongest form of the §2.8 batch=stream claim.
-    "q70s_stream" -> ((s, d) => {
+    "q70s" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
@@ -1762,7 +1762,7 @@ object RelationalQueries {
     // stateless verdicts -> stream-static fp-index dedup join ->
     // broadcast decontamination -> complete-mode rollup), gated by the
     // SAME oracle — the strongest form of the batch=stream claim
-    "q70s_stream" -> cleanCorpusOracleSql,
+    "q70s" -> cleanCorpusOracleSql,
 
     // q62: the salted join must equal the plain join exactly
     "q62_salted_join" ->
@@ -1921,7 +1921,7 @@ object RelationalQueries {
 
     // q85: same integer window arithmetic (`//` = the Spark side's
     // exact floor-over-double), 1-based inclusive list slices
-    "q85_chunks" ->
+    "q85_win" ->
       """WITH w AS (SELECT doc_id,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
         |  FROM documents),
@@ -1937,7 +1937,7 @@ object RelationalQueries {
     // q84: symmetric int8 quantization recomputed exactly — max-abs
     // scale, round-half-away codes (both engines round identically on
     // the same doubles), element-wise reconstruction error
-    "q84_quant" ->
+    "q84_i8" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
         |  FROM embeddings),
