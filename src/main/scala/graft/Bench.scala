@@ -65,41 +65,6 @@ object Bench {
     // queries that never produced a sample are omitted from the timing
     // map (a 0.0 entry reads as an ultra-fast success when diffed
     // against the baseline); they remain visible in the errors map.
-    // The harness reading this line keeps only the LAST ~2000 chars of
-    // output, so the line must FIT that window or its head (and the JSON)
-    // is lost — full-precision doubles broke every pre-r6 round's parse,
-    // and at 87 queries even ms precision overflows. Emit the RICHEST
-    // variant that fits: decimals degrade 3dp -> 2dp -> 1dp (10ms is
-    // already far below box noise) before any field is dropped.
-    def fmt(v: Double, dp: Int): String = {
-      // Locale.ROOT: the f-interpolator is locale-sensitive and a
-      // comma-decimal default locale would corrupt the JSON
-      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      else s
-    }
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
-    def line(dp: Int, full: Boolean, lean: Int = 0): String = {
-      val qs = results.collect { case (k, Some(v)) =>
-        s"\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
-      val mid = if (full) s""","unit":"sec","queries":$qs,"runs":3"""
-        else s""","queries":$qs"""
-      // the errors key rides along (even empty) down to the lean rung —
-      // the driver may access it unconditionally; lean drops only the sf
-      // path (~29 chars), which the driver itself supplies via
-      // SPARK_GRAFT_SF_DIR. The ULTRA rung (last resort before the line
-      // truncates, which would lose the whole JSON) also drops the empty
-      // error map — NEVER a non-empty one.
-      val tailFields = lean match {
-        case 0 => s""","errors":$errJson,"sf":"$sfDir""""
-        case 1 => s""","errors":$errJson"""
-        case _ => if (errors.isEmpty) "" else s""","errors":$errJson"""
-      }
-      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))}$mid$tailFields}"""
-    }
     // the harness window is ~2000 chars and this line is the LAST stdout
     // (build.sbt sets showSuccess := false so sbt's "[success]" trailer no
     // longer prints after it — that trailer clipped the head every round
@@ -107,16 +72,8 @@ object Bench {
     // 2000-char tail for the head to survive. At 96 queries the leanest
     // 1dp rung measures 1998, so every char of margin surrendered here
     // drops the whole suite to whole-second values.
-    val budget = 1998
-    // precision degrades fully before any field is dropped (1dp saves
-    // ~1 char/query — more than the 22 chars the fields cost)
-    // final rung: whole-second per-query values — coarse, but a COMPLETE
-    // parseable map beats a truncated line that loses every field
-    val out = Seq(line(3, true), line(2, true), line(1, true),
-      line(2, false), line(1, false), line(1, false, lean = 1),
-      line(1, false, lean = 2), line(0, false, lean = 2))
-      .find(_.length <= budget).getOrElse(line(0, false, lean = 2))
-    if (out.length > budget)
+    val out = Bench.metricLine(results, errors.toSeq, sfDir)
+    if (out.length > Bench.budget)
       System.err.println(s"[bench] WARNING: metric line ${out.length} chars" +
         " exceeds the ~2000-char harness capture window even at the" +
         " leanest encoding — the driver's parse will truncate")
@@ -133,5 +90,52 @@ object Bench {
       System.err.println(s"[bench] spark.stop failed: $e") }
     println(out)
     Console.out.flush()
+  }
+
+  /** The harness reading stdout keeps only the LAST ~2000 chars, and the
+    * metric line must be the absolute last output (build.sbt suppresses
+    * sbt's "[success]" trailer, which clipped the head every round <= 6).
+    * The EXACT cap is 1999: line + trailing newline must fit the
+    * 2000-char tail for the head to survive. */
+  private[graft] val budget = 1998
+
+  /** The richest metric line that fits [[budget]]: decimals degrade
+    * 3dp -> 2dp -> 1dp (10 ms is far below box noise) before any field
+    * is dropped; then unit/runs, then the sf path (the driver supplies
+    * it via SPARK_GRAFT_SF_DIR), then — last resort before a truncated
+    * line would lose every field — an EMPTY errors map (never a
+    * non-empty one) and whole-second values. Exposed for BenchLineSpec,
+    * which fails the build if the current query-key set can no longer
+    * fit 1dp precision (a long new key silently costing the driver its
+    * per-query resolution is exactly the regression six rounds paid). */
+  private[graft] def metricLine(results: Seq[(String, Option[Double])],
+      errors: Seq[(String, String)], sfDir: String): String = {
+    def fmt(v: Double, dp: Int): String = {
+      // Locale.ROOT: the f-interpolator is locale-sensitive and a
+      // comma-decimal default locale would corrupt the JSON
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    def line(dp: Int, full: Boolean, lean: Int = 0): String = {
+      val qs = results.collect { case (k, Some(v)) =>
+        "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
+      val mid = if (full) s""","unit":"sec","queries":$qs,"runs":3"""
+        else s""","queries":$qs"""
+      val tailFields = lean match {
+        case 0 => s""","errors":$errJson,"sf":"$sfDir""""
+        case 1 => s""","errors":$errJson"""
+        case _ => if (errors.isEmpty) "" else s""","errors":$errJson"""
+      }
+      s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))}$mid$tailFields}"""
+    }
+    Seq(line(3, true), line(2, true), line(1, true),
+      line(2, false), line(1, false), line(1, false, lean = 1),
+      line(1, false, lean = 2), line(0, false, lean = 2))
+      .find(_.length <= budget).getOrElse(line(0, false, lean = 2))
   }
 }
