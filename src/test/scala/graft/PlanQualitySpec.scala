@@ -170,6 +170,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       aggLine.get)
   }
 
+  test("q84/q85: quantization audit and chunking are pure map-side — zero exchanges") {
+    // both operators' 100 TB story is "one scan, no shuffle": the int8
+    // audit collapses to a single project, the chunker to project +
+    // generate — an Exchange appearing in either is a regression
+    for (q <- Seq("q84_i8", "q85_win")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("q81: the vocabulary rank is two-level — no single-partition exchange") {
     // a global row_number window would funnel the whole vocabulary
     // through Exchange SinglePartition; the (cnt, prefix)-bucketed rank
