@@ -1189,16 +1189,13 @@ object RelationalQueries {
       |$lloyd
       |cn AS (SELECT cell, cent,
       |    list_sum(list_transform(cent, x -> x*x)) AS cn2 FROM c$iters),
-      |asg AS (SELECT vec_id, e, nrm, cell FROM (
-      |    SELECT v.vec_id, v.e, v.nrm, c.cell,
-      |      row_number() OVER (PARTITION BY v.vec_id
-      |        ORDER BY $probeKey, c.cell) AS rk
-      |    FROM nv v CROSS JOIN cn c) WHERE rk = 1),
-      |prb AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell FROM (
-      |    SELECT v.vec_id, v.e, v.nrm, c.cell,
-      |      row_number() OVER (PARTITION BY v.vec_id
-      |        ORDER BY $probeKey, c.cell) AS rk
-      |    FROM nv v CROSS JOIN cn c) WHERE rk <= (SELECT nprobe FROM p2)),
+      |rnk AS (SELECT v.vec_id, v.e, v.nrm, c.cell,
+      |    row_number() OVER (PARTITION BY v.vec_id
+      |      ORDER BY $probeKey, c.cell) AS rk
+      |  FROM nv v CROSS JOIN cn c),
+      |asg AS (SELECT vec_id, e, nrm, cell FROM rnk WHERE rk = 1),
+      |prb AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+      |  FROM rnk WHERE rk <= (SELECT nprobe FROM p2)),
       |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
       |    list_sum(list_transform(range($dim), i -> p.qe[i+1]*a.e[i+1]))
       |      / (p.qn*a.nrm) AS cos
