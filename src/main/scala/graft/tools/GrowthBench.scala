@@ -260,6 +260,20 @@ object GrowthBench {
       t(s"q81_encode_$tag") = time(s"q81_encode_$tag",
         graft.pipeline.TextAnalysis.vocabEncode(
           Tables.documents(spark, d), "doc_id", "text"))
+      // streaming cleaning pipeline (r7): cost = fixed streaming-query
+      // lifecycle + the same body-free-shuffle plan as batch q70, so the
+      // growth should be ~flat at these sizes like q70's
+      t(s"q70s_$tag") = time(s"q70s_$tag", {
+        val sch = Tables.documents(spark, d).schema
+        val stream = spark.readStream.schema(sch)
+          .parquet(s"$d/documents.parquet")
+          .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        graft.streaming.EventStreams.runToMemory(
+          Curation.cleanCorpusStream(stream, c, e,
+            "doc_id", "text", "source"),
+          s"g70s_$tag",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      })
       // incremental dedup: the BATCH stays the 1x corpus's 52-doc
       // (doc_id%97==0) eval slice while the screened corpus grows — the
       // production shape (fixed daily increment, growing archive)
@@ -302,6 +316,7 @@ object GrowthBench {
     exp("q78_substring 1x->10x", t("q78_substring_1x"),
       t("q78_substring_10x"), 10)
     exp("q81_encode 1x->10x", t("q81_encode_1x"), t("q81_encode_10x"), 10)
+    exp("q70s_stream 1x->10x", t("q70s_1x"), t("q70s_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
