@@ -294,6 +294,10 @@ object Curation {
     * training and retrieval: each document re-emits as windows of
     * `windowTokens` tokens advancing by `windowTokens - overlap` (the
     * last window may be shorter; token-less documents emit nothing).
+    * The reference's closest analog is fixed-count record splitting
+    * (`mapred/lib/NLineInputFormat.java:59` — N lines per split); this
+    * operator applies the same idea at token granularity with overlap,
+    * which input splits cannot express.
     * Pure map-side explode — a 100 TB corpus chunks in one scan with no
     * shuffle, and chunk identity is a pure function of the row, so
     * re-runs and engines agree. Integer arithmetic only:

@@ -7,7 +7,10 @@ import org.apache.spark.sql.functions._
   * 100 TB vector pipeline: symmetric per-vector int8 (the standard
   * inference-serving scheme) stores 1 byte per element plus one scale,
   * 4x less than float32, which is exactly the factor the ANN candidate
-  * joins shuffle and cache. The intended composition is
+  * joins shuffle and cache. The reference has no quantization (its
+  * k-means apps compute in full float — e.g.
+  * `apps/pipes/kmeans/cpu-kmeans2D/cpu-kmeans2D.cc:179`); this is
+  * north-star training-pipeline surface beyond the §2 contract. The intended composition is
   * quantize-once-store-forever, run candidate generation (sign buckets /
   * IVF cells / brute scans) over the int8 corpus, and re-rank the few
   * survivors against full precision ([[Similarity]] operators).
