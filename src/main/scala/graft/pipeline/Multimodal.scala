@@ -313,6 +313,64 @@ object Multimodal {
       }
   }
 
+  /** A REAL PNG whose pixel content is a closed-form function of
+    * `(id, textLen)`: red is an integer gradient along x
+    * (`r(x) = x*255/(w-1)`), green/blue are per-image constants, and the
+    * dimensions derive from the id. Every statistic
+    * [[decodePixelFeatures]] extracts from it — channel means and the
+    * 16-bin luminance histogram — is therefore integer arithmetic an
+    * external SQL oracle can repeat without any image codec, which is
+    * what lets the q40b feature tier be oracle-gated end to end (the
+    * same synthesize-then-reparse trick as [[wavBytes]]/q40c; reference
+    * analog: the golden-output verification in
+    * hadoop-gpu/src/test/org/apache/hadoop/mapred/pipes/TestPipes.java:189). */
+  def gradientPng(id: Long, textLen: Int): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + ((id / 9) % 7).toInt
+    val g = textLen % 256
+    val b = ((id * 13) % 256).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = x * 255 / (w - 1)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic mixed-modality media corpus derived from a text
+    * table: three of every four rows carry a real [[gradientPng]]
+    * payload (exercising the full ImageIO decode in
+    * [[extractFeatures]]), and every fourth row a non-decodable blob of
+    * `1 + id%7` `'x'` bytes (exercising the declared stub path, whose
+    * byte-sum-derived dims are equally closed-form). Both branches are
+    * pure functions of `(doc_id, length(text))`, so one SQL oracle
+    * covers the whole output. */
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        if (id % 4 == 0)
+          (id, Array.fill(1 + (id % 7).toInt)('x'.toByte), "blob")
+        else (id, gradientPng(id, text.length), "image")
+      }
+      .toDF("media_id", "payload", "kind")
+      .select(col("media_id"), col("payload"),
+        struct(col("kind"),
+          length(col("payload")).cast("long").as("nBytes")).as("meta"))
+  }
+
   /** ======= STUB ======= "resize": keeps the first `n` payload bytes
     * (a real implementation re-encodes; the plan shape — narrow
     * projection over binary — is what matters). */

@@ -31,9 +31,16 @@ object Quantize {
     * = clamp(round(x_i / scale * 127), -127, 127). A zero vector (scale
     * 0) quantizes to all-zero codes rather than NaN-poisoning the row —
     * the guard matters under Spark 4's ANSI mode, where casting a NaN
-    * round() result would throw. Output: (id, scale, q array<int>). */
+    * round() result would throw. A NON-FINITE scale (a NaN or ±Inf
+    * element poisons the max: Spark orders NaN above every double, so
+    * `NaN > 0.0` would take the quantize branch and `round(NaN).cast`
+    * would throw mid-scan) routes to the same all-zero-code branch —
+    * the emitted non-finite `scale` is the error flag, and one bad
+    * embedding can never fail the whole 100 TB pass. `scale < +Inf` is
+    * false for both NaN (NaN sorts above +Inf) and +Inf itself, so one
+    * predicate covers both. Output: (id, scale, q array<int>). */
   private def codes(v: Column, scale: Column): Column =
-    when(scale > 0.0,
+    when(scale > 0.0 && scale < Double.PositiveInfinity,
       transform(v, x => greatest(lit(-127.0), least(lit(127.0),
         round(x / scale * 127.0))).cast("int")))
       .otherwise(transform(v, _ => lit(0)))

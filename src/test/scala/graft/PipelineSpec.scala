@@ -517,6 +517,32 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(bad == 0L, s"$bad vectors exceed the half-step bound")
   }
 
+  test("int8 quantization: a non-finite element cannot fail the scan") {
+    // NaN poisons max-abs (Spark orders NaN above every double) and +Inf
+    // survives it; both must route to the all-zero-code branch instead
+    // of round(NaN).cast(int) throwing under ANSI mode mid-scan. The
+    // non-finite scale rides along as the per-row error flag.
+    val rows = Seq(
+      (1L, Array(0.5f, Float.NaN, 0.25f, 0.0f)),
+      (2L, Array(Float.PositiveInfinity, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(Float.NegativeInfinity, -1.0f, 0.0f, 0.0f)),
+      (4L, Array(1.0f, -0.5f, 0.25f, 0.0f)) // healthy row unaffected
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.int8(rows, "vec_id", "embedding")
+      .select(col("id"), col("scale"), col("q")).as[(Long, Double, Seq[Int])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2.isNaN && out(1L)._3 == Seq(0, 0, 0, 0), out(1L))
+    assert(out(2L)._2.isPosInfinity && out(2L)._3 == Seq(0, 0, 0, 0))
+    assert(out(3L)._2.isPosInfinity && out(3L)._3 == Seq(0, 0, 0, 0))
+    assert(out(4L)._2 == 1.0 && out(4L)._3 == Seq(127, -64, 32, 0))
+    // the audit path shares the guard: it must complete, flagging the
+    // poisoned rows via non-finite scale/max_err rather than throwing
+    val audit = Quantize.int8Audit(rows, "vec_id", "embedding")
+      .as[(Long, Double, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(audit(1L)._3 == 0L && !java.lang.Double.isFinite(audit(1L)._2))
+    assert(audit(4L)._3 == 95L && audit(4L)._4 <= 1.0 / 254 + 1e-12)
+  }
+
   test("dequantized top-1 neighbors agree with exact top-1 on the real corpus") {
     // the 100 TB composition: candidate-generate over int8, re-rank the
     // survivors at full precision. The premise is that quantized

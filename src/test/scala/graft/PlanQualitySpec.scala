@@ -22,8 +22,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toString)
-    assert(noOracle == Set("q07b_uniq_approx", "q21b_kmeans_local",
-      "q40b_media_features"), noOracle)
+    assert(noOracle == Set("q07b_uniq_approx", "q21b_kmeans_local"),
+      noOracle)
   }
 
   private def plan(q: String): String = {
