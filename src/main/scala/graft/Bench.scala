@@ -121,8 +121,9 @@ object Bench {
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    def line(dp: Int, full: Boolean, lean: Int = 0): String = {
-      val qs = results.collect { case (k, Some(v)) =>
+    def line(dp: Int, full: Boolean, lean: Int = 0,
+        rs: Seq[(String, Option[Double])] = results): String = {
+      val qs = rs.collect { case (k, Some(v)) =>
         "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
       val mid = if (full) s""","unit":"sec","queries":$qs,"runs":3"""
         else s""","queries":$qs"""
@@ -133,9 +134,36 @@ object Bench {
       }
       s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))}$mid$tailFields}"""
     }
+    // Rung between full-suite 1dp and the whole-second floor: OMIT the
+    // smallest-value entries (ties broken longest-key-first — the most
+    // chars saved per bit of information lost) until the 1dp line fits.
+    // An omitted 0.1 s query costs the driver one trivial baseline
+    // comparison; the 0dp floor costs per-query resolution for the
+    // ENTIRE suite — at 96+ queries the leanest 1dp rung already sits
+    // within ~10 chars of the window, so this is what lets the suite
+    // keep growing by a query or two without gambling every value on
+    // round-to-round drift. "value" stays the sum over ALL queries,
+    // omitted included. Capped at 10% of entries so a pathological key
+    // set still reaches the floor instead of reporting a sliver of the
+    // suite as if it were the whole.
+    def droppingSmallest(): Option[String] = {
+      val present = results.collect { case (k, Some(v)) => (k, v) }
+      val dropOrder = present.sortBy { case (k, v) => (v, -k.length, k) }
+        .map(_._1)
+      val maxDrop = math.max(1, present.size / 10)
+      (1 to maxDrop).iterator
+        .map { nd =>
+          val gone = dropOrder.take(nd).toSet
+          line(1, false, lean = 2,
+            rs = results.filterNot { case (k, _) => gone(k) })
+        }
+        .find(_.length <= budget)
+    }
     Seq(line(3, true), line(2, true), line(1, true),
       line(2, false), line(1, false), line(1, false, lean = 1),
-      line(1, false, lean = 2), line(0, false, lean = 2))
-      .find(_.length <= budget).getOrElse(line(0, false, lean = 2))
+      line(1, false, lean = 2))
+      .find(_.length <= budget)
+      .orElse(droppingSmallest())
+      .getOrElse(line(0, false, lean = 2))
   }
 }

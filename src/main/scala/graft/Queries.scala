@@ -48,6 +48,13 @@ object RelationalQueries {
   private val q63Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** q86 archive indexes already written by THIS process (keyed by the
+    * per-source-dir table name): write-once-probe-many — repeated
+    * bench/verify invocations pay the index build once and then measure
+    * what production pays per batch, the probe. */
+  private val q86Indexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
     "q01_filter" -> ((s, d) =>
@@ -1028,6 +1035,28 @@ object RelationalQueries {
         numHashes = h, bands = b)
     }),
 
+    // Q86 — q73's screen against a PERSISTED archive index: the corpus
+    // side's banded signatures are written once per process into the
+    // MapFile bucketed layout (write-once-probe-many), and the batch
+    // screen probes the stored index with no archive re-shuffle and no
+    // corpus-wide signature recompute (plan-asserted in
+    // PlanQualitySpec). Same oracle as q73 — the exact cross-boundary
+    // Jaccard pairs — so the gate proves the persisted index loses
+    // nothing vs recomputing.
+    "q86" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      val table = "q86_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      if (q86Indexes.putIfAbsent(table, java.lang.Boolean.TRUE) == null)
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400), "doc_id",
+          "text", table, n = 3, numHashes = h, bands = b)
+      Dedup.incrementalMinhashPairsIndexed(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", table, n = 3, threshold = 0.8,
+        numHashes = h, bands = b)
+    }),
+
     // Q71 — token-budget packing: each source contributes ~600 whitespace
     // tokens, docs taken greedily in content-hash order; the running
     // total column makes the cut itself part of the gate.
@@ -1794,6 +1823,12 @@ object RelationalQueries {
     // q73: the exact cross-boundary Jaccard pairs — corpus-internal and
     // batch-internal pairs must NOT appear
     "q73_incr_dedup" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
+        |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
+
+    // q86: the persisted-index screen must return exactly what the
+    // recompute-every-run screen returns — q73's oracle verbatim
+    "q86" ->
       s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
         |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for large-scale training-data pipelines.
@@ -148,6 +148,23 @@ object Dedup {
         s"$maxHashes hashes even at rows=1 — raise maxHashes"))
   }
 
+  /** (id, h0..h{H-1}, n) signatures via the native
+    * [[graft.functions.MinhashSigsExpr]]: the whole signature computes in
+    * the SCAN projection — H+1 longs per doc, zero exchanges; docs with
+    * fewer than n words yield null = no shingles and drop out. */
+  private[graft] def mapSideSignatures(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+        call_function("minhash_sigs", col(textCol), lit(n), lit(numHashes))
+          .as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("id") +:
+        (0 until numHashes).map(i =>
+          element_at(col("sig"), i + 1).as(s"h$i")) :+
+        element_at(col("sig"), numHashes + 1).as("n"): _*)
+  }
+
   /** (id, h0..h{H-1}, n) minhash signatures + shingle-set size from
     * postings: one groupBy, H parallel min-aggregates (partial agg
     * map-side, so the shuffle carries H longs per doc); the per-doc
@@ -161,16 +178,32 @@ object Dedup {
     ds.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** The per-band bucket structs (band, bsig) from signature columns
+    * h0..h{H-1} — shared by [[bandRowsOf]] and [[writeMinhashIndex]] so
+    * the stored index and the live band rows can never fold differently. */
+  private def bandStructs(bands: Int, r: Int): Column = array(
+    (0 until bands).map { j =>
+      val bsig = (0 until r).map(k => col(s"h${j * r + k}"))
+        .reduce((acc, c) => acc * 31 + c)
+      struct(lit(j).as("band"), bsig.as("bsig"))
+    }: _*)
+
   /** (id, band, bsig) band-bucket rows: each band's r minhashes combined
     * into one bucket key. */
   private def bandRowsOf(sigs: DataFrame, bands: Int, r: Int): DataFrame =
-    sigs.select(col("id"), explode(array(
-      (0 until bands).map { j =>
-        val bsig = (0 until r).map(k => col(s"h${j * r + k}"))
-          .reduce((acc, c) => acc * 31 + c)
-        struct(lit(j).as("band"), bsig.as("bsig"))
-      }: _*)).as("bb"))
+    sigs.select(col("id"), explode(bandStructs(bands, r)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+
+  /** Single band-bucket join key folding (band, bsig) into one long via
+    * xxhash64. A 64-bit collision (≈2^-64 per bucket pair) can only ADD
+    * a candidate pair, which exact-Jaccard verification then discards —
+    * recall is untouched, candidates merge, never split. In exchange the
+    * stored index buckets on ONE column, which is what lets the probe
+    * join consume the bucketed layout with no shuffle on the stored side
+    * (Spark elides the exchange only when the bucket key IS the join key
+    * set — `requireAllClusterKeysForCoPartition`). */
+  private def bkeyOf(band: Column, bsig: Column): Column =
+    xxhash64(band, bsig)
 
   /** Band-bucket self-join: distinct candidate pairs with id_a < id_b —
     * the one LSH candidate construction every minhash tier shares. */
@@ -211,17 +244,7 @@ object Dedup {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     if (mapSideSigs) {
-      graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
-      // signatures in the scan projection: (H+1 longs per doc, no
-      // exchange); docs with fewer than n words yield null = no shingles
-      val sigs = docs.select(col(idCol).as("id"),
-          call_function("minhash_sigs", col(textCol), lit(n), lit(numHashes))
-            .as("sig"))
-        .filter(col("sig").isNotNull)
-        .select(col("id") +:
-          (0 until numHashes).map(i =>
-            element_at(col("sig"), i + 1).as(s"h$i")) :+
-          element_at(col("sig"), numHashes + 1).as("n"): _*)
+      val sigs = mapSideSignatures(docs, idCol, textCol, n, numHashes)
         .cache()
       val candidates = candidatesOf(bandRowsOf(sigs, bands, r))
         .localCheckpoint(true) // reused by the semi-join and both probes
@@ -289,6 +312,88 @@ object Dedup {
       .unionByName(bsigs.select(col("id"), col("n")))
     val pairs = jaccardOf(sizes, inter, threshold)
     materializeThenRelease(pairs, cds, bds, csigs, bsigs)
+  }
+
+  /** Persist the CORPUS side of the incremental screen ONCE: banded
+    * signature index rows `(bkey, id, n)` in the MapFile bucketed layout
+    * ([[graft.sources.MapFiles.write]] — bucketed and sorted by `bkey`,
+    * parquet bloom on it). Signatures come from the map-side
+    * [[graft.functions.MinhashSigsExpr]], so the whole index build is
+    * scan-projection + explode: zero exchanges before the bucketed
+    * write's own clustering. This is the write-once-probe-many half of
+    * [[incrementalMinhashPairsIndexed]]; in production it runs once per
+    * archive append, not once per screened batch. Reference analog:
+    * `MapFileOutputFormat`'s build-then-`getEntry` contract
+    * (mapred/MapFileOutputFormat.java:39). */
+  def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      table: String, n: Int, numHashes: Int = 24, bands: Int = 6,
+      buckets: Int = 16): Unit = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    val sigs = mapSideSignatures(corpus, idCol, textCol, n, numHashes)
+    val idx = sigs.select(col("id"), col("n"),
+        explode(bandStructs(bands, r)).as("bb"))
+      .select(bkeyOf(col("bb.band"), col("bb.bsig")).as("bkey"),
+        col("id"), col("n"))
+    graft.sources.MapFiles.write(idx, "bkey", buckets, table)
+  }
+
+  /** [[incrementalMinhashPairs]] probing a PERSISTED archive index
+    * instead of recomputing the corpus signatures per run — the
+    * production screen: [[writeMinhashIndex]] runs once per archive
+    * append, and each daily batch then costs only its own map-side
+    * signatures, a band join that reads the stored side in bucketed
+    * layout with NO shuffle on it (the index is already clustered by
+    * `bkey`; only the batch's band rows — increment-sized — shuffle to
+    * meet it), and candidate-restricted exact verification. The corpus
+    * TEXT is touched only for candidate docs (left-semi pushdown);
+    * corpus-wide shingle postings are never rebuilt and never shuffle.
+    * Same output contract as [[incrementalMinhashPairs]]:
+    * `(id_a = corpus id, id_b = batch id, jaccard)`, cross pairs only. */
+  def incrementalMinhashPairsIndexed(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, table: String, n: Int,
+      threshold: Double, numHashes: Int = 24, bands: Int = 6): DataFrame = {
+    require(numHashes % bands == 0)
+    val spark = corpus.sparkSession
+    val r = numHashes / bands
+    val bsigs = mapSideSignatures(batch, idCol, textCol, n, numHashes)
+      .cache()
+    val idx = spark.table(table)
+    val candidates = probeCandidates(spark, table, bsigs, bands, r)
+      .distinct()
+      .localCheckpoint(true) // reused by both semi-joins, inter and sizes
+    val candA = candidates.select(col("id_a").as(idCol)).distinct()
+    val candB = candidates.select(col("id_b").as(idCol)).distinct()
+    val cds = shinglePostings(corpus.join(candA, Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val bds = shinglePostings(batch.join(candB, Seq(idCol), "left_semi"),
+      idCol, textCol, n)
+    val inter = interOf(candidates, cds, bds)
+    // corpus sizes come from the INDEX (each id carries n on every band
+    // row — semi-join to the candidate set, then one candidate-sized
+    // distinct), so the sizes lookup re-reads the bucketed table, not
+    // the corpus
+    val sizes = idx
+      .join(candidates.select(col("id_a").as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("n")).distinct()
+      .unionByName(bsigs.select(col("id"), col("n")))
+    val pairs = jaccardOf(sizes, inter, threshold)
+    materializeThenRelease(pairs, bsigs)
+  }
+
+  /** The probe-stage candidate join of [[incrementalMinhashPairsIndexed]]
+    * — the stored index read in its bucketed layout against the batch's
+    * band rows — pre-distinct, pre-checkpoint. Package-visible so
+    * PlanQualitySpec can assert the stored side joins WITHOUT a shuffle
+    * (the final frame hides behind localCheckpoint, as with q31). */
+  private[graft] def probeCandidates(spark: SparkSession, table: String,
+      bsigs: DataFrame, bands: Int, r: Int): DataFrame = {
+    val bBand = bandRowsOf(bsigs, bands, r)
+      .select(bkeyOf(col("band"), col("bsig")).as("bkey"),
+        col("id").as("id_b"))
+    spark.table(table).as("x")
+      .join(bBand.as("y"), col("x.bkey") === col("y.bkey"))
+      .select(col("x.id").as("id_a"), col("y.id_b").as("id_b"))
   }
 
   /** Exact-substring duplication coverage (the Lee et al. 2021

@@ -36,6 +36,29 @@ class BenchLineSpec extends AnyFunSuite {
         "shorten the newest query keys")
   }
 
+  test("overflow drops the smallest entries, never the suite's precision") {
+    // two extra short keys model next round's growth: at 96+ keys the
+    // 1dp rung sits within ~10 chars of the window, so growth must land
+    // on the dropping rung — the sub-50 ms entries vanish, every
+    // survivor keeps its decimal, and the headline total still counts
+    // the omitted queries
+    val grown = (keys ++ Seq("q98", "q99")).sorted.zipWithIndex.map {
+      case (k, i) => k -> Option(if (i % 7 == 0) 0.04 else 0.8)
+    }
+    val line = Bench.metricLine(grown, Nil, "/x")
+    assert(line.length <= Bench.budget, s"${line.length} chars")
+    assert(line.contains(":0.8"),
+      s"fell to the whole-second floor (${line.length} chars)")
+    val bigKeys = grown.collect { case (k, Some(v)) if v == 0.8 => k }
+    val missingBig = bigKeys.filterNot(k => line.contains("\"" + k + "\""))
+    assert(missingBig.isEmpty,
+      s"dropped non-smallest entries: $missingBig")
+    val total = grown.flatMap(_._2).sum
+    val expect = f"$total%.1f".reverse.dropWhile(_ == '0')
+      .stripPrefix(".").reverse
+    assert(line.contains(s""""value":$expect"""), line.take(60))
+  }
+
   test("a failed query stays visible in errors at every rung") {
     val one = keys.map(_ -> Option(9.9))
     val line = Bench.metricLine(one, Seq("q99" -> "boom"), "/x")

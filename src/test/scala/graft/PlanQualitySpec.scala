@@ -180,6 +180,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q86: the persisted archive index joins in bucketed layout — no shuffle on the stored side") {
+    // build a real index, then probe it with broadcast disabled so the
+    // join must choose between shuffling and consuming the bucketed
+    // layout: exactly ONE exchange may appear (the increment-sized batch
+    // band rows moving TO the index's clustering), never a second one
+    // re-shuffling the stored side — that re-shuffle is precisely what
+    // persisting the archive signatures exists to delete at 100 TB
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400), "doc_id",
+      "text", "q86_plan_idx", n = 3, numHashes = h, bands = b)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bsigs = Dedup.mapSideSignatures(
+        docs.filter(col("doc_id") >= 400), "doc_id", "text", 3, h)
+      val cands = Dedup.probeCandidates(spark, "q86_plan_idx", bsigs,
+        b, h / b)
+      cands.collect()
+      // count the FINAL plan only — AQE's trailing "== Initial Plan =="
+      // section repeats every node and would double-count the exchange
+      val p = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"), p.take(4000))
+      val exchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"stored index side re-shuffled ($exchanges exchanges):\n" +
+          p.take(4000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS q86_plan_idx")
+    }
+  }
+
   test("q81: the vocabulary rank is two-level — no single-partition exchange") {
     // a global row_number window would funnel the whole vocabulary
     // through Exchange SinglePartition; the (cnt, prefix)-bucketed rank
