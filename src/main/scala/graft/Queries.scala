@@ -1035,6 +1035,15 @@ object RelationalQueries {
         numHashes = h, bands = b)
     }),
 
+    // Q87 — one audited BPE pair-merge iteration on top of q81's
+    // integer encoding: corpus-wide adjacent-pair count, deterministic
+    // argmax (cnt desc, then smallest pair), new id = vocab size + 1,
+    // greedy left-to-right merge of every occurrence (two literal
+    // replace passes — identical semantics in both engines, see
+    // TextAnalysis.bpeMergeStep).
+    "q87" -> ((s, d) =>
+      TextAnalysis.bpeMergeStep(Tables.documents(s, d), "doc_id", "text")),
+
     // Q86 — q73's screen against a PERSISTED archive index: the corpus
     // side's banded signatures are written once per process into the
     // MapFile bucketed layout (write-once-probe-many), and the batch
@@ -1700,6 +1709,36 @@ object RelationalQueries {
         |  string_agg(token_id, ',' ORDER BY pos) AS ids
         |FROM toks JOIN vocab USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // q87: q81's encode, then pair-count, argmax, and the SAME two-pass
+    // literal replace (DuckDB's replace() is the same leftmost
+    // non-overlapping global scan as Spark's)
+    "q87" ->
+      """WITH toks AS (SELECT doc_id, i AS pos, ws[i+1] AS tok FROM
+        |    (SELECT doc_id,
+        |       list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |     FROM documents) w, unnest(range(len(ws))) t(i)),
+        |vocab AS (SELECT tok, row_number() OVER (
+        |    ORDER BY count(*) DESC, tok) AS token_id
+        |  FROM toks GROUP BY tok),
+        |et AS (SELECT doc_id, pos, token_id FROM toks JOIN vocab USING (tok)),
+        |enc AS (SELECT doc_id,
+        |    string_agg(token_id, ',' ORDER BY pos) AS ids
+        |  FROM et GROUP BY doc_id),
+        |best AS (SELECT x.token_id AS a, y.token_id AS b
+        |  FROM et x JOIN et y
+        |    ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        |  GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1),
+        |mx AS (SELECT max(token_id) + 1 AS new_id FROM vocab),
+        |m AS (SELECT doc_id, a, b, new_id,
+        |    trim(replace(replace(',' || ids || ',',
+        |        ',' || a || ',' || b || ',', ',' || new_id || ','),
+        |        ',' || a || ',' || b || ',', ',' || new_id || ','),
+        |      ',') AS ids
+        |  FROM enc, best, mx)
+        |SELECT doc_id, a AS pair_a, b AS pair_b, new_id,
+        |  CAST(len(string_split(ids, ',')) AS INT) AS n_after, ids
+        |FROM m""".stripMargin,
 
     // q80: the same running totals, integer-divided into batch ids
     "q80_packing" ->

@@ -187,6 +187,71 @@ object TextAnalysis {
           s => s.getField("token_id")), ",").as("ids"))
   }
 
+  /** One BPE pair-merge iteration on top of [[vocabEncode]] — the step a
+    * full byte-pair-encoding trainer loops: count ADJACENT id pairs
+    * corpus-wide, pick the most frequent (ties: smallest (a, b) — fully
+    * deterministic), mint `new_id = max token id + 1`, and re-emit every
+    * sequence with the pair's occurrences merged greedily left-to-right
+    * (the classic BPE scan: in `a a a` the first two merge, the third
+    * survives). Returns
+    * `(doc_id, pair_a, pair_b, new_id, n_after, ids)`.
+    *
+    * The greedy merge is defined — and implemented, in BOTH engines of
+    * the q87 gate — as two global literal `replace` passes of
+    * `",a,b,"` → `",new,"` over the comma-wrapped sequence: a global
+    * pass is itself a left-to-right non-overlapping scan, and a
+    * back-to-back occurrence starved of its shared boundary comma is
+    * caught by pass two, after which no two unmerged occurrences can be
+    * adjacent (pass one always merged one of them). For a ≠ b this is
+    * exactly the token-greedy scan. For a SELF-pair (a = a) run of odd
+    * length ≥ 5 the unmerged residue token lands mid-run (`a a a a a` →
+    * `[N, a, N]`) where token-greedy would leave the tail (`[N, N, a]`)
+    * — the merge COUNT is identical (⌊run/2⌋), only the residue's
+    * position differs, and both engines of the gate compute the same
+    * sequence (spec-pinned below).
+    *
+    * Scale shape: pair counting is one explode + hash aggregate
+    * (adjacent-pair-sized shuffle, map-side partials); the argmax is a
+    * TakeOrdered (per-partition top-1, no single-partition funnel); the
+    * merge itself broadcasts two scalars into a map-side string rewrite.
+    * A full trainer iterates this with the pair-count aggregate
+    * incrementally maintained; one audited iteration is the
+    * oracle-checkable unit. Reference analog: the fork's trainable apps
+    * iterate an analogous count→argmin→update cycle per round
+    * (apps/pipes/kmeans/cpu-kmeans2D/cpu-kmeans2D.cc:179). */
+  def bpeMergeStep(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // reused by pair counting, the max-id lookup and the final rewrite —
+    // materialize the encode once
+    val enc = vocabEncode(docs, idCol, textCol).localCheckpoint()
+    val seqs = enc.select(col("doc_id"),
+      transform(split(col("ids"), ","), _.cast("long")).as("arr"))
+    val pairs = seqs.select(explode(zip_with(
+        slice(col("arr"), lit(1), size(col("arr")) - 1),
+        slice(col("arr"), lit(2), size(col("arr")) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      .collect()
+    if (top.isEmpty) // degenerate corpus (no doc has 2 tokens): no merge
+      return enc.select(col("doc_id"), lit(-1L).as("pair_a"),
+        lit(-1L).as("pair_b"), lit(-1L).as("new_id"),
+        size(split(col("ids"), ",")).as("n_after"), col("ids"))
+    val a = top(0).getLong(0)
+    val b = top(0).getLong(1)
+    val newId =
+      seqs.select(max(array_max(col("arr")))).collect()(0).getLong(0) + 1
+    val merged = // two-pass greedy merge, see above
+      expr(s"""replace(replace(concat(',', ids, ','),
+        | ',$a,$b,', ',$newId,'), ',$a,$b,', ',$newId,')""".stripMargin)
+    enc.select(col("doc_id"), lit(a).as("pair_a"), lit(b).as("pair_b"),
+        lit(newId).as("new_id"),
+        trim(merged, ",").as("ids"))
+      .withColumn("n_after", size(split(col("ids"), ",")))
+      .select("doc_id", "pair_a", "pair_b", "new_id", "n_after", "ids")
+  }
+
   /** BPE-ish sub-token regex: letter runs, digit runs, single symbols. */
   val bpeishPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 

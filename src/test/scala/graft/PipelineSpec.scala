@@ -620,6 +620,42 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       .as[(Long, Long)].collect().toMap
     assert(fp(0L) != fp(1L))
   }
+
+  test("bpeMergeStep merges the most frequent adjacent pair, greedily") {
+    // vocab by (cnt desc, tok): b(x5) -> 1, a(x4) -> 2, c(x2) -> 3,
+    // z(x1) -> 4. Adjacent pairs: (a,b) x3 wins (doc0 "a b a b" = 2,
+    // doc2 "a b" = 1); ids 2,1 -> new id 5
+    val docs = Seq(
+      (0L, "a b a b c"),        // 2,1,2,1,3 -> 5,5,3
+      (1L, "b b b c z"),        // 1,1,1,3,4 -> unchanged
+      (2L, "a b a"),            // 2,1,2 -> 5,2
+      (3L, "b")                 // 1 -> unchanged (single token)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 2L && out(0L)._3 == 1L && out(0L)._4 == 5L)
+    assert(out(0L)._6 == "5,5,3" && out(0L)._5 == 3, out(0L))
+    assert(out(1L)._6 == "1,1,1,3,4" && out(1L)._5 == 5)
+    assert(out(2L)._6 == "5,2" && out(2L)._5 == 2)
+    assert(out(3L)._6 == "1" && out(3L)._5 == 1)
+  }
+
+  test("bpeMergeStep: an odd self-pair run keeps floor(run/2) merges, residue mid-run") {
+    // one doc "b b b b b": pair (1,1), two merges exactly like
+    // token-greedy, but the two-pass replace semantics strands the
+    // residue MID-run -> [N,1,N], not [N,N,1] (documented deviation:
+    // pass one consumes the comma after the first merge, so the third
+    // token is skipped and the 4th+5th merge instead of the 3rd+4th)
+    val docs = Seq((0L, "b b b b b"), (1L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMergeStep(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // vocab: b(x5) -> 1, x(x1) -> 2; new id 3
+    assert(out(0L)._2 == 1L && out(0L)._3 == 1L && out(0L)._4 == 3L)
+    assert(out(0L)._6 == "3,1,3" && out(0L)._5 == 3, out(0L))
+    assert(out(1L)._6 == "2")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTest {
