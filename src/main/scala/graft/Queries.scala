@@ -1221,7 +1221,23 @@ object RelationalQueries {
     * ordering), both with ties to the lower cell id. Centroids only pick
     * integer candidate sets — the output cos values are data-only, so the
     * cross-engine fp exposure is argmin near-ties between distinct
-    * centroids (distances ~1e-1 apart vs drift ~1e-13). */
+    * centroids (distances ~1e-1 apart vs drift ~1e-13).
+    *
+    * ACCEPTED RISK (r7 advice, adjudicated r8): DuckDB's unordered
+    * `sum(e[i])/count(*)` vs the trainer's sorted-order accumulation
+    * means centroid LOW BITS can differ between engines, and a
+    * near-exact argmin tie between two centroids at some untested scale
+    * factor could then flip one cell assignment and fail the gate. Kept
+    * as-is because (a) the exposure is the ~1e-13 drift against ~1e-1
+    * assignment margins on this data family, measured stable across
+    * DuckDB runs and thread counts in two rounds; (b) the driver gate
+    * runs one fixed corpus (sf0.01), not adversarial input; and (c) the
+    * advice's integer-only output variant would not remove the exposure
+    * — a flipped assignment changes the candidate ROWS, not just the cos
+    * hash — while a fully order-deterministic oracle mean needs an
+    * ordered-fold aggregate DuckDB does not guarantee. If this gate ever
+    * flakes, the recorded diagnosis is: compare per-cell assignment
+    * margins before suspecting the pipeline. */
   private def ivfOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
       dim: Int): String = {
     // probe fraction as the exact binary fracNum/8, matching ivfParams

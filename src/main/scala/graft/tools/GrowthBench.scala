@@ -282,6 +282,17 @@ object GrowthBench {
       t(s"q73_incremental_$tag") = time(s"q73_incremental_$tag",
         Dedup.incrementalMinhashPairs(c, batch, "doc_id", "text", n = 3,
           threshold = 0.8, numHashes = h, bands = b))
+      // r8: the same screen against the PERSISTED archive index — the
+      // index write (q73-shaped, once per archive append) is untimed;
+      // what production pays per batch is the PROBE, whose archive-side
+      // work is a bucketed 3-column scan + candidate-restricted
+      // verification, so its growth should sit well under q73's
+      val itable = s"g86_idx_$tag"
+      Dedup.writeMinhashIndex(c, "doc_id", "text", itable, n = 3,
+        numHashes = h, bands = b)
+      t(s"q86_probe_$tag") = time(s"q86_probe_$tag",
+        Dedup.incrementalMinhashPairsIndexed(c, batch, "doc_id", "text",
+          itable, n = 3, threshold = 0.8, numHashes = h, bands = b))
     }
 
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
@@ -313,6 +324,7 @@ object GrowthBench {
     exp("q75_fluency 1x->10x", t("q75_fluency_1x"), t("q75_fluency_10x"), 10)
     exp("q73_incremental 1x->10x", t("q73_incremental_1x"),
       t("q73_incremental_10x"), 10)
+    exp("q86_probe 1x->10x", t("q86_probe_1x"), t("q86_probe_10x"), 10)
     exp("q78_substring 1x->10x", t("q78_substring_1x"),
       t("q78_substring_10x"), 10)
     exp("q81_encode 1x->10x", t("q81_encode_1x"), t("q81_encode_10x"), 10)

@@ -135,6 +135,46 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(batch.count() == events.size)
   }
 
+  test("fingerprint self-dedup within the watermark horizon keeps BOUNDED state") {
+    import org.apache.spark.sql.functions._
+    // the cleaning pipeline's stream-stream sibling: q70s dedups the
+    // stream against a STATIC fingerprint index; here the stream dedups
+    // against ITSELF within a watermark horizon
+    // (dropDuplicatesWithinWatermark). The load-bearing assertion is the
+    // state bound: fingerprints older than the horizon must EVICT as
+    // event time advances, or a 100 TB/day stream accumulates every
+    // fingerprint it has ever seen
+    val ms = MemoryStream[(Long, Timestamp, String)](spark)
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("fp", md5(col("text")))
+    val q = EventStreams.dedupStreamOn(docs, "ts", "10 minutes", "fp")
+      .writeStream.format("memory").queryName("fp_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two distinct fingerprints + an in-horizon duplicate
+      ms.addData(Seq((1L, t(0), "alpha"), (2L, t(1), "beta"),
+        (3L, t(2), "alpha")))
+      q.processAllAvailable()
+      val s1 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(s1 == 2L, s"expected 2 live fingerprints, state holds $s1")
+      // batch 2 jumps event time far past the horizon (watermark
+      // advances to t(31) at its end); batch 3 then runs WITH that
+      // watermark and must evict alpha/beta from the store
+      ms.addData(Seq((4L, t(40), "gamma"), (5L, t(41), "delta")))
+      q.processAllAvailable()
+      ms.addData(Seq((6L, t(42), "epsilon")))
+      q.processAllAvailable()
+      val s2 = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(s2 <= 3L,
+        s"state grew unbounded ($s2 rows): expired fingerprints not evicted")
+    } finally q.stop()
+    // dedup semantics: only the in-horizon duplicate (doc 3) was dropped
+    val ids = spark.table("fp_dedup").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 4L, 5L, 6L), ids)
+  }
+
   test("enrich: stream-static join tags events with dimension data") {
     import org.apache.spark.sql.functions._
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
