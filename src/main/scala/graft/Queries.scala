@@ -1021,6 +1021,13 @@ object RelationalQueries {
       Curation.temperatureMix(Tables.documents(s, d), "doc_id", "lang",
         alpha = 0.5)),
 
+    // Q90 — cross-source n-gram overlap matrix: pairwise distinct-4-gram
+    // Jaccard between sources, the corpus-auditing step behind mixing
+    // weights ("how much of B is already in A"). Shuffles carry only
+    // (source, gram-hash); jaccard is one IEEE division of exact counts.
+    "q90" -> ((s, d) =>
+      Dedup.groupOverlap(Tables.documents(s, d), "source", "text", n = 4)),
+
     // Q73 — incremental dedup: the doc_id>=400 slice plays the daily
     // increment screened against the doc_id<400 corpus; only CROSS pairs
     // form. Same derived LSH params as q31 (recall proven total there by
@@ -1902,6 +1909,26 @@ object RelationalQueries {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |""".stripMargin,
+
+    // q90: distinct 4-gram sets per source, pairwise intersection counts,
+    // jaccard as one division of exact integers
+    "q90" ->
+      """WITH w AS (SELECT source,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+        |            for i in range(len(ws)-3)]) AS s
+        |  FROM w),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n AS na, sb.n AS nb, inter,
+        |  inter / (sa.n + sb.n - inter) AS jaccard
+        |FROM i JOIN sz sa ON sa.source = i.src_a
+        |  JOIN sz sb ON sb.source = i.src_b""".stripMargin,
 
     // q71: running token totals over the same hash order; the first
     // over-budget doc stays (take-while-greedy), later ones drop

@@ -71,6 +71,43 @@ object Dedup {
     materializeThenRelease(pairs, ds)
   }
 
+  /** Pairwise n-gram Jaccard overlap between GROUPS of documents (sources,
+    * domains, crawl snapshots): the corpus-auditing matrix behind data-mix
+    * decisions — "how much of source B is already in source A" before
+    * weighting them (reference analog: the per-source accounting of
+    * `mapred/lib/aggregate/ValueAggregatorJob.java:46`'s descriptor runs,
+    * re-keyed to group pairs).
+    *
+    * Returns (src_a, src_b, na, nb, inter, jaccard) with src_a < src_b,
+    * where na/nb are distinct-gram counts per group and jaccard is one
+    * IEEE division of exact integers (bit-equal across engines).
+    *
+    * Scale: the only shuffles carry (group, gram-hash) — the text never
+    * moves — and the distinct collapses each group's grams map-side
+    * first. The self-join fan-out per gram is bounded by the number of
+    * groups sharing it, so the output is O(G²) rows for G groups; G is
+    * source-count-sized (thousands at most), never corpus-sized. */
+  def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val gs = docs.select(col(groupCol).as("g"),
+        explode(shingles(col(textCol), n)).as("s"))
+      .select(col("g"), Portable.hash60Fast(col("s")).as("sh"))
+      .distinct()
+      .cache()
+    val sizes = gs.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val inter = gs.as("a").join(gs.as("b"),
+        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(sizes.select(col("g").as("src_a"), col("n").as("na")), "src_a")
+      .join(sizes.select(col("g").as("src_b"), col("n").as("nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("inter"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    materializeThenRelease(out, gs)
+  }
+
   /** Eagerly materialize the (near-dup-rate-sized, i.e. small relative to
     * the postings) pair result, then drop the cached postings so repeated
     * invocations in a long-lived JVM don't accumulate storage blocks.

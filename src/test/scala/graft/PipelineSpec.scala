@@ -30,6 +30,19 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((0L, 1L, 1.0), (0L, 2L, 0.556), (1L, 2L, 0.556)))
   }
 
+  test("groupOverlap computes exact pairwise distinct-gram jaccard between groups") {
+    // groups: A = docs 0+1 (identical texts, so A's gram set = doc 0's),
+    // B = the near-dup, C = the disjoint doc. 3-grams: 9 words -> 7 each.
+    val grouped = docs.withColumn("src",
+      when(col("doc_id") <= 1, "A")
+        .when(col("doc_id") === 2, "B").otherwise("C"))
+    val out = Dedup.groupOverlap(grouped, "src", "text", n = 3)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSet
+    // A vs B share 5 of 7+7-5=9 grams; C intersects nothing (inner join
+    // drops the empty pairs — absence of A-C / B-C rows IS the assertion)
+    assert(out == Set(("A", "B", 7L, 7L, 5L, 5.0 / 9.0)))
+  }
+
   test("substringDupCoverage counts exactly the cross-doc duplicated span positions") {
     val out = Dedup.substringDupCoverage(docs, "doc_id", "text", l = 4)
       .select("doc_id", "n_tokens", "dup_span_tokens")

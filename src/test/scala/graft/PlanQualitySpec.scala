@@ -217,6 +217,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q90: overlap shuffles carry (source, gram-hash), never the text") {
+    // q90's result is checkpointed (materializeThenRelease), so assert on
+    // the reconstructed postings + intersection stage, as the q31 test
+    // does for signatures: every exchange moves (group, 8-byte hash) rows;
+    // the document body appearing in any exchange is the scale regression
+    import graft.pipeline.{Dedup, Portable}
+    import org.apache.spark.sql.functions.{col, count, explode, lit}
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val gs = docs.select(col("source").as("g"),
+        explode(Dedup.shingles(col("text"), 4)).as("s"))
+      .select(col("g"), Portable.hash60Fast(col("s")).as("sh"))
+      .distinct()
+    val inter = gs.as("a").join(gs.as("b"),
+        col("a.sh") === col("b.sh") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g"), col("b.g")).agg(count(lit(1)))
+    inter.collect()
+    val p = inter.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n")
+    assert(exchanges.nonEmpty, p.take(3000))
+    assert(!exchanges.contains("text#"), exchanges)
+  }
+
   test("q81: the vocabulary rank is two-level — no single-partition exchange") {
     // a global row_number window would funnel the whole vocabulary
     // through Exchange SinglePartition; the (cnt, prefix)-bucketed rank
