@@ -41,6 +41,12 @@ object RelationalQueries {
     * recalibrating either cannot silently desynchronize them. */
   private val q35cTargetRecall = 0.8
 
+  /** q88's semantic-dup cosine threshold, single-sourced into both
+    * engines. Data-derived: the sf0.01 corpus' top pairwise cosines are
+    * 0.5128, 0.4928, …, 0.4516, 0.4494 — 0.45 sits in a ≥1.4e-3 gap, ten
+    * orders above the ~1e-13 cross-engine drift (the q35c fp contract). */
+  private val q88Tau = 0.45
+
   /** q63 fixture dirs already materialized by THIS process (keyed by
     * output path, which embeds applicationId + source-dir hash): the
     * write-once guard that keeps repeated bench/verify invocations from
@@ -405,6 +411,14 @@ object RelationalQueries {
       Similarity.ivfTopK(vecs, "vec_id", "embedding",
         k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
     }),
+
+    // Q88 — SemDeDup: coarse k-means cells (the q35c quantizer, derived
+    // occupancy-constant nlist), then within-cell keep-lowest-id pruning
+    // at cosine >= q88Tau. One row per vector, (vec_id, cell, kept) —
+    // the gate hashes integers and booleans only.
+    "q88" -> ((s, d) =>
+      Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        tau = q88Tau)),
 
     // Q85 — overlapping token-window chunking (context-window prep for
     // training/retrieval): 64-token windows advancing by 56 (overlap 8),
@@ -1246,6 +1260,25 @@ object RelationalQueries {
     * flakes, the recorded diagnosis is: compare per-cell assignment
     * margins before suspecting the pipeline. */
   private def ivfOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${ivfCellsSql(fracNum, occ, iters, dim)},
+      |prb AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+      |  FROM rnk WHERE rk <= (SELECT nprobe FROM p2)),
+      |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
+      |    list_sum(list_transform(range($dim), i -> p.qe[i+1]*a.e[i+1]))
+      |      / (p.qn*a.nrm) AS cos
+      |  FROM prb p JOIN asg a USING (cell) WHERE p.q_id <> a.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, nb_id) AS rk FROM cand)
+      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
+      |FROM r WHERE rk <= $k""".stripMargin
+
+  /** The shared IVF-cells CTE chain (everything through `rnk`/`asg`):
+    * derived params, hash-bounded sample, unrolled Lloyd, per-vector
+    * cell ranking. [[ivfOracleSql]] (q35c) continues from `rnk` to probe
+    * nprobe cells; the q88 SemDeDup oracle consumes `asg` only. One
+    * definition so the twins cannot drift. */
+  private def ivfCellsSql(fracNum: Int, occ: Int, iters: Int,
       dim: Int): String = {
     // probe fraction as the exact binary fracNum/8, matching ivfParams
     val sqDist = s"list_sum(list_transform(range($dim), " +
@@ -1265,7 +1298,7 @@ object RelationalQueries {
         |c$t AS (SELECT c.cell, coalesce(m.cent, c.cent) AS cent
         |  FROM $prev c LEFT JOIN m$t m USING (cell)),""".stripMargin
     }.mkString("\n")
-    s"""WITH $embedNormSql,
+    s"""$embedNormSql,
       |p AS (SELECT count(*) AS n,
       |    GREATEST(1, LEAST(count(*), (count(*) + ${occ - 1}) // $occ))
       |      AS nlist FROM nv),
@@ -1287,18 +1320,23 @@ object RelationalQueries {
       |    row_number() OVER (PARTITION BY v.vec_id
       |      ORDER BY $probeKey, c.cell) AS rk
       |  FROM nv v CROSS JOIN cn c),
-      |asg AS (SELECT vec_id, e, nrm, cell FROM rnk WHERE rk = 1),
-      |prb AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
-      |  FROM rnk WHERE rk <= (SELECT nprobe FROM p2)),
-      |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
-      |    list_sum(list_transform(range($dim), i -> p.qe[i+1]*a.e[i+1]))
-      |      / (p.qn*a.nrm) AS cos
-      |  FROM prb p JOIN asg a USING (cell) WHERE p.q_id <> a.vec_id),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-      |    ORDER BY cos DESC, nb_id) AS rk FROM cand)
-      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
-      |FROM r WHERE rk <= $k""".stripMargin
+      |asg AS (SELECT vec_id, e, nrm, cell FROM rnk WHERE rk = 1)""".stripMargin
   }
+
+  /** DuckDB twin of [[Similarity.semDedup]] (q88): the shared IVF cell
+    * chain, then the within-cell smaller-id-neighbor rule. Output is
+    * integer/boolean only — cosine decides membership but never reaches
+    * the gate. */
+  private def semDedupOracleSql(tau: Double, occ: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${ivfCellsSql(fracNum = 8, occ, iters, dim)},
+      |dr AS (SELECT DISTINCT b.vec_id AS vid
+      |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(range($dim), i -> a.e[i+1]*b.e[i+1]))
+      |      / (a.nrm*b.nrm) >= $tau)
+      |SELECT vec_id, CAST(cell AS INT) AS cell,
+      |  vec_id NOT IN (SELECT vid FROM dr) AS kept
+      |FROM asg""".stripMargin
 
   /** Cosine over double-cast embeddings, shared by q34/q35 oracles. */
   private val embedNormSql: String =
@@ -2108,6 +2146,13 @@ object RelationalQueries {
       ivfOracleSql(k = 3,
         fracNum = graft.pipeline.Similarity.probeFracEighths(
           q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // q88: the shared IVF cell chain, then the within-cell
+    // smaller-id-neighbor prune — integer/boolean output only
+    "q88" ->
+      semDedupOracleSql(tau = q88Tau,
         occ = graft.pipeline.Similarity.defaultOccupancy,
         iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
 

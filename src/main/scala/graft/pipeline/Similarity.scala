@@ -430,6 +430,44 @@ object Similarity {
     rankTopK(candidates, k)
   }
 
+  /** SemDeDup-style semantic deduplication: partition the corpus into
+    * coarse k-means cells (the [[ivfTopK]] quantizer, occupancy-constant
+    * `nlist` from [[ivfParams]]), then inside each cell drop every vector
+    * that has a smaller-id neighbor with cosine >= `tau` — one pass of the
+    * published cluster-then-prune recipe (Abbas et al., "SemDeDup", 2023),
+    * with keep-lowest-id as the deterministic representative rule (a
+    * transitive chain prunes to its earliest member, exactly like
+    * [[Dedup.exact]]'s min-id winner).
+    *
+    * Returns one row per input vector: (vec_id, cell, kept) — integer/
+    * boolean only, so the cross-engine gate never hashes a float. The
+    * fp exposure is the q35c class (cell-argmin and threshold margins,
+    * ~1e-1 data gaps vs ~1e-13 drift; tau must not sit on a data value).
+    *
+    * Scale: pairwise work is within-cell only — occupancy is held
+    * constant by construction, so candidate pairs grow linearly with the
+    * corpus, never quadratically. The dropped-id set re-joins id-only
+    * (broadcast-sized at real dup rates); vectors cross the wire once,
+    * keyed by cell. */
+  def semDedup(vecs: DataFrame, idCol: String, vecCol: String, tau: Double,
+      targetOccupancy: Int = defaultOccupancy, dim: Int = 64,
+      iters: Int = defaultLloydIters): DataFrame = {
+    val (nlist, _) = ivfParams(vecs.count(), targetOccupancy = targetOccupancy)
+    val cents = trainCoarseQuantizer(
+      trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
+      vecCol, nlist, dim, iters)
+    val assigned = withNorm(vecs, idCol, vecCol).withColumn("cell",
+      element_at(nearestCells(col("v"), cents, 1), 1))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(dot(col("a.v"), col("b.v")) /
+        (col("a.nrm") * col("b.nrm")) >= tau)
+      .select(col("b.id").as("vec_id")).distinct()
+    assigned.select(col("id").as("vec_id"), col("cell"))
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
+  }
+
   /** (q_id, nb_id, rank, cos) top-k per query from a candidate frame —
     * a hash aggregation, not a window: window row_number must shuffle
     * and fully sort EVERY candidate pair by (q_id, cos); here candidates

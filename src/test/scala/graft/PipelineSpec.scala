@@ -229,6 +229,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(ranks.forall(rs => rs.map(_._3).sorted.toSeq == (1 to rs.size)))
   }
 
+  test("semDedup drops exactly the vectors with a smaller-id near neighbor in their cell") {
+    // 4 vectors -> nlist = ceil(4/32) = 1 cell, so the within-cell rule
+    // sees every pair: at tau=0.9 only (0,1) crosses (cos ~ 0.9939) and
+    // the larger id drops; at tau above the max pairwise cosine nothing
+    // does — threshold monotonicity in the same run
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding",
+        tau = 0.9, dim = 3)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(out == Set((0L, 0, true), (1L, 0, false),
+      (2L, 0, true), (3L, 0, true)))
+    val all = Similarity.semDedup(vecs, "vec_id", "embedding",
+        tau = 0.999, dim = 3)
+      .as[(Long, Int, Boolean)].collect()
+    assert(all.forall(_._3), all.mkString(","))
+  }
+
   test("ivfTopK with nprobe = nlist equals brute force exactly") {
     val eight = Seq.tabulate(8)(i =>
       (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
