@@ -412,6 +412,22 @@ object RelationalQueries {
         k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
     }),
 
+    // Q89 — IVF-ADC: the q35c cell geometry with int8-code scoring —
+    // candidates from nprobe cells, ranked by the exact BIGINT code dot
+    // times the neighbor's scale (MIPS). The candidate shuffle carries
+    // 64-byte packed blobs, never float vectors (plan-asserted).
+    "q89" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val cents = Similarity.trainCoarseQuantizer(
+        Similarity.trainingSample(vecs, "vec_id", "embedding",
+          Similarity.trainingCap(nlist)),
+        "embedding", nlist = nlist, dim = 64)
+      Similarity.ivfAdcTopK(vecs, "vec_id", "embedding",
+        k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
+    }),
+
     // Q88 — SemDeDup: coarse k-means cells (the q35c quantizer, derived
     // occupancy-constant nlist), then within-cell keep-lowest-id pruning
     // at cosine >= q88Tau. One row per vector, (vec_id, cell, kept) —
@@ -1323,6 +1339,38 @@ object RelationalQueries {
       |asg AS (SELECT vec_id, e, nrm, cell FROM rnk WHERE rk = 1)""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.ivfAdcTopK]] (q89): the shared cell
+    * chain, the q84 quantization formula, then candidate scoring by the
+    * exact integer code dot — the ranking key `idot * nb_scale` is one
+    * IEEE multiply of exact inputs in both engines, so ties are exact
+    * and nb_id breaks them identically. */
+  private def adcOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${ivfCellsSql(fracNum, occ, iters, dim)},
+      |qz AS (SELECT vec_id, scale,
+      |    CASE WHEN scale > 0 THEN list_transform(e, x ->
+      |        CAST(GREATEST(-127.0, LEAST(127.0,
+      |          round(x / scale * 127.0))) AS INT))
+      |      ELSE list_transform(e, x -> 0) END AS qc
+      |  FROM (SELECT vec_id, e,
+      |      list_max(list_transform(e, x -> abs(x))) AS scale FROM asg)),
+      |prb AS (SELECT vec_id AS q_id, cell FROM rnk
+      |  WHERE rk <= (SELECT nprobe FROM p2)),
+      |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
+      |    CAST(list_sum(list_transform(range($dim),
+      |      i -> CAST(qa.qc[i+1] AS BIGINT) * qb.qc[i+1])) AS BIGINT)
+      |      AS idot,
+      |    qb.scale AS nscale
+      |  FROM prb p JOIN asg a USING (cell)
+      |    JOIN qz qa ON qa.vec_id = p.q_id
+      |    JOIN qz qb ON qb.vec_id = a.vec_id
+      |  WHERE p.q_id <> a.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY CAST(idot AS DOUBLE) * nscale DESC, nb_id) AS rk
+      |  FROM cand)
+      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
+      |FROM r WHERE rk <= $k""".stripMargin
+
   /** DuckDB twin of [[Similarity.semDedup]] (q88): the shared IVF cell
     * chain, then the within-cell smaller-id-neighbor rule. Output is
     * integer/boolean only — cosine decides membership but never reaches
@@ -2144,6 +2192,15 @@ object RelationalQueries {
     // assignment, probing, re-rank (was a declared no-oracle row)
     "q35c_ann_ivf" ->
       ivfOracleSql(k = 3,
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // q89: the shared cell chain + q84 quantization + exact-integer
+    // code-dot ranking (idot * nscale, ties by nb_id)
+    "q89" ->
+      adcOracleSql(k = 3,
         fracNum = graft.pipeline.Similarity.probeFracEighths(
           q35cTargetRecall),
         occ = graft.pipeline.Similarity.defaultOccupancy,

@@ -103,6 +103,10 @@ object VectorOps {
       "sign_buckets",
       exprs => SignBucketsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack_i8", exprs => PackI8Expr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "i8_dot", exprs => I8DotExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs",
       exprs => {
         // n and H shape the output and the codegen — they must be
@@ -124,4 +128,10 @@ object VectorOps {
 
   /** Column API for the native dot product (register first). */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Column API for int8-code packing (register first). */
+  def packI8(codes: Column): Column = call_function("pack_i8", codes)
+
+  /** Column API for the exact int8-code dot product (register first). */
+  def i8Dot(a: Column, b: Column): Column = call_function("i8_dot", a, b)
 }

@@ -45,11 +45,34 @@ object Quantize {
         round(x / scale * 127.0))).cast("int")))
       .otherwise(transform(v, _ => lit(0)))
 
+  /** The scale column (max |x_i|) for a double-array column — public so
+    * wider projections (e.g. [[Similarity.ivfAdcTopK]]'s single-scan
+    * cell+code corpus) can compose quantization without a self-join. */
+  def scaleOf(v: Column): Column =
+    aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+
+  /** The int8 code column for (vector, scale) — see [[scaleOf]]. */
+  def codesOf(v: Column, scale: Column): Column = codes(v, scale)
+
   def int8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val scale = scaleOf(v)
+    vecs.select(col(idCol).as("id"), scale.as("scale"),
+      codes(v, scale).as("q"))
+  }
+
+  /** [[int8]] with the codes packed into a 1-byte-per-element `binary`
+    * blob via the native [[graft.functions.PackI8Expr]]: (id, scale, qc).
+    * This is the storage/shuffle form the IVF-ADC candidate join moves —
+    * 64 bytes per dim-64 vector instead of a ~256-byte float array. Still
+    * one map-side projection, zero exchanges. */
+  def packedInt8(vecs: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(vecs.sparkSession)
     val v = transform(col(vecCol), _.cast("double"))
     val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
     vecs.select(col(idCol).as("id"), scale.as("scale"),
-      codes(v, scale).as("q"))
+      graft.functions.VectorOps.packI8(codes(v, scale)).as("qc"))
   }
 
   /** Reconstructed double vector from (scale, codes): r_i = q_i / 127 *

@@ -430,6 +430,59 @@ object Similarity {
     rankTopK(candidates, k)
   }
 
+  /** IVF-ADC quantized top-k (the composition [[Quantize]]'s Scaladoc
+    * promises): candidates come from the coarse quantizer's `nprobe`
+    * cells exactly as in [[ivfTopK]], but scoring runs over PACKED INT8
+    * CODES — `i8_dot(q_codes, nb_codes)` is an exact BIGINT, and the
+    * per-query ranking key `idot * nb_scale` multiplies that integer by
+    * one double (the query's own scale is a per-query constant and drops
+    * out of its ordering). MIPS semantics (dot product, not cosine) —
+    * the standard quantized-retrieval objective.
+    *
+    * Cross-engine determinism is stronger than [[ivfTopK]]'s: integer
+    * accumulation has no rounding and no order sensitivity, and the key
+    * is a single IEEE multiply of exact inputs, so ties are exact ties
+    * (broken by nb_id) rather than fp near-ties.
+    *
+    * Scale: the candidate shuffle carries (cell, id, 64-byte code blob,
+    * scale) — 4-8× lighter than the float vectors [[ivfTopK]] moves, on
+    * top of the same occupancy-constant cell geometry. Float vectors
+    * never enter any exchange (plan-asserted); a production pipeline
+    * re-ranks the few survivors against full precision ([[bruteForceTopK]]
+    * on the top-k ids). Returns (q_id, nb_id, rank, idot). */
+  def ivfAdcTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      cents: Array[Array[Double]] = null): DataFrame = {
+    val quantizer =
+      if (cents != null) cents
+      else trainCoarseQuantizer(
+        trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
+        vecCol, nlist, dim)
+    VectorOps.ensureRegistered(vecs.sparkSession)
+    val v = transform(col(vecCol), _.cast("double"))
+    val sc = Quantize.scaleOf(v)
+    val qc = VectorOps.packI8(Quantize.codesOf(v, sc))
+    // ONE map-side projection each side — cell, codes, and scale all
+    // compute in the scan; the float vector never leaves it
+    val corpus = vecs.select(
+      element_at(nearestCells(v, quantizer, 1), 1).as("cell"),
+      col(idCol).as("id"), qc.as("qc"), sc.as("scale"))
+    val probes = vecs.select(col(idCol).as("q_id"), qc.as("q_qc"),
+      explode(nearestCells(v, quantizer, nprobe)).as("cell"))
+    val candidates = probes.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("nb_id"),
+        VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),
+        col("scale"))
+    candidates
+      .groupBy("q_id").agg(slice(array_sort(collect_list(struct(
+        (-col("idot").cast("double") * col("scale")).as("nk"),
+        col("nb_id"), col("idot")))), 1, k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "v")))
+      .select(col("q_id"), col("v.nb_id").as("nb_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("v.idot").as("idot"))
+  }
+
   /** SemDeDup-style semantic deduplication: partition the corpus into
     * coarse k-means cells (the [[ivfTopK]] quantizer, occupancy-constant
     * `nlist` from [[ivfParams]]), then inside each cell drop every vector

@@ -170,6 +170,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       aggLine.get)
   }
 
+  test("q89: no exchange carries a float vector — codes ride as 64-byte blobs") {
+    // ivfAdcTopK's scale claim: the candidate join and rank shuffle move
+    // packed binary codes + one double scale, never array<float|double>
+    // embeddings. Any exchange line referencing a vector column is the
+    // regression this guards against.
+    val p = plan("q89")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n")
+    assert(exchanges.nonEmpty, p.take(3000))
+    assert(!exchanges.contains("embedding#") && !exchanges.contains(", v#"),
+      exchanges)
+  }
+
   test("q84/q85: quantization audit and chunking are pure map-side — zero exchanges") {
     // both operators' 100 TB story is "one scan, no shuffle": the int8
     // audit collapses to a single project, the chunker to project +

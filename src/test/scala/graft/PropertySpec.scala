@@ -185,3 +185,33 @@ object Hash60Props extends Properties("Hash60") {
       graft.functions.Hash60.hash60(UTF8String.fromString(s)) == reference(s)
     }
 }
+
+object Int8OpsProps extends Properties("Int8Ops") {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, BinaryType, IntegerType}
+  import graft.functions.{I8DotExpr, PackI8Expr}
+
+  private val nullArr = Literal.create(null, ArrayType(IntegerType))
+  private val nullBin = Literal.create(null, BinaryType)
+  private val codes =
+    Gen.choose(0, 80).flatMap(n => Gen.listOfN(n, Gen.choose(-127, 127)))
+
+  private def pack(xs: List[Int]): Array[Byte] =
+    PackI8Expr(nullArr)
+      .nullSafeEval(new GenericArrayData(xs.toArray))
+      .asInstanceOf[Array[Byte]]
+
+  property("pack is the exact byte image of the codes") =
+    forAll(codes) { a =>
+      pack(a).toList == a.map(_.toByte)
+    }
+
+  property("dot equals the exact integer sum, truncated to the shorter blob") =
+    forAll(codes, codes) { (a, b) =>
+      val got = I8DotExpr(nullBin, nullBin)
+        .nullSafeEval(pack(a), pack(b)).asInstanceOf[Long]
+      val n = math.min(a.length, b.length)
+      got == (0 until n).map(i => a(i).toLong * b(i)).sum
+    }
+}
