@@ -1058,6 +1058,13 @@ object RelationalQueries {
     "q90" -> ((s, d) =>
       Dedup.groupOverlap(Tables.documents(s, d), "source", "text", n = 4)),
 
+    // Q91 — distinctive-term extraction (tf-idf shape): per-doc top-5
+    // terms by (tf desc, df asc, term) — the integer ordering that keeps
+    // the gate exact where tf·ln(N/df) would be fp-flaky cross-engine.
+    "q91" -> ((s, d) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, d), "doc_id",
+        "text", k = 5)),
+
     // Q73 — incremental dedup: the doc_id>=400 slice plays the daily
     // increment screened against the doc_id<400 corpus; only CROSS pairs
     // form. Same derived LSH params as q31 (recall proven total there by
@@ -1995,6 +2002,22 @@ object RelationalQueries {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |""".stripMargin,
+
+    // q91: tf per (doc, term), df over the distinct doc-term rows, rank
+    // by the same integer ordering
+    "q91" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |toks AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id, term, tf, df, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tf DESC, df, term) AS rank
+        |  FROM tf JOIN dfr USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // q90: distinct 4-gram sets per source, pairwise intersection counts,
     // jaccard as one division of exact integers

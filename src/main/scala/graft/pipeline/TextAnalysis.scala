@@ -122,6 +122,38 @@ object TextAnalysis {
         col("sum_freq").cast("double") / col("n_tokens"))
   }
 
+  /** Distinctive-term (keyword) extraction, the tf-idf shape: each doc's
+    * top-k terms by (term frequency desc, document frequency asc, term
+    * asc). That integer ordering is the determinism-first stand-in for
+    * the classic tf·ln(N/df) score — rarest-and-most-repeated terms rank
+    * first — chosen because it is EXACTLY reproducible by a second
+    * engine: cross-engine `ln` is not bit-contracted, and a near-tie in
+    * tf·idf would make the gate flaky (the q35c fp-risk class, avoided
+    * here outright). Callers wanting the float score compose it from the
+    * returned (tf, df) and their own N.
+    *
+    * Returns (doc_id, term, tf, df, rank) with rank <= k.
+    *
+    * Scale shape: tf is a (doc, term)-keyed agg with map-side partials;
+    * df aggregates the ALREADY doc-distinct tf rows (vocab-sized
+    * output); the join back is per-distinct-doc-term, and the per-doc
+    * top-k uses the grouped partial-collect pattern (doc-bounded lists),
+    * never a corpus-wide window sort. */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(words(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term")
+      .groupBy("doc_id").agg(slice(array_sort(collect_list(struct(
+        (-col("tf")).as("ntf"), col("df"), col("term"), col("tf")))),
+        1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "v")))
+      .select(col("doc_id"), col("v.term").as("term"), col("v.tf").as("tf"),
+        col("v.df").as("df"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Vocabulary building + integer encoding — the final step before
     * training: token ids are assigned by corpus frequency rank (count
     * desc, then token asc — fully deterministic), and every document is

@@ -147,6 +147,14 @@ object GrowthBench {
         "embedding", 0.9, planes = 15, tables = 8, dim = 64).count()
       Similarity.ivfTopK(Tables.embeddings(spark, x1), "vec_id", "embedding",
         k = 3, nlist = 640, nprobe = 8, dim = 64).count()
+      Similarity.ivfAdcTopK(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", k = 3, nlist = 64, nprobe = 8, dim = 64).count()
+      Similarity.ivfAdcTopK(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", k = 3, nlist = 640, nprobe = 8, dim = 64).count()
+      Similarity.semDedup(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", tau = 0.45).count()
+      Dedup.groupOverlap(Tables.documents(spark, x1), "source", "text",
+        n = 4).count()
     }
 
     val t = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -212,6 +220,29 @@ object GrowthBench {
     t("q35c_ivf_scaled_10x") = time("q35c_ivf_scaled_10x",
       Similarity.ivfTopK(Tables.embeddings(spark, x10), "vec_id", "embedding",
         k = 3, nlist = 640, nprobe = 8, dim = 64))
+
+    // IVF-ADC (r8; n = 2k / 20k): the same cell geometry as q35c with
+    // int8-code scoring — the exponents should track q35c's (the join
+    // shape is identical), with the shuffle moving 64-byte blobs
+    t("q89_adc_fixed_1x") = time("q89_adc_fixed_1x",
+      Similarity.ivfAdcTopK(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", k = 3, nlist = 64, nprobe = 8, dim = 64))
+    t("q89_adc_fixed_10x") = time("q89_adc_fixed_10x",
+      Similarity.ivfAdcTopK(Tables.embeddings(spark, x10), "vec_id",
+        "embedding", k = 3, nlist = 64, nprobe = 8, dim = 64))
+    t("q89_adc_scaled_10x") = time("q89_adc_scaled_10x",
+      Similarity.ivfAdcTopK(Tables.embeddings(spark, x10), "vec_id",
+        "embedding", k = 3, nlist = 640, nprobe = 8, dim = 64))
+
+    // SemDeDup (r8; n = 2k / 20k): nlist derives from count() inside the
+    // operator, so occupancy — and with it per-vector pair work — is
+    // constant by construction: expected ~linear
+    t("q88_semdedup_1x") = time("q88_semdedup_1x",
+      Similarity.semDedup(Tables.embeddings(spark, x1), "vec_id",
+        "embedding", tau = 0.45))
+    t("q88_semdedup_10x") = time("q88_semdedup_10x",
+      Similarity.semDedup(Tables.embeddings(spark, x10), "vec_id",
+        "embedding", tau = 0.45))
 
     // curation tier (documents n = 5k / 10k / 50k): repetition metrics
     // are pure map-side, the cleaning pipeline shuffles only ids/flags,
@@ -282,6 +313,11 @@ object GrowthBench {
       t(s"q73_incremental_$tag") = time(s"q73_incremental_$tag",
         Dedup.incrementalMinhashPairs(c, batch, "doc_id", "text", n = 3,
           threshold = 0.8, numHashes = h, bands = b))
+      // cross-source overlap (r8): one gram-hash agg + a G-bounded
+      // intersection join — expected ~linear in corpus size
+      t(s"q90_overlap_$tag") = time(s"q90_overlap_$tag",
+        Dedup.groupOverlap(Tables.documents(spark, d), "source", "text",
+          n = 4))
       // r8: the same screen against the PERSISTED archive index — the
       // index write (q73-shaped, once per archive append) is untimed;
       // what production pays per batch is the PROBE, whose archive-side
@@ -316,6 +352,13 @@ object GrowthBench {
       t("q35c_ivf_fixed_10x"), 10)
     exp("q35c_ivf scaled 1x->10x", t("q35c_ivf_fixed_1x"),
       t("q35c_ivf_scaled_10x"), 10)
+    exp("q89_adc fixed 1x->10x", t("q89_adc_fixed_1x"),
+      t("q89_adc_fixed_10x"), 10)
+    exp("q89_adc scaled 1x->10x", t("q89_adc_fixed_1x"),
+      t("q89_adc_scaled_10x"), 10)
+    exp("q88_semdedup 1x->10x", t("q88_semdedup_1x"),
+      t("q88_semdedup_10x"), 10)
+    exp("q90_overlap 1x->10x", t("q90_overlap_1x"), t("q90_overlap_10x"), 10)
     exp("q65_repetition 1x->10x", t("q65_repetition_1x"),
       t("q65_repetition_10x"), 10)
     exp("q66_contamination 1x->10x", t("q66_contamination_1x"),

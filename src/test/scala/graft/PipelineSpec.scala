@@ -696,6 +696,28 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(ws == 3 && bpe == 4 && n == 8)
   }
 
+  test("distinctiveTerms ranks by (tf desc, df asc, term) and keeps top-k") {
+    val docs = Seq(
+      (0L, "apple apple shared shared shared"),
+      (1L, "banana cherry shared"),
+      (2L, "shared dog")).toDF("doc_id", "text")
+    // df: apple=1 banana=1 cherry=1 shared=3 dog=1
+    val out = TextAnalysis.distinctiveTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, String, Long, Long, Int)].collect()
+      .map { case (d, t, tf, df, r) => (d, r) -> (t, tf, df) }.toMap
+    // doc0: tf wins first (shared tf=3 beats rarer apple tf=2)
+    assert(out((0L, 1)) == ("shared", 3L, 3L))
+    assert(out((0L, 2)) == ("apple", 2L, 1L))
+    // doc1: all tf=1 -> df asc then term asc (banana and cherry both
+    // df=1: term order decides)
+    assert(out((1L, 1)) == ("banana", 1L, 1L))
+    assert(out((1L, 2)) == ("cherry", 1L, 1L))
+    // doc2: rare dog before ubiquitous shared
+    assert(out((2L, 1)) == ("dog", 1L, 1L))
+    assert(out((2L, 2)) == ("shared", 1L, 3L))
+    assert(out.size == 6)
+  }
+
   test("qualityScore components are exact for a crafted doc") {
     val docs = Seq((0L, "the cat, the dog.")).toDF("doc_id", "text")
     val r = TextAnalysis.qualityScore(docs, "doc_id", "text").collect()(0)
