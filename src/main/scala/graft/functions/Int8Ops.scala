@@ -64,6 +64,121 @@ case class PackI8Expr(child: Expression) extends UnaryExpression {
       newChild: Expression): PackI8Expr = copy(child = newChild)
 }
 
+/** Max |x_i| of a float/double array as double — the int8 quantization
+  * scale, natively.
+  *
+  * Declaratively this is `aggregate(v, 0.0, (a, x) => greatest(a,
+  * abs(x)))`, but higher-order functions are CodegenFallback AND Catalyst
+  * inlines the fold everywhere its alias is referenced — inside
+  * [[graft.pipeline.Quantize]]'s codes lambda that re-evaluated the
+  * whole 64-step interpreted fold PER ELEMENT (~4k interpreted steps per
+  * row, measured dominating the q89 corpus projection). Value semantics
+  * are identical: max is selection, not accumulation — same doubles out,
+  * including the NaN-absorbs (`greatest` ranks NaN above all) and empty
+  * → 0.0 behaviors. */
+case class MaxAbsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"max_abs expects array<float|double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Ops.maxAbs(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Int8Ops.maxAbs($a, $isFloat);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MaxAbsExpr = copy(child = newChild)
+}
+
+/** Single-pass int8 quantize + pack: (vector, scale) → the byte blob
+  * [[PackI8Expr]] would produce from [[graft.pipeline.Quantize]]'s
+  * declarative codes — bit-identical arithmetic (the per-element round
+  * is the same shortest-decimal HALF_UP Spark's `round` applies to
+  * doubles), ONE evaluation per row, codegen'd. Non-positive or
+  * non-finite scale → all-zero codes, matching the declarative guard. */
+case class PackQuantExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  private def isFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _                                                  => false
+  }, right.dataType) match {
+    case (true, DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pack_quant expects (array<float|double>, double), got " +
+      s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(v: Any, s: Any): Any =
+    Int8Ops.packQuant(v.asInstanceOf[ArrayData], isFloat,
+      s.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"${ev.value} = graft.functions.Int8Ops.packQuant($v, $isFloat, $s);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PackQuantExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object Int8Ops {
+
+  /** Kernel shared by [[MaxAbsExpr]]'s eval and generated code. */
+  def maxAbs(a: ArrayData, isFloat: Boolean): Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      // NaN absorbs, like greatest(): x > m is false for NaN, so test it
+      if (java.lang.Double.isNaN(x) || x > m) m = x
+      i += 1
+    }
+    m
+  }
+
+  /** Kernel shared by [[PackQuantExpr]]'s eval and generated code. The
+    * round is BigDecimal.valueOf(x).setScale(0, HALF_UP) — exactly the
+    * shortest-decimal HALF_UP Spark's `round(double)` performs, so the
+    * blob equals pack_i8 over the declarative codes byte for byte. */
+  def packQuant(a: ArrayData, isFloat: Boolean, scale: Double): Array[Byte] = {
+    val n = a.numElements()
+    val out = new Array[Byte](n)
+    if (scale > 0.0 && scale < Double.PositiveInfinity) {
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val r = java.math.BigDecimal.valueOf(x / scale * 127.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        out(i) = math.max(-127.0, math.min(127.0, r)).toInt.toByte
+        i += 1
+      }
+    }
+    out
+  }
+}
+
 /** Exact integer dot product of two packed int8 code blobs (see
   * [[PackI8Expr]]): Σ a[i]*b[i] as long; min-length truncation; null in
   * → null out. */

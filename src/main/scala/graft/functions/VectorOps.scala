@@ -107,6 +107,10 @@ object VectorOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "i8_dot", exprs => I8DotExpr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "max_abs", exprs => MaxAbsExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pack_quant", exprs => PackQuantExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs",
       exprs => {
         // n and H shape the output and the codegen — they must be
@@ -134,4 +138,11 @@ object VectorOps {
 
   /** Column API for the exact int8-code dot product (register first). */
   def i8Dot(a: Column, b: Column): Column = call_function("i8_dot", a, b)
+
+  /** Column API for the native quantization scale (register first). */
+  def maxAbs(v: Column): Column = call_function("max_abs", v)
+
+  /** Column API for single-pass quantize+pack (register first). */
+  def packQuant(v: Column, scale: Column): Column =
+    call_function("pack_quant", v, scale)
 }

@@ -45,18 +45,21 @@ object Quantize {
         round(x / scale * 127.0))).cast("int")))
       .otherwise(transform(v, _ => lit(0)))
 
-  /** The scale column (max |x_i|) for a double-array column — public so
-    * wider projections (e.g. [[Similarity.ivfAdcTopK]]'s single-scan
-    * cell+code corpus) can compose quantization without a self-join. */
-  def scaleOf(v: Column): Column =
-    aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+  /** The scale column (max |x_i|) for a float/double-array column —
+    * native [[graft.functions.MaxAbsExpr]] (value-identical to the
+    * declarative `aggregate(greatest(abs))` fold — max is selection, so
+    * no accumulation-order exposure — but codegen'd and safe to
+    * reference from other lambdas without inlining an interpreted fold
+    * per element; spec-asserted equal on real + hostile rows). */
+  def scaleOf(v: Column): Column = graft.functions.VectorOps.maxAbs(v)
 
   /** The int8 code column for (vector, scale) — see [[scaleOf]]. */
   def codesOf(v: Column, scale: Column): Column = codes(v, scale)
 
   def int8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(vecs.sparkSession)
     val v = transform(col(vecCol), _.cast("double"))
-    val scale = scaleOf(v)
+    val scale = scaleOf(col(vecCol))
     vecs.select(col(idCol).as("id"), scale.as("scale"),
       codes(v, scale).as("q"))
   }
@@ -69,10 +72,9 @@ object Quantize {
   def packedInt8(vecs: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
     graft.functions.VectorOps.ensureRegistered(vecs.sparkSession)
-    val v = transform(col(vecCol), _.cast("double"))
-    val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val scale = scaleOf(col(vecCol))
     vecs.select(col(idCol).as("id"), scale.as("scale"),
-      graft.functions.VectorOps.packI8(codes(v, scale)).as("qc"))
+      graft.functions.VectorOps.packQuant(col(vecCol), scale).as("qc"))
   }
 
   /** Reconstructed double vector from (scale, codes): r_i = q_i / 127 *
@@ -88,15 +90,15 @@ object Quantize {
     * recomputes every value exactly in DuckDB. `q_sum` rides along as a
     * compact code checksum. Output: (id, scale, q_sum, max_err). */
   def int8Audit(vecs: DataFrame, idCol: String, vecCol: String)
-      : DataFrame =
+      : DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(vecs.sparkSession)
     // stacked projections, not a join back to the source — Catalyst
     // collapses them into ONE map-side project, so the audit of a
     // 100 TB corpus is a single scan with zero exchanges
     vecs
       .select(col(idCol).as("id"),
         transform(col(vecCol), _.cast("double")).as("x"))
-      .withColumn("scale",
-        aggregate(col("x"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("scale", scaleOf(col("x")))
       .withColumn("q", codes(col("x"), col("scale")))
       .select(
         col("id"),
@@ -107,4 +109,5 @@ object Quantize {
           zip_with(col("x"), dequantize(col("q"), col("scale")),
             (x, r) => abs(x - r)),
           lit(0.0), (a, e) => greatest(a, e)).as("max_err"))
+  }
 }

@@ -459,16 +459,21 @@ object Similarity {
         trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
         vecCol, nlist, dim)
     VectorOps.ensureRegistered(vecs.sparkSession)
-    val v = transform(col(vecCol), _.cast("double"))
-    val sc = Quantize.scaleOf(v)
-    val qc = VectorOps.packI8(Quantize.codesOf(v, sc))
+    // all three per-row kernels are native + codegen'd (max_abs,
+    // pack_quant, nearest_cells — float arrays consumed directly, no
+    // cast-transform wrapper): the declarative HOF quantize was
+    // CodegenFallback and Catalyst inlined its 64-step fold per ELEMENT
+    // of the codes lambda (~4k interpreted steps/row, measured 4x the
+    // whole float pipeline's projection cost)
+    val sc = VectorOps.maxAbs(col(vecCol))
+    val qc = VectorOps.packQuant(col(vecCol), sc)
     // ONE map-side projection each side — cell, codes, and scale all
     // compute in the scan; the float vector never leaves it
     val corpus = vecs.select(
-      element_at(nearestCells(v, quantizer, 1), 1).as("cell"),
+      element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
       col(idCol).as("id"), qc.as("qc"), sc.as("scale"))
     val probes = vecs.select(col(idCol).as("q_id"), qc.as("q_qc"),
-      explode(nearestCells(v, quantizer, nprobe)).as("cell"))
+      explode(nearestCells(col(vecCol), quantizer, nprobe)).as("cell"))
     val candidates = probes.join(corpus, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("nb_id"),

@@ -245,6 +245,40 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(all.forall(_._3), all.mkString(","))
   }
 
+  test("native max_abs/pack_quant equal the declarative fold + codes, hostile rows included") {
+    // value parity of the codegen'd quantize kernels vs the declarative
+    // HOF form the q84 oracle mirrors — real corpus plus the NaN / +Inf
+    // / zero-vector rows (the guard outcomes must coincide even though
+    // Java's NaN>0 is false where Spark's is true: both routes land on
+    // the all-zero-code branch)
+    val hostile = Seq(
+      (9001L, Array(Float.NaN, 1f, 2f, 3f)),
+      (9002L, Array(Float.PositiveInfinity, 1f, 2f, 3f)),
+      (9003L, Array(0f, 0f, 0f, 0f)),
+      (9004L, Array(1f, -0.504f, 0.252f, 0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding").unionByName(hostile)
+    graft.functions.VectorOps.ensureRegistered(spark)
+    val v = transform(col("embedding"), _.cast("double"))
+    val declScale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val declBlob =
+      graft.functions.VectorOps.packI8(Quantize.codesOf(v, declScale))
+    val out = corpus.select(declScale.as("ds"),
+        Quantize.scaleOf(col("embedding")).as("ns"), declBlob.as("db"),
+        graft.functions.VectorOps.packQuant(col("embedding"),
+          Quantize.scaleOf(col("embedding"))).as("nb"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0,
+        s"scale ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]](2), r.getAs[Array[Byte]](3)),
+        s"blob mismatch for scale ${r.getDouble(0)}")
+    }
+  }
+
   test("i8_dot over packed blobs (codegen path) equals the declarative integer dot") {
     val q = Quantize.int8(vecs, "vec_id", "embedding")
       .select(col("id"), col("q"))
