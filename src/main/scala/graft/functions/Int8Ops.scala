@@ -158,10 +158,34 @@ object Int8Ops {
     m
   }
 
+  /** Shortest-decimal HALF_UP round to an integer — exactly what Spark's
+    * `round(double)` computes via BigDecimal. The BigDecimal constructor
+    * costs ~70 ns/element (it dominated q89's whole-stage profile), so the
+    * unambiguous cases take an arithmetic fast path: for |x| ≤ 127 the
+    * fraction `|x| - floor(|x|)` is fp-exact (Sterbenz: both operands
+    * within a factor of 2), and the shortest-decimal rendering of x sits
+    * within half an ulp (< 1e-14 at this magnitude) of x itself — so
+    * whenever the fraction is more than 1e-9 away from exactly 0.5, binary
+    * and shortest-decimal agree on which side of the half boundary x is,
+    * and round-to-nearest needs no BigDecimal. Only the ambiguous band
+    * falls back. Callers guarantee x is finite (the scale guard below). */
+  private def roundHalfUp(x: Double): Double = {
+    val ax = math.abs(x)
+    val k = math.floor(ax)
+    val frac = ax - k
+    if (frac > 0.4999999990 && frac < 0.5000000010)
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    else {
+      val r = if (frac < 0.5) k else k + 1.0
+      if (x < 0) -r else r
+    }
+  }
+
   /** Kernel shared by [[PackQuantExpr]]'s eval and generated code. The
-    * round is BigDecimal.valueOf(x).setScale(0, HALF_UP) — exactly the
-    * shortest-decimal HALF_UP Spark's `round(double)` performs, so the
-    * blob equals pack_i8 over the declarative codes byte for byte. */
+    * round is shortest-decimal HALF_UP — exactly what Spark's
+    * `round(double)` performs (see [[roundHalfUp]]), so the blob equals
+    * pack_i8 over the declarative codes byte for byte. */
   def packQuant(a: ArrayData, isFloat: Boolean, scale: Double): Array[Byte] = {
     val n = a.numElements()
     val out = new Array[Byte](n)
@@ -169,8 +193,7 @@ object Int8Ops {
       var i = 0
       while (i < n) {
         val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val r = java.math.BigDecimal.valueOf(x / scale * 127.0)
-          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+        val r = roundHalfUp(x / scale * 127.0)
         out(i) = math.max(-127.0, math.min(127.0, r)).toInt.toByte
         i += 1
       }

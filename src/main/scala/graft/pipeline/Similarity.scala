@@ -468,12 +468,22 @@ object Similarity {
     val sc = VectorOps.maxAbs(col(vecCol))
     val qc = VectorOps.packQuant(col(vecCol), sc)
     // ONE map-side projection each side — cell, codes, and scale all
-    // compute in the scan; the float vector never leaves it
+    // compute in the scan; the float vector never leaves it. The explicit
+    // cell-keyed repartition is load-bearing twice over: it IS the
+    // documented candidate shuffle (64-byte blobs, never vectors, moving
+    // to their cell), and the exchange is a materialization barrier —
+    // without it Catalyst collapses these projections across the join
+    // into the rank aggregate's input, re-running pack_quant once per
+    // CANDIDATE row instead of once per vector (measured 36 s vs 2 s at
+    // sf0.1: 2M candidate-side evals of a 64-element kernel, in one
+    // unpartitioned task, vs 66k scan-side evals spread across cores).
     val corpus = vecs.select(
       element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
       col(idCol).as("id"), qc.as("qc"), sc.as("scale"))
+      .repartition(col("cell"))
     val probes = vecs.select(col(idCol).as("q_id"), qc.as("q_qc"),
       explode(nearestCells(col(vecCol), quantizer, nprobe)).as("cell"))
+      .repartition(col("cell"))
     val candidates = probes.join(corpus, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("nb_id"),
