@@ -1267,21 +1267,23 @@ object RelationalQueries {
     * cross-engine fp exposure is argmin near-ties between distinct
     * centroids (distances ~1e-1 apart vs drift ~1e-13).
     *
-    * ACCEPTED RISK (r7 advice, adjudicated r8): DuckDB's unordered
-    * `sum(e[i])/count(*)` vs the trainer's sorted-order accumulation
-    * means centroid LOW BITS can differ between engines, and a
-    * near-exact argmin tie between two centroids at some untested scale
-    * factor could then flip one cell assignment and fail the gate. Kept
-    * as-is because (a) the exposure is the ~1e-13 drift against ~1e-1
-    * assignment margins on this data family, measured stable across
-    * DuckDB runs and thread counts in two rounds; (b) the driver gate
-    * runs one fixed corpus (sf0.01), not adversarial input; and (c) the
-    * advice's integer-only output variant would not remove the exposure
-    * — a flipped assignment changes the candidate ROWS, not just the cos
-    * hash — while a fully order-deterministic oracle mean needs an
-    * ordered-fold aggregate DuckDB does not guarantee. If this gate ever
-    * flakes, the recorded diagnosis is: compare per-cell assignment
-    * margins before suspecting the pipeline. */
+    * R7 ADVICE, RESOLVED (r8): DuckDB's unordered `sum(e[i])/count(*)`
+    * vs the trainer's sorted-order accumulation meant centroid LOW BITS
+    * could differ between engines (~1e-13), and a near-exact argmin tie
+    * between two centroids at some untested scale factor could then flip
+    * one cell assignment and fail the gate. The oracle mean is now the
+    * ordered fold `list_sum(list(e[i] ORDER BY e))` — DuckDB's list_sum
+    * is a plain order-sensitive left fold over list order (probed:
+    * list_sum([1e16,1,-1e16]) = 0.0, reversed = 1.0 — naive, not
+    * compensated), and `ORDER BY e` reproduces the trainer's
+    * lexicographic `data.sortBy(_.toSeq)` iteration, so each Lloyd
+    * round's centroids now accumulate in the identical element order and
+    * the means are bit-equal, not merely 1e-13-close. Residual exposure
+    * is only the assignment-key arithmetic itself (identical inputs,
+    * different expression shapes, ~1e-16 relative) against ~1e-1
+    * margins. If this gate ever flakes, the recorded diagnosis is:
+    * compare per-cell assignment margins before suspecting the
+    * pipeline. */
   private def ivfOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
       dim: Int): String =
     s"""WITH ${ivfCellsSql(fracNum, occ, iters, dim)},
@@ -1315,7 +1317,7 @@ object RelationalQueries {
         |        ORDER BY $sqDist, c.cell) AS rk
         |    FROM samp s CROSS JOIN $prev c) WHERE rk = 1),
         |m$t AS (SELECT cell, list(av ORDER BY i) AS cent FROM (
-        |    SELECT cell, i, sum(e[i])/count(*) AS av
+        |    SELECT cell, i, list_sum(list(e[i] ORDER BY e))/count(*) AS av
         |    FROM a$t, range(1, ${dim + 1}) t(i) GROUP BY cell, i)
         |  GROUP BY cell),
         |c$t AS (SELECT c.cell, coalesce(m.cent, c.cent) AS cent

@@ -468,19 +468,21 @@ object Similarity {
     val sc = VectorOps.maxAbs(col(vecCol))
     val qc = VectorOps.packQuant(col(vecCol), sc)
     // ONE map-side projection each side — cell, codes, and scale all
-    // compute in the scan; the float vector never leaves it. The explicit
-    // cell-keyed repartition is load-bearing twice over: it IS the
-    // documented candidate shuffle (64-byte blobs, never vectors, moving
-    // to their cell), and the exchange is a materialization barrier —
-    // without it Catalyst collapses these projections across the join
-    // into the rank aggregate's input, re-running pack_quant once per
-    // CANDIDATE row instead of once per vector (measured 36 s vs 2 s at
-    // sf0.1: 2M candidate-side evals of a 64-element kernel, in one
-    // unpartitioned task, vs 66k scan-side evals spread across cores).
+    // compute in the scan; the float vector never leaves it. The probe
+    // side additionally repartitions by cell: that exchange is a
+    // materialization barrier — without it Catalyst collapses the
+    // pack_quant projection across the join into the rank aggregate's
+    // input stage, re-running the 64-element kernel once per CANDIDATE
+    // row instead of once per probe (measured 39.6 s vs 2.5 s at sf0.1,
+    // in one unpartitioned task). Only the probe side needs the barrier:
+    // it is the join's stream side, whereas the corpus side materializes
+    // its blobs in whatever exchange the planner picks for it (broadcast
+    // build at bench scale, cell-keyed shuffle at corpus scale) — forcing
+    // a corpus repartition here measured 2× slower at growth-10x by
+    // denying the planner the broadcast.
     val corpus = vecs.select(
       element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
       col(idCol).as("id"), qc.as("qc"), sc.as("scale"))
-      .repartition(col("cell"))
     val probes = vecs.select(col(idCol).as("q_id"), qc.as("q_qc"),
       explode(nearestCells(col(vecCol), quantizer, nprobe)).as("cell"))
       .repartition(col("cell"))
