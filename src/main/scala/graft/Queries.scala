@@ -436,6 +436,17 @@ object RelationalQueries {
       Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
         tau = q88Tau)),
 
+    // Q92 — embedding-space outlier audit: per coarse cell (the shared
+    // q35c quantizer geometry), flag the 5% most centroid-distant
+    // members — the standard pre-training prune for mislabeled points,
+    // encoder failures, and off-distribution scrapes. The cutoff is an
+    // integer ceiling (at least one per cell) and d2 is bit-equal across
+    // engines (ordered-fold centroids + identical fold shapes), so the
+    // gate hashes integers and booleans only.
+    "q92" -> ((s, d) =>
+      Similarity.outlierAudit(Tables.embeddings(s, d), "vec_id",
+        "embedding")),
+
     // Q85 — overlapping token-window chunking (context-window prep for
     // training/retrieval): 64-token windows advancing by 56 (overlap 8),
     // one map-side explode, chunk identity a pure function of the row.
@@ -1395,6 +1406,33 @@ object RelationalQueries {
       |  vec_id NOT IN (SELECT vid FROM dr) AS kept
       |FROM asg""".stripMargin
 
+  /** DuckDB twin of [[Similarity.outlierAudit]] (q92): the shared IVF
+    * cell chain, then per-cell centroid-distance ranking with an
+    * integer-exact ceiling cutoff. d2 = v·v − 2·v·c + c·c with every
+    * term a sequential left fold over bit-equal inputs in both engines
+    * (the ordered-fold oracle means make the centroids bit-equal, and
+    * both folds walk the same element order), so d2 itself is bit-equal
+    * and the boolean never reaches a float compare — the residual
+    * exposure is only a distance near-tie between distinct vectors at
+    * the rank boundary (~1e-1 margins on this data family, the q35c
+    * class). */
+  private def outlierOracleSql(pctNum: Int, occ: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${ivfCellsSql(fracNum = 8, occ, iters, dim)},
+      |d AS (SELECT a.vec_id, a.cell,
+      |    list_sum(list_transform(a.e, x -> x*x))
+      |      - 2*list_sum(list_transform(range($dim),
+      |          i -> a.e[i+1]*c.cent[i+1]))
+      |      + c.cn2 AS d2
+      |  FROM asg a JOIN cn c USING (cell)),
+      |r AS (SELECT vec_id, cell, d2,
+      |    row_number() OVER (PARTITION BY cell ORDER BY d2 DESC, vec_id)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY cell) AS cnt FROM d)
+      |SELECT vec_id, CAST(cell AS INT) AS cell,
+      |  rk <= GREATEST(1, (cnt * $pctNum + 99) // 100) AS outlier
+      |FROM r""".stripMargin
+
   /** Cosine over double-cast embeddings, shared by q34/q35 oracles. */
   private val embedNormSql: String =
     """v AS (SELECT vec_id,
@@ -2235,6 +2273,13 @@ object RelationalQueries {
     // smaller-id-neighbor prune — integer/boolean output only
     "q88" ->
       semDedupOracleSql(tau = q88Tau,
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // q92: the shared cell chain, then per-cell distance rank with the
+    // integer ceiling cutoff — bit-equal d2, boolean-only gate
+    "q92" ->
+      outlierOracleSql(pctNum = 5,
         occ = graft.pipeline.Similarity.defaultOccupancy,
         iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
 

@@ -538,6 +538,61 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("hit").isNull.as("kept"))
   }
 
+  /** Embedding-space outlier audit (q92): flag, per coarse cell, the
+    * `pctNum`% most centroid-distant members — the standard
+    * embedding-space pruning step before training (mislabeled points,
+    * encoder failures, and off-distribution scrapes sit far from every
+    * cluster center). Reuses the [[semDedup]] cell geometry: quantizer
+    * trained on the bounded sample, assignment map-side via broadcast
+    * centroids.
+    *
+    * Cutoff is integer-exact both engines: a member is an outlier iff
+    * its rank by (distance² desc, id) within the cell is ≤
+    * `greatest(1, (cnt*pctNum + 99) div 100)` (ceiling of pctNum%, at
+    * least one per cell). distance² = v·v − 2·v·c + c·c with each term a
+    * sequential left fold over identical doubles in both engines (the
+    * centroids are bit-equal since the ordered-fold oracle mean), so the
+    * only cross-engine fp exposure is a distance near-tie between
+    * distinct vectors — ~1e-1 margins on this data family, the same
+    * accepted class as q35c's cos ordering.
+    *
+    * Scale: assignment and distance are one map-side projection over the
+    * scan (centroid matrix broadcast); the only exchange carries
+    * (vec_id, cell, d2) — 20 bytes/row, never the embedding — and the
+    * window partitions are cell-sized (occupancy-constant ~32 rows), so
+    * no partition grows with n. Returns (vec_id, cell, outlier). */
+  def outlierAudit(vecs: DataFrame, idCol: String, vecCol: String,
+      pctNum: Int = 5, targetOccupancy: Int = defaultOccupancy,
+      dim: Int = 64, iters: Int = defaultLloydIters): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pctNum >= 0 && pctNum <= 100, s"pctNum=$pctNum")
+    val spark = vecs.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val (nlist, _) = ivfParams(vecs.count(), targetOccupancy = targetOccupancy)
+    val cents = trainCoarseQuantizer(
+      trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
+      vecCol, nlist, dim, iters)
+    // centroid lookup rides as a broadcast table (nlist rows); cn2 is the
+    // same fold the oracle's cn CTE computes
+    val centRows = cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    val centDf = spark.createDataFrame(centRows).toDF("cell", "cent")
+    val assigned = vecs.select(col(idCol).as("vec_id"),
+      col(vecCol).as("e"),
+      element_at(nearestCells(col(vecCol), cents, 1), 1).as("cell"))
+    val d2 = assigned.join(broadcast(centDf), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("e"), col("e")) - lit(2) * dot(col("e"), col("cent"))
+          + dot(col("cent"), col("cent"))).as("d2"))
+    val byCell = Window.partitionBy("cell")
+    val byDist = byCell.orderBy(col("d2").desc, col("vec_id"))
+    d2.select(col("vec_id"), col("cell"),
+        row_number().over(byDist).cast("long").as("rk"),
+        count(lit(1)).over(byCell).as("cnt"))
+      .select(col("vec_id"), col("cell"),
+        (col("rk") <= greatest(lit(1L),
+          expr(s"(cnt * $pctNum + 99) div 100"))).as("outlier"))
+  }
+
   /** (q_id, nb_id, rank, cos) top-k per query from a candidate frame —
     * a hash aggregation, not a window: window row_number must shuffle
     * and fully sort EVERY candidate pair by (q_id, cos); here candidates

@@ -153,6 +153,8 @@ object GrowthBench {
         "embedding", k = 3, nlist = 640, nprobe = 8, dim = 64).count()
       Similarity.semDedup(Tables.embeddings(spark, x1), "vec_id",
         "embedding", tau = 0.45).count()
+      Similarity.outlierAudit(Tables.embeddings(spark, x1), "vec_id",
+        "embedding").count()
       Dedup.groupOverlap(Tables.documents(spark, x1), "source", "text",
         n = 4).count()
     }
@@ -243,6 +245,17 @@ object GrowthBench {
     t("q88_semdedup_10x") = time("q88_semdedup_10x",
       Similarity.semDedup(Tables.embeddings(spark, x10), "vec_id",
         "embedding", tau = 0.45))
+
+    // Outlier audit (r8; n = 2k / 20k): same derived cell geometry as
+    // q88, but the post-assignment work is per-ROW (distance + window
+    // rank over ~constant-occupancy cells), not per-pair: expected
+    // ~linear with a lower constant than semDedup
+    t("q92_outlier_1x") = time("q92_outlier_1x",
+      Similarity.outlierAudit(Tables.embeddings(spark, x1), "vec_id",
+        "embedding"))
+    t("q92_outlier_10x") = time("q92_outlier_10x",
+      Similarity.outlierAudit(Tables.embeddings(spark, x10), "vec_id",
+        "embedding"))
 
     // curation tier (documents n = 5k / 10k / 50k): repetition metrics
     // are pure map-side, the cleaning pipeline shuffles only ids/flags,

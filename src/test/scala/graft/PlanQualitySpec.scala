@@ -183,6 +183,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       exchanges)
   }
 
+  test("q92: the outlier rank shuffle carries (vec_id, cell, d2) — never the embedding") {
+    // outlierAudit's scale claim: assignment + distance are map-side
+    // (broadcast centroid table), so the only data-sized exchange is the
+    // per-cell window's hash shuffle of three scalar columns. An
+    // exchange line referencing the vector column means the distance
+    // computation slid past the shuffle and the wire is carrying
+    // 256-byte embeddings instead of 20-byte rows.
+    val p = plan("q92")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n")
+    assert(exchanges.nonEmpty, p.take(3000))
+    assert(!exchanges.contains("embedding#") && !exchanges.contains(", e#"),
+      exchanges)
+  }
+
   test("q84/q85: quantization audit and chunking are pure map-side — zero exchanges") {
     // both operators' 100 TB story is "one scan, no shuffle": the int8
     // audit collapses to a single project, the chunker to project +
