@@ -47,6 +47,11 @@ object RelationalQueries {
     * orders above the ~1e-13 cross-engine drift (the q35c fp contract). */
   private val q88Tau = 0.45
 
+  /** q93's feature-hash slot count, single-sourced into the Spark call
+    * and the oracle's modulus so resizing the table cannot desync the
+    * engines. */
+  private val q93Buckets = 1 << 20
+
   /** q63 fixture dirs already materialized by THIS process (keyed by
     * output path, which embeds applicationId + source-dir hash): the
     * write-once guard that keeps repeated bench/verify invocations from
@@ -446,6 +451,15 @@ object RelationalQueries {
     "q92" -> ((s, d) =>
       Similarity.outlierAudit(Tables.embeddings(s, d), "vec_id",
         "embedding")),
+
+    // Q93 — model-based quality filter: linear classifier inference with
+    // feature hashing (unigrams + adjacent bigrams -> 2^20 slots ->
+    // integer weight sum -> threshold), the fastText/CCNet-shaped filter
+    // stage. One codegen'd map-side projection, zero exchanges
+    // (plan-asserted); all-integer gate.
+    "q93" -> ((s, d) =>
+      TextAnalysis.classifierFilter(Tables.documents(s, d), "doc_id",
+        "text", buckets = q93Buckets)),
 
     // Q85 — overlapping token-window chunking (context-window prep for
     // training/retrieval): 64-token windows advancing by 56 (overlap 8),
@@ -2282,6 +2296,24 @@ object RelationalQueries {
       outlierOracleSql(pctNum = 5,
         occ = graft.pipeline.Similarity.defaultOccupancy,
         iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // q93: unigram+bigram feature hashing into q93Buckets slots, integer
+    // stand-in weight (slot % 2001 - 1000), BIGINT sum — exact in both
+    // engines, no float ever reaches the gate
+    "q93" ->
+      s"""WITH w AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, ws ||
+        |    list_transform(range(GREATEST(len(ws)-1, 0)),
+        |      i -> ws[i+1] || '_' || ws[i+2]) AS feats
+        |  FROM w),
+        |s AS (SELECT doc_id, CAST(len(feats) AS INT) AS n_feats,
+        |    CAST(coalesce(list_sum(list_transform(feats, f ->
+        |      (${graft.pipeline.Portable.hash60Sql("f")} % $q93Buckets)
+        |        % 2001 - 1000)), 0) AS BIGINT) AS w_sum
+        |  FROM f)
+        |SELECT doc_id, n_feats, w_sum, w_sum >= 0 AS keep FROM s""".stripMargin,
 
     // q85: same integer window arithmetic (`//` = the Spark side's
     // exact floor-over-double), 1-based inclusive list slices

@@ -296,6 +296,42 @@ object TextAnalysis {
         .as("bpe_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** Linear text-classifier inference with feature hashing (q93) — the
+    * model-based quality-filter stage of a training-data pipeline (the
+    * fastText / CCNet shape): per document, hash unigram and
+    * adjacent-bigram features into `buckets` slots, sum the model weight
+    * of each slot, and keep the document when the score clears
+    * `threshold`.
+    *
+    * The weight vector is a deterministic stand-in — slot b carries
+    * integer weight `(b % 2001) - 1000` — because no trained model ships
+    * in this sandbox; in production the same plan reads a learned
+    * int-quantized weight array and the per-feature cost is identical
+    * (the weight is a pure function of the slot either way, exactly the
+    * multimodal-tier convention of stubbing the model while keeping the
+    * plumbing real). What this operator exercises for real: tokenize →
+    * bigram → hash → bucket → accumulate → threshold as ONE codegen'd
+    * map-side projection over the scan — zero exchanges (plan-asserted),
+    * so at 100 TB it rides the same linear scan as [[qualityScore]].
+    *
+    * All-integer output (doc_id, n_feats, w_sum, keep): the score is a
+    * BIGINT sum — order-independent and exact in both engines — so the
+    * keep decision never compares drifted floats. */
+  def classifierFilter(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1 << 20, threshold: Long = 0L): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val ws = words(col(textCol))
+    val bi = transform(slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      (w, i) => concat(w, lit("_"), element_at(ws, i + 2)))
+    val feats = concat(ws, bi)
+    val wsum = aggregate(feats, lit(0L),
+      (acc, f) => acc + (Portable.hash60Fast(f) % buckets % 2001 - 1000))
+    docs.select(col(idCol).as("doc_id"),
+      size(feats).as("n_feats"),
+      wsum.as("w_sum"),
+      (wsum >= threshold).as("keep"))
+  }
+
   /** Order-sensitive document fingerprint (Rabin-Karp flavored): a
     * position-weighted sum of per-word 60-bit hashes reduced mod primes
     * chosen so no intermediate exceeds a signed 64-bit long. Distinguishes

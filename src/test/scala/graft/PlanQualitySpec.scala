@@ -202,7 +202,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     // both operators' 100 TB story is "one scan, no shuffle": the int8
     // audit collapses to a single project, the chunker to project +
     // generate — an Exchange appearing in either is a regression
-    for (q <- Seq("q84_i8", "q85_win")) {
+    for (q <- Seq("q84_i8", "q85_win", "q93")) {
       val p = plan(q)
       assert(!p.contains("Exchange"), s"$q: ${p.take(2000)}")
     }
