@@ -452,6 +452,22 @@ object RelationalQueries {
       Similarity.outlierAudit(Tables.embeddings(s, d), "vec_id",
         "embedding")),
 
+    // Q94 — as-of join (beyond the reference's equi-join grammar, the
+    // SURVEY §2 "declare only equi-join parity" row upgraded): every
+    // click attaches the latest view by the same user at or before it.
+    // Union-tag + ONE keyed window — never a pair-materializing range
+    // join; the oracle is DuckDB's native ASOF LEFT JOIN.
+    "q94" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val l = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("r_event_id"), col("user_id"),
+          col("ts").as("r_ts"), col("value").as("r_value"))
+      graft.ops.Joins.asOfJoin(l, r, "user_id", "ts", "r_ts")
+        .select("event_id", "user_id", "r_event_id", "r_value")
+    }),
+
     // Q93 — model-based quality filter: linear classifier inference with
     // feature hashing (unigrams + adjacent bigrams -> 2^20 slots ->
     // integer weight sum -> threshold), the fastText/CCNet-shaped filter
@@ -2296,6 +2312,18 @@ object RelationalQueries {
       outlierOracleSql(pctNum = 5,
         occ = graft.pipeline.Similarity.defaultOccupancy,
         iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // q94: DuckDB's native ASOF LEFT JOIN is the oracle for the
+    // union-tag window implementation — inclusive match (>=), null
+    // payload for clicks with no prior view
+    "q94" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS r_event_id, user_id, ts AS r_ts,
+        |    value AS r_value FROM events WHERE event_type = 'view')
+        |SELECT l.event_id, l.user_id, r.r_event_id, r.r_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.r_ts""".stripMargin,
 
     // q93: unigram+bigram feature hashing into q93Buckets slots, integer
     // stand-in weight (slot % 2001 - 1000), BIGINT sum — exact in both

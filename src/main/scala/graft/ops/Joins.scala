@@ -57,4 +57,52 @@ object Joins {
       .select(col(key) +: cols.filterNot(_ == key)
         .map(c => col(s"__win.$c").as(c)): _*)
   }
+
+  /** As-of join (q94) — beyond the reference (SURVEY §2 declares only
+    * equi-join parity): for every left row, attach the latest right row
+    * with the same `key` and `rightTs <= leftTs` (inclusive, DuckDB
+    * `ASOF JOIN` semantics); unmatched left rows keep null payload
+    * (left-outer).
+    *
+    * NOT a range join: a range/theta join materializes every (l, r)
+    * pair inside the time band before picking the max — quadratic in
+    * dense keys. This is the scalable union-tag shape: tag both sides,
+    * union, ONE hash shuffle by key, sort by (ts, side), and a running
+    * `last(payload, ignoreNulls)` window fills each left row from the
+    * nearest preceding right row. Cost at 100 TB: one exchange of
+    * (key, ts, payload), one sort — the same bill as any keyed window,
+    * no pair explosion, AQE-skew-splittable.
+    *
+    * Right rows sort BEFORE left rows at equal ts (`side` 0 vs 1), so
+    * an exactly-simultaneous right row matches (>= not >). Right rows
+    * that tie on (key, ts) are resolved by the trailing sort on the
+    * payload struct — content-based like [[overrideJoin]], not
+    * partition-order. Column names must be disjoint between the sides
+    * (pre-rename the right side). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lCols = left.columns.filterNot(_ == key).toSeq
+    val rCols = right.columns.filterNot(_ == key).toSeq
+    require(lCols.intersect(rCols).isEmpty,
+      s"as-of: overlapping columns ${lCols.intersect(rCols)}")
+    val payload = struct(rCols.map(col): _*)
+    val payType = right.select(payload).schema.head.dataType
+    val lTagged = left.select(
+      Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        lCols.map(col) ++
+        Seq(lit(null).cast(payType).as("__pay")): _*)
+    val rTagged = right.select(
+      Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(payload.as("__pay")): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(key)) ++ lCols.map(col) ++
+        rCols.map(c => col(s"__match.$c").as(c)): _*)
+  }
 }

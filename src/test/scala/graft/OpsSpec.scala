@@ -116,6 +116,32 @@ class JoinsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("asOfJoin: inclusive match, latest-prior wins, unmatched left is null") {
+    // left ts=5 matches right ts=5 (inclusive >=); ts=7 picks the LATEST
+    // prior (6 over 2); ts=1 has no prior right row -> null payload
+    val l = Seq((1L, 5L, "e5"), (1L, 7L, "e7"), (1L, 1L, "e1"),
+      (2L, 9L, "x9")).toDF("k", "ts", "lv")
+    val r = Seq((1L, 2L, "r2"), (1L, 5L, "r5"), (1L, 6L, "r6"))
+      .toDF("k", "rts", "rv")
+    val out = Joins.asOfJoin(l, r, "k", "ts", "rts")
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map("e5" -> Some("r5"), "e7" -> Some("r6"),
+      "e1" -> None, "x9" -> None))
+  }
+
+  test("asOfJoin: right rows tying on (key, ts) resolve by content, " +
+      "independent of partition layout") {
+    val l = Seq((1L, 10L, "e")).toDF("k", "ts", "lv")
+    val rows = Seq((1L, 3L, "bb"), (1L, 3L, "aa"), (1L, 3L, "cc"))
+    for (parts <- Seq(1, 7)) {
+      val r = rows.toDF("k", "rts", "rv").repartition(parts)
+      val out = Joins.asOfJoin(l, r, "k", "ts", "rts")
+        .select("rv").as[String].collect().toSeq
+      // greatest payload struct wins — a pure function of the data
+      assert(out == Seq("cc"), s"parts=$parts")
+    }
+  }
+
   test("inner requires the key in every source; outer keeps all keys") {
     val a = Seq((1, "a"), (2, "a")).toDF("k", "va")
     val b = Seq((2, "b"), (3, "b")).toDF("k", "vb")
