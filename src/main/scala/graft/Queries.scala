@@ -468,6 +468,22 @@ object RelationalQueries {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // Q95 — range (interval) join: for every error event, how many
+    // clicks landed within ±60 s (any user) — the binned equi-join
+    // rewrite (explode right to adjacent bins, join on bin, filter the
+    // exact band), never Spark's nested-loop theta join. Integer-only
+    // gate: micros deltas and counts are exact in both engines.
+    "q95" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val e = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("l_id"), col("ts").as("lts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("r_id"), col("ts").as("rts"))
+      graft.ops.Joins.rangeJoin(e, c, "lts", "rts",
+          toleranceMicros = 60L * 1000000, joinType = "left_outer")
+        .groupBy("l_id").agg(count(col("r_id")).as("n_nearby"))
+    }),
+
     // Q93 — model-based quality filter: linear classifier inference with
     // feature hashing (unigrams + adjacent bigrams -> 2^20 slots ->
     // integer weight sum -> threshold), the fastText/CCNet-shaped filter
@@ -2324,6 +2340,20 @@ object RelationalQueries {
         |SELECT l.event_id, l.user_id, r.r_event_id, r.r_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.r_ts""".stripMargin,
+
+    // q95: the declarative inequality join DuckDB plans natively is the
+    // oracle for the binned rewrite — inclusive ±60 s band, count per
+    // error (0 for isolated errors via the left join)
+    "q95" ->
+      """WITH e AS (SELECT event_id AS l_id, ts AS lts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT event_id AS r_id, ts AS rts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT l_id, count(r_id) AS n_nearby
+        |FROM e LEFT JOIN c
+        |  ON c.rts >= e.lts - INTERVAL 60 SECOND
+        | AND c.rts <= e.lts + INTERVAL 60 SECOND
+        |GROUP BY l_id""".stripMargin,
 
     // q93: unigram+bigram feature hashing into q93Buckets slots, integer
     // stand-in weight (slot % 2001 - 1000), BIGINT sum — exact in both

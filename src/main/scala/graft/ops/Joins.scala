@@ -58,6 +58,53 @@ object Joins {
         .map(c => col(s"__win.$c").as(c)): _*)
   }
 
+  /** Range (interval) join (q95) — beyond the reference, the other
+    * half of SURVEY §2's "theta/range/as-of: declare only equi-join
+    * parity" row: emit every (left, right) pair whose timestamps lie
+    * within `toleranceMicros` of each other (inclusive both ends);
+    * `joinType = "left_outer"` keeps unmatched left rows with null
+    * right columns.
+    *
+    * NOT a theta join: Spark plans a bare inequality predicate as
+    * BroadcastNestedLoopJoin — all pairs scanned, quadratic. This is the
+    * standard time-binning rewrite: bucket each side by
+    * floor(micros / tolerance), explode the RIGHT side to its three
+    * adjacent bins, equi-join on the bin, then filter the exact band.
+    * |Δt| <= tol implies the bins differ by at most 1, so no pair is
+    * missed, and each pair meets in exactly ONE bin (the left side is
+    * not exploded), so no dedup pass is needed. Cost at 100 TB: a 3x
+    * replication of the smaller-projection side and one hash shuffle
+    * keyed by time bin — candidate pairs are bounded by per-bin
+    * occupancy (event density x tolerance), linear for constant density,
+    * and a hot bin is an AQE-splittable skew key, not a driver problem.
+    *
+    * The floor division uses `(m - pmod(m, tol)) div tol` — exact floor
+    * for negative epochs too, so pre-1970 timestamps bin uniformly.
+    * Column names must be disjoint between the sides. */
+  def rangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
+      rightTs: String, toleranceMicros: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(toleranceMicros > 0, s"tolerance=$toleranceMicros")
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    require(lCols.intersect(rCols).isEmpty,
+      s"range: overlapping columns ${lCols.intersect(rCols)}")
+    // `div` (integral) on the pmod-floored numerator: exact at any
+    // epoch magnitude, unlike `/` which widens longs to double
+    def floorBin(ts: String): Column = expr(
+      s"(unix_micros($ts) - pmod(unix_micros($ts), ${toleranceMicros}L))" +
+      s" div ${toleranceMicros}L")
+    val l = left.withColumn("__bin", floorBin(leftTs))
+    val r = right.withColumn("__rbin", floorBin(rightTs))
+      .withColumn("__bin", explode(array(col("__rbin") - 1,
+        col("__rbin"), col("__rbin") + 1)))
+      .drop("__rbin")
+    val band = abs(unix_micros(col(leftTs)) - unix_micros(col(rightTs))) <=
+      toleranceMicros
+    l.join(r, l("__bin") === r("__bin") && band, joinType)
+      .select((lCols ++ rCols).map(col): _*)
+  }
+
   /** As-of join (q94) — beyond the reference (SURVEY §2 declares only
     * equi-join parity): for every left row, attach the latest right row
     * with the same `key` and `rightTs <= leftTs` (inclusive, DuckDB

@@ -142,6 +142,26 @@ class JoinsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("rangeJoin: inclusive band, cross-bin pairs found once, left_outer keeps misses") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val tol = 10L // micros
+    // 100 vs 110: exactly at tolerance (inclusive). 100 vs 111: out.
+    // 109 vs 110: in-band but adjacent bins (10/11) — the explode must
+    // find it. 500: isolated, survives only via left_outer.
+    val l = Seq((1L, 100L), (2L, 109L), (3L, 500L)).toDF("l_id", "lm")
+      .select(col("l_id"), timestamp_micros(col("lm")).as("lts"))
+    val r = Seq((10L, 110L), (11L, 111L)).toDF("r_id", "rm")
+      .select(col("r_id"), timestamp_micros(col("rm")).as("rts"))
+    val out = Joins.rangeJoin(l, r, "lts", "rts", tol, "left_outer")
+      .groupBy("l_id").agg(count(col("r_id")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 0L))
+    // inner drops the isolated row; no pair is emitted twice
+    val pairs = Joins.rangeJoin(l, r, "lts", "rts", tol)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+    assert(pairs.sorted == Seq((1L, 10L), (2L, 10L), (2L, 11L)))
+  }
+
   test("inner requires the key in every source; outer keeps all keys") {
     val a = Seq((1, "a"), (2, "a")).toDF("k", "va")
     val b = Seq((2, "b"), (3, "b")).toDF("k", "vb")

@@ -183,6 +183,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       exchanges)
   }
 
+  test("q95: the range join plans as a binned equi-join — never a nested loop") {
+    // rangeJoin exists to avoid BroadcastNestedLoopJoin/CartesianProduct
+    // (what Spark plans for a bare inequality predicate — all pairs
+    // scanned). A nested-loop operator appearing here means the binning
+    // rewrite regressed to the quadratic theta join.
+    val p = plan("q95")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(3000))
+  }
+
   test("q92: the outlier rank shuffle carries (vec_id, cell, d2) — never the embedding") {
     // outlierAudit's scale claim: assignment + distance are map-side
     // (broadcast centroid table), so the only data-sized exchange is the
