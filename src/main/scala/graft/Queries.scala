@@ -468,6 +468,14 @@ object RelationalQueries {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // Q96 — per-source token-length distribution audit (dataset-card
+    // numbers behind mixing/truncation decisions): docs, total tokens,
+    // exact p50/p90/p99 (R-7 interpolation in both engines), max. The
+    // percentile state is a distinct-length count map — partial-agg'd
+    // map-side, bounded by max doc length, not corpus size.
+    "q96" -> ((s, d) =>
+      TextAnalysis.lengthProfile(Tables.documents(s, d), "source", "text")),
+
     // Q95 — range (interval) join: for every error event, how many
     // clicks landed within ±60 s (any user) — the binned equi-join
     // rewrite (explode right to adjacent bins, join on bin, filter the
@@ -2340,6 +2348,20 @@ object RelationalQueries {
         |SELECT l.event_id, l.user_id, r.r_event_id, r.r_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.r_ts""".stripMargin,
+
+    // q96: DuckDB quantile_cont is the same R-7 PERCENTILE_CONT rule as
+    // Spark's percentile; 4 dp rounding with ≤2 exact decimals keeps the
+    // boundary out of play
+    "q96" ->
+      """WITH w AS (SELECT source,
+        |    len(list_filter(string_split(text,' '), x -> len(x)>0)) AS n
+        |  FROM documents)
+        |SELECT source, count(*) AS docs, CAST(sum(n) AS BIGINT) AS tokens,
+        |  round(quantile_cont(n, 0.5), 4) AS p50,
+        |  round(quantile_cont(n, 0.9), 4) AS p90,
+        |  round(quantile_cont(n, 0.99), 4) AS p99,
+        |  CAST(max(n) AS INT) AS max_tokens
+        |FROM w GROUP BY source""".stripMargin,
 
     // q95: the declarative inequality join DuckDB plans natively is the
     // oracle for the binned rewrite — inclusive ±60 s band, count per

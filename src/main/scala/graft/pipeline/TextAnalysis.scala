@@ -296,6 +296,32 @@ object TextAnalysis {
         .as("bpe_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** Per-source token-length distribution audit (q96) — the dataset-card
+    * numbers behind mixing and truncation decisions: how long are this
+    * source's documents, where do the tails sit, how many tokens does it
+    * contribute. Exact interpolated percentiles (Spark `percentile` and
+    * DuckDB `quantile_cont` both implement the R-7 / SQL
+    * PERCENTILE_CONT rule, so the oracle reproduces them; outputs are
+    * rounded at 4 dp, and interpolations of integer lengths carry at
+    * most 2 exact decimals, so the rounding boundary is never in play).
+    *
+    * Scale: the percentile aggregate's state is a per-group
+    * value→count map — bounded by the number of DISTINCT document
+    * lengths (≤ max length, independent of corpus size) — and it
+    * partial-aggregates map-side, so the shuffle carries per-source
+    * sketch maps, not rows. Output is one row per source. */
+  def lengthProfile(docs: DataFrame, srcCol: String, textCol: String)
+      : DataFrame =
+    docs.select(col(srcCol).as("source"),
+        size(words(col(textCol))).as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n").cast("long")).as("tokens"),
+        round(expr("percentile(n, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n, 0.9D)"), 4).as("p90"),
+        round(expr("percentile(n, 0.99D)"), 4).as("p99"),
+        max(col("n")).as("max_tokens"))
+
   /** Linear text-classifier inference with feature hashing (q93) — the
     * model-based quality-filter stage of a training-data pipeline (the
     * fastText / CCNet shape): per document, hash unigram and

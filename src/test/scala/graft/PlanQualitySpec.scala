@@ -183,6 +183,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       exchanges)
   }
 
+  test("q96: the percentile profile partial-aggregates map-side") {
+    // the length-distribution audit's scale story: the shuffle carries
+    // per-source partial percentile buffers (distinct-length count
+    // maps), not document rows — a missing partial_percentile means
+    // every row crosses the wire to 20 reducers
+    val p = plan("q96")
+    assert(p.contains("partial_percentile"), p.take(3000))
+  }
+
   test("q95: the range join plans as a binned equi-join — never a nested loop") {
     // rangeJoin exists to avoid BroadcastNestedLoopJoin/CartesianProduct
     // (what Spark plans for a bare inequality predicate — all pairs
