@@ -468,6 +468,13 @@ object RelationalQueries {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // Q97 — leakage-safe split: exact-duplicate groups assigned to ONE
+    // split via their min-id representative's content-hash bucket — the
+    // eval-contamination mode q57's per-document split cannot prevent.
+    // One 40-byte-row shuffle keyed by fingerprint; the body never moves.
+    "q97" -> ((s, d) =>
+      Curation.leakageSafeSplit(Tables.documents(s, d), "doc_id", "text")),
+
     // Q96 — per-source token-length distribution audit (dataset-card
     // numbers behind mixing/truncation decisions): docs, total tokens,
     // exact p50/p90/p99 (R-7 interpolation in both engines), max. The
@@ -2348,6 +2355,22 @@ object RelationalQueries {
         |SELECT l.event_id, l.user_id, r.r_event_id, r.r_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.r_ts""".stripMargin,
+
+    // q97: same md5 fingerprint, window-min representative, and portable
+    // content-hash bucket in both engines — string/integer-only gate
+    "q97" ->
+      s"""WITH k AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |r AS (SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY fp) AS rep FROM k),
+        |b AS (SELECT doc_id, rep,
+        |    CAST(${graft.pipeline.Portable.hash60Sql(
+              "CAST(rep AS VARCHAR)")} % 100 AS INT) AS bucket
+        |  FROM r)
+        |SELECT doc_id, rep, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     // q96: DuckDB quantile_cont is the same R-7 PERCENTILE_CONT rule as
     // Spark's percentile; 4 dp rounding with ≤2 exact decimals keeps the

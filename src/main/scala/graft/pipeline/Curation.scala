@@ -330,6 +330,40 @@ object Curation {
           .cast("int").as("n_tokens"))
   }
 
+  /** Leakage-safe train/val/test split (q97): assign every EXACT-CONTENT
+    * duplicate group to one split, so a document duplicated across the
+    * corpus can never sit in train while its twin sits in eval — the
+    * contamination mode a per-document hash split (q57's
+    * `stratifiedSplit`) cannot prevent. The split key is the group
+    * REPRESENTATIVE (min doc id over identical md5 bodies, the
+    * [[Dedup.exact]] winner rule), bucketed by the portable content hash
+    * into 100 cells: < `pctTrain` train, < `pctTrain + pctVal` val,
+    * else test. Pure function of the data — replay-stable across
+    * partition layouts and engines.
+    *
+    * Scale: documents reduce to (doc_id, fp) before the only exchange —
+    * one shuffle of 40-byte rows keyed by fingerprint, the body never
+    * moves; the representative comes from a window min over the
+    * fingerprint partition (no second join shuffle). Returns
+    * (doc_id, rep, bucket, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+      pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"pctTrain=$pctTrain pctVal=$pctVal")
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val keyed = docs.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("fp"))
+    val rep = min(col("doc_id")).over(Window.partitionBy("fp"))
+    val bucket = pmod(Portable.hash60Fast(rep.cast("string")), lit(100L))
+      .cast("int")
+    keyed.select(col("doc_id"), rep.as("rep"), bucket.as("bucket"))
+      .select(col("doc_id"), col("rep"), col("bucket"),
+        when(col("bucket") < pctTrain, "train")
+          .when(col("bucket") < pctTrain + pctVal, "val")
+          .otherwise("test").as("split"))
+  }
+
   def maskPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     def cnt(p: String) = size(regexp_extract_all(t, lit(p), lit(0)))

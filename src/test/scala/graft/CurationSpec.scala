@@ -8,6 +8,25 @@ import graft.pipeline.Curation
 class CurationSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
+  test("leakageSafeSplit: exact duplicates share a split, layout-independent") {
+    val docs = Seq(
+      (10L, "same body"), (3L, "same body"), (77L, "same body"),
+      (5L, "unique one"), (6L, "unique two"))
+    for (parts <- Seq(1, 7)) {
+      val out = Curation.leakageSafeSplit(
+          docs.toDF("doc_id", "text").repartition(parts),
+          "doc_id", "text")
+        .select("doc_id", "rep", "split")
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+      // all three copies carry the min-id representative and ONE split
+      val dupRows = out.filter(r => Set(10L, 3L, 77L)(r._1))
+      assert(dupRows.map(_._2).toSet == Set(3L), s"parts=$parts $out")
+      assert(dupRows.map(_._3).toSet.size == 1, s"parts=$parts $out")
+      assert(out.map(_._3).forall(Set("train", "val", "test")),
+        s"parts=$parts $out")
+    }
+  }
+
   test("repetitionMetrics: hand-computed counts, fractions, and the flag") {
     val docs = Seq(
       (1L, "a a b c"),       // dup=1, top word 2, bigrams (a a)(a b)(b c)
