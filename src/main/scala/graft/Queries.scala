@@ -468,6 +468,14 @@ object RelationalQueries {
         .select("event_id", "user_id", "r_event_id", "r_value")
     }),
 
+    // Q98 — per-dimension embedding statistics (whitening/encoder-health
+    // audit): mean, sample std, min, max of every coordinate. Map-side
+    // generate + partial-agg'd buffers; 64 output rows at any corpus
+    // size. Mean/std land inside the 1e-6 float tolerance; the rest is
+    // exact.
+    "q98" -> ((s, d) =>
+      Quantize.dimStats(Tables.embeddings(s, d), "embedding")),
+
     // Q97 — leakage-safe split: exact-duplicate groups assigned to ONE
     // split via their min-id representative's content-hash bucket — the
     // eval-contamination mode q57's per-document split cannot prevent.
@@ -2355,6 +2363,17 @@ object RelationalQueries {
         |SELECT l.event_id, l.user_id, r.r_event_id, r.r_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.r_ts""".stripMargin,
+
+    // q98: the range(1,dim+1) unnest pattern the IVF oracles use;
+    // min/max/count exact, mean/std inside the float tolerance
+    "q98" ->
+      """SELECT CAST(i - 1 AS INT) AS dim, count(*) AS n,
+        |  avg(CAST(embedding[i] AS DOUBLE)) AS mean,
+        |  stddev_samp(CAST(embedding[i] AS DOUBLE)) AS std,
+        |  CAST(min(embedding[i]) AS DOUBLE) AS min_x,
+        |  CAST(max(embedding[i]) AS DOUBLE) AS max_x
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY dim""".stripMargin,
 
     // q97: same md5 fingerprint, window-min representative, and portable
     // content-hash bucket in both engines — string/integer-only gate

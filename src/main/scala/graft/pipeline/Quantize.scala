@@ -110,4 +110,28 @@ object Quantize {
             (x, r) => abs(x - r)),
           lit(0.0), (a, e) => greatest(a, e)).as("max_err"))
   }
+
+  /** Per-dimension embedding statistics (q98) — the whitening /
+    * encoder-health audit: mean, sample std, min, max of every vector
+    * coordinate across the corpus. A dead dimension (std ≈ 0), a biased
+    * one (|mean| ≫ others), or a blown-up range flags an encoder or
+    * ingestion fault before any training run pays for it; the
+    * mean/std pairs are also exactly what a whitening transform
+    * consumes.
+    *
+    * Scale: posexplode is a map-side generate (dim × rows, no state),
+    * and every aggregate partial-combines map-side, so the one shuffle
+    * carries `dim` groups of constant-size buffers — output is `dim`
+    * rows regardless of corpus size. Cross-engine: mean/std accumulate
+    * in engine-specific order; drift is ~1e-13 absolute on unit-scale
+    * coordinates, far inside the driver's 1e-6 float tolerance, and
+    * min/max/count are exact. */
+  def dimStats(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        avg(col("x")).as("mean"),
+        stddev_samp(col("x").cast("double")).as("std"),
+        min(col("x")).cast("double").as("min_x"),
+        max(col("x")).cast("double").as("max_x"))
 }
