@@ -723,6 +723,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(out(2L) == "en") // all-zero ties resolve to first language
   }
 
+  test("classifierFilter: feature counts and degenerate docs") {
+    // "a b c" -> unigrams a,b,c + bigrams a_b,b_c = 5 features;
+    // one token -> no bigrams; empty/whitespace -> 0 features, w_sum 0,
+    // kept at threshold 0 (0 >= 0)
+    val docs = Seq((0L, "a b c"), (1L, "solo"), (2L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.classifierFilter(docs, "doc_id", "text")
+      .select("doc_id", "n_feats", "w_sum", "keep")
+      .as[(Long, Int, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == 5)
+    assert(out(1L)._2 == 1)
+    assert(out(2L) == ((2L, 0, 0L, true)))
+    // w_sum is the sum of per-feature weights: recompute one doc by hand
+    // through the same portable hash
+    def w(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.map(b => f"$b%02x").mkString.take(15), 16)
+      h % (1 << 20) % 2001 - 1000
+    }
+    assert(out(0L)._3 ==
+      Seq("a", "b", "c", "a_b", "b_c").map(w).sum)
+    assert(out(0L)._4 == (out(0L)._3 >= 0))
+  }
+
   test("tokenCounts: whitespace vs bpe-ish tokens") {
     val docs = Seq((0L, "ab 12 c!")).toDF("doc_id", "text")
     val Array((_, ws, bpe, n)) = TextAnalysis.tokenCounts(docs, "doc_id", "text")
