@@ -2129,15 +2129,20 @@ object RelationalQueries {
         |FROM r WHERE rank <= 5""".stripMargin,
 
     // q90: distinct 4-gram sets per source, pairwise intersection counts,
-    // jaccard as one division of exact integers
+    // jaccard as one division of exact integers. The gram is hashed with
+    // the portable 60-bit hash BEFORE the distinct, mirroring the Spark
+    // side, so a hash collision lands identically in both engines
     "q90" ->
-      """WITH w AS (SELECT source,
+      s"""WITH w AS (SELECT source,
         |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
         |  FROM documents),
-        |sh AS (SELECT DISTINCT source,
+        |g AS (SELECT source,
         |    unnest([ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
-        |            for i in range(len(ws)-3)]) AS s
+        |            for i in range(len(ws)-3)]) AS s0
         |  FROM w),
+        |sh AS (SELECT DISTINCT source,
+        |    ${graft.pipeline.Portable.hash60Sql("s0")} AS s
+        |  FROM g),
         |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
         |i AS (SELECT a.source AS src_a, b.source AS src_b,
         |    count(*) AS inter

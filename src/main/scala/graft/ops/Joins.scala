@@ -80,11 +80,21 @@ object Joins {
     *
     * The floor division uses `(m - pmod(m, tol)) div tol` — exact floor
     * for negative epochs too, so pre-1970 timestamps bin uniformly.
-    * Column names must be disjoint between the sides. */
+    * Column names must be disjoint between the sides.
+    *
+    * Only `inner` and `left_outer` are supported: the right side is
+    * exploded 3x before the join, so right_outer/full would surface each
+    * unmatched right row once per bin copy (3 null-extended rows). Those
+    * types need an unmatched-right dedup pass this operator does not do,
+    * so they fail loudly instead of returning silently-wrong rows. */
   def rangeJoin(left: DataFrame, right: DataFrame, leftTs: String,
       rightTs: String, toleranceMicros: Long,
       joinType: String = "inner"): DataFrame = {
     require(toleranceMicros > 0, s"tolerance=$toleranceMicros")
+    require(joinType == "inner" || joinType == "left_outer",
+      s"rangeJoin supports inner/left_outer only, got $joinType " +
+        "(right side is bin-exploded; right/full outer would emit " +
+        "unmatched right rows once per bin copy)")
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
     require(lCols.intersect(rCols).isEmpty,
@@ -122,10 +132,15 @@ object Joins {
     *
     * Right rows sort BEFORE left rows at equal ts (`side` 0 vs 1), so
     * an exactly-simultaneous right row matches (>= not >). Right rows
-    * that tie on (key, ts) are resolved by the trailing sort on the
-    * payload struct — content-based like [[overrideJoin]], not
-    * partition-order. Column names must be disjoint between the sides
-    * (pre-rename the right side). */
+    * that tie on (key, ts) resolve to the MAX payload struct — the
+    * trailing sort on `__pay` is content-based like [[overrideJoin]],
+    * not partition-order (DuckDB ASOF leaves the tie pick unspecified;
+    * OpsSpec pins ours). Right rows with a null `rightTs` are dropped
+    * before the union: a null `__ts` sorts first under nulls-first
+    * ascending and would otherwise become a universal fallback match
+    * for every left row, where ASOF semantics never match them. Column
+    * names must be disjoint between the sides (pre-rename the right
+    * side). */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -139,7 +154,7 @@ object Joins {
       Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__side")) ++
         lCols.map(col) ++
         Seq(lit(null).cast(payType).as("__pay")): _*)
-    val rTagged = right.select(
+    val rTagged = right.filter(col(rightTs).isNotNull).select(
       Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__side")) ++
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         Seq(payload.as("__pay")): _*)

@@ -336,10 +336,13 @@ object Curation {
     * contamination mode a per-document hash split (q57's
     * `stratifiedSplit`) cannot prevent. The split key is the group
     * REPRESENTATIVE (min doc id over identical md5 bodies, the
-    * [[Dedup.exact]] winner rule), bucketed by the portable content hash
-    * into 100 cells: < `pctTrain` train, < `pctTrain + pctVal` val,
-    * else test. Pure function of the data — replay-stable across
-    * partition layouts and engines.
+    * [[Dedup.exact]] winner rule); the representative's ID is hashed by
+    * the portable hash into 100 cells: < `pctTrain` train,
+    * < `pctTrain + pctVal` val, else test. Note the bucket keys on the
+    * representative's id, not the group's content — assignment is
+    * replay-stable across partition layouts and engines for a FIXED id
+    * assignment, but not invariant under doc-id renumbering (hash the
+    * group's md5 fingerprint instead if that invariance matters).
     *
     * Scale: documents reduce to (doc_id, fp) before the only exchange —
     * one shuffle of 40-byte rows keyed by fingerprint, the body never

@@ -86,7 +86,16 @@ object Dedup {
     * moves — and the distinct collapses each group's grams map-side
     * first. The self-join fan-out per gram is bounded by the number of
     * groups sharing it, so the output is O(G²) rows for G groups; G is
-    * source-count-sized (thousands at most), never corpus-sized. */
+    * source-count-sized (thousands at most), never corpus-sized.
+    *
+    * Accepted collision exposure: sets are intersected on the 60-bit
+    * gram HASH (the q90 oracle hashes identically, so both engines share
+    * every collision); two distinct grams colliding within one group
+    * would merge into one distinct hash and shift na/inter by 1.
+    * Expected collisions ≈ g²/2^61 per group — ~10^-7 even at a billion
+    * distinct grams per source — and the jaccard shifts by at most
+    * 1/(na+nb-inter). The alternative (shuffling full gram strings)
+    * costs n× the exchange width for audit-grade output; not worth it. */
   def groupOverlap(docs: DataFrame, groupCol: String, textCol: String,
       n: Int): DataFrame = {
     graft.functions.VectorOps.ensureRegistered(docs.sparkSession)

@@ -352,10 +352,14 @@ object TextAnalysis {
     val feats = concat(ws, bi)
     val wsum = aggregate(feats, lit(0L),
       (acc, f) => acc + (Portable.hash60Fast(f) % buckets % 2001 - 1000))
+    // Project the fold ONCE, then derive keep from the projected column:
+    // the aggregate HOF is CodegenFallback, so referencing `wsum` twice
+    // in one select would run the whole per-feature fold twice per row.
     docs.select(col(idCol).as("doc_id"),
       size(feats).as("n_feats"),
-      wsum.as("w_sum"),
-      (wsum >= threshold).as("keep"))
+      wsum.as("w_sum"))
+      .select(col("doc_id"), col("n_feats"), col("w_sum"),
+        (col("w_sum") >= threshold).as("keep"))
   }
 
   /** Order-sensitive document fingerprint (Rabin-Karp flavored): a

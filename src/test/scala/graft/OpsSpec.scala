@@ -142,6 +142,30 @@ class JoinsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("asOfJoin: null right timestamps never match (no universal fallback)") {
+    // a null rts sorts first under nulls-first ascending; un-filtered it
+    // would become the fallback payload for every left row, where ASOF
+    // semantics never match a null-timestamp row
+    val l = Seq((1L, 10L, "e10"), (1L, 1L, "e1")).toDF("k", "ts", "lv")
+    val r = Seq((1L, Some(5L), "r5"), (1L, None: Option[Long], "rNull"))
+      .toDF("k", "rts", "rv")
+    val out = Joins.asOfJoin(l, r, "k", "ts", "rts")
+      .select("lv", "rv").as[(String, Option[String])].collect().toMap
+    assert(out == Map("e10" -> Some("r5"), "e1" -> None))
+  }
+
+  test("rangeJoin: right_outer/full are rejected (bin explode would " +
+      "triple unmatched right rows)") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val l = Seq((1L, 100L)).toDF("l_id", "lm")
+      .select(col("l_id"), timestamp_micros(col("lm")).as("lts"))
+    val r = Seq((10L, 110L)).toDF("r_id", "rm")
+      .select(col("r_id"), timestamp_micros(col("rm")).as("rts"))
+    for (jt <- Seq("right_outer", "full_outer", "full"))
+      assertThrows[IllegalArgumentException](
+        Joins.rangeJoin(l, r, "lts", "rts", 10L, jt))
+  }
+
   test("rangeJoin: inclusive band, cross-bin pairs found once, left_outer keeps misses") {
     import org.apache.spark.sql.functions.timestamp_micros
     val tol = 10L // micros
