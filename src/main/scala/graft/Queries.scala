@@ -59,12 +59,18 @@ object RelationalQueries {
   private val q63Fixtures =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  /** q86 archive indexes already written by THIS process (keyed by the
-    * per-source-dir table name): write-once-probe-many — repeated
-    * bench/verify invocations pay the index build once and then measure
-    * what production pays per batch, the probe. */
-  private val q86Indexes =
+  /** Archive indexes (q86 minhash, q99 ADC) already written by THIS
+    * process (keyed by the per-source-dir table name):
+    * write-once-probe-many — repeated bench/verify invocations pay each
+    * index build once and then measure what production pays per batch,
+    * the probe. */
+  private val onceKeys =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** qa1's re-rank depth — the quantized tier hands this many survivors
+    * per query to the full-precision re-rank; single-sourced into the
+    * oracle's unrolled SQL. */
+  private val qa1Depth = 10
 
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
@@ -431,6 +437,43 @@ object RelationalQueries {
         "embedding", nlist = nlist, dim = 64)
       Similarity.ivfAdcTopK(vecs, "vec_id", "embedding",
         k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
+    }),
+
+    // Q99 — q89's ADC retrieval probing a PERSISTED index (the q86
+    // write-once-probe-many shape applied to vectors, r8 verdict #1):
+    // centroids + cell-assigned packed codes written once per process
+    // into the bucketed MapFile layout, then every run probes with no
+    // quantizer retrain, no code re-pack, and NO shuffle on the stored
+    // side (plan-asserted). Same oracle as q89 — the stored index must
+    // lose nothing vs the retrain-every-run tier.
+    "q99" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val table = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      if (onceKeys.putIfAbsent(table, java.lang.Boolean.TRUE) == null)
+        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
+          nlist = nlist, dim = 64)
+      Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding", k = 3,
+        nprobe = nprobe, table = table, dim = 64)
+    }),
+
+    // QA1 — two-stage retrieval: q89's quantized candidate generation to
+    // depth 10, then ONLY the survivors join the float vectors for an
+    // exact-cosine re-rank to top-3 — the ADC serving composition
+    // (quantized at corpus scale, full precision at candidate scale).
+    // Cell-keyed exchanges stay vector-free (plan-asserted).
+    "qa1" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val cents = Similarity.trainCoarseQuantizer(
+        Similarity.trainingSample(vecs, "vec_id", "embedding",
+          Similarity.trainingCap(nlist)),
+        "embedding", nlist = nlist, dim = 64)
+      Similarity.ivfAdcRerank(vecs, "vec_id", "embedding", k = 3,
+        depth = qa1Depth, nlist = nlist, nprobe = nprobe, dim = 64,
+        cents = cents)
     }),
 
     // Q88 — SemDeDup: coarse k-means cells (the q35c quantizer, derived
@@ -1180,7 +1223,7 @@ object RelationalQueries {
       val docs = Tables.documents(s, d)
       val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
       val table = "q86_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      if (q86Indexes.putIfAbsent(table, java.lang.Boolean.TRUE) == null)
+      if (onceKeys.putIfAbsent(table, java.lang.Boolean.TRUE) == null)
         Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400), "doc_id",
           "text", table, n = 3, numHashes = h, bands = b)
       Dedup.incrementalMinhashPairsIndexed(

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
@@ -491,6 +491,16 @@ object Similarity {
       .select(col("q_id"), col("id").as("nb_id"),
         VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),
         col("scale"))
+    rankByScaledIdot(candidates, k)
+  }
+
+  /** Per-query top-k over (q_id, nb_id, idot, scale) candidates by the
+    * ADC key `idot * scale` desc (ties by nb_id) — the [[rankTopK]]
+    * shape on the quantized score: map-side partial collect, per-group
+    * sort, never a global window. Shared by [[ivfAdcTopK]] and
+    * [[ivfAdcTopKIndexed]] so the live and persisted tiers cannot rank
+    * differently. */
+  private def rankByScaledIdot(candidates: DataFrame, k: Int): DataFrame =
     candidates
       .groupBy("q_id").agg(slice(array_sort(collect_list(struct(
         (-col("idot").cast("double") * col("scale")).as("nk"),
@@ -498,6 +508,135 @@ object Similarity {
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "v")))
       .select(col("q_id"), col("v.nb_id").as("nb_id"),
         (col("pos") + 1).cast("int").as("rank"), col("v.idot").as("idot"))
+
+  /** Bucket count of the persisted ADC index ([[writeIvfAdcIndex]]) —
+    * shared with the probe's co-partitioning repartition so the stored
+    * side never re-shuffles. */
+  val ivfIndexBuckets: Int = 16
+
+  /** Persist the IVF-ADC retrieval index (q99) — the [[ivfAdcTopK]]
+    * corpus side written ONCE into the MapFile bucketed layout
+    * ([[graft.sources.MapFiles]]), the write-once-probe-many shape q86
+    * proved for minhash applied to vector retrieval: in production the
+    * coarse quantizer is trained and every code packed once per archive
+    * append, not once per query batch. Two tables: `table` holds
+    * (cell, id, qc, scale) bucketed + sorted by `cell` (the join key of
+    * every probe), and `table_c` holds the nlist centroid rows so a
+    * probing session reconstructs the EXACT quantizer (the index is
+    * self-describing — no driver-side state survives between write and
+    * probe).
+    *
+    * Scale: the write is one map-side projection of the corpus (cell
+    * assignment via broadcast centroids, pack_quant in the scan) plus
+    * the bucketed sink's own cell-keyed exchange — paid once; after
+    * that, every batch probe reads the stored side with NO shuffle
+    * (plan-asserted) and 64-byte blobs instead of float vectors.
+    * Reference analog: `MapFileOutputFormat`'s build-then-`getEntry`
+    * contract (mapred/MapFileOutputFormat.java:39). Returns the trained
+    * quantizer. */
+  def writeIvfAdcIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      table: String, nlist: Int, dim: Int = 64,
+      cents: Array[Array[Double]] = null,
+      buckets: Int = ivfIndexBuckets): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val quantizer =
+      if (cents != null) cents
+      else trainCoarseQuantizer(
+        trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
+        vecCol, nlist, dim)
+    val sc = VectorOps.maxAbs(col(vecCol))
+    val packed = vecs.select(
+      element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
+      col(idCol).as("id"),
+      VectorOps.packQuant(col(vecCol), sc).as("qc"), sc.as("scale"))
+    graft.sources.MapFiles.write(packed, "cell", buckets, table)
+    val centRows = quantizer.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+    graft.sources.MapFiles.write(
+      spark.createDataFrame(centRows.toSeq).toDF("cell", "cent"),
+      "cell", 1, table + "_c")
+    quantizer
+  }
+
+  /** The persisted quantizer of [[writeIvfAdcIndex]], read back in cell
+    * order — an nlist-row collect, the same bounded driver state
+    * [[trainCoarseQuantizer]] holds. */
+  def readIvfCentroids(spark: SparkSession, table: String)
+      : Array[Array[Double]] =
+    spark.table(table + "_c").orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** [[ivfAdcTopK]] probing the PERSISTED index instead of retraining
+    * the quantizer and re-packing every code per run — the production
+    * ADC retrieval shape (the r8 verdict's #1): centroids read back from
+    * `table_c` (nlist rows), the query side packs its codes map-side and
+    * repartitions on `cell` to the index's OWN bucket count — one
+    * query-sized exchange that is simultaneously (a) the documented
+    * materialization barrier keeping pack_quant out of the candidate
+    * stage (Similarity.ivfAdcTopK's 39.6 s collapse signature) and
+    * (b) co-partitioning with the bucketed layout, so the stored side
+    * joins with NO shuffle at any broadcast setting (plan-asserted).
+    * Identical output contract and ranking to [[ivfAdcTopK]] — q99
+    * shares q89's oracle, proving the stored index loses nothing. */
+  def ivfAdcTopKIndexed(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, table: String, dim: Int = 64,
+      buckets: Int = ivfIndexBuckets): DataFrame =
+    rankByScaledIdot(
+      adcProbeCandidates(queries, idCol, vecCol, nprobe, table, buckets), k)
+
+  /** The candidate stage of [[ivfAdcTopKIndexed]] — probe rows joined
+    * against the stored bucketed table, pre-rank. Package-visible so
+    * PlanQualitySpec can assert the stored side scans `Bucketed: true`
+    * with exactly one (probe-side) exchange. */
+  private[graft] def adcProbeCandidates(queries: DataFrame, idCol: String,
+      vecCol: String, nprobe: Int, table: String,
+      buckets: Int = ivfIndexBuckets): DataFrame = {
+    val spark = queries.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val cents = readIvfCentroids(spark, table)
+    val probes = queries.select(col(idCol).as("q_id"),
+        VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
+          .as("q_qc"),
+        explode(nearestCells(col(vecCol), cents, nprobe)).as("cell"))
+      .repartition(buckets, col("cell"))
+    probes.join(spark.table(table), Seq("cell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("nb_id"),
+        VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),
+        col("scale"))
+  }
+
+  /** Two-stage quantized retrieval (qa1) — the composition
+    * [[Quantize]]'s Scaladoc promises, closed: [[ivfAdcTopK]] generates
+    * the per-query top-`depth` candidates over PACKED INT8 CODES (cheap,
+    * integer-exact, 64-byte shuffle rows), then ONLY those survivors —
+    * `depth` rows per query, never the corpus — join back to the full
+    * float vectors for an exact-cosine re-rank to top-`k`. This is the
+    * standard ADC serving recipe: quantized candidate generation at
+    * corpus scale, full-precision scoring at candidate scale.
+    *
+    * Scale: the float vectors enter the plan ONLY keyed by id against
+    * the survivor set (`n_queries × depth` rows); every cell-keyed
+    * exchange — the candidate join and the ADC rank shuffle — carries
+    * codes, never an embedding (plan-asserted). The re-rank itself is
+    * [[rankTopK]]'s grouped partial collect over depth-bounded groups.
+    * Output: (q_id, nb_id, rank, cos) — [[bruteForceTopK]]'s contract,
+    * restricted to the quantized tier's candidates. */
+  def ivfAdcRerank(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, depth: Int, nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
+      cents: Array[Array[Double]] = null): DataFrame = {
+    require(depth >= k, s"depth=$depth < k=$k")
+    val survivors = ivfAdcTopK(vecs, idCol, vecCol, depth, nlist, nprobe,
+      dim, cents).select(col("q_id"), col("nb_id"))
+    val base = withNorm(vecs, idCol, vecCol)
+    val rescored = survivors
+      .join(base.select(col("id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("q_id"))
+      .join(base.select(col("id").as("nb_id"), col("v"), col("nrm")),
+        Seq("nb_id"))
+      .select(col("q_id"), col("nb_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+    rankTopK(rescored, k)
   }
 
   /** SemDeDup-style semantic deduplication: partition the corpus into
