@@ -63,9 +63,15 @@ object RelationalQueries {
     * process (keyed by the per-source-dir table name):
     * write-once-probe-many — repeated bench/verify invocations pay each
     * index build once and then measure what production pays per batch,
-    * the probe. */
+    * the probe. Marked via [[buildOnce]]'s computeIfAbsent so the key is
+    * recorded only AFTER a successful build: a failed write never
+    * poisons the key, and a concurrent second invocation blocks until
+    * the build completes instead of probing a missing table. */
   private val onceKeys =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def buildOnce(table: String)(build: => Unit): Unit =
+    onceKeys.computeIfAbsent(table, _ => { build; java.lang.Boolean.TRUE })
 
   /** qa1's re-rank depth — the quantized tier hands this many survivors
     * per query to the full-precision re-rank; single-sourced into the
@@ -451,9 +457,10 @@ object RelationalQueries {
       val (nlist, nprobe) =
         Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
       val table = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      if (onceKeys.putIfAbsent(table, java.lang.Boolean.TRUE) == null)
+      buildOnce(table) {
         Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
           nlist = nlist, dim = 64)
+      }
       Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding", k = 3,
         nprobe = nprobe, table = table, dim = 64)
     }),
@@ -1223,9 +1230,10 @@ object RelationalQueries {
       val docs = Tables.documents(s, d)
       val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
       val table = "q86_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      if (onceKeys.putIfAbsent(table, java.lang.Boolean.TRUE) == null)
+      buildOnce(table) {
         Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400), "doc_id",
           "text", table, n = 3, numHashes = h, bands = b)
+      }
       Dedup.incrementalMinhashPairsIndexed(
         docs.filter(col("doc_id") < 400),
         docs.filter(col("doc_id") >= 400),
@@ -1471,14 +1479,16 @@ object RelationalQueries {
       |asg AS (SELECT vec_id, e, nrm, cell FROM rnk WHERE rk = 1)""".stripMargin
   }
 
-  /** DuckDB twin of [[Similarity.ivfAdcTopK]] (q89): the shared cell
-    * chain, the q84 quantization formula, then candidate scoring by the
-    * exact integer code dot — the ranking key `idot * nb_scale` is one
-    * IEEE multiply of exact inputs in both engines, so ties are exact
-    * and nb_id breaks them identically. */
-  private def adcOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
+  /** The shared quantized-candidate chain of the q89/q99/qa1 oracles —
+    * the cell CTEs, the q84 quantization formula, candidate scoring by
+    * the exact integer code dot, and the ADC ranking CTE `r` (key
+    * `idot * nb_scale`, one IEEE multiply of exact inputs in both
+    * engines, ties broken by nb_id identically). ONE definition so the
+    * live (q89), persisted-index (q99), and re-rank (qa1) tiers cannot
+    * drift. */
+  private def adcRankedSql(fracNum: Int, occ: Int, iters: Int,
       dim: Int): String =
-    s"""WITH ${ivfCellsSql(fracNum, occ, iters, dim)},
+    s"""${ivfCellsSql(fracNum, occ, iters, dim)},
       |qz AS (SELECT vec_id, scale,
       |    CASE WHEN scale > 0 THEN list_transform(e, x ->
       |        CAST(GREATEST(-127.0, LEAST(127.0,
@@ -1499,9 +1509,36 @@ object RelationalQueries {
       |  WHERE p.q_id <> a.vec_id),
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY CAST(idot AS DOUBLE) * nscale DESC, nb_id) AS rk
-      |  FROM cand)
+      |  FROM cand)""".stripMargin
+
+  /** DuckDB twin of [[Similarity.ivfAdcTopK]] (q89) — and, verbatim, of
+    * [[Similarity.ivfAdcTopKIndexed]] (q99), whose contract is that the
+    * persisted index loses nothing vs the retrain-every-run tier. */
+  private def adcOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${adcRankedSql(fracNum, occ, iters, dim)}
       |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
       |FROM r WHERE rk <= $k""".stripMargin
+
+  /** DuckDB twin of [[Similarity.ivfAdcRerank]] (qa1): the shared ADC
+    * chain to top-`depth` survivors per query, then ONLY those rows join
+    * the float vectors for the exact-cosine re-rank to top-`k` — the
+    * same two-stage composition the Spark side runs. Cosine carries the
+    * q35c fp exposure (~1e-13 drift inside the driver's float
+    * tolerance); rank ties break by nb_id in both engines. */
+  private def adcRerankOracleSql(k: Int, depth: Int, fracNum: Int,
+      occ: Int, iters: Int, dim: Int): String =
+    s"""WITH ${adcRankedSql(fracNum, occ, iters, dim)},
+      |srv AS (SELECT q_id, nb_id FROM r WHERE rk <= $depth),
+      |rs AS (SELECT s.q_id, s.nb_id,
+      |    list_sum(list_transform(range($dim), i -> qv.e[i+1]*nb.e[i+1]))
+      |      / (qv.nrm * nb.nrm) AS cos
+      |  FROM srv s JOIN nv qv ON qv.vec_id = s.q_id
+      |    JOIN nv nb ON nb.vec_id = s.nb_id),
+      |rr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY cos DESC, nb_id) AS rk FROM rs)
+      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
+      |FROM rr WHERE rk <= $k""".stripMargin
 
   /** DuckDB twin of [[Similarity.semDedup]] (q88): the shared IVF cell
     * chain, then the within-cell smaller-id-neighbor rule. Output is
@@ -2381,6 +2418,25 @@ object RelationalQueries {
     // code-dot ranking (idot * nscale, ties by nb_id)
     "q89" ->
       adcOracleSql(k = 3,
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // q99: q89's oracle VERBATIM — the persisted index must lose
+    // nothing vs the retrain-every-run tier (identical output contract,
+    // identical ranking)
+    "q99" ->
+      adcOracleSql(k = 3,
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // qa1: the shared ADC chain to depth survivors, then the
+    // exact-cosine re-rank — depth single-sourced from qa1Depth
+    "qa1" ->
+      adcRerankOracleSql(k = 3, depth = qa1Depth,
         fracNum = graft.pipeline.Similarity.probeFracEighths(
           q35cTargetRecall),
         occ = graft.pipeline.Similarity.defaultOccupancy,

@@ -427,6 +427,36 @@ object Dedup {
     materializeThenRelease(pairs, bsigs)
   }
 
+  /** STREAMING ingest-dedup against the persisted archive index — the
+    * production shape of [[incrementalMinhashPairsIndexed]] where the
+    * daily increment arrives as a stream (readStream file source /
+    * MemoryStream) instead of a batch frame: the arriving docs' map-side
+    * signatures ([[graft.functions.MinhashSigsExpr]], a stateless scan
+    * projection) band-explode and stream-static join the stored
+    * [[writeMinhashIndex]] table, which is read in its bucketed layout
+    * exactly as in the batch probe (the shared [[probeCandidates]] —
+    * stream and batch CANNOT probe differently). Emits candidate pairs
+    * `(id_a = corpus id, id_b = stream-batch id)` in append mode with
+    * ZERO stream state: no watermark, no aggregation buffer — each
+    * micro-batch costs its own signatures plus an increment-sized band
+    * join, and the archive side never recomputes and never shuffles
+    * (spec-asserted on the streaming micro-batch plan).
+    *
+    * Candidates may repeat across band collisions (the batch path's
+    * `.distinct()` is a streaming aggregation, deliberately NOT applied
+    * stream-side); exact Jaccard verification — which needs
+    * candidate-restricted aggregation over the static corpus — runs
+    * per-micro-batch via foreachBatch handing the increment to
+    * [[incrementalMinhashPairsIndexed]] (spec-gated batch=stream). */
+  def streamProbeCandidates(stream: DataFrame, idCol: String,
+      textCol: String, table: String, n: Int, numHashes: Int = 24,
+      bands: Int = 6): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes bands=$bands")
+    probeCandidates(stream.sparkSession, table,
+      mapSideSignatures(stream, idCol, textCol, n, numHashes),
+      bands, numHashes / bands)
+  }
+
   /** The probe-stage candidate join of [[incrementalMinhashPairsIndexed]]
     * — the stored index read in its bucketed layout against the batch's
     * band rows — pre-distinct, pre-checkpoint. Package-visible so

@@ -264,6 +264,58 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("q99: the persisted ADC index joins in bucketed layout — no shuffle on the stored side") {
+    // the q86 property applied to vectors: build a real index, probe it
+    // with broadcast disabled so the join must choose between shuffling
+    // and consuming the bucketed layout — exactly ONE exchange may
+    // appear (the probe side's documented materialization-barrier
+    // repartition, which co-partitions with the buckets), never a
+    // second one re-shuffling the stored codes
+    import graft.pipeline.Similarity
+    val vecs = Tables.embeddings(spark, d)
+    val (nlist, nprobe) = Similarity.ivfParams(vecs.count())
+    Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+      "q99_plan_idx", nlist = nlist)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cands = Similarity.adcProbeCandidates(vecs, "vec_id",
+        "embedding", nprobe, "q99_plan_idx")
+      cands.collect()
+      val p = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"), p.take(4000))
+      val exchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"stored ADC index side re-shuffled ($exchanges exchanges):\n" +
+          p.take(4000))
+      // and no exchange in the probe carries a float vector
+      val exLines = p.linesIterator.filter(_.contains("Exchange"))
+        .mkString("\n")
+      assert(!exLines.contains("embedding#") && !exLines.contains(", v#"),
+        exLines)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS q99_plan_idx")
+      spark.sql("DROP TABLE IF EXISTS q99_plan_idx_c")
+    }
+  }
+
+  test("qa1: no exchange carries a float vector — codes at corpus scale, floats only at candidate scale") {
+    // ivfAdcRerank's scale claim: the quantized candidate stage moves
+    // 64-byte codes through its cell-keyed exchanges, and the float
+    // vectors enter the plan only against the depth-bounded survivor
+    // set — an exchange line referencing the embedding (or the
+    // normalized v) is the regression this guards against
+    val p = plan("qa1")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange"))
+      .mkString("\n")
+    assert(exchanges.nonEmpty, p.take(3000))
+    assert(!exchanges.contains("embedding#") && !exchanges.contains(", v#"),
+      exchanges)
+  }
+
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {
     // q90's result is checkpointed (materializeThenRelease), so assert on
     // the reconstructed postings + intersection stage, as the q31 test
