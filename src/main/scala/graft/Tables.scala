@@ -23,18 +23,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
-  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects by default. Read nanos as long (legacy conf) and convert to
-    * a proper timestamp; the corpus is microsecond-granular (verified
-    * epoch_ns % 1000 = 0 corpus-wide) so `div 1000` is lossless. */
+  /** events.ts has shipped in two non-TIMESTAMP flavors, both normalized
+    * here so every event-time operator downstream (watermarks, windows,
+    * range/as-of joins) sees a plain TIMESTAMP:
+    *  - parquet TIMESTAMP(NANOS), which Spark 4 rejects by default: read
+    *    nanos as long (legacy conf) and convert; the corpus is
+    *    microsecond-granular (verified epoch_ns % 1000 = 0 corpus-wide)
+    *    so `div 1000` is lossless.
+    *  - parquet timestamp[us] without isAdjustedToUTC, which Spark reads
+    *    as TIMESTAMP_NTZ: cast to TIMESTAMP. All graft sessions pin
+    *    spark.sql.session.timeZone=UTC, so the cast re-labels the same
+    *    micros value (no wall-clock shift) and matches what a DuckDB
+    *    oracle reads from the identical file. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
+    normalizeEventTs(spark.read.parquet(s"$dir/events.parquet"))
+  }
+
+  /** ts-flavor normalization shared by the batch loader above and the
+    * streaming file source ([[graft.streaming.EventStreams.readEventStream]]). */
+  def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

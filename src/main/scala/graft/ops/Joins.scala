@@ -100,16 +100,22 @@ object Joins {
     require(lCols.intersect(rCols).isEmpty,
       s"range: overlapping columns ${lCols.intersect(rCols)}")
     // `div` (integral) on the pmod-floored numerator: exact at any
-    // epoch magnitude, unlike `/` which widens longs to double
+    // epoch magnitude, unlike `/` which widens longs to double.
+    // The inner cast makes the operator NTZ-tolerant: unix_micros only
+    // accepts TIMESTAMP, and parquet timestamp[us] without
+    // isAdjustedToUTC arrives as TIMESTAMP_NTZ. Under the UTC session
+    // tz every graft session pins, the cast is a lossless re-label (and
+    // a no-op for columns already TIMESTAMP).
+    def micros(ts: String): String = s"unix_micros(cast($ts as timestamp))"
     def floorBin(ts: String): Column = expr(
-      s"(unix_micros($ts) - pmod(unix_micros($ts), ${toleranceMicros}L))" +
+      s"(${micros(ts)} - pmod(${micros(ts)}, ${toleranceMicros}L))" +
       s" div ${toleranceMicros}L")
     val l = left.withColumn("__bin", floorBin(leftTs))
     val r = right.withColumn("__rbin", floorBin(rightTs))
       .withColumn("__bin", explode(array(col("__rbin") - 1,
         col("__rbin"), col("__rbin") + 1)))
       .drop("__rbin")
-    val band = abs(unix_micros(col(leftTs)) - unix_micros(col(rightTs))) <=
+    val band = abs(expr(micros(leftTs)) - expr(micros(rightTs))) <=
       toleranceMicros
     l.join(r, l("__bin") === r("__bin") && band, joinType)
       .select((lCols ++ rCols).map(col): _*)

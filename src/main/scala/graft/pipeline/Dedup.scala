@@ -440,14 +440,17 @@ object Dedup {
     * ZERO stream state: no watermark, no aggregation buffer — each
     * micro-batch costs its own signatures plus an increment-sized band
     * join, and the archive side never recomputes and never shuffles
-    * (spec-asserted on the streaming micro-batch plan).
+    * (StreamingSpec asserts Bucketed + <=1 exchange on the micro-batch
+    * `lastExecution` plan, broadcast disabled).
     *
     * Candidates may repeat across band collisions (the batch path's
     * `.distinct()` is a streaming aggregation, deliberately NOT applied
     * stream-side); exact Jaccard verification — which needs
     * candidate-restricted aggregation over the static corpus — runs
     * per-micro-batch via foreachBatch handing the increment to
-    * [[incrementalMinhashPairsIndexed]] (spec-gated batch=stream). */
+    * [[incrementalMinhashPairsIndexed]] (StreamingSpec gates both:
+    * stream candidates == batch probe on the same increment, and the
+    * foreachBatch union over micro-batches == one batch screen). */
   def streamProbeCandidates(stream: DataFrame, idCol: String,
       textCol: String, table: String, n: Int, numHashes: Int = 24,
       bands: Int = 6): DataFrame = {

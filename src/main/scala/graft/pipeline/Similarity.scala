@@ -615,10 +615,16 @@ object Similarity {
     * standard ADC serving recipe: quantized candidate generation at
     * corpus scale, full-precision scoring at candidate scale.
     *
-    * Scale: the float vectors enter the plan ONLY keyed by id against
-    * the survivor set (`n_queries × depth` rows); every cell-keyed
-    * exchange — the candidate join and the ADC rank shuffle — carries
-    * codes, never an embedding (plan-asserted). The re-rank itself is
+    * Scale: the CORPUS float vectors never enter an exchange — in both
+    * re-rank joins the corpus side is the STREAMED side, scored in its
+    * own scan, while the survivor-derived side is broadcast
+    * (plan-asserted: no shuffle carries a float array, no broadcast
+    * carries the corpus `v`/`nrm`). The only float payload that moves is
+    * the query vectors riding the second broadcast at candidate scale
+    * (`n_queries × depth` rows — a serving batch, not the corpus).
+    * Without the hints Spark broadcasts the corpus vector table instead
+    * (cheap at bench scale, a corpus-sized vector movement at 100 TB) —
+    * the r10 regression this shape fixes. The re-rank itself is
     * [[rankTopK]]'s grouped partial collect over depth-bounded groups.
     * Output: (q_id, nb_id, rank, cos) — [[bruteForceTopK]]'s contract,
     * restricted to the quantized tier's candidates. */
@@ -629,11 +635,14 @@ object Similarity {
     val survivors = ivfAdcTopK(vecs, idCol, vecCol, depth, nlist, nprobe,
       dim, cents).select(col("q_id"), col("nb_id"))
     val base = withNorm(vecs, idCol, vecCol)
-    val rescored = survivors
-      .join(base.select(col("id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn")), Seq("q_id"))
-      .join(base.select(col("id").as("nb_id"), col("v"), col("nrm")),
-        Seq("nb_id"))
+    // id-only broadcast: each corpus partition tags its own rows that
+    // serve as queries — qv/qn are produced IN the corpus scan
+    val withQ = base.join(broadcast(survivors), col("id") === col("q_id"))
+      .select(col("q_id"), col("nb_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    // candidate-scale broadcast (ids + query vectors): corpus v/nrm again
+    // stay in their scan; only the depth-bounded query side moves
+    val rescored = base.join(broadcast(withQ), col("id") === col("nb_id"))
       .select(col("q_id"), col("nb_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
     rankTopK(rescored, k)

@@ -26,8 +26,9 @@ object EventStreams {
 
   /** File-based streaming source over the same parquet the batch path
     * reads — schema locked, one file per micro-batch. Applies the same
-    * TIMESTAMP(NANOS) → timestamp conversion as the batch loader so
-    * event-time operators (watermarks, windows) see a real timestamp. */
+    * ts normalization as the batch loader ([[graft.Tables.normalizeEventTs]]:
+    * TIMESTAMP(NANOS)-as-long and TIMESTAMP_NTZ flavors both become plain
+    * TIMESTAMP) so event-time operators (watermarks, windows) accept it. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -38,9 +39,7 @@ object EventStreams {
       .option("maxFilesPerTrigger", 1)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    graft.Tables.normalizeEventTs(raw)
   }
 
   /** Tumbling 5-minute windows per event_type: count + value sum.

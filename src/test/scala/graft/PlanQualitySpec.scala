@@ -302,18 +302,47 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
-  test("qa1: no exchange carries a float vector — codes at corpus scale, floats only at candidate scale") {
-    // ivfAdcRerank's scale claim: the quantized candidate stage moves
-    // 64-byte codes through its cell-keyed exchanges, and the float
-    // vectors enter the plan only against the depth-bounded survivor
-    // set — an exchange line referencing the embedding (or the
-    // normalized v) is the regression this guards against
-    val p = plan("qa1")
-    val exchanges = p.linesIterator.filter(_.contains("Exchange"))
-      .mkString("\n")
-    assert(exchanges.nonEmpty, p.take(3000))
-    assert(!exchanges.contains("embedding#") && !exchanges.contains(", v#"),
-      exchanges)
+  test("qa1: corpus vectors never enter an exchange — shuffles carry no float array, broadcasts only the candidate-scale query side") {
+    // ivfAdcRerank's scale claim, asserted on TYPED exchange outputs (not
+    // string-matched tree lines, which only show partition keys / modes
+    // and let a non-reused exchange smuggle floats undetected — r10):
+    //   1. no ShuffleExchangeExec output attribute is a float/double
+    //      array — codes and scalars only at corpus scale;
+    //   2. any float array in a BroadcastExchangeExec must be the
+    //      survivor-derived query vector `qv` (n_queries × depth rows),
+    //      never the corpus `v`/`embedding` — the r10 regression was
+    //      Spark broadcasting the whole normalized corpus table.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val df = SparkEntry.queries("qa1")(spark, d)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }
+    val all = nodes(df.queryExecution.executedPlan)
+    val shuffles = all.collect { case e: ShuffleExchangeExec => e }
+    val bcasts = all.collect { case e: BroadcastExchangeExec => e }
+    assert(shuffles.nonEmpty && bcasts.nonEmpty,
+      df.queryExecution.executedPlan.toString.take(3000))
+    for (e <- shuffles; a <- e.output)
+      assert(!isFloatArray(a.dataType),
+        s"shuffle carries float array $a: ${e.simpleString(20)}")
+    for (e <- bcasts; a <- e.output if isFloatArray(a.dataType))
+      assert(a.name == "qv",
+        s"broadcast carries non-query-side float array $a: ${e.simpleString(20)}")
   }
 
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {

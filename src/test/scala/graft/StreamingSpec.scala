@@ -264,6 +264,119 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.contains((1L, None)), got)        // finalized unmatched
   }
 
+  // --- streaming ingest-dedup vs the persisted minhash index ---------
+
+  /** Shared fixture: index the first 400 docs, stream the rest. */
+  private def withMinhashIndex(table: String)(
+      body: (org.apache.spark.sql.DataFrame, Seq[(Long, String)], Int, Int) => Unit): Unit = {
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+    val corpus = docs.filter(col("doc_id") < 400)
+    val incr = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    Dedup.writeMinhashIndex(corpus, "doc_id", "text", table,
+      n = 3, numHashes = h, bands = b)
+    try body(corpus, incr, h, b)
+    finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("streamProbeCandidates: stream candidates equal the batch probe on the same increment") {
+    import graft.pipeline.Dedup
+    withMinhashIndex("spc_eq_idx") { (_, incr, h, b) =>
+      val ms = MemoryStream[(Long, String)](spark)
+      ms.addData(incr)
+      val streamed = EventStreams.runToMemory(
+          Dedup.streamProbeCandidates(ms.toDF().toDF("doc_id", "text"),
+            "doc_id", "text", "spc_eq_idx", n = 3, numHashes = h, bands = b),
+          "spc_eq_test", OutputMode.Append())
+        .as[(Long, Long)].collect().toSet
+      val batch = Dedup.probeCandidates(spark, "spc_eq_idx",
+          Dedup.mapSideSignatures(incr.toDF("doc_id", "text"),
+            "doc_id", "text", 3, h), b, h / b)
+        .as[(Long, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous gate: no candidates at all")
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    }
+  }
+
+  test("streamProbeCandidates: the stored index joins bucketed with no shuffle in the micro-batch plan") {
+    // the q86 stored-side property asserted on the STREAMING plan: with
+    // broadcast off, the stream-static band join must consume the index's
+    // bucketed layout — only the increment's band rows may shuffle (<=1
+    // exchange), never the archive side
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    withMinhashIndex("spc_plan_idx") { (_, incr, h, b) =>
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ms = MemoryStream[(Long, String)](spark)
+      ms.addData(incr)
+      val q = Dedup.streamProbeCandidates(ms.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", "spc_plan_idx", n = 3, numHashes = h, bands = b)
+        .writeStream.format("memory").queryName("spc_plan_test")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val p = q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+          .lastExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(p.contains("Bucketed: true"), p.take(4000))
+        val exchanges = p.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+        assert(exchanges <= 1,
+          s"stored index side re-shuffled ($exchanges exchanges):\n" +
+            p.take(4000))
+      } finally {
+        q.stop()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    }
+  }
+
+  test("streaming foreachBatch verification equals the batch incremental screen") {
+    // the full streaming ingest-dedup contract: each micro-batch hands
+    // its increment to incrementalMinhashPairsIndexed (candidate
+    // generation + exact Jaccard against the persisted index); the union
+    // over micro-batches must equal one batch run over the whole
+    // increment — pairs are (corpus, batch) cross pairs only, so
+    // splitting the increment cannot create or lose a pair
+    import graft.pipeline.Dedup
+    withMinhashIndex("spc_fb_idx") { (corpus, incr, h, b) =>
+      val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+      val ms = MemoryStream[(Long, String)](spark)
+      val q = ms.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= Dedup.incrementalMinhashPairsIndexed(corpus, batch,
+                "doc_id", "text", "spc_fb_idx", n = 3, threshold = 0.8,
+                numHashes = h, bands = b)
+              .as[(Long, Long, Double)].collect()
+              .map { case (a, c, j) => (a, c, math.rint(j * 1e6) / 1e6) }
+          }
+          ()
+        }
+        .outputMode(OutputMode.Append()).start()
+      try {
+        ms.addData(incr.take(incr.size / 2)) // two micro-batches
+        q.processAllAvailable()
+        ms.addData(incr.drop(incr.size / 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val batchRun = Dedup.incrementalMinhashPairsIndexed(corpus,
+          incr.toDF("doc_id", "text"), "doc_id", "text", "spc_fb_idx",
+          n = 3, threshold = 0.8, numHashes = h, bands = b)
+        .as[(Long, Long, Double)].collect()
+        .map { case (a, c, j) => (a, c, math.rint(j * 1e6) / 1e6) }.toSet
+      assert(batchRun.nonEmpty, "vacuous gate: no verified pairs at all")
+      assert(got.toSet == batchRun,
+        s"stream-only=${got.toSet -- batchRun} batch-only=${batchRun -- got}")
+    }
+  }
+
   test("parquet file sink + checkpoint: restart resumes exactly-once") {
     // the durable pipeline shape: file source -> file sink with a real
     // checkpoint; a restart must pick up ONLY the new input files and the
