@@ -44,8 +44,12 @@ object Bench {
         try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case scala.util.control.NonFatal(e) =>
+            // 60-char cap: one query's error must never cost the whole
+            // suite its per-query resolution (r10: a ~200-char analysis
+            // error pushed every metricLine rung past the window and the
+            // terminal fallback shipped unparseable)
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .linesIterator.take(1).mkString.take(200)
+              .linesIterator.take(1).mkString.take(60)
             None
         }
       }
@@ -102,12 +106,17 @@ object Bench {
   /** The richest metric line that fits [[budget]]: decimals degrade
     * 3dp -> 2dp -> 1dp (10 ms is far below box noise) before any field
     * is dropped; then unit/runs, then the sf path (the driver supplies
-    * it via SPARK_GRAFT_SF_DIR), then — last resort before a truncated
-    * line would lose every field — an EMPTY errors map (never a
-    * non-empty one) and whole-second values. Exposed for BenchLineSpec,
-    * which fails the build if the current query-key set can no longer
-    * fit 1dp precision (a long new key silently costing the driver its
-    * per-query resolution is exactly the regression six rounds paid). */
+    * it via SPARK_GRAFT_SF_DIR), then error MESSAGES degrade to
+    * names-only (`{"q95":1}` — which query failed survives; why is in
+    * the stderr `[bench]` log), then whole-second values, then — the
+    * guaranteed-fit floor — entries drop smallest-first until the line
+    * fits, so the output PARSES no matter what (r10 shipped an
+    * unparseable line because the terminal fallback embedded a long
+    * error with no fit check and cost the round its entire bench).
+    * Exposed for BenchLineSpec, which fails the build if the current
+    * query-key set can no longer fit 1dp precision (a long new key
+    * silently costing the driver its per-query resolution is exactly
+    * the regression six rounds paid). */
   private[graft] def metricLine(results: Seq[(String, Option[Double])],
       errors: Seq[(String, String)], sfDir: String): String = {
     def fmt(v: Double, dp: Int): String = {
@@ -117,20 +126,30 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val errJson = errors.map { case (k, v) =>
-      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // belt (capture caps at 60) AND suspenders: metricLine re-caps, so a
+    // caller handing it an uncapped message cannot blow the ladder
+    val errFull = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.take(60).replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    // names-only rung: `"q95":1` — a flag, not a timing (timings for
+    // failed queries never enter the queries map)
+    val errNames = errors.map { case (k, _) => "\"" + k + "\":1" }
+      .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    def line(dp: Int, full: Boolean, lean: Int = 0,
+    // errMode: 0 = capped messages, 1 = names-only, 2 = omit entirely
+    def line(dp: Int, full: Boolean, lean: Int = 0, errMode: Int = 0,
         rs: Seq[(String, Option[Double])] = results): String = {
       val qs = rs.collect { case (k, Some(v)) =>
         "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
       val mid = if (full) s""","unit":"sec","queries":$qs,"runs":3"""
         else s""","queries":$qs"""
+      val errJson = if (errMode == 0) errFull else errNames
       val tailFields = lean match {
         case 0 => s""","errors":$errJson,"sf":"$sfDir""""
         case 1 => s""","errors":$errJson"""
-        case _ => if (errors.isEmpty) "" else s""","errors":$errJson"""
+        case _ =>
+          if (errors.isEmpty || errMode == 2) "" else s""","errors":$errJson"""
       }
       s"""{"metric":"total","value":${fmt(total, math.max(dp, 1))}$mid$tailFields}"""
     }
@@ -143,27 +162,43 @@ object Bench {
     // within ~10 chars of the window, so this is what lets the suite
     // keep growing by a query or two without gambling every value on
     // round-to-round drift. "value" stays the sum over ALL queries,
-    // omitted included. Capped at 10% of entries so a pathological key
-    // set still reaches the floor instead of reporting a sliver of the
-    // suite as if it were the whole.
-    def droppingSmallest(): Option[String] = {
-      val present = results.collect { case (k, Some(v)) => (k, v) }
-      val dropOrder = present.sortBy { case (k, v) => (v, -k.length, k) }
-        .map(_._1)
-      val maxDrop = math.max(1, present.size / 10)
+    // omitted included. Capped at 10% of entries (maxDropFrac=10) so a
+    // pathological key set still reaches the floor instead of reporting
+    // a sliver of the suite as if it were the whole; the terminal floor
+    // below relaxes that cap because by then parsing at all beats
+    // completeness.
+    val present = results.collect { case (k, Some(v)) => (k, v) }
+    val dropOrder = present.sortBy { case (k, v) => (v, -k.length, k) }
+      .map(_._1)
+    def droppingSmallest(dp: Int, errMode: Int,
+        maxDropFrac: Int): Option[String] = {
+      val maxDrop = math.max(1, present.size / maxDropFrac)
       (1 to maxDrop).iterator
         .map { nd =>
           val gone = dropOrder.take(nd).toSet
-          line(1, false, lean = 2,
+          line(dp, false, lean = 2, errMode = errMode,
             rs = results.filterNot { case (k, _) => gone(k) })
         }
         .find(_.length <= budget)
     }
     Seq(line(3, true), line(2, true), line(1, true),
       line(2, false), line(1, false), line(1, false, lean = 1),
-      line(1, false, lean = 2))
+      line(1, false, lean = 2),
+      // same 1dp shape with error messages degraded to names-only: one
+      // failing query (even message-capped) must never push the whole
+      // suite to whole-second values
+      line(1, false, lean = 2, errMode = 1))
       .find(_.length <= budget)
-      .orElse(droppingSmallest())
-      .getOrElse(line(0, false, lean = 2))
+      .orElse(droppingSmallest(1, errMode = 1, maxDropFrac = 10))
+      .orElse { // whole-second floors, every one fit-CHECKED
+        Seq(line(0, false, lean = 2, errMode = 1),
+          line(0, false, lean = 2, errMode = 2))
+          .find(_.length <= budget)
+      }
+      // guaranteed-fit terminal floor: drop entries without the 10% cap
+      // (drain to one entry, then to the bare header, which at ~40 chars
+      // always fits) — the line must PARSE even if it carries little
+      .orElse(droppingSmallest(0, errMode = 2, maxDropFrac = 1))
+      .getOrElse(line(0, false, lean = 2, errMode = 2, rs = Seq.empty))
   }
 }

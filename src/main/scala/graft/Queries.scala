@@ -63,20 +63,38 @@ object RelationalQueries {
     * process (keyed by the per-source-dir table name):
     * write-once-probe-many — repeated bench/verify invocations pay each
     * index build once and then measure what production pays per batch,
-    * the probe. Marked via [[buildOnce]]'s computeIfAbsent so the key is
-    * recorded only AFTER a successful build: a failed write never
-    * poisons the key, and a concurrent second invocation blocks until
-    * the build completes instead of probing a missing table. */
-  private val onceKeys =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    * the probe. Memoized as a per-key lazy cell (NOT computeIfAbsent
+    * running the build, which holds the map's bin lock for the build's
+    * whole duration — a concurrent build of a DIFFERENT table hashing to
+    * the same bin would serialize behind it, and a re-entrant build on
+    * the same key would deadlock): registration is a cheap putIfAbsent;
+    * the Spark build runs outside any map lock inside the winning cell.
+    * A failed build REMOVES the cell so a retry re-runs it instead of
+    * replaying the failure; success is recorded only after the build
+    * completes, so a concurrent second invocation awaits the build (by
+    * forcing the same lazy cell) instead of probing a missing table. */
+  private val onceCells =
+    new java.util.concurrent.ConcurrentHashMap[String, () => Unit]()
 
-  private def buildOnce(table: String)(build: => Unit): Unit =
-    onceKeys.computeIfAbsent(table, _ => { build; java.lang.Boolean.TRUE })
+  private def buildOnce(table: String)(build: => Unit): Unit = {
+    object cell { lazy val force: Unit = build }
+    val prior = onceCells.putIfAbsent(table, () => cell.force)
+    val winner = if (prior == null) () => cell.force else prior
+    try winner()
+    catch {
+      case e: Throwable =>
+        onceCells.remove(table, winner); throw e
+    }
+  }
 
   /** qa1's re-rank depth — the quantized tier hands this many survivors
     * per query to the full-precision re-rank; single-sourced into the
     * oracle's unrolled SQL. */
   private val qa1Depth = 10
+
+  /** qa2's merge rounds — single-sourced into the oracle's unrolled
+    * CTEs (each extra round adds two CTEs to the SQL, so keep small). */
+  private val qa2Merges = 3
 
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
@@ -525,6 +543,17 @@ object RelationalQueries {
     // exact.
     "q98" -> ((s, d) =>
       Quantize.dimStats(Tables.embeddings(s, d), "embedding")),
+
+    // QA3 — whitening APPLY over q98's stats (the consumer those stats
+    // exist for): standardize every coordinate, then re-audit — each
+    // dimension of the whitened corpus must read mean ~ 0, std ~ 1.
+    // The apply stage is a single map-side projection (stats re-enter
+    // as literal arrays; plan-asserted zero exchanges); auditing the
+    // result reuses q98's operator unchanged.
+    "qa3" -> ((s, d) =>
+      Quantize.dimStats(
+        Quantize.whiten(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "w")),
 
     // Q97 — leakage-safe split: exact-duplicate groups assigned to ONE
     // split via their min-id representative's content-hash bucket — the
@@ -1217,6 +1246,14 @@ object RelationalQueries {
     // TextAnalysis.bpeMergeStep).
     "q87" -> ((s, d) =>
       TextAnalysis.bpeMergeStep(Tables.documents(s, d), "doc_id", "text")),
+
+    // QA2 — the full BPE trainer: q87's merge step looped qa2Merges
+    // rounds with the pair-count aggregate incrementally maintained
+    // (delta from rewritten docs only, spec-audited against a recount);
+    // the oracle unrolls the identical rounds as DuckDB CTEs.
+    "qa2" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), "doc_id", "text",
+        merges = qa2Merges)),
 
     // Q86 — q73's screen against a PERSISTED archive index: the corpus
     // side's banded signatures are written once per process into the
@@ -2045,6 +2082,42 @@ object RelationalQueries {
         |  CAST(len(string_split(ids, ',')) AS INT) AS n_after, ids
         |FROM m""".stripMargin,
 
+    // qa2: the q87 base encoding, then qa2Merges unrolled merge rounds —
+    // each round re-derives the best pair from the CURRENT sequences
+    // (the Spark side maintains the same counts incrementally;
+    // PipelineSpec proves maintenance == recount, this oracle proves the
+    // end state) and mints new_id = base max + round
+    "qa2" -> {
+      val steps = (1 to qa2Merges).map { k =>
+        s"""p$k AS (SELECT CAST(parts[i+1] AS BIGINT) AS a,
+           |    CAST(parts[i+2] AS BIGINT) AS b
+           |  FROM (SELECT string_split(ids, ',') AS parts FROM enc${k - 1}) s,
+           |       unnest(range(len(parts)-1)) t(i)),
+           |best$k AS (SELECT a, b FROM p$k GROUP BY 1, 2
+           |  ORDER BY count(*) DESC, a, b LIMIT 1),
+           |enc$k AS (SELECT doc_id, trim(replace(replace(',' || ids || ',',
+           |    ',' || a || ',' || b || ',', ',' || (m + $k) || ','),
+           |    ',' || a || ',' || b || ',', ',' || (m + $k) || ','),
+           |  ',') AS ids
+           |  FROM enc${k - 1}, best$k, mx)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH toks AS (SELECT doc_id, i AS pos, ws[i+1] AS tok FROM
+         |    (SELECT doc_id,
+         |       list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+         |     FROM documents) w, unnest(range(len(ws))) t(i)),
+         |vocab AS (SELECT tok, row_number() OVER (
+         |    ORDER BY count(*) DESC, tok) AS token_id
+         |  FROM toks GROUP BY tok),
+         |enc0 AS (SELECT doc_id,
+         |    string_agg(token_id, ',' ORDER BY pos) AS ids
+         |  FROM toks JOIN vocab USING (tok) GROUP BY doc_id),
+         |mx AS (SELECT max(token_id) AS m FROM vocab),
+         |$steps
+         |SELECT doc_id,
+         |  CAST(len(string_split(ids, ',')) AS INT) AS n_after, ids
+         |FROM enc$qa2Merges""".stripMargin
+    },
+
     // q80: the same running totals, integer-divided into batch ids
     "q80_packing" ->
       s"""WITH t AS (SELECT doc_id,
@@ -2478,6 +2551,22 @@ object RelationalQueries {
         |  CAST(max(embedding[i]) AS DOUBLE) AS max_x
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY dim""".stripMargin,
+
+    // qa3: learn the per-dimension stats, standardize, re-audit — the
+    // whitened corpus reads mean ~ 0, std ~ 1 per dimension in BOTH
+    // engines (fp drift ~1e-13, far inside the 1e-6 float tolerance);
+    // dead dimensions (std = 0) pin to exactly 0.0 on both sides
+    "qa3" ->
+      """WITH s AS (SELECT i AS d, avg(CAST(embedding[i] AS DOUBLE)) AS mu,
+        |    stddev_samp(CAST(embedding[i] AS DOUBLE)) AS sd
+        |  FROM embeddings, range(1, 65) t(i) GROUP BY i),
+        |w AS (SELECT CAST(d - 1 AS INT) AS dim,
+        |    CASE WHEN sd > 0 THEN (CAST(embedding[d] AS DOUBLE) - mu) / sd
+        |         ELSE 0.0 END AS y
+        |  FROM embeddings, s)
+        |SELECT dim, count(*) AS n, avg(y) AS mean, stddev_samp(y) AS std,
+        |  min(y) AS min_x, max(y) AS max_x
+        |FROM w GROUP BY dim""".stripMargin,
 
     // q97: same md5 fingerprint, window-min representative, and portable
     // content-hash bucket in both engines — string/integer-only gate

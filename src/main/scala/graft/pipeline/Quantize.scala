@@ -134,4 +134,39 @@ object Quantize {
         stddev_samp(col("x").cast("double")).as("std"),
         min(col("x")).cast("double").as("min_x"),
         max(col("x")).cast("double").as("max_x"))
+
+  /** Whitening apply (qa3) — the transform [[dimStats]]'s Scaladoc
+    * promises a consumer for: per-coordinate standardization
+    * `(x_i − mean_i) / std_i` over the corpus statistics, the
+    * diagonal-covariance whitening a retrieval or clustering stage runs
+    * before distances mean anything. Dead dimensions (std = 0, one
+    * distinct value corpus-wide) map to 0.0 — the information-free
+    * coordinate drops out of every downstream distance instead of
+    * dividing by zero (spec-pinned). Returns `(id, w)` with `w` the
+    * whitened double vector.
+    *
+    * Scale: the stats side is [[dimStats]]'s dim-keyed partial-agg'd
+    * shuffle collected to `dim` rows — BOUNDED BY THE VECTOR WIDTH, not
+    * the corpus — and re-enters the plan as two literal arrays inside a
+    * single codegen'd map-side projection: the apply stage is scan →
+    * project with ZERO exchanges (plan-asserted), so whitening a 100 TB
+    * corpus costs one stats pass plus one embarrassingly-parallel
+    * rewrite pass. */
+  def whiten(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = dimStats(vecs, vecCol)
+      .select(col("dim"), col("mean"),
+        coalesce(col("std"), lit(0.0)).as("std"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(stats.nonEmpty, "whiten: empty corpus has no statistics")
+    val means = array(stats.map(s => lit(s._2)).toIndexedSeq: _*)
+    val stds = array(stats.map(s => lit(s._3)).toIndexedSeq: _*)
+    vecs.select(col(idCol).as("id"),
+      transform(col(vecCol), (x, i) =>
+        when(element_at(stds, i + 1) > 0,
+          (x.cast("double") - element_at(means, i + 1)) /
+            element_at(stds, i + 1))
+          .otherwise(lit(0.0))).as("w"))
+  }
 }

@@ -258,12 +258,7 @@ object TextAnalysis {
     val enc = vocabEncode(docs, idCol, textCol).localCheckpoint()
     val seqs = enc.select(col("doc_id"),
       transform(split(col("ids"), ","), _.cast("long")).as("arr"))
-    val pairs = seqs.select(explode(zip_with(
-        slice(col("arr"), lit(1), size(col("arr")) - 1),
-        slice(col("arr"), lit(2), size(col("arr")) - 1),
-        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("cnt"))
+    val pairs = bpePairCounts(enc) // shared with the bpeTrain loop
     val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
       .collect()
     if (top.isEmpty) // degenerate corpus (no doc has 2 tokens): no merge
@@ -282,6 +277,97 @@ object TextAnalysis {
         trim(merged, ",").as("ids"))
       .withColumn("n_after", size(split(col("ids"), ",")))
       .select("doc_id", "pair_a", "pair_b", "new_id", "n_after", "ids")
+  }
+
+  /** Adjacent-id pair counts of comma-string sequences `(doc_id, ids)` —
+    * the aggregate a BPE trainer maintains. One explode + hash aggregate:
+    * the shuffle carries (a, b, partial count) pairs, map-side combined;
+    * sequences never move. */
+  private[graft] def bpePairCounts(seqs: DataFrame): DataFrame = {
+    val arr = transform(split(col("ids"), ","), _.cast("long"))
+    seqs.select(explode(zip_with(
+        slice(arr, lit(1), size(arr) - 1),
+        slice(arr, lit(2), size(arr) - 1),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The full BPE trainer loop (qa2) — [[bpeMergeStep]] iterated to
+    * `merges` rounds with the pair-count aggregate INCREMENTALLY
+    * maintained instead of recounted: each round picks the most frequent
+    * adjacent pair from the maintained counts (ties: smallest (a, b)),
+    * mints `new_id = base max + round`, rewrites ONLY the documents that
+    * contain the pair (a pattern pre-filter — by late rounds that is a
+    * sliver of the corpus), and applies the count delta
+    * `pairs(rewritten) − pairs(affected)` back to the aggregate. The
+    * merge rewrite is [[bpeMergeStep]]'s two-pass greedy replace,
+    * verbatim. Returns the final `(doc_id, n_after, ids)`.
+    *
+    * Scale shape per round: the argmax is a TakeOrdered over the
+    * maintained (pair, cnt) table — distinct-adjacent-pair-sized, NOT a
+    * corpus pass; the rewrite and its delta touch only pattern-matched
+    * docs (predicate is a substring test, evaluated in the scan); the
+    * delta shuffle is pair-sized with map-side partials. Driver state
+    * per round: one (a, b) row. Sequences and counts are
+    * localCheckpoint'd each round — K rounds of lineage would otherwise
+    * nest K string-rewrite projections into one unplannable tree (the
+    * k-means loop precedent). PipelineSpec gates maintenance ≡ recount
+    * every round and trainer ≡ K chained [[bpeMergeStep]]s; the qa2
+    * oracle unrolls the same K rounds as DuckDB CTEs. Reference analog:
+    * the iterated count→argmin→update cycle of the fork's trainable
+    * apps (apps/pipes/kmeans/cpu-kmeans2D/cpu-kmeans2D.cc:179). */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+      merges: Int): DataFrame =
+    bpeTrainLoop(docs, idCol, textCol, merges)._1
+      .withColumn("n_after", size(split(col("ids"), ",")))
+      .select("doc_id", "n_after", "ids")
+
+  /** The trainer's loop state after `merges` rounds: (sequences,
+    * maintained pair counts, merge history (a, b, new_id)). Package-
+    * visible so the spec can audit the maintained aggregate against a
+    * recount — the invariant that makes incremental maintenance safe. */
+  private[graft] def bpeTrainLoop(docs: DataFrame, idCol: String,
+      textCol: String, merges: Int)
+      : (DataFrame, DataFrame, Seq[(Long, Long, Long)]) = {
+    require(merges >= 1, s"merges=$merges")
+    var seqs = vocabEncode(docs, idCol, textCol)
+      .select(col("doc_id"), col("ids")).localCheckpoint()
+    var counts = bpePairCounts(seqs).localCheckpoint()
+    val baseMax = seqs
+      .select(max(array_max(transform(split(col("ids"), ","),
+        _.cast("long"))))).head.getLong(0)
+    val history = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var round = 0
+    var dry = false
+    while (round < merges && !dry) {
+      val top = counts.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true // no adjacent pairs anywhere: converged
+      else {
+        val a = top(0).getLong(0); val b = top(0).getLong(1)
+        val newId = baseMax + round + 1
+        history += ((a, b, newId))
+        val pat = s",$a,$b,"
+        val wrapped = concat(lit(","), col("ids"), lit(","))
+        val affected = seqs.filter(wrapped.contains(pat))
+        val merged = expr(s"""replace(replace(concat(',', ids, ','),
+          | ',$a,$b,', ',$newId,'), ',$a,$b,', ',$newId,')""".stripMargin)
+        val rewritten = affected.withColumn("ids", trim(merged, ","))
+        // delta = pairs(after) − pairs(before), over affected docs only
+        val delta = bpePairCounts(rewritten)
+          .unionByName(bpePairCounts(affected)
+            .withColumn("cnt", -col("cnt")))
+        counts = counts.unionByName(delta)
+          .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint()
+        seqs = seqs.filter(!wrapped.contains(pat))
+          .unionByName(rewritten).localCheckpoint()
+        round += 1
+      }
+    }
+    (seqs, counts, history.toSeq)
   }
 
   /** BPE-ish sub-token regex: letter runs, digit runs, single symbols. */

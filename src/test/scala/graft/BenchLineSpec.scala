@@ -60,8 +60,50 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("a failed query stays visible in errors at every rung") {
-    val one = keys.map(_ -> Option(9.9))
-    val line = Bench.metricLine(one, Seq("q99" -> "boom"), "/x")
-    assert(line.contains("\"q99\":\"boom\""), line.takeRight(200))
+    // roomy line (few keys): the message itself survives
+    val typical = keys.take(20).map(_ -> Option(0.2))
+    val roomy = Bench.metricLine(typical, Seq("q99" -> "boom"), "/x")
+    assert(roomy.contains("\"q99\":\"boom\""), roomy.takeRight(200))
+    // tight line (uniformly slow round): the message may degrade to the
+    // names-only flag, but the failing query must never vanish — r10's
+    // q95 disappeared from the correctness AND bench record entirely
+    val slow = keys.map(_ -> Option(9.9))
+    val tight = Bench.metricLine(slow, Seq("q99" -> "boom"), "/x")
+    assert(tight.length <= Bench.budget, s"${tight.length} chars")
+    assert(tight.contains("\"errors\":{") && tight.contains("\"q99\":"),
+      tight.takeRight(200))
+  }
+
+  test("one failing query with a 200-char message still fits with 1dp values") {
+    // the r10 failure: q95's ~200-char analysis error pushed every rung
+    // past the window and the unchecked terminal fallback shipped an
+    // unparseable line. Now the message caps at 60 chars, and if that is
+    // still too much the errors map degrades to names-only BEFORE any
+    // value loses its decimal — the failing query stays identifiable and
+    // every surviving timing keeps 1dp.
+    val typical = keys.map(_ -> Option(0.8))
+    val msg = "x" * 200
+    val line = Bench.metricLine(typical.map {
+      case ("q95", _) => "q95" -> None; case kv => kv
+    }, Seq("q95" -> msg), "/x")
+    assert(line.length <= Bench.budget, s"${line.length} chars")
+    assert(line.contains(":0.8"),
+      s"fell to the whole-second floor (${line.length} chars)")
+    assert(line.contains("\"q95\":"), "failing query vanished from errors")
+    assert(!line.contains(msg), "uncapped 200-char message embedded")
+  }
+
+  test("the line parses and fits even under a pathological error storm") {
+    // every query failing with a long message: the guaranteed-fit floor
+    // must still emit well-formed JSON inside the window (r10's terminal
+    // fallback had no fit check at all)
+    val allFail = keys.map(_ -> (None: Option[Double]))
+    val errs = keys.map(_ -> ("e" * 200))
+    val line = Bench.metricLine(allFail, errs, "/x")
+    assert(line.length <= Bench.budget, s"${line.length} chars")
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+    // structurally valid JSON: balanced braces/quotes by a cheap parse
+    assert(line.count(_ == '{') == line.count(_ == '}'), line.take(100))
+    assert(line.count(_ == '"') % 2 == 0, line.take(100))
   }
 }

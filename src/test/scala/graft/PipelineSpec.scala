@@ -644,6 +644,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(bad == 0L, s"$bad vectors exceed the half-step bound")
   }
 
+  test("whiten standardizes every live dimension and zeroes dead ones") {
+    // dim 0: values 1,3,5 -> mean 3, sample std 2 -> exactly (-1, 0, 1);
+    // dim 1: constant (dead, std = 0) -> pinned 0.0, never a div-by-zero;
+    // dim 2: same shape as dim 0
+    val rows = Seq(
+      (1L, Array(1.0f, 5.0f, 2.0f)),
+      (2L, Array(3.0f, 5.0f, 4.0f)),
+      (3L, Array(5.0f, 5.0f, 6.0f))
+    ).toDF("vec_id", "embedding")
+    val w = Quantize.whiten(rows, "vec_id", "embedding")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(w(1L) == Seq(-1.0, 0.0, -1.0), w(1L))
+    assert(w(2L) == Seq(0.0, 0.0, 0.0), w(2L))
+    assert(w(3L) == Seq(1.0, 0.0, 1.0), w(3L))
+  }
+
   test("int8 quantization: a non-finite element cannot fail the scan") {
     // NaN poisons max-abs (Spark orders NaN above every double) and +Inf
     // survives it; both must route to the all-zero-code branch instead
@@ -831,6 +847,48 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(out(0L)._2 == 1L && out(0L)._3 == 1L && out(0L)._4 == 3L)
     assert(out(0L)._6 == "3,1,3" && out(0L)._5 == 3, out(0L))
     assert(out(1L)._6 == "2")
+  }
+
+  test("bpeTrain: round 1 equals bpeMergeStep, and each round's maintained counts equal a recount") {
+    // real corpus slice, 3 rounds: the incremental delta maintenance must
+    // leave the counts table EXACTLY the full adjacent-pair recount of
+    // the current sequences — the invariant that lets the trainer skip
+    // the corpus-wide recount each round
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    val (seqs, counts, history) =
+      TextAnalysis.bpeTrainLoop(docs, "doc_id", "text", merges = 3)
+    assert(history.size == 3, history)
+    // new ids mint sequentially from the base max
+    assert(history.map(_._3) == Seq(history.head._3, history.head._3 + 1,
+      history.head._3 + 2), history)
+    val recount = TextAnalysis.bpePairCounts(seqs)
+      .as[(Long, Long, Long)].collect().toSet
+    val maintained = counts.as[(Long, Long, Long)].collect().toSet
+    assert(maintained == recount,
+      s"maintained-only=${maintained -- recount} " +
+        s"recount-only=${recount -- maintained}")
+    // round 1 is exactly the audited single step
+    val one = TextAnalysis.bpeMergeStep(docs, "doc_id", "text")
+      .select("pair_a", "pair_b", "new_id").distinct()
+      .as[(Long, Long, Long)].head()
+    assert(history.head == one, s"${history.head} vs $one")
+  }
+
+  test("bpeTrain equals merges chained merge steps on a known corpus") {
+    // "a b a b c" x2: round 1 merges (a,b) -> the trained sequences
+    // after 2 rounds must equal hand-applying the greedy rewrite twice
+    // vocab by (cnt desc, tok): a(x4)->1? counts: a=4, b=4, c=2 ->
+    // ties cnt 4: 'a' < 'b' so a->1, b->2, c->3
+    // round 1: pairs (1,2)x2 per doc -> merge (1,2)->4: "4,4,3"
+    // round 2: pairs (4,4)x1, (4,3)x1 per doc -> (4,3)? cnt: (4,4)=2,
+    // (4,3)=2 -> tie, smallest a then b: (4,3) < (4,4) -> merge -> "4,5"
+    val docs = Seq((0L, "a b a b c"), (1L, "a b a b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTrain(docs, "doc_id", "text", merges = 2)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == "4,5" && out(0L)._2 == 2, out(0L))
+    assert(out(1L)._3 == "4,5" && out(1L)._2 == 2, out(1L))
   }
 }
 

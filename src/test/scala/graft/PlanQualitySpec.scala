@@ -238,10 +238,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
-    Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400), "doc_id",
-      "text", "q86_plan_idx", n = 3, numHashes = h, bands = b)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      // inside the try: a failed build must still hit the finally DROP
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400), "doc_id",
+        "text", "q86_plan_idx", n = 3, numHashes = h, bands = b)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val bsigs = Dedup.mapSideSignatures(
         docs.filter(col("doc_id") >= 400), "doc_id", "text", 3, h)
@@ -274,10 +275,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     import graft.pipeline.Similarity
     val vecs = Tables.embeddings(spark, d)
     val (nlist, nprobe) = Similarity.ivfParams(vecs.count())
-    Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
-      "q99_plan_idx", nlist = nlist)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
+      // inside the try: a failed build must still hit the finally DROPs
+      // or reruns in the same session trip over the leaked tables
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "q99_plan_idx", nlist = nlist)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val cands = Similarity.adcProbeCandidates(vecs, "vec_id",
         "embedding", nprobe, "q99_plan_idx")
@@ -343,6 +346,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     for (e <- bcasts; a <- e.output if isFloatArray(a.dataType))
       assert(a.name == "qv",
         s"broadcast carries non-query-side float array $a: ${e.simpleString(20)}")
+  }
+
+  test("qa3: the whitening apply is a pure map-side projection — zero exchanges") {
+    // whiten's scale claim: the dim-bounded stats re-enter the plan as
+    // literal arrays, so the apply stage is scan -> project; an Exchange
+    // appearing here means the stats join regressed to a corpus shuffle
+    import graft.pipeline.Quantize
+    val w = Quantize.whiten(Tables.embeddings(spark, d), "vec_id",
+      "embedding")
+    w.collect()
+    val p = w.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p.take(2000))
   }
 
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {
