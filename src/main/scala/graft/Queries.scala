@@ -96,6 +96,10 @@ object RelationalQueries {
     * CTEs (each extra round adds two CTEs to the SQL, so keep small). */
   private val qa2Merges = 3
 
+  /** qa5's epoch parameters — single-sourced into both engines. */
+  private val qa5Seed = "e0"
+  private val qa5Shards = 8
+
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
     "q01_filter" -> ((s, d) =>
@@ -483,6 +487,30 @@ object RelationalQueries {
         nprobe = nprobe, table = table, dim = 64)
     }),
 
+    // QA6 — q99's persisted-index retrieval with the QUERIES AS A
+    // STREAM (the online serving shape): stateless map-side probe
+    // projection per micro-batch, stream-static join on the stored
+    // bucketed table (no archive shuffle — spec-asserted), per-batch
+    // top-k rank via foreachBatch (exact: a query's candidates live in
+    // its own micro-batch). Shares q99's oracle VERBATIM — stream ==
+    // batch == oracle, the q70s gate shape on the retrieval tier.
+    "qa6" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val table = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
+          nlist = nlist, dim = 64)
+      }
+      val stream = s.readStream.schema(vecs.schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_qa6_${s.sparkContext.applicationId}").getAbsolutePath
+      Similarity.streamAdcTopK(stream, "vec_id", "embedding", k = 3,
+        nprobe = nprobe, table = table, sinkDir = sink, dim = 64)
+    }),
+
     // QA1 — two-stage retrieval: q89's quantized candidate generation to
     // depth 10, then ONLY the survivors join the float vectors for an
     // exact-cosine re-rank to top-3 — the ADC serving composition
@@ -499,6 +527,25 @@ object RelationalQueries {
       Similarity.ivfAdcRerank(vecs, "vec_id", "embedding", k = 3,
         depth = qa1Depth, nlist = nlist, nprobe = nprobe, dim = 64,
         cents = cents)
+    }),
+
+    // QA4 — recall@k audit of the IVF tier: for the sampled query set
+    // (vec_id % 100 = 0, the q35 sample), exact brute-force top-3 vs the
+    // production ivfTopK path restricted to the same sample; per-query
+    // (hits, recall = hits/k). The audit the derived (nlist, nprobe)
+    // parameters are tuned against — both tiers and the overlap are
+    // deterministic, so the APPROXIMATION QUALITY itself is oracle-gated.
+    "qa4" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val cents = Similarity.trainCoarseQuantizer(
+        Similarity.trainingSample(vecs, "vec_id", "embedding",
+          Similarity.trainingCap(nlist)),
+        "embedding", nlist = nlist, dim = 64)
+      Similarity.recallAudit(vecs,
+        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 3, nlist = nlist, nprobe = nprobe, dim = 64, cents = cents)
     }),
 
     // Q88 — SemDeDup: coarse k-means cells (the q35c quantizer, derived
@@ -1150,6 +1197,14 @@ object RelationalQueries {
       Curation.packBatches(Tables.documents(s, d), "doc_id", "text",
         numShards = 4, budgetTokens = 600L)),
 
+    // QA5 — deterministic epoch shuffle: every doc placed by a seeded
+    // content hash into (shard, offset) — a replayable epoch-wide
+    // permutation, reproduced row-for-row by the oracle. seed/nShards
+    // single-sourced from qa5Seed/qa5Shards into both engines.
+    "qa5" -> ((s, d) =>
+      Curation.epochShuffle(Tables.documents(s, d), "doc_id",
+        nShards = qa5Shards, seed = qa5Seed)),
+
     // Q79 — span-removal dedup: the q78 coverage signal applied as a
     // transform — every doc rewritten with its cross-doc 8-token spans
     // removed; oracle reconstructs the same texts via ordered string_agg.
@@ -1465,6 +1520,37 @@ object RelationalQueries {
       |    ORDER BY cos DESC, nb_id) AS rk FROM cand)
       |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
       |FROM r WHERE rk <= $k""".stripMargin
+
+  /** DuckDB twin of [[Similarity.recallAudit]] (qa4): the shared IVF
+    * cell chain restricted to the sampled query set (vec_id % 100 = 0),
+    * the exact brute-force top-k over the same sample, and the per-query
+    * overlap count — recall@k of the approximate tier, oracle-gated.
+    * Ranking keys and tie-breaks are verbatim the q35/q35c oracles'. */
+  private def recallOracleSql(k: Int, fracNum: Int, occ: Int, iters: Int,
+      dim: Int): String =
+    s"""WITH ${ivfCellsSql(fracNum, occ, iters, dim)},
+      |prb AS (SELECT vec_id AS q_id, e AS qe, nrm AS qn, cell
+      |  FROM rnk WHERE rk <= (SELECT nprobe FROM p2)
+      |    AND vec_id % 100 = 0),
+      |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
+      |    list_sum(list_transform(range($dim), i -> p.qe[i+1]*a.e[i+1]))
+      |      / (p.qn*a.nrm) AS cos
+      |  FROM prb p JOIN asg a USING (cell) WHERE p.q_id <> a.vec_id),
+      |ivf AS (SELECT q_id, nb_id, 1 AS hit FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, nb_id) AS rk FROM cand) WHERE rk <= $k),
+      |qv AS (SELECT vec_id AS q_id, e, nrm FROM nv
+      |  WHERE vec_id % 100 = 0),
+      |exa AS (SELECT q_id, nb_id FROM (
+      |    SELECT q.q_id, c.vec_id AS nb_id,
+      |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+      |        list_sum(list_transform(range($dim), i -> q.e[i+1]*c.e[i+1]))
+      |          / (q.nrm*c.nrm) DESC, c.vec_id) AS rk
+      |    FROM qv q, nv c WHERE q.q_id <> c.vec_id) WHERE rk <= $k)
+      |SELECT e.q_id, count(i.hit) AS hits,
+      |  count(i.hit) / ${k}.0 AS recall
+      |FROM exa e LEFT JOIN ivf i USING (q_id, nb_id)
+      |GROUP BY e.q_id""".stripMargin
 
   /** The shared IVF-cells CTE chain (everything through `rnk`/`asg`):
     * derived params, hash-bounded sample, unrolled Lloyd, per-vector
@@ -2132,6 +2218,19 @@ object RelationalQueries {
         |    - n_tokens) // 600 AS BIGINT) AS batch_id
         |FROM t""".stripMargin,
 
+    // qa5: the seeded 60-bit position hash, shard = h % nShards,
+    // offset = per-shard dense rank (h, doc_id) — the full epoch
+    // permutation reproduced row-for-row; seed/shards single-sourced
+    "qa5" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    ${graft.pipeline.Portable.hash60Sql(
+               s"concat('$qa5Seed:', CAST(doc_id AS VARCHAR))")} AS h
+        |  FROM documents)
+        |SELECT doc_id, h % $qa5Shards AS shard,
+        |  row_number() OVER (PARTITION BY h % $qa5Shards
+        |    ORDER BY h, doc_id) - 1 AS offset
+        |FROM t""".stripMargin,
+
     // q79: drop covered indices, reassemble in order
     "q79_spanrm" ->
       """WITH w AS (SELECT doc_id,
@@ -2506,10 +2605,30 @@ object RelationalQueries {
         occ = graft.pipeline.Similarity.defaultOccupancy,
         iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
 
+    // qa6: q99's oracle VERBATIM again — streaming the queries through
+    // the persisted index must lose nothing vs the one-shot batch probe
+    // (stream == batch == oracle)
+    "qa6" ->
+      adcOracleSql(k = 3,
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
     // qa1: the shared ADC chain to depth survivors, then the
     // exact-cosine re-rank — depth single-sourced from qa1Depth
     "qa1" ->
       adcRerankOracleSql(k = 3, depth = qa1Depth,
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // qa4: the shared cell chain restricted to the q35 query sample +
+    // the exact brute-force top-k — per-query recall@k of the IVF tier,
+    // the approximation quality itself oracle-gated
+    "qa4" ->
+      recallOracleSql(k = 3,
         fracNum = graft.pipeline.Similarity.probeFracEighths(
           q35cTargetRecall),
         occ = graft.pipeline.Similarity.defaultOccupancy,

@@ -277,6 +277,45 @@ object Curation {
       .select("doc_id", "shard", "n_tokens", "batch_id")
   }
 
+  /** Deterministic epoch shuffle (qa5) — the training-order layout every
+    * epoch needs: each document gets a pseudorandom but REPRODUCIBLE
+    * position derived only from `(seed, doc_id)`, then a shard and a
+    * contiguous 0-based offset within its shard. A new seed is a new
+    * epoch-wide permutation; the same seed replays byte-identically on
+    * any cluster, partitioning, or engine (the DuckDB oracle reproduces
+    * it row for row). The reference's analog is the map-output
+    * partitioner contract (`mapred/lib/HashPartitioner.java:35` — a pure
+    * key function deciding placement); this re-keys that idea to a
+    * seeded content hash so the "partitioner" itself is a replayable
+    * epoch parameter.
+    *
+    * Returns `(doc_id, shard, offset)` — a reader streams shard s in
+    * offset order and the concatenation across shards is the epoch's
+    * global order.
+    *
+    * Scale shape: one projection computes the 60-bit position hash
+    * map-side; the ONLY exchange carries (doc_id, h) — ~16 bytes/row at
+    * any corpus size — hash-partitioned by shard; the per-shard
+    * `row_number` sorts one shard per window partition. Shard count is
+    * the caller's scale knob: size `nShards` so corpus/nShards rows fit
+    * an executor's sort spill budget (at 100 TB and 10k shards that is
+    * 10 GB of 16-byte rows per shard — a plain external sort, no driver
+    * state anywhere). Ties on the hash resolve by doc_id, so duplicate
+    * hash values cannot make the order partition-dependent. */
+  def epochShuffle(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards")
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val h = Portable.hash60Fast(
+      concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    docs.select(col(idCol).as("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("offset", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long") - 1L)
+      .select("doc_id", "shard", "offset")
+  }
+
   /** PII-style masking: replace emails, North-American phone numbers, and
     * bare digit runs with typed placeholder tokens, and count each kind.
     * Patterns are written in the RE2-compatible subset (no backrefs, no

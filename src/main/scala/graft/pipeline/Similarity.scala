@@ -46,13 +46,17 @@ object Similarity {
   }
 
   /** Exact top-k cosine neighbors for each query vector.
-    * Returns (q_id, nb_id, rank, cos); ties broken by neighbor id. */
+    * Returns (q_id, nb_id, rank, cos); ties broken by neighbor id.
+    * The QUERY side broadcasts (explicit hint): queries are by contract
+    * the small side of a brute-force scan, and without the hint Spark's
+    * size estimate can flip the nested-loop broadcast to the corpus —
+    * a corpus-sized vector broadcast at scale. */
   def bruteForceTopK(vecs: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val corpus = withNorm(vecs, idCol, vecCol)
     val qs = withNorm(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = qs.crossJoin(corpus)
+    val scored = broadcast(qs).crossJoin(corpus)
       .filter(col("q_id") =!= col("id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     scored
@@ -399,10 +403,17 @@ object Similarity {
     * cells and exact cosine re-ranks only those candidates. The join is
     * keyed on the cell id — the shuffle carries (cell, id, vector), never
     * the cross product — and with `nprobe = nlist` the result equals
-    * brute force exactly (the spec's correctness gate). */
+    * brute force exactly (the spec's correctness gate).
+    *
+    * `queries` (optional) restricts the probe side to a separate query
+    * set — the corpus is still indexed in full, but only the given rows
+    * fan out to their `nprobe` cells (the [[recallAudit]] shape: probe
+    * with a sample, index everything). `null` keeps the self-join
+    * default where every corpus vector is also a query. */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, dim: Int = 64,
-      cents: Array[Array[Double]] = null): DataFrame = {
+      cents: Array[Array[Double]] = null,
+      queries: DataFrame = null): DataFrame = {
     val quantizer =
       if (cents != null) cents
       // default training input is a BOUNDED DETERMINISTIC slice, never the
@@ -417,7 +428,8 @@ object Similarity {
     val base = withNorm(vecs, idCol, vecCol)
     val corpus = base.withColumn("cell",
       element_at(nearestCells(col("v"), quantizer, 1), 1))
-    val probes = base
+    val probes = (if (queries == null) base
+      else withNorm(queries, idCol, vecCol))
       .withColumn("cell", explode(nearestCells(col("v"), quantizer, nprobe)))
       .select(col("id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
@@ -428,6 +440,49 @@ object Similarity {
       .select(col("q_id"), col("id").as("nb_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
     rankTopK(candidates, k)
+  }
+
+  /** Recall@k audit of the IVF tier (qa4) — the index-quality gate a
+    * production ANN deployment monitors: for a SAMPLED query set, how
+    * many of the exact top-k neighbors does the approximate tier
+    * return? Returns `(q_id, hits, recall)` per query — `hits` the
+    * overlap count, `recall = hits / k` one IEEE division of small
+    * integers (bit-equal across engines). The macro recall is the mean
+    * over rows; keeping per-query rows is deliberate (the tail — queries
+    * with recall 0 — is what parameter tuning needs to see, and a single
+    * averaged row would hash-hide it).
+    *
+    * Scale contract: the exact side is a brute-force pass of the corpus
+    * per query — that is WHY the audit runs on a sampled query set
+    * (corpus/100 here; any fraction works), never all queries: cost is
+    * |sample| × corpus map-side dot products, ~1/100th of one all-pairs
+    * tier, and the approximate side reuses the production [[ivfTopK]]
+    * path restricted to the same sample. Each leg keeps its own
+    * documented exchange shape ([[ivfTopK]]'s cell-keyed join,
+    * [[bruteForceTopK]]'s query-side-broadcast cross join); what the
+    * AUDIT adds on top is only the explicit `broadcast` of the
+    * (sample × k)-row approximate result into the overlap join plus an
+    * integer per-query rollup — no new corpus-scale movement, and no
+    * corpus-side float vector in any broadcast (plan-asserted).
+    *
+    * Reference analog: the fork's schedulers log per-device mean task
+    * times as a live quality/efficiency comparator
+    * (mapred/JobInProgress.java:338-364); this is the same
+    * measure-the-approximation-against-truth loop applied to index
+    * quality. */
+  def recallAudit(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int, nprobe: Int, dim: Int,
+      cents: Array[Array[Double]]): DataFrame = {
+    val approx = ivfTopK(vecs, idCol, vecCol, k, nlist, nprobe, dim,
+        cents, queries = queries)
+      .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
+    val exact = bruteForceTopK(vecs, queries, idCol, vecCol, k)
+      .select(col("q_id"), col("nb_id"))
+    exact.join(broadcast(approx), Seq("q_id", "nb_id"), "left_outer")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("q_id"), col("hits"),
+        (col("hits") / lit(k.toDouble)).as("recall"))
   }
 
   /** IVF-ADC quantized top-k (the composition [[Quantize]]'s Scaladoc
@@ -583,6 +638,62 @@ object Similarity {
       buckets: Int = ivfIndexBuckets): DataFrame =
     rankByScaledIdot(
       adcProbeCandidates(queries, idCol, vecCol, nprobe, table, buckets), k)
+
+  /** Streaming ADC retrieval (qa6) — [[ivfAdcTopKIndexed]] with the
+    * query vectors ARRIVING AS A STREAM: the online serving shape of the
+    * persisted index (an ingest feed, a query service, a backfill
+    * replay). Candidate generation runs INSIDE the streaming query —
+    * the probe projection (pack codes + nearest cells) is a stateless
+    * map-side transform of each micro-batch, and the stream-static join
+    * consumes the stored table's bucketed layout with no archive-side
+    * shuffle per micro-batch (spec-asserted on the micro-batch plan).
+    * The top-k rank runs per micro-batch via foreachBatch — and that is
+    * EXACT, not an approximation: the static side emits a candidate row
+    * only for a probe row of the current batch, so a query's entire
+    * candidate set lives in the one micro-batch that carried the query,
+    * and per-batch ranking IS global ranking (spec-gated: a two-batch
+    * stream equals the one-shot [[ivfAdcTopKIndexed]] on the union).
+    * Batch and stream share [[adcProbeCandidates]] + the ADC ranking
+    * verbatim, and qa6 shares q99's DuckDB oracle — stream == batch ==
+    * oracle, the §2.8 gate shape q70s established.
+    *
+    * Results append to `sinkDir` (schema-initialized overwrite first, so
+    * an empty stream still returns an empty, well-typed frame); the
+    * returned DataFrame reads the sink back. At scale the sink is any
+    * append target — the per-batch work is probe-sized, the archive
+    * never recomputes. */
+  def streamAdcTopK(stream: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, table: String, sinkDir: String, dim: Int = 64,
+      buckets: Int = ivfIndexBuckets): DataFrame = {
+    val q = startStreamAdcTopK(stream, idCol, vecCol, k, nprobe, table,
+      sinkDir, dim, buckets)
+    try q.processAllAvailable() finally q.stop()
+    stream.sparkSession.read.parquet(sinkDir)
+  }
+
+  /** The started-but-undrained form of [[streamAdcTopK]] — the caller
+    * owns the trigger cadence (StreamingSpec drives TWO micro-batches
+    * through it to gate the per-batch-rank-is-exact claim). Overwrites
+    * `sinkDir` with a zero-row schema-typed init first, so reruns
+    * replace rather than accumulate and an empty stream still reads
+    * back as an empty, well-typed frame. */
+  def startStreamAdcTopK(stream: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, table: String, sinkDir: String, dim: Int = 64,
+      buckets: Int = ivfIndexBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
+    rankByScaledIdot(
+        adcProbeCandidates(empty, idCol, vecCol, nprobe, table, buckets), k)
+      .write.mode("overwrite").parquet(sinkDir)
+    adcProbeCandidates(stream, idCol, vecCol, nprobe, table, buckets)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        rankByScaledIdot(batch, k).write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
 
   /** The candidate stage of [[ivfAdcTopKIndexed]] — probe rows joined
     * against the stored bucketed table, pre-rank. Package-visible so

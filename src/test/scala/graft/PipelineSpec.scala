@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Portable, Quantize, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Portable, Quantize, Similarity, TextAnalysis}
 
 class DedupSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
@@ -354,6 +354,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         nlist = 4, nprobe = 4, dim = 4)
       .select("q_id", "nb_id", "rank").as[(Long, Long, Int)].collect().toSet
     assert(ivf == brute)
+  }
+
+  test("recallAudit: nprobe = nlist reads recall 1.0 for every query; fewer probes never exceed it") {
+    val eight = Seq.tabulate(8)(i =>
+      (i.toLong, Array.tabulate(4)(d => ((i * 7 + d * 3) % 11 - 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = eight.filter(col("vec_id") % 2 === 0)
+    val cents = Similarity.trainCoarseQuantizer(
+      Similarity.trainingSample(eight, "vec_id", "embedding", 8),
+      "embedding", nlist = 4, dim = 4)
+    val full = Similarity.recallAudit(eight, queries, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 4, dim = 4, cents = cents)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // probing every cell IS brute force: the audit must read perfect
+    assert(full.length == 4 && full.forall { case (_, h, r) =>
+      h == 3L && r == 1.0 }, full.toSeq)
+    val partial = Similarity.recallAudit(eight, queries, "vec_id",
+        "embedding", k = 3, nlist = 4, nprobe = 1, dim = 4, cents = cents)
+      .as[(Long, Long, Double)].collect()
+    assert(partial.length == 4 && partial.forall { case (_, h, r) =>
+      h >= 0L && h <= 3L && r == h / 3.0 }, partial.toSeq)
+  }
+
+  test("epochShuffle: a replayable permutation — contiguous per-shard offsets, partition-layout-independent, re-keyed by seed") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"text $i"))
+      .toDF("doc_id", "text")
+    val out = Curation.epochShuffle(docs, "doc_id", nShards = 4, seed = "e0")
+      .as[(Long, Long, Long)].collect()
+    // every doc exactly once, shards in range
+    assert(out.length == 40 && out.map(_._1).distinct.length == 40)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // offsets within a shard are exactly 0..n-1 (a reader can stream
+    // each shard by offset with no gaps)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // pure function of (seed, doc_id): immune to partition layout
+    val re = Curation.epochShuffle(docs.repartition(7), "doc_id",
+      nShards = 4, seed = "e0").as[(Long, Long, Long)].collect()
+    assert(re.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+    // a new seed is a new permutation (40 docs: collision odds ~0)
+    val e1 = Curation.epochShuffle(docs, "doc_id", nShards = 4, seed = "e1")
+      .as[(Long, Long, Long)].collect()
+    assert(e1.sortBy(_._1).toSeq != out.sortBy(_._1).toSeq)
   }
 
   test("ivfTopK with nprobe < nlist returns a subset of valid neighbors") {

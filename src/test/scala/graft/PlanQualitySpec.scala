@@ -32,6 +32,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Every node of the executed plan, descending through AQE stages and
+    * exchange reuse — so typed asserts see the real exchange outputs. */
+  private def planNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case other                    => other.children
+    }
+    p +: kids.flatMap(planNodes)
+  }
+
+  private def isFloatArray(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType |
+      org.apache.spark.sql.types.DoubleType, _) => true
+    case _ => false
+  }
+
   test("minhash signatures compute in the scan projection — zero exchanges") {
     // q31's own executed plan is hidden behind its localCheckpoint, so
     // assert on the signature stage itself: scan -> project, NO exchange
@@ -315,27 +338,10 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     //      survivor-derived query vector `qv` (n_queries × depth rows),
     //      never the corpus `v`/`embedding` — the r10 regression was
     //      Spark broadcasting the whole normalized corpus table.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     val df = SparkEntry.queries("qa1")(spark, d)
     df.collect()
-    def nodes(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec        => Seq(q.plan)
-        case r: ReusedExchangeExec    => Seq(r.child)
-        case other                    => other.children
-      }
-      p +: kids.flatMap(nodes)
-    }
-    def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean =
-      dt match {
-        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-        case _ => false
-      }
-    val all = nodes(df.queryExecution.executedPlan)
+    val all = planNodes(df.queryExecution.executedPlan)
     val shuffles = all.collect { case e: ShuffleExchangeExec => e }
     val bcasts = all.collect { case e: BroadcastExchangeExec => e }
     assert(shuffles.nonEmpty && bcasts.nonEmpty,
@@ -358,6 +364,47 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     w.collect()
     val p = w.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p.take(2000))
+  }
+
+  test("qa4: audit broadcasts carry the query side only — no corpus float vector enters any broadcast, rollup shuffles are vector-free") {
+    // recallAudit's overlay claim: each leg keeps its own gated shape,
+    // and the audit itself adds only the k-bounded approx broadcast plus
+    // an integer rollup. Typed-exchange asserts: any float array in a
+    // broadcast is the query-side `qv` (sample-scale, both legs hint it
+    // explicitly), never the corpus `v`; no shuffle moves a float array
+    // (the overlap/rollup exchanges carry (q_id, nb_id, hits) only).
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val df = SparkEntry.queries("qa4")(spark, d)
+    df.collect()
+    val all = planNodes(df.queryExecution.executedPlan)
+    val bcasts = all.collect { case e: BroadcastExchangeExec => e }
+    assert(bcasts.nonEmpty,
+      df.queryExecution.executedPlan.toString.take(3000))
+    for (e <- bcasts; a <- e.output if isFloatArray(a.dataType))
+      assert(a.name == "qv",
+        s"broadcast carries corpus-side float array $a: ${e.simpleString(20)}")
+    for (e <- all.collect { case e: ShuffleExchangeExec => e };
+         a <- e.output)
+      assert(!isFloatArray(a.dataType),
+        s"audit shuffle carries float array $a: ${e.simpleString(20)}")
+  }
+
+  test("qa5: the epoch shuffle moves one narrow exchange — (doc_id, hash) longs, never the text") {
+    // epochShuffle's scale claim: the only exchange carries ~16-byte
+    // rows at any corpus size, and the scan prunes to the id column
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.LongType
+    val df = SparkEntry.queries("qa5")(spark, d)
+    df.collect()
+    val all = planNodes(df.queryExecution.executedPlan)
+    val shuffles = all.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1,
+      df.queryExecution.executedPlan.toString.take(3000))
+    for (a <- shuffles.head.output)
+      assert(a.dataType == LongType,
+        s"epoch shuffle carries non-long $a")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(2000))
   }
 
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {

@@ -283,6 +283,90 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  private def withAdcIndex(table: String)(
+      body: (org.apache.spark.sql.DataFrame, Seq[(Long, Array[Float])])
+        => Unit): Unit = {
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
+      nlist = 4, dim = 64)
+    val rows = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    try body(vecs, rows)
+    finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_c")
+    }
+  }
+
+  test("streamAdcTopK: a two-micro-batch query stream equals the one-shot indexed batch retrieval") {
+    // the per-batch rank is EXACT because a query's candidates live in
+    // the micro-batch that carried the query — gated here by splitting
+    // the query set across two batches and comparing to the batch tier
+    import graft.pipeline.Similarity
+    withAdcIndex("qa6_eq_idx") { (vecs, rows) =>
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_qa6_spec_sink").getAbsolutePath
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val (first, second) = rows.partition(_._1 % 2 == 0)
+      val q = Similarity.startStreamAdcTopK(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 3, nprobe = 2, table = "qa6_eq_idx", sinkDir = sink)
+      try {
+        ms.addData(first)
+        q.processAllAvailable() // micro-batch 1: even ids only
+        ms.addData(second)
+        q.processAllAvailable() // micro-batch 2: odd ids
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "the gate needs >= 2 non-empty micro-batches")
+      } finally q.stop()
+      val streamed = spark.read.parquet(sink)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      val batch = Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding",
+          k = 3, nprobe = 2, table = "qa6_eq_idx")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous gate: no batch results")
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    }
+  }
+
+  test("streamAdcTopK: the stored ADC index joins bucketed with no shuffle in the micro-batch plan") {
+    // q99's stored-side property on the STREAMING plan: with broadcast
+    // off, only the probe side's co-partitioning repartition may
+    // exchange (<=1), and the archive scans its bucketed layout
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    withAdcIndex("qa6_plan_idx") { (_, rows) =>
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      ms.addData(rows)
+      val q = Similarity.adcProbeCandidates(
+          ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          nprobe = 2, table = "qa6_plan_idx")
+        .writeStream.format("memory").queryName("qa6_plan_test")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable()
+        val p = q.asInstanceOf[StreamingQueryWrapper].streamingQuery
+          .lastExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(p.contains("Bucketed: true"), p.take(4000))
+        val exchanges = p.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+        assert(exchanges <= 1,
+          s"stored index side re-shuffled ($exchanges exchanges):\n" +
+            p.take(4000))
+      } finally {
+        q.stop()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      }
+    }
+  }
+
   test("streamProbeCandidates: stream candidates equal the batch probe on the same increment") {
     import graft.pipeline.Dedup
     withMinhashIndex("spc_eq_idx") { (_, incr, h, b) =>
