@@ -1158,6 +1158,22 @@ object RelationalQueries {
         .select("doc_id", "source")
     }),
 
+    // QA7 — FUZZY decontamination: q72's screen upgraded from exact
+    // shared-n-gram to near-duplicate (shingle Jaccard >= 0.8 against
+    // any eval doc, banded MinHash screen + candidate-restricted exact
+    // verify — the paraphrased-eval-doc leak q72 cannot catch). Same
+    // split, same survivors contract; the oracle recomputes the exact
+    // cross-boundary Jaccard verdicts from raw text.
+    "qa7" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      Curation.fuzzyDecontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text", "source", n = 3, threshold = 0.8,
+        numHashes = h, bands = b)
+    }),
+
     // Q82 — ORC roundtrip (the other columnar format Spark ships a native
     // vectorized reader for): write a lineitem slice as ORC, read back
     // with a pushed predicate, aggregate per flag. Integer-cents sum for
@@ -2363,6 +2379,18 @@ object RelationalQueries {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
         |""".stripMargin,
+
+    // qa7: survivors = train docs minus the exact cross-boundary
+    // near-dup set (either orientation of the id_a < id_b pair can hold
+    // the eval doc, so both are folded to the train id)
+    "qa7" ->
+      s"""WITH bad AS (SELECT DISTINCT
+        |    CASE WHEN id_a % 97 = 0 THEN id_b ELSE id_a END AS doc_id
+        |  FROM ($jaccardOracleSql) p
+        |  WHERE (id_a % 97 = 0) <> (id_b % 97 = 0))
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id % 97 <> 0
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     // q91: tf per (doc, term), df over the distinct doc-term rows, rank
     // by the same integer ordering

@@ -181,6 +181,42 @@ object Curation {
     corpus.filter(!anyHit(grams))
   }
 
+  /** FUZZY decontamination (qa7) — the near-duplicate complement of
+    * [[decontaminateBroadcast]]: that op drops a training doc only if it
+    * shares an exact n-gram with the eval set, so a lightly paraphrased
+    * or re-wrapped eval document slips through. This one drops every
+    * training doc whose shingle-set Jaccard with ANY eval doc reaches
+    * `threshold`, using the SAME banded MinHash screen as the dedup tier
+    * ([[Dedup.incrementalMinhashPairs]] with the eval set as the
+    * "corpus" side and the training corpus as the "batch") followed by
+    * candidate-restricted EXACT Jaccard verification — so the verdict is
+    * exact-at-threshold, not an LSH approximation, and the qa7 oracle
+    * recomputes it from raw text. Returns the surviving
+    * `(doc_id, source)` rows, [[decontaminateBroadcast]]'s contract.
+    *
+    * Scale shape: everything corpus-sized is map-side (signatures in the
+    * scan via the native minhash kernel; band rows explode from them);
+    * the band join is keyed on (band, bsig) buckets and only
+    * eval-matching candidates reach the exact verify, so cost is
+    * O(corpus shingles + cross candidates) — never eval × corpus. The
+    * contaminated-id set is bounded by the candidate volume (eval-sized
+    * × near-dup rate), so the final anti-join broadcasts ids only and
+    * the corpus text never enters an exchange (plan-asserted: the
+    * survivor stage is scan → broadcast anti-join, zero shuffles). Ids
+    * must be disjoint between corpus and eval (they key the joins). */
+  def fuzzyDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, srcCol: String, n: Int,
+      threshold: Double, numHashes: Int = 24, bands: Int = 6): DataFrame = {
+    val pairs = Dedup.incrementalMinhashPairs(evalSet, corpus, idCol,
+      textCol, n, threshold, numHashes, bands)
+    // no distinct: an anti-join build side tolerates duplicate ids, and
+    // the dedup aggregate would cost this stage its only-exchange-free
+    // shape (one ENSURE_REQUIREMENTS shuffle) for zero semantic gain
+    val bad = pairs.select(col("id_b").as(idCol))
+    corpus.join(broadcast(bad), Seq(idCol), "left_anti")
+      .select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+  }
+
   /** Exact broadcast eval-gram membership predicate: applied to a hashed
     * gram array, TRUE iff any gram is in the eval set's distinct gram
     * hashes (driver-collected — benchmark-bounded — then broadcast as a

@@ -189,6 +189,26 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(streamed == batchKept)
   }
 
+  test("fuzzyDecontaminate drops exactly the >= threshold near-dups of the eval set, either similarity orientation") {
+    // one verbatim copy, one near-copy (jaccard ~0.9 on 3-shingles), one
+    // doc that SHARES a gram but sits far below the threshold (the case
+    // that separates fuzzy-at-0.8 from q72's any-shared-gram screen:
+    // exact-gram would drop it, fuzzy keeps it), one unrelated doc
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (10L, "s1", evalDoc),                                      // copy
+      (11L, "s1", evalDoc + " lambda"),                          // near-dup
+      (12L, "s2", "alpha beta gamma unrelated tail of words " +
+        "continues with completely different content here"),     // 1 gram
+      (13L, "s2", "entirely different text with no overlap at all")
+    ).toDF("doc_id", "source", "text")
+    val eval = Seq((97L, "s9", evalDoc)).toDF("doc_id", "source", "text")
+    val kept = Curation.fuzzyDecontaminate(corpus, eval, "doc_id", "text",
+        "source", n = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L), kept)
+  }
+
   test("decontaminateBroadcast sketch mode is one-sided: contaminated docs never survive") {
     val d = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$d/documents.parquet")

@@ -407,6 +407,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p.take(2000))
   }
 
+  test("qa7: the survivor stage is scan -> broadcast anti-join — zero shuffles, the broadcast carries ids only") {
+    // fuzzyDecontaminate's scale claim: the pair screen hides behind its
+    // checkpoint (its exchange shapes are the gated dedup tier's), and
+    // the visible survivor plan must move NOTHING corpus-sized — the
+    // contaminated-id set broadcasts, the corpus text stays in its scan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val df = SparkEntry.queries("qa7")(spark, d)
+    df.collect()
+    val all = planNodes(df.queryExecution.executedPlan)
+    assert(all.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      df.queryExecution.executedPlan.toString.take(3000))
+    val bcasts = all.collect { case e: BroadcastExchangeExec => e }
+    assert(bcasts.nonEmpty,
+      df.queryExecution.executedPlan.toString.take(3000))
+    for (e <- bcasts; a <- e.output)
+      assert(a.dataType == org.apache.spark.sql.types.LongType,
+        s"anti-join broadcast carries non-id $a")
+  }
+
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {
     // q90's result is checkpointed (materializeThenRelease), so assert on
     // the reconstructed postings + intersection stage, as the q31 test
