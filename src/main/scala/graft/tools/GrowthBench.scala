@@ -257,6 +257,32 @@ object GrowthBench {
       Similarity.outlierAudit(Tables.embeddings(spark, x10), "vec_id",
         "embedding"))
 
+    // Recall audit (r11; n = 2k / 20k): the PRODUCTION audit shape — a
+    // FIXED query panel (the 1x sample) against the growing corpus, the
+    // quantizer reused from the serving tier (untimed, like q86's index
+    // write). Brute-force leg = |panel| x corpus map-side dots, IVF leg
+    // = panel-sized probes against derived cells: expected ~linear.
+    // (The registry qa4 instead samples queries PROPORTIONALLY — the
+    // oracle-able fraction contract — which is quadratic by design;
+    // production fixes the panel, measured here.)
+    locally {
+      val panel = Tables.embeddings(spark, x1)
+        .filter(col("vec_id") % 100 === 0)
+      for ((tag, d) <- Seq("1x" -> x1, "10x" -> x10)) {
+        val vecsD = Tables.embeddings(spark, d)
+        val (nl, np) = Similarity.ivfParams(vecsD.count())
+        val cents = Similarity.trainCoarseQuantizer(
+          Similarity.trainingSample(vecsD, "vec_id", "embedding",
+            Similarity.trainingCap(nl)), "embedding", nl, 64)
+        if (tag == "1x") // warm the audit's plan shape at the cheap scale
+          Similarity.recallAudit(vecsD, panel, "vec_id", "embedding",
+            k = 3, nlist = nl, nprobe = np, dim = 64, cents = cents).count()
+        t(s"qa4_audit_$tag") = time(s"qa4_audit_$tag",
+          Similarity.recallAudit(vecsD, panel, "vec_id", "embedding",
+            k = 3, nlist = nl, nprobe = np, dim = 64, cents = cents))
+      }
+    }
+
     // curation tier (documents n = 5k / 10k / 50k): repetition metrics
     // are pure map-side, the cleaning pipeline shuffles only ids/flags,
     // contamination is a broadcast gram probe — all expected ~linear.
@@ -282,6 +308,11 @@ object GrowthBench {
         "doc_id", "text", l = 8).count()
       graft.pipeline.TextAnalysis.vocabEncode(
         Tables.documents(spark, x1), "doc_id", "text").count()
+      Curation.epochShuffle(Tables.documents(spark, x1), "doc_id",
+        nShards = 8, seed = "g").count()
+      val (c1, e1) = evalSplit(x1)
+      Curation.fuzzyDecontaminate(c1, e1, "doc_id", "text", "source",
+        n = 3, threshold = 0.8, numHashes = h, bands = b).count()
     }
     for ((tag, d) <- Seq("1x" -> x1, "2x" -> x2, "10x" -> x10)) {
       val (c, e) = evalSplit(d)
@@ -342,6 +373,17 @@ object GrowthBench {
       t(s"q86_probe_$tag") = time(s"q86_probe_$tag",
         Dedup.incrementalMinhashPairsIndexed(c, batch, "doc_id", "text",
           itable, n = 3, threshold = 0.8, numHashes = h, bands = b))
+      // epoch shuffle (r11): one projection + one 16-byte-row shuffle +
+      // per-shard sort — expected ~linear with a tiny constant
+      t(s"qa5_epoch_$tag") = time(s"qa5_epoch_$tag",
+        Curation.epochShuffle(Tables.documents(spark, d), "doc_id",
+          nShards = 8, seed = "g"))
+      // fuzzy decontam (r11): the eval side stays the 1x slice while the
+      // screened corpus grows — corpus cost is map-side signatures plus
+      // eval-bounded candidates, so growth should track q73's shape
+      t(s"qa7_fuzzy_$tag") = time(s"qa7_fuzzy_$tag",
+        Curation.fuzzyDecontaminate(c, evalSplit(x1)._2, "doc_id", "text",
+          "source", n = 3, threshold = 0.8, numHashes = h, bands = b))
     }
 
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
@@ -385,6 +427,9 @@ object GrowthBench {
       t("q78_substring_10x"), 10)
     exp("q81_encode 1x->10x", t("q81_encode_1x"), t("q81_encode_10x"), 10)
     exp("q70s_stream 1x->10x", t("q70s_1x"), t("q70s_10x"), 10)
+    exp("qa5_epoch 1x->10x", t("qa5_epoch_1x"), t("qa5_epoch_10x"), 10)
+    exp("qa7_fuzzy 1x->10x", t("qa7_fuzzy_1x"), t("qa7_fuzzy_10x"), 10)
+    exp("qa4_audit 1x->10x", t("qa4_audit_1x"), t("qa4_audit_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
