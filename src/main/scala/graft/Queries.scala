@@ -100,6 +100,10 @@ object RelationalQueries {
   private val qa5Seed = "e0"
   private val qa5Shards = 8
 
+  /** qa8's sketch geometry — single-sourced into both engines. */
+  private val qa8Width = 1024
+  private val qa8Depth = 4
+
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
     "q01_filter" -> ((s, d) =>
@@ -1326,6 +1330,15 @@ object RelationalQueries {
       TextAnalysis.bpeTrain(Tables.documents(s, d), "doc_id", "text",
         merges = qa2Merges)),
 
+    // QA8 — count-min heavy hitters: top-20 tokens from a bounded
+    // 4 x 1024 counter sketch (one-sided estimates, collisions and all
+    // reproduced bit-for-bit by the oracle — the ORACLE-GATED sketch
+    // tier, vs q07b's declared-no-oracle engine HLL). Params
+    // single-sourced via qa8Width/qa8Depth.
+    "qa8" -> ((s, d) =>
+      TextAnalysis.countMinTopK(Tables.documents(s, d), "doc_id", "text",
+        k = 20, width = qa8Width, depth = qa8Depth)),
+
     // Q86 — q73's screen against a PERSISTED archive index: the corpus
     // side's banded signatures are written once per process into the
     // MapFile bucketed layout (write-once-probe-many), and the batch
@@ -2139,6 +2152,24 @@ object RelationalQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    // qa8: the same seeded counter sketch rebuilt from raw text —
+    // buckets, collisions, and the one-sided min-estimates all
+    // reproduce, so the approximate values themselves are the gate
+    "qa8" ->
+      s"""WITH w AS (SELECT
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |tk AS (SELECT unnest(ws) AS tok FROM w),
+        |hb AS (SELECT tok, h,
+        |    ${graft.pipeline.Portable.hash60Sql(
+               "concat('cm', h, ':', tok)")} % $qa8Width AS b
+        |  FROM tk, range(0, $qa8Depth) t(h)),
+        |cnt AS (SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2),
+        |db AS (SELECT DISTINCT tok, h, b FROM hb),
+        |est AS (SELECT tok, min(c) AS est FROM db JOIN cnt USING (h, b)
+        |  GROUP BY tok)
+        |SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin,
 
     // q81: rank the vocabulary, re-encode every doc in order
     "q81_encode" ->

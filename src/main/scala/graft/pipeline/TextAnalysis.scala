@@ -382,6 +382,51 @@ object TextAnalysis {
         .as("bpe_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** Count-min heavy hitters (qa8) — the top-`k` most frequent tokens
+    * estimated from a BOUNDED `depth × width` counter table, the sketch
+    * a 100 TB frequency audit actually maintains (an exact per-token
+    * count table is vocabulary-sized; the sketch is ~4 KB here at ANY
+    * corpus size). Each occurrence increments `depth` counters chosen by
+    * seeded portable hashes; a token's estimate is the MIN of its
+    * counters — classic count-min, so the error is ONE-SIDED
+    * (`est >= true count`, spec-asserted, with overestimation bounded by
+    * bucket collisions and gone at large `width`, also spec-asserted).
+    * The seeds are fixed strings through [[Portable.hash60Fast]], so the
+    * whole sketch — collisions included — is a pure function of the
+    * data and the DuckDB oracle reproduces it bit-for-bit: unlike the
+    * q07b HLL row (engine-internal sketch, declared no-oracle), this
+    * sketch tier is ORACLE-GATED.
+    *
+    * Returns the top-`k` rows `(tok, est)` by (est desc, tok) — a
+    * deterministic total order, so the cut is engine-stable.
+    *
+    * Scale shape: the counter build is one explode(depth) + hash
+    * aggregate whose OUTPUT is depth×width rows regardless of corpus
+    * size (map-side partials absorb the explode); the only
+    * corpus-dependent exchange carries distinct tokens (vocabulary-
+    * sized); estimates join the counters as a broadcast (4096 rows
+    * here); the final cut is a TakeOrdered (per-partition top-k, no
+    * single-partition sort funnel — plan-asserted). */
+  def countMinTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, width: Int = 1024, depth: Int = 4): DataFrame = {
+    require(k > 0 && width > 0 && depth > 0, s"k=$k w=$width d=$depth")
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val toks = docs.select(explode(words(col(textCol))).as("tok"))
+    def hb = array((0 until depth).map(i => struct(lit(i).as("h"),
+      pmod(Portable.hash60Fast(concat(lit(s"cm$i:"), col("tok"))),
+        lit(width.toLong)).as("b"))): _*)
+    val counters = toks
+      .select(explode(hb).as("x"))
+      .groupBy(col("x.h").as("ch"), col("x.b").as("cb"))
+      .agg(count(lit(1)).as("c"))
+    val est = toks.distinct()
+      .select(col("tok"), explode(hb).as("x"))
+      .join(broadcast(counters),
+        col("x.h") === col("ch") && col("x.b") === col("cb"))
+      .groupBy("tok").agg(min("c").as("est"))
+    est.orderBy(col("est").desc, col("tok")).limit(k)
+  }
+
   /** Per-source token-length distribution audit (q96) — the dataset-card
     * numbers behind mixing and truncation decisions: how long are this
     * source's documents, where do the tails sit, how many tokens does it

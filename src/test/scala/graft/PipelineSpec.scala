@@ -771,6 +771,38 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
 class TextAnalysisSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
+  test("countMinTopK: estimates are one-sided (est >= exact), and exact when width kills collisions") {
+    val docs = Seq(
+      (0L, "a a a a b b b c c d"),
+      (1L, "a b c d e f g h"),
+      (2L, "a a b c x y z")).toDF("doc_id", "text")
+    val exact = docs.select(explode(
+        filter(split(col("text"), " "), w => length(w) > 0))
+        .as("tok")).groupBy("tok").count()
+      .as[(String, Long)].collect().toMap
+    // width 4 forces collisions on this 12-token vocabulary: every
+    // estimate must still upper-bound the true count, and the top-k cut
+    // stays a valid set of real tokens
+    val sketched = TextAnalysis.countMinTopK(docs, "doc_id", "text",
+        k = 12, width = 4, depth = 2)
+      .as[(String, Long)].collect()
+    assert(sketched.nonEmpty)
+    sketched.foreach { case (tok, est) =>
+      assert(est >= exact(tok), s"$tok est=$est exact=${exact(tok)}")
+    }
+    // a wide sketch has no collisions on 12 tokens: est == exact, and
+    // the ranking is the true frequency ranking
+    val wide = TextAnalysis.countMinTopK(docs, "doc_id", "text",
+        k = 12, width = 1 << 16, depth = 4)
+      .as[(String, Long)].collect()
+    assert(wide.length == exact.size)
+    wide.foreach { case (tok, est) =>
+      assert(est == exact(tok), s"$tok est=$est exact=${exact(tok)}")
+    }
+    val expectedOrder = exact.toSeq.sortBy { case (t, c) => (-c, t) }
+    assert(wide.toSeq == expectedOrder)
+  }
+
   test("languageId picks the language with most stopword hits") {
     val docs = Seq(
       (0L, "the cat sat of the mat and it is that"),

@@ -426,6 +426,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
         s"anti-join broadcast carries non-id $a")
   }
 
+  test("qa8: the sketch counters broadcast and the cut is a TakeOrdered — no global sort exchange, no corpus-scale counter shuffle") {
+    // countMinTopK's scale claims: the counter table (depth x width,
+    // bounded) reaches the estimate join as a broadcast, and the final
+    // top-k is per-partition TakeOrdered, never an orderBy exchange
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val df = SparkEntry.queries("qa8")(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(3000))
+    val all = planNodes(df.queryExecution.executedPlan)
+    assert(all.collect { case e: BroadcastExchangeExec => e }.nonEmpty,
+      plan.take(3000))
+  }
+
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {
     // q90's result is checkpointed (materializeThenRelease), so assert on
     // the reconstructed postings + intersection stage, as the q31 test
