@@ -189,7 +189,14 @@ object Bench {
       // suite to whole-second values
       line(1, false, lean = 2, errMode = 1))
       .find(_.length <= budget)
-      .orElse(droppingSmallest(1, errMode = 1, maxDropFrac = 10))
+      // escalate the drop cap (10% -> ~14% -> 20% -> 25%) before any
+      // whole-second rung: r11 crossed the point where 10% wasn't
+      // enough (118 keys, all-0dp line shipped), and a quarter of the
+      // suite's cheapest sub-0.2s entries is a far better loss than
+      // every query's decimal
+      .orElse(Seq(10, 7, 5, 4).iterator
+        .flatMap(f => droppingSmallest(1, errMode = 1, maxDropFrac = f))
+        .nextOption())
       .orElse { // whole-second floors, every one fit-CHECKED
         Seq(line(0, false, lean = 2, errMode = 1),
           line(0, false, lean = 2, errMode = 2))

@@ -36,6 +36,23 @@ class BenchLineSpec extends AnyFunSuite {
         "shorten the newest query keys")
   }
 
+  test("a uniformly 3-char value mix keeps 1dp by dropping at most a quarter of entries") {
+    // the r11 regression this pins: every value "0.x" (no 1-char
+    // sub-50ms entries to save space), which is what a loaded driver
+    // box actually produces — the ladder must escalate the drop cap
+    // rather than surrender the whole suite to whole seconds (BENCH_r11f
+    // measured the 10% cap failing at 118 keys and shipping all-0dp)
+    val uniform = keys.map(_ -> Option(0.9))
+    val line = Bench.metricLine(uniform, Nil, "/root/testdata/sf0.1")
+    assert(line.length <= Bench.budget, s"${line.length} chars")
+    assert(line.contains(":0.9"),
+      s"fell to the whole-second floor (${line.length} chars) — the " +
+        "drop-cap escalation no longer reaches a fitting 1dp line")
+    val present = keys.count(k => line.contains("\"" + k + "\""))
+    assert(present >= (keys.size * 3) / 4,
+      s"dropped more than a quarter of the suite ($present of ${keys.size})")
+  }
+
   test("overflow drops the smallest entries, never the suite's precision") {
     // two extra short keys model next round's growth: at 96+ keys the
     // 1dp rung sits within ~10 chars of the window, so growth must land
