@@ -1339,6 +1339,23 @@ object RelationalQueries {
       TextAnalysis.countMinTopK(Tables.documents(s, d), "doc_id", "text",
         k = 20, width = qa8Width, depth = qa8Depth)),
 
+    // QA9 — the count-min counter table MAINTAINED ON A STREAM: the
+    // same countMinCounters call as one complete-mode streaming
+    // aggregation — state IS the bounded depth x width table, updated
+    // per micro-batch with no replay. Oracle rebuilds the identical
+    // counters from raw text: stream == batch == oracle on the sketch
+    // tier (the q70s gate shape).
+    "qa9" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      graft.streaming.EventStreams.runToMemory(
+        TextAnalysis.countMinCounters(stream, "text",
+          width = qa8Width, depth = qa8Depth),
+        "qa9_sink",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
     // Q86 — q73's screen against a PERSISTED archive index: the corpus
     // side's banded signatures are written once per process into the
     // MapFile bucketed layout (write-once-probe-many), and the batch
@@ -2170,6 +2187,19 @@ object RelationalQueries {
         |est AS (SELECT tok, min(c) AS est FROM db JOIN cnt USING (h, b)
         |  GROUP BY tok)
         |SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin,
+
+    // qa9: the counter TABLE itself, rebuilt from raw text — the
+    // streaming aggregation's final state must equal the batch sketch
+    "qa9" ->
+      s"""WITH w AS (SELECT
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |tk AS (SELECT unnest(ws) AS tok FROM w),
+        |hb AS (SELECT tok, h,
+        |    ${graft.pipeline.Portable.hash60Sql(
+               "concat('cm', h, ':', tok)")} % $qa8Width AS b
+        |  FROM tk, range(0, $qa8Depth) t(h))
+        |SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2""".stripMargin,
 
     // q81: rank the vocabulary, re-encode every doc in order
     "q81_encode" ->

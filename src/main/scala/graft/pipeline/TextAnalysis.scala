@@ -407,20 +407,41 @@ object TextAnalysis {
     * sized); estimates join the counters as a broadcast (4096 rows
     * here); the final cut is a TakeOrdered (per-partition top-k, no
     * single-partition sort funnel — plan-asserted). */
+  /** The seeded (h, b) counter coordinates of one token — shared by the
+    * batch sketch, the streaming sketch, and the estimate join, so the
+    * three cannot hash differently. */
+  private def cmCoords(width: Int, depth: Int) =
+    array((0 until depth).map(i => struct(lit(i.toLong).as("h"),
+      pmod(Portable.hash60Fast(concat(lit(s"cm$i:"), col("tok"))),
+        lit(width.toLong)).as("b"))): _*)
+
+  /** The count-min counter table `(h, b, c)` — depth × width rows at any
+    * corpus size. Stateless projections + ONE hash aggregate, so the
+    * identical call runs on a batch frame or a streaming one: on a
+    * stream (qa9) it is a complete-mode streaming aggregation whose
+    * state is the bounded counter table itself — the sketch maintains
+    * incrementally per micro-batch with no replay (spec-gated
+    * stream == batch; the qa9 oracle rebuilds the same counters in SQL).
+    */
+  def countMinCounters(docs: DataFrame, textCol: String,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    require(width > 0 && depth > 0, s"w=$width d=$depth")
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    docs.select(explode(words(col(textCol))).as("tok"))
+      .select(explode(cmCoords(width, depth)).as("x"))
+      .groupBy(col("x.h").as("h"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   def countMinTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int, width: Int = 1024, depth: Int = 4): DataFrame = {
     require(k > 0 && width > 0 && depth > 0, s"k=$k w=$width d=$depth")
     graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    val counters = countMinCounters(docs, textCol, width, depth)
+      .select(col("h").as("ch"), col("b").as("cb"), col("c"))
     val toks = docs.select(explode(words(col(textCol))).as("tok"))
-    def hb = array((0 until depth).map(i => struct(lit(i).as("h"),
-      pmod(Portable.hash60Fast(concat(lit(s"cm$i:"), col("tok"))),
-        lit(width.toLong)).as("b"))): _*)
-    val counters = toks
-      .select(explode(hb).as("x"))
-      .groupBy(col("x.h").as("ch"), col("x.b").as("cb"))
-      .agg(count(lit(1)).as("c"))
     val est = toks.distinct()
-      .select(col("tok"), explode(hb).as("x"))
+      .select(col("tok"), explode(cmCoords(width, depth)).as("x"))
       .join(broadcast(counters),
         col("x.h") === col("ch") && col("x.b") === col("cb"))
       .groupBy("tok").agg(min("c").as("est"))

@@ -367,6 +367,35 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("countMinCounters: the streaming sketch state equals the batch sketch after two micro-batches") {
+    // qa9's contract — the complete-mode aggregation's state IS the
+    // bounded counter table, so after any number of micro-batches it
+    // must equal the batch sketch over the union (no replay, no drift)
+    import graft.pipeline.TextAnalysis
+    val rows = Seq((1L, "a a b"), (2L, "b c d"),
+      (3L, "a d e f"), (4L, "g a b c"))
+    val ms = MemoryStream[(Long, String)](spark)
+    val q = TextAnalysis.countMinCounters(
+        ms.toDF().toDF("doc_id", "text"), "text", width = 64, depth = 3)
+      .writeStream.format("memory").queryName("qa9_spec")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      ms.addData(rows.take(2))
+      q.processAllAvailable()
+      ms.addData(rows.drop(2))
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the gate needs >= 2 non-empty micro-batches")
+    } finally q.stop()
+    val streamed = spark.table("qa9_spec")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = TextAnalysis.countMinCounters(
+        rows.toDF("doc_id", "text"), "text", width = 64, depth = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
+
   test("streamProbeCandidates: stream candidates equal the batch probe on the same increment") {
     import graft.pipeline.Dedup
     withMinhashIndex("spc_eq_idx") { (_, incr, h, b) =>
