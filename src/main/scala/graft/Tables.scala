@@ -53,6 +53,36 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  /** documents/embeddings normalization — the r10 lesson (the driver
+    * regenerated events.parquet with a new physical type and every
+    * event-time operator went red) applied to the other two pipeline
+    * tables BEFORE it happens: ids arrive as whatever integer width the
+    * writer chose (int32 today would be a legal regeneration), and the
+    * embedding column could ship float64. Downstream contracts are
+    * LongType ids and array<float> vectors (the native VectorOps
+    * kernels' input type), so both loaders pin them here. All casts are
+    * no-ops on the current testdata; on a drifted regeneration they keep
+    * the tier running instead of analysis-erroring 60 queries at once
+    * (float64 -> float32 costs ~1e-7 relative, inside the driver's 1e-6
+    * float tolerance). */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = apply(spark, dir, "documents")
+    if (raw.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType) raw
+    else raw.withColumn("doc_id", col("doc_id").cast("long"))
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val raw = apply(spark, dir, "embeddings")
+    val idFixed =
+      if (raw.schema("vec_id").dataType == LongType) raw
+      else raw.withColumn("vec_id", col("vec_id").cast("long"))
+    idFixed.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => idFixed
+      case _ => idFixed.withColumn("embedding",
+        col("embedding").cast(ArrayType(FloatType)))
+    }
+  }
 }

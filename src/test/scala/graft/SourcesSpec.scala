@@ -60,6 +60,36 @@ class TextFormatsSpec extends AnyFunSuite with SparkTest {
   }
 }
 
+class TableNormalizationSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("documents/embeddings loaders pin long ids and float vectors across a drifted regeneration") {
+    // the r10 lesson generalized: write the two pipeline tables in the
+    // LEGAL-but-different physical types a regeneration could choose
+    // (int ids, float64 vectors) and assert the loaders normalize to
+    // the downstream contract instead of analysis-erroring the tier
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val dir = SparkTest.tmpDir("tblnorm")
+    Seq((1, "alpha beta", "s1"), (2, "gamma", "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((1, Array(0.25d, -1.5d)), (2, Array(0.75d, 2.0d)))
+      .toDF("vec_id", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.schema("doc_id").dataType == LongType)
+    assert(docs.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    val vecs = Tables.embeddings(spark, dir)
+    assert(vecs.schema("vec_id").dataType == LongType)
+    assert(vecs.schema("embedding").dataType == ArrayType(FloatType))
+    val row = vecs.filter(col("vec_id") === 1L)
+      .select("embedding").as[Array[Float]].head()
+    assert(row.toSeq == Seq(0.25f, -1.5f)) // exact: both representable
+  }
+}
+
 class CombineFilesSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
