@@ -104,6 +104,27 @@ object RelationalQueries {
   private val qa8Width = 1024
   private val qa8Depth = 4
 
+  /** qb1/qb2 retrieval parameters — single-sourced into both engines.
+    * Queries are every doc_id % 100 = 0 document's first qb1QTerms
+    * tokens; legs return qb1K rows, the fusion keeps qb2K. */
+  private val qb1K1 = 1.2
+  private val qb1B = 0.75
+  private val qb1K = 10
+  private val qb1QTerms = 8
+  private val qb2K = 5
+  private val qb2C = 60
+
+  /** The shared qb1/qb2 query set: (q_id, qtext) = each sampled doc's
+    * first [[qb1QTerms]] tokens re-joined — the "query is a document
+    * prefix" convention that keeps the oracle a pure function of the
+    * documents table. */
+  private def qb1Queries(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(filter(split(col("text"), " "),
+          w => length(w) > 0), 1, qb1QTerms), " ").as("qtext"))
+
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
     "q01_filter" -> ((s, d) =>
@@ -1356,6 +1377,39 @@ object RelationalQueries {
         org.apache.spark.sql.streaming.OutputMode.Complete())
     }),
 
+    // QB1 — BM25 lexical top-k retrieval: the sparse leg of hybrid
+    // search (q35/q76/q77 are dense legs). Queries are sampled document
+    // prefixes; scores rank in integer micro-units (floor(bm25*1e6)) so
+    // the cross-engine ln near-tie class cannot flip ranks. The distinct
+    // query-term broadcast candidate-restricts every aggregate — text
+    // bodies never shuffle (plan-asserted).
+    "qb1" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", qb1Queries(docs),
+        "q_id", "qtext", k = qb1K, k1 = qb1K1, b = qb1B)
+    }),
+
+    // QB2 — reciprocal-rank-fusion hybrid retrieval: qb1's lexical
+    // top-10 fused with the exact-cosine dense top-10 over the SAME
+    // query ids (doc_id and vec_id align 1:1), score Σ 1/(60+rank).
+    // Rank-based fusion needs no score normalization, and with two legs
+    // the fused double is bit-identical across engines (two-term IEEE
+    // addition commutes) — quantization to nano-units is belt-and-
+    // braces. Inputs are rank lists (queries × k rows), so the fusion
+    // shuffle is negligible at any corpus size.
+    "qb2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        qb1Queries(docs), "q_id", "qtext", k = qb1K, k1 = qb1K1, b = qb1B)
+      val vecs = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(vecs,
+          vecs.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", qb1K)
+        .withColumnRenamed("nb_id", "doc_id")
+      Similarity.rrfFuse(Seq(lex, dense), "q_id", "doc_id", "rank",
+        k = qb2K, c = qb2C)
+    }),
+
     // Q86 — q73's screen against a PERSISTED archive index: the corpus
     // side's banded signatures are written once per process into the
     // MapFile bucketed layout (write-once-probe-many), and the batch
@@ -1752,6 +1806,35 @@ object RelationalQueries {
       |FROM r""".stripMargin
 
   /** Cosine over double-cast embeddings, shared by q34/q35 oracles. */
+  /** qb1's BM25 chain as DuckDB CTEs, ending in `lexr` = the ranked
+    * lexical lists (q_id, doc_id, score_u, rk). Shared verbatim by qb1
+    * and qb2 so the fusion provably consumes the gated lexical leg.
+    * Every constant interpolates from the same qb1* fields the Spark
+    * side uses; both engines parse identical literals, so the doubles
+    * agree and floor-quantization makes the ranking tie-exact. */
+  private val bm25OracleCtes: String =
+    s"""t AS (SELECT doc_id,
+      |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+      |  FROM documents),
+      |st AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM t),
+      |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(ws[1:$qb1QTerms]) AS term
+      |  FROM t WHERE doc_id % 100 = 0),
+      |post AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT qt.q_id, tf.doc_id,
+      |    sum(ln(1.0 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+      |      * (tf.tf * ($qb1K1 + 1))
+      |      / (tf.tf + $qb1K1 * (1 - $qb1B + $qb1B * tf.dl / st.avgdl)))
+      |      AS score
+      |  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN st
+      |  WHERE tf.doc_id <> qt.q_id GROUP BY 1, 2),
+      |lexr AS (SELECT q_id, doc_id,
+      |    CAST(floor(score * 1e6) AS BIGINT) AS score_u,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY floor(score * 1e6) DESC, doc_id) AS rk FROM sc)""".stripMargin
+
   private val embedNormSql: String =
     """v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2200,6 +2283,37 @@ object RelationalQueries {
                "concat('cm', h, ':', tok)")} % $qa8Width AS b
         |  FROM tk, range(0, $qa8Depth) t(h))
         |SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2""".stripMargin,
+
+    // qb1: the full BM25 computation re-derived in SQL — corpus stats,
+    // candidate postings, idf, the quantized ranking
+    "qb1" ->
+      s"""WITH $bm25OracleCtes
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
+        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+
+    // qb2: both legs re-derived (the BM25 chain verbatim + the q35
+    // cosine chain at the same query set), fused by Σ 1/(c+rank)
+    "qb2" ->
+      s"""WITH $bm25OracleCtes,
+        |$embedNormSql,
+        |q AS (SELECT * FROM nv WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+        |    list_sum(list_transform(range(64), i -> q.e[i+1]*c.e[i+1]))
+        |      / (q.nrm*c.nrm) AS cos
+        |  FROM q, nv c WHERE q.vec_id <> c.vec_id),
+        |denser AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, nb_id) AS rk FROM scored),
+        |leg AS (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qb1K
+        |  UNION ALL
+        |  SELECT q_id, nb_id AS doc_id, rk FROM denser WHERE rk <= $qb1K),
+        |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf
+        |  FROM leg GROUP BY 1, 2),
+        |fr AS (SELECT q_id, doc_id,
+        |    CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_u,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
+        |FROM fr WHERE rk <= $qb2K""".stripMargin,
 
     // q81: rank the vocabulary, re-encode every doc in order
     "q81_encode" ->

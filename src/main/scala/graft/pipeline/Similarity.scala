@@ -892,4 +892,45 @@ object Similarity {
           .as("cos"))
     rankTopK(candidates, k)
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack/Clarke/Buettcher, SIGIR'09): each leg (a ranked list per
+    * query, e.g. the BM25 lexical leg and a dense ANN leg) contributes
+    * 1/(c + rank) per hit; candidates re-rank by the summed score. Rank-
+    * based, so legs with incomparable score scales fuse without
+    * normalization.
+    *
+    * Each leg must carry (qCol, idCol, rankCol). Returns
+    * (q_id, doc_id, rank, rrf_u) with rank <= k, where
+    * `rrf_u = floor(Σ 1/(c+rank) · 1e9)` — nano-units on the same
+    * quantize-before-rank contract as [[TextAnalysis.bm25TopK]]. With
+    * IEEE doubles the sum is bit-identical across engines for ≤2 legs
+    * (two-term addition is exactly commutative), so for the common
+    * lexical+dense pair the quantization is belt-and-braces, not load-
+    * bearing.
+    *
+    * Scale shape: inputs are already top-k lists — queries × k rows per
+    * leg, orders of magnitude below any corpus — so the union + grouped
+    * sum shuffle is rank-list-sized, carries two longs and a double per
+    * row, and never touches text or vectors; the per-query cut reuses
+    * the bounded-state [[graft.agg.TopKAggregator]] partial-agg path. */
+  def rrfFuse(legs: Seq[DataFrame], qCol: String, idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse: no legs")
+    val norm = legs.map(_.select(col(qCol).as("q_id"),
+      col(idCol).cast("long").as("doc_id"),
+      (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double")))
+        .as("contrib")))
+    val su = norm.reduce(_ unionByName _)
+      .groupBy("q_id", "doc_id").agg(sum("contrib").as("rrf"))
+      .withColumn("rrf_u", floor(col("rrf") * 1e9).cast("long"))
+    val topk = udaf(new graft.agg.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    su.groupBy("q_id")
+      .agg(topk(col("rrf_u").cast("double"), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "v")))
+      .select(col("q_id"), col("v._2").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("v._1").cast("long").as("rrf_u"))
+  }
 }

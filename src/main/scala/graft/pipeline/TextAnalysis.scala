@@ -154,6 +154,68 @@ object TextAnalysis {
         col("v.df").as("df"), (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** BM25 lexical top-k retrieval — the sparse leg every retrieval stack
+    * pairs with the ANN tier (q35/q76/q77 are the dense legs; qb2 fuses
+    * the two): for each query, the k best documents by the Lucene BM25
+    * weight Σ_t ln(1 + (N − df + ½)/(df + ½)) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·dl/avgdl)) over the query's distinct terms.
+    * Reference analog: the Grep example's search-then-rank shape
+    * (examples/Grep.java) upgraded to a scored ranking.
+    *
+    * Determinism contract: cross-engine `ln` is not bit-contracted (the
+    * q35c fp-risk class [[distinctiveTerms]] avoids outright), so ranking
+    * on the raw double would flip near-ties. Instead scores are QUANTIZED
+    * to integer micro-units — `score_u = floor(score · 1e6)`, the
+    * driver's own float tolerance — before ranking: genuine near-ties
+    * collapse to equal longs on both engines and break by doc_id; a flip
+    * now needs the sum to straddle a 1e-6 grid line within the engines'
+    * ~1e-15 disagreement, vanishingly rarer than a raw near-tie.
+    * Returns (q_id, doc_id, rank, score_u), rank <= k.
+    *
+    * Scale shape: the distinct query-term set broadcasts and
+    * candidate-restricts EVERYTHING — only postings whose term some query
+    * mentions reach any aggregate, so corpus text bodies never shuffle
+    * (plan-asserted). df needs no corpus-wide vocabulary: a term's
+    * containing-doc count equals its candidate-postings count, and the
+    * (term, df) / per-query-term tables re-enter as broadcasts (query-
+    * scale). N and avgdl are one partial-agg'd scan. The per-query top-k
+    * is the bounded-state [[graft.agg.TopKAggregator]] (map-side partial,
+    * ≤k rows per query per task into the shuffle) — never a window sort
+    * of a popular term's full candidate set through one reducer. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        words(col(textCol)).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("term"))
+    val stats = docs.select(size(words(col(textCol))).as("n"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("n")).as("avgdl"))
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(words(col(qTextCol)))).as("term"))
+    val cand = toks.join(broadcast(qterms.select("term").distinct()), "term")
+    val tf = cand.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(broadcast(dfreq), "term")
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val su = w.groupBy("q_id", "doc_id").agg(sum("w").as("score"))
+      .withColumn("score_u", floor(col("score") * 1e6).cast("long"))
+    val topk = udaf(new graft.agg.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    su.groupBy("q_id")
+      .agg(topk(col("score_u").cast("double"), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "v")))
+      .select(col("q_id"), col("v._2").as("doc_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("v._1").cast("long").as("score_u"))
+  }
+
   /** Vocabulary building + integer encoding — the final step before
     * training: token ids are assigned by corpus frequency rank (count
     * desc, then token asc — fully deterministic), and every document is

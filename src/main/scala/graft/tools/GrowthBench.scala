@@ -384,6 +384,22 @@ object GrowthBench {
       t(s"qa7_fuzzy_$tag") = time(s"qa7_fuzzy_$tag",
         Curation.fuzzyDecontaminate(c, evalSplit(x1)._2, "doc_id", "text",
           "source", n = 3, threshold = 0.8, numHashes = h, bands = b))
+      // BM25 retrieval (r11): proportional query panel (the registry
+      // qb1 shape — every %100 doc of the SCALED corpus queries it).
+      // The token bijection keeps each query's candidates copy-local,
+      // so per-query work is constant and total cost is the linear
+      // corpus scan + linearly-many constant-size rank lists: ~linear
+      def bmPanel(dir: String) = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(filter(split(col("text"), " "),
+            w => length(w) > 0), 1, 8), " ").as("qtext"))
+      if (tag == "1x") // warm the BM25 plan shape at the cheap scale
+        graft.pipeline.TextAnalysis.bm25TopK(Tables.documents(spark, x1),
+          "doc_id", "text", bmPanel(x1), "q_id", "qtext", k = 10).count()
+      t(s"qb1_bm25_$tag") = time(s"qb1_bm25_$tag",
+        graft.pipeline.TextAnalysis.bm25TopK(Tables.documents(spark, d),
+          "doc_id", "text", bmPanel(d), "q_id", "qtext", k = 10))
     }
 
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
@@ -430,6 +446,7 @@ object GrowthBench {
     exp("qa5_epoch 1x->10x", t("qa5_epoch_1x"), t("qa5_epoch_10x"), 10)
     exp("qa7_fuzzy 1x->10x", t("qa7_fuzzy_1x"), t("qa7_fuzzy_10x"), 10)
     exp("qa4_audit 1x->10x", t("qa4_audit_1x"), t("qa4_audit_10x"), 10)
+    exp("qb1_bm25 1x->10x", t("qb1_bm25_1x"), t("qb1_bm25_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +

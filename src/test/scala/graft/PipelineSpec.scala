@@ -966,6 +966,68 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(out(0L)._3 == "4,5" && out(0L)._2 == 2, out(0L))
     assert(out(1L)._3 == "4,5" && out(1L)._2 == 2, out(1L))
   }
+
+  test("bm25TopK ranks by the exact quantized Lucene-BM25 score") {
+    // 4-doc corpus, one external query over {apple, banana}; expected
+    // score_u recomputed here with the SAME double-op tree the Column
+    // expression builds (ln + mul + div in identical order), so the
+    // assert is exact-long, not approximate. df(apple)=df(banana)=2,
+    // N=4, avgdl=2.25.
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "durian")
+    ).toDF("doc_id", "text")
+    val qs = Seq((99L, "apple banana")).toDF("q_id", "qtext")
+    val k1 = 1.2; val b = 0.75
+    val n = 4.0; val avgdl = 2.25
+    def w(tf: Double, df: Double, dl: Double): Double =
+      math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+    def u(score: Double): Long = math.floor(score * 1e6).toLong
+    val exp1 = u(w(2, 2, 3) + w(1, 2, 3))  // doc 1: apple tf=2, banana tf=1
+    val exp3 = u(w(3, 2, 3))               // doc 3: banana tf=3
+    val exp2 = u(w(1, 2, 2))               // doc 2: apple tf=1
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        qs, "q_id", "qtext", k = 3, k1 = k1, b = b)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(
+      (99L, 1L, 1, exp1), (99L, 3L, 2, exp3), (99L, 2L, 3, exp2)), out.toSeq)
+  }
+
+  test("bm25TopK excludes the query doc itself and honors k") {
+    // query id 1 collides with corpus doc 1 -> doc 1 must not retrieve
+    // itself even though it matches both terms best; k=1 cuts to the
+    // single best other doc (doc 3, the banana-heavy one)
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "apple banana")).toDF("q_id", "qtext")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        qs, "q_id", "qtext", k = 1)
+      .as[(Long, Long, Int, Long)].collect()
+    assert(out.length == 1 && out(0)._2 == 3L && out(0)._3 == 1, out.toSeq)
+  }
+
+  test("rrfFuse sums 1/(c+rank) across legs with exact nano-unit ties") {
+    import spark.implicits._
+    // leg A ranks 10,20,30; leg B ranks 20,40 -> doc 20 fuses both legs
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val bLeg = Seq((1L, 20L, 1), (1L, 40L, 2))
+      .toDF("q_id", "doc_id", "rank")
+    def u(x: Double): Long = math.floor(x * 1e9).toLong
+    val out = Similarity.rrfFuse(Seq(a, bLeg), "q_id", "doc_id", "rank",
+        k = 3, c = 60)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(
+      (1L, 20L, 1, u(1.0 / 62 + 1.0 / 61)),
+      (1L, 10L, 2, u(1.0 / 61)),
+      (1L, 40L, 3, u(1.0 / 62))), out.toSeq)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTest {

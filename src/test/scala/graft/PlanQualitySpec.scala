@@ -473,4 +473,50 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(!p.contains("SinglePartition"), p.take(4000))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
+
+  test("qb1: BM25 shuffles carry terms and numbers only — document bodies never move, the query-term restriction broadcasts") {
+    // bm25TopK's scale claim: the distinct query-term set broadcasts and
+    // candidate-restricts everything, so the only strings in any shuffle
+    // are single terms (postings-scale); the full `text`/`qtext` body in
+    // an exchange is the scale regression. Typed-exchange asserts, plus
+    // the per-query cut is the bounded-state partial agg, never a
+    // corpus-window sort (no SinglePartition anywhere).
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("qb1")(spark, d)
+    df.collect()
+    val all = planNodes(df.queryExecution.executedPlan)
+    val shuffles = all.collect { case e: ShuffleExchangeExec => e }
+    val bcasts = all.collect { case e: BroadcastExchangeExec => e }
+    assert(shuffles.nonEmpty && bcasts.nonEmpty,
+      df.queryExecution.executedPlan.toString.take(3000))
+    for (e <- shuffles; a <- e.output if a.dataType == StringType)
+      assert(a.name == "term",
+        s"shuffle carries non-term string $a: ${e.simpleString(20)}")
+    // the per-query cut must be the TopKAggregator partial-agg path, not
+    // a window row_number (which would sort a popular term's whole
+    // candidate set through one task). The corpus-stats scalar agg's
+    // SinglePartition finish is fine — one row per task feeds it.
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("topkaggregator"), p.take(4000))
+  }
+
+  test("qb2: the fusion consumes rank lists only — no float array in any shuffle, broadcasts carry at most the query-side vectors") {
+    // rrfFuse's scale claim: by fusion time both legs are queries x k
+    // rank lists, so nothing corpus-sized moves; the dense leg keeps
+    // bruteForceTopK's own contract (query vectors broadcast, corpus
+    // vectors never leave their scan) and the lexical leg keeps qb1's
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val df = SparkEntry.queries("qb2")(spark, d)
+    df.collect()
+    val all = planNodes(df.queryExecution.executedPlan)
+    for (e <- all.collect { case e: ShuffleExchangeExec => e }; a <- e.output)
+      assert(!isFloatArray(a.dataType),
+        s"fusion shuffle carries float array $a: ${e.simpleString(20)}")
+    for (e <- all.collect { case e: BroadcastExchangeExec => e };
+         a <- e.output if isFloatArray(a.dataType))
+      assert(a.name == "qv",
+        s"broadcast carries corpus-side float array $a: ${e.simpleString(20)}")
+  }
 }
