@@ -1410,6 +1410,22 @@ object RelationalQueries {
         k = qb2K, c = qb2C)
     }),
 
+    // QB3 — qb1 against a PERSISTED postings index (the third persisted
+    // tier beside q86's minhash archive and q99's ADC index): postings
+    // pre-aggregated and bucketed by term at write time, probes read
+    // the stored side with no shuffle and derive df from the candidate
+    // rows; the scoring tail is bm25Rank verbatim, so qb3 shares qb1's
+    // oracle — the stored index provably loses nothing.
+    "qb3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val table = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(table) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", table)
+      }
+      TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id", "qtext",
+        table, k = qb1K, k1 = qb1K1, b = qb1B)
+    }),
+
     // Q86 — q73's screen against a PERSISTED archive index: the corpus
     // side's banded signatures are written once per process into the
     // MapFile bucketed layout (write-once-probe-many), and the batch
@@ -2287,6 +2303,14 @@ object RelationalQueries {
     // qb1: the full BM25 computation re-derived in SQL — corpus stats,
     // candidate postings, idf, the quantized ranking
     "qb1" ->
+      s"""WITH $bm25OracleCtes
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
+        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+
+    // qb3: qb1's oracle VERBATIM — the persisted postings index must
+    // lose nothing vs the scan-per-run tier (identical contract and
+    // ranking; the Spark paths share one bm25Rank Column tree)
+    "qb3" ->
       s"""WITH $bm25OracleCtes
         |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
         |FROM lexr WHERE rk <= $qb1K""".stripMargin,

@@ -191,10 +191,29 @@ object TextAnalysis {
         explode(col("ws")).as("term"))
     val stats = docs.select(size(words(col(textCol))).as("n"))
       .agg(count(lit(1)).as("n_docs"), avg(col("n")).as("avgdl"))
-    val qterms = queries.select(col(qIdCol).as("q_id"),
-      explode(array_distinct(words(col(qTextCol)))).as("term"))
+    val qterms = queryTerms(queries, qIdCol, qTextCol)
     val cand = toks.join(broadcast(qterms.select("term").distinct()), "term")
     val tf = cand.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    bm25Rank(tf, qterms, stats, k, k1, b)
+  }
+
+  /** The distinct (q_id, term) pairs of a query table — the broadcast
+    * that candidate-restricts both BM25 paths. */
+  private def queryTerms(queries: DataFrame, qIdCol: String,
+      qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(words(col(qTextCol)))).as("term"))
+
+  /** The scoring tail shared VERBATIM by [[bm25TopK]] and
+    * [[bm25TopKIndexed]] — one Column tree for idf, saturation, the
+    * micro-unit quantization, and the TopKAggregator cut, so the
+    * persisted-index path provably computes the identical ranking (qb3
+    * shares qb1's oracle on the strength of this). `tf` rows are the
+    * CANDIDATE postings (doc_id, term, dl, tf); df per term equals the
+    * candidate-postings count, so no corpus-wide vocabulary exists on
+    * either path. */
+  private def bm25Rank(tf: DataFrame, qterms: DataFrame, stats: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf.join(broadcast(dfreq), "term")
       .join(broadcast(qterms), "term")
@@ -214,6 +233,49 @@ object TextAnalysis {
       .select(col("q_id"), col("v._2").as("doc_id"),
         (col("pos") + 1).cast("int").as("rank"),
         col("v._1").cast("long").as("score_u"))
+  }
+
+  /** Persisted BM25 postings index — write-once-probe-many lexical
+    * retrieval, the third persisted tier beside the minhash archive
+    * (q86) and the ADC index (q99). Postings (term, doc_id, dl, tf)
+    * land in the bucketed MapFile layout clustered by `term` (tf is
+    * PRE-AGGREGATED at write time — the per-occurrence explode is paid
+    * once per archive append, never per probe), and the corpus scalars
+    * (n_docs, avgdl) persist beside them so a probe never rescans the
+    * corpus. df is NOT stored: a term's containing-doc count equals its
+    * candidate-postings count, so the probe derives it from rows it
+    * already read — stored state cannot drift out of sync with the
+    * scoring math. Reference analog: the build-then-probe MapFile
+    * contract (mapred/MapFileOutputFormat.java:39). */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      table: String, buckets: Int = 16): Unit = {
+    val tf = docs.select(col(idCol).as("doc_id"),
+        words(col(textCol)).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    graft.sources.MapFiles.write(tf, "term", buckets, table)
+    val stats = docs.select(size(words(col(textCol))).as("n"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("n")).as("avgdl"))
+    graft.sources.MapFiles.write(stats, "n_docs", 1, table + "_s")
+  }
+
+  /** [[bm25TopK]] probing the PERSISTED index instead of re-exploding
+    * the corpus per run — the production lexical-retrieval shape. The
+    * query-term set broadcasts into the stored postings scan (bucketed
+    * by term, bloom-filtered, never shuffled — plan-asserted), df
+    * derives from the candidate rows, and the scoring tail is
+    * [[bm25Rank]] verbatim — identical output contract and ranking, so
+    * qb3 shares qb1's oracle, proving the stored index loses nothing. */
+  def bm25TopKIndexed(queries: DataFrame, qIdCol: String, qTextCol: String,
+      table: String, k: Int, k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    val tf = spark.table(table)
+    val stats = spark.table(table + "_s")
+    val qterms = queryTerms(queries, qIdCol, qTextCol)
+    val cand = tf.join(broadcast(qterms.select("term").distinct()), "term")
+    bm25Rank(cand, qterms, stats, k, k1, b)
   }
 
   /** Vocabulary building + integer encoding — the final step before

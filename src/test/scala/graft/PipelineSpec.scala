@@ -1012,6 +1012,33 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(out.length == 1 && out(0)._2 == 3L && out(0)._3 == 1, out.toSeq)
   }
 
+  test("bm25TopKIndexed equals bm25TopK row for row on the same corpus") {
+    // the persisted-index contract behind qb3 sharing qb1's oracle: the
+    // stored postings path must reproduce the scan path exactly
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "durian apple")
+    ).toDF("doc_id", "text")
+    val qs = Seq((2L, "apple banana"), (4L, "cherry durian"))
+      .toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_spec_idx")
+      val direct = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          qs, "q_id", "qtext", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+      val indexed = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_spec_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(direct.nonEmpty && direct.toSeq == indexed.toSeq,
+        s"direct=${direct.toSeq} indexed=${indexed.toSeq}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_spec_idx")
+      spark.sql("DROP TABLE IF EXISTS bm25_spec_idx_s")
+    }
+  }
+
   test("rrfFuse sums 1/(c+rank) across legs with exact nano-unit ties") {
     import spark.implicits._
     // leg A ranks 10,20,30; leg B ranks 20,40 -> doc 20 fuses both legs

@@ -502,6 +502,52 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(p.contains("topkaggregator"), p.take(4000))
   }
 
+  test("qb3: the persisted postings index joins in bucketed layout — stored side never re-shuffles, probe exchanges stay candidate-scale") {
+    // writeBm25Index/bm25TopKIndexed's scale claim: the probe reads the
+    // term-bucketed postings with Bucketed: true, the query-term
+    // restriction is a broadcast into that scan, and the only
+    // hashpartitioning exchanges are the candidate-scale score/top-k
+    // aggs (2) — a third would mean the stored postings re-shuffled
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables.documents(spark, d)
+    val qs = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+      .selectExpr("doc_id AS q_id",
+        "array_join(slice(filter(split(text, ' '), w -> length(w) > 0), 1, 8), ' ') AS qtext")
+    try {
+      // inside the try: a failed build must still hit the finally DROPs
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "qb3_plan_idx")
+      val probe = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+        "qb3_plan_idx", k = 10)
+      probe.collect()
+      val p = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"), p.take(4000))
+      // the direct claim: no shuffle moves the stored postings rows —
+      // (dl, tf) together are the postings payload; the score shuffle
+      // carries (q_id, doc_id, sum), the df/term-distinct shuffles carry
+      // (term[, count]) partials, so none trips this. A bound on the
+      // count too: score agg + top-k agg + query-term distinct + the
+      // candidate-vocabulary df agg = 4.
+      val shuffles = planNodes(probe.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      for (e <- shuffles) {
+        val names = e.output.map(_.name).toSet
+        assert(!(names.contains("dl") && names.contains("tf")),
+          s"stored postings re-shuffled: ${e.simpleString(20)}")
+        for (a <- e.output if a.dataType == StringType)
+          assert(a.name == "term",
+            s"probe shuffle carries non-term string $a: ${e.simpleString(20)}")
+      }
+      assert(shuffles.size <= 4,
+        s"unexpected probe shuffles (${shuffles.size}):\n" + p.take(4000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS qb3_plan_idx")
+      spark.sql("DROP TABLE IF EXISTS qb3_plan_idx_s")
+    }
+  }
+
   test("qb2: the fusion consumes rank lists only — no float array in any shuffle, broadcasts carry at most the query-side vectors") {
     // rrfFuse's scale claim: by fusion time both legs are queries x k
     // rank lists, so nothing corpus-sized moves; the dense leg keeps
