@@ -1426,6 +1426,26 @@ object RelationalQueries {
         table, k = qb1K, k1 = qb1K1, b = qb1B)
     }),
 
+    // QB4 — qb3's persisted-index probe with the QUERIES AS A STREAM
+    // (the online lexical serving shape, qa6's twin on the sparse
+    // tier): each micro-batch runs the gated indexed probe verbatim via
+    // foreachBatch — a query's whole candidate set lives in its own
+    // micro-batch, so per-batch rank is exact and stream == batch ==
+    // oracle (qb1's verbatim, the q70s gate shape).
+    "qb4" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val table = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(table) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", table)
+      }
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_qb4_${s.sparkContext.applicationId}").getAbsolutePath
+      TextAnalysis.streamBm25TopK(qb1Queries(stream), "q_id", "qtext",
+        table, k = qb1K, sinkDir = sink, k1 = qb1K1, b = qb1B)
+    }),
+
     // Q86 — q73's screen against a PERSISTED archive index: the corpus
     // side's banded signatures are written once per process into the
     // MapFile bucketed layout (write-once-probe-many), and the batch
@@ -2311,6 +2331,14 @@ object RelationalQueries {
     // lose nothing vs the scan-per-run tier (identical contract and
     // ranking; the Spark paths share one bm25Rank Column tree)
     "qb3" ->
+      s"""WITH $bm25OracleCtes
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
+        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+
+    // qb4: qb1's oracle VERBATIM again — streaming the queries through
+    // the persisted postings index must lose nothing vs the one-shot
+    // batch probe (stream == batch == oracle)
+    "qb4" ->
       s"""WITH $bm25OracleCtes
         |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
         |FROM lexr WHERE rk <= $qb1K""".stripMargin,

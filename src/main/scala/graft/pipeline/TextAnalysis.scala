@@ -278,6 +278,48 @@ object TextAnalysis {
     bm25Rank(cand, qterms, stats, k, k1, b)
   }
 
+  /** [[bm25TopKIndexed]] with the QUERIES AS A STREAM — the online
+    * lexical serving shape beside the dense tier's
+    * [[Similarity.streamAdcTopK]]. Each micro-batch's queries run the
+    * gated indexed probe VERBATIM inside foreachBatch: BM25 scoring is
+    * per-batch aggregates (df, score sum, top-k) over candidates that
+    * all live in the micro-batch that carried their query — per-batch
+    * rank is therefore EXACT and stream == batch by construction (qb4
+    * shares qb1's oracle; the two-batch == one-shot spec gates it). The
+    * stored side keeps [[bm25TopKIndexed]]'s plan-asserted properties
+    * (bucketed scan, no postings-payload shuffle) — the probe code path
+    * is the same call. */
+  def streamBm25TopK(queries: DataFrame, qIdCol: String, qTextCol: String,
+      table: String, k: Int, sinkDir: String, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val q = startStreamBm25TopK(queries, qIdCol, qTextCol, table, k,
+      sinkDir, k1, b)
+    try q.processAllAvailable() finally q.stop()
+    queries.sparkSession.read.parquet(sinkDir)
+  }
+
+  /** The started-but-undrained form of [[streamBm25TopK]] — the caller
+    * owns the trigger cadence (StreamingSpec drives TWO micro-batches
+    * through it). Overwrites `sinkDir` with a zero-row schema-typed
+    * init first, so reruns replace rather than accumulate and an empty
+    * stream still reads back as an empty, well-typed frame. */
+  def startStreamBm25TopK(queries: DataFrame, qIdCol: String,
+      qTextCol: String, table: String, k: Int, sinkDir: String,
+      k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], queries.schema)
+    bm25TopKIndexed(empty, qIdCol, qTextCol, table, k, k1, b)
+      .write.mode("overwrite").parquet(sinkDir)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        bm25TopKIndexed(batch, qIdCol, qTextCol, table, k, k1, b)
+          .write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   /** Vocabulary building + integer encoding — the final step before
     * training: token ids are assigned by corpus frequency rank (count
     * desc, then token asc — fully deterministic), and every document is

@@ -301,6 +301,53 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("streamBm25TopK: a two-micro-batch query stream equals the one-shot indexed batch retrieval") {
+    // the lexical twin of the qa6 gate: per-batch rank is exact because
+    // a query's whole candidate set lives in the micro-batch that
+    // carried it — split the query set across two batches and compare
+    // to the batch probe over the same persisted postings index
+    import graft.pipeline.TextAnalysis
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "durian apple cherry"),
+      (5L, "cherry cherry banana")
+    ).toDF("doc_id", "text")
+    val queries = Seq((10L, "apple banana"), (11L, "cherry"),
+      (12L, "banana durian"), (13L, "apple cherry banana"))
+    try {
+      TextAnalysis.writeBm25Index(corpus, "doc_id", "text", "qb4_eq_idx")
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_qb4_spec_sink").getAbsolutePath
+      val ms = MemoryStream[(Long, String)](spark)
+      val (first, second) = queries.partition(_._1 % 2 == 0)
+      val q = TextAnalysis.startStreamBm25TopK(
+        ms.toDF().toDF("q_id", "qtext"), "q_id", "qtext",
+        "qb4_eq_idx", k = 3, sinkDir = sink)
+      try {
+        ms.addData(first)
+        q.processAllAvailable() // micro-batch 1: even query ids
+        ms.addData(second)
+        q.processAllAvailable() // micro-batch 2: odd query ids
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "the gate needs >= 2 non-empty micro-batches")
+      } finally q.stop()
+      val streamed = spark.read.parquet(sink)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      val batch = TextAnalysis.bm25TopKIndexed(
+          queries.toDF("q_id", "qtext"), "q_id", "qtext",
+          "qb4_eq_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous gate: no batch results")
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS qb4_eq_idx")
+      spark.sql("DROP TABLE IF EXISTS qb4_eq_idx_s")
+    }
+  }
+
   test("streamAdcTopK: a two-micro-batch query stream equals the one-shot indexed batch retrieval") {
     // the per-batch rank is EXACT because a query's candidates live in
     // the micro-batch that carried the query — gated here by splitting
