@@ -261,20 +261,37 @@ object TextAnalysis {
   }
 
   /** [[bm25TopK]] probing the PERSISTED index instead of re-exploding
-    * the corpus per run — the production lexical-retrieval shape. The
-    * query-term set broadcasts into the stored postings scan (bucketed
-    * by term, bloom-filtered, never shuffled — plan-asserted), df
-    * derives from the candidate rows, and the scoring tail is
+    * the corpus per run — the production lexical-retrieval shape. When
+    * the distinct query-term set is small (≤ `maxPushdownTerms`, the
+    * common serving case) it becomes an `In` PREDICATE on the stored
+    * scan — pushed to parquet, where the MapFile layout's bloom filter
+    * on `term` plus min/max stats skip non-matching row groups, so the
+    * probe reads a FRACTION of the postings instead of scanning them
+    * all (plan-asserted: `PushedFilters: [In(term, ...)]`). The
+    * driver-side term collect is bounded by the cap (the repo's
+    * bounded-collect class: centroids, bucket offsets); past the cap
+    * the probe falls back to the broadcast semi-restrict, which scans
+    * linearly but still never shuffles the stored side. df derives
+    * from the candidate rows either way, and the scoring tail is
     * [[bm25Rank]] verbatim — identical output contract and ranking, so
-    * qb3 shares qb1's oracle, proving the stored index loses nothing. */
+    * qb3 shares qb1's oracle, proving the stored index loses nothing
+    * (both candidate paths are spec-gated indexed == direct). */
   def bm25TopKIndexed(queries: DataFrame, qIdCol: String, qTextCol: String,
-      table: String, k: Int, k1: Double = 1.2, b: Double = 0.75)
-      : DataFrame = {
+      table: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxPushdownTerms: Int = 256): DataFrame = {
     val spark = queries.sparkSession
     val tf = spark.table(table)
     val stats = spark.table(table + "_s")
     val qterms = queryTerms(queries, qIdCol, qTextCol)
-    val cand = tf.join(broadcast(qterms.select("term").distinct()), "term")
+    val termSet = qterms.select("term").distinct()
+    // limit(cap+1) bounds the collect even on a pathological query set:
+    // cap+1 rows back means "too many — don't push a huge IN list"
+    val terms = termSet.limit(maxPushdownTerms + 1).collect()
+      .map(_.getString(0))
+    val cand =
+      if (terms.length <= maxPushdownTerms)
+        tf.filter(col("term").isInCollection(terms.toSeq))
+      else tf.join(broadcast(termSet), "term")
     bm25Rank(cand, qterms, stats, k, k1, b)
   }
 

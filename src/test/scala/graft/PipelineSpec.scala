@@ -1033,6 +1033,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
         .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
       assert(direct.nonEmpty && direct.toSeq == indexed.toSeq,
         s"direct=${direct.toSeq} indexed=${indexed.toSeq}")
+      // past the pushdown cap the probe falls back to the broadcast
+      // semi-restrict — same rows, gated here with a cap of 1 (the
+      // query set has 4 distinct terms)
+      val fallback = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_spec_idx", k = 3, maxPushdownTerms = 1)
+        .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(fallback.toSeq == direct.toSeq,
+        s"fallback=${fallback.toSeq} direct=${direct.toSeq}")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bm25_spec_idx")
       spark.sql("DROP TABLE IF EXISTS bm25_spec_idx_s")

@@ -524,6 +524,11 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       val p = probe.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       assert(p.contains("Bucketed: true"), p.take(4000))
+      // the query-term set reaches the postings scan as a pushed In
+      // predicate — parquet's bloom filter on term (MapFiles.write
+      // enables it on the key) + min/max stats then skip non-matching
+      // row groups, so the probe reads a fraction of the postings
+      assert(p.contains("In(term"), p.take(4000))
       // the direct claim: no shuffle moves the stored postings rows —
       // (dl, tf) together are the postings payload; the score shuffle
       // carries (q_id, doc_id, sum), the df/term-distinct shuffles carry
