@@ -400,6 +400,19 @@ object GrowthBench {
       t(s"qb1_bm25_$tag") = time(s"qb1_bm25_$tag",
         graft.pipeline.TextAnalysis.bm25TopK(Tables.documents(spark, d),
           "doc_id", "text", bmPanel(d), "q_id", "qtext", k = 10))
+      // qb3 probe (r11): the FIXED 1x query panel against the growing
+      // PERSISTED postings index (build untimed, like q86) — the In
+      // pushdown + parquet bloom on term read only matching row groups,
+      // so probe growth should sit well under qb1's full-rescan tier
+      val btable = s"gqb3_idx_$tag"
+      graft.pipeline.TextAnalysis.writeBm25Index(
+        Tables.documents(spark, d), "doc_id", "text", btable)
+      if (tag == "1x") // warm the probe plan shape
+        graft.pipeline.TextAnalysis.bm25TopKIndexed(bmPanel(x1), "q_id",
+          "qtext", btable, k = 10).count()
+      t(s"qb3_probe_$tag") = time(s"qb3_probe_$tag",
+        graft.pipeline.TextAnalysis.bm25TopKIndexed(bmPanel(x1), "q_id",
+          "qtext", btable, k = 10))
     }
 
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
@@ -447,6 +460,7 @@ object GrowthBench {
     exp("qa7_fuzzy 1x->10x", t("qa7_fuzzy_1x"), t("qa7_fuzzy_10x"), 10)
     exp("qa4_audit 1x->10x", t("qa4_audit_1x"), t("qa4_audit_10x"), 10)
     exp("qb1_bm25 1x->10x", t("qb1_bm25_1x"), t("qb1_bm25_10x"), 10)
+    exp("qb3_probe 1x->10x", t("qb3_probe_1x"), t("qb3_probe_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
