@@ -1410,6 +1410,23 @@ object RelationalQueries {
         k = qb2K, c = qb2C)
     }),
 
+    // QB5 — cross-tier agreement audit (qa4's sibling on the hybrid
+    // pair): per query, how many of the lexical top-10 and the dense
+    // top-10 coincide — the integer diagnostic that decides whether
+    // qb2's fusion adds value. Counts are exact on any engine; set
+    // membership inherits each leg's own gated ranking.
+    "qb5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+        qb1Queries(docs), "q_id", "qtext", k = qb1K, k1 = qb1K1, b = qb1B)
+      val vecs = Tables.embeddings(s, d)
+      val dense = Similarity.bruteForceTopK(vecs,
+          vecs.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", qb1K)
+        .withColumnRenamed("nb_id", "doc_id")
+      Similarity.retrievalAgreement(lex, dense, "q_id", "doc_id")
+    }),
+
     // QB3 — qb1 against a PERSISTED postings index (the third persisted
     // tier beside q86's minhash archive and q99's ADC index): postings
     // pre-aggregated and bucketed by term at write time, probes read
@@ -2342,6 +2359,31 @@ object RelationalQueries {
       s"""WITH $bm25OracleCtes
         |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
         |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+
+    // qb5: both legs re-derived (same chains as qb2), intersection and
+    // per-leg counts — all integers, exact
+    "qb5" ->
+      s"""WITH $bm25OracleCtes,
+        |$embedNormSql,
+        |q AS (SELECT * FROM nv WHERE vec_id % 100 = 0),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+        |    list_sum(list_transform(range(64), i -> q.e[i+1]*c.e[i+1]))
+        |      / (q.nrm*c.nrm) AS cos
+        |  FROM q, nv c WHERE q.vec_id <> c.vec_id),
+        |denser AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, nb_id) AS rk FROM scored),
+        |la AS (SELECT q_id, doc_id FROM lexr WHERE rk <= $qb1K),
+        |lb AS (SELECT q_id, nb_id AS doc_id FROM denser WHERE rk <= $qb1K),
+        |na AS (SELECT q_id, count(*) AS n_a FROM la GROUP BY 1),
+        |nb AS (SELECT q_id, count(*) AS n_b FROM lb GROUP BY 1),
+        |nboth AS (SELECT q_id, count(*) AS n_both
+        |  FROM la JOIN lb USING (q_id, doc_id) GROUP BY 1)
+        |SELECT q_id,
+        |  coalesce(na.n_a, 0) AS n_a,
+        |  coalesce(nb.n_b, 0) AS n_b,
+        |  coalesce(nboth.n_both, 0) AS n_both
+        |FROM na FULL OUTER JOIN nb USING (q_id)
+        |  LEFT JOIN nboth USING (q_id)""".stripMargin,
 
     // qb2: both legs re-derived (the BM25 chain verbatim + the q35
     // cosine chain at the same query set), fused by Σ 1/(c+rank)

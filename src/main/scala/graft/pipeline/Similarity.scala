@@ -914,6 +914,34 @@ object Similarity {
     * sum shuffle is rank-list-sized, carries two longs and a double per
     * row, and never touches text or vectors; the per-query cut reuses
     * the bounded-state [[graft.agg.TopKAggregator]] partial-agg path. */
+  /** Cross-tier retrieval agreement — the audit overlay for hybrid
+    * search (qa4's sibling: qa4 audits the dense tier's approximation
+    * quality; this audits how much the lexical and dense legs AGREE,
+    * the quantity that decides whether fusion adds value): per query,
+    * the result-list sizes of each leg and their intersection. All
+    * INTEGER outputs — set membership inherits each leg's own gated
+    * ranking, and the counts themselves are exact on any engine.
+    * Returns (q_id, n_a, n_b, n_both); queries absent from a leg count
+    * 0 for it.
+    *
+    * Scale shape: inputs are top-k rank lists (queries × k rows), so
+    * every join and aggregate here is rank-list-sized — nothing corpus-
+    * scaled moves, as with [[rrfFuse]]. */
+  def retrievalAgreement(legA: DataFrame, legB: DataFrame, qCol: String,
+      idCol: String): DataFrame = {
+    val a = legA.select(col(qCol).as("q_id"),
+      col(idCol).cast("long").as("doc_id"))
+    val b = legB.select(col(qCol).as("q_id"),
+      col(idCol).cast("long").as("doc_id"))
+    val na = a.groupBy("q_id").agg(count(lit(1)).as("n_a"))
+    val nb = b.groupBy("q_id").agg(count(lit(1)).as("n_b"))
+    val nBoth = a.join(b, Seq("q_id", "doc_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_both"))
+    na.join(nb, Seq("q_id"), "full_outer")
+      .join(nBoth, Seq("q_id"), "left_outer")
+      .na.fill(0L, Seq("n_a", "n_b", "n_both"))
+  }
+
   def rrfFuse(legs: Seq[DataFrame], qCol: String, idCol: String,
       rankCol: String, k: Int, c: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: no legs")

@@ -1047,6 +1047,19 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("retrievalAgreement counts per-query leg sizes and intersections, zero-filling absent queries") {
+    // q1: legs {10,20,30} vs {20,40} -> overlap 1; q2 only in leg A;
+    // q3 only in leg B — both must surface with 0 for the missing side
+    val a = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 50L))
+      .toDF("q_id", "doc_id")
+    val bLeg = Seq((1L, 20L), (1L, 40L), (3L, 60L))
+      .toDF("q_id", "doc_id")
+    val out = Similarity.retrievalAgreement(a, bLeg, "q_id", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 2L, 1L), (2L, 1L, 0L, 0L),
+      (3L, 0L, 1L, 0L)), out.toSeq)
+  }
+
   test("rrfFuse sums 1/(c+rank) across legs with exact nano-unit ties") {
     import spark.implicits._
     // leg A ranks 10,20,30; leg B ranks 20,40 -> doc 20 fuses both legs
