@@ -1427,6 +1427,17 @@ object RelationalQueries {
       Similarity.retrievalAgreement(lex, dense, "q_id", "doc_id")
     }),
 
+    // QB6 — positional phrase search: exact two-word-phrase occurrence
+    // counts per doc (the capability bag-of-words BM25 cannot express),
+    // adjacency-joined over candidate-restricted positional postings;
+    // queries are each sampled doc's first two tokens. All integers —
+    // oracle re-derives postings and adjacency in SQL.
+    "qb6" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.phraseMatches(docs, "doc_id", "text",
+        qb1Queries(docs), "q_id", "qtext")
+    }),
+
     // QB3 — qb1 against a PERSISTED postings index (the third persisted
     // tier beside q86's minhash archive and q99's ADC index): postings
     // pre-aggregated and bucketed by term at write time, probes read
@@ -2384,6 +2395,23 @@ object RelationalQueries {
         |  coalesce(nboth.n_both, 0) AS n_both
         |FROM na FULL OUTER JOIN nb USING (q_id)
         |  LEFT JOIN nboth USING (q_id)""".stripMargin,
+
+    // qb6: positional postings + adjacency re-derived in SQL — the
+    // phrase is each sampled doc's first two tokens; integer counts
+    "qb6" ->
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+        |  FROM documents),
+        |q AS (SELECT doc_id AS q_id, ws[1] AS t1, ws[2] AS t2
+        |  FROM t WHERE doc_id % 100 = 0 AND len(ws) >= 2),
+        |post AS (SELECT doc_id, i + 1 AS pos, ws[i+1] AS term
+        |  FROM t, unnest(range(len(ws))) u(i))
+        |SELECT q.q_id, a.doc_id, count(*) AS n_hits
+        |FROM q
+        |  JOIN post a ON a.term = q.t1 AND a.doc_id <> q.q_id
+        |  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |    AND b.term = q.t2
+        |GROUP BY 1, 2""".stripMargin,
 
     // qb2: both legs re-derived (the BM25 chain verbatim + the q35
     // cosine chain at the same query set), fused by Σ 1/(c+rank)

@@ -235,6 +235,42 @@ object TextAnalysis {
         col("v._1").cast("long").as("score_u"))
   }
 
+  /** Positional phrase search — the capability bag-of-words BM25 cannot
+    * express: count EXACT occurrences of a two-word phrase per document
+    * via an adjacency join over positional postings (same doc,
+    * consecutive positions). Returns (q_id, doc_id, n_hits) for docs
+    * with >= 1 hit, the query doc itself excluded; overlapping
+    * occurrences each count (both engines agree by construction —
+    * everything here is integer). Longer phrases compose by chaining
+    * one adjacency join per extra word onto the same postings.
+    *
+    * Scale shape: both term sets broadcast and candidate-restrict the
+    * positional postings before anything shuffles, so the only shuffle
+    * is the adjacency join keyed on doc_id over candidate postings
+    * (doc_id, pos, term triples — the text body never moves,
+    * plan-asserted), then a candidate-scale count. */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String): DataFrame = {
+    val post = docs.select(col(idCol).as("doc_id"),
+      posexplode(words(col(textCol))).as(Seq("pos", "term")))
+    val qp = queries
+      .select(col(qIdCol).as("q_id"), words(col(qTextCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("q_id"), col("ws").getItem(0).as("t1"),
+        col("ws").getItem(1).as("t2"))
+    val p1 = post.join(broadcast(
+      qp.select(col("t1").as("term")).distinct()), "term")
+    val p2 = post.join(broadcast(
+        qp.select(col("t2").as("term")).distinct()), "term")
+      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
+        col("term").as("b_term"))
+    p1.join(broadcast(qp), col("term") === col("t1"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(p2, col("b_doc") === col("doc_id") &&
+        col("b_term") === col("t2") && col("b_pos") === col("pos") + 1)
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Persisted BM25 postings index — write-once-probe-many lexical
     * retrieval, the third persisted tier beside the minhash archive
     * (q86) and the ADC index (q99). Postings (term, doc_id, dl, tf)

@@ -1047,6 +1047,25 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("phraseMatches counts overlapping adjacent occurrences, excludes the query doc, drops 1-token queries") {
+    val docs = Seq(
+      (1L, "a b a b c"),   // "a b" at token positions 1 and 3
+      (2L, "b a b"),       // "a b" once
+      (3L, "c c"),         // never
+      (4L, "a a a")        // "a a" overlapping: positions 1 and 2
+    ).toDF("doc_id", "text")
+    val qs = Seq((9L, "a b"), (1L, "a b x y"), (8L, "a a"), (7L, "solo"))
+      .toDF("q_id", "qtext")
+    val out = TextAnalysis.phraseMatches(docs, "doc_id", "text",
+        qs, "q_id", "qtext")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (9L, 1L, 2L), (9L, 2L, 1L),   // plain phrase counts
+      (1L, 2L, 1L),                 // q 1 excludes doc 1 itself
+      (8L, 4L, 2L)                  // overlapping self-pair counts both
+    ), out)
+  }
+
   test("retrievalAgreement counts per-query leg sizes and intersections, zero-filling absent queries") {
     // q1: legs {10,20,30} vs {20,40} -> overlap 1; q2 only in leg A;
     // q3 only in leg B — both must surface with 0 for the missing side

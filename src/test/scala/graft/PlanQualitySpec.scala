@@ -553,6 +553,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("qb6: phrase-search shuffles carry single tokens and positions only — document bodies never move") {
+    // phraseMatches' scale claim: both term sets broadcast-restrict the
+    // positional postings before the adjacency join, so every string in
+    // any exchange is a single token (term/b_term on the postings, the
+    // t1/t2 phrase words riding with the broadcast query attach) —
+    // never the text or qtext body
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("qb6")(spark, d)
+    df.collect()
+    val ok = Set("term", "b_term", "t1", "t2")
+    for (e <- planNodes(df.queryExecution.executedPlan)
+           .collect { case e: ShuffleExchangeExec => e };
+         a <- e.output if a.dataType == StringType)
+      assert(ok(a.name),
+        s"phrase shuffle carries non-token string $a: ${e.simpleString(20)}")
+  }
+
   test("qb2: the fusion consumes rank lists only — no float array in any shuffle, broadcasts carry at most the query-side vectors") {
     // rrfFuse's scale claim: by fusion time both legs are queries x k
     // rank lists, so nothing corpus-sized moves; the dense leg keeps
