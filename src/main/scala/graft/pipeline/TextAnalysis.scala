@@ -236,39 +236,48 @@ object TextAnalysis {
   }
 
   /** Positional phrase search — the capability bag-of-words BM25 cannot
-    * express: count EXACT occurrences of a two-word phrase per document
-    * via an adjacency join over positional postings (same doc,
-    * consecutive positions). Returns (q_id, doc_id, n_hits) for docs
-    * with >= 1 hit, the query doc itself excluded; overlapping
-    * occurrences each count (both engines agree by construction —
-    * everything here is integer). Longer phrases compose by chaining
-    * one adjacency join per extra word onto the same postings.
+    * express: count EXACT occurrences of an n-word phrase (each query's
+    * first `n` tokens; shorter queries drop) per document via a chain
+    * of adjacency joins over positional postings (same doc, consecutive
+    * positions — one join per extra word). Returns
+    * (q_id, doc_id, n_hits) for docs with >= 1 hit, the query doc
+    * itself excluded; overlapping occurrences each count (both engines
+    * agree by construction — everything here is integer).
     *
-    * Scale shape: both term sets broadcast and candidate-restrict the
-    * positional postings before anything shuffles, so the only shuffle
-    * is the adjacency join keyed on doc_id over candidate postings
-    * (doc_id, pos, term triples — the text body never moves,
-    * plan-asserted), then a candidate-scale count. */
+    * Scale shape: every phrase position's term set broadcasts and
+    * candidate-restricts the positional postings before anything
+    * shuffles, so the only shuffles are the adjacency joins keyed on
+    * doc_id over candidate postings (doc_id, pos, token triples — the
+    * text body never moves, plan-asserted), then a candidate-scale
+    * count. */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, qIdCol: String, qTextCol: String): DataFrame = {
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 2, s"phraseMatches needs a phrase of >= 2 words, got $n")
     val post = docs.select(col(idCol).as("doc_id"),
       posexplode(words(col(textCol))).as(Seq("pos", "term")))
     val qp = queries
       .select(col(qIdCol).as("q_id"), words(col(qTextCol)).as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("q_id"), col("ws").getItem(0).as("t1"),
-        col("ws").getItem(1).as("t2"))
-    val p1 = post.join(broadcast(
-      qp.select(col("t1").as("term")).distinct()), "term")
-    val p2 = post.join(broadcast(
-        qp.select(col("t2").as("term")).distinct()), "term")
-      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"),
-        col("term").as("b_term"))
-    p1.join(broadcast(qp), col("term") === col("t1"))
+      .filter(size(col("ws")) >= n)
+      .select(col("q_id") +:
+        (0 until n).map(j => col("ws").getItem(j).as(s"t$j")): _*)
+    def restricted(tCol: String) = post.join(broadcast(
+      qp.select(col(tCol).as("term")).distinct()), "term")
+    // anchor on the first word, attach the query's remaining words
+    var cand = restricted("t0")
+      .join(broadcast(qp), col("term") === col("t0"))
       .filter(col("doc_id") =!= col("q_id"))
-      .join(p2, col("b_doc") === col("doc_id") &&
-        col("b_term") === col("t2") && col("b_pos") === col("pos") + 1)
-      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_hits"))
+      .select(col("q_id") +: col("doc_id") +: col("pos") +:
+        (1 until n).map(j => col(s"t$j")): _*)
+    for (j <- 1 until n) {
+      val pj = restricted(s"t$j")
+        .select(col("doc_id").as(s"d$j"), col("pos").as(s"p$j"),
+          col("term").as(s"w$j"))
+      cand = cand.join(pj, col(s"d$j") === col("doc_id") &&
+          col(s"w$j") === col(s"t$j") && col(s"p$j") === col("pos") + j)
+        .drop(s"d$j", s"p$j", s"w$j", s"t$j")
+    }
+    cand.groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
   /** Persisted BM25 postings index — write-once-probe-many lexical

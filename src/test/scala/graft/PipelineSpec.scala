@@ -1054,16 +1054,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       (3L, "c c"),         // never
       (4L, "a a a")        // "a a" overlapping: positions 1 and 2
     ).toDF("doc_id", "text")
-    val qs = Seq((9L, "a b"), (1L, "a b x y"), (8L, "a a"), (7L, "solo"))
-      .toDF("q_id", "qtext")
+    val qs = Seq((9L, "a b"), (1L, "a b x y"), (8L, "a a"), (7L, "solo"),
+      (6L, "a b a")).toDF("q_id", "qtext")
     val out = TextAnalysis.phraseMatches(docs, "doc_id", "text",
         qs, "q_id", "qtext")
       .as[(Long, Long, Long)].collect().toSet
     assert(out == Set(
       (9L, 1L, 2L), (9L, 2L, 1L),   // plain phrase counts
       (1L, 2L, 1L),                 // q 1 excludes doc 1 itself
-      (8L, 4L, 2L)                  // overlapping self-pair counts both
+      (8L, 4L, 2L),                 // overlapping self-pair counts both
+      (6L, 1L, 2L), (6L, 2L, 1L)    // n=2 uses only the first two words
     ), out)
+    // n=3: one more adjacency join in the chain. Only q 6 ("a b a") and
+    // q 1 ("a b x") still have >= 3 tokens; "a b a" hits doc 1 once
+    // (positions 0-2; the pos-2 run "a b c" breaks at c), "a b x" never
+    val out3 = TextAnalysis.phraseMatches(docs, "doc_id", "text",
+        qs, "q_id", "qtext", n = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out3 == Set((6L, 1L, 1L)), out3)
   }
 
   test("retrievalAgreement counts per-query leg sizes and intersections, zero-filling absent queries") {
