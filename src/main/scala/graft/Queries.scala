@@ -1438,6 +1438,39 @@ object RelationalQueries {
         qb1Queries(docs), "q_id", "qtext")
     }),
 
+    // QB7 — hybrid SERVING over two persisted indexes (the production
+    // capstone of the retrieval tier): qb3's indexed lexical probe and
+    // q99's indexed ADC probe, restricted to the shared %100 query ids,
+    // fused by RRF on their rank lists. Neither corpus is re-scanned
+    // per query batch — both legs read write-once bucketed indexes —
+    // and the fusion moves rank lists only. Oracle composes qb1's CTE
+    // chain with q89/q99's ADC chain and fuses in SQL (restricting the
+    // dense chain's queries post-rank is exact: per-query ranking is
+    // independent of the query set).
+    "qb7" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ltable = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(ltable) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", ltable)
+      }
+      val lex = TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id",
+        "qtext", ltable, k = qb1K, k1 = qb1K1, b = qb1B)
+      val vecs = Tables.embeddings(s, d)
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val vtable = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(vtable) {
+        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", vtable,
+          nlist = nlist, dim = 64)
+      }
+      val dense = Similarity.ivfAdcTopKIndexed(
+          vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 3, nprobe = nprobe, table = vtable, dim = 64)
+        .withColumnRenamed("nb_id", "doc_id")
+      Similarity.rrfFuse(Seq(lex, dense), "q_id", "doc_id", "rank",
+        k = qb2K, c = qb2C)
+    }),
+
     // QB3 — qb1 against a PERSISTED postings index (the third persisted
     // tier beside q86's minhash archive and q99's ADC index): postings
     // pre-aggregated and bucketed by term at write time, probes read
@@ -1877,13 +1910,13 @@ object RelationalQueries {
     * side uses; both engines parse identical literals, so the doubles
     * agree and floor-quantization makes the ranking tie-exact. */
   private val bm25OracleCtes: String =
-    s"""t AS (SELECT doc_id,
+    s"""bt AS (SELECT doc_id,
       |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
       |  FROM documents),
-      |st AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM t),
+      |st AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM bt),
       |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(ws[1:$qb1QTerms]) AS term
-      |  FROM t WHERE doc_id % 100 = 0),
-      |post AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM t),
+      |  FROM bt WHERE doc_id % 100 = 0),
+      |post AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM bt),
       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -2412,6 +2445,32 @@ object RelationalQueries {
         |  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |    AND b.term = q.t2
         |GROUP BY 1, 2""".stripMargin,
+
+    // qb7: qb1's lexical chain + q89/q99's ADC chain (verbatim, shared
+    // builders — the persisted indexes provably lose nothing), dense
+    // queries restricted to %100 POST-rank (exact: per-query ranking is
+    // independent of the query set), fused by RRF
+    "qb7" -> {
+      val adc = adcRankedSql(
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64)
+      s"""WITH $bm25OracleCtes,
+        |$adc,
+        |la AS (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qb1K),
+        |lb AS (SELECT q_id, nb_id AS doc_id, rk FROM r
+        |  WHERE rk <= 3 AND q_id % 100 = 0),
+        |leg AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+        |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf
+        |  FROM leg GROUP BY 1, 2),
+        |fr AS (SELECT q_id, doc_id,
+        |    CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_u,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
+        |FROM fr WHERE rk <= $qb2K""".stripMargin
+    },
 
     // qb2: both legs re-derived (the BM25 chain verbatim + the q35
     // cosine chain at the same query set), fused by Σ 1/(c+rank)

@@ -571,6 +571,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
         s"phrase shuffle carries non-token string $a: ${e.simpleString(20)}")
   }
 
+  test("qb7: hybrid serving reads both persisted indexes bucketed — no float array in any shuffle, shuffle strings are single terms") {
+    // the production capstone's scale claims: both legs consume their
+    // write-once bucketed indexes (Bucketed: true present), the dense
+    // probe packs query vectors to int codes BEFORE its co-partitioning
+    // exchange (so no shuffle carries a float array), the lexical leg
+    // keeps qb3's token-only-shuffle contract, and the fusion moves
+    // rank lists only
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.StringType
+    val df = SparkEntry.queries("qb7")(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), p.take(4000))
+    for (e <- planNodes(df.queryExecution.executedPlan)
+           .collect { case e: ShuffleExchangeExec => e }) {
+      for (a <- e.output)
+        assert(!isFloatArray(a.dataType),
+          s"hybrid shuffle carries float array $a: ${e.simpleString(20)}")
+      for (a <- e.output if a.dataType == StringType)
+        assert(a.name == "term",
+          s"hybrid shuffle carries non-term string $a: ${e.simpleString(20)}")
+    }
+  }
+
   test("qb2: the fusion consumes rank lists only — no float array in any shuffle, broadcasts carry at most the query-side vectors") {
     // rrfFuse's scale claim: by fusion time both legs are queries x k
     // rank lists, so nothing corpus-sized moves; the dense leg keeps
