@@ -621,11 +621,22 @@ object RelationalQueries {
     // dimension of the whitened corpus must read mean ~ 0, std ~ 1.
     // The apply stage is a single map-side projection (stats re-enter
     // as literal arrays; plan-asserted zero exchanges); auditing the
-    // result reuses q98's operator unchanged.
+    // result reuses q98's operator unchanged. The audit values are
+    // emitted in integer MICRO-UNITS (round(x*1e6) as bigint, the
+    // qb1/qb2 fp-determinism convention): the whitened mean is ±1e-13
+    // with an engine-dependent accumulation-order SIGN, so raw doubles
+    // format as -0.000000 vs 0.000000 across engines and break an
+    // exact hash even though both are zero to 1e-6 (r11 verdict).
+    // round-half, not floor: floor straddles at std = 1±ε.
     "qa3" -> ((s, d) =>
       Quantize.dimStats(
         Quantize.whiten(Tables.embeddings(s, d), "vec_id", "embedding"),
-        "w")),
+        "w")
+        .select(col("dim"), col("n"),
+          round(col("mean") * 1e6).cast("long").as("mean_u"),
+          round(col("std") * 1e6).cast("long").as("std_u"),
+          round(col("min_x") * 1e6).cast("long").as("min_u"),
+          round(col("max_x") * 1e6).cast("long").as("max_u"))),
 
     // Q97 — leakage-safe split: exact-duplicate groups assigned to ONE
     // split via their min-id representative's content-hash bucket — the
@@ -3057,8 +3068,10 @@ object RelationalQueries {
 
     // qa3: learn the per-dimension stats, standardize, re-audit — the
     // whitened corpus reads mean ~ 0, std ~ 1 per dimension in BOTH
-    // engines (fp drift ~1e-13, far inside the 1e-6 float tolerance);
-    // dead dimensions (std = 0) pin to exactly 0.0 on both sides
+    // engines. Integer micro-units (round-half → BIGINT) on every
+    // float output: the ±1e-13 accumulation-order drift carries an
+    // engine-dependent sign that an exact hash of raw doubles cannot
+    // absorb; dead dimensions (std = 0) pin to exactly 0 on both sides
     "qa3" ->
       """WITH s AS (SELECT i AS d, avg(CAST(embedding[i] AS DOUBLE)) AS mu,
         |    stddev_samp(CAST(embedding[i] AS DOUBLE)) AS sd
@@ -3067,8 +3080,11 @@ object RelationalQueries {
         |    CASE WHEN sd > 0 THEN (CAST(embedding[d] AS DOUBLE) - mu) / sd
         |         ELSE 0.0 END AS y
         |  FROM embeddings, s)
-        |SELECT dim, count(*) AS n, avg(y) AS mean, stddev_samp(y) AS std,
-        |  min(y) AS min_x, max(y) AS max_x
+        |SELECT dim, count(*) AS n,
+        |  CAST(round(avg(y) * 1e6) AS BIGINT) AS mean_u,
+        |  CAST(round(stddev_samp(y) * 1e6) AS BIGINT) AS std_u,
+        |  CAST(round(min(y) * 1e6) AS BIGINT) AS min_u,
+        |  CAST(round(max(y) * 1e6) AS BIGINT) AS max_u
         |FROM w GROUP BY dim""".stripMargin,
 
     // q97: same md5 fingerprint, window-min representative, and portable

@@ -55,10 +55,27 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, atol=1e-6):
         fb = np.column_stack([pd.to_numeric(b[c]).to_numpy(dtype=float)
                               for c in floats])
 
+        hash_risk = []
+
         def paired_ok(va, vb, key_a, key_b):
             va = va[np.lexsort(key_a.T[::-1])]
             vb = vb[np.lexsort(key_b.T[::-1])]
-            return np.allclose(va, vb, rtol=0, atol=atol, equal_nan=True)
+            ok = np.allclose(va, vb, rtol=0, atol=atol, equal_nan=True)
+            if ok:
+                # Driver-hash predictor: the driver hashes STRINGIFIED
+                # rounded values, where -1e-13 formats as "-0.000000" vs
+                # "0.000000" (sign-of-zero) and near-boundary values can
+                # round apart. allclose alone accepted r11's qa3 locally
+                # while the driver's hash failed it — flag any pairing
+                # whose 6-dp decimal strings differ.
+                sa = np.vectorize(lambda v: "%.6f" % v)(va)
+                sb = np.vectorize(lambda v: "%.6f" % v)(vb)
+                if not np.array_equal(sa, sb):
+                    i, j = np.argwhere(sa != sb)[0]
+                    hash_risk.append(
+                        f"6dp-format mismatch (driver-hash risk): "
+                        f"spark={sa[i][j]} oracle={sb[i][j]}")
+            return ok
 
         for g in gkey.unique():
             mask = (gkey == g).to_numpy()
@@ -77,6 +94,8 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, atol=1e-6):
                 return False, (f"float tuple mismatch in group {g!r}: "
                                f"spark={va[:3].tolist()} "
                                f"oracle={vb[:3].tolist()}")
+        if hash_risk:
+            return False, hash_risk[0]
     return True, ""
 
 
