@@ -528,8 +528,7 @@ object RelationalQueries {
         Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
           nlist = nlist, dim = 64)
       }
-      val stream = s.readStream.schema(vecs.schema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+      val stream = Tables.streamOf(s, d, "embeddings")
       val sink = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_qa6_${s.sparkContext.applicationId}").getAbsolutePath
       Similarity.streamAdcTopK(stream, "vec_id", "embedding", k = 3,
@@ -1200,6 +1199,17 @@ object RelationalQueries {
     // verify — the paraphrased-eval-doc leak q72 cannot catch). Same
     // split, same survivors contract; the oracle recomputes the exact
     // cross-boundary Jaccard verdicts from raw text.
+    //
+    // KNOWN GATE RISK (accepted, shared with q31/q73/q86): the oracle is
+    // deliberately the EXACT all-pairs result, not a reproduction of the
+    // banded screen — the gate proves the screen misses nothing on this
+    // corpus, which is the stronger claim. The screen's detection
+    // probability at jaccard exactly 0.8 is 1-(1-0.8^4)^6 ~ 0.958 under
+    // the derived (24 hashes, 6 bands); a REGENERATED corpus could seat
+    // a qualifying pair in the ~4% miss band and turn this row red.
+    // That red is a true recall signal, not a bug: re-derive
+    // minhashParams for a tighter recall target rather than loosening
+    // the oracle.
     "qa7" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
@@ -1378,9 +1388,7 @@ object RelationalQueries {
     // counters from raw text: stream == batch == oracle on the sketch
     // tier (the q70s gate shape).
     "qa9" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val stream = s.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val stream = Tables.streamOf(s, d, "documents")
       graft.streaming.EventStreams.runToMemory(
         TextAnalysis.countMinCounters(stream, "text",
           width = qa8Width, depth = qa8Depth),
@@ -1510,8 +1518,7 @@ object RelationalQueries {
       buildOnce(table) {
         TextAnalysis.writeBm25Index(docs, "doc_id", "text", table)
       }
-      val stream = s.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val stream = Tables.streamOf(s, d, "documents")
       val sink = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_qb4_${s.sparkContext.applicationId}").getAbsolutePath
       TextAnalysis.streamBm25TopK(qb1Queries(stream), "q_id", "qtext",
@@ -1571,8 +1578,7 @@ object RelationalQueries {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
       val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val stream = s.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val stream = Tables.streamOf(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(97)) =!= 0)
       graft.streaming.EventStreams.runToMemory(
         Curation.cleanCorpusStream(stream, corpus, evalSet,

@@ -65,17 +65,22 @@ object Tables {
     * the tier running instead of analysis-erroring 60 queries at once
     * (float64 -> float32 costs ~1e-7 relative, inside the driver's 1e-6
     * float tolerance). */
-  def documents(spark: SparkSession, dir: String): DataFrame = {
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    normalizeDocuments(apply(spark, dir, "documents"))
+
+  def normalizeDocuments(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val raw = apply(spark, dir, "documents")
     if (raw.schema("doc_id").dataType ==
         org.apache.spark.sql.types.LongType) raw
     else raw.withColumn("doc_id", col("doc_id").cast("long"))
   }
-  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    normalizeEmbeddings(apply(spark, dir, "embeddings"))
+
+  def normalizeEmbeddings(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
-    val raw = apply(spark, dir, "embeddings")
     val idFixed =
       if (raw.schema("vec_id").dataType == LongType) raw
       else raw.withColumn("vec_id", col("vec_id").cast("long"))
@@ -83,6 +88,32 @@ object Tables {
       case ArrayType(FloatType, _) => idFixed
       case _ => idFixed.withColumn("embedding",
         col("embedding").cast(ArrayType(FloatType)))
+    }
+  }
+
+  /** Streaming twin of the batch loaders: same file, same normalization.
+    *
+    * A file stream needs an explicit schema, and it must be the file's
+    * PHYSICAL schema — passing the batch loaders' post-cast schema
+    * (e.g. long ids over an int32 file) makes Spark's vectorized parquet
+    * reader throw on the type mismatch instead of converting, so a
+    * driver-side testdata regeneration would break every streaming twin
+    * while its batch tier survives. Read the physical schema from a
+    * (metadata-only) batch read, then apply the SAME defensive casts to
+    * the streamed frame, so stream and batch share one normalization
+    * path and drift in either is caught by the other's gates. */
+  def streamOf(spark: SparkSession, dir: String, name: String)
+      : DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(s"$dir/$name.parquet").schema
+    val raw = spark.readStream.schema(physical)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    name match {
+      case "documents"  => normalizeDocuments(raw)
+      case "embeddings" => normalizeEmbeddings(raw)
+      case "events"     => normalizeEventTs(raw)
+      case _            => raw
     }
   }
 }
