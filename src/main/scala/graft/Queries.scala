@@ -1585,6 +1585,44 @@ object RelationalQueries {
           "doc_id", "text", "source"),
         "q70s_sink",
         org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
+    // QB8 — NLineInputFormat (mapred/lib/NLineInputFormat.java:59):
+    // exactly-N-lines-per-split parallelism control, gated on the split
+    // COMPUTATION itself. The documents corpus (sorted by doc_id, LF
+    // lines, pure ASCII) becomes a single control file; NLines.splits
+    // recomputes the reference's FileSplit(begin, length) list at
+    // N = 64 and the oracle derives the identical byte arithmetic from
+    // octet lengths. The placement face (partition i IS split i, offset
+    // order within) is spec-gated (SourcesSpec).
+    "qb8" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_qb8_${s.sparkContext.applicationId}"
+      Tables.documents(s, d).select("doc_id", "text")
+        .coalesce(1).sortWithinPartitions("doc_id").select("text")
+        .write.mode("overwrite").text(out)
+      val file = new java.io.File(out).listFiles()
+        .filter(_.getName.startsWith("part-")).head.getAbsolutePath
+      graft.sources.NLines.splits(s, file, n = 64)
+    }),
+
+    // QB9 — SequenceFileAsBinary roundtrip
+    // (mapred/SequenceFileAsBinaryInputFormat.java:38 /
+    // SequenceFileAsBinaryOutputFormat.java:42): the raw-bytes K/V
+    // container view. Keys are doc_id digit bytes; values are the 16
+    // ARBITRARY md5-digest bytes of the text — not valid UTF-8, so any
+    // charset conversion smuggled into the path corrupts them and the
+    // gate goes red. Read back as binary, decode the key, hex the
+    // value; the oracle recomputes both from the table.
+    "qb9" -> ((s, d) => {
+      import graft.sources.SequenceFiles
+      val out = s"${sys.props("java.io.tmpdir")}/graft_qb9_${s.sparkContext.applicationId}"
+      SequenceFiles.writeBinary(Tables.documents(s, d)
+        .select(encode(col("doc_id").cast("string"), "UTF-8").as("k"),
+          unhex(md5(col("text"))).as("v")), "k", "v", out)
+      SequenceFiles.readBinary(s, out)
+        .select(decode(col("key"), "UTF-8").cast("long").as("doc_id"),
+          hex(col("value")).as("value_hex"),
+          octet_length(col("value")).as("n_bytes"))
     })
   )
 
@@ -2831,6 +2869,32 @@ object RelationalQueries {
     // broadcast decontamination -> complete-mode rollup), gated by the
     // SAME oracle — the strongest form of the batch=stream claim
     "q70s" -> cleanCorpusOracleSql,
+
+    // qb8: the N-lines-per-split byte arithmetic recomputed from octet
+    // lengths in doc_id order — line bytes + 1 LF terminator, begin =
+    // running total of prior splits' lengths (integer-only gate)
+    "qb8" ->
+      """WITH l AS (SELECT octet_length(encode(text)) + 1 AS nb,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |  FROM documents),
+        |s AS (SELECT idx // 64 AS split_id,
+        |    CAST(sum(nb) AS BIGINT) AS length_bytes,
+        |    count(*) AS n_lines
+        |  FROM l GROUP BY 1)
+        |SELECT split_id,
+        |  CAST(coalesce(sum(length_bytes) OVER (ORDER BY split_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS begin_off,
+        |  length_bytes, n_lines
+        |FROM s""".stripMargin,
+
+    // qb9: the binary container must hand back the exact digest bytes —
+    // hex(value) equals the md5 hex of the text (uppercased: Spark's
+    // hex() emits uppercase, as does DuckDB's), key decodes to doc_id
+    "qb9" ->
+      """SELECT doc_id, upper(md5(text)) AS value_hex,
+        |  CAST(16 AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     // q62: the salted join must equal the plain join exactly
     "q62_salted_join" ->

@@ -74,4 +74,40 @@ object SequenceFiles {
       .map { case (k, v) => (k.toString, v.toString) }
       .toDF("key", "value")
   }
+
+  /** The RAW-BYTES K/V view — `SequenceFileAsBinaryOutputFormat`
+    * (mapred/SequenceFileAsBinaryOutputFormat.java:42): write arbitrary
+    * `binary` columns as a BytesWritable/BytesWritable SequenceFile,
+    * byte-for-byte, no charset in the path. The typed [[write]] covers
+    * the reference's dominant Text usage; this covers its opaque-payload
+    * one (serialized records, media blobs — the [[graft.pipeline.Multimodal]]
+    * columns' container when parquet isn't an option). */
+  def writeBinary(df: DataFrame, keyCol: String, valueCol: String,
+      path: String): Unit = {
+    import org.apache.hadoop.io.BytesWritable
+    val sc = df.sparkSession.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.select(keyCol, valueCol).rdd
+      .map(r => (new BytesWritable(r.getAs[Array[Byte]](0)),
+        new BytesWritable(r.getAs[Array[Byte]](1))))
+      .saveAsSequenceFile(path)
+  }
+
+  /** `SequenceFileAsBinaryInputFormat`
+    * (mapred/SequenceFileAsBinaryInputFormat.java:38): read any
+    * SequenceFile's K/V pairs back as raw bytes — (key binary,
+    * value binary). `copyBytes`, not `getBytes`: the record reader
+    * REUSES the BytesWritable instances and pads the backing buffer, so
+    * the raw reference would alias the last record's (oversized)
+    * buffer across the whole partition. */
+  def readBinary(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.BytesWritable
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile(path, classOf[BytesWritable], classOf[BytesWritable])
+      .map { case (k, v) => (k.copyBytes(), v.copyBytes()) }
+      .toDF("key", "value")
+  }
 }

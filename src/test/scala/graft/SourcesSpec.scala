@@ -130,6 +130,30 @@ class SequenceFilesSpec extends AnyFunSuite with SparkTest {
     assert(back == Set(("k1", "v with\ttab"), ("k2", "v2"), ("k3", "")))
   }
 
+  test("SequenceFileAsBinary roundtrip hands back exact raw bytes") {
+    // mapred/SequenceFileAsBinaryInputFormat.java:38 /
+    // ...OutputFormat.java:42 — the K/V pairs are OPAQUE bytes. Hostile
+    // payloads: 0x00, 0xFF, LF/CR, UTF-8-invalid sequences, empty — any
+    // charset conversion or buffer aliasing in the path corrupts them.
+    val path = tmpDir("seqbin")
+    val rows: Seq[(Array[Byte], Array[Byte])] = Seq(
+      Array[Byte](1) -> Array[Byte](0, -1, 10, 13, -128),
+      Array[Byte](2) -> Array.emptyByteArray,
+      Array[Byte](3) -> Array.fill[Byte](300)(-2), // > BytesWritable's pad
+      Array[Byte](4, 0, 4) -> Array[Byte](-61))    // truncated UTF-8 pair
+    val df = rows.toDF("key", "value")
+    graft.sources.SequenceFiles.writeBinary(df, "key", "value", path)
+    val part = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val head = java.nio.file.Files.readAllBytes(part.toPath).take(128)
+    assert(new String(head, "ISO-8859-1").contains("BytesWritable"),
+      "container must declare BytesWritable K/V types")
+    val back = graft.sources.SequenceFiles.readBinary(spark, path)
+      .as[(Array[Byte], Array[Byte])].collect()
+      .map { case (k, v) => (k.toSeq, v.toSeq) }.toSet
+    assert(back == rows.map { case (k, v) => (k.toSeq, v.toSeq) }.toSet)
+  }
+
   test("compressed roundtrips: gzip BLOCK / bzip2 RECORD / deflate") {
     val rows = (1 to 200).map(i => (s"k$i", s"value_$i " * 5)).toSet
     val df = rows.toSeq.toDF("key", "value")
@@ -374,5 +398,67 @@ class PipeFailureSpec extends AnyFunSuite with SparkTest {
     val out = PipeOps.pipe(ds, Seq("sh", "-c",
       "yes err 2>/dev/null | head -c 1048576 1>&2; cat")).collect()
     assert(out.sameElements(Array("x")))
+  }
+}
+
+class NLinesSpec extends AnyFunSuite with SparkTest {
+  import graft.sources.NLines
+
+  // mapred/lib/NLineInputFormat.java:59 — getSplits' contract, table-
+  // driven: N lines per split, last split takes the remainder, begin =
+  // cumulative byte offset, length = line bytes + LF terminators.
+  private def writeLines(tag: String, lines: Seq[String]): String = {
+    val dir = new java.io.File(tmpDir(tag))
+    dir.mkdirs()
+    val f = new java.io.File(dir, "control.txt")
+    java.nio.file.Files.writeString(f.toPath,
+      lines.map(_ + "\n").mkString)
+    f.getAbsolutePath
+  }
+
+  test("splits: N per split, remainder last, exact byte arithmetic") {
+    val lines = Seq("alpha", "b", "gamma rays", "", "ee", "ffffff", "g", "hh")
+    val file = writeLines("nline8", lines)
+    val out = NLines.splits(spark, file, n = 3)
+      .orderBy("split_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hand-computed FileSplit list (bytes include the LF):
+    //   lines 0-2: 6+2+11=19 from 0; 3-5: 1+3+7=11 from 19; 6-7: 2+3=5
+    assert(out.toSeq == Seq((0L, 0L, 19L, 3L), (1L, 19L, 11L, 3L),
+      (2L, 30L, 5L, 2L)))
+    // reference invariant: begins chain (begin + length = next begin)
+    // and lengths sum to the file size
+    assert(out.map(_._3).sum ==
+      new java.io.File(file).length())
+  }
+
+  test("splits: N larger than the file yields one remainder split") {
+    val file = writeLines("nline_small", Seq("only", "two"))
+    val out = NLines.splits(spark, file, n = 100).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L &&
+      r.getLong(2) == 9L && r.getLong(3) == 2L)
+  }
+
+  test("read: partition i IS split i, lines in offset order within") {
+    val lines = (0 until 10).map(i => s"param set $i")
+    val file = writeLines("nline_read", lines)
+    val df = NLines.read(spark, file, n = 4)
+    val perPart = df.rdd
+      .mapPartitionsWithIndex { (pi, it) =>
+        Iterator((pi, it.map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2))).toSeq))
+      }.collect().sortBy(_._1)
+    assert(perPart.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(perPart.map(_._2.length).toSeq == Seq(4, 4, 2))
+    for ((pi, rows) <- perPart) {
+      assert(rows.forall(_._1 == pi), s"split_id mismatch in partition $pi")
+      assert(rows.map(_._2) == rows.map(_._2).sorted,
+        s"offsets out of order in partition $pi")
+    }
+    // every line lands in its N-block, content intact
+    assert(perPart.flatMap(_._2).map(_._3).toSeq == lines)
   }
 }
