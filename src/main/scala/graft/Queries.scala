@@ -1623,6 +1623,27 @@ object RelationalQueries {
         .select(decode(col("key"), "UTF-8").cast("long").as("doc_id"),
           hex(col("value")).as("value_hex"),
           octet_length(col("value")).as("n_bytes"))
+    }),
+
+    // QC1 — BM25 index MAINTENANCE: the postings index is built on the
+    // first 400 documents only, then the rest of the corpus arrives as
+    // a batch APPEND (appendBm25Index: the batch's pre-aggregated
+    // postings land as extra files in the same term buckets — the
+    // stored side is never read or rewritten — and the integer corpus
+    // scalars merge exactly). The probe over the grown index must equal
+    // qb1's scan-per-run over the full corpus: qb1's oracle VERBATIM,
+    // the q86 archive-append claim carried to the lexical tier.
+    "qc1" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val table = "qc1_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(table) {
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", table)
+        TextAnalysis.appendBm25Index(docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", table)
+      }
+      TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id", "qtext",
+        table, k = qb1K, k1 = qb1K1, b = qb1B)
     })
   )
 
@@ -1968,7 +1989,8 @@ object RelationalQueries {
     s"""bt AS (SELECT doc_id,
       |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
       |  FROM documents),
-      |st AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM bt),
+      |st AS (SELECT count(*) AS n_docs,
+      |    CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM bt),
       |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(ws[1:$qb1QTerms]) AS term
       |  FROM bt WHERE doc_id % 100 = 0),
       |post AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM bt),
@@ -2455,6 +2477,14 @@ object RelationalQueries {
     // the persisted postings index must lose nothing vs the one-shot
     // batch probe (stream == batch == oracle)
     "qb4" ->
+      s"""WITH $bm25OracleCtes
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
+        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+
+    // qc1: qb1's oracle VERBATIM — probing the index grown by append
+    // must equal the scan-per-run tier over the full corpus (the merged
+    // integer scalars and appended bucket files lose nothing)
+    "qc1" ->
       s"""WITH $bm25OracleCtes
         |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
         |FROM lexr WHERE rk <= $qb1K""".stripMargin,

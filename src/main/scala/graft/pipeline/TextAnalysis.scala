@@ -189,13 +189,30 @@ object TextAnalysis {
         words(col(textCol)).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("term"))
-    val stats = docs.select(size(words(col(textCol))).as("n"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("n")).as("avgdl"))
+    val stats = corpusStats(docs, textCol)
     val qterms = queryTerms(queries, qIdCol, qTextCol)
     val cand = toks.join(broadcast(qterms.select("term").distinct()), "term")
     val tf = cand.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
     bm25Rank(tf, qterms, stats, k, k1, b)
   }
+
+  /** The BM25 corpus scalars as EXACT INTEGERS — (n_docs, sum_dl), with
+    * avgdl derived as one double division at use time ([[withAvgdl]]).
+    * Integer accumulation makes the scalars order-independent AND
+    * mergeable without drift: appending a batch to a persisted index
+    * ([[appendBm25Index]]) adds two longs, and the merged scalars are
+    * bit-equal to a full recount — the property a float avgdl cannot
+    * offer (avg_old * n_old re-rounds). The oracle computes the same
+    * `CAST(sum AS DOUBLE) / count` division, so avgdl carries no
+    * accumulation-order exposure in either engine. */
+  private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(size(words(col(textCol))).cast("long").as("n"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_dl"))
+
+  /** avgdl = sum_dl / n_docs, the one place the double is made. */
+  private def withAvgdl(stats: DataFrame): DataFrame =
+    stats.select(col("n_docs"),
+      (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
 
   /** The distinct (q_id, term) pairs of a query table — the broadcast
     * that candidate-restricts both BM25 paths. */
@@ -211,14 +228,14 @@ object TextAnalysis {
     * shares qb1's oracle on the strength of this). `tf` rows are the
     * CANDIDATE postings (doc_id, term, dl, tf); df per term equals the
     * candidate-postings count, so no corpus-wide vocabulary exists on
-    * either path. */
+    * either path. `stats` arrives as [[corpusStats]]'s integer scalars. */
   private def bm25Rank(tf: DataFrame, qterms: DataFrame, stats: DataFrame,
       k: Int, k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf.join(broadcast(dfreq), "term")
       .join(broadcast(qterms), "term")
       .filter(col("doc_id") =!= col("q_id"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(withAvgdl(stats)))
       .withColumn("w",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
           * (col("tf") * (k1 + 1))
@@ -294,15 +311,63 @@ object TextAnalysis {
     * contract (mapred/MapFileOutputFormat.java:39). */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 16): Unit = {
-    val tf = docs.select(col(idCol).as("doc_id"),
-        words(col(textCol)).as("ws"))
+    graft.sources.MapFiles.write(postings(docs, idCol, textCol), "term",
+      buckets, table)
+    graft.sources.MapFiles.write(corpusStats(docs, textCol), "n_docs", 1,
+      table + "_s")
+  }
+
+  /** The pre-aggregated postings of one document set — the rows both
+    * [[writeBm25Index]] and [[appendBm25Index]] land in the bucketed
+    * layout. */
+  private def postings(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
         explode(col("ws")).as("term"))
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-    graft.sources.MapFiles.write(tf, "term", buckets, table)
-    val stats = docs.select(size(words(col(textCol))).as("n"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("n")).as("avgdl"))
-    graft.sources.MapFiles.write(stats, "n_docs", 1, table + "_s")
+
+  /** Append a NEW document batch to a persisted BM25 index — the index
+    * maintenance story the write-once [[writeBm25Index]] lacks (the
+    * archive-append contract q86's minhash index set; qc1 gates this
+    * one). Two steps, neither touching the stored postings:
+    *
+    *   1. the batch's postings are pre-aggregated batch-side (the same
+    *      [[postings]] shape the build pays) and APPENDED as new files
+    *      into the existing bucket layout — Spark's bucketed append
+    *      hashes them into the same `term` buckets, so probes keep
+    *      bucket-pruning across build + append files, and the stored
+    *      postings are never read, rewritten, or shuffled. Batches are
+    *      new documents, so build and append rows never collide on
+    *      (term, doc_id) and concatenation IS the union.
+    *   2. the corpus scalars merge as two long additions — EXACT
+    *      because [[corpusStats]] stores integer (n_docs, sum_dl), so
+    *      the grown index's scalars are bit-equal to a full recount
+    *      (spec-asserted), and the probe's derived avgdl is the same
+    *      double a scan-per-run over the grown corpus computes.
+    *
+    * Cost at 100 TB: one pass over the NEW batch plus a 1-row scalar
+    * rewrite — archive-size work never re-pays. df stays derived from
+    * candidate rows at probe time, so no stored statistic can go stale. */
+  def appendBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$table is not a bucketed index"))
+    postings(newDocs, idCol, textCol).write.mode("append")
+      .option("parquet.bloom.filter.enabled#term", "true")
+      .bucketBy(buckets, "term").sortBy("term")
+      .saveAsTable(table)
+    val prev = spark.table(table + "_s")
+      .select("n_docs", "sum_dl").collect()(0)
+    val add = corpusStats(newDocs, textCol).collect()(0)
+    import spark.implicits._
+    graft.sources.MapFiles.write(
+      Seq((prev.getLong(0) + add.getLong(0),
+        prev.getLong(1) + add.getLong(1))).toDF("n_docs", "sum_dl"),
+      "n_docs", 1, table + "_s")
   }
 
   /** [[bm25TopK]] probing the PERSISTED index instead of re-exploding

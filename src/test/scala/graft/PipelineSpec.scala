@@ -1047,6 +1047,50 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("appendBm25Index: build+append equals a one-shot rebuild — postings, exact scalars, and ranking") {
+    // the qc1 contract: appending a batch must leave the index
+    // indistinguishable from rebuilding over the union — stored postings
+    // row-identical, integer corpus scalars BIT-equal (long adds, no
+    // float re-rounding), and the probe identical to the scan path
+    val base = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry")).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "banana banana banana"),
+      (4L, "durian apple")).toDF("doc_id", "text")
+    val union = base.unionByName(batch)
+    val qs = Seq((2L, "apple banana"), (9L, "cherry durian"))
+      .toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_app_idx")
+      TextAnalysis.appendBm25Index(batch, "doc_id", "text", "bm25_app_idx")
+      TextAnalysis.writeBm25Index(union, "doc_id", "text", "bm25_full_idx")
+      def rows(t: String) = spark.table(t)
+        .as[(String, Long, Int, Long)].collect().sorted.toSeq
+      assert(rows("bm25_app_idx") == rows("bm25_full_idx"))
+      assert(spark.table("bm25_app_idx_s").as[(Long, Long)].head() ==
+        spark.table("bm25_full_idx_s").as[(Long, Long)].head())
+      val direct = TextAnalysis.bm25TopK(union, "doc_id", "text",
+          qs, "q_id", "qtext", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+      val grown = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_app_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(direct.nonEmpty && grown.toSeq == direct.toSeq,
+        s"grown=${grown.toSeq} direct=${direct.toSeq}")
+      // appending to a non-index must fail loudly, not scribble files
+      intercept[Exception] {
+        TextAnalysis.appendBm25Index(batch, "doc_id", "text",
+          "bm25_app_missing")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_app_idx")
+      spark.sql("DROP TABLE IF EXISTS bm25_app_idx_s")
+      spark.sql("DROP TABLE IF EXISTS bm25_full_idx")
+      spark.sql("DROP TABLE IF EXISTS bm25_full_idx_s")
+    }
+  }
+
   test("phraseMatches counts overlapping adjacent occurrences, excludes the query doc, drops 1-token queries") {
     val docs = Seq(
       (1L, "a b a b c"),   // "a b" at token positions 1 and 3
