@@ -104,6 +104,13 @@ object RelationalQueries {
   private val qa8Width = 1024
   private val qa8Depth = 4
 
+  /** qc2's over-retrieval depths — the production rule for post-filter
+    * stacks: retrieve DEEPER than the serving k because the relational
+    * + phrase screens thin the lists multiplicatively (~29% × ~5% on
+    * this corpus). Single-sourced into both engines. */
+  private val qc2LexDepth = 50
+  private val qc2DenseDepth = 10
+
   /** qb1/qb2 retrieval parameters — single-sourced into both engines.
     * Queries are every doc_id % 100 = 0 document's first qb1QTerms
     * tokens; legs return qb1K rows, the fusion keeps qb2K. */
@@ -1644,6 +1651,48 @@ object RelationalQueries {
       }
       TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id", "qtext",
         table, k = qb1K, k1 = qb1K1, b = qb1B)
+    }),
+
+    // QC2 — the PRODUCTION retrieval stack end-to-end: relational
+    // filter → indexed candidates → phrase verify → hybrid fuse.
+    // Both persisted indexes (qb3 lexical, q99 ADC) produce candidate
+    // lists; each list is screened by (a) the doc-level predicate
+    // label < 3 — the query-scale candidates BROADCAST into the pruned
+    // metadata scan (predicate pushed to parquet, plan-asserted), never
+    // the corpus into the driver — and (b) qb6's exact first-2-token
+    // phrase occurrence (queries shorter than the phrase drop, the qb6
+    // contract); survivors re-rank per query in original leg order and
+    // fuse by RRF. The oracle composes the qb1 CTE chain, the ADC
+    // chain, the qb6 phrase chain, and the label predicate in SQL.
+    "qc2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vecs = Tables.embeddings(s, d)
+      val queries = qb1Queries(docs)
+      val ltable = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(ltable) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", ltable)
+      }
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val vtable = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(vtable) {
+        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", vtable,
+          nlist = nlist, dim = 64)
+      }
+      val lex = TextAnalysis.bm25TopKIndexed(queries, "q_id", "qtext",
+        ltable, k = qc2LexDepth, k1 = qb1K1, b = qb1B)
+      val dense = Similarity.ivfAdcTopKIndexed(
+          vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = qc2DenseDepth, nprobe = nprobe, table = vtable, dim = 64)
+        .withColumnRenamed("nb_id", "doc_id")
+      val allowed = vecs.filter(col("label") < 3)
+      val phrase = TextAnalysis.phraseMatches(docs, "doc_id", "text",
+        queries, "q_id", "qtext")
+      def screen(leg: org.apache.spark.sql.DataFrame) =
+        Similarity.screenCandidates(leg, "q_id", "doc_id", "rank",
+          allowed, "vec_id", phrase, "q_id", "doc_id")
+      Similarity.rrfFuse(Seq(screen(lex), screen(dense)),
+        "q_id", "doc_id", "rank", k = qb2K, c = qb2C)
     })
   )
 
@@ -2488,6 +2537,47 @@ object RelationalQueries {
       s"""WITH $bm25OracleCtes
         |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
         |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+
+    // qc2: the full stack composed from the existing chains — qb1's
+    // lexical CTEs, the ADC chain, qb6's phrase adjacency, the label
+    // predicate; screen each leg, re-rank survivors, RRF-fuse (qb7's
+    // fusion tail verbatim)
+    "qc2" -> {
+      val adc = adcRankedSql(
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64)
+      s"""WITH $bm25OracleCtes,
+        |$adc,
+        |qp AS (SELECT doc_id AS q_id, ws[1] AS t1, ws[2] AS t2
+        |  FROM bt WHERE doc_id % 100 = 0 AND len(ws) >= 2),
+        |pst AS (SELECT doc_id, i + 1 AS pos, ws[i+1] AS term
+        |  FROM bt, unnest(range(len(ws))) u(i)),
+        |ph AS (SELECT DISTINCT qp.q_id, a.doc_id
+        |  FROM qp JOIN pst a ON a.term = qp.t1 AND a.doc_id <> qp.q_id
+        |  JOIN pst b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |    AND b.term = qp.t2),
+        |elig AS (SELECT vec_id AS doc_id FROM embeddings WHERE label < 3),
+        |la AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rk) AS rk
+        |  FROM (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qc2LexDepth)
+        |  JOIN elig USING (doc_id) JOIN ph USING (q_id, doc_id)),
+        |lb AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY rk) AS rk
+        |  FROM (SELECT q_id, nb_id AS doc_id, rk FROM r
+        |    WHERE rk <= $qc2DenseDepth AND q_id % 100 = 0)
+        |  JOIN elig USING (doc_id) JOIN ph USING (q_id, doc_id)),
+        |leg AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+        |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf
+        |  FROM leg GROUP BY 1, 2),
+        |fr AS (SELECT q_id, doc_id,
+        |    CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_u,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
+        |FROM fr WHERE rk <= $qb2K""".stripMargin
+    },
 
     // qb5: both legs re-derived (same chains as qb2), intersection and
     // per-leg counts — all integers, exact

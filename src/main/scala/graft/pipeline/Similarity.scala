@@ -942,6 +942,39 @@ object Similarity {
       .na.fill(0L, Seq("n_a", "n_b", "n_both"))
   }
 
+  /** Candidate screening for a production retrieval stack (qc2): keep
+    * only candidates that pass a DOC-LEVEL predicate (`allowed`, e.g. a
+    * relational filter over a metadata table) and a PER-QUERY
+    * verification pair set (`verified`, e.g. phrase-occurrence pairs
+    * from [[graft.pipeline.TextAnalysis.phraseMatches]]), then re-rank
+    * the survivors per query by their original leg rank — the
+    * filter → candidate → verify shape that sits in front of fusion.
+    *
+    * Scale shape: the join direction is deliberate — `allowed` is
+    * corpus-scale, so the query-scale candidate list BROADCASTS into
+    * allowed's scan (whose predicate and column pruning push to
+    * parquet; plan-asserted), never the reverse: per query batch the
+    * cluster pays one pruned metadata scan, and nothing corpus-sized
+    * shuffles or broadcasts. `verified` is candidate-scale by
+    * construction and rides a second broadcast. The re-rank window
+    * partitions by query over ≤k survivors each. */
+  def screenCandidates(leg: DataFrame, qCol: String, idCol: String,
+      rankCol: String, allowed: DataFrame, allowedIdCol: String,
+      verified: DataFrame, vQCol: String, vIdCol: String): DataFrame = {
+    val l = leg.select(col(qCol).as("q_id"),
+      col(idCol).cast("long").as("doc_id"),
+      col(rankCol).as("orig_rank"))
+    val elig = allowed.select(col(allowedIdCol).cast("long").as("doc_id"))
+    val pairs = verified.select(col(vQCol).as("q_id"),
+      col(vIdCol).cast("long").as("doc_id"))
+    elig.join(broadcast(l), Seq("doc_id"))
+      .join(broadcast(pairs), Seq("q_id", "doc_id"), "left_semi")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("orig_rank"))))
+      .select("q_id", "doc_id", "rank")
+  }
+
   def rrfFuse(legs: Seq[DataFrame], qCol: String, idCol: String,
       rankCol: String, k: Int, c: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: no legs")

@@ -55,6 +55,58 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     case _ => false
   }
 
+  /** TYPED exchange-payload assert (the r10 lesson generalized): walk
+    * every ShuffleExchangeExec/BroadcastExchangeExec OUTPUT attribute —
+    * not string-matched tree lines, which only show partition keys /
+    * modes and let a non-reused exchange smuggle vectors undetected —
+    * and require no shuffle carries a float/double array; a broadcast
+    * may carry one only under a name in `allowedBroadcast` (the
+    * query-side vectors a k-bounded probe legitimately ships). */
+  private def assertVectorFreeExchanges(df: org.apache.spark.sql.DataFrame,
+      allowedBroadcast: Set[String] = Set.empty): Unit = {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val all = planNodes(df.queryExecution.executedPlan)
+    for (e <- all.collect { case s: ShuffleExchangeExec => s }; a <- e.output)
+      assert(!isFloatArray(a.dataType),
+        s"shuffle carries float array $a: ${e.simpleString(20)}")
+    for (e <- all.collect { case b: BroadcastExchangeExec => b };
+         a <- e.output if isFloatArray(a.dataType))
+      assert(allowedBroadcast.contains(a.name),
+        s"broadcast carries disallowed float array $a: ${e.simpleString(20)}")
+  }
+
+  /** [[assertVectorFreeExchanges]] restricted to shuffles PARTITIONED on
+    * any of `keyNames` — for plans where a linear per-id vector
+    * join-back is legitimate but the quadratic (bucket-/pair-keyed)
+    * stages must move scalars only. */
+  private def assertKeyedShufflesVectorFree(
+      df: org.apache.spark.sql.DataFrame, keyNames: Set[String]): Unit = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val keyed = planNodes(df.queryExecution.executedPlan).collect {
+      case s: ShuffleExchangeExec => s.outputPartitioning match {
+        case h: HashPartitioning
+          if h.expressions.exists(
+            _.references.exists(r => keyNames.contains(r.name))) => Some(s)
+        case _ => None
+      }
+    }.flatten
+    assert(keyed.nonEmpty,
+      s"no shuffle keyed on $keyNames found — the assert would be vacuous")
+    for (e <- keyed; a <- e.output)
+      assert(!isFloatArray(a.dataType),
+        s"$keyNames-keyed shuffle carries float array $a: ${e.simpleString(20)}")
+  }
+
+  /** The query's frame, executed so AQE finalizes — for typed asserts
+    * that need the plan tree, not its string. */
+  private def planDf(q: String, dir: String = d)
+      : org.apache.spark.sql.DataFrame = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect()
+    df
+  }
+
   test("minhash signatures compute in the scan projection — zero exchanges") {
     // q31's own executed plan is hidden behind its localCheckpoint, so
     // assert on the signature stage itself: scan -> project, NO exchange
@@ -157,11 +209,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(partial.nonEmpty, p.take(4000))
     assert(partial.forall(
       _.matches(""".*output=\[id_a#\d+L?, id_b#\d+L?\].*""")), p.take(4000))
-    // and no bucket-keyed exchange (shuffled or broadcast) carries a vector
-    val bucketEx = p.linesIterator.filter(l =>
-      l.contains("Exchange") && l.contains("tb#")).mkString("\n")
-    assert(!bucketEx.contains(", v#") && !bucketEx.contains("embedding#"),
-      bucketEx)
+    // and no bucket-carrying exchange (shuffled or broadcast) moves a
+    // vector — TYPED output walk, not tree-line grep (a non-reused
+    // exchange's payload never prints in the tree string)
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    for (e <- planNodes(df.queryExecution.executedPlan)
+           if e.isInstanceOf[ShuffleExchangeExec] ||
+              e.isInstanceOf[BroadcastExchangeExec]
+           if e.output.exists(_.name == "tb");
+         a <- e.output)
+      assert(!isFloatArray(a.dataType),
+        s"bucket exchange carries float array $a: ${e.simpleString(20)}")
   }
 
   test("q34b at shuffle scale: the bucket projection computes once (ReusedExchange)") {
@@ -180,6 +238,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage")
         || p.contains("TableCacheQueryStage"), p.take(4000))
+      // typed: in the wide-angle regime the vectors deliberately RIDE the
+      // (linear, tables·n-row) tb-keyed exchange — the documented
+      // strategy — so the scale claim here is that no PAIR-keyed
+      // (quadratic) shuffle carries a vector: pairs are born and die
+      // inside the bucket join, and the only pair-keyed exchange is the
+      // result-sized post-verification distinct
+      assertKeyedShufflesVectorFree(df, Set("id_a"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
@@ -198,12 +263,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     // packed binary codes + one double scale, never array<float|double>
     // embeddings. Any exchange line referencing a vector column is the
     // regression this guards against.
-    val p = plan("q89")
+    val df = planDf("q89")
+    val p = df.queryExecution.executedPlan.toString
     val exchanges = p.linesIterator.filter(_.contains("Exchange"))
       .mkString("\n")
     assert(exchanges.nonEmpty, p.take(3000))
     assert(!exchanges.contains("embedding#") && !exchanges.contains(", v#"),
       exchanges)
+    // typed: the same claim on the real exchange OUTPUTS (tree lines
+    // hide a non-reused exchange's payload)
+    assertVectorFreeExchanges(df)
   }
 
   test("q96: the percentile profile partial-aggregates map-side") {
@@ -232,12 +301,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     // exchange line referencing the vector column means the distance
     // computation slid past the shuffle and the wire is carrying
     // 256-byte embeddings instead of 20-byte rows.
-    val p = plan("q92")
+    val df = planDf("q92")
+    val p = df.queryExecution.executedPlan.toString
     val exchanges = p.linesIterator.filter(_.contains("Exchange"))
       .mkString("\n")
     assert(exchanges.nonEmpty, p.take(3000))
     assert(!exchanges.contains("embedding#") && !exchanges.contains(", e#"),
       exchanges)
+    // typed twin of the line grep, on the real exchange outputs; the
+    // one legitimate float-array broadcast is the nlist-row centroid
+    // table (`cent`) — bounded by the cell count, never the corpus
+    assertVectorFreeExchanges(df, allowedBroadcast = Set("cent"))
   }
 
   test("q84/q85: quantization audit and chunking are pure map-side — zero exchanges") {
@@ -339,19 +413,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     //      never the corpus `v`/`embedding` — the r10 regression was
     //      Spark broadcasting the whole normalized corpus table.
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
-    val df = SparkEntry.queries("qa1")(spark, d)
-    df.collect()
+    val df = planDf("qa1")
     val all = planNodes(df.queryExecution.executedPlan)
-    val shuffles = all.collect { case e: ShuffleExchangeExec => e }
-    val bcasts = all.collect { case e: BroadcastExchangeExec => e }
-    assert(shuffles.nonEmpty && bcasts.nonEmpty,
+    assert(all.exists(_.isInstanceOf[ShuffleExchangeExec]) &&
+      all.exists(_.isInstanceOf[BroadcastExchangeExec]),
       df.queryExecution.executedPlan.toString.take(3000))
-    for (e <- shuffles; a <- e.output)
-      assert(!isFloatArray(a.dataType),
-        s"shuffle carries float array $a: ${e.simpleString(20)}")
-    for (e <- bcasts; a <- e.output if isFloatArray(a.dataType))
-      assert(a.name == "qv",
-        s"broadcast carries non-query-side float array $a: ${e.simpleString(20)}")
+    assertVectorFreeExchanges(df, allowedBroadcast = Set("qv"))
   }
 
   test("qa3: the whitening apply is a pure map-side projection — zero exchanges") {
@@ -612,5 +679,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
          a <- e.output if isFloatArray(a.dataType))
       assert(a.name == "qv",
         s"broadcast carries corpus-side float array $a: ${e.simpleString(20)}")
+  }
+
+  test("qc2: the relational screen pushes to the metadata scan; candidates broadcast, the corpus never does") {
+    // the production-stack claims: (1) the label predicate reaches the
+    // embeddings parquet scan as a pushed filter — the screen pays a
+    // pruned metadata read, not a post-hoc filter over a full scan;
+    // (2) the screen's join direction holds — query-scale candidate
+    // lists broadcast INTO that scan (never the corpus outward), so
+    // every broadcast stays candidate-sized; (3) no shuffle anywhere in
+    // the stack carries a float array (both legs keep their indexed
+    // probes' contracts through the composition).
+    val df = planDf("qc2")
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("LessThan(label,3)") && p.contains("PushedFilters"),
+      p.take(4000))
+    assertVectorFreeExchanges(df)
   }
 }
