@@ -1693,6 +1693,36 @@ object RelationalQueries {
           allowed, "vec_id", phrase, "q_id", "doc_id")
       Similarity.rrfFuse(Seq(screen(lex), screen(dense)),
         "q_id", "doc_id", "rank", k = qb2K, c = qb2C)
+    }),
+
+    // QC3 — IVF index DRIFT audit: build the ADC index on the FIRST
+    // HALF of the corpus (quantizer trained there, frozen), append the
+    // second half against the stored centroids (appendIvfAdcIndex — the
+    // 2x-growth maintenance scenario), then gate the grown index's
+    // recall@3 against the exact MIPS scan over the full corpus. The
+    // recall DEGRADATION itself is the oracle-gated quantity: DuckDB
+    // retrains the same half-corpus quantizer (ivfCellsSql's trainWhere)
+    // and reproduces every assignment, code, and overlap count, so a
+    // centroid-drift regression — or a probe silently reading only the
+    // build-time files — turns this row red. Frozen-centroid drift is
+    // the production failure mode append-only vector archives monitor;
+    // this is that monitor as a standing gate.
+    "qc3" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val n = vecs.count()
+      val build = vecs.filter(col("vec_id") * 2 < n)
+      val (nlist, nprobe) = Similarity.ivfParams(build.count(),
+        targetRecall = q35cTargetRecall)
+      val table = "qc3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndex(build, "vec_id", "embedding", table,
+          nlist = nlist, dim = 64)
+        Similarity.appendIvfAdcIndex(vecs.filter(col("vec_id") * 2 >= n),
+          "vec_id", "embedding", table, dim = 64)
+      }
+      Similarity.recallAuditIndexed(vecs,
+        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 3, nprobe = nprobe, table = table, dim = 64)
     })
   )
 
@@ -1880,7 +1910,7 @@ object RelationalQueries {
     * nprobe cells; the q88 SemDeDup oracle consumes `asg` only. One
     * definition so the twins cannot drift. */
   private def ivfCellsSql(fracNum: Int, occ: Int, iters: Int,
-      dim: Int): String = {
+      dim: Int, trainWhere: String = ""): String = {
     // probe fraction as the exact binary fracNum/8, matching ivfParams
     val sqDist = s"list_sum(list_transform(range($dim), " +
       "i -> (s.e[i+1]-c.cent[i+1])*(s.e[i+1]-c.cent[i+1])))"
@@ -1900,9 +1930,10 @@ object RelationalQueries {
         |  FROM $prev c LEFT JOIN m$t m USING (cell)),""".stripMargin
     }.mkString("\n")
     s"""$embedNormSql,
+      |tv AS (SELECT * FROM nv $trainWhere),
       |p AS (SELECT count(*) AS n,
       |    GREATEST(1, LEAST(count(*), (count(*) + ${occ - 1}) // $occ))
-      |      AS nlist FROM nv),
+      |      AS nlist FROM tv),
       |p2 AS (SELECT n, nlist,
       |    GREATEST(1, LEAST(nlist,
       |      CAST(ceil(($fracNum * nlist) / 8.0) AS BIGINT))) AS nprobe,
@@ -1910,7 +1941,7 @@ object RelationalQueries {
       |samp AS (SELECT vec_id AS sid, e FROM (
       |    SELECT vec_id, e, row_number() OVER (ORDER BY
       |      ${graft.pipeline.Portable.hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
-      |    FROM nv) WHERE rn <= (SELECT cap FROM p2)),
+      |    FROM tv) WHERE rn <= (SELECT cap FROM p2)),
       |c0 AS (SELECT rn - 1 AS cell, e AS cent FROM (
       |    SELECT e, row_number() OVER (ORDER BY e) AS rn FROM samp)
       |  WHERE rn <= (SELECT nlist FROM p2)),
@@ -1932,8 +1963,8 @@ object RelationalQueries {
     * live (q89), persisted-index (q99), and re-rank (qa1) tiers cannot
     * drift. */
   private def adcRankedSql(fracNum: Int, occ: Int, iters: Int,
-      dim: Int): String =
-    s"""${ivfCellsSql(fracNum, occ, iters, dim)},
+      dim: Int, trainWhere: String = ""): String =
+    s"""${ivfCellsSql(fracNum, occ, iters, dim, trainWhere)},
       |qz AS (SELECT vec_id, scale,
       |    CASE WHEN scale > 0 THEN list_transform(e, x ->
       |        CAST(GREATEST(-127.0, LEAST(127.0,
@@ -2577,6 +2608,33 @@ object RelationalQueries {
         |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
         |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
         |FROM fr WHERE rk <= $qb2K""".stripMargin
+    },
+
+    // qc3: the ADC chain with the quantizer TRAINED ON THE FIRST HALF
+    // (trainWhere) but the whole corpus assigned/coded/probed — exactly
+    // the build+append index — overlaid with the exact dot top-3; the
+    // recall numbers of the drifted index are themselves the gate
+    "qc3" -> {
+      val adc = adcRankedSql(
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
+        trainWhere = "WHERE vec_id * 2 < (SELECT count(*) FROM nv)")
+      s"""WITH $adc,
+        |ivf AS (SELECT q_id, nb_id, 1 AS hit FROM r
+        |  WHERE rk <= 3 AND q_id % 100 = 0),
+        |qv2 AS (SELECT vec_id AS q_id, e FROM nv WHERE vec_id % 100 = 0),
+        |exa AS (SELECT q_id, nb_id FROM (
+        |    SELECT q.q_id, c.vec_id AS nb_id,
+        |      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        |        list_sum(list_transform(range(64), i -> q.e[i+1]*c.e[i+1]))
+        |          DESC, c.vec_id) AS rk
+        |    FROM qv2 q, nv c WHERE q.q_id <> c.vec_id) WHERE rk <= 3)
+        |SELECT e.q_id, count(i.hit) AS hits,
+        |  count(i.hit) / 3.0 AS recall
+        |FROM exa e LEFT JOIN ivf i USING (q_id, nb_id)
+        |GROUP BY e.q_id""".stripMargin
     },
 
     // qb5: both legs re-derived (same chains as qb2), intersection and

@@ -766,6 +766,47 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       Similarity.hyperplanes(2, 4).map(_.toSeq).toSeq)
     assert(Portable.unitFromSeed("x") == Portable.unitFromSeed("x"))
   }
+
+  test("appendIvfAdcIndex: build+append equals writing the whole corpus against the same frozen quantizer") {
+    // the qc3 contract, minus the drift question: appending against the
+    // STORED centroids must leave the index row-identical to coding the
+    // union in one shot with those centroids, and the probe identical —
+    // any difference means the append re-derived state instead of
+    // freezing it
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = corpus.count()
+    val build = corpus.filter(col("vec_id") * 2 < n)
+    val batch = corpus.filter(col("vec_id") * 2 >= n)
+    val (nlist, nprobe) = Similarity.ivfParams(build.count())
+    try {
+      val cents = Similarity.writeIvfAdcIndex(build, "vec_id",
+        "embedding", "adc_app_idx", nlist = nlist, dim = 64)
+      Similarity.appendIvfAdcIndex(batch, "vec_id", "embedding",
+        "adc_app_idx", dim = 64)
+      Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_full_idx", nlist = nlist, dim = 64, cents = cents)
+      def rows(t: String) = spark.table(t)
+        .select(col("cell"), col("id"), hex(col("qc")), col("scale"))
+        .as[(Int, Long, String, Double)].collect().sorted.toSeq
+      assert(rows("adc_app_idx").nonEmpty &&
+        rows("adc_app_idx") == rows("adc_full_idx"))
+      def probe(t: String) = Similarity.ivfAdcTopKIndexed(
+          corpus.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          k = 3, nprobe = nprobe, table = t, dim = 64)
+        .select("q_id", "nb_id", "rank")
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(probe("adc_app_idx") == probe("adc_full_idx"))
+      // appending to a missing index fails loudly
+      intercept[Exception] {
+        Similarity.appendIvfAdcIndex(batch, "vec_id", "embedding",
+          "adc_missing_idx", dim = 64)
+      }
+    } finally {
+      for (t <- Seq("adc_app_idx", "adc_app_idx_c",
+          "adc_full_idx", "adc_full_idx_c"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite with SparkTest {
