@@ -1723,6 +1723,40 @@ object RelationalQueries {
       Similarity.recallAuditIndexed(vecs,
         vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 3, nprobe = nprobe, table = table, dim = 64)
+    }),
+
+    // QC4 — qb7's HYBRID serving with the queries AS A STREAM: the
+    // full online stack twin (qa6 streams the dense leg, qb4 the
+    // lexical; this streams the fusion). Each micro-batch derives the
+    // query text stream-side, attaches the query vector by stream-
+    // static join against embeddings (broadcast batch — the
+    // DistributedCache side-file shape), probes BOTH persisted indexes,
+    // and fuses in foreachBatch — per-batch fusion is exact because
+    // every ranking is per-query and a query's candidates live in its
+    // own batch. Shares qb7's oracle VERBATIM: stream == batch ==
+    // oracle on the whole hybrid stack.
+    "qc4" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vecs = Tables.embeddings(s, d)
+      val ltable = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(ltable) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", ltable)
+      }
+      val (nlist, nprobe) =
+        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+      val vtable = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      buildOnce(vtable) {
+        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", vtable,
+          nlist = nlist, dim = 64)
+      }
+      val stream = qb1Queries(Tables.streamOf(s, d, "documents"))
+        .join(vecs.select(col("vec_id").as("q_id"),
+          col("embedding").as("qvec")), Seq("q_id"))
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_qc4_${s.sparkContext.applicationId}").getAbsolutePath
+      Similarity.streamHybridTopK(stream, "q_id", "qtext", "qvec",
+        ltable, vtable, lexDepth = qb1K, denseDepth = 3, nprobe = nprobe,
+        k = qb2K, sinkDir = sink, c = qb2C, k1 = qb1K1, b = qb1B)
     })
   )
 
@@ -2684,6 +2718,31 @@ object RelationalQueries {
     // queries restricted to %100 POST-rank (exact: per-query ranking is
     // independent of the query set), fused by RRF
     "qb7" -> {
+      val adc = adcRankedSql(
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64)
+      s"""WITH $bm25OracleCtes,
+        |$adc,
+        |la AS (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qb1K),
+        |lb AS (SELECT q_id, nb_id AS doc_id, rk FROM r
+        |  WHERE rk <= 3 AND q_id % 100 = 0),
+        |leg AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+        |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf
+        |  FROM leg GROUP BY 1, 2),
+        |fr AS (SELECT q_id, doc_id,
+        |    CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_u,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
+        |FROM fr WHERE rk <= $qb2K""".stripMargin
+    },
+
+    // qc4: qb7's oracle VERBATIM — streaming the queries through both
+    // persisted indexes and fusing per micro-batch must lose nothing vs
+    // the one-shot hybrid serving (stream == batch == oracle)
+    "qc4" -> {
       val adc = adcRankedSql(
         fracNum = graft.pipeline.Similarity.probeFracEighths(
           q35cTargetRecall),

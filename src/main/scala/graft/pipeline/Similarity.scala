@@ -1043,6 +1043,64 @@ object Similarity {
       .select("q_id", "doc_id", "rank")
   }
 
+  /** Hybrid serving (qb7) with the QUERIES AS A STREAM (qc4) — the
+    * full online retrieval twin: each micro-batch carries query rows
+    * holding BOTH representations (q_id, query text, query vector);
+    * inside foreachBatch the batch probes the persisted postings index
+    * ([[graft.pipeline.TextAnalysis.bm25TopKIndexed]]) and the
+    * persisted ADC index ([[ivfAdcTopKIndexed]]) — neither corpus is
+    * re-scanned, both stored sides keep their gated bucketed-probe
+    * shapes — and [[rrfFuse]] fuses the two rank lists. Per-batch
+    * fusion is EXACT, not approximate: every ranking here (each leg's
+    * top-k and the fused rank) is per-query, and a query's whole
+    * candidate set lives in the micro-batch that carried it — so
+    * stream == batch by construction, and qc4 shares qb7's oracle
+    * verbatim (the q70s gate shape on the full hybrid stack). A
+    * two-batch MemoryStream spec gates the equality. */
+  def streamHybridTopK(queries: DataFrame, qIdCol: String,
+      qTextCol: String, qVecCol: String, lexTable: String,
+      adcTable: String, lexDepth: Int, denseDepth: Int, nprobe: Int,
+      k: Int, sinkDir: String, c: Int = 60, k1: Double = 1.2,
+      b: Double = 0.75, dim: Int = 64): DataFrame = {
+    val q = startStreamHybridTopK(queries, qIdCol, qTextCol, qVecCol,
+      lexTable, adcTable, lexDepth, denseDepth, nprobe, k, sinkDir, c,
+      k1, b, dim)
+    try q.processAllAvailable() finally q.stop()
+    queries.sparkSession.read.parquet(sinkDir)
+  }
+
+  /** The started-but-undrained form of [[streamHybridTopK]] — the
+    * caller owns the trigger cadence (StreamingSpec drives TWO
+    * micro-batches through it). Overwrites `sinkDir` with a zero-row
+    * schema-typed init first, the qb4/qa6 sink convention. */
+  def startStreamHybridTopK(queries: DataFrame, qIdCol: String,
+      qTextCol: String, qVecCol: String, lexTable: String,
+      adcTable: String, lexDepth: Int, denseDepth: Int, nprobe: Int,
+      k: Int, sinkDir: String, c: Int = 60, k1: Double = 1.2,
+      b: Double = 0.75, dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = queries.sparkSession
+    def fuse(batch: DataFrame): DataFrame = {
+      val lex = graft.pipeline.TextAnalysis.bm25TopKIndexed(
+        batch.select(col(qIdCol), col(qTextCol)), qIdCol, qTextCol,
+        lexTable, k = lexDepth, k1 = k1, b = b)
+      val dense = ivfAdcTopKIndexed(
+          batch.select(col(qIdCol), col(qVecCol)), qIdCol, qVecCol,
+          k = denseDepth, nprobe = nprobe, table = adcTable, dim = dim)
+        .withColumnRenamed("nb_id", "doc_id")
+      rrfFuse(Seq(lex, dense), "q_id", "doc_id", "rank", k = k, c = c)
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      queries.schema)
+    fuse(empty).write.mode("overwrite").parquet(sinkDir)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        fuse(batch).write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   def rrfFuse(legs: Seq[DataFrame], qCol: String, idCol: String,
       rankCol: String, k: Int, c: Int = 60): DataFrame = {
     require(legs.nonEmpty, "rrfFuse: no legs")

@@ -414,6 +414,65 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("streamHybridTopK: a two-micro-batch query stream equals the one-shot hybrid fusion over both persisted indexes") {
+    // the qc4 gate shape: queries carrying BOTH representations split
+    // across two batches; per-batch probe-both-indexes + RRF must equal
+    // the one-shot composition because every ranking is per-query
+    import graft.pipeline.{Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, concat_ws, slice, split}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    try {
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "qc4_eq_lidx")
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "qc4_eq_vidx", nlist = 4, dim = 64)
+      // queries: every 10th doc's 4-token prefix + its vector
+      val queries = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("q_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
+        .join(vecs.select(col("vec_id").as("q_id"),
+          col("embedding").as("qvec")), Seq("q_id"))
+      val rows = queries.as[(Long, String, Array[Float])].collect().toSeq
+      assert(rows.size >= 4, s"need >= 4 queries, got ${rows.size}")
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_qc4_spec_sink").getAbsolutePath
+      val ms = MemoryStream[(Long, String, Array[Float])](spark)
+      val (first, second) = rows.partition(_._1 % 20 == 0)
+      val q = Similarity.startStreamHybridTopK(
+        ms.toDF().toDF("q_id", "qtext", "qvec"), "q_id", "qtext", "qvec",
+        "qc4_eq_lidx", "qc4_eq_vidx", lexDepth = 5, denseDepth = 3,
+        nprobe = 2, k = 3, sinkDir = sink)
+      try {
+        ms.addData(first)
+        q.processAllAvailable()
+        ms.addData(second)
+        q.processAllAvailable()
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "the gate needs >= 2 non-empty micro-batches")
+      } finally q.stop()
+      val streamed = spark.read.parquet(sink)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      val lex = TextAnalysis.bm25TopKIndexed(
+        queries.select("q_id", "qtext"), "q_id", "qtext",
+        "qc4_eq_lidx", k = 5)
+      val dense = Similarity.ivfAdcTopKIndexed(
+          queries.select(col("q_id"), col("qvec")), "q_id", "qvec",
+          k = 3, nprobe = 2, table = "qc4_eq_vidx")
+        .withColumnRenamed("nb_id", "doc_id")
+      val batch = Similarity.rrfFuse(Seq(lex, dense), "q_id", "doc_id",
+          "rank", k = 3)
+        .as[(Long, Long, Int, Long)].collect().toSet
+      assert(batch.nonEmpty, "vacuous gate: no batch results")
+      assert(streamed == batch,
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    } finally {
+      for (t <- Seq("qc4_eq_lidx", "qc4_eq_lidx_s", "qc4_eq_vidx",
+          "qc4_eq_vidx_c"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("countMinCounters: the streaming sketch state equals the batch sketch after two micro-batches") {
     // qa9's contract — the complete-mode aggregation's state IS the
     // bounded counter table, so after any number of micro-batches it
