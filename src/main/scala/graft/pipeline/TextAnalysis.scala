@@ -489,6 +489,11 @@ object TextAnalysis {
       while (i < n && x(i) == y(i)) i += 1
       if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
     }
+    // bounded collect: one row per (distinct count value x first-char
+    // bucket), NOT per token — count values cluster heavily under Zipf
+    // (≤ a few thousand distinct at any corpus size that fits a
+    // broadcast-able vocab) and buckets are the alphabet, so this is
+    // orders below the vocabulary itself; the vocabulary NEVER collects
     val sizes = counted.groupBy("cnt", "bkt").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .sortBy { case (c, b, _) => (-c, b) }(

@@ -41,6 +41,14 @@ object GrowthBench {
     s
   }
 
+  private def timeU(label: String)(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    val s = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[growth] $label%-34s $s%8.2f s")
+    s
+  }
+
   /** Bucket-occupancy histogram of the sign-LSH projection: per-bucket
     * candidate pairs are C(occ, 2) — the quantity the planes parameter
     * controls. Logged so "subquadratic" is visible in the candidate
@@ -415,6 +423,45 @@ object GrowthBench {
           "qtext", btable, k = 10))
     }
 
+    // index-append maintenance cost (r12, the qc1/qc3 claim measured):
+    // a FIXED-size batch (the 1x corpus re-keyed; fresh vectors for the
+    // ADC side) appended onto archives of 1x vs 10x size — append work
+    // is batch-sized plus the bucketed sink's own exchange, NEVER
+    // archive-sized, so the 1x->10x exponent should sit near zero.
+    // Targets are the per-tag qb3 postings indexes already built above
+    // (probes ran first; the append mutates them, reruns rebuild) plus
+    // dedicated ADC indexes (build untimed).
+    locally {
+      val appDocs = Tables.documents(spark, x1)
+        .withColumn("doc_id", col("doc_id") + lit(900000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_ap"))
+      val appVecs = Tables.embeddings(spark, x1)
+        .withColumn("vec_id", col("vec_id") + lit(900000000L))
+        .withColumn("embedding", expr(
+          "transform(sequence(0, 63), i -> " +
+          "cast(pmod(hash(vec_id, 77, i), 2000) / 1000.0d - 1.0d as float))"))
+      for ((tag, d) <- Seq("1x" -> x1, "10x" -> x10)) {
+        val (nlist, _) = Similarity.ivfParams(
+          Tables.embeddings(spark, d).count())
+        Similarity.writeIvfAdcIndex(Tables.embeddings(spark, d), "vec_id",
+          "embedding", s"gadc_idx_$tag", nlist = nlist, dim = 64)
+        if (tag == "1x") { // warm both append plan shapes off the clock
+          graft.pipeline.TextAnalysis.appendBm25Index(appDocs.limit(50),
+            "doc_id", "text", "gqb3_idx_1x")
+          Similarity.appendIvfAdcIndex(appVecs.limit(50), "vec_id",
+            "embedding", "gadc_idx_1x", dim = 64)
+        }
+        t(s"qc1_bm25_append_$tag") = timeU(s"qc1_bm25_append_$tag") {
+          graft.pipeline.TextAnalysis.appendBm25Index(appDocs, "doc_id",
+            "text", s"gqb3_idx_$tag")
+        }
+        t(s"qc3_adc_append_$tag") = timeU(s"qc3_adc_append_$tag") {
+          Similarity.appendIvfAdcIndex(appVecs, "vec_id", "embedding",
+            s"gadc_idx_$tag", dim = 64)
+        }
+      }
+    }
+
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
       System.err.println(
         f"[growth] exponent $label%-28s ${math.log(tk / t1) / math.log(k)}%5.2f")
@@ -461,6 +508,10 @@ object GrowthBench {
     exp("qa4_audit 1x->10x", t("qa4_audit_1x"), t("qa4_audit_10x"), 10)
     exp("qb1_bm25 1x->10x", t("qb1_bm25_1x"), t("qb1_bm25_10x"), 10)
     exp("qb3_probe 1x->10x", t("qb3_probe_1x"), t("qb3_probe_10x"), 10)
+    exp("qc1_bm25_append 1x->10x", t("qc1_bm25_append_1x"),
+      t("qc1_bm25_append_10x"), 10)
+    exp("qc3_adc_append 1x->10x", t("qc3_adc_append_1x"),
+      t("qc3_adc_append_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +

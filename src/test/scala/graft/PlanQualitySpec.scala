@@ -620,6 +620,46 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("qc1: the probe keeps its bucketed-scan properties over an APPENDED index") {
+    // the append's silent-failure mode: bucketed files from TWO write
+    // generations in the same table — if the appended files broke the
+    // bucket metadata, the probe would fall back to an unbucketed scan
+    // (losing pruning) or re-shuffle the stored side. Same asserts as
+    // the qb3 plan test, on the grown table.
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, d)
+    val qs = docs.filter(col("doc_id") % 100 === 0)
+      .selectExpr("doc_id AS q_id",
+        "array_join(slice(filter(split(text, ' '), w -> length(w) > 0), 1, 8), ' ') AS qtext")
+    try {
+      TextAnalysis.writeBm25Index(docs.filter(col("doc_id") < 25),
+        "doc_id", "text", "qc1_plan_idx")
+      TextAnalysis.appendBm25Index(docs.filter(col("doc_id") >= 25),
+        "doc_id", "text", "qc1_plan_idx")
+      val probe = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+        "qc1_plan_idx", k = 10)
+      probe.collect()
+      val p = probe.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"), p.take(4000))
+      assert(p.contains("In(term"), p.take(4000))
+      val shuffles = planNodes(probe.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      for (e <- shuffles) {
+        val names = e.output.map(_.name).toSet
+        assert(!(names.contains("dl") && names.contains("tf")),
+          s"appended postings re-shuffled: ${e.simpleString(20)}")
+      }
+      assert(shuffles.size <= 4,
+        s"unexpected probe shuffles (${shuffles.size}):\n" + p.take(4000))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS qc1_plan_idx")
+      spark.sql("DROP TABLE IF EXISTS qc1_plan_idx_s")
+    }
+  }
+
   test("qb6: phrase-search shuffles carry single tokens and positions only — document bodies never move") {
     // phraseMatches' scale claim: both term sets broadcast-restrict the
     // positional postings before the adjacency join, so every string in
