@@ -171,13 +171,18 @@ object RelationalQueries {
       Tables.lineitem(s, d).groupBy("l_suppkey")
         .agg(ValueAggregators.uniqValueCount(col("l_partkey")).as("uniq_parts"))),
 
-    // Q07b — the 100 TB-safe distinct count: HLL sketch, constant memory
-    // per group vs UniqValueCount's unbounded set. Not reproducible in
-    // DuckDB (different HLL) → rows-only gate; accuracy spec-tested.
+    // Q07b — the 100 TB-safe distinct count: a PORTABLE HLL sketch
+    // (md5-derived registers, exact-integer harmonic sum), constant
+    // memory per group vs UniqValueCount's unbounded set — and, unlike
+    // an engine HLL, reproducible bit for bit in DuckDB, so the
+    // ESTIMATE itself is oracle-gated (the qa8 sketch discipline; this
+    // row was the suite's last approximation on a rows-only gate). The
+    // engine HLL++ tier remains as ValueAggregators.uniqValueCountApprox
+    // (accuracy spec-tested) for when reproducibility isn't needed.
     "q07b_uniq_approx" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy("l_suppkey")
-        .agg(ValueAggregators.uniqValueCountApprox(col("l_partkey"))
-          .as("uniq_parts_approx"))),
+      ValueAggregators.portableHllEstimate(Tables.lineitem(s, d),
+        col("l_suppkey"), col("l_partkey"))
+        .select(col("key").as("l_suppkey"), col("est"))),
 
     // Q08 — ValueHistogram report (exact reference median = counts[len/2])
     "q08_histogram" -> ((s, d) =>
@@ -3538,6 +3543,13 @@ object RelationalQueries {
 
     "q07_uniq" ->
       "SELECT l_suppkey, count(DISTINCT l_partkey) AS uniq_parts FROM lineitem GROUP BY l_suppkey",
+
+    // q07b: the portable HLL re-derived in SQL — registers, the
+    // exact-integer harmonic sum, and the linear-counting branch, so
+    // the oracle reproduces the approximation itself bit for bit
+    "q07b_uniq_approx" ->
+      graft.agg.ValueAggregators.portableHllSql("lineitem", "l_suppkey",
+        "CAST(l_partkey AS VARCHAR)", "l_suppkey"),
 
     "q08_histogram" ->
       """WITH freq AS (

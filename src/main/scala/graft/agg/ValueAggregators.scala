@@ -24,10 +24,93 @@ object ValueAggregators {
     * in-memory set; at scale prefer [[uniqValueCountApprox]]. */
   def uniqValueCount(v: Column): Column = countDistinct(v)
 
-  /** HLL sketch — the 100 TB-safe variant of UniqValueCount: constant
-    * memory per group instead of an unbounded hash set. */
+  /** Engine HLL sketch — constant memory per group instead of an
+    * unbounded hash set. The fast path when cross-engine
+    * reproducibility isn't needed (Spark's HLL++ is not reproducible in
+    * DuckDB); accuracy is spec-tested. The ORACLE-GATED sketch tier is
+    * [[portableHllEstimate]]. */
   def uniqValueCountApprox(v: Column, rsd: Double = 0.02): Column =
     approx_count_distinct(v, rsd)
+
+  /** Portable HyperLogLog distinct estimate (q07b) — the qa8 count-min
+    * discipline applied to HLL: every register derives from the
+    * engine-portable 60-bit md5 hash ([[graft.pipeline.Portable]]), so
+    * a second engine reproduces the sketch BIT FOR BIT, including its
+    * error — the estimate itself is oracle-gated, not merely
+    * rows-checked. m registers (power of 2, >= 128): bucket = h mod m,
+    * rank = leading-zero count of the remaining 60-p hash bits + 1,
+    * register = max rank (Flajolet et al. 2007).
+    *
+    * Cross-engine determinism: the harmonic sum is kept EXACT by
+    * integer scaling — Σ 2^(maxRank − M_j) as a 64-bit integer (absent
+    * registers contribute 2^maxRank; max total m·2^53 < 2^63) — so no
+    * float accumulation order exists; the only doubles are one
+    * division by that integer and the small-range linear-counting
+    * branch m·ln(m/V), whose last-ulp ln class is absorbed by rounding
+    * the estimate to an integer count.
+    *
+    * Scale: two partial-agg'd shuffles — (key, bucket) max, then a
+    * per-key rollup of ≤ m constant-size register rows — the same
+    * constant-memory contract as the engine HLL, at the cost of the
+    * md5-based hash per value (map-side, codegen'd). Accuracy is the
+    * standard ~1.04/sqrt(m) (spec-asserted against exact counts).
+    * Returns (key, est). */
+  def portableHllEstimate(df: DataFrame, key: Column, v: Column,
+      m: Int = 256): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0,
+      s"m must be a power of 2 >= 128, got $m")
+    val p = java.lang.Integer.numberOfTrailingZeros(m)
+    val maxRank = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2.0, maxRank)
+    val h = graft.pipeline.Portable.hash60(v.cast("string"))
+    df.select(key.as("key"), pmod(h, lit(m.toLong)).as("b"),
+        (lit(maxRank) - length(ltrim(bin(shiftright(h, p)), "0"))).as("r"))
+      .groupBy("key", "b").agg(max(col("r")).as("m_reg"))
+      .groupBy("key").agg(count(lit(1)).as("nz"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - m_reg)"))
+          .as("sp"))
+      .select(col("key"),
+        (lit(m.toLong) - col("nz")).as("v"),
+        (lit(num) / (col("sp") +
+          (lit(m.toLong) - col("nz")) * lit(1L << maxRank)).cast("double"))
+          .as("raw"))
+      .select(col("key"),
+        round(when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .otherwise(col("raw"))).cast("long").as("est"))
+  }
+
+  /** The DuckDB twin of [[portableHllEstimate]] — the full sketch
+    * (hash, registers, exact-integer harmonic sum, correction branch)
+    * re-derived in SQL over `FROM (keyExpr AS key, valExpr AS s)`.
+    * Single-sourced constants so the engines cannot drift. */
+  def portableHllSql(table: String, keyExpr: String, valExpr: String,
+      keyAlias: String, m: Int = 256): String = {
+    require(m >= 128 && (m & (m - 1)) == 0)
+    val p = java.lang.Integer.numberOfTrailingZeros(m)
+    val maxRank = 60 - p + 1
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num = alpha * m * m * math.pow(2.0, maxRank)
+    s"""WITH vals AS (SELECT $keyExpr AS key, $valExpr AS s FROM $table),
+      |hh AS (SELECT key,
+      |    ${graft.pipeline.Portable.hash60Sql("s")} AS h FROM vals),
+      |rg AS (SELECT key, h % $m AS b,
+      |    MAX($maxRank - length(ltrim(bin(h // $m), '0'))) AS m_reg
+      |  FROM hh GROUP BY 1, 2),
+      |pk AS (SELECT key, count(*) AS nz,
+      |    CAST(SUM((1::BIGINT) << ($maxRank - m_reg)) AS BIGINT) AS sp
+      |  FROM rg GROUP BY 1),
+      |e AS (SELECT key, $m - nz AS v,
+      |    CAST('$num' AS DOUBLE) /
+      |      CAST(sp + ($m - nz) * (1::BIGINT << $maxRank) AS DOUBLE) AS raw
+      |  FROM pk)
+      |SELECT key AS $keyAlias,
+      |  CAST(round(CASE WHEN raw <= ${2.5 * m} AND v > 0
+      |    THEN ${m.toDouble} * ln(${m.toDouble} / v) ELSE raw END)
+      |    AS BIGINT) AS est
+      |FROM e""".stripMargin
+  }
 
   /** ValueHistogram (ValueHistogram.java:78-127): per key, build the item →
     * frequency map, then report statistics OF THE FREQUENCY DISTRIBUTION:

@@ -370,3 +370,43 @@ class CountersSpec extends AnyFunSuite with SparkTest {
     assert(acc.value == 2L)
   }
 }
+
+class PortableHllSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("portableHllEstimate tracks exact distinct counts across regimes") {
+    // small counts exercise the linear-counting branch, large ones the
+    // harmonic estimator; the standard error at m=256 is ~6.5%, so a
+    // 25% bound is ~4 sigma — a real sketch bug (wrong rank, wrong
+    // scaling, dropped registers) lands orders of magnitude outside it
+    val rows = Seq(
+      ("tiny", 10), ("small", 80), ("mid", 500), ("big", 3000)
+    ).flatMap { case (k, n) => (0 until n).map(i => (k, s"${k}_v$i")) } ++
+      (0 until 400).map(i => ("dups", s"dup_v${i % 40}")) // 40 distinct
+    val df = rows.toDF("k", "v")
+    val est = graft.agg.ValueAggregators
+      .portableHllEstimate(df, col("k"), col("v"))
+      .as[(String, Long)].collect().toMap
+    val exact = Map("tiny" -> 10, "small" -> 80, "mid" -> 500,
+      "big" -> 3000, "dups" -> 40)
+    for ((k, n) <- exact) {
+      val e = est(k)
+      assert(math.abs(e - n).toDouble / n <= 0.25,
+        s"$k: est $e vs exact $n")
+    }
+    // determinism: a second evaluation is bit-identical
+    val est2 = graft.agg.ValueAggregators
+      .portableHllEstimate(df, col("k"), col("v"))
+      .as[(String, Long)].collect().toMap
+    assert(est == est2)
+  }
+
+  test("portableHllEstimate rejects a non-power-of-two register count") {
+    val df = Seq(("a", "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.agg.ValueAggregators.portableHllEstimate(df, col("k"),
+        col("v"), m = 200)
+    }
+  }
+}

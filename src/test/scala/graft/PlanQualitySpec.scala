@@ -17,13 +17,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("${"), s"$name oracle has an unrendered splice")
     }
-    // every oracle key must have a query, and the flagship queries all
-    // have oracles (declared no-oracle surfaces are the known five)
+    // every oracle key must have a query; the ONLY declared no-oracle
+    // surface left is the float-Lloyd local k-means (q07b's HLL tier
+    // became oracle-gated in r12 via the portable sketch)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toString)
-    assert(noOracle == Set("q07b_uniq_approx", "q21b_kmeans_local"),
-      noOracle)
+    assert(noOracle == Set("q21b_kmeans_local"), noOracle)
   }
 
   private def plan(q: String): String = {
