@@ -87,6 +87,34 @@ object RelationalQueries {
     }
   }
 
+  /** The shared persisted lexical index (qb3/qb4/qb7/qc2/qc4): one
+    * construction per sf dir per process, ONE definition so
+    * co-consumers cannot drift apart and probe differently-built
+    * indexes under the same buildOnce-memoized name. Returns the table
+    * name. */
+  private def lexIndex(s: SparkSession, d: String): String = {
+    val table = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+    buildOnce(table) {
+      TextAnalysis.writeBm25Index(Tables.documents(s, d), "doc_id",
+        "text", table)
+    }
+    table
+  }
+
+  /** The shared persisted ADC index (q99/qa6/qb7/qc2/qc4), same
+    * single-definition contract. Returns (table, nprobe). */
+  private def denseIndex(s: SparkSession, d: String): (String, Int) = {
+    val vecs = Tables.embeddings(s, d)
+    val (nlist, nprobe) =
+      Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
+    val table = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
+    buildOnce(table) {
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
+        nlist = nlist, dim = 64)
+    }
+    (table, nprobe)
+  }
+
   /** qa1's re-rank depth — the quantized tier hands this many survivors
     * per query to the full-precision re-rank; single-sourced into the
     * oracle's unrolled SQL. */
@@ -512,16 +540,9 @@ object RelationalQueries {
     // side (plan-asserted). Same oracle as q89 — the stored index must
     // lose nothing vs the retrain-every-run tier.
     "q99" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
-      val (nlist, nprobe) =
-        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
-      val table = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(table) {
-        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
-          nlist = nlist, dim = 64)
-      }
-      Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding", k = 3,
-        nprobe = nprobe, table = table, dim = 64)
+      val (table, nprobe) = denseIndex(s, d)
+      Similarity.ivfAdcTopKIndexed(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 3, nprobe = nprobe, table = table, dim = 64)
     }),
 
     // QA6 — q99's persisted-index retrieval with the QUERIES AS A
@@ -532,14 +553,7 @@ object RelationalQueries {
     // its own micro-batch). Shares q99's oracle VERBATIM — stream ==
     // batch == oracle, the q70s gate shape on the retrieval tier.
     "qa6" -> ((s, d) => {
-      val vecs = Tables.embeddings(s, d)
-      val (nlist, nprobe) =
-        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
-      val table = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(table) {
-        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
-          nlist = nlist, dim = 64)
-      }
+      val (table, nprobe) = denseIndex(s, d)
       val stream = Tables.streamOf(s, d, "embeddings")
       val sink = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_qa6_${s.sparkContext.applicationId}").getAbsolutePath
@@ -1480,22 +1494,12 @@ object RelationalQueries {
     // independent of the query set).
     "qb7" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val ltable = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(ltable) {
-        TextAnalysis.writeBm25Index(docs, "doc_id", "text", ltable)
-      }
       val lex = TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id",
-        "qtext", ltable, k = qb1K, k1 = qb1K1, b = qb1B)
-      val vecs = Tables.embeddings(s, d)
-      val (nlist, nprobe) =
-        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
-      val vtable = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(vtable) {
-        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", vtable,
-          nlist = nlist, dim = 64)
-      }
+        "qtext", lexIndex(s, d), k = qb1K, k1 = qb1K1, b = qb1B)
+      val (vtable, nprobe) = denseIndex(s, d)
       val dense = Similarity.ivfAdcTopKIndexed(
-          vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+          Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding",
           k = 3, nprobe = nprobe, table = vtable, dim = 64)
         .withColumnRenamed("nb_id", "doc_id")
       Similarity.rrfFuse(Seq(lex, dense), "q_id", "doc_id", "rank",
@@ -1508,15 +1512,9 @@ object RelationalQueries {
     // the stored side with no shuffle and derive df from the candidate
     // rows; the scoring tail is bm25Rank verbatim, so qb3 shares qb1's
     // oracle — the stored index provably loses nothing.
-    "qb3" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val table = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(table) {
-        TextAnalysis.writeBm25Index(docs, "doc_id", "text", table)
-      }
-      TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id", "qtext",
-        table, k = qb1K, k1 = qb1K1, b = qb1B)
-    }),
+    "qb3" -> ((s, d) =>
+      TextAnalysis.bm25TopKIndexed(qb1Queries(Tables.documents(s, d)),
+        "q_id", "qtext", lexIndex(s, d), k = qb1K, k1 = qb1K1, b = qb1B)),
 
     // QB4 — qb3's persisted-index probe with the QUERIES AS A STREAM
     // (the online lexical serving shape, qa6's twin on the sparse
@@ -1525,11 +1523,7 @@ object RelationalQueries {
     // micro-batch, so per-batch rank is exact and stream == batch ==
     // oracle (qb1's verbatim, the q70s gate shape).
     "qb4" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val table = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(table) {
-        TextAnalysis.writeBm25Index(docs, "doc_id", "text", table)
-      }
+      val table = lexIndex(s, d)
       val stream = Tables.streamOf(s, d, "documents")
       val sink = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_qb4_${s.sparkContext.applicationId}").getAbsolutePath
@@ -1673,19 +1667,9 @@ object RelationalQueries {
       val docs = Tables.documents(s, d)
       val vecs = Tables.embeddings(s, d)
       val queries = qb1Queries(docs)
-      val ltable = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(ltable) {
-        TextAnalysis.writeBm25Index(docs, "doc_id", "text", ltable)
-      }
-      val (nlist, nprobe) =
-        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
-      val vtable = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(vtable) {
-        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", vtable,
-          nlist = nlist, dim = 64)
-      }
+      val (vtable, nprobe) = denseIndex(s, d)
       val lex = TextAnalysis.bm25TopKIndexed(queries, "q_id", "qtext",
-        ltable, k = qc2LexDepth, k1 = qb1K1, b = qb1B)
+        lexIndex(s, d), k = qc2LexDepth, k1 = qb1K1, b = qb1B)
       val dense = Similarity.ivfAdcTopKIndexed(
           vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
           k = qc2DenseDepth, nprobe = nprobe, table = vtable, dim = 64)
@@ -1733,30 +1717,23 @@ object RelationalQueries {
     // QC4 — qb7's HYBRID serving with the queries AS A STREAM: the
     // full online stack twin (qa6 streams the dense leg, qb4 the
     // lexical; this streams the fusion). Each micro-batch derives the
-    // query text stream-side, attaches the query vector by stream-
-    // static join against embeddings (broadcast batch — the
-    // DistributedCache side-file shape), probes BOTH persisted indexes,
-    // and fuses in foreachBatch — per-batch fusion is exact because
-    // every ranking is per-query and a query's candidates live in its
-    // own batch. Shares qb7's oracle VERBATIM: stream == batch ==
-    // oracle on the whole hybrid stack.
+    // query text stream-side and attaches the query vector by a
+    // stream-static join whose static side is PRE-FILTERED to the
+    // query-id sample and explicitly broadcast — query-scale, never
+    // the embedding corpus shuffling per micro-batch (the
+    // DistributedCache side-file shape). Then both persisted indexes
+    // are probed and fused in foreachBatch — per-batch fusion is exact
+    // because every ranking is per-query and a query's candidates live
+    // in its own batch. Shares qb7's oracle VERBATIM: stream == batch
+    // == oracle on the whole hybrid stack.
     "qc4" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
       val vecs = Tables.embeddings(s, d)
-      val ltable = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(ltable) {
-        TextAnalysis.writeBm25Index(docs, "doc_id", "text", ltable)
-      }
-      val (nlist, nprobe) =
-        Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
-      val vtable = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
-      buildOnce(vtable) {
-        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", vtable,
-          nlist = nlist, dim = 64)
-      }
+      val ltable = lexIndex(s, d)
+      val (vtable, nprobe) = denseIndex(s, d)
       val stream = qb1Queries(Tables.streamOf(s, d, "documents"))
-        .join(vecs.select(col("vec_id").as("q_id"),
-          col("embedding").as("qvec")), Seq("q_id"))
+        .join(broadcast(vecs.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"),
+            col("embedding").as("qvec"))), Seq("q_id"))
       val sink = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_qc4_${s.sparkContext.applicationId}").getAbsolutePath
       Similarity.streamHybridTopK(stream, "q_id", "qtext", "qvec",
@@ -2127,6 +2104,39 @@ object RelationalQueries {
       |    CAST(floor(score * 1e6) AS BIGINT) AS score_u,
       |    row_number() OVER (PARTITION BY q_id
       |      ORDER BY floor(score * 1e6) DESC, doc_id) AS rk FROM sc)""".stripMargin
+
+  /** qb1's complete oracle — shared BY REFERENCE with qb3 (persisted
+    * index), qb4 (streamed queries), and qc1 (appended index), so the
+    * "loses nothing / oracle verbatim" claims hold by construction
+    * rather than by hand-mirrored text. */
+  private lazy val bm25TopKOracleSql: String =
+    s"""WITH $bm25OracleCtes
+      |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
+      |FROM lexr WHERE rk <= $qb1K""".stripMargin
+
+  /** qb7's complete oracle (lexical chain + ADC chain + RRF fusion) —
+    * shared BY REFERENCE with qc4 (the streaming hybrid twin). */
+  private lazy val hybridFuseOracleSql: String = {
+    val adc = adcRankedSql(
+      fracNum = graft.pipeline.Similarity.probeFracEighths(
+        q35cTargetRecall),
+      occ = graft.pipeline.Similarity.defaultOccupancy,
+      iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64)
+    s"""WITH $bm25OracleCtes,
+      |$adc,
+      |la AS (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qb1K),
+      |lb AS (SELECT q_id, nb_id AS doc_id, rk FROM r
+      |  WHERE rk <= 3 AND q_id % 100 = 0),
+      |leg AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+      |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf
+      |  FROM leg GROUP BY 1, 2),
+      |fr AS (SELECT q_id, doc_id,
+      |    CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_u,
+      |    row_number() OVER (PARTITION BY q_id
+      |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
+      |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
+      |FROM fr WHERE rk <= $qb2K""".stripMargin
+  }
 
   private val embedNormSql: String =
     """v AS (SELECT vec_id,
@@ -2578,35 +2588,18 @@ object RelationalQueries {
         |SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2""".stripMargin,
 
     // qb1: the full BM25 computation re-derived in SQL — corpus stats,
-    // candidate postings, idf, the quantized ranking
-    "qb1" ->
-      s"""WITH $bm25OracleCtes
-        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
-        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+    // candidate postings, idf, the quantized ranking. qb3 (persisted
+    // index), qb4 (streamed queries), and qc1 (appended index) share
+    // the SAME val by reference — verbatim by construction.
+    "qb1" -> bm25TopKOracleSql,
+    "qb3" -> bm25TopKOracleSql,
+    "qb4" -> bm25TopKOracleSql,
 
-    // qb3: qb1's oracle VERBATIM — the persisted postings index must
-    // lose nothing vs the scan-per-run tier (identical contract and
-    // ranking; the Spark paths share one bm25Rank Column tree)
-    "qb3" ->
-      s"""WITH $bm25OracleCtes
-        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
-        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
-
-    // qb4: qb1's oracle VERBATIM again — streaming the queries through
-    // the persisted postings index must lose nothing vs the one-shot
-    // batch probe (stream == batch == oracle)
-    "qb4" ->
-      s"""WITH $bm25OracleCtes
-        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
-        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
-
-    // qc1: qb1's oracle VERBATIM — probing the index grown by append
-    // must equal the scan-per-run tier over the full corpus (the merged
-    // integer scalars and appended bucket files lose nothing)
-    "qc1" ->
-      s"""WITH $bm25OracleCtes
-        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
-        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+    // qc1: qb1's oracle, shared by reference — probing the index grown
+    // by append must equal the scan-per-run tier over the full corpus
+    // (the merged integer scalars and appended bucket files lose
+    // nothing)
+    "qc1" -> bm25TopKOracleSql,
 
     // qc2: the full stack composed from the existing chains — qb1's
     // lexical CTEs, the ADC chain, qb6's phrase adjacency, the label
@@ -2721,53 +2714,15 @@ object RelationalQueries {
     // qb7: qb1's lexical chain + q89/q99's ADC chain (verbatim, shared
     // builders — the persisted indexes provably lose nothing), dense
     // queries restricted to %100 POST-rank (exact: per-query ranking is
-    // independent of the query set), fused by RRF
-    "qb7" -> {
-      val adc = adcRankedSql(
-        fracNum = graft.pipeline.Similarity.probeFracEighths(
-          q35cTargetRecall),
-        occ = graft.pipeline.Similarity.defaultOccupancy,
-        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64)
-      s"""WITH $bm25OracleCtes,
-        |$adc,
-        |la AS (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qb1K),
-        |lb AS (SELECT q_id, nb_id AS doc_id, rk FROM r
-        |  WHERE rk <= 3 AND q_id % 100 = 0),
-        |leg AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
-        |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf
-        |  FROM leg GROUP BY 1, 2),
-        |fr AS (SELECT q_id, doc_id,
-        |    CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_u,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
-        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
-        |FROM fr WHERE rk <= $qb2K""".stripMargin
-    },
+    // independent of the query set), fused by RRF; qc4 (the streaming
+    // twin) shares the SAME val by reference
+    "qb7" -> hybridFuseOracleSql,
 
-    // qc4: qb7's oracle VERBATIM — streaming the queries through both
-    // persisted indexes and fusing per micro-batch must lose nothing vs
-    // the one-shot hybrid serving (stream == batch == oracle)
-    "qc4" -> {
-      val adc = adcRankedSql(
-        fracNum = graft.pipeline.Similarity.probeFracEighths(
-          q35cTargetRecall),
-        occ = graft.pipeline.Similarity.defaultOccupancy,
-        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64)
-      s"""WITH $bm25OracleCtes,
-        |$adc,
-        |la AS (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qb1K),
-        |lb AS (SELECT q_id, nb_id AS doc_id, rk FROM r
-        |  WHERE rk <= 3 AND q_id % 100 = 0),
-        |leg AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
-        |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf
-        |  FROM leg GROUP BY 1, 2),
-        |fr AS (SELECT q_id, doc_id,
-        |    CAST(floor(rrf * 1e9) AS BIGINT) AS rrf_u,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY floor(rrf * 1e9) DESC, doc_id) AS rk FROM f)
-        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, rrf_u
-        |FROM fr WHERE rk <= $qb2K""".stripMargin
-    },
+    // qc4: qb7's oracle, shared by reference — streaming the queries
+    // through both persisted indexes and fusing per micro-batch must
+    // lose nothing vs the one-shot hybrid serving (stream == batch ==
+    // oracle)
+    "qc4" -> hybridFuseOracleSql,
 
     // qb2: both legs re-derived (the BM25 chain verbatim + the q35
     // cosine chain at the same query set), fused by Σ 1/(c+rank)

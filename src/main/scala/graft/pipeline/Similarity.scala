@@ -639,10 +639,16 @@ object Similarity {
     * stored index's recall against an exact scan (qc3), and a fallen
     * floor is the retrain signal. */
   def appendIvfAdcIndex(newVecs: DataFrame, idCol: String, vecCol: String,
-      table: String, dim: Int = 64,
-      buckets: Int = ivfIndexBuckets): Unit = {
+      table: String, dim: Int = 64): Unit = {
     val spark = newVecs.sparkSession
     VectorOps.ensureRegistered(spark)
+    // bucket count from the table's own metadata (the appendBm25Index
+    // convention) — a caller cannot desync the layout by re-threading a
+    // different count than the build used
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$table is not a bucketed index"))
     val quantizer = readIvfCentroids(spark, table)
     require(quantizer.nonEmpty, s"$table has no stored centroids")
     val sc = VectorOps.maxAbs(col(vecCol))

@@ -356,13 +356,21 @@ object TextAnalysis {
       org.apache.spark.sql.catalyst.TableIdentifier(table))
     val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
       throw new IllegalStateException(s"$table is not a bucketed index"))
+    // read + validate BOTH existing tables and aggregate the batch
+    // BEFORE the postings append: a failure past that write would leave
+    // the index half-updated, and a retry would double-append the batch
+    // (duplicate postings double df and every score). An all-filtered
+    // batch aggregates to (0, null sum) — coalesce keeps the no-op
+    // append a no-op instead of an NPE.
+    val prev = spark.table(table + "_s")
+      .select("n_docs", "sum_dl").collect()(0)
+    val add = corpusStats(newDocs, textCol)
+      .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
+      .collect()(0)
     postings(newDocs, idCol, textCol).write.mode("append")
       .option("parquet.bloom.filter.enabled#term", "true")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(table)
-    val prev = spark.table(table + "_s")
-      .select("n_docs", "sum_dl").collect()(0)
-    val add = corpusStats(newDocs, textCol).collect()(0)
     import spark.implicits._
     graft.sources.MapFiles.write(
       Seq((prev.getLong(0) + add.getLong(0),

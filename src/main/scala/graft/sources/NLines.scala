@@ -25,14 +25,15 @@ import org.apache.spark.sql.functions._
   *     N lines in offset order (spec-asserted via
   *     mapPartitionsWithIndex).
   *
-  * Scale: the reference computes splits by scanning the whole file
-  * single-threaded on the jobtracker-side client (getSplits' LineReader
-  * loop); here the line scan is a distributed TextInputFormat read and
-  * the only coordination is one range-sort on (file-local, monotone)
-  * offsets. Control files are small by contract — the DATA a sweep
+  * Scale: control files are SMALL BY CONTRACT — the data a sweep
   * processes arrives via the job's real inputs, not the control file —
-  * so the sort is trivially cheap; the point of the gate is the split
-  * arithmetic, which must be exact at any size.
+  * and the reference itself scans the whole file single-threaded on
+  * the client (getSplits' LineReader loop). [[splits]] matches that
+  * honestly: the line read is a distributed TextInputFormat scan, but
+  * the split assignment runs through ONE ordered window task (global
+  * row numbering), the same serial coordination the reference pays.
+  * Do not point this at a data file; the gate's point is the split
+  * arithmetic, exact at control-file sizes.
   */
 object NLines {
 

@@ -33,21 +33,16 @@ import graft.pipeline.{Curation, Dedup, Similarity}
   */
 object GrowthBench {
 
-  private def time(label: String, f: => DataFrame): Double = {
+  private def timeU(label: String)(f: => String): Double = {
     val t0 = System.nanoTime()
-    val n = f.count()
+    val suffix = f
     val s = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[growth] $label%-34s $s%8.2f s  rows=$n")
+    System.err.println(f"[growth] $label%-34s $s%8.2f s$suffix")
     s
   }
 
-  private def timeU(label: String)(f: => Unit): Double = {
-    val t0 = System.nanoTime()
-    f
-    val s = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[growth] $label%-34s $s%8.2f s")
-    s
-  }
+  private def time(label: String, f: => DataFrame): Double =
+    timeU(label) { s"  rows=${f.count()}" }
 
   /** Bucket-occupancy histogram of the sign-LSH projection: per-bucket
     * candidate pairs are C(occ, 2) — the quantity the planes parameter
@@ -454,10 +449,12 @@ object GrowthBench {
         t(s"qc1_bm25_append_$tag") = timeU(s"qc1_bm25_append_$tag") {
           graft.pipeline.TextAnalysis.appendBm25Index(appDocs, "doc_id",
             "text", s"gqb3_idx_$tag")
+          ""
         }
         t(s"qc3_adc_append_$tag") = timeU(s"qc3_adc_append_$tag") {
           Similarity.appendIvfAdcIndex(appVecs, "vec_id", "embedding",
             s"gadc_idx_$tag", dim = 64)
+          ""
         }
       }
     }
