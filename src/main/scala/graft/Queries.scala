@@ -1730,10 +1730,14 @@ object RelationalQueries {
       val vecs = Tables.embeddings(s, d)
       val ltable = lexIndex(s, d)
       val (vtable, nprobe) = denseIndex(s, d)
+      // LEFT join: a query doc with no embedding row keeps its lexical
+      // leg (null qvec skips only the dense probe) — documents can
+      // outnumber embeddings (they do at sf0.1), and qb7's legs are
+      // independent, so the stream twin's must be too
       val stream = qb1Queries(Tables.streamOf(s, d, "documents"))
         .join(broadcast(vecs.filter(col("vec_id") % 100 === 0)
           .select(col("vec_id").as("q_id"),
-            col("embedding").as("qvec"))), Seq("q_id"))
+            col("embedding").as("qvec"))), Seq("q_id"), "left")
       val sink = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_qc4_${s.sparkContext.applicationId}").getAbsolutePath
       Similarity.streamHybridTopK(stream, "q_id", "qtext", "qvec",

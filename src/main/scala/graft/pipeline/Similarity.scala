@@ -1090,8 +1090,15 @@ object Similarity {
       val lex = graft.pipeline.TextAnalysis.bm25TopKIndexed(
         batch.select(col(qIdCol), col(qTextCol)), qIdCol, qTextCol,
         lexTable, k = lexDepth, k1 = k1, b = b)
+      // a query WITHOUT a vector (null qVecCol — e.g. an un-embedded
+      // document) still serves its lexical leg; only the dense probe
+      // skips it. The sf0.1 corpus exposed this: documents outnumber
+      // embeddings, and an inner composition silently dropped every
+      // lexical-only query — diverging from the batch tier (qb7),
+      // whose legs are independent.
       val dense = ivfAdcTopKIndexed(
-          batch.select(col(qIdCol), col(qVecCol)), qIdCol, qVecCol,
+          batch.filter(col(qVecCol).isNotNull)
+            .select(col(qIdCol), col(qVecCol)), qIdCol, qVecCol,
           k = denseDepth, nprobe = nprobe, table = adcTable, dim = dim)
         .withColumnRenamed("nb_id", "doc_id")
       rrfFuse(Seq(lex, dense), "q_id", "doc_id", "rank", k = k, c = c)

@@ -427,13 +427,20 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       TextAnalysis.writeBm25Index(docs, "doc_id", "text", "qc4_eq_lidx")
       Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
         "qc4_eq_vidx", nlist = 4, dim = 64)
-      // queries: every 10th doc's 4-token prefix + its vector
+      // queries: every 10th doc's 4-token prefix + its vector, PLUS one
+      // vector-less (lexical-only) query — the sf0.1 regression class
+      // where documents outnumber embeddings: it must keep its lexical
+      // leg instead of being silently dropped
       val queries = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("q_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("qtext"))
         .join(vecs.select(col("vec_id").as("q_id"),
           col("embedding").as("qvec")), Seq("q_id"))
-      val rows = queries.as[(Long, String, Array[Float])].collect().toSeq
+      val lexOnly: (Long, String, Array[Float]) =
+        (999999L, docs.orderBy("doc_id").select("text")
+          .as[String].head().split(" ").take(4).mkString(" "), null)
+      val rows = (queries.as[(Long, String, Array[Float])].collect()
+        :+ lexOnly).toSeq
       assert(rows.size >= 4, s"need >= 4 queries, got ${rows.size}")
       val sink = new java.io.File(sys.props("java.io.tmpdir"),
         "graft_qc4_spec_sink").getAbsolutePath
@@ -453,17 +460,22 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       } finally q.stop()
       val streamed = spark.read.parquet(sink)
         .as[(Long, Long, Int, Long)].collect().toSet
+      val qdf = rows.toDF("q_id", "qtext", "qvec")
       val lex = TextAnalysis.bm25TopKIndexed(
-        queries.select("q_id", "qtext"), "q_id", "qtext",
+        qdf.select("q_id", "qtext"), "q_id", "qtext",
         "qc4_eq_lidx", k = 5)
       val dense = Similarity.ivfAdcTopKIndexed(
-          queries.select(col("q_id"), col("qvec")), "q_id", "qvec",
+          qdf.filter(col("qvec").isNotNull)
+            .select(col("q_id"), col("qvec")), "q_id", "qvec",
           k = 3, nprobe = 2, table = "qc4_eq_vidx")
         .withColumnRenamed("nb_id", "doc_id")
       val batch = Similarity.rrfFuse(Seq(lex, dense), "q_id", "doc_id",
           "rank", k = 3)
         .as[(Long, Long, Int, Long)].collect().toSet
       assert(batch.nonEmpty, "vacuous gate: no batch results")
+      // the lexical-only query must appear in BOTH — not be dropped
+      assert(streamed.exists(_._1 == 999999L) && batch.exists(_._1 == 999999L),
+        "vector-less query lost a leg")
       assert(streamed == batch,
         s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
     } finally {
