@@ -767,6 +767,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(Portable.unitFromSeed("x") == Portable.unitFromSeed("x"))
   }
 
+  test("screenCandidates: filters by doc predicate AND verified pairs, re-ranks survivors densely, drops emptied queries") {
+    import org.apache.spark.sql.functions.col
+    // leg: q1 has ranks 1..4, q2 has 1..2
+    val leg = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4),
+      (2L, 10L, 1), (2L, 12L, 2)).toDF("q_id", "doc_id", "rank")
+    val allowed = Seq(10L, 12L, 13L).toDF("id") // doc 11 fails the predicate
+    // q1 phrase-verifies docs 12, 13 (and 11, which the predicate kills);
+    // q2 verifies nothing -> q2 disappears entirely
+    val verified = Seq((1L, 11L), (1L, 12L), (1L, 13L)).toDF("q", "d")
+    val out = graft.pipeline.Similarity.screenCandidates(leg, "q_id",
+        "doc_id", "rank", allowed, "id", verified, "q", "d")
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+    // survivors 12 (orig rank 3) and 13 (orig 4) re-rank densely 1, 2
+    assert(out == Seq((1L, 12L, 1), (1L, 13L, 2)), out)
+  }
+
   test("appendIvfAdcIndex: build+append equals writing the whole corpus against the same frozen quantizer") {
     // the qc3 contract, minus the drift question: appending against the
     // STORED centroids must leave the index row-identical to coding the
