@@ -736,5 +736,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(p.contains("LessThan(label,3)") && p.contains("PushedFilters"),
       p.take(4000))
     assertVectorFreeExchanges(df)
+    // direction, asserted: the metadata (label) scan is never the
+    // broadcast build side — only candidate/rank-list frames broadcast
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    for (e <- planNodes(df.queryExecution.executedPlan)
+           .collect { case b: BroadcastExchangeExec => b })
+      assert(!e.output.exists(_.name == "label"),
+        s"metadata scan broadcast outward: ${e.simpleString(20)}")
   }
 }
