@@ -346,8 +346,11 @@ object RelationalQueries {
     "q21_kmeans" -> ((s, _) => KMeans.fixtureQuery(s, 400, 4, 4)),
 
     // Q21b — the reference's literal per-line semantics: one whole Lloyd
-    // run per input line (float math, converge on ≤1.0 movement, cap 100).
-    // Not SQL-expressible → rows-only gate; unit-tested in KMeansSpec.
+    // run per input line (float math, converge on ≤1.0 movement, cap
+    // 100). ORACLE-GATED since r12: DuckDB's REAL arithmetic is IEEE
+    // float32, so the unrolled SQL twin reproduces every rounding step
+    // and the gate is bit-exact — the suite's last declared no-oracle
+    // row closed. Unit-tested in KMeansSpec besides.
     "q21b_kmeans_local" -> ((s, _) =>
       KMeansLocal.centroidsPerLine(KMeansLocal.fixtureLines(s, 10, 3, 50))),
 
@@ -1746,6 +1749,75 @@ object RelationalQueries {
     })
   )
 
+  /** DuckDB oracle for q21b_kmeans_local — the FLOAT-Lloyd per-line
+    * k-means reproduced BIT FOR BIT, closing the suite's last declared
+    * no-oracle row. Why this is exact and not merely close:
+    *
+    *  - DuckDB's REAL arithmetic IS IEEE float32 (FLOAT+FLOAT→FLOAT,
+    *    FLOAT*FLOAT→FLOAT, FLOAT/INT→FLOAT — verified bit-equal to
+    *    float32 reference values), the same ops the JVM's Float runs,
+    *    so `(dx*dx + dy*dy)` rounds identically step for step;
+    *  - `CAST(sqrt(f) AS REAL)` is double sqrt then round-to-float —
+    *    the LITERAL construction of Scala's `math.sqrt(d).toFloat`
+    *    (and correctly-rounded float sqrt, per the 2p+2 theorem);
+    *  - the per-cluster coordinate sums only ever accumulate POINTS
+    *    (integer-valued, < 2^13 total), so every partial sum is an
+    *    exactly-representable float and accumulation order cannot
+    *    matter — `CAST(sum(x) AS REAL) / count(*)` equals the loop's
+    *    running float sum and float division;
+    *  - assignment uses strict `<` (lowest index wins ties) =
+    *    row_number ordered by (float distance, cid); convergence
+    *    copy-forward makes iterations after the fixed point no-ops.
+    *
+    * The unroll depth need not reach the implementation's 100-cap: the
+    * gated fixture is IN-REPO DETERMINISTIC CODE (fixtureLines), every
+    * line converges by iteration 9, and iterations past convergence
+    * are provable no-ops — 32 gives a 3.5x margin, and a fixture change
+    * that needed more would turn the gate red loudly, not silently.
+    * MATERIALIZED is load-bearing: each iteration references its
+    * predecessor twice, and DuckDB's default CTE inlining makes the
+    * plan exponential in the unroll depth. */
+  private def kmeansLocalOracleSql(nLines: Int, k: Int, n: Int,
+      iters: Int): String = {
+    val header =
+      s"""WITH pts AS MATERIALIZED (SELECT l, p,
+        |    CAST((l*31+p*17)%100 AS REAL) AS x,
+        |    CAST((l*7+p*23)%100 AS REAL) AS y
+        |  FROM range(0,$nLines) t(l), range(0,$n) u(p)),
+        |c0 AS MATERIALIZED (SELECT l, CAST(p AS INT) AS cid, x AS cx,
+        |    y AS cy, false AS done
+        |  FROM pts WHERE p < $k)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      val prev = s"c${t - 1}"
+      s""",
+        |a$t AS MATERIALIZED (SELECT l, p, x, y, cid FROM (
+        |    SELECT p.l, p.p, p.x, p.y, c.cid, row_number() OVER (
+        |      PARTITION BY p.l, p.p ORDER BY
+        |        CAST(sqrt((p.x-c.cx)*(p.x-c.cx)+(p.y-c.cy)*(p.y-c.cy))
+        |          AS REAL),
+        |        c.cid) AS rk
+        |    FROM pts p JOIN $prev c USING (l)) WHERE rk = 1),
+        |m$t AS MATERIALIZED (SELECT l, cid,
+        |    CAST(CAST(sum(x) AS REAL) / count(*) AS REAL) AS mx,
+        |    CAST(CAST(sum(y) AS REAL) / count(*) AS REAL) AS my
+        |  FROM a$t GROUP BY 1, 2),
+        |n$t AS MATERIALIZED (SELECT c.l, c.cid, c.done, c.cx AS ox,
+        |    c.cy AS oy, coalesce(m.mx, c.cx) AS nx,
+        |    coalesce(m.my, c.cy) AS ny
+        |  FROM $prev c LEFT JOIN m$t m USING (l, cid)),
+        |c$t AS MATERIALIZED (SELECT l, cid,
+        |    CASE WHEN done THEN ox ELSE nx END AS cx,
+        |    CASE WHEN done THEN oy ELSE ny END AS cy,
+        |    done OR bool_and(
+        |      CAST(sqrt((ox-nx)*(ox-nx)+(oy-ny)*(oy-ny)) AS REAL) <= 1.0)
+        |      OVER (PARTITION BY l) AS done
+        |  FROM n$t)""".stripMargin
+    }.mkString("")
+    s"""$header$steps
+      |SELECT 'line' || l AS key, cid, CAST(trunc(cx) AS INT) AS cx,
+      |  CAST(trunc(cy) AS INT) AS cy FROM c$iters""".stripMargin
+  }
+
   /** DuckDB oracle for q21_kmeans: the same 4 integer Lloyd iterations
     * unrolled as CTEs (assign via row_number argmin, recalc via integer
     * floor-division means, empty clusters keep their centroid). */
@@ -2262,6 +2334,12 @@ object RelationalQueries {
 
   val oracles: Map[String, String] = Map(
     "q21_kmeans" -> kmeansOracleSql(400, 4, 4),
+
+    // q21b: the per-line FLOAT Lloyd reproduced bit for bit — DuckDB's
+    // REAL arithmetic is IEEE float32 and the fixture's sums stay
+    // exactly representable, so even the float rounding sequence
+    // matches (see kmeansLocalOracleSql for the exactness argument)
+    "q21b_kmeans_local" -> kmeansLocalOracleSql(10, 3, 50, iters = 32),
 
     "q41_windowed" ->
       """SELECT make_timestamp(CAST(floor(epoch(ts)/300)*300 AS BIGINT)*1000000)

@@ -17,13 +17,13 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(!sql.contains("${"), s"$name oracle has an unrendered splice")
     }
-    // every oracle key must have a query; the ONLY declared no-oracle
-    // surface left is the float-Lloyd local k-means (q07b's HLL tier
-    // became oracle-gated in r12 via the portable sketch)
+    // every oracle key must have a query — and since r12 EVERY query
+    // has an oracle: the float-Lloyd (bit-exact REAL-arithmetic twin)
+    // and portable-HLL rows closed the last two declared gaps
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet),
       (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).toString)
-    assert(noOracle == Set("q21b_kmeans_local"), noOracle)
+    assert(noOracle.isEmpty, noOracle.toString)
   }
 
   private def plan(q: String): String = {
