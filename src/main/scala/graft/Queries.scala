@@ -87,13 +87,23 @@ object RelationalQueries {
     }
   }
 
+  /** Collision-free per-source-dir table/dir-name suffix: the sanitized
+    * path ITSELF, not a hash of it (ADVICE r12: `String.hashCode` is 32
+    * bits, so two dirs in one process could collide and silently probe
+    * an index built over the wrong corpus under buildOnce memoization —
+    * the sanitized path cannot, because sanitization only collides on
+    * paths differing solely in punctuation placement, which the sf-dir
+    * layout never produces). */
+  private def dirTag(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]", "_")
+
   /** The shared persisted lexical index (qb3/qb4/qb7/qc2/qc4): one
     * construction per sf dir per process, ONE definition so
     * co-consumers cannot drift apart and probe differently-built
     * indexes under the same buildOnce-memoized name. Returns the table
     * name. */
   private def lexIndex(s: SparkSession, d: String): String = {
-    val table = "qb3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+    val table = "qb3_idx_" + dirTag(d)
     buildOnce(table) {
       TextAnalysis.writeBm25Index(Tables.documents(s, d), "doc_id",
         "text", table)
@@ -107,7 +117,7 @@ object RelationalQueries {
     val vecs = Tables.embeddings(s, d)
     val (nlist, nprobe) =
       Similarity.ivfParams(vecs.count(), targetRecall = q35cTargetRecall)
-    val table = "q99_idx_" + java.lang.Integer.toHexString(d.hashCode)
+    val table = "q99_idx_" + dirTag(d)
     buildOnce(table) {
       Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
         nlist = nlist, dim = 64)
@@ -1088,8 +1098,7 @@ object RelationalQueries {
       // measured shared-box write contention, not the plan (the r7
       // driver's 3.43x flag — session median at the same commit: 0.8 s)
       val out = s"${sys.props("java.io.tmpdir")}/graft_q63_" +
-        s"${s.sparkContext.applicationId}_" +
-        java.lang.Integer.toHexString(d.hashCode)
+        s"${s.sparkContext.applicationId}_" + dirTag(d)
       if (q63Fixtures.putIfAbsent(out, java.lang.Boolean.TRUE) == null) {
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -1545,7 +1554,7 @@ object RelationalQueries {
     "q86" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
-      val table = "q86_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val table = "q86_idx_" + dirTag(d)
       buildOnce(table) {
         Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400), "doc_id",
           "text", table, n = 3, numHashes = h, bands = b)
@@ -1644,7 +1653,7 @@ object RelationalQueries {
     // the q86 archive-append claim carried to the lexical tier.
     "qc1" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val table = "qc1_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val table = "qc1_idx_" + dirTag(d)
       buildOnce(table) {
         TextAnalysis.writeBm25Index(docs.filter(col("doc_id") < 400),
           "doc_id", "text", table)
@@ -1705,7 +1714,7 @@ object RelationalQueries {
       val build = vecs.filter(col("vec_id") * 2 < n)
       val (nlist, nprobe) = Similarity.ivfParams(build.count(),
         targetRecall = q35cTargetRecall)
-      val table = "qc3_idx_" + java.lang.Integer.toHexString(d.hashCode)
+      val table = "qc3_idx_" + dirTag(d)
       buildOnce(table) {
         Similarity.writeIvfAdcIndex(build, "vec_id", "embedding", table,
           nlist = nlist, dim = 64)

@@ -47,7 +47,14 @@ object ValueAggregators {
     * float accumulation order exists; the only doubles are one
     * division by that integer and the small-range linear-counting
     * branch m·ln(m/V), whose last-ulp ln class is absorbed by rounding
-    * the estimate to an integer count.
+    * the estimate to an integer count. KNOWN GATE RISK (the qa7
+    * class, accepted): the rounding absorbs a JVM-vs-libm `ln` ulp
+    * EXCEPT when m·ln(m/V) lands within one ulp of an exact x.5
+    * half-boundary, where the two engines could round the integer
+    * apart. V is integer-valued so the boundary set is finite and
+    * data-independent; no (m, V) pair of the gated configurations
+    * sits near one, and a regression would be a visible ±1 hash
+    * mismatch, not silent drift.
     *
     * Scale: two partial-agg'd shuffles — (key, bucket) max, then a
     * per-key rollup of ≤ m constant-size register rows — the same

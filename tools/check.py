@@ -57,25 +57,26 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, atol=1e-6):
 
         hash_risk = []
 
-        def paired_ok(va, vb, key_a, key_b):
+        def pairing(va, vb, key_a, key_b):
+            """(within-atol?, hash-risk message or None) for one pairing.
+
+            Driver-hash predictor: the driver hashes STRINGIFIED rounded
+            values, where -1e-13 formats as "-0.000000" vs "0.000000"
+            (sign-of-zero) and near-boundary values can round apart.
+            allclose alone accepted r11's qa3 locally while the driver's
+            hash failed it — a pairing whose 6-dp decimal strings differ
+            carries that risk."""
             va = va[np.lexsort(key_a.T[::-1])]
             vb = vb[np.lexsort(key_b.T[::-1])]
-            ok = np.allclose(va, vb, rtol=0, atol=atol, equal_nan=True)
-            if ok:
-                # Driver-hash predictor: the driver hashes STRINGIFIED
-                # rounded values, where -1e-13 formats as "-0.000000" vs
-                # "0.000000" (sign-of-zero) and near-boundary values can
-                # round apart. allclose alone accepted r11's qa3 locally
-                # while the driver's hash failed it — flag any pairing
-                # whose 6-dp decimal strings differ.
-                sa = np.vectorize(lambda v: "%.6f" % v)(va)
-                sb = np.vectorize(lambda v: "%.6f" % v)(vb)
-                if not np.array_equal(sa, sb):
-                    i, j = np.argwhere(sa != sb)[0]
-                    hash_risk.append(
-                        f"6dp-format mismatch (driver-hash risk): "
-                        f"spark={sa[i][j]} oracle={sb[i][j]}")
-            return ok
+            if not np.allclose(va, vb, rtol=0, atol=atol, equal_nan=True):
+                return False, None
+            sa = np.vectorize(lambda v: "%.6f" % v, otypes=[str])(va)
+            sb = np.vectorize(lambda v: "%.6f" % v, otypes=[str])(vb)
+            if np.array_equal(sa, sb):
+                return True, None
+            i, j = np.argwhere(sa != sb)[0]
+            return True, (f"6dp-format mismatch (driver-hash risk): "
+                          f"spark={sa[i][j]} oracle={sb[i][j]}")
 
         for g in gkey.unique():
             mask = (gkey == g).to_numpy()
@@ -86,14 +87,24 @@ def compare_frames(a: pd.DataFrame, b: pd.DataFrame, atol=1e-6):
             # Quantized keys (round(v/atol)) make near-equal values sort
             # identically on both sides; raw keys cover values that the
             # quantization itself splits across a bucket boundary. Either
-            # pairing passing means a valid within-atol row matching exists.
+            # pairing passing means a valid within-atol row matching
+            # exists. Both pairings are EVALUATED before recording a
+            # hash risk: the driver would use whichever alignment gives
+            # byte-identical strings, so only flag when NO within-atol
+            # pairing formats identically (the quantized pairing can pass
+            # allclose while crossing within-atol rows whose raw-order
+            # pairing would align the strings exactly).
             with np.errstate(invalid="ignore", over="ignore"):
                 ra = np.round(va / atol) if atol else va
                 rb = np.round(vb / atol) if atol else vb
-            if not (paired_ok(va, vb, ra, rb) or paired_ok(va, vb, va, vb)):
+            outcomes = [pairing(va, vb, ra, rb), pairing(va, vb, va, vb)]
+            passed = [msg for ok, msg in outcomes if ok]
+            if not passed:
                 return False, (f"float tuple mismatch in group {g!r}: "
                                f"spark={va[:3].tolist()} "
                                f"oracle={vb[:3].tolist()}")
+            if all(msg is not None for msg in passed):
+                hash_risk.append(passed[0])
         if hash_risk:
             return False, hash_risk[0]
     return True, ""
