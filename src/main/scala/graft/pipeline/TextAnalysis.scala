@@ -273,11 +273,29 @@ object TextAnalysis {
     require(n >= 2, s"phraseMatches needs a phrase of >= 2 words, got $n")
     val post = docs.select(col(idCol).as("doc_id"),
       posexplode(words(col(textCol))).as(Seq("pos", "term")))
-    val qp = queries
+    phraseChain(post, phraseWords(queries, qIdCol, qTextCol, n), n)
+  }
+
+  /** The per-query phrase-word frame `(q_id, t0..t{n-1})` — each query's
+    * first `n` tokens; shorter queries drop (the qb6 contract). Shared
+    * by both phrase paths so they parse queries identically. */
+  private def phraseWords(queries: DataFrame, qIdCol: String,
+      qTextCol: String, n: Int): DataFrame =
+    queries
       .select(col(qIdCol).as("q_id"), words(col(qTextCol)).as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("q_id") +:
         (0 until n).map(j => col("ws").getItem(j).as(s"t$j")): _*)
+
+  /** The adjacency-join chain over positional postings
+    * `post = (doc_id, pos, term)` — shared VERBATIM by
+    * [[phraseMatches]] (corpus scan) and [[phraseMatchesIndexed]]
+    * (persisted-index probe), so the two paths cannot drift: qc2's
+    * indexed verification inherits qb6's gated semantics by
+    * construction. Each phrase position's term set broadcasts and
+    * restricts `post` before anything shuffles. */
+  private def phraseChain(post: DataFrame, qp: DataFrame,
+      n: Int): DataFrame = {
     def restricted(tCol: String) = post.join(broadcast(
       qp.select(col(tCol).as("term")).distinct()), "term")
     // anchor on the first word, attach the query's remaining words
@@ -295,6 +313,107 @@ object TextAnalysis {
         .drop(s"d$j", s"p$j", s"w$j", s"t$j")
     }
     cand.groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[phraseMatches]] probing the PERSISTED postings index instead of
+    * re-exploding the corpus per probe batch — the candidate-restricted
+    * phrase-verification stage of the production retrieval stack (qc2;
+    * the r12 verdict's top item). The stored postings carry each
+    * (term, doc_id)'s sorted `positions` (written once per archive
+    * append by [[writeBm25Index]]/[[appendBm25Index]]), so a phrase
+    * probe never touches document text:
+    *
+    *   - the phrase's term set reaches the stored scan as a pushed `In`
+    *     predicate (the [[bm25TopKIndexed]] bounded-collect convention
+    *     — parquet bloom on `term` + min/max stats skip non-matching
+    *     row groups; past `maxPushdownTerms` it falls back to a
+    *     broadcast semi-restrict);
+    *   - positions never unpack: the stored arrays make the adjacency
+    *     chain an ARRAY-INTERSECTION fold — an n-word phrase's hit
+    *     positions are ∩_j (positions(t_j) − j), exactly the
+    *     [[phraseChain]] count (a position p starts a match iff every
+    *     t_j occurs at p + j; spec-gated equal, incl. overlapping and
+    *     self-pair runs), computed as n−1 joins keyed on
+    *     (doc_id, term) with one `array_intersect` per survivor — no
+    *     explode, no aggregation;
+    *   - optionally, `candidates` (e.g. the union of the serving
+    *     legs' candidate doc_ids, QUERY-scale) broadcast-semi-
+    *     restricts the matching postings further — the right call
+    *     when the batch's candidate lists are already materialized or
+    *     a phrase term's posting list is pathologically hot; left
+    *     null, the probe stays purely index-restricted, which keeps
+    *     the serving stack ONE fully-pipelined lazy DAG (qc2 measured
+    *     ~40% faster end-to-end than any candidate-wired variant,
+    *     whose leg-dependency either serialized the DAG behind
+    *     materialization barriers or duplicated the leg subtrees).
+    *
+    * At 100 TB a probe batch pays the pruned index read (the phrase
+    * terms' posting rows — never the corpus) plus fold joins bounded
+    * by those postings; the corpus-wide posexplode of the scan path
+    * is gone (plan-asserted: no generator over document text anywhere
+    * in qc2). Reference contract: the Grep-then-rank shape
+    * (examples/Grep.java:48-82) composed with mapred/join candidate
+    * semantics. */
+  def phraseMatchesIndexed(queries: DataFrame, qIdCol: String,
+      qTextCol: String, table: String, candidates: DataFrame = null,
+      candIdCol: String = "doc_id", n: Int = 2,
+      maxPushdownTerms: Int = 256): DataFrame = {
+    require(n >= 2, s"phraseMatchesIndexed needs >= 2 words, got $n")
+    // qp and post re-enter the fold (anchor + one leg per remaining
+    // phrase position) as the SAME lazy frame objects: both are cheap
+    // pruned-scan pipelines, and keeping them lazy preserves the one
+    // pipelined DAG (see above) while repeated subtrees dedupe at
+    // their exchange boundaries where the planner can
+    val qp = phraseWords(queries, qIdCol, qTextCol, n)
+    val post = phrasePostIndexed(qp, table, candidates, candIdCol, n,
+      maxPushdownTerms)
+    var cur = post.join(broadcast(qp), col("term") === col("t0"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .select(col("q_id") +: col("doc_id") +: col("positions").as("acc") +:
+        (1 until n).map(j => col(s"t$j")): _*)
+    for (j <- 1 until n) {
+      val pj = post.select(col("doc_id").as(s"d$j"),
+        col("term").as(s"w$j"), col("positions").as(s"p$j"))
+      // no broadcast hint: at serving scale the planner broadcasts the
+      // pruned posting rows; a pathological term's list grows past the
+      // threshold and AQE falls back to a (doc_id, term)-keyed shuffle
+      // join — body-free either way
+      cur = cur.join(pj, col(s"d$j") === col("doc_id") &&
+          col(s"w$j") === col(s"t$j"))
+        .withColumn("acc", array_intersect(col("acc"),
+          transform(col(s"p$j"), x => x - j)))
+        .drop(s"d$j", s"p$j", s"w$j", s"t$j")
+    }
+    cur.select(col("q_id"), col("doc_id"),
+        size(col("acc")).cast("long").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
+  /** The stored-scan stage of [[phraseMatchesIndexed]] — phrase-term
+    * pushdown, optional candidate semi-restrict, positions still
+    * PACKED. Package-visible so PlanQualitySpec can assert the
+    * scan-level claims (index-only file scans, pushed `In(term)`,
+    * broadcast candidate restriction) on the live plan (the
+    * adcProbeCandidates convention). */
+  private[graft] def phrasePostIndexed(qp: DataFrame, table: String,
+      candidates: DataFrame, candIdCol: String, n: Int,
+      maxPushdownTerms: Int = 256): DataFrame = {
+    val spark = qp.sparkSession
+    val termSet = qp.select(explode(array(
+      (0 until n).map(j => col(s"t$j")): _*)).as("term")).distinct()
+    val terms = termSet.limit(maxPushdownTerms + 1).collect()
+      .map(_.getString(0))
+    val stored = spark.table(table)
+    val restricted =
+      if (terms.length <= maxPushdownTerms)
+        stored.filter(col("term").isInCollection(terms.toSeq))
+      else stored.join(broadcast(termSet), "term")
+    val narrowed =
+      if (candidates == null) restricted
+      else restricted.join(broadcast(candidates
+          .select(col(candIdCol).cast("long").as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    narrowed.select(col("doc_id"), col("term"), col("positions"))
   }
 
   /** Persisted BM25 postings index — write-once-probe-many lexical
@@ -319,13 +438,22 @@ object TextAnalysis {
 
   /** The pre-aggregated postings of one document set — the rows both
     * [[writeBm25Index]] and [[appendBm25Index]] land in the bucketed
-    * layout. */
+    * layout. Each (term, doc_id) row also carries the term's sorted
+    * occurrence POSITIONS (r13): ~4 bytes per occurrence of extra
+    * index footprint, paid once per archive append, in exchange for
+    * phrase verification that never rescans the corpus
+    * ([[phraseMatchesIndexed]]). BM25 probes are untouched — column
+    * pruning keeps `positions` out of their parquet read entirely
+    * (`ReadSchema` excludes it, plan-visible). tf stays the stored
+    * scalar (== size(positions)) so the scoring path reads no array. */
   private def postings(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
-        explode(col("ws")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+        posexplode(col("ws")).as(Seq("pos", "term")))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
 
   /** Append a NEW document batch to a persisted BM25 index — the index
     * maintenance story the write-once [[writeBm25Index]] lacks (the

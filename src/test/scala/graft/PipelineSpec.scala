@@ -1123,7 +1123,9 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       TextAnalysis.appendBm25Index(batch, "doc_id", "text", "bm25_app_idx")
       TextAnalysis.writeBm25Index(union, "doc_id", "text", "bm25_full_idx")
       def rows(t: String) = spark.table(t)
-        .as[(String, Long, Int, Long)].collect().sorted.toSeq
+        .as[(String, Long, Int, Long, Seq[Int])].collect()
+        .map(r => (r._1, r._2, r._3, r._4, r._5.toList))
+        .sortBy(r => (r._1, r._2)).toSeq // (term, doc_id) is unique
       assert(rows("bm25_app_idx") == rows("bm25_full_idx"))
       assert(spark.table("bm25_app_idx_s").as[(Long, Long)].head() ==
         spark.table("bm25_full_idx_s").as[(Long, Long)].head())
@@ -1173,6 +1175,63 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
         qs, "q_id", "qtext", n = 3)
       .as[(Long, Long, Long)].collect().toSet
     assert(out3 == Set((6L, 1L, 1L)), out3)
+  }
+
+  test("phraseMatchesIndexed equals phraseMatches on the candidate docs — pushdown, fallback, and n=3") {
+    // qc2's indexed verification contract: for every (query, candidate
+    // doc) pair the persisted-positions probe must reproduce the corpus
+    // scan path exactly; docs outside the candidate set are the ONLY
+    // rows allowed to differ (they are absent by design)
+    val docs = Seq(
+      (1L, "a b a b c"),
+      (2L, "b a b"),
+      (3L, "c c"),
+      (4L, "a a a")
+    ).toDF("doc_id", "text")
+    val qs = Seq((9L, "a b"), (1L, "a b x y"), (8L, "a a"), (7L, "solo"),
+      (6L, "a b a")).toDF("q_id", "qtext")
+    val cands = Seq(1L, 2L, 3L).toDF("doc_id") // 4 deliberately excluded
+    try {
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "phr_spec_idx")
+      val scan = TextAnalysis.phraseMatches(docs, "doc_id", "text",
+          qs, "q_id", "qtext")
+        .filter(col("doc_id").isin(1L, 2L, 3L))
+        .as[(Long, Long, Long)].collect().toSet
+      val indexed = TextAnalysis.phraseMatchesIndexed(qs, "q_id", "qtext",
+          "phr_spec_idx", cands, "doc_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(scan.nonEmpty && indexed == scan,
+        s"indexed=$indexed scan=$scan")
+      // doc 4 (excluded candidate) must not leak through the index path
+      assert(!indexed.exists(_._2 == 4L), indexed)
+      // terms-only (no candidate restriction, the qc2 shape): equals
+      // the full corpus scan path over ALL docs
+      val scanAll = TextAnalysis.phraseMatches(docs, "doc_id", "text",
+          qs, "q_id", "qtext")
+        .as[(Long, Long, Long)].collect().toSet
+      val indexedAll = TextAnalysis.phraseMatchesIndexed(qs, "q_id",
+          "qtext", "phr_spec_idx")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(indexedAll == scanAll, s"indexedAll=$indexedAll scanAll=$scanAll")
+      // past the pushdown cap: the broadcast semi-restrict fallback
+      // must produce the same rows
+      val fallback = TextAnalysis.phraseMatchesIndexed(qs, "q_id",
+          "qtext", "phr_spec_idx", cands, "doc_id", maxPushdownTerms = 1)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fallback == scan, s"fallback=$fallback scan=$scan")
+      // n=3 adjacency chain over stored positions
+      val scan3 = TextAnalysis.phraseMatches(docs, "doc_id", "text",
+          qs, "q_id", "qtext", n = 3)
+        .filter(col("doc_id").isin(1L, 2L, 3L))
+        .as[(Long, Long, Long)].collect().toSet
+      val indexed3 = TextAnalysis.phraseMatchesIndexed(qs, "q_id",
+          "qtext", "phr_spec_idx", cands, "doc_id", n = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(indexed3 == scan3, s"indexed3=$indexed3 scan3=$scan3")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS phr_spec_idx")
+      spark.sql("DROP TABLE IF EXISTS phr_spec_idx_s")
+    }
   }
 
   test("retrievalAgreement counts per-query leg sizes and intersections, zero-filling absent queries") {
