@@ -156,6 +156,11 @@ object RelationalQueries {
   private val qc2LexDepth = 50
   private val qc2DenseDepth = 10
 
+  /** qd3's deletion predicate (doc_id % mod == res is deleted) —
+    * single-sourced into the Spark delete call and the oracle's WHERE. */
+  private val qd3DelMod = 17
+  private val qd3DelRes = 3
+
   /** qb1/qb2 retrieval parameters — single-sourced into both engines.
     * Queries are every doc_id % 100 = 0 document's first qb1QTerms
     * tokens; legs return qb1K rows, the fusion keeps qb2K. */
@@ -1773,6 +1778,51 @@ object RelationalQueries {
       Similarity.streamHybridTopK(stream, "q_id", "qtext", "qvec",
         ltable, vtable, lexDepth = qb1K, denseDepth = 3, nprobe = nprobe,
         k = qb2K, sinkDir = sink, c = qb2C, k1 = qb1K1, b = qb1B)
+    }),
+
+    // QD2 — BM25 index COMPACTION (r12 verdict #2): build on the first
+    // 400 documents, append the rest (two file generations), then
+    // compactBm25Index rewrites the committed live view into ONE
+    // generation (shadow write + catalog swap + scalar collapse). The
+    // probe over the compacted index must equal qb1's scan-per-run
+    // over the full corpus — qb1's oracle VERBATIM, proving
+    // compacted == appended == rebuilt; the file-count and
+    // stored-row-identity faces are spec-gated (PipelineSpec).
+    "qd2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val table = "qd2_idx_" + dirTag(d)
+      buildOnce(table) {
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", table)
+        TextAnalysis.appendBm25Index(docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", table)
+        TextAnalysis.compactBm25Index(s, table)
+      }
+      TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id", "qtext",
+        table, k = qb1K, k1 = qb1K1, b = qb1B)
+    }),
+
+    // QD3 — BM25 index DELETION (r12 verdict #4, the takedown /
+    // dedup-verdict consumer): build over the full corpus, then
+    // deleteBm25Docs tombstones every doc_id % 17 == 3 (scalars take
+    // the exact negative integer delta under the same single-row
+    // commit that gates appends). The tombstone-consulting probe must
+    // equal a scan-per-run over the corpus MINUS the deleted docs:
+    // qb1's CTE chain with the deletion predicate as a WHERE clause,
+    // queries re-derived from the filtered corpus on both sides.
+    // Physical removal + replay-safety are spec-gated.
+    "qd3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val table = "qd3_idx_" + dirTag(d)
+      buildOnce(table) {
+        TextAnalysis.writeBm25Index(docs, "doc_id", "text", table)
+        TextAnalysis.deleteBm25Docs(s, table,
+          docs.filter(col("doc_id") % qd3DelMod === qd3DelRes)
+            .select("doc_id"), "doc_id")
+      }
+      TextAnalysis.bm25TopKIndexed(
+        qb1Queries(docs.filter(col("doc_id") % qd3DelMod =!= qd3DelRes)),
+        "q_id", "qtext", table, k = qb1K, k1 = qb1K1, b = qb1B)
     })
   )
 
@@ -2184,10 +2234,18 @@ object RelationalQueries {
     * Every constant interpolates from the same qb1* fields the Spark
     * side uses; both engines parse identical literals, so the doubles
     * agree and floor-quantization makes the ranking tie-exact. */
-  private val bm25OracleCtes: String =
+  private val bm25OracleCtes: String = bm25OracleCtesWhere("")
+
+  /** [[bm25OracleCtes]] with a corpus predicate — the deletion gate's
+    * oracle (qd3): "probe after deleteBm25Docs == scan-per-run over
+    * the corpus minus the deleted docs" is exactly the same CTE chain
+    * with a WHERE on the documents CTE (queries re-derive from the
+    * filtered corpus too — corpus-minus-deleted everywhere, both
+    * engines). */
+  private def bm25OracleCtesWhere(where: String): String =
     s"""bt AS (SELECT doc_id,
       |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
-      |  FROM documents),
+      |  FROM documents $where),
       |st AS (SELECT count(*) AS n_docs,
       |    CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM bt),
       |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(ws[1:$qb1QTerms]) AS term
@@ -2709,6 +2767,14 @@ object RelationalQueries {
     // (the merged integer scalars and appended bucket files lose
     // nothing)
     "qc1" -> bm25TopKOracleSql,
+    // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
+    // compaction-loses-nothing claim in gate form
+    "qd2" -> bm25TopKOracleSql,
+    // qd3: the same chain over the corpus minus the deleted docs
+    "qd3" -> s"""WITH ${bm25OracleCtesWhere(
+        s"WHERE doc_id % $qd3DelMod <> $qd3DelRes")}
+      |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
+      |FROM lexr WHERE rk <= $qb1K""".stripMargin,
 
     // qc2: the full stack composed from the existing chains — qb1's
     // lexical CTEs, the ADC chain, qb6's phrase adjacency, the label

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: language ID,
@@ -403,7 +403,7 @@ object TextAnalysis {
       (0 until n).map(j => col(s"t$j")): _*)).as("term")).distinct()
     val terms = termSet.limit(maxPushdownTerms + 1).collect()
       .map(_.getString(0))
-    val stored = spark.table(table)
+    val stored = committedIndex(spark, table)._1
     val restricted =
       if (terms.length <= maxPushdownTerms)
         stored.filter(col("term").isInCollection(terms.toSeq))
@@ -418,22 +418,78 @@ object TextAnalysis {
 
   /** Persisted BM25 postings index — write-once-probe-many lexical
     * retrieval, the third persisted tier beside the minhash archive
-    * (q86) and the ADC index (q99). Postings (term, doc_id, dl, tf)
-    * land in the bucketed MapFile layout clustered by `term` (tf is
-    * PRE-AGGREGATED at write time — the per-occurrence explode is paid
-    * once per archive append, never per probe), and the corpus scalars
-    * (n_docs, avgdl) persist beside them so a probe never rescans the
-    * corpus. df is NOT stored: a term's containing-doc count equals its
-    * candidate-postings count, so the probe derives it from rows it
-    * already read — stored state cannot drift out of sync with the
-    * scoring math. Reference analog: the build-then-probe MapFile
-    * contract (mapred/MapFileOutputFormat.java:39). */
+    * (q86) and the ADC index (q99). Postings
+    * (term, doc_id, dl, tf, positions, gen) land in the bucketed
+    * MapFile layout clustered by `term` (tf is PRE-AGGREGATED at write
+    * time — the per-occurrence explode is paid once per archive
+    * append, never per probe), and the corpus scalars persist beside
+    * them so a probe never rescans the corpus. df is NOT stored: a
+    * term's containing-doc count equals its candidate-postings count,
+    * so the probe derives it from rows it already read — stored state
+    * cannot drift out of sync with the scoring math.
+    *
+    * MAINTENANCE PROTOCOL (r13). Every postings row carries the
+    * GENERATION that wrote it, and the scalar side table `table_s` is
+    * APPEND-ONLY rows `(gen, n_docs, sum_dl)` of per-generation
+    * integer DELTAS. A generation is COMMITTED iff its scalar row
+    * exists; probes read postings/tombstones of committed generations
+    * only ([[committedIndex]]) and sum the committed deltas for the
+    * corpus scalars (exact long adds — order-independent, so
+    * concurrent readers and any append order agree bit for bit). The
+    * scalar append is the COMMIT POINT: a 1-row, 1-file, 1-rename
+    * write, after every other write of the operation — so a crash
+    * anywhere leaves either the full pre-state or the full post-state
+    * visible, never a mix (the r12 stats-vs-postings window, closed;
+    * spec-gated by killing the writer between steps). Uncommitted
+    * (orphan) rows from crashed attempts stay invisible forever —
+    * each attempt takes a fresh generation id — and are physically
+    * reclaimed by [[compactBm25Index]]. Single maintenance writer at
+    * a time; concurrent probes are safe throughout.
+    *
+    * Reference analog: the build-then-probe MapFile contract
+    * (mapred/MapFileOutputFormat.java:39). */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 16): Unit = {
-    graft.sources.MapFiles.write(postings(docs, idCol, textCol), "term",
+    graft.sources.MapFiles.write(
+      postings(docs, idCol, textCol).withColumn("gen", lit(0L)), "term",
       buckets, table)
-    graft.sources.MapFiles.write(corpusStats(docs, textCol), "n_docs", 1,
-      table + "_s")
+    graft.sources.MapFiles.write(
+      corpusStats(docs, textCol).select(lit(0L).as("gen"),
+        col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl")),
+      "gen", 1, table + "_s")
+  }
+
+  /** A generation id no prior (possibly crashed) attempt can have
+    * used: retrying a failed append with a FRESH id is what makes
+    * orphan rows harmless — a deterministic sequence would re-collide
+    * with the orphan and double-count the batch once committed. The
+    * id's value never reaches any result (probes only test membership
+    * in the committed set), so it carries no determinism exposure. */
+  private def freshGen(): Long =
+    math.abs(System.nanoTime()) | 1L // never 0, the build generation
+
+  /** The probe-visible state of a persisted BM25 index: postings of
+    * COMMITTED generations minus committed tombstones, plus the exact
+    * integer corpus scalars `(n_docs, sum_dl)` summed over committed
+    * deltas. Everything stays LAZY — the committed-generation
+    * restriction is a broadcast semi-join against the (tiny) scalar
+    * table rather than a driver collect, so a probe adds no blocking
+    * job; orphan files cost only their own read, never correctness. */
+  private[graft] def committedIndex(spark: SparkSession, table: String)
+      : (DataFrame, DataFrame) = {
+    val sTab = spark.table(table + "_s")
+    val stats = sTab.agg(sum("n_docs").as("n_docs"),
+      sum("sum_dl").as("sum_dl"))
+    val gens = sTab.select("gen")
+    val committed = spark.table(table)
+      .join(broadcast(gens), Seq("gen"), "left_semi")
+    val live =
+      if (!spark.catalog.tableExists(table + "_t")) committed
+      else committed.join(broadcast(spark.table(table + "_t")
+          .join(broadcast(gens), Seq("gen"), "left_semi")
+          .select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+    (live, stats)
   }
 
   /** The pre-aggregated postings of one document set — the rows both
@@ -458,52 +514,161 @@ object TextAnalysis {
   /** Append a NEW document batch to a persisted BM25 index — the index
     * maintenance story the write-once [[writeBm25Index]] lacks (the
     * archive-append contract q86's minhash index set; qc1 gates this
-    * one). Two steps, neither touching the stored postings:
+    * one). Steps, in the generation protocol's fail-safe order:
     *
-    *   1. the batch's postings are pre-aggregated batch-side (the same
-    *      [[postings]] shape the build pays) and APPENDED as new files
-    *      into the existing bucket layout — Spark's bucketed append
-    *      hashes them into the same `term` buckets, so probes keep
-    *      bucket-pruning across build + append files, and the stored
-    *      postings are never read, rewritten, or shuffled. Batches are
-    *      new documents, so build and append rows never collide on
-    *      (term, doc_id) and concatenation IS the union.
-    *   2. the corpus scalars merge as two long additions — EXACT
-    *      because [[corpusStats]] stores integer (n_docs, sum_dl), so
-    *      the grown index's scalars are bit-equal to a full recount
-    *      (spec-asserted), and the probe's derived avgdl is the same
+    *   1. validate both tables and aggregate the batch's integer
+    *      scalars — nothing written yet, so any failure here is free;
+    *   2. the batch's postings, pre-aggregated batch-side (the same
+    *      [[postings]] shape the build pays) and tagged with a FRESH
+    *      generation, APPEND as new files into the existing bucket
+    *      layout — Spark's bucketed append hashes them into the same
+    *      `term` buckets, so probes keep bucket-pruning across write
+    *      generations, and the stored postings are never read,
+    *      rewritten, or shuffled. Batches are new documents, so build
+    *      and append rows never collide on (term, doc_id) and
+    *      concatenation IS the union. Until step 3 these rows are
+    *      INVISIBLE (uncommitted generation) — a crash here, or a
+    *      partially-committed write job, leaves probes on the exact
+    *      pre-append state, and a retry takes a fresh generation;
+    *   3. COMMIT: one (gen, n_docs, sum_dl) delta row appends to
+    *      `table_s` — a single-file write whose commit is one rename.
+    *      Probes sum committed deltas, so the grown scalars are
+    *      bit-equal to a full recount (exact long adds, any order;
+    *      spec-asserted), and the probe's derived avgdl is the same
     *      double a scan-per-run over the grown corpus computes.
     *
     * Cost at 100 TB: one pass over the NEW batch plus a 1-row scalar
-    * rewrite — archive-size work never re-pays. df stays derived from
-    * candidate rows at probe time, so no stored statistic can go stale. */
+    * append — archive-size work never re-pays (measured exponent
+    * −0.10, BASELINE.md). df stays derived from candidate rows at
+    * probe time, so no stored statistic can go stale. */
   def appendBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
       table: String): Unit = {
     val spark = newDocs.sparkSession
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(table))
-    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
-      throw new IllegalStateException(s"$table is not a bucketed index"))
-    // read + validate BOTH existing tables and aggregate the batch
-    // BEFORE the postings append: a failure past that write would leave
-    // the index half-updated, and a retry would double-append the batch
-    // (duplicate postings double df and every score). An all-filtered
-    // batch aggregates to (0, null sum) — coalesce keeps the no-op
-    // append a no-op instead of an NPE.
-    val prev = spark.table(table + "_s")
-      .select("n_docs", "sum_dl").collect()(0)
+    require(spark.catalog.tableExists(table + "_s"),
+      s"$table has no scalar side table — not a BM25 index")
+    // an all-filtered batch aggregates to (0, null sum) — coalesce
+    // keeps the no-op append a no-op instead of an NPE
     val add = corpusStats(newDocs, textCol)
       .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
       .collect()(0)
-    postings(newDocs, idCol, textCol).write.mode("append")
+    val gen = freshGen()
+    appendPostingsOnly(newDocs, idCol, textCol, table, gen)
+    commitBm25Gen(spark, table, gen, add.getLong(0), add.getLong(1))
+  }
+
+  /** Step 2 of [[appendBm25Index]] — the postings-file append WITHOUT
+    * the commit. Package-visible so the atomicity spec can kill the
+    * protocol between steps and assert probes still see the exact
+    * pre-append state. */
+  private[graft] def appendPostingsOnly(newDocs: DataFrame, idCol: String,
+      textCol: String, table: String, gen: Long): Unit = {
+    val spark = newDocs.sparkSession
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$table is not a bucketed index"))
+    postings(newDocs, idCol, textCol).withColumn("gen", lit(gen))
+      .write.mode("append")
       .option("parquet.bloom.filter.enabled#term", "true")
       .bucketBy(buckets, "term").sortBy("term")
       .saveAsTable(table)
+  }
+
+  /** Step 3 of [[appendBm25Index]] / [[deleteBm25Docs]] — the commit:
+    * one scalar-delta row appended to `table_s` (single task, single
+    * file, one rename). */
+  private[graft] def commitBm25Gen(spark: SparkSession, table: String,
+      gen: Long, nDocsDelta: Long, sumDlDelta: Long): Unit = {
+    import spark.implicits._
+    Seq((gen, nDocsDelta, sumDlDelta)).toDF("gen", "n_docs", "sum_dl")
+      .coalesce(1).write.mode("append")
+      .bucketBy(1, "gen").sortBy("gen")
+      .saveAsTable(table + "_s")
+  }
+
+  /** Delete documents from a persisted BM25 index — the takedown /
+    * dedup-verdict consumer (the r12 verdict's missing tier). Logical
+    * deletion under the generation protocol: tombstone rows
+    * (gen, doc_id) append to `table_t`, and the corpus scalars take a
+    * NEGATIVE delta — both invisible until the same single-row commit
+    * that gates appends, so a crash anywhere leaves pre- or
+    * post-delete state, never a mix. Probes anti-join committed
+    * tombstones (query-batch-side broadcast; df re-derives from
+    * surviving candidate rows, so scoring needs no stored-statistic
+    * repair), and [[compactBm25Index]] later removes the rows
+    * physically and clears the tombstones.
+    *
+    * Only ids actually LIVE in the index count: absent ids and
+    * already-deleted ids contribute no tombstone and no scalar delta,
+    * so a replayed or overlapping delete cannot double-subtract
+    * (spec-asserted). Cost: one committed-postings scan to resolve
+    * (doc_id, dl) of the victims — paid per delete batch, never per
+    * probe. */
+  def deleteBm25Docs(spark: SparkSession, table: String, ids: DataFrame,
+      idCol: String): Unit = {
+    require(spark.catalog.tableExists(table + "_s"),
+      s"$table has no scalar side table — not a BM25 index")
+    val (live, _) = committedIndex(spark, table)
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // dl rides every posting row of a doc; distinct gives one (doc, dl)
+    val eff = live.select("doc_id", "dl").distinct()
+      .join(broadcast(del), Seq("doc_id"), "left_semi")
+      .localCheckpoint() // tombstone write + delta agg share one scan
+    val agg = eff.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("dl").cast("long")), lit(0L)).as("s")).collect()(0)
+    if (agg.getLong(0) == 0L) return // nothing live to delete
+    val gen = freshGen()
+    eff.select(lit(gen).as("gen"), col("doc_id"))
+      .write.mode("append").saveAsTable(table + "_t")
+    commitBm25Gen(spark, table, gen, -agg.getLong(0), -agg.getLong(1))
+  }
+
+  /** Rewrite a persisted BM25 index's file generations into ONE —
+    * the maintenance pass that keeps probe file counts flat after K
+    * appends and physically removes tombstoned documents (the
+    * reference's `MapFile` analog is exactly this sorted-single-file
+    * rewrite, io/MapFile.java:49). The committed live view (committed
+    * generations, minus committed tombstones, minus any orphan rows of
+    * crashed attempts) rewrites into a shadow table as generation 0,
+    * the shadow swaps in, the scalar table collapses to one summed
+    * row, and the tombstones drop.
+    *
+    * Crash ordering (single maintenance writer): every window is safe
+    * EXCEPT between the DROP and the RENAME of the swap, where the
+    * index is briefly absent from the catalog — the one non-atomic
+    * exposure, two catalog ops wide; run compaction in a maintenance
+    * window. After the swap, stale scalar generations are harmless
+    * (the compacted rows are generation 0, which is always committed,
+    * and the deltas still sum to the same totals) and stale tombstones
+    * are inert (their generations are no longer committed once the
+    * scalar rewrite lands, and their docs are already gone). Gated:
+    * compacted == appended == one-shot rebuild, stored rows and probe
+    * results identical (spec + qd2's oracle row). */
+  def compactBm25Index(spark: SparkSession, table: String): Unit = {
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$table is not a bucketed index"))
+    val (live, _) = committedIndex(spark, table)
+    val totals = spark.table(table + "_s")
+      .agg(coalesce(sum("n_docs"), lit(0L)),
+        coalesce(sum("sum_dl"), lit(0L))).collect()(0)
+    val shadow = table + "_cmp"
+    graft.sources.MapFiles.write(
+      live.select("term", "doc_id", "dl", "tf", "positions")
+        .withColumn("gen", lit(0L)),
+      "term", buckets, shadow)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
     import spark.implicits._
     graft.sources.MapFiles.write(
-      Seq((prev.getLong(0) + add.getLong(0),
-        prev.getLong(1) + add.getLong(1))).toDF("n_docs", "sum_dl"),
-      "n_docs", 1, table + "_s")
+      Seq((0L, totals.getLong(0), totals.getLong(1)))
+        .toDF("gen", "n_docs", "sum_dl"),
+      "gen", 1, table + "_s")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    // the swap changed the files behind the table's name — drop any
+    // stale relation-cache entry so the next probe relists
+    spark.catalog.refreshTable(table)
   }
 
   /** [[bm25TopK]] probing the PERSISTED index instead of re-exploding
@@ -526,8 +691,7 @@ object TextAnalysis {
       table: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxPushdownTerms: Int = 256): DataFrame = {
     val spark = queries.sparkSession
-    val tf = spark.table(table)
-    val stats = spark.table(table + "_s")
+    val (tf, stats) = committedIndex(spark, table)
     val qterms = queryTerms(queries, qIdCol, qTextCol)
     val termSet = qterms.select("term").distinct()
     // limit(cap+1) bounds the collect even on a pathological query set:

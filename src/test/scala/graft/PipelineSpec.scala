@@ -1122,13 +1122,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_app_idx")
       TextAnalysis.appendBm25Index(batch, "doc_id", "text", "bm25_app_idx")
       TextAnalysis.writeBm25Index(union, "doc_id", "text", "bm25_full_idx")
-      def rows(t: String) = spark.table(t)
+      // stored rows identical MODULO the generation tag (append rows
+      // carry their own gen; semantics live in the committed set)
+      def rows(t: String) = spark.table(t).drop("gen")
         .as[(String, Long, Int, Long, Seq[Int])].collect()
         .map(r => (r._1, r._2, r._3, r._4, r._5.toList))
         .sortBy(r => (r._1, r._2)).toSeq // (term, doc_id) is unique
       assert(rows("bm25_app_idx") == rows("bm25_full_idx"))
-      assert(spark.table("bm25_app_idx_s").as[(Long, Long)].head() ==
-        spark.table("bm25_full_idx_s").as[(Long, Long)].head())
+      // scalars: committed deltas SUM to the one-shot build's totals
+      // (exact long adds, order-independent)
+      def scalars(t: String) = spark.table(t + "_s")
+        .agg(org.apache.spark.sql.functions.sum("n_docs"),
+          org.apache.spark.sql.functions.sum("sum_dl"))
+        .as[(Long, Long)].head()
+      assert(scalars("bm25_app_idx") == scalars("bm25_full_idx"))
       val direct = TextAnalysis.bm25TopK(union, "doc_id", "text",
           qs, "q_id", "qtext", k = 3)
         .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
@@ -1147,6 +1154,165 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS bm25_app_idx_s")
       spark.sql("DROP TABLE IF EXISTS bm25_full_idx")
       spark.sql("DROP TABLE IF EXISTS bm25_full_idx_s")
+    }
+  }
+
+  test("appendBm25Index atomicity: a writer killed between steps leaves probes on the exact pre-append state") {
+    // the generation protocol's whole point (r12 verdict #3): the
+    // postings append lands UNCOMMITTED rows; until the single-row
+    // scalar commit, probes must see the pre-append index bit for bit
+    // — postings, scalars, and ranking. Completing the commit must
+    // then flip probes to the full post-append state.
+    val base = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry")).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "banana banana banana"),
+      (4L, "durian apple")).toDF("doc_id", "text")
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_atom_idx")
+      val pre = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_atom_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      // "crash" between step 2 and step 3: postings written, no commit
+      val orphanGen = 777L
+      TextAnalysis.appendPostingsOnly(batch, "doc_id", "text",
+        "bm25_atom_idx", orphanGen)
+      assert(spark.table("bm25_atom_idx")
+        .filter(col("gen") === orphanGen).count() > 0,
+        "orphan postings should physically exist")
+      val mid = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_atom_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(mid == pre, s"uncommitted append leaked: mid=$mid pre=$pre")
+      // the retry appends the batch under a FRESH generation and
+      // commits it; the orphan stays invisible and must not
+      // double-count anything
+      TextAnalysis.appendBm25Index(batch, "doc_id", "text",
+        "bm25_atom_idx")
+      val post = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_atom_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      val direct = TextAnalysis.bm25TopK(base.unionByName(batch),
+          "doc_id", "text", qs, "q_id", "qtext", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(post == direct, s"post=$post direct=$direct")
+      // compaction physically reclaims the orphan generation
+      TextAnalysis.compactBm25Index(spark, "bm25_atom_idx")
+      assert(spark.table("bm25_atom_idx")
+        .filter(col("gen") === orphanGen).count() == 0,
+        "compaction should drop orphan rows")
+      val compacted = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_atom_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(compacted == direct, s"compacted=$compacted direct=$direct")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_atom_idx")
+      spark.sql("DROP TABLE IF EXISTS bm25_atom_idx_s")
+      spark.sql("DROP TABLE IF EXISTS bm25_atom_idx_t")
+      spark.sql("DROP TABLE IF EXISTS bm25_atom_idx_cmp")
+    }
+  }
+
+  test("deleteBm25Docs: tombstoned docs leave rankings and scalars as if never indexed; replays never double-subtract") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana"),
+      (4L, "durian apple")).toDF("doc_id", "text")
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_del_idx")
+      TextAnalysis.deleteBm25Docs(spark, "bm25_del_idx",
+        Seq(3L, 99L).toDF("doc_id"), "doc_id") // 99 not in the index
+      val probe = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_del_idx", k = 4)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      val direct = TextAnalysis.bm25TopK(docs.filter(col("doc_id") =!= 3L),
+          "doc_id", "text", qs, "q_id", "qtext", k = 4)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(probe.nonEmpty && probe == direct,
+        s"probe=$probe direct=$direct")
+      def scalars() = spark.table("bm25_del_idx_s")
+        .agg(org.apache.spark.sql.functions.sum("n_docs"),
+          org.apache.spark.sql.functions.sum("sum_dl"))
+        .as[(Long, Long)].head()
+      val s1 = scalars()
+      assert(s1 == ((3L, 7L)), s1) // 4 docs minus doc 3: 3 docs, 3+2+2 tokens
+      // replaying the same delete (plus an absent id) must be a no-op
+      TextAnalysis.deleteBm25Docs(spark, "bm25_del_idx",
+        Seq(3L).toDF("doc_id"), "doc_id")
+      assert(scalars() == s1, "replayed delete double-subtracted")
+      val probe2 = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_del_idx", k = 4)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(probe2 == direct)
+      // compaction physically removes the tombstoned rows and clears
+      // the tombstone table; probes unchanged
+      TextAnalysis.compactBm25Index(spark, "bm25_del_idx")
+      assert(!spark.catalog.tableExists("bm25_del_idx_t"))
+      assert(spark.table("bm25_del_idx")
+        .filter(col("doc_id") === 3L).count() == 0)
+      val probe3 = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_del_idx", k = 4)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(probe3 == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_del_idx")
+      spark.sql("DROP TABLE IF EXISTS bm25_del_idx_s")
+      spark.sql("DROP TABLE IF EXISTS bm25_del_idx_t")
+      spark.sql("DROP TABLE IF EXISTS bm25_del_idx_cmp")
+    }
+  }
+
+  test("compactBm25Index: compacted == appended == rebuilt, down to stored rows, and the probe reads ONE file generation") {
+    val base = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "banana banana banana")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "durian apple")).toDF("doc_id", "text")
+    val union = base.unionByName(b1).unionByName(b2)
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    def tableDir(t: String) = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    def dataFiles(t: String) = tableDir(t).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    try {
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_cmp_idx")
+      TextAnalysis.appendBm25Index(b1, "doc_id", "text", "bm25_cmp_idx")
+      TextAnalysis.appendBm25Index(b2, "doc_id", "text", "bm25_cmp_idx")
+      TextAnalysis.writeBm25Index(union, "doc_id", "text", "bm25_cmp_ref")
+      val before = dataFiles("bm25_cmp_idx")
+      TextAnalysis.compactBm25Index(spark, "bm25_cmp_idx")
+      val after = dataFiles("bm25_cmp_idx")
+      assert(after < before, s"file count $before -> $after")
+      assert(after == dataFiles("bm25_cmp_ref"),
+        s"compacted files $after != rebuilt ${dataFiles("bm25_cmp_ref")}")
+      // compacted rows are EXACTLY the one-shot rebuild's, gen included
+      def rows(t: String) = spark.table(t)
+        .as[(String, Long, Int, Long, Seq[Int], Long)].collect()
+        .map(r => (r._1, r._2, r._3, r._4, r._5.toList, r._6))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(rows("bm25_cmp_idx") == rows("bm25_cmp_ref"))
+      def scalars(t: String) = spark.table(t + "_s")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(scalars("bm25_cmp_idx") == scalars("bm25_cmp_ref"))
+      val probe = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_cmp_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      val direct = TextAnalysis.bm25TopK(union, "doc_id", "text",
+          qs, "q_id", "qtext", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(probe.nonEmpty && probe == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx")
+      spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_s")
+      spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_t")
+      spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_cmp")
+      spark.sql("DROP TABLE IF EXISTS bm25_cmp_ref")
+      spark.sql("DROP TABLE IF EXISTS bm25_cmp_ref_s")
     }
   }
 
