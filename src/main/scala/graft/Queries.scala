@@ -161,6 +161,34 @@ object RelationalQueries {
   private val qd3DelMod = 17
   private val qd3DelRes = 3
 
+  /** qd1's phrase length — single-sourced into the indexed probe and
+    * the unrolled adjacency-chain oracle. */
+  private val qd1N = 3
+
+  /** DuckDB twin of the phrase-search contract at phrase length `n`:
+    * positional postings re-derived in SQL, one adjacency self-join
+    * per extra word — unrolled from the same constant the Spark side
+    * receives (the qa2 pattern), so qb6 (n=2, corpus-scan path) and
+    * qd1 (n=3, persisted-index path) cannot drift from their gates. */
+  private def phraseOracleSql(n: Int): String = {
+    val qcols = (1 to n).map(j => s"ws[$j] AS t$j").mkString(", ")
+    val joins = (2 to n).map(j =>
+      s"""  JOIN post p$j ON p$j.doc_id = p1.doc_id AND p$j.pos = p1.pos + ${j - 1}
+         |    AND p$j.term = q.t$j""".stripMargin).mkString("\n")
+    s"""WITH t AS (SELECT doc_id,
+      |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+      |  FROM documents),
+      |q AS (SELECT doc_id AS q_id, $qcols
+      |  FROM t WHERE doc_id % 100 = 0 AND len(ws) >= $n),
+      |post AS (SELECT doc_id, i + 1 AS pos, ws[i+1] AS term
+      |  FROM t, unnest(range(len(ws))) u(i))
+      |SELECT q.q_id, p1.doc_id, count(*) AS n_hits
+      |FROM q
+      |  JOIN post p1 ON p1.term = q.t1 AND p1.doc_id <> q.q_id
+      |$joins
+      |GROUP BY 1, 2""".stripMargin
+  }
+
   /** qb1/qb2 retrieval parameters — single-sourced into both engines.
     * Queries are every doc_id % 100 = 0 document's first qb1QTerms
     * tokens; legs return qb1K rows, the fusion keeps qb2K. */
@@ -1780,6 +1808,16 @@ object RelationalQueries {
         k = qb2K, sinkDir = sink, c = qb2C, k1 = qb1K1, b = qb1B)
     }),
 
+    // QD1 — phrase search at n=3 over the PERSISTED positions index
+    // (r12 verdict #5): the array-intersection fold chains a second
+    // adjacency leg, and the oracle unrolls the 3-term chain from the
+    // same constant — the n>2 face of the phrase tier gated instead
+    // of spec-only. Queries are each sampled doc's first 3 tokens
+    // (shorter queries drop, the qb6 contract).
+    "qd1" -> ((s, d) =>
+      TextAnalysis.phraseMatchesIndexed(qb1Queries(Tables.documents(s, d)),
+        "q_id", "qtext", lexIndex(s, d), n = qd1N)),
+
     // QD2 — BM25 index COMPACTION (r12 verdict #2): build on the first
     // 400 documents, append the rest (two file generations), then
     // compactBm25Index rewrites the committed live view into ONE
@@ -2871,20 +2909,15 @@ object RelationalQueries {
 
     // qb6: positional postings + adjacency re-derived in SQL — the
     // phrase is each sampled doc's first two tokens; integer counts
-    "qb6" ->
-      s"""WITH t AS (SELECT doc_id,
-        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
-        |  FROM documents),
-        |q AS (SELECT doc_id AS q_id, ws[1] AS t1, ws[2] AS t2
-        |  FROM t WHERE doc_id % 100 = 0 AND len(ws) >= 2),
-        |post AS (SELECT doc_id, i + 1 AS pos, ws[i+1] AS term
-        |  FROM t, unnest(range(len(ws))) u(i))
-        |SELECT q.q_id, a.doc_id, count(*) AS n_hits
-        |FROM q
-        |  JOIN post a ON a.term = q.t1 AND a.doc_id <> q.q_id
-        |  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-        |    AND b.term = q.t2
-        |GROUP BY 1, 2""".stripMargin,
+    // qb6 (n=2) and qd1 (n=3) both render from phraseOracleSql — the
+    // adjacency chain unrolled from the same n constant each Spark
+    // side receives (the qa2 single-sourcing pattern)
+    "qb6" -> phraseOracleSql(2),
+
+    // qd1: the same phrase contract at n=3, probing the PERSISTED
+    // positions index (the array-intersection fold) — the n>2 face of
+    // the r13 phrase tier, oracle-gated instead of spec-only
+    "qd1" -> phraseOracleSql(qd1N),
 
     // qb7: qb1's lexical chain + q89/q99's ADC chain (verbatim, shared
     // builders — the persisted indexes provably lose nothing), dense
