@@ -120,11 +120,16 @@ object RelationalQueries {
   private val denseParams =
     new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
-  private def denseIndex(s: SparkSession, d: String): (String, Int) = {
-    val table = "q99_idx_" + dirTag(d)
-    val (nlist, nprobe) = denseParams.computeIfAbsent(table, _ =>
+  /** The full-corpus (nlist, nprobe) every dense-index consumer shares
+    * (q99's derivation), memoized per source dir. */
+  private def denseParamsFor(s: SparkSession, d: String): (Int, Int) =
+    denseParams.computeIfAbsent(dirTag(d), _ =>
       Similarity.ivfParams(Tables.embeddings(s, d).count(),
         targetRecall = q35cTargetRecall))
+
+  private def denseIndex(s: SparkSession, d: String): (String, Int) = {
+    val table = "q99_idx_" + dirTag(d)
+    val (nlist, nprobe) = denseParamsFor(s, d)
     buildOnce(table) {
       Similarity.writeIvfAdcIndex(Tables.embeddings(s, d), "vec_id",
         "embedding", table, nlist = nlist, dim = 64)
@@ -1861,6 +1866,35 @@ object RelationalQueries {
       TextAnalysis.bm25TopKIndexed(
         qb1Queries(docs.filter(col("doc_id") % qd3DelMod =!= qd3DelRes)),
         "q_id", "qtext", table, k = qb1K, k1 = qb1K1, b = qb1B)
+    }),
+
+    // QD4 — ADC index DELETION + COMPACTION (the dense tier of r12
+    // verdict #4 and #2 combined): build the full-corpus index (the
+    // q99 shape, quantizer trained on the FULL corpus and frozen),
+    // tombstone every vec_id % 17 == 3, compact (physical removal +
+    // single file generation; centroids untouched). The probe over
+    // the compacted index must equal the ADC chain over the corpus
+    // MINUS the deleted vectors — q99's oracle with the deletion
+    // predicate applied to candidates and queries, the quantizer CTEs
+    // still trained on the full corpus, exactly what a
+    // delete-after-build leaves behind. Tombstone-before-compaction
+    // equality and replay idempotence are spec-gated.
+    "qd4" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val table = "qd4_idx_" + dirTag(d)
+      val (nlist, nprobe) = denseParamsFor(s, d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding", table,
+          nlist = nlist, dim = 64)
+        Similarity.deleteIvfVecs(s, table,
+          vecs.filter(col("vec_id") % qd3DelMod === qd3DelRes)
+            .select("vec_id"), "vec_id")
+        Similarity.compactIvfAdcIndex(s, table)
+      }
+      Similarity.ivfAdcTopKIndexed(
+        vecs.filter(col("vec_id") % qd3DelMod =!= qd3DelRes),
+        "vec_id", "embedding", k = 3, nprobe = nprobe, table = table,
+        dim = 64)
     })
   )
 
@@ -2170,7 +2204,8 @@ object RelationalQueries {
     * live (q89), persisted-index (q99), and re-rank (qa1) tiers cannot
     * drift. */
   private def adcRankedSql(fracNum: Int, occ: Int, iters: Int,
-      dim: Int, trainWhere: String = ""): String =
+      dim: Int, trainWhere: String = "", probeCond: String = "",
+      candCond: String = ""): String =
     s"""${ivfCellsSql(fracNum, occ, iters, dim, trainWhere)},
       |qz AS (SELECT vec_id, scale,
       |    CASE WHEN scale > 0 THEN list_transform(e, x ->
@@ -2180,7 +2215,7 @@ object RelationalQueries {
       |  FROM (SELECT vec_id, e,
       |      list_max(list_transform(e, x -> abs(x))) AS scale FROM asg)),
       |prb AS (SELECT vec_id AS q_id, cell FROM rnk
-      |  WHERE rk <= (SELECT nprobe FROM p2)),
+      |  WHERE rk <= (SELECT nprobe FROM p2)$probeCond),
       |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
       |    CAST(list_sum(list_transform(range($dim),
       |      i -> CAST(qa.qc[i+1] AS BIGINT) * qb.qc[i+1])) AS BIGINT)
@@ -2189,7 +2224,7 @@ object RelationalQueries {
       |  FROM prb p JOIN asg a USING (cell)
       |    JOIN qz qa ON qa.vec_id = p.q_id
       |    JOIN qz qb ON qb.vec_id = a.vec_id
-      |  WHERE p.q_id <> a.vec_id),
+      |  WHERE p.q_id <> a.vec_id$candCond),
       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY CAST(idot AS DOUBLE) * nscale DESC, nb_id) AS rk
       |  FROM cand)""".stripMargin
@@ -3474,6 +3509,22 @@ object RelationalQueries {
           q35cTargetRecall),
         occ = graft.pipeline.Similarity.defaultOccupancy,
         iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+
+    // qd4: q99's ADC chain with the deletion predicate on candidates
+    // AND queries — the quantizer CTEs still train on the FULL corpus
+    // (the index was built before the delete; centroids are frozen),
+    // which is exactly the state delete-then-compact leaves behind
+    "qd4" -> {
+      val keep = s"vec_id % $qd3DelMod <> $qd3DelRes"
+      s"""WITH ${adcRankedSql(
+          fracNum = graft.pipeline.Similarity.probeFracEighths(
+            q35cTargetRecall),
+          occ = graft.pipeline.Similarity.defaultOccupancy,
+          iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
+          probeCond = s" AND $keep", candCond = s" AND a.$keep")}
+        |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
+        |FROM r WHERE rk <= 3""".stripMargin
+    },
 
     // qa6: q99's oracle VERBATIM again — streaming the queries through
     // the persisted index must lose nothing vs the one-shot batch probe

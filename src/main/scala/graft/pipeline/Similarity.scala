@@ -662,6 +662,62 @@ object Similarity {
       .saveAsTable(table)
   }
 
+  /** Delete vectors from a persisted IVF-ADC index — the takedown /
+    * dedup-verdict consumer on the dense tier (the r12 verdict's #4),
+    * mirroring [[graft.pipeline.TextAnalysis.deleteBm25Docs]]. This
+    * tier keeps NO corpus scalars (ADC ranking is per-candidate code
+    * arithmetic only), so logical deletion is just tombstone id rows
+    * in `table_t`: the single append IS the commit — present means
+    * deleted, absent means live, no multi-table window exists. Every
+    * probe anti-joins the (distinct) tombstones as a broadcast —
+    * delete-batch-sized — and [[compactIvfAdcIndex]] later removes
+    * the rows physically. Re-deleting or deleting absent ids is
+    * trivially idempotent (membership is a set test). */
+  def deleteIvfVecs(spark: SparkSession, table: String, ids: DataFrame,
+      idCol: String): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — not an ADC index")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").saveAsTable(table + "_t")
+  }
+
+  /** The probe-visible rows of a persisted ADC index: stored rows
+    * minus tombstones (if any). Shared by every probe and by
+    * compaction so the two cannot disagree on liveness. */
+  private def liveAdcRows(spark: SparkSession, table: String): DataFrame = {
+    val stored = spark.table(table)
+    if (!spark.catalog.tableExists(table + "_t")) stored
+    else stored.join(
+      broadcast(spark.table(table + "_t").select("id").distinct()),
+      Seq("id"), "left_anti")
+  }
+
+  /** Rewrite a persisted ADC index's file generations into ONE,
+    * physically removing tombstoned vectors — the dense-tier
+    * compaction beside [[graft.pipeline.TextAnalysis.compactBm25Index]]
+    * (reference analog: the MapFile sorted-single-file rewrite,
+    * io/MapFile.java:49). The centroid table is untouched (the
+    * quantizer stays frozen — re-clustering is a retrain decision,
+    * gated separately by the qc3 drift audit). Crash exposure: only
+    * the two-catalog-op DROP/RENAME swap window, as on the lexical
+    * tier — run in a maintenance window. Gated: probe-after-compact
+    * == probe-before == an index built over the surviving vectors
+    * against the same frozen quantizer (spec + qd4's oracle row). */
+  def compactIvfAdcIndex(spark: SparkSession, table: String): Unit = {
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$table is not a bucketed index"))
+    val live = liveAdcRows(spark, table)
+      .select("cell", "id", "qc", "scale")
+    val shadow = table + "_cmp"
+    graft.sources.MapFiles.write(live, "cell", buckets, shadow)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Recall audit of a PERSISTED ADC index (qc3's drift gate): the
     * stored-index probe ([[ivfAdcTopKIndexed]], frozen centroids and
     * all) against the exact brute-force MIPS top-k over the same
@@ -784,7 +840,7 @@ object Similarity {
           .as("q_qc"),
         explode(nearestCells(col(vecCol), cents, nprobe)).as("cell"))
       .repartition(buckets, col("cell"))
-    probes.join(spark.table(table), Seq("cell"))
+    probes.join(liveAdcRows(spark, table), Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("nb_id"),
         VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),

@@ -823,6 +823,54 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("deleteIvfVecs + compactIvfAdcIndex: tombstoned probe == compacted probe == frozen-quantizer index over survivors") {
+    // the qd4 contract: logical deletion (tombstone anti-join) and
+    // physical deletion (compaction) must both equal an index coded
+    // over the surviving vectors against the SAME frozen quantizer;
+    // replayed deletes are idempotent; compaction drops the tombstone
+    // table and the dead rows
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val (nlist, nprobe) = Similarity.ivfParams(corpus.count())
+    val survivors = corpus.filter(col("vec_id") % 5 =!= 0)
+    val queries = survivors.filter(col("vec_id") % 100 === 1)
+    def probe(t: String) = Similarity.ivfAdcTopKIndexed(
+        queries, "vec_id", "embedding",
+        k = 3, nprobe = nprobe, table = t, dim = 64)
+      .select("q_id", "nb_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    try {
+      val cents = Similarity.writeIvfAdcIndex(corpus, "vec_id",
+        "embedding", "adc_del_idx", nlist = nlist, dim = 64)
+      Similarity.deleteIvfVecs(spark, "adc_del_idx",
+        corpus.filter(col("vec_id") % 5 === 0).select("vec_id"), "vec_id")
+      // reference: the survivors coded one-shot with the same quantizer
+      Similarity.writeIvfAdcIndex(survivors, "vec_id", "embedding",
+        "adc_del_ref", nlist = nlist, dim = 64, cents = cents)
+      val ref = probe("adc_del_ref")
+      val tomb = probe("adc_del_idx")
+      assert(ref.nonEmpty && tomb == ref, s"tomb=$tomb ref=$ref")
+      // replayed / partially-absent delete: no change
+      Similarity.deleteIvfVecs(spark, "adc_del_idx",
+        Seq(0L, 5L, 999999L).toDF("vec_id"), "vec_id")
+      assert(probe("adc_del_idx") == ref)
+      Similarity.compactIvfAdcIndex(spark, "adc_del_idx")
+      assert(!spark.catalog.tableExists("adc_del_idx_t"))
+      assert(spark.table("adc_del_idx")
+        .filter(col("id") % 5 === 0).count() == 0,
+        "compaction left dead rows")
+      // compacted rows are EXACTLY the one-shot survivor index's
+      def rows(t: String) = spark.table(t)
+        .select(col("cell"), col("id"), hex(col("qc")), col("scale"))
+        .as[(Int, Long, String, Double)].collect().sorted.toSeq
+      assert(rows("adc_del_idx") == rows("adc_del_ref"))
+      assert(probe("adc_del_idx") == ref)
+    } finally {
+      for (t <- Seq("adc_del_idx", "adc_del_idx_c", "adc_del_idx_t",
+          "adc_del_idx_cmp", "adc_del_ref", "adc_del_ref_c"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite with SparkTest {
