@@ -1868,6 +1868,35 @@ object RelationalQueries {
         "q_id", "qtext", table, k = qb1K, k1 = qb1K1, b = qb1B)
     }),
 
+    // QD5 — minhash archive APPEND + COMPACTION (the third persisted
+    // tier's maintenance, closing r12 verdict #2 across all three
+    // indexes): the archive index is built on docs < 300, grown by an
+    // appendMinhashIndex batch (300..399 — band rows land as new
+    // files in the existing bkey buckets, stored side untouched),
+    // then compacted to one file generation. The incremental screen
+    // over the grown-and-compacted archive must equal q86's
+    // scan-per-run result — q86's oracle VERBATIM (the archive's
+    // final content is exactly docs < 400). Row-identity and
+    // file-count faces are spec-gated (DedupSpec).
+    "qd5" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      val table = "qd5_idx_" + dirTag(d)
+      buildOnce(table) {
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 300),
+          "doc_id", "text", table, n = 3, numHashes = h, bands = b)
+        Dedup.appendMinhashIndex(
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+          "doc_id", "text", table, n = 3, numHashes = h, bands = b)
+        Dedup.compactMinhashIndex(s, table)
+      }
+      Dedup.incrementalMinhashPairsIndexed(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", table, n = 3, threshold = 0.8,
+        numHashes = h, bands = b)
+    }),
+
     // QD4 — ADC index DELETION + COMPACTION (the dense tier of r12
     // verdict #4 and #2 combined): build the full-corpus index (the
     // q99 shape, quantizer trained on the FULL corpus and frozen),
@@ -3212,6 +3241,13 @@ object RelationalQueries {
     // q86: the persisted-index screen must return exactly what the
     // recompute-every-run screen returns — q73's oracle verbatim
     "q86" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
+        |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
+
+    // qd5: q86's oracle verbatim — the grown-and-compacted archive's
+    // content is exactly the q86 archive (docs < 400), so the screen
+    // must reproduce the same cross-boundary pairs
+    "qd5" ->
       s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
         |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
 

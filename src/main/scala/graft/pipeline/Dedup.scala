@@ -373,15 +373,79 @@ object Dedup {
     * (mapred/MapFileOutputFormat.java:39). */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       table: String, n: Int, numHashes: Int = 24, bands: Int = 6,
-      buckets: Int = 16): Unit = {
+      buckets: Int = 16): Unit =
+    graft.sources.MapFiles.write(
+      indexRows(corpus, idCol, textCol, n, numHashes, bands),
+      "bkey", buckets, table)
+
+  /** The banded signature index rows `(bkey, id, n)` of one document
+    * set — shared by [[writeMinhashIndex]] and [[appendMinhashIndex]]
+    * so build and append cannot derive signatures differently. */
+  private def indexRows(corpus: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
     val sigs = mapSideSignatures(corpus, idCol, textCol, n, numHashes)
-    val idx = sigs.select(col("id"), col("n"),
+    sigs.select(col("id"), col("n"),
         explode(bandStructs(bands, r)).as("bb"))
       .select(bkeyOf(col("bb.band"), col("bb.bsig")).as("bkey"),
         col("id"), col("n"))
-    graft.sources.MapFiles.write(idx, "bkey", buckets, table)
+  }
+
+  /** Append a NEW document batch's banded signatures to a persisted
+    * minhash archive index — the maintenance story for
+    * [[writeMinhashIndex]]'s write-once build, completing the
+    * append tier across all three persisted indexes (BM25
+    * `appendBm25Index`, ADC `appendIvfAdcIndex`, and this). The
+    * batch's band rows are pure functions of the documents and the
+    * fixed hash family (no trained state, no corpus scalars), so the
+    * append is ONE bucketed file append: new files land in the
+    * existing `bkey` buckets, probes keep bucket pruning across write
+    * generations, the stored side is never read or shuffled, and
+    * build+append is row-identical to a one-shot rebuild over the
+    * union (spec-gated; qd5 gates the probe against q86's oracle).
+    * Cost per batch: the batch's own map-side signatures plus the
+    * bucketed sink's exchange — archive-size work never re-pays. */
+  def appendMinhashIndex(newCorpus: DataFrame, idCol: String,
+      textCol: String, table: String, n: Int, numHashes: Int = 24,
+      bands: Int = 6): Unit = {
+    val spark = newCorpus.sparkSession
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$table is not a bucketed index"))
+    indexRows(newCorpus, idCol, textCol, n, numHashes, bands)
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#bkey", "true")
+      .bucketBy(buckets, "bkey").sortBy("bkey")
+      .saveAsTable(table)
+  }
+
+  /** Rewrite a persisted minhash archive's file generations into ONE
+    * (the MapFile sorted-single-file contract, io/MapFile.java:49) —
+    * after K batch appends a probe otherwise reads K generations of
+    * small files per bucket. Pure rewrite: this tier has no scalars
+    * and no tombstones, so compaction is shadow-write + catalog swap;
+    * crash exposure is the two-catalog-op swap window only (run in a
+    * maintenance window). Gated: compacted == appended == rebuilt,
+    * stored rows and probe results identical (spec + qd5). */
+  def compactMinhashIndex(spark: SparkSession, table: String): Unit = {
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$table is not a bucketed index"))
+    // bucket-preserving read: the scan keeps one partition per bucket
+    // (readBucketed), which already satisfies the sink's distribution —
+    // the rewrite streams bucket i -> one file i with ZERO shuffle (the
+    // repartition is a no-op safety net the planner elides)
+    val live = graft.sources.MapFiles.readBucketed(spark, table)
+      .select("bkey", "id", "n")
+      .repartition(buckets, col("bkey"))
+    val shadow = table + "_cmp"
+    graft.sources.MapFiles.write(live, "bkey", buckets, shadow)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    spark.catalog.refreshTable(table)
   }
 
   /** [[incrementalMinhashPairs]] probing a PERSISTED archive index

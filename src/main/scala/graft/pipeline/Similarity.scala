@@ -677,6 +677,7 @@ object Similarity {
       idCol: String): Unit = {
     require(spark.catalog.tableExists(table),
       s"$table does not exist — not an ADC index")
+    graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
     ids.select(col(idCol).cast("long").as("id")).distinct()
       .write.mode("append").saveAsTable(table + "_t")
   }
@@ -684,8 +685,11 @@ object Similarity {
   /** The probe-visible rows of a persisted ADC index: stored rows
     * minus tombstones (if any). Shared by every probe and by
     * compaction so the two cannot disagree on liveness. */
-  private def liveAdcRows(spark: SparkSession, table: String): DataFrame = {
-    val stored = spark.table(table)
+  private def liveAdcRows(spark: SparkSession, table: String,
+      bucketedRead: Boolean = false): DataFrame = {
+    val stored =
+      if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
+      else spark.table(table)
     if (!spark.catalog.tableExists(table + "_t")) stored
     else stored.join(
       broadcast(spark.table(table + "_t").select("id").distinct()),
@@ -708,8 +712,11 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
-    val live = liveAdcRows(spark, table)
+    // bucket-preserving read (one scan partition per bucket) -> the
+    // bucketed sink plans exchange-free: one compacted file per bucket
+    val live = liveAdcRows(spark, table, bucketedRead = true)
       .select("cell", "id", "qc", "scale")
+      .repartition(buckets, col("cell"))
     val shadow = table + "_cmp"
     graft.sources.MapFiles.write(live, "cell", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")

@@ -475,13 +475,16 @@ object TextAnalysis {
     * restriction is a broadcast semi-join against the (tiny) scalar
     * table rather than a driver collect, so a probe adds no blocking
     * job; orphan files cost only their own read, never correctness. */
-  private[graft] def committedIndex(spark: SparkSession, table: String)
-      : (DataFrame, DataFrame) = {
+  private[graft] def committedIndex(spark: SparkSession, table: String,
+      bucketedRead: Boolean = false): (DataFrame, DataFrame) = {
     val sTab = spark.table(table + "_s")
     val stats = sTab.agg(sum("n_docs").as("n_docs"),
       sum("sum_dl").as("sum_dl"))
     val gens = sTab.select("gen")
-    val committed = spark.table(table)
+    val stored =
+      if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
+      else spark.table(table)
+    val committed = stored
       .join(broadcast(gens), Seq("gen"), "left_semi")
     val live =
       if (!spark.catalog.tableExists(table + "_t")) committed
@@ -618,6 +621,9 @@ object TextAnalysis {
       coalesce(sum(col("dl").cast("long")), lit(0L)).as("s")).collect()(0)
     if (agg.getLong(0) == 0L) return // nothing live to delete
     val gen = freshGen()
+    // first delete in a fresh process: a stale tombstone dir from a
+    // previous catalog's life would block the create-on-append
+    graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
     eff.select(lit(gen).as("gen"), col("doc_id"))
       .write.mode("append").saveAsTable(table + "_t")
     commitBm25Gen(spark, table, gen, -agg.getLong(0), -agg.getLong(1))
@@ -649,14 +655,16 @@ object TextAnalysis {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
-    val (live, _) = committedIndex(spark, table)
+    val (live, _) = committedIndex(spark, table, bucketedRead = true)
     val totals = spark.table(table + "_s")
       .agg(coalesce(sum("n_docs"), lit(0L)),
         coalesce(sum("sum_dl"), lit(0L))).collect()(0)
     val shadow = table + "_cmp"
     graft.sources.MapFiles.write(
       live.select("term", "doc_id", "dl", "tf", "positions")
-        .withColumn("gen", lit(0L)),
+        .withColumn("gen", lit(0L))
+        // one writer task per bucket -> one compacted file per bucket
+        .repartition(buckets, col("term")),
       "term", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")

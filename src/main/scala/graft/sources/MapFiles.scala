@@ -31,17 +31,7 @@ object MapFiles {
       s"(got '$table')")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    // an in-memory catalog restarts empty while its warehouse directory
-    // survives on disk; saveAsTable then refuses the stale location
-    // (LOCATION_ALREADY_EXISTS) — clear it before writing. Resolve the
-    // database's real location from the catalog (honors CREATE DATABASE
-    // ... LOCATION) rather than deriving it from the warehouse conf.
-    val db = spark.catalog.currentDatabase
-    val parent = new org.apache.hadoop.fs.Path(
-      new java.net.URI(spark.catalog.getDatabase(db).locationUri))
-    val loc = new org.apache.hadoop.fs.Path(parent, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    clearStaleLocation(spark, table)
     df.write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#" + keyCol, "true")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
@@ -93,6 +83,35 @@ object MapFiles {
     s.catalog.refreshTable(table)
     s.table(table)
   }
+
+  /** An in-memory catalog restarts empty while its warehouse directory
+    * survives on disk; creating a table at that name then refuses the
+    * stale location (LOCATION_ALREADY_EXISTS). Clear the orphan dir —
+    * only when the CATALOG doesn't know the table (a known table's dir
+    * is live data). Resolve the database's real location from the
+    * catalog (honors CREATE DATABASE ... LOCATION) rather than
+    * deriving it from the warehouse conf. Used by [[write]] and by
+    * create-on-first-append side tables (index tombstones). */
+  def clearStaleLocation(spark: SparkSession, table: String): Unit = {
+    if (spark.catalog.tableExists(table)) return
+    val db = spark.catalog.currentDatabase
+    val parent = new org.apache.hadoop.fs.Path(
+      new java.net.URI(spark.catalog.getDatabase(db).locationUri))
+    val loc = new org.apache.hadoop.fs.Path(parent, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** The table read through the bucketed-scan-preserving child session:
+    * the scan keeps one partition per bucket even with no join
+    * downstream (the auto rule would otherwise trade the layout for
+    * plain splits). This is what lets a bucket-aligned REWRITE — index
+    * compaction — stream bucket i straight into file i with ZERO
+    * shuffle: the scan's hash partitioning already satisfies the
+    * bucketed sink's distribution, so the rewrite plans exchange-free
+    * and lands exactly one file per bucket. */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    lookupTable(spark, table)
 
   /** Point lookup — `MapFileOutputFormat.getEntry`: all rows for `key`,
     * read from exactly one bucket with the predicate pushed to the scan. */

@@ -21,6 +21,60 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((0L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("appendMinhashIndex + compactMinhashIndex: build+append == rebuild, compaction keeps rows and drops generations") {
+    // the qd5 contract: band rows are pure functions of the documents
+    // and the fixed hash family, so growing the archive by a batch
+    // append must be row-identical to a one-shot rebuild over the
+    // union; compaction then collapses the file generations to the
+    // rebuild's count without touching a row, and the incremental
+    // screen is unchanged throughout
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+    val base = corpus.filter(col("doc_id") < 30)
+    val batch = corpus.filter(col("doc_id") >= 30 && col("doc_id") < 50)
+    val screened = corpus.filter(col("doc_id") >= 50)
+    def tableDir(t: String) = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    def dataFiles(t: String) = tableDir(t).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    def rows(t: String) = spark.table(t)
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    def screen(t: String) = Dedup.incrementalMinhashPairsIndexed(
+        corpus.filter(col("doc_id") < 50), screened, "doc_id", "text",
+        t, n = 3, threshold = 0.8, numHashes = h, bands = b)
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    try {
+      Dedup.writeMinhashIndex(base, "doc_id", "text", "mh_app_idx",
+        n = 3, numHashes = h, bands = b)
+      Dedup.appendMinhashIndex(batch, "doc_id", "text", "mh_app_idx",
+        n = 3, numHashes = h, bands = b)
+      Dedup.writeMinhashIndex(corpus.filter(col("doc_id") < 50),
+        "doc_id", "text", "mh_ref_idx", n = 3, numHashes = h, bands = b)
+      assert(rows("mh_app_idx").nonEmpty &&
+        rows("mh_app_idx") == rows("mh_ref_idx"))
+      val grown = screen("mh_app_idx")
+      assert(grown == screen("mh_ref_idx"))
+      val before = dataFiles("mh_app_idx")
+      Dedup.compactMinhashIndex(spark, "mh_app_idx")
+      val after = dataFiles("mh_app_idx")
+      assert(after < before, s"file count $before -> $after")
+      assert(after == dataFiles("mh_ref_idx"),
+        s"compacted files $after != rebuilt ${dataFiles("mh_ref_idx")}")
+      assert(rows("mh_app_idx") == rows("mh_ref_idx"))
+      assert(screen("mh_app_idx") == grown)
+      // appending to a missing index fails loudly
+      intercept[Exception] {
+        Dedup.appendMinhashIndex(batch, "doc_id", "text",
+          "mh_missing_idx", n = 3, numHashes = h, bands = b)
+      }
+    } finally {
+      for (t <- Seq("mh_app_idx", "mh_app_idx_cmp", "mh_ref_idx"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("ngram jaccard finds the near-dup pair with the exact value") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
       .as[(Long, Long, Double)].collect()
