@@ -1868,6 +1868,30 @@ object RelationalQueries {
         "q_id", "qtext", table, k = qb1K, k1 = qb1K1, b = qb1B)
     }),
 
+    // QD6 — STREAMING index maintenance (r12 verdict #6): the index is
+    // built on docs < 400 and the rest of the corpus ARRIVES AS A
+    // STREAM, each micro-batch appended by the gated batch append
+    // inside foreachBatch under its own committed generation
+    // (integer-additive scalar deltas make any batch count/order
+    // exact). The probe over the stream-grown index must equal qb1's
+    // scan-per-run over the full corpus — qb1's oracle VERBATIM, the
+    // qc1 claim carried to online ingest; the two-micro-batch ==
+    // one-shot == rebuild face is spec-gated (StreamingSpec).
+    "qd6" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val table = "qd6_idx_" + dirTag(d)
+      buildOnce(table) {
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", table)
+        TextAnalysis.streamAppendBm25Index(
+          Tables.streamOf(s, d, "documents")
+            .filter(col("doc_id") >= 400),
+          "doc_id", "text", table)
+      }
+      TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id", "qtext",
+        table, k = qb1K, k1 = qb1K1, b = qb1B)
+    }),
+
     // QD5 — minhash archive APPEND + COMPACTION (the third persisted
     // tier's maintenance, closing r12 verdict #2 across all three
     // indexes): the archive index is built on docs < 300, grown by an
@@ -2872,6 +2896,9 @@ object RelationalQueries {
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,
+    // qd6 (stream-grown index): qb1's oracle verbatim again — online
+    // per-micro-batch appends must lose nothing vs scan-per-run
+    "qd6" -> bm25TopKOracleSql,
     // qd3: the same chain over the corpus minus the deleted docs
     "qd3" -> s"""WITH ${bm25OracleCtesWhere(
         s"WHERE doc_id % $qd3DelMod <> $qd3DelRes")}

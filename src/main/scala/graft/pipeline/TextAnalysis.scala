@@ -589,6 +589,38 @@ object TextAnalysis {
       .saveAsTable(table + "_s")
   }
 
+  /** [[appendBm25Index]] with the NEW DOCUMENTS ARRIVING AS A STREAM —
+    * index MAINTENANCE as an online process (r12 verdict #6), closing
+    * the loop the serving twins opened: qb4/qa6/qc4 stream the
+    * QUERIES against static indexes; this streams the CORPUS INTO the
+    * index. Each micro-batch runs the gated batch append verbatim
+    * inside foreachBatch, committing its own generation. The
+    * generation protocol is what makes per-batch commits exact:
+    * scalar deltas are integer-additive in any order, batch postings
+    * concatenate (new documents never collide on (term, doc_id)), and
+    * a crashed micro-batch leaves an invisible orphan a restart
+    * re-appends under a fresh generation — so K streamed micro-batch
+    * appends == one one-shot append == a full rebuild, probe-exact
+    * (two-micro-batch MemoryStream spec; qd6 gates the grown index's
+    * probe against qb1's oracle verbatim). */
+  def streamAppendBm25Index(docStream: DataFrame, idCol: String,
+      textCol: String, table: String): Unit = {
+    val q = startStreamAppendBm25Index(docStream, idCol, textCol, table)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of [[streamAppendBm25Index]] —
+    * the caller owns the trigger cadence (StreamingSpec drives TWO
+    * micro-batches through it). */
+  def startStreamAppendBm25Index(docStream: DataFrame, idCol: String,
+      textCol: String, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendBm25Index(batch, idCol, textCol, table)
+      }
+      .start()
+
   /** Delete documents from a persisted BM25 index — the takedown /
     * dedup-verdict consumer (the r12 verdict's missing tier). Logical
     * deletion under the generation protocol: tombstone rows

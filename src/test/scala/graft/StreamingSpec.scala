@@ -485,6 +485,72 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("streamAppendBm25Index: two streamed micro-batch appends equal the one-shot append and the rebuild") {
+    // the qd6 contract: each micro-batch commits its own generation;
+    // integer-additive scalar deltas and non-colliding postings make
+    // batch count and order irrelevant, so the stream-grown index
+    // must match a one-shot append AND a full rebuild — stored rows
+    // (modulo gen tags), summed scalars, and probe rankings
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val base = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry")).toDF("doc_id", "text")
+    val batchRows = Seq(
+      (3L, "banana banana banana"),
+      (4L, "durian apple"),
+      (5L, "cherry durian cherry"))
+    val union = base.unionByName(batchRows.toDF("doc_id", "text"))
+    val qs = Seq((9L, "apple banana"), (8L, "cherry durian"))
+      .toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_str_idx")
+      val ms = MemoryStream[(Long, String)](spark)
+      val q = TextAnalysis.startStreamAppendBm25Index(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "bm25_str_idx")
+      try {
+        ms.addData(batchRows.take(1))
+        q.processAllAvailable()
+        ms.addData(batchRows.drop(1))
+        q.processAllAvailable()
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "the gate needs >= 2 non-empty micro-batches")
+      } finally q.stop()
+      // one-shot comparators
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_str_one")
+      TextAnalysis.appendBm25Index(batchRows.toDF("doc_id", "text"),
+        "doc_id", "text", "bm25_str_one")
+      TextAnalysis.writeBm25Index(union, "doc_id", "text", "bm25_str_ref")
+      def rows(t: String) = spark.table(t).drop("gen")
+        .as[(String, Long, Int, Long, Seq[Int])].collect()
+        .map(r => (r._1, r._2, r._3, r._4, r._5.toList))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(rows("bm25_str_idx").nonEmpty &&
+        rows("bm25_str_idx") == rows("bm25_str_one") &&
+        rows("bm25_str_idx") == rows("bm25_str_ref"))
+      // the stream committed one generation PER micro-batch
+      assert(spark.table("bm25_str_idx_s").count() >= 3,
+        "expected build + >=2 streamed generations")
+      def scalars(t: String) = spark.table(t + "_s")
+        .agg(org.apache.spark.sql.functions.sum("n_docs"),
+          org.apache.spark.sql.functions.sum("sum_dl"))
+        .as[(Long, Long)].head()
+      assert(scalars("bm25_str_idx") == scalars("bm25_str_ref"))
+      def probe(t: String) = TextAnalysis.bm25TopKIndexed(qs, "q_id",
+          "qtext", t, k = 3)
+        .as[(Long, Long, Int, Long)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+      val streamed = probe("bm25_str_idx")
+      assert(streamed.nonEmpty && streamed == probe("bm25_str_ref"))
+    } finally {
+      for (t <- Seq("bm25_str_idx", "bm25_str_idx_s",
+          "bm25_str_one", "bm25_str_one_s",
+          "bm25_str_ref", "bm25_str_ref_s"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("countMinCounters: the streaming sketch state equals the batch sketch after two micro-batches") {
     // qa9's contract — the complete-mode aggregation's state IS the
     // bounded counter table, so after any number of micro-batches it
