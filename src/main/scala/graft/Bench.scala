@@ -76,8 +76,8 @@ object Bench {
     // 2000-char tail for the head to survive. At 96 queries the leanest
     // 1dp rung measures 1998, so every char of margin surrendered here
     // drops the whole suite to whole-second values.
-    val out = Bench.metricLine(results, errors.toSeq, sfDir)
-    if (out.length > Bench.budget)
+    val outs = Bench.metricLines(results, errors.toSeq, sfDir)
+    for (out <- outs if out.length > Bench.budget)
       System.err.println(s"[bench] WARNING: metric line ${out.length} chars" +
         " exceeds the ~2000-char harness capture window even at the" +
         " leanest encoding — the driver's parse will truncate")
@@ -92,7 +92,11 @@ object Bench {
     try spark.stop()
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] spark.stop failed: $e") }
-    println(out)
+    // continuation line(s) first, the PRIMARY metric line LAST: the
+    // harness window keeps the tail, so if both don't fit the primary
+    // line still parses whole and a clipped continuation head cannot
+    // match a JSON-line pattern
+    outs.foreach(println)
     Console.out.flush()
   }
 
@@ -117,15 +121,56 @@ object Bench {
     * query-key set can no longer fit 1dp precision (a long new key
     * silently costing the driver its per-query resolution is exactly
     * the regression six rounds paid). */
+  /** JSON-safe number at `dp` decimals, trailing zeros trimmed.
+    * Locale.ROOT: the f-interpolator is locale-sensitive and a
+    * comma-decimal default locale would corrupt the JSON. */
+  private def fmt(v: Double, dp: Int): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    else s
+  }
+
+  /** The primary metric line plus, when the primary's fit ladder had
+    * to OMIT entries, a CONTINUATION line `{"metric":"total_extra",
+    * "queries":{...}}` carrying exactly the omitted per-query values
+    * (its own fit-checked mini ladder: 1dp → 0dp → drop smallest).
+    * Printed BEFORE the primary so the primary stays the last stdout
+    * — if the capture window holds both, the driver recovers ~100% of
+    * per-query values (the r12 verdict's coverage ask: 20 of 132 were
+    * dropping); if not, the primary still parses whole and the
+    * clipped continuation head cannot match a JSON-line pattern. */
+  private[graft] def metricLines(results: Seq[(String, Option[Double])],
+      errors: Seq[(String, String)], sfDir: String): Seq[String] = {
+    val main = metricLine(results, errors, sfDir)
+    // which present keys the chosen rung omitted: token-match inside
+    // the queries object only (everything before any "errors" field,
+    // so an errors entry cannot mask a dropped timing)
+    val qEnd = main.indexOf("\"errors\"") match {
+      case -1 => main.length
+      case i  => i
+    }
+    val qpart = main.substring(0, qEnd)
+    val dropped = results.collect { case (k, Some(v)) => (k, v) }
+      .filterNot { case (k, v) =>
+        (0 to 3).exists(dp => qpart.contains("\"" + k + "\":" + fmt(v, dp)))
+      }
+    if (dropped.isEmpty) Seq(main)
+    else {
+      def cline(dp: Int, rs: Seq[(String, Double)]): String =
+        "{\"metric\":\"total_extra\",\"queries\":" + rs.map { case (k, v) =>
+          "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}") + "}"
+      val order = dropped.sortBy { case (k, v) => (v, -k.length, k) }
+      val cont = Seq(cline(1, dropped), cline(0, dropped)).iterator
+        .++((1 until dropped.size).iterator
+          .map(nd => cline(0, order.drop(nd))))
+        .find(_.length <= budget)
+        .getOrElse(cline(0, Seq.empty))
+      Seq(cont, main)
+    }
+  }
+
   private[graft] def metricLine(results: Seq[(String, Option[Double])],
       errors: Seq[(String, String)], sfDir: String): String = {
-    def fmt(v: Double, dp: Int): String = {
-      // Locale.ROOT: the f-interpolator is locale-sensitive and a
-      // comma-decimal default locale would corrupt the JSON
-      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-      else s
-    }
     // belt (capture caps at 60) AND suspenders: metricLine re-caps, so a
     // caller handing it an uncapped message cannot blow the ladder
     val errFull = errors.map { case (k, v) =>
