@@ -459,6 +459,41 @@ object GrowthBench {
       }
     }
 
+    // frozen-quantizer DRIFT curve (r13, the qc3 gate's cadence made a
+    // measured curve instead of one sample): the quantizer trains on
+    // the 1x slice of each scaled corpus (the vec_id < 1e6 originals),
+    // the remainder APPENDS against the stored centroids — 1x (no
+    // append, the no-drift floor), 2x, and 10x growth — and each grown
+    // index's recall@3 on a FIXED 1x query panel is audited against
+    // the exact MIPS scan. The 10x point is the retrain-threshold
+    // signal the r12 verdict asked for: how far recall has fallen by
+    // the time the archive is an order of magnitude past the training
+    // distribution. nlist/nprobe derive from the 1x count for every
+    // point (the frozen contract: probe effort constant as the archive
+    // grows).
+    locally {
+      for ((tag, d, grow) <- Seq(("1x", x1, false), ("2x", x2, true),
+          ("10x", x10, true))) {
+        val all = Tables.embeddings(spark, d)
+        val base = all.filter(col("vec_id") < 1000000L)
+        val (nlist, nprobe) = Similarity.ivfParams(base.count())
+        val itable = s"gdrift_idx_$tag"
+        Similarity.writeIvfAdcIndex(base, "vec_id", "embedding", itable,
+          nlist = nlist, dim = 64)
+        if (grow)
+          Similarity.appendIvfAdcIndex(
+            all.filter(col("vec_id") >= 1000000L), "vec_id", "embedding",
+            itable, dim = 64)
+        val panel = base.filter(col("vec_id") % 100 === 0)
+        val rec = Similarity.recallAuditIndexed(all, panel, "vec_id",
+            "embedding", k = 3, nprobe = nprobe, table = itable, dim = 64)
+          .agg(avg(col("recall"))).collect()(0).getDouble(0)
+        t(s"qc3_recall3_frozen_$tag") = rec
+        System.err.println(
+          f"[growth] qc3_recall3_frozen_$tag%-22s $rec%6.3f (recall@3)")
+      }
+    }
+
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
       System.err.println(
         f"[growth] exponent $label%-28s ${math.log(tk / t1) / math.log(k)}%5.2f")
