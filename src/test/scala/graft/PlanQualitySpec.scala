@@ -807,6 +807,47 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("qd3: the tombstone-consulting probe keeps the bucketed scan, pushes terms, and anti-joins tombstones by broadcast") {
+    // the deletion tier's scale claims on the REGISTRY query: the
+    // committed-generation semi-join and the tombstone anti-join are
+    // both broadcasts (delete-batch-sized builds), the stored postings
+    // still scan bucketed with the query-term In pushdown, and no
+    // shuffle moves the postings payload — logical deletion must not
+    // cost the probe its index shape
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = planDf("qd3")
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), p.take(4000))
+    assert(p.contains("In(term"), p.take(4000))
+    val antis = planNodes(df.queryExecution.executedPlan).collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType.toString == "LeftAnti" => j
+    }
+    assert(antis.nonEmpty, "no broadcast anti-join — tombstones unused?")
+    for (e <- planNodes(df.queryExecution.executedPlan)
+           .collect { case s: ShuffleExchangeExec => s }) {
+      val names = e.output.map(_.name).toSet
+      assert(!(names.contains("dl") && names.contains("tf")),
+        s"stored postings re-shuffled: ${e.simpleString(20)}")
+    }
+  }
+
+  test("qd1: the indexed phrase probe never unpacks document text — generators touch query terms and stored positions only") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.catalyst.expressions.PosExplode
+    val df = planDf("qd1")
+    for (g <- planNodes(df.queryExecution.executedPlan)
+           .collect { case g: GenerateExec => g }
+         if g.boundGenerator.isInstanceOf[PosExplode])
+      assert(!g.boundGenerator.references.exists(_.name == "text"),
+        s"phrase probe posexplodes document text: ${g.simpleString(20)}")
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("In(term"), p.take(4000))
+  }
+
   test("bm25 probe plan prunes the positions column — ReadSchema carries no array") {
     // the r13 positions column must be free for BM25 scoring: column
     // pruning keeps it out of the probe's parquet read, so the stored
