@@ -405,7 +405,18 @@ object Dedup {
     * build+append is row-identical to a one-shot rebuild over the
     * union (spec-gated; qd5 gates the probe against q86's oracle).
     * Cost per batch: the batch's own map-side signatures plus the
-    * bucketed sink's exchange — archive-size work never re-pays. */
+    * bucketed sink's exchange — archive-size work never re-pays.
+    *
+    * CRASH SAFETY: this tier needs no generation protocol — the
+    * screen is RETRY-IDEMPOTENT as-is. Band rows carry no counts or
+    * scalars, the probe's candidate stage dedups (id_a, id_b) pairs,
+    * and the sizes lookup reads (id, n) distinct, so duplicate rows
+    * from a replayed (crashed-and-retried) append change no screen
+    * result (spec-gated: double-append == single-append). Physical
+    * duplicates persist until a compaction is run with dedup hygiene
+    * in mind — [[compactMinhashIndex]] deliberately keeps its
+    * zero-shuffle bucket-aligned rewrite (a DISTINCT would cost an
+    * exchange) because duplicates are semantically inert here. */
   def appendMinhashIndex(newCorpus: DataFrame, idCol: String,
       textCol: String, table: String, n: Int, numHashes: Int = 24,
       bands: Int = 6): Unit = {

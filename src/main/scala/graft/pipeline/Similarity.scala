@@ -574,12 +574,13 @@ object Similarity {
     * ([[graft.sources.MapFiles]]), the write-once-probe-many shape q86
     * proved for minhash applied to vector retrieval: in production the
     * coarse quantizer is trained and every code packed once per archive
-    * append, not once per query batch. Two tables: `table` holds
-    * (cell, id, qc, scale) bucketed + sorted by `cell` (the join key of
-    * every probe), and `table_c` holds the nlist centroid rows so a
+    * append, not once per query batch. Three tables: `table` holds
+    * (cell, id, qc, scale, gen) bucketed + sorted by `cell` (the join
+    * key of every probe), `table_c` holds the nlist centroid rows so a
     * probing session reconstructs the EXACT quantizer (the index is
     * self-describing — no driver-side state survives between write and
-    * probe).
+    * probe), and `table_g` is the committed-generation set of the r13
+    * maintenance protocol (see [[appendIvfAdcIndex]]).
     *
     * Scale: the write is one map-side projection of the corpus (cell
     * assignment via broadcast centroids, pack_quant in the scan) plus
@@ -600,17 +601,30 @@ object Similarity {
       else trainCoarseQuantizer(
         trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
         vecCol, nlist, dim)
-    val sc = VectorOps.maxAbs(col(vecCol))
-    val packed = vecs.select(
-      element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
-      col(idCol).as("id"),
-      VectorOps.packQuant(col(vecCol), sc).as("qc"), sc.as("scale"))
-    graft.sources.MapFiles.write(packed, "cell", buckets, table)
+    graft.sources.MapFiles.write(
+      packedRows(vecs, idCol, vecCol, quantizer)
+        .withColumn("gen", lit(0L)),
+      "cell", buckets, table)
     val centRows = quantizer.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     graft.sources.MapFiles.write(
       spark.createDataFrame(centRows.toSeq).toDF("cell", "cent"),
       "cell", 1, table + "_c")
+    import spark.implicits._
+    graft.sources.MapFiles.write(Seq(0L).toDF("gen"), "gen", 1,
+      table + "_g")
     quantizer
+  }
+
+  /** The packed (cell, id, qc, scale) rows of one vector set against a
+    * frozen quantizer — shared by build and append so the two cannot
+    * code differently. */
+  private def packedRows(vecs: DataFrame, idCol: String, vecCol: String,
+      quantizer: Array[Array[Double]]): DataFrame = {
+    val sc = VectorOps.maxAbs(col(vecCol))
+    vecs.select(
+      element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
+      col(idCol).as("id"),
+      VectorOps.packQuant(col(vecCol), sc).as("qc"), sc.as("scale"))
   }
 
   /** The persisted quantizer of [[writeIvfAdcIndex]], read back in cell
@@ -637,9 +651,31 @@ object Similarity {
     * degrades recall before it degrades anything visible. That is a
     * monitored quantity, not a hope: [[recallAuditIndexed]] gates the
     * stored index's recall against an exact scan (qc3), and a fallen
-    * floor is the retrain signal. */
+    * floor is the retrain signal.
+    *
+    * CRASH SAFETY (r13): the same generation protocol as the lexical
+    * tier — the batch's rows land tagged with a fresh generation,
+    * INVISIBLE until a 1-row commit appends that generation to the
+    * `table_g` set (single task, single file, one rename). A crash
+    * anywhere (including a partially-committed row-append job) leaves
+    * probes on the exact pre-append state; a retry commits under a
+    * fresh generation, so orphans can never double-count; compaction
+    * reclaims them physically (spec-gated by killing the writer
+    * between steps). */
   def appendIvfAdcIndex(newVecs: DataFrame, idCol: String, vecCol: String,
       table: String, dim: Int = 64): Unit = {
+    val spark = newVecs.sparkSession
+    require(spark.catalog.tableExists(table + "_g"),
+      s"$table has no generation table — not an ADC index")
+    val gen = graft.sources.MapFiles.freshGen()
+    appendAdcRowsOnly(newVecs, idCol, vecCol, table, gen)
+    commitAdcGen(spark, table, gen)
+  }
+
+  /** Step 1 of [[appendIvfAdcIndex]] — the row append WITHOUT the
+    * commit. Package-visible for the atomicity spec. */
+  private[graft] def appendAdcRowsOnly(newVecs: DataFrame, idCol: String,
+      vecCol: String, table: String, gen: Long): Unit = {
     val spark = newVecs.sparkSession
     VectorOps.ensureRegistered(spark)
     // bucket count from the table's own metadata (the appendBm25Index
@@ -651,15 +687,22 @@ object Similarity {
         throw new IllegalStateException(s"$table is not a bucketed index"))
     val quantizer = readIvfCentroids(spark, table)
     require(quantizer.nonEmpty, s"$table has no stored centroids")
-    val sc = VectorOps.maxAbs(col(vecCol))
-    newVecs.select(
-        element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
-        col(idCol).as("id"),
-        VectorOps.packQuant(col(vecCol), sc).as("qc"), sc.as("scale"))
+    packedRows(newVecs, idCol, vecCol, quantizer)
+      .withColumn("gen", lit(gen))
       .write.mode("append")
       .option("parquet.bloom.filter.enabled#cell", "true")
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(table)
+  }
+
+  /** Step 2 of [[appendIvfAdcIndex]] — the commit: one generation row
+    * appended to `table_g`. */
+  private[graft] def commitAdcGen(spark: SparkSession, table: String,
+      gen: Long): Unit = {
+    import spark.implicits._
+    Seq(gen).toDF("gen").coalesce(1)
+      .write.mode("append").bucketBy(1, "gen").sortBy("gen")
+      .saveAsTable(table + "_g")
   }
 
   /** Delete vectors from a persisted IVF-ADC index — the takedown /
@@ -682,16 +725,22 @@ object Similarity {
       .write.mode("append").saveAsTable(table + "_t")
   }
 
-  /** The probe-visible rows of a persisted ADC index: stored rows
-    * minus tombstones (if any). Shared by every probe and by
-    * compaction so the two cannot disagree on liveness. */
+  /** The probe-visible rows of a persisted ADC index: rows of
+    * COMMITTED generations (lazy broadcast semi-join against the tiny
+    * `table_g` set — no driver collect, orphans of crashed appends
+    * cost only their own read) minus tombstones (if any). Shared by
+    * every probe and by compaction so the two cannot disagree on
+    * liveness. */
   private def liveAdcRows(spark: SparkSession, table: String,
       bucketedRead: Boolean = false): DataFrame = {
     val stored =
       if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
       else spark.table(table)
-    if (!spark.catalog.tableExists(table + "_t")) stored
-    else stored.join(
+    val committed = stored.join(
+      broadcast(spark.table(table + "_g").select("gen")),
+      Seq("gen"), "left_semi")
+    if (!spark.catalog.tableExists(table + "_t")) committed
+    else committed.join(
       broadcast(spark.table(table + "_t").select("id").distinct()),
       Seq("id"), "left_anti")
   }
@@ -716,11 +765,18 @@ object Similarity {
     // bucketed sink plans exchange-free: one compacted file per bucket
     val live = liveAdcRows(spark, table, bucketedRead = true)
       .select("cell", "id", "qc", "scale")
+      .withColumn("gen", lit(0L))
       .repartition(buckets, col("cell"))
     val shadow = table + "_cmp"
     graft.sources.MapFiles.write(live, "cell", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    // the compacted rows are all generation 0, which is committed in
+    // every reachable state — stale extra generations are inert, so
+    // each remaining step is individually crash-safe
+    import spark.implicits._
+    graft.sources.MapFiles.write(Seq(0L).toDF("gen"), "gen", 1,
+      table + "_g")
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     spark.catalog.refreshTable(table)
   }

@@ -459,14 +459,9 @@ object TextAnalysis {
       "gen", 1, table + "_s")
   }
 
-  /** A generation id no prior (possibly crashed) attempt can have
-    * used: retrying a failed append with a FRESH id is what makes
-    * orphan rows harmless — a deterministic sequence would re-collide
-    * with the orphan and double-count the batch once committed. The
-    * id's value never reaches any result (probes only test membership
-    * in the committed set), so it carries no determinism exposure. */
-  private def freshGen(): Long =
-    math.abs(System.nanoTime()) | 1L // never 0, the build generation
+  /** See [[graft.sources.MapFiles.freshGen]] — shared by both
+    * generation-committed index tiers. */
+  private def freshGen(): Long = graft.sources.MapFiles.freshGen()
 
   /** The probe-visible state of a persisted BM25 index: postings of
     * COMMITTED generations minus committed tombstones, plus the exact

@@ -84,6 +84,18 @@ object MapFiles {
     s.table(table)
   }
 
+  /** A write-generation id no prior (possibly crashed) attempt can
+    * have used — the retry-safety primitive of the persisted-index
+    * maintenance protocol (BM25 `appendBm25Index`, ADC
+    * `appendIvfAdcIndex`): a failed append's orphan rows stay
+    * invisible forever because the retry commits under a FRESH id (a
+    * deterministic sequence would re-collide with the orphan and
+    * double-count the batch once committed). The value never reaches
+    * any result — probes only test membership in the committed set —
+    * so it carries no determinism exposure. Never 0, the build
+    * generation. */
+  def freshGen(): Long = math.abs(System.nanoTime()) | 1L
+
   /** An in-memory catalog restarts empty while its warehouse directory
     * survives on disk; creating a table at that name then refuses the
     * stale location (LOCATION_ALREADY_EXISTS). Clear the orphan dir —

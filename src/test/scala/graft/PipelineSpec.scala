@@ -64,6 +64,14 @@ class DedupSpec extends AnyFunSuite with SparkTest {
         s"compacted files $after != rebuilt ${dataFiles("mh_ref_idx")}")
       assert(rows("mh_app_idx") == rows("mh_ref_idx"))
       assert(screen("mh_app_idx") == grown)
+      // retry idempotence: a replayed append duplicates band rows
+      // physically, but the screen's candidate/sizes distincts make
+      // the result identical — no generation protocol needed on this
+      // tier (the appendMinhashIndex crash-safety contract)
+      Dedup.appendMinhashIndex(batch, "doc_id", "text", "mh_app_idx",
+        n = 3, numHashes = h, bands = b)
+      assert(screen("mh_app_idx") == grown,
+        "replayed append changed the screen result")
       // appending to a missing index fails loudly
       intercept[Exception] {
         Dedup.appendMinhashIndex(batch, "doc_id", "text",
@@ -872,8 +880,58 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
           "adc_missing_idx", dim = 64)
       }
     } finally {
-      for (t <- Seq("adc_app_idx", "adc_app_idx_c",
-          "adc_full_idx", "adc_full_idx_c"))
+      for (t <- Seq("adc_app_idx", "adc_app_idx_c", "adc_app_idx_g",
+          "adc_full_idx", "adc_full_idx_c", "adc_full_idx_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("appendIvfAdcIndex atomicity: a writer killed before the commit leaves probes on the exact pre-append state") {
+    // the r13 generation protocol on the dense tier: uncommitted rows
+    // (a crashed append, or a partially-committed write job) must be
+    // invisible; the retry commits under a fresh generation without
+    // double-counting; compaction physically reclaims the orphan
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = corpus.count()
+    val build = corpus.filter(col("vec_id") * 2 < n)
+    val batch = corpus.filter(col("vec_id") * 2 >= n)
+    val (nlist, nprobe) = Similarity.ivfParams(build.count())
+    val queries = corpus.filter(col("vec_id") % 100 === 1)
+    def probe() = Similarity.ivfAdcTopKIndexed(
+        queries, "vec_id", "embedding",
+        k = 3, nprobe = nprobe, table = "adc_atom_idx", dim = 64)
+      .select("q_id", "nb_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    try {
+      val cents = Similarity.writeIvfAdcIndex(build, "vec_id",
+        "embedding", "adc_atom_idx", nlist = nlist, dim = 64)
+      val pre = probe()
+      val orphanGen = 777L
+      Similarity.appendAdcRowsOnly(batch, "vec_id", "embedding",
+        "adc_atom_idx", orphanGen)
+      assert(spark.table("adc_atom_idx")
+        .filter(col("gen") === orphanGen).count() > 0)
+      assert(probe() == pre, "uncommitted append leaked into the probe")
+      // retry: the full append under a fresh generation
+      Similarity.appendIvfAdcIndex(batch, "vec_id", "embedding",
+        "adc_atom_idx", dim = 64)
+      Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_atom_ref", nlist = nlist, dim = 64, cents = cents)
+      val ref = Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+          "embedding", k = 3, nprobe = nprobe, table = "adc_atom_ref",
+          dim = 64)
+        .select("q_id", "nb_id", "rank")
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(probe() == ref, "retried append diverged from rebuild")
+      Similarity.compactIvfAdcIndex(spark, "adc_atom_idx")
+      assert(spark.table("adc_atom_idx")
+        .filter(col("gen") === orphanGen).count() == 0,
+        "compaction should reclaim the orphan generation")
+      assert(probe() == ref)
+    } finally {
+      for (t <- Seq("adc_atom_idx", "adc_atom_idx_c", "adc_atom_idx_g",
+          "adc_atom_idx_t", "adc_atom_idx_cmp",
+          "adc_atom_ref", "adc_atom_ref_c", "adc_atom_ref_g"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
@@ -921,7 +979,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(probe("adc_del_idx") == ref)
     } finally {
       for (t <- Seq("adc_del_idx", "adc_del_idx_c", "adc_del_idx_t",
-          "adc_del_idx_cmp", "adc_del_ref", "adc_del_ref_c"))
+          "adc_del_idx_g", "adc_del_idx_cmp",
+          "adc_del_ref", "adc_del_ref_c", "adc_del_ref_g"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }

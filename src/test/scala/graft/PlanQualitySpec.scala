@@ -399,6 +399,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS q99_plan_idx")
       spark.sql("DROP TABLE IF EXISTS q99_plan_idx_c")
+      spark.sql("DROP TABLE IF EXISTS q99_plan_idx_g")
     }
   }
 

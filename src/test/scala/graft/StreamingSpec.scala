@@ -298,6 +298,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     finally {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_c")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_g")
     }
   }
 
@@ -480,7 +481,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
     } finally {
       for (t <- Seq("qc4_eq_lidx", "qc4_eq_lidx_s", "qc4_eq_vidx",
-          "qc4_eq_vidx_c"))
+          "qc4_eq_vidx_c", "qc4_eq_vidx_g"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
