@@ -1409,6 +1409,14 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
           "bm25_del_idx", k = 4)
         .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
       assert(probe2 == direct)
+      // the phrase probe reads the same committed view: a deleted doc
+      // must drop out of phrase verification too, not only BM25
+      val phr = TextAnalysis.phraseMatchesIndexed(
+          Seq((9L, "banana banana")).toDF("q_id", "qtext"),
+          "q_id", "qtext", "bm25_del_idx")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(!phr.exists(_._2 == 3L),
+        s"deleted doc survived phrase verification: $phr")
       // compaction physically removes the tombstoned rows and clears
       // the tombstone table; probes unchanged
       TextAnalysis.compactBm25Index(spark, "bm25_del_idx")

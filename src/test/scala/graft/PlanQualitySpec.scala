@@ -835,6 +835,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("qd2: the probe keeps its bucketed-scan properties over a COMPACTED index") {
+    // the compaction rewrite swaps the table's files behind its name —
+    // the probe must still scan bucketed with the query-term In
+    // pushdown and no postings-payload shuffle (the qb3/qc1 asserts
+    // carried to the third lifecycle state)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = planDf("qd2")
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("Bucketed: true"), p.take(4000))
+    assert(p.contains("In(term"), p.take(4000))
+    for (e <- planNodes(df.queryExecution.executedPlan)
+           .collect { case s: ShuffleExchangeExec => s }) {
+      val names = e.output.map(_.name).toSet
+      assert(!(names.contains("dl") && names.contains("tf")),
+        s"compacted postings re-shuffled: ${e.simpleString(20)}")
+    }
+  }
+
   test("qd1: the indexed phrase probe never unpacks document text — generators touch query terms and stored positions only") {
     import org.apache.spark.sql.execution.GenerateExec
     import org.apache.spark.sql.catalyst.expressions.PosExplode
