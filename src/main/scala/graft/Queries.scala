@@ -1892,6 +1892,36 @@ object RelationalQueries {
         table, k = qb1K, k1 = qb1K1, b = qb1B)
     }),
 
+    // QD7 — minhash archive DELETION (r13, completing the delete tier
+    // across all three persisted indexes): the archive is built on
+    // docs < 400, then deleteMinhashDocs tombstones every
+    // doc_id % 17 == 3 (single-append commit — no scalars on this
+    // tier; sizes ride the band rows, so the anti-join removes a
+    // doc's candidacy AND its size row in one stroke). The screen is
+    // handed the UNFILTERED corpus deliberately: the index itself
+    // must keep deleted docs out of the candidate set, so the gate
+    // equals q86's scan-per-run pairs restricted to surviving
+    // archive ids — if tombstone filtering broke, a deleted doc's
+    // pairs would reappear and the row goes red. Physical removal +
+    // replay idempotence are spec-gated.
+    "qd7" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      val table = "qd7_idx_" + dirTag(d)
+      buildOnce(table) {
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 400),
+          "doc_id", "text", table, n = 3, numHashes = h, bands = b)
+        Dedup.deleteMinhashDocs(s, table,
+          docs.filter(col("doc_id") % qd3DelMod === qd3DelRes)
+            .select("doc_id"), "doc_id")
+      }
+      Dedup.incrementalMinhashPairsIndexed(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", table, n = 3, threshold = 0.8,
+        numHashes = h, bands = b)
+    }),
+
     // QD5 — minhash archive APPEND + COMPACTION (the third persisted
     // tier's maintenance, closing r12 verdict #2 across all three
     // indexes): the archive index is built on docs < 300, grown by an
@@ -3277,6 +3307,13 @@ object RelationalQueries {
     "qd5" ->
       s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
         |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
+
+    // qd7: q86's pairs restricted to the SURVIVING archive ids — the
+    // deletion predicate on id_a, single-sourced with the Spark side
+    "qd7" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
+        |WHERE id_a < 400 AND id_a % $qd3DelMod <> $qd3DelRes
+        |  AND id_b >= 400""".stripMargin,
 
     // q72: survivors = corpus minus the exact shared-gram set
     "q72_decontam" ->

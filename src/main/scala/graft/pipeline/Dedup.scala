@@ -449,14 +449,53 @@ object Dedup {
     // (readBucketed), which already satisfies the sink's distribution —
     // the rewrite streams bucket i -> one file i with ZERO shuffle (the
     // repartition is a no-op safety net the planner elides)
-    val live = graft.sources.MapFiles.readBucketed(spark, table)
+    val live = liveMinhashRows(spark, table, bucketedRead = true)
       .select("bkey", "id", "n")
       .repartition(buckets, col("bkey"))
     val shadow = table + "_cmp"
     graft.sources.MapFiles.write(live, "bkey", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     spark.catalog.refreshTable(table)
+  }
+
+  /** Delete documents from a persisted minhash archive index — the
+    * takedown/dedup-verdict consumer on the signature tier, completing
+    * deletion across all three persisted indexes (BM25
+    * `deleteBm25Docs`, ADC `deleteIvfVecs`, and this). Tombstone id
+    * rows append to `table_t`; like the ADC tier there are NO scalars
+    * (each row carries its own `n`), so the single append IS the
+    * commit — present means deleted, no multi-table window — and
+    * re-deleting or deleting absent ids is idempotent by membership.
+    * Every probe anti-joins the distinct tombstones via
+    * [[liveMinhashRows]] (delete-batch-sized broadcast), removing the
+    * doc's band rows AND its size row in one stroke (sizes ride the
+    * band rows, so nothing can half-delete); [[compactMinhashIndex]]
+    * removes the rows physically and clears the tombstones. Gated
+    * (qd7): the incremental screen over the tombstoned archive equals
+    * the scan-per-run pairs over the archive MINUS the deleted docs. */
+  def deleteMinhashDocs(spark: SparkSession, table: String,
+      ids: DataFrame, idCol: String): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — not a minhash index")
+    graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .write.mode("append").saveAsTable(table + "_t")
+  }
+
+  /** The probe-visible rows of a persisted minhash archive: stored
+    * band rows minus tombstones (if any). Shared by every probe and
+    * by compaction so the two cannot disagree on liveness. */
+  private def liveMinhashRows(spark: SparkSession, table: String,
+      bucketedRead: Boolean = false): DataFrame = {
+    val stored =
+      if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
+      else spark.table(table)
+    if (!spark.catalog.tableExists(table + "_t")) stored
+    else stored.join(
+      broadcast(spark.table(table + "_t").select("id").distinct()),
+      Seq("id"), "left_anti")
   }
 
   /** [[incrementalMinhashPairs]] probing a PERSISTED archive index
@@ -479,7 +518,7 @@ object Dedup {
     val r = numHashes / bands
     val bsigs = mapSideSignatures(batch, idCol, textCol, n, numHashes)
       .cache()
-    val idx = spark.table(table)
+    val idx = liveMinhashRows(spark, table)
     val candidates = probeCandidates(spark, table, bsigs, bands, r)
       .distinct()
       .localCheckpoint(true) // reused by both semi-joins, inter and sizes
@@ -545,7 +584,7 @@ object Dedup {
     val bBand = bandRowsOf(bsigs, bands, r)
       .select(bkeyOf(col("band"), col("bsig")).as("bkey"),
         col("id").as("id_b"))
-    spark.table(table).as("x")
+    liveMinhashRows(spark, table).as("x")
       .join(bBand.as("y"), col("x.bkey") === col("y.bkey"))
       .select(col("x.id").as("id_a"), col("y.id_b").as("id_b"))
   }

@@ -21,6 +21,42 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out == Set((0L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("deleteMinhashDocs: tombstoned docs vanish from the screen; compaction removes them physically; replays are no-ops") {
+    // archive {0, 1, 3} with docs 0/1 exact dups; the screened batch
+    // doc 9 is another exact copy, so the screen yields (0,9) and
+    // (1,9) at J=1.0 — banding catches identical signatures with
+    // certainty, keeping this fixture deterministic
+    val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+    val archive = docs.filter(col("doc_id").isin(0L, 1L, 3L))
+    val batch = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def screen() = Dedup.incrementalMinhashPairsIndexed(
+        archive, batch, "doc_id", "text", "mh_del_idx", n = 3,
+        threshold = 0.8, numHashes = h, bands = b)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    try {
+      Dedup.writeMinhashIndex(archive, "doc_id", "text", "mh_del_idx",
+        n = 3, numHashes = h, bands = b)
+      assert(screen() == Set((0L, 9L), (1L, 9L)))
+      Dedup.deleteMinhashDocs(spark, "mh_del_idx",
+        Seq(1L, 99L).toDF("doc_id"), "doc_id") // 99 not in the archive
+      assert(screen() == Set((0L, 9L)), "deleted doc still screened")
+      Dedup.deleteMinhashDocs(spark, "mh_del_idx",
+        Seq(1L).toDF("doc_id"), "doc_id") // replay: no-op
+      assert(screen() == Set((0L, 9L)))
+      Dedup.compactMinhashIndex(spark, "mh_del_idx")
+      assert(!spark.catalog.tableExists("mh_del_idx_t"))
+      assert(spark.table("mh_del_idx")
+        .filter(col("id") === 1L).count() == 0,
+        "compaction left the deleted doc's band rows")
+      assert(screen() == Set((0L, 9L)))
+    } finally {
+      for (t <- Seq("mh_del_idx", "mh_del_idx_t", "mh_del_idx_cmp"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("appendMinhashIndex + compactMinhashIndex: build+append == rebuild, compaction keeps rows and drops generations") {
     // the qd5 contract: band rows are pure functions of the documents
     // and the fixed hash family, so growing the archive by a batch
