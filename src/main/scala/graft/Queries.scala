@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
 import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
-import graft.pipeline.{Curation, Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Quantize, Similarity, Sketches, TextAnalysis}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -170,6 +170,21 @@ object RelationalQueries {
     * the unrolled adjacency-chain oracle. */
   private val qd1N = 3
 
+  /** qe6's conjunctive query length — 3 terms, matching the qd1 phrase
+    * tier it brackets from below (conjunction = all terms present, any
+    * positions); 8-term conjunctions are near-unsatisfiable on this
+    * corpus and would gate an empty result. Single-sourced into the
+    * query builder and the oracle's HAVING chain. */
+  private val qe6QTerms = 3
+
+  /** qe4/qe5's quantile sketch parameters — the requested percentiles
+    * and the value quantization (events.value → centi-units, the repo's
+    * integer micro-unit convention: both engines compute the identical
+    * IEEE `floor(value·100 + 0.5)` double before the cast, so the
+    * integer inputs to the sketch are bit-equal). Single-sourced into
+    * both engines. */
+  private val qe4Pcts = Seq(50, 90, 99)
+
   /** DuckDB twin of the phrase-search contract at phrase length `n`:
     * positional postings re-derived in SQL, one adjacency self-join
     * per extra word — unrolled from the same constant the Spark side
@@ -208,12 +223,12 @@ object RelationalQueries {
     * first [[qb1QTerms]] tokens re-joined — the "query is a document
     * prefix" convention that keeps the oracle a pure function of the
     * documents table. */
-  private def qb1Queries(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame =
+  private def qb1Queries(docs: org.apache.spark.sql.DataFrame,
+      nTerms: Int = qb1QTerms): org.apache.spark.sql.DataFrame =
     docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("q_id"),
         array_join(slice(filter(split(col("text"), " "),
-          w => length(w) > 0), 1, qb1QTerms), " ").as("qtext"))
+          w => length(w) > 0), 1, nTerms), " ").as("qtext"))
 
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
@@ -1978,7 +1993,141 @@ object RelationalQueries {
         vecs.filter(col("vec_id") % qd3DelMod =!= qd3DelRes),
         "vec_id", "embedding", k = 3, nprobe = nprobe, table = table,
         dim = 64)
-    })
+    }),
+
+    // QE1 — STREAMING index maintenance on the DENSE tier (r14): qd6's
+    // contract carried to the ADC index — built on the first half of
+    // the corpus (quantizer trained there, frozen), the second half
+    // ARRIVES AS A STREAM, each micro-batch appended by the gated
+    // batch append inside foreachBatch under its own committed
+    // generation. The probe over the stream-grown index must equal the
+    // frozen-quantizer ADC chain over the full corpus (the qc3
+    // trainWhere oracle, ranked-output form): stream == batch appends
+    // == oracle. Two-micro-batch == one-shot == rebuild is spec-gated
+    // (StreamingSpec).
+    "qe1" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val n = vecs.count()
+      val build = vecs.filter(col("vec_id") * 2 < n)
+      val (nlist, nprobe) = Similarity.ivfParams(build.count(),
+        targetRecall = q35cTargetRecall)
+      val table = "qe1_idx_" + dirTag(d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndex(build, "vec_id", "embedding", table,
+          nlist = nlist, dim = 64)
+        Similarity.streamAppendIvfAdcIndex(
+          Tables.streamOf(s, d, "embeddings")
+            .filter(col("vec_id") * 2 >= n),
+          "vec_id", "embedding", table, dim = 64)
+      }
+      Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding", k = 3,
+        nprobe = nprobe, table = table, dim = 64)
+    }),
+
+    // QE2 — STREAMING index maintenance on the SIGNATURE tier (r14),
+    // completing the streaming-append matrix across all three
+    // persisted indexes (qd6 lexical, qe1 dense): the minhash archive
+    // is built on docs < 300 and the 300..399 slice ARRIVES AS A
+    // STREAM, appended per micro-batch (no generation protocol needed
+    // — band rows are scalar-free and the probe dedups candidates, so
+    // replayed micro-batches are screened out, the qd5
+    // retry-idempotence argument). The incremental screen over the
+    // stream-grown archive must equal q86's scan-per-run result —
+    // q86's oracle VERBATIM (the archive's final content is exactly
+    // docs < 400).
+    "qe2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      val table = "qe2_idx_" + dirTag(d)
+      buildOnce(table) {
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") < 300),
+          "doc_id", "text", table, n = 3, numHashes = h, bands = b)
+        Dedup.streamAppendMinhashIndex(
+          Tables.streamOf(s, d, "documents")
+            .filter(col("doc_id") >= 300 && col("doc_id") < 400),
+          "doc_id", "text", table, n = 3, numHashes = h, bands = b)
+      }
+      Dedup.incrementalMinhashPairsIndexed(
+        docs.filter(col("doc_id") < 400),
+        docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", table, n = 3, threshold = 0.8,
+        numHashes = h, bands = b)
+    }),
+
+    // QE3 — ADC index RETRAIN (r14): the consumer of qc3's drift
+    // signal, closing the dense tier's maintenance loop. The index is
+    // built on the first half (quantizer frozen there), grown by a
+    // batch append (the drifted 2x state qc3 monitors), then
+    // retrainIvfAdcIndex retrains the quantizer over the FULL corpus
+    // and swaps the re-packed index in via the shadow protocol. The
+    // probe must now equal a FRESH full-corpus build — q99's oracle
+    // VERBATIM — proving the retrain fully erases the drift debt: the
+    // same chain that gates the write-once index gates the
+    // rebuilt-after-drift index. Retrain == one-shot build down to
+    // stored rows, and tombstone-respecting retrain, are spec-gated
+    // (PipelineSpec).
+    "qe3" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val n = vecs.count()
+      val build = vecs.filter(col("vec_id") * 2 < n)
+      val (bNlist, _) = Similarity.ivfParams(build.count(),
+        targetRecall = q35cTargetRecall)
+      val (fNlist, fNprobe) = denseParamsFor(s, d)
+      val table = "qe3_idx_" + dirTag(d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndex(build, "vec_id", "embedding", table,
+          nlist = bNlist, dim = 64)
+        Similarity.appendIvfAdcIndex(vecs.filter(col("vec_id") * 2 >= n),
+          "vec_id", "embedding", table, dim = 64)
+        Similarity.retrainIvfAdcIndex(vecs, "vec_id", "embedding", table,
+          nlist = fNlist, dim = 64)
+      }
+      Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding", k = 3,
+        nprobe = fNprobe, table = table, dim = 64)
+    }),
+
+    // QE4 — mergeable quantile sketch (r14): p50/p90/p99 of
+    // events.value (centi-unit quantized) from the log-bucketed
+    // bounded-state sketch — the quantile member of the approximate
+    // tier beside the portable HLL (q07b) and count-min (qa8). Every
+    // step is integer (bit-length bucket mapping, exact counts, rank
+    // walk), so the APPROXIMATE estimates are oracle-gated bit for
+    // bit; the bracketing error bound and the merge law are spec-gated
+    // (PipelineSpec).
+    "qe4" -> ((s, d) =>
+      Sketches.logBucketQuantiles(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        floor(col("value") * 100 + 0.5).cast("long"), qe4Pcts)),
+
+    // QE5 — the STREAMING twin of qe4 (the qa9 discipline): the bucket
+    // build runs as one complete-mode streaming aggregation whose
+    // state IS the bounded bucket table, and each micro-batch's
+    // foreachBatch re-derives the quantile report from the full state.
+    // Counts are additive across micro-batches (the merge law), so the
+    // final state is bit-equal to the batch sketch — qe5 shares qe4's
+    // oracle VERBATIM: stream == batch == oracle on the quantile tier.
+    "qe5" -> ((s, d) => {
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_qe5_${s.sparkContext.applicationId}").getAbsolutePath
+      Sketches.streamLogBucketQuantiles(
+        Tables.streamOf(s, d, "events").filter(col("value").isNotNull),
+        floor(col("value") * 100 + 0.5).cast("long"), qe4Pcts, sink)
+    }),
+
+    // QE6 — CONJUNCTIVE (boolean-AND) retrieval over the persisted
+    // postings index (r14): only documents containing EVERY query term
+    // rank — the `+term` search-engine contract sitting between
+    // bag-of-words BM25 (qb1, any term) and exact phrases (qd1, all
+    // terms adjacent). Queries are each sampled doc's first 3 tokens
+    // (the qd1 length; 8-term conjunctions are near-unsatisfiable).
+    // Scoring of survivors is the shared bm25Rank tree verbatim; the
+    // oracle is the qb1 CTE chain with one HAVING matched-terms =
+    // query-term-count clause, both sides single-sourced from
+    // qe6QTerms.
+    "qe6" -> ((s, d) =>
+      TextAnalysis.bm25TopKIndexedConjunctive(
+        qb1Queries(Tables.documents(s, d), qe6QTerms), "q_id", "qtext",
+        lexIndex(s, d), k = qb1K, k1 = qb1K1, b = qb1B))
   )
 
   /** DuckDB oracle for q21b_kmeans_local — the FLOAT-Lloyd per-line
@@ -2398,14 +2547,27 @@ object RelationalQueries {
     * with a WHERE on the documents CTE (queries re-derive from the
     * filtered corpus too — corpus-minus-deleted everywhere, both
     * engines). */
-  private def bm25OracleCtesWhere(where: String): String =
+  private def bm25OracleCtesWhere(where: String,
+      qTermsN: Int = qb1QTerms, conjunctive: Boolean = false): String = {
+    // conjunctive (qe6): sc's per-(q,doc) row count IS the matched-term
+    // count (tf is per (doc,term), qt distinct per (q,term)), so AND
+    // semantics is one HAVING against the query's own term count —
+    // mirroring the Spark side's nmatch === nq filter
+    val conjJoin =
+      if (conjunctive) " JOIN qn ON qn.q_id = qt.q_id" else ""
+    val conjHaving =
+      if (conjunctive) "\n      |  HAVING count(*) = min(qn.nq)" else ""
+    val conjCte =
+      if (conjunctive)
+        "\n      |qn AS (SELECT q_id, count(*) AS nq FROM qt GROUP BY 1),"
+      else ""
     s"""bt AS (SELECT doc_id,
       |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
       |  FROM documents $where),
       |st AS (SELECT count(*) AS n_docs,
       |    CAST(sum(len(ws)) AS DOUBLE) / count(*) AS avgdl FROM bt),
-      |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(ws[1:$qb1QTerms]) AS term
-      |  FROM bt WHERE doc_id % 100 = 0),
+      |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(ws[1:$qTermsN]) AS term
+      |  FROM bt WHERE doc_id % 100 = 0),$conjCte
       |post AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM bt),
       |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM post
       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2, 3),
@@ -2415,12 +2577,13 @@ object RelationalQueries {
       |      * (tf.tf * ($qb1K1 + 1))
       |      / (tf.tf + $qb1K1 * (1 - $qb1B + $qb1B * tf.dl / st.avgdl)))
       |      AS score
-      |  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN st
-      |  WHERE tf.doc_id <> qt.q_id GROUP BY 1, 2),
+      |  FROM tf JOIN dfq USING (term) JOIN qt USING (term)$conjJoin CROSS JOIN st
+      |  WHERE tf.doc_id <> qt.q_id GROUP BY 1, 2$conjHaving),
       |lexr AS (SELECT q_id, doc_id,
       |    CAST(floor(score * 1e6) AS BIGINT) AS score_u,
       |    row_number() OVER (PARTITION BY q_id
       |      ORDER BY floor(score * 1e6) DESC, doc_id) AS rk FROM sc)""".stripMargin
+  }
 
   /** qb1's complete oracle — shared BY REFERENCE with qb3 (persisted
     * index), qb4 (streamed queries), and qc1 (appended index), so the
@@ -2430,6 +2593,43 @@ object RelationalQueries {
     s"""WITH $bm25OracleCtes
       |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
       |FROM lexr WHERE rk <= $qb1K""".stripMargin
+
+  /** DuckDB twin of [[graft.pipeline.Sketches.logBucketQuantiles]]
+    * over events.value centi-units (qe4; qe5 shares it by reference):
+    * the whole sketch is integer arithmetic both engines repeat bit
+    * for bit — `length(printf('%b', v))` is Spark's `length(bin(v))`
+    * (bit length, no float log2), the bucket width is a guarded shift,
+    * counts are exact, and the rank walk is an integer cumulative
+    * compare. Every constant interpolates from the same qe4Pcts /
+    * Sketches.defaultSubBits fields the Spark side uses. */
+  private lazy val logBucketQuantilesOracleSql: String = {
+    val s = graft.pipeline.Sketches.defaultSubBits
+    val pcts = qe4Pcts.mkString(", ")
+    s"""WITH cv AS (SELECT CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT v, length(printf('%b', v)) AS nb FROM cv),
+      |m AS (SELECT v, nb,
+      |    CASE WHEN nb <= ${s + 1} THEN CAST(1 AS BIGINT)
+      |      ELSE (CAST(1 AS BIGINT) << (nb - 1 - $s)) END AS p FROM b),
+      |bk AS (SELECT
+      |    CASE WHEN nb <= ${s + 1} THEN v ELSE (v // p) * p END AS b_low,
+      |    CASE WHEN nb <= ${s + 1} THEN v
+      |      ELSE (v // p + 1) * p - 1 END AS b_high,
+      |    count(*) AS cnt
+      |  FROM m GROUP BY 1, 2),
+      |cum AS (SELECT b_low, b_high, cnt,
+      |    CAST(sum(cnt) OVER (ORDER BY b_low) AS BIGINT) AS cum FROM bk),
+      |tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total
+      |  FROM bk),
+      |t AS (SELECT pct, CAST((pct * total + 99) // 100 AS BIGINT)
+      |    AS target_rank
+      |  FROM (SELECT unnest([$pcts]) AS pct) CROSS JOIN tot),
+      |sel AS (SELECT t.pct, t.target_rank, min(c.b_low) AS est_low
+      |  FROM t JOIN cum c ON c.cum >= t.target_rank GROUP BY 1, 2)
+      |SELECT sel.pct, sel.target_rank, sel.est_low,
+      |  bk.b_high AS est_high
+      |FROM sel JOIN bk ON bk.b_low = sel.est_low""".stripMargin
+  }
 
   /** qb7's complete oracle (lexical chain + ADC chain + RRF fusion) —
     * shared BY REFERENCE with qc4 (the streaming hybrid twin). */
@@ -2923,6 +3123,23 @@ object RelationalQueries {
     // (the merged integer scalars and appended bucket files lose
     // nothing)
     "qc1" -> bm25TopKOracleSql,
+
+    // qe6: the qb1 CTE chain at 3-term queries with the conjunctive
+    // HAVING — only all-terms-present docs survive into the ranking;
+    // everything else (scoring, quantization, tie-break) is the shared
+    // chain verbatim
+    "qe6" ->
+      s"""WITH ${bm25OracleCtesWhere("", qTermsN = qe6QTerms,
+          conjunctive = true)}
+        |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
+        |FROM lexr WHERE rk <= $qb1K""".stripMargin,
+
+    // qe4 + qe5 (shared by reference — stream == batch == oracle): the
+    // log-bucketed quantile sketch re-derived arithmetically — centi-
+    // unit quantization, bit-length bucket mapping (printf('%b') =
+    // Spark's bin(), no float log2), exact counts, integer rank walk
+    "qe4" -> logBucketQuantilesOracleSql,
+    "qe5" -> logBucketQuantilesOracleSql,
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,
@@ -3315,6 +3532,13 @@ object RelationalQueries {
         |WHERE id_a < 400 AND id_a % $qd3DelMod <> $qd3DelRes
         |  AND id_b >= 400""".stripMargin,
 
+    // qe2: q86's oracle verbatim — the stream-grown archive's content
+    // is exactly the q86 archive (docs < 400), so the screen must
+    // reproduce the same cross-boundary pairs
+    "qe2" ->
+      s"""SELECT id_a, id_b, jaccard FROM ($jaccardOracleSql) p
+        |WHERE id_a < 400 AND id_b >= 400""".stripMargin,
+
     // q72: survivors = corpus minus the exact shared-gram set
     "q72_decontam" ->
       """WITH w AS (SELECT doc_id,
@@ -3625,6 +3849,30 @@ object RelationalQueries {
         |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
         |FROM r WHERE rk <= 3""".stripMargin
     },
+
+    // qe1: the frozen-quantizer ADC chain (quantizer trained on the
+    // first half — qc3's trainWhere — corpus fully assigned/packed
+    // against it, every vector a query), ranked-output form: the
+    // stream-grown index must probe exactly like its batch-append twin
+    "qe1" ->
+      s"""WITH ${adcRankedSql(
+          fracNum = graft.pipeline.Similarity.probeFracEighths(
+            q35cTargetRecall),
+          occ = graft.pipeline.Similarity.defaultOccupancy,
+          iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
+          trainWhere = "WHERE vec_id * 2 < (SELECT count(*) FROM nv)")}
+        |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
+        |FROM r WHERE rk <= 3""".stripMargin,
+
+    // qe3: q99's oracle VERBATIM — after the retrain, the
+    // drifted-then-rebuilt index must be indistinguishable from a
+    // fresh full-corpus build
+    "qe3" ->
+      adcOracleSql(k = 3,
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
 
     // qa6: q99's oracle VERBATIM again — streaming the queries through
     // the persisted index must lose nothing vs the one-shot batch probe

@@ -432,6 +432,45 @@ object Dedup {
       .saveAsTable(table)
   }
 
+  /** [[appendMinhashIndex]] with the NEW DOCUMENTS ARRIVING AS A
+    * STREAM — the signature tier's twin of
+    * [[graft.pipeline.TextAnalysis.streamAppendBm25Index]] (qd6) and
+    * [[graft.pipeline.Similarity.streamAppendIvfAdcIndex]] (qe1),
+    * completing streaming maintenance across all three persisted
+    * indexes: [[streamIncrementalDedup]] streams batches AGAINST the
+    * archive; this streams the corpus INTO it. Each micro-batch runs
+    * the gated batch append verbatim inside foreachBatch — map-side
+    * signatures, band rows into the existing bkey buckets. This tier
+    * needs no generation protocol at all (the [[appendMinhashIndex]]
+    * retry-idempotence argument): band rows carry no scalars, the
+    * probe's candidate stage dedups pairs and reads sizes distinct, so
+    * a replayed micro-batch — the failure mode foreachBatch's
+    * at-least-once contract produces — changes no screen result. K
+    * streamed micro-batches == one one-shot append == a rebuild over
+    * the union, row-identical (two-micro-batch MemoryStream spec; qe2
+    * gates the grown archive's screen against q86's oracle
+    * verbatim). */
+  def streamAppendMinhashIndex(docStream: DataFrame, idCol: String,
+      textCol: String, table: String, n: Int, numHashes: Int = 24,
+      bands: Int = 6): Unit = {
+    val q = startStreamAppendMinhashIndex(docStream, idCol, textCol,
+      table, n, numHashes, bands)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of [[streamAppendMinhashIndex]] —
+    * the caller owns the trigger cadence (StreamingSpec drives TWO
+    * micro-batches through it). */
+  def startStreamAppendMinhashIndex(docStream: DataFrame, idCol: String,
+      textCol: String, table: String, n: Int, numHashes: Int = 24,
+      bands: Int = 6): org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendMinhashIndex(batch, idCol, textCol, table, n, numHashes,
+          bands)
+      }
+      .start()
+
   /** Rewrite a persisted minhash archive's file generations into ONE
     * (the MapFile sorted-single-file contract, io/MapFile.java:49) —
     * after K batch appends a probe otherwise reads K generations of

@@ -705,6 +705,95 @@ object Similarity {
       .saveAsTable(table + "_g")
   }
 
+  /** [[appendIvfAdcIndex]] with the NEW VECTORS ARRIVING AS A STREAM —
+    * the dense tier's twin of
+    * [[graft.pipeline.TextAnalysis.streamAppendBm25Index]] (qd6),
+    * completing the streaming-maintenance matrix across the persisted
+    * indexes: qa6 streams queries AGAINST this index; this streams the
+    * corpus INTO it. Each micro-batch runs the gated batch append
+    * verbatim inside foreachBatch — assignment against the stored
+    * frozen centroids, packed rows into the existing cell buckets,
+    * one committed generation per micro-batch. Exactness needs no
+    * scalar arithmetic on this tier (no corpus scalars exist): batches
+    * are new vectors, so their packed rows concatenate, and the
+    * generation commit keeps a crashed micro-batch invisible until a
+    * restart re-appends it under a fresh generation — K streamed
+    * micro-batches == one one-shot append == a rebuild under the same
+    * quantizer, down to stored rows (two-micro-batch MemoryStream
+    * spec; qe1 gates the grown index's probe against the
+    * frozen-quantizer ADC oracle). Centroid drift accrues exactly as
+    * in batch appends and stays monitored by the qc3 recall gate. */
+  def streamAppendIvfAdcIndex(vecStream: DataFrame, idCol: String,
+      vecCol: String, table: String, dim: Int = 64): Unit = {
+    val q = startStreamAppendIvfAdcIndex(vecStream, idCol, vecCol, table,
+      dim)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of [[streamAppendIvfAdcIndex]] —
+    * the caller owns the trigger cadence (StreamingSpec drives TWO
+    * micro-batches through it). */
+  def startStreamAppendIvfAdcIndex(vecStream: DataFrame, idCol: String,
+      vecCol: String, table: String, dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        appendIvfAdcIndex(batch, idCol, vecCol, table, dim)
+      }
+      .start()
+
+  /** RETRAIN a persisted IVF-ADC index — the consumer of the qc3 drift
+    * gate's signal, closing the maintenance loop the frozen-centroid
+    * appends leave open: when [[recallAuditIndexed]]'s floor falls, the
+    * answer is a retrain, and this is that operation. The coarse
+    * quantizer is retrained from scratch over the LIVE corpus (the
+    * caller's vector frame minus any tombstoned ids — deletion state
+    * lives in the index, so the retrain consults it), every surviving
+    * vector re-packs against the new centroids, and the fresh index
+    * swaps in via the shadow-table protocol, dropping tombstones and
+    * collapsing generations to one.
+    *
+    * The retrained state is BY CONSTRUCTION the one-shot
+    * [[writeIvfAdcIndex]] state over the live corpus — same training
+    * sample, same Lloyd loop, same packing, the identical code path
+    * into a shadow name — so qe3 gates it against the full-corpus ADC
+    * oracle VERBATIM (the q99 chain): a drifted 2×-grown index probes
+    * back bit-equal to a fresh build after the retrain. Cost: one
+    * training pass + one corpus re-pack + the bucketed write — the
+    * full-rebuild price, paid when the drift gate says so, never per
+    * probe or per append.
+    *
+    * Crash exposure: the multi-table swap (rows, then centroids, then
+    * generations) is wider than compaction's single DROP/RENAME pair —
+    * a maintenance-window operation, documented as such. A crash
+    * BEFORE the first DROP leaves the old index fully intact (the
+    * shadow tables are invisible to probes). Returns the new
+    * quantizer. */
+  def retrainIvfAdcIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      table: String, nlist: Int, dim: Int = 64): Array[Array[Double]] = {
+    val spark = vecs.sparkSession
+    require(spark.catalog.tableExists(table + "_g"),
+      s"$table has no generation table — not an ADC index")
+    val live =
+      if (!spark.catalog.tableExists(table + "_t")) vecs
+      else vecs.join(
+        broadcast(spark.table(table + "_t").select("id").distinct()
+          .withColumnRenamed("id", idCol)),
+        Seq(idCol), "left_anti")
+    val shadow = table + "_rt"
+    // writeIvfAdcIndex (via MapFiles.write) drops + stale-cleans each
+    // shadow table itself, so a crashed prior retrain cannot block this
+    val quantizer = writeIvfAdcIndex(live, idCol, vecCol, shadow,
+      nlist = nlist, dim = dim)
+    for (suffix <- Seq("", "_c", "_g")) {
+      spark.sql(s"DROP TABLE `$table$suffix`")
+      spark.sql(s"ALTER TABLE `$shadow$suffix` RENAME TO `$table$suffix`")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    spark.catalog.refreshTable(table)
+    quantizer
+  }
+
   /** Delete vectors from a persisted IVF-ADC index — the takedown /
     * dedup-verdict consumer on the dense tier (the r12 verdict's #4),
     * mirroring [[graft.pipeline.TextAnalysis.deleteBm25Docs]]. This

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable bounded-state quantile sketches — the missing member of the
+  * approximate tier beside the portable HLL (q07b) and the count-min
+  * heavy hitters (qa8/qa9). The exact-percentile operators this repo
+  * already gates (q96: a distinct-value count map) carry state bounded
+  * by the DOMAIN, which is fine for token lengths and unacceptable for
+  * an unbounded numeric column at 100 TB; a quantile sketch carries
+  * state bounded by a CONSTANT. The design here is the HDR-histogram
+  * shape (log-scaled buckets with `2^subBits` linear sub-buckets per
+  * octave) rather than GK/KLL/t-digest, for the same reason qa8 chose
+  * count-min over SpaceSaving: every operation is INTEGER arithmetic on
+  * values both engines can repeat bit for bit — bucket mapping is bit
+  * length + shifts, counts are exact longs, quantile extraction is an
+  * integer rank walk — so the APPROXIMATE estimates themselves are
+  * oracle-gated exactly (qe4), not merely bounded. The relative-error
+  * guarantee is structural: a value lands in a bucket whose width is at
+  * most `2^-subBits` of its lower bound, so any quantile estimate
+  * brackets the true order statistic within that relative error
+  * (spec-asserted against exact percentiles, alongside the merge law).
+  *
+  * Mergeability is what makes it a 100 TB operator: the sketch is a
+  * `(b_low, b_high, cnt)` table, so partial sketches combine by summed
+  * counts — across partitions (Spark's own partial aggregation does it
+  * map-side), across shards, and across micro-batches (qe5 runs the
+  * same build as a complete-mode streaming aggregation whose state IS
+  * the bucket table, the qa9 discipline). At `subBits = 4` the table
+  * holds at most ~`16·64 + 32` rows for any long-valued input — the
+  * sketch never grows with the corpus.
+  *
+  * Reference contract: the frequency-table + report shape of
+  * `mapred/lib/aggregate/ValueHistogram.java:78-127` (whose exact
+  * median walk this generalizes to bounded state), with the
+  * `UniqValueCount` cap (`UniqValueCount.java:81`) as the reference's
+  * own precedent for trading exactness for bounded memory. */
+object Sketches {
+
+  /** Number of linear sub-buckets per octave is `2^subBits`; relative
+    * bucket width (and so the quantile bracketing error) is `2^-subBits`
+    * = 6.25% at the default. */
+  val defaultSubBits = 4
+
+  /** The sketch itself: `(b_low, b_high, cnt)` bucket counts of a
+    * POSITIVE long-valued column (callers quantize doubles to integer
+    * units first — the repo's micro-unit convention — and own the
+    * null/zero policy). One map-side projection plus a bounded
+    * aggregation: the shuffle after partial aggregation carries at most
+    * the bucket-table rows per task, regardless of input size.
+    *
+    * Bucket mapping, all integer (no float log2 anywhere): values below
+    * `2^(subBits+1)` are their own bucket (width 1, exact); above, the
+    * bucket keeps the value's top `subBits + 1` bits and zeroes the
+    * rest — `n = length(bin(v))` is the bit length, `p = 1 << (n - 1 -
+    * subBits)` the bucket width, `b_low = (v div p) · p` (the shift is
+    * `greatest`-guarded so the small-value branch never evaluates a
+    * negative shift — DuckDB's `<<` rejects those, and the twins must
+    * compute the same expression). */
+  def logBucketCounts(rows: DataFrame, valCol: Column,
+      subBits: Int = defaultSubBits): DataFrame =
+    rows.select(valCol.cast("long").as("v"))
+      .withColumn("nb", length(bin(col("v"))))
+      .withColumn("p", expr(
+        s"shiftleft(cast(1 as bigint), greatest(nb - 1 - $subBits, 0))"))
+      .select(
+        when(col("nb") <= subBits + 1, col("v"))
+          .otherwise(expr("(v div p) * p")).as("b_low"),
+        when(col("nb") <= subBits + 1, col("v"))
+          .otherwise(expr("(v div p + 1) * p - 1")).as("b_high"))
+      .groupBy("b_low", "b_high")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile extraction from a bucket table: for each requested
+    * percent `p`, the target rank is `ceil(p·N/100)` (exact integer
+    * arithmetic) and the estimate is the first bucket — walking buckets
+    * in value order — whose cumulative count reaches it. The true
+    * p-th-percentile order statistic provably lies inside the returned
+    * `[est_low, est_high]` (the rank walk over value-ordered buckets is
+    * the same walk sorted data would take), so the bracketing claim is
+    * structural, not statistical. Returns
+    * `(pct, target_rank, est_low, est_high)`.
+    *
+    * The cumulative walk is a window over the BUCKET TABLE — bounded
+    * rows by construction — so the single-partition window the repo
+    * bans on corpus-sized data is fine here (the qa8 TakeOrdered
+    * class: post-sketch work is sketch-sized). */
+  def quantilesFromBuckets(buckets: DataFrame, percents: Seq[Int])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val cum = buckets.withColumn("cum",
+      sum("cnt").over(Window.orderBy("b_low")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = buckets.agg(coalesce(sum("cnt"), lit(0L)).as("total"))
+    val targets = percents.toDF("pct").crossJoin(broadcast(total))
+      .select(col("pct"),
+        expr("(pct * total + 99) div 100").as("target_rank"))
+    targets.join(broadcast(cum), col("cum") >= col("target_rank"))
+      .groupBy("pct", "target_rank")
+      .agg(min("b_low").as("est_low"))
+      .join(broadcast(buckets.select(col("b_low").as("est_low"),
+        col("b_high").as("est_high"))), Seq("est_low"))
+      .select("pct", "target_rank", "est_low", "est_high")
+  }
+
+  /** [[logBucketCounts]] + [[quantilesFromBuckets]] composed — the qe4
+    * row's shape: quantile estimates of a positive long column with
+    * sketch-bounded state end to end. */
+  def logBucketQuantiles(rows: DataFrame, valCol: Column,
+      percents: Seq[Int], subBits: Int = defaultSubBits): DataFrame =
+    quantilesFromBuckets(logBucketCounts(rows, valCol, subBits), percents)
+
+  /** [[logBucketQuantiles]] with the VALUES ARRIVING AS A STREAM — the
+    * quantile analog of qa9's streaming count-min: the bucket build
+    * runs as ONE complete-mode streaming aggregation whose state is
+    * the bounded bucket table (no watermark, no replay — counts are
+    * additive across micro-batches by the merge law), and each batch's
+    * foreachBatch re-derives the quantile report from the full state,
+    * overwriting the sink so the final read-back is the
+    * latest-complete-state report. Stream == batch == oracle: the
+    * complete-mode state after K micro-batches is bit-equal to the
+    * batch sketch over their union, so qe5 shares qe4's oracle
+    * verbatim (two-micro-batch MemoryStream spec gates the equality).
+    * Returns the read-back report. */
+  def streamLogBucketQuantiles(stream: DataFrame, valCol: Column,
+      percents: Seq[Int], sinkDir: String,
+      subBits: Int = defaultSubBits): DataFrame = {
+    val q = startStreamLogBucketQuantiles(stream, valCol, percents,
+      sinkDir, subBits)
+    try q.processAllAvailable() finally q.stop()
+    stream.sparkSession.read.parquet(sinkDir)
+  }
+
+  /** The started-but-undrained form of [[streamLogBucketQuantiles]] —
+    * the caller owns the trigger cadence. Initializes the sink with a
+    * zero-row typed frame so an empty stream reads back well-typed. */
+  def startStreamLogBucketQuantiles(stream: DataFrame, valCol: Column,
+      percents: Seq[Int], sinkDir: String,
+      subBits: Int = defaultSubBits)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    quantilesFromBuckets(
+      Seq.empty[(Long, Long, Long)].toDF("b_low", "b_high", "cnt"),
+      percents).write.mode("overwrite").parquet(sinkDir)
+    logBucketCounts(stream, valCol, subBits).writeStream
+      .outputMode("complete")
+      .foreachBatch { (state: DataFrame, _: Long) =>
+        quantilesFromBuckets(state, percents)
+          .write.mode("overwrite").parquet(sinkDir)
+      }
+      .start()
+  }
+}

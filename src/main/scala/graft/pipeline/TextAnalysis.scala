@@ -184,7 +184,8 @@ object TextAnalysis {
     * of a popular term's full candidate set through one reducer. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      conjunctive: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
         words(col(textCol)).as("ws"))
       .select(col("doc_id"), size(col("ws")).as("dl"),
@@ -193,7 +194,7 @@ object TextAnalysis {
     val qterms = queryTerms(queries, qIdCol, qTextCol)
     val cand = toks.join(broadcast(qterms.select("term").distinct()), "term")
     val tf = cand.groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
-    bm25Rank(tf, qterms, stats, k, k1, b)
+    bm25Rank(tf, qterms, stats, k, k1, b, conjunctive)
   }
 
   /** The BM25 corpus scalars as EXACT INTEGERS — (n_docs, sum_dl), with
@@ -230,7 +231,8 @@ object TextAnalysis {
     * candidate-postings count, so no corpus-wide vocabulary exists on
     * either path. `stats` arrives as [[corpusStats]]'s integer scalars. */
   private def bm25Rank(tf: DataFrame, qterms: DataFrame, stats: DataFrame,
-      k: Int, k1: Double, b: Double): DataFrame = {
+      k: Int, k1: Double, b: Double,
+      conjunctive: Boolean = false): DataFrame = {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf.join(broadcast(dfreq), "term")
       .join(broadcast(qterms), "term")
@@ -240,7 +242,19 @@ object TextAnalysis {
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
           * (col("tf") * (k1 + 1))
           / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
-    val su = w.groupBy("q_id", "doc_id").agg(sum("w").as("score"))
+    // conjunctive (AND) semantics: keep only docs matching EVERY
+    // distinct query term. tf is per (doc, term) and qterms is distinct
+    // per (q, term), so each (q, doc, term) contributes exactly one w
+    // row — the group's row count IS its matched-term count, and the
+    // filter is an integer compare against the query's own term count
+    // (query-scale broadcast). Disjunctive scoring is untouched: the
+    // summed weights of a surviving doc are the same rows either way.
+    val su0 = w.groupBy("q_id", "doc_id").agg(sum("w").as("score"),
+      count(lit(1)).as("nmatch"))
+    val su = (if (!conjunctive) su0
+      else su0.join(
+        broadcast(qterms.groupBy("q_id").agg(count(lit(1)).as("nq"))),
+        "q_id").filter(col("nmatch") === col("nq")))
       .withColumn("score_u", floor(col("score") * 1e6).cast("long"))
     val topk = udaf(new graft.agg.TopKAggregator(k),
       org.apache.spark.sql.Encoders.product[(Double, Long)])
@@ -724,7 +738,8 @@ object TextAnalysis {
     * (both candidate paths are spec-gated indexed == direct). */
   def bm25TopKIndexed(queries: DataFrame, qIdCol: String, qTextCol: String,
       table: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxPushdownTerms: Int = 256): DataFrame = {
+      maxPushdownTerms: Int = 256, conjunctive: Boolean = false)
+      : DataFrame = {
     val spark = queries.sparkSession
     val (tf, stats) = committedIndex(spark, table)
     val qterms = queryTerms(queries, qIdCol, qTextCol)
@@ -737,8 +752,28 @@ object TextAnalysis {
       if (terms.length <= maxPushdownTerms)
         tf.filter(col("term").isInCollection(terms.toSeq))
       else tf.join(broadcast(termSet), "term")
-    bm25Rank(cand, qterms, stats, k, k1, b)
+    bm25Rank(cand, qterms, stats, k, k1, b, conjunctive)
   }
+
+  /** [[bm25TopKIndexed]] under CONJUNCTIVE (boolean-AND) semantics —
+    * only documents containing EVERY distinct query term are ranked,
+    * the search-engine `+term1 +term2` contract bag-of-words BM25
+    * relaxes and the phrase tier (qb6/qd1) over-tightens: conjunction
+    * sits between them (all terms present, any positions). Scoring and
+    * ranking of the surviving docs are [[bm25Rank]]'s shared Column
+    * tree VERBATIM — the only addition is an integer matched-term
+    * count compared against the query's own term count, both
+    * query-scale (qe6 gates it against the qb1 CTE chain with the same
+    * HAVING clause). Scale shape unchanged from [[bm25TopKIndexed]]:
+    * the filter runs on candidate aggregates that are already
+    * query-restricted, so it adds no scan or shuffle — a conjunctive
+    * probe is never slower than its disjunctive twin, only its
+    * postings-intersection cheaper. */
+  def bm25TopKIndexedConjunctive(queries: DataFrame, qIdCol: String,
+      qTextCol: String, table: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, maxPushdownTerms: Int = 256): DataFrame =
+    bm25TopKIndexed(queries, qIdCol, qTextCol, table, k, k1, b,
+      maxPushdownTerms, conjunctive = true)
 
   /** [[bm25TopKIndexed]] with the QUERIES AS A STREAM — the online
     * lexical serving shape beside the dense tier's
