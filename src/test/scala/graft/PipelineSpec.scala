@@ -1020,6 +1020,99 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
+
+  test("retrainIvfAdcIndex: retrain == one-shot build over the live corpus, consuming tombstones and resetting generations") {
+    // the qe3 contract plus the deletion face: a drifted
+    // build+append+delete index retrains into EXACTLY the state a
+    // fresh writeIvfAdcIndex over the survivors would produce — codes,
+    // centroids, generation set, and probe — and the tombstone table
+    // is consumed by the swap
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = corpus.count()
+    val build = corpus.filter(col("vec_id") * 2 < n)
+    val (bNlist, _) = Similarity.ivfParams(build.count())
+    val survivors = corpus.filter(col("vec_id") % 7 =!= 0)
+    val (fNlist, fNprobe) = Similarity.ivfParams(survivors.count())
+    val queries = survivors.filter(col("vec_id") % 100 === 1)
+    def probe(t: String) = Similarity.ivfAdcTopKIndexed(
+        queries, "vec_id", "embedding",
+        k = 3, nprobe = fNprobe, table = t, dim = 64)
+      .select("q_id", "nb_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    def rows(t: String) = spark.table(t)
+      .select(col("cell"), col("id"), hex(col("qc")), col("scale"),
+        col("gen"))
+      .as[(Int, Long, String, Double, Long)].collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndex(build, "vec_id", "embedding",
+        "adc_rt_idx", nlist = bNlist, dim = 64)
+      Similarity.appendIvfAdcIndex(corpus.filter(col("vec_id") * 2 >= n),
+        "vec_id", "embedding", "adc_rt_idx", dim = 64)
+      Similarity.deleteIvfVecs(spark, "adc_rt_idx",
+        corpus.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+      Similarity.retrainIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_rt_idx", nlist = fNlist, dim = 64)
+      Similarity.writeIvfAdcIndex(survivors, "vec_id", "embedding",
+        "adc_rt_ref", nlist = fNlist, dim = 64)
+      assert(rows("adc_rt_idx").nonEmpty &&
+        rows("adc_rt_idx") == rows("adc_rt_ref"))
+      def cents(t: String) = spark.table(t + "_c").orderBy("cell")
+        .as[(Int, Seq[Double])].collect().toSeq
+      assert(cents("adc_rt_idx") == cents("adc_rt_ref"))
+      assert(!spark.catalog.tableExists("adc_rt_idx_t"),
+        "retrain should consume the tombstone table")
+      assert(spark.table("adc_rt_idx_g").as[Long].collect().toSeq
+        == Seq(0L), "retrain should reset the generation set")
+      val ref = probe("adc_rt_ref")
+      assert(ref.nonEmpty && probe("adc_rt_idx") == ref)
+    } finally {
+      for (t <- Seq("adc_rt_idx", "adc_rt_ref");
+          sfx <- Seq("", "_c", "_g", "_t", "_rt", "_rt_c", "_rt_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
+  test("ADC generation protocol: two INTERLEAVED writers both land — rows first, commits in reverse order, probe sees the union") {
+    // the single-maintenance-writer contract holds for compaction and
+    // retrain (catalog swaps), but plain APPENDS are two-step
+    // (rows, then a 1-row generation commit) and the committed-set
+    // semantics make any interleaving of two appends safe: rows of
+    // both land under distinct generations, each commit exposes only
+    // its own generation, and the final state equals a one-shot build
+    // regardless of commit order
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 300)
+    val build = corpus.filter(col("vec_id") < 100)
+    val a = corpus.filter(col("vec_id") >= 100 && col("vec_id") < 200)
+    val b = corpus.filter(col("vec_id") >= 200)
+    val queries = corpus.filter(col("vec_id") % 50 === 0)
+    def probe(t: String) = Similarity.ivfAdcTopKIndexed(
+        queries, "vec_id", "embedding",
+        k = 3, nprobe = 2, table = t, dim = 64)
+      .select("q_id", "nb_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    try {
+      val cents = Similarity.writeIvfAdcIndex(build, "vec_id",
+        "embedding", "adc_ilv_idx", nlist = 4, dim = 64)
+      val (genA, genB) = (7001L, 7002L)
+      // writer A rows, writer B rows, B commits, then A commits
+      Similarity.appendAdcRowsOnly(a, "vec_id", "embedding",
+        "adc_ilv_idx", genA)
+      Similarity.appendAdcRowsOnly(b, "vec_id", "embedding",
+        "adc_ilv_idx", genB)
+      Similarity.commitAdcGen(spark, "adc_ilv_idx", genB)
+      Similarity.commitAdcGen(spark, "adc_ilv_idx", genA)
+      Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_ilv_ref", nlist = 4, dim = 64, cents = cents)
+      val ref = probe("adc_ilv_ref")
+      assert(ref.nonEmpty && probe("adc_ilv_idx") == ref,
+        "interleaved appends diverged from the one-shot build")
+    } finally {
+      for (t <- Seq("adc_ilv_idx", "adc_ilv_ref");
+          sfx <- Seq("", "_c", "_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite with SparkTest {
@@ -1298,6 +1391,93 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     } finally {
       spark.sql("DROP TABLE IF EXISTS bm25_spec_idx")
       spark.sql("DROP TABLE IF EXISTS bm25_spec_idx_s")
+    }
+  }
+
+  test("conjunctive BM25: only all-terms docs rank, surviving scores equal the disjunctive twin's, indexed == direct") {
+    // the qe6 contract: conjunction is a pure FILTER on the shared
+    // scoring tree — docs missing any query term drop, survivors keep
+    // the exact disjunctive score (same summed weights), and the
+    // persisted-index path equals the scan path row for row
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "apple cherry"),
+      (4L, "banana apple durian"),
+      (5L, "apple")).toDF("doc_id", "text")
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    try {
+      val conj = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          qs, "q_id", "qtext", k = 10, conjunctive = true)
+        .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(conj.map(_._2).toSet == Set(1L, 2L, 4L),
+        s"conjunctive matched ${conj.toSeq}")
+      val disj = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          qs, "q_id", "qtext", k = 10)
+        .as[(Long, Long, Int, Long)].collect()
+      assert(disj.map(_._2).toSet == Set(1L, 2L, 3L, 4L, 5L),
+        "the disjunctive twin should rank every apple/banana doc")
+      val disjScores = disj.map(r => r._2 -> r._4).toMap
+      assert(conj.forall(r => disjScores(r._2) == r._4),
+        "conjunction changed a surviving doc's score")
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "bm25_conj_idx")
+      val indexed = TextAnalysis.bm25TopKIndexedConjunctive(qs, "q_id",
+          "qtext", "bm25_conj_idx", k = 10)
+        .as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(indexed.toSeq == conj.toSeq,
+        s"indexed=${indexed.toSeq} direct=${conj.toSeq}")
+      // a query with an absent term matches nothing conjunctively
+      val none = TextAnalysis.bm25TopKIndexedConjunctive(
+          Seq((8L, "apple zzz")).toDF("q_id", "qtext"), "q_id", "qtext",
+          "bm25_conj_idx", k = 10)
+        .as[(Long, Long, Int, Long)].collect()
+      assert(none.isEmpty,
+        s"absent-term conjunction should be empty, got ${none.toSeq}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_conj_idx")
+      spark.sql("DROP TABLE IF EXISTS bm25_conj_idx_s")
+    }
+  }
+
+  test("BM25 generation protocol: two INTERLEAVED writers both land — rows first, commits in reverse order, probe equals the one-shot rebuild") {
+    // appends are two-step (bucketed postings rows, then the 1-row
+    // scalar-delta commit), and committed-set semantics make any
+    // interleaving of two appends safe: each commit exposes only its
+    // own generation, scalar deltas add in any order, and the final
+    // state equals a one-shot rebuild over everything
+    val base = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry")).toDF("doc_id", "text")
+    // batch token counts are BY CONSTRUCTION: a = 3 + 2 tokens,
+    // b = 3 + 2 tokens — the hand-computed commit deltas below
+    val a = Seq((3L, "banana banana banana"), (4L, "durian apple"))
+      .toDF("doc_id", "text")
+    val b = Seq((5L, "cherry durian cherry"), (6L, "apple f"))
+      .toDF("doc_id", "text")
+    val union = base.unionByName(a).unionByName(b)
+    val qs = Seq((9L, "apple banana"), (8L, "cherry durian"))
+      .toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_ilv_idx")
+      val (genA, genB) = (8001L, 8002L)
+      TextAnalysis.appendPostingsOnly(a, "doc_id", "text",
+        "bm25_ilv_idx", genA)
+      TextAnalysis.appendPostingsOnly(b, "doc_id", "text",
+        "bm25_ilv_idx", genB)
+      TextAnalysis.commitBm25Gen(spark, "bm25_ilv_idx", genB, 2L, 5L)
+      TextAnalysis.commitBm25Gen(spark, "bm25_ilv_idx", genA, 2L, 5L)
+      TextAnalysis.writeBm25Index(union, "doc_id", "text", "bm25_ilv_ref")
+      def probe(t: String) = TextAnalysis.bm25TopKIndexed(qs, "q_id",
+          "qtext", t, k = 3)
+        .as[(Long, Long, Int, Long)].collect()
+        .sortBy(r => (r._1, r._3)).toSeq
+      val ref = probe("bm25_ilv_ref")
+      assert(ref.nonEmpty && probe("bm25_ilv_idx") == ref,
+        "interleaved appends diverged from the one-shot rebuild")
+    } finally {
+      for (t <- Seq("bm25_ilv_idx", "bm25_ilv_idx_s",
+          "bm25_ilv_ref", "bm25_ilv_ref_s"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
 
@@ -1854,5 +2034,73 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     val out = Multimodal.resizeStub(media, 2)
       .select(length(col("payload"))).as[Int].collect()(0)
     assert(out == 2)
+  }
+}
+
+class SketchesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.pipeline.Sketches
+
+  // deterministic pseudo-random positive longs spanning several octaves
+  private val vals: Seq[Long] =
+    (1 to 2000).map(i => (i.toLong * 2654435761L) % 1000000L + 1L)
+
+  test("logBucketCounts: counts merge additively across splits (the mergeability law)") {
+    val (a, b) = vals.splitAt(700)
+    def sk(v: Seq[Long]) = Sketches.logBucketCounts(
+        v.toDF("v"), col("v"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val merged = (sk(a).keySet ++ sk(b).keySet).map(k =>
+      k -> (sk(a).getOrElse(k, 0L) + sk(b).getOrElse(k, 0L))).toMap
+    assert(sk(vals) == merged, "sketch(A ∪ B) != sketch(A) + sketch(B)")
+  }
+
+  test("logBucketCounts: bucket bounds are ordered, disjoint, and within the 2^-subBits relative-width guarantee") {
+    val bks = Sketches.logBucketCounts(vals.toDF("v"), col("v"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bks.nonEmpty && bks.map(_._3).sum == vals.size)
+    bks.foreach { case (lo, hi, _) =>
+      assert(lo <= hi)
+      // width guarantee: exact below 2^(s+1); above, (hi-lo+1) is the
+      // bucket's power-of-two span p with lo >= 2^s * p
+      assert(hi == lo || (hi - lo + 1) * (1L << Sketches.defaultSubBits)
+        <= lo, s"bucket ($lo,$hi) too wide")
+    }
+    // disjoint + ordered: each bucket starts past its predecessor's end
+    bks.sliding(2).foreach {
+      case Seq((_, h1, _), (l2, _, _)) => assert(l2 > h1)
+      case _ =>
+    }
+  }
+
+  test("logBucketQuantiles: every estimate BRACKETS the exact order statistic") {
+    val pcts = Seq(10, 50, 90, 99, 100)
+    val est = Sketches.logBucketQuantiles(vals.toDF("v"), col("v"), pcts)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(est.keySet == pcts.toSet)
+    val sorted = vals.sorted
+    pcts.foreach { p =>
+      val (target, lo, hi) = est(p)
+      val wantRank = (p.toLong * vals.size + 99) / 100
+      assert(target == wantRank, s"p$p target $target != $wantRank")
+      val exact = sorted((target - 1).toInt)
+      assert(lo <= exact && exact <= hi,
+        s"p$p: exact $exact outside [$lo, $hi]")
+    }
+  }
+
+  test("logBucketQuantiles: small values are exact (width-1 buckets)") {
+    // all values < 2^(subBits+1) -> every bucket is a single value and
+    // the sketch degenerates to exact percentiles
+    val small = (1 to 500).map(i => (i % 30 + 1).toLong)
+    val est = Sketches.logBucketQuantiles(
+        small.toDF("v"), col("v"), Seq(50, 99))
+      .as[(Int, Long, Long, Long)].collect()
+    est.foreach { case (p, target, lo, hi) =>
+      assert(lo == hi, s"p$p bucket not exact")
+      assert(lo == small.sorted.apply((target - 1).toInt))
+    }
   }
 }

@@ -699,6 +699,157 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val sunk = spark.read.parquet(out).as[Long].collect().sorted
     assert(sunk.toSeq == (1L to 200L), s"got ${sunk.length} rows")
   }
+
+  test("streamAppendIvfAdcIndex: two streamed micro-batch appends equal the one-shot append and the frozen-quantizer rebuild") {
+    // the qe1 contract (qd6's shape on the dense tier): each
+    // micro-batch commits its own generation against the STORED frozen
+    // centroids, so the stream-grown index must match a one-shot
+    // append AND a one-shot build of the union against the same
+    // quantizer — stored rows (modulo gen tags) and probe rankings
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.{col, hex}
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val build = corpus.filter(col("vec_id") < 150)
+    val batch = corpus.filter(col("vec_id") >= 150)
+    val batchRows = batch
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    try {
+      val cents = Similarity.writeIvfAdcIndex(build, "vec_id",
+        "embedding", "adc_str_idx", nlist = 4, dim = 64)
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val q = Similarity.startStreamAppendIvfAdcIndex(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "adc_str_idx", dim = 64)
+      try {
+        ms.addData(batchRows.take(batchRows.size / 2))
+        q.processAllAvailable()
+        ms.addData(batchRows.drop(batchRows.size / 2))
+        q.processAllAvailable()
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "the gate needs >= 2 non-empty micro-batches")
+      } finally q.stop()
+      // one-shot comparators against the SAME frozen quantizer
+      Similarity.writeIvfAdcIndex(build, "vec_id", "embedding",
+        "adc_str_one", nlist = 4, dim = 64, cents = cents)
+      Similarity.appendIvfAdcIndex(batch, "vec_id", "embedding",
+        "adc_str_one", dim = 64)
+      Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_str_ref", nlist = 4, dim = 64, cents = cents)
+      def rows(t: String) = spark.table(t)
+        .select(col("cell"), col("id"), hex(col("qc")), col("scale"))
+        .as[(Int, Long, String, Double)].collect().sorted.toSeq
+      assert(rows("adc_str_idx").nonEmpty &&
+        rows("adc_str_idx") == rows("adc_str_one") &&
+        rows("adc_str_idx") == rows("adc_str_ref"))
+      // the stream committed one generation PER micro-batch
+      assert(spark.table("adc_str_idx_g").count() >= 3,
+        "expected build + >=2 streamed generations")
+      def probe(t: String) = Similarity.ivfAdcTopKIndexed(
+          corpus.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 3, nprobe = 2, table = t, dim = 64)
+        .select("q_id", "nb_id", "rank")
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val streamed = probe("adc_str_idx")
+      assert(streamed.nonEmpty && streamed == probe("adc_str_ref"))
+    } finally {
+      for (t <- Seq("adc_str_idx", "adc_str_one", "adc_str_ref");
+          sfx <- Seq("", "_c", "_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
+  test("streamAppendMinhashIndex: two streamed micro-batch appends equal the one-shot append, and a replayed batch changes no screen result") {
+    // the qe2 contract: band rows are pure functions of the documents,
+    // so the stream-grown archive is row-identical to a one-shot
+    // append; and because this tier's probes dedup candidates and read
+    // sizes distinct, a REPLAYED micro-batch (foreachBatch's
+    // at-least-once failure mode) must leave the screen unchanged
+    import graft.pipeline.Dedup
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+    val base = docs.filter(col("doc_id") < 300)
+    val grow = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val growRows = grow.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val archive = docs.filter(col("doc_id") < 400)
+    val incr = docs.filter(col("doc_id") >= 400)
+    def screen(t: String) = Dedup.incrementalMinhashPairsIndexed(
+        archive, incr, "doc_id", "text", t, n = 3, threshold = 0.8,
+        numHashes = h, bands = b)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, c, j) => (a, c, math.rint(j * 1e6) / 1e6) }
+      .toSet
+    try {
+      Dedup.writeMinhashIndex(base, "doc_id", "text", "mh_str_idx",
+        n = 3, numHashes = h, bands = b)
+      val ms = MemoryStream[(Long, String)](spark)
+      val q = Dedup.startStreamAppendMinhashIndex(
+        ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "mh_str_idx", n = 3, numHashes = h, bands = b)
+      try {
+        ms.addData(growRows.take(growRows.size / 2))
+        q.processAllAvailable()
+        ms.addData(growRows.drop(growRows.size / 2))
+        q.processAllAvailable()
+        assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+          "the gate needs >= 2 non-empty micro-batches")
+      } finally q.stop()
+      Dedup.writeMinhashIndex(base, "doc_id", "text", "mh_str_one",
+        n = 3, numHashes = h, bands = b)
+      Dedup.appendMinhashIndex(grow, "doc_id", "text", "mh_str_one",
+        n = 3, numHashes = h, bands = b)
+      def rows(t: String) = spark.table(t)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(rows("mh_str_idx").nonEmpty &&
+        rows("mh_str_idx") == rows("mh_str_one"))
+      val ref = screen("mh_str_one")
+      assert(ref.nonEmpty && screen("mh_str_idx") == ref)
+      // replay half the stream (a crashed-and-retried micro-batch):
+      // physical duplicates land, the screen result must not move
+      Dedup.appendMinhashIndex(
+        growRows.take(growRows.size / 2).toDF("doc_id", "text"),
+        "doc_id", "text", "mh_str_idx", n = 3, numHashes = h, bands = b)
+      assert(screen("mh_str_idx") == ref,
+        "a replayed append changed the screen result")
+    } finally {
+      for (t <- Seq("mh_str_idx", "mh_str_one"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("streamLogBucketQuantiles: the complete-mode state after two micro-batches equals the batch sketch report") {
+    // the qe5 contract (qa9's discipline on the quantile tier): the
+    // streaming aggregation's state is the bounded bucket table, counts
+    // add across micro-batches, and the final report equals the batch
+    // sketch over the union
+    import graft.pipeline.Sketches
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 500).map(i => (i.toLong * 2654435761L) % 100000L + 1L)
+    val sink = tmpDir("qe5_spec_sink")
+    val ms = MemoryStream[Long](spark)
+    val q = Sketches.startStreamLogBucketQuantiles(
+      ms.toDF().toDF("v"), col("v"), Seq(50, 90, 99), sink)
+    try {
+      ms.addData(vals.take(250))
+      q.processAllAvailable()
+      ms.addData(vals.drop(250))
+      q.processAllAvailable()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the gate needs >= 2 non-empty micro-batches")
+    } finally q.stop()
+    val streamed = spark.read.parquet(sink)
+      .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+    val batch = Sketches.logBucketQuantiles(
+        vals.toDF("v"), col("v"), Seq(50, 90, 99))
+      .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
 }
 
 class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
