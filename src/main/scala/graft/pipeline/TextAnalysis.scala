@@ -216,11 +216,16 @@ object TextAnalysis {
       (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
 
   /** The distinct (q_id, term) pairs of a query table — the broadcast
-    * that candidate-restricts both BM25 paths. */
+    * that candidate-restricts both BM25 paths. Each row also carries
+    * `nq`, the query's own distinct-term count, computed MAP-SIDE from
+    * the same array — so the conjunctive filter needs no extra
+    * aggregate or join (disjunctive plans prune the column away). */
   private def queryTerms(queries: DataFrame, qIdCol: String,
       qTextCol: String): DataFrame =
     queries.select(col(qIdCol).as("q_id"),
-      explode(array_distinct(words(col(qTextCol)))).as("term"))
+        array_distinct(words(col(qTextCol))).as("ts"))
+      .select(col("q_id"), size(col("ts")).as("nq"),
+        explode(col("ts")).as("term"))
 
   /** The scoring tail shared VERBATIM by [[bm25TopK]] and
     * [[bm25TopKIndexed]] — one Column tree for idf, saturation, the
@@ -246,15 +251,16 @@ object TextAnalysis {
     // distinct query term. tf is per (doc, term) and qterms is distinct
     // per (q, term), so each (q, doc, term) contributes exactly one w
     // row — the group's row count IS its matched-term count, and the
-    // filter is an integer compare against the query's own term count
-    // (query-scale broadcast). Disjunctive scoring is untouched: the
-    // summed weights of a surviving doc are the same rows either way.
-    val su0 = w.groupBy("q_id", "doc_id").agg(sum("w").as("score"),
-      count(lit(1)).as("nmatch"))
-    val su = (if (!conjunctive) su0
-      else su0.join(
-        broadcast(qterms.groupBy("q_id").agg(count(lit(1)).as("nq"))),
-        "q_id").filter(col("nmatch") === col("nq")))
+    // query's own term count `nq` already rides every qterms row
+    // (computed map-side at parse time), so the filter is two extra agg
+    // buffers and an integer compare: ZERO additional joins, exchanges,
+    // or scans vs the disjunctive plan (plan-asserted). Disjunctive
+    // scoring is untouched: a surviving doc sums the same weight rows.
+    val su = (if (!conjunctive)
+        w.groupBy("q_id", "doc_id").agg(sum("w").as("score"))
+      else w.groupBy("q_id", "doc_id").agg(sum("w").as("score"),
+          count(lit(1)).as("nmatch"), max("nq").as("nq"))
+        .filter(col("nmatch") === col("nq")))
       .withColumn("score_u", floor(col("score") * 1e6).cast("long"))
     val topk = udaf(new graft.agg.TopKAggregator(k),
       org.apache.spark.sql.Encoders.product[(Double, Long)])

@@ -901,4 +901,50 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS prune_plan_idx_s")
     }
   }
+
+  test("qe4: the quantile sketch partial-aggregates map-side and prunes the scan to the value column") {
+    // the bounded-state claim's plan face: the only corpus-wide work is
+    // a scan -> project -> partial HashAggregate; the exchange carries
+    // bucket rows (b_low, b_high, count), never the raw values — and
+    // the parquet read prunes to `value` alone
+    val df = planDf("qe4")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count") || p.contains("partial"),
+      p.take(3000))
+    assert(p.contains("ReadSchema") && p.contains("value") &&
+      !p.contains("props") && !p.contains("event_type"), p.take(3000))
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val bucketShuffles = planNodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeExec
+        if (s.outputPartitioning match {
+          case h: HashPartitioning => h.expressions.exists(
+            _.references.exists(_.name == "b_low"))
+          case _ => false
+        }) => s }
+    assert(bucketShuffles.nonEmpty,
+      "no bucket-keyed exchange found — assert vacuous")
+    for (e <- bucketShuffles; a <- e.output)
+      assert(Seq("b_low", "b_high").contains(a.name) ||
+        a.name.startsWith("count"),
+        s"sketch exchange carries $a: " + e.simpleString(20))
+  }
+
+  test("qe6: the conjunctive probe keeps the disjunctive plan shape — terms pushed to the stored scan, no extra exchange") {
+    // conjunction is a filter on candidate aggregates, so its plan must
+    // be the qb3 probe's plan plus nothing: same In(term) pushdown on
+    // the bucketed index scan, and no additional shuffle (the nq side
+    // joins as a broadcast)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val conj = planDf("qe6")
+    val p = conj.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("In(term"),
+      p.take(3000))
+    def shuffles(df: org.apache.spark.sql.DataFrame) =
+      planNodes(df.queryExecution.executedPlan)
+        .collect { case s: ShuffleExchangeExec => s }.size
+    val disj = planDf("qb3")
+    assert(shuffles(conj) <= shuffles(disj),
+      s"conjunctive probe added exchanges: ${shuffles(conj)} > ${shuffles(disj)}")
+  }
 }
