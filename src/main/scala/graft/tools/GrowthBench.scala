@@ -491,6 +491,27 @@ object GrowthBench {
         t(s"qc3_recall3_frozen_$tag") = rec
         System.err.println(
           f"[growth] qc3_recall3_frozen_$tag%-22s $rec%6.3f (recall@3)")
+        // the RETRAIN recovery point (r14): at the 10x drift sample —
+        // the retrain-threshold signal — run qe3's retrainIvfAdcIndex
+        // over the full grown corpus and re-audit on the SAME panel:
+        // the recall delta is what the retrain buys, the wall time is
+        // what it costs (the full-rebuild price, paid on the drift
+        // gate's signal, never per append)
+        if (tag == "10x") {
+          val (rNlist, rNprobe) = Similarity.ivfParams(all.count())
+          t("qe3_retrain_10x") = timeU("qe3_retrain_10x") {
+            Similarity.retrainIvfAdcIndex(all, "vec_id", "embedding",
+              itable, nlist = rNlist, dim = 64)
+            ""
+          }
+          val rec2 = Similarity.recallAuditIndexed(all, panel, "vec_id",
+              "embedding", k = 3, nprobe = rNprobe, table = itable,
+              dim = 64)
+            .agg(avg(col("recall"))).collect()(0).getDouble(0)
+          t("qe3_recall3_retrained_10x") = rec2
+          System.err.println(
+            f"[growth] qe3_recall3_retrained_10x $rec2%6.3f (recall@3)")
+        }
       }
     }
 
