@@ -2127,7 +2127,19 @@ object RelationalQueries {
     "qe6" -> ((s, d) =>
       TextAnalysis.bm25TopKIndexedConjunctive(
         qb1Queries(Tables.documents(s, d), qe6QTerms), "q_id", "qtext",
-        lexIndex(s, d), k = qb1K, k1 = qb1K1, b = qb1B))
+        lexIndex(s, d), k = qb1K, k1 = qb1K1, b = qb1B)),
+
+    // QE7 — per-group quantile sketches (r14): qe4's sketch keyed by
+    // event_type — the dataset-card per-source shape (q96's percentile
+    // profile) at sketch-bounded state (groups × buckets rows, one
+    // partial-agg'd corpus pass). Same all-integer chain per group, so
+    // the grouped estimates are oracle-gated bit for bit.
+    "qe7" -> ((s, d) =>
+      Sketches.groupedLogBucketQuantiles(
+        Tables.events(s, d)
+          .filter(col("value").isNotNull && col("event_type").isNotNull),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long"),
+        qe4Pcts))
   )
 
   /** DuckDB oracle for q21b_kmeans_local — the FLOAT-Lloyd per-line
@@ -3140,6 +3152,39 @@ object RelationalQueries {
     // Spark's bin(), no float log2), exact counts, integer rank walk
     "qe4" -> logBucketQuantilesOracleSql,
     "qe5" -> logBucketQuantilesOracleSql,
+
+    // qe7: the same sketch chain PER GROUP (event_type keys every CTE)
+    "qe7" -> {
+      val s = graft.pipeline.Sketches.defaultSubBits
+      val pcts = qe4Pcts.mkString(", ")
+      s"""WITH cv AS (SELECT event_type AS g,
+        |    CAST(floor(value*100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |b AS (SELECT g, v, length(printf('%b', v)) AS nb FROM cv),
+        |m AS (SELECT g, v, nb,
+        |    CASE WHEN nb <= ${s + 1} THEN CAST(1 AS BIGINT)
+        |      ELSE (CAST(1 AS BIGINT) << (nb - 1 - $s)) END AS p FROM b),
+        |bk AS (SELECT g,
+        |    CASE WHEN nb <= ${s + 1} THEN v ELSE (v // p) * p END AS b_low,
+        |    CASE WHEN nb <= ${s + 1} THEN v
+        |      ELSE (v // p + 1) * p - 1 END AS b_high,
+        |    count(*) AS cnt
+        |  FROM m GROUP BY 1, 2, 3),
+        |cum AS (SELECT g, b_low, b_high, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY g ORDER BY b_low) AS BIGINT)
+        |      AS cum FROM bk),
+        |tot AS (SELECT g, CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total
+        |  FROM bk GROUP BY 1),
+        |t AS (SELECT g, pct, CAST((pct * total + 99) // 100 AS BIGINT)
+        |    AS target_rank
+        |  FROM tot CROSS JOIN (SELECT unnest([$pcts]) AS pct)),
+        |sel AS (SELECT t.g, t.pct, t.target_rank, min(c.b_low) AS est_low
+        |  FROM t JOIN cum c ON c.g = t.g AND c.cum >= t.target_rank
+        |  GROUP BY 1, 2, 3)
+        |SELECT sel.g, sel.pct, sel.target_rank, sel.est_low,
+        |  bk.b_high AS est_high
+        |FROM sel JOIN bk ON bk.g = sel.g AND bk.b_low = sel.est_low""".stripMargin
+    },
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,

@@ -113,6 +113,55 @@ object Sketches {
       percents: Seq[Int], subBits: Int = defaultSubBits): DataFrame =
     quantilesFromBuckets(logBucketCounts(rows, valCol, subBits), percents)
 
+  /** PER-GROUP quantile sketches (qe7) — the dataset-card shape (q96's
+    * per-source percentile profile) at sketch-bounded state: one bucket
+    * table per group key, quantiles extracted per group. State is
+    * `groups × buckets` — bounded as long as the group domain is (event
+    * types, sources, languages; NOT user ids). The corpus-wide work is
+    * the same single partial-aggregated pass as [[logBucketCounts]],
+    * now keyed `(g, b_low)`; everything after operates on the
+    * sketch-sized table (the post-sketch window partitions by group —
+    * bounded rows per partition by construction). Returns
+    * `(g, pct, target_rank, est_low, est_high)`; groups with no rows
+    * vanish (no row, not a null estimate). */
+  def groupedLogBucketQuantiles(rows: DataFrame, groupCol: Column,
+      valCol: Column, percents: Seq[Int],
+      subBits: Int = defaultSubBits): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val buckets = rows
+      .select(groupCol.as("g"), valCol.cast("long").as("v"))
+      .withColumn("nb", length(bin(col("v"))))
+      .withColumn("p", expr(
+        s"shiftleft(cast(1 as bigint), greatest(nb - 1 - $subBits, 0))"))
+      .select(col("g"),
+        when(col("nb") <= subBits + 1, col("v"))
+          .otherwise(expr("(v div p) * p")).as("b_low"),
+        when(col("nb") <= subBits + 1, col("v"))
+          .otherwise(expr("(v div p + 1) * p - 1")).as("b_high"))
+      .groupBy("g", "b_low", "b_high")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = buckets.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("g").orderBy("b_low")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = buckets.groupBy("g")
+      .agg(coalesce(sum("cnt"), lit(0L)).as("total"))
+    val targets = totals.crossJoin(broadcast(percents.toDF("pct")))
+      .select(col("g"), col("pct"),
+        expr("(pct * total + 99) div 100").as("target_rank"))
+    targets.join(broadcast(cum),
+        targets("g") === cum("g") && col("cum") >= col("target_rank"))
+      .select(targets("g").as("g"), col("pct"), col("target_rank"),
+        col("b_low"))
+      .groupBy("g", "pct", "target_rank")
+      .agg(min("b_low").as("est_low"))
+      .join(broadcast(buckets.select(col("g"),
+        col("b_low").as("est_low"), col("b_high").as("est_high"))),
+        Seq("g", "est_low"))
+      .select("g", "pct", "target_rank", "est_low", "est_high")
+  }
+
   /** [[logBucketQuantiles]] with the VALUES ARRIVING AS A STREAM — the
     * quantile analog of qa9's streaming count-min: the bucket build
     * runs as ONE complete-mode streaming aggregation whose state is

@@ -2091,6 +2091,35 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("groupedLogBucketQuantiles: per-group estimates bracket each group's exact order statistic") {
+    // qe7's law: the grouped sketch is the ungrouped sketch applied
+    // within each key — estimates bracket each group's own exact
+    // percentile, and a group never sees another group's values
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", v)
+    }
+    val est = graft.pipeline.Sketches.groupedLogBucketQuantiles(
+        rows.toDF("g", "v"), col("g"), col("v"), Seq(50, 99))
+      .as[(String, Int, Long, Long, Long)].collect()
+    assert(est.map(_._1).toSet == Set("a", "b", "c"))
+    val byGroup = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted
+    }
+    est.foreach { case (g, p, target, lo, hi) =>
+      val sorted = byGroup(g)
+      assert(target == (p.toLong * sorted.size + 99) / 100)
+      val exact = sorted((target - 1).toInt)
+      assert(lo <= exact && exact <= hi,
+        s"group $g p$p: exact $exact outside [$lo, $hi]")
+      // cross-check vs the ungrouped sketch on the group's own rows
+      val solo = graft.pipeline.Sketches.logBucketQuantiles(
+          sorted.toDF("v"), col("v"), Seq(p))
+        .as[(Int, Long, Long, Long)].collect()(0)
+      assert((solo._2, solo._3, solo._4) == ((target, lo, hi)),
+        s"group $g p$p diverged from the ungrouped sketch")
+    }
+  }
+
   test("logBucketQuantiles: small values are exact (width-1 buckets)") {
     // all values < 2^(subBits+1) -> every bucket is a single value and
     // the sketch degenerates to exact percentiles
