@@ -2139,7 +2139,30 @@ object RelationalQueries {
         Tables.events(s, d)
           .filter(col("value").isNotNull && col("event_type").isNotNull),
         col("event_type"), floor(col("value") * 100 + 0.5).cast("long"),
-        qe4Pcts))
+        qe4Pcts)),
+
+    // QE8 — PERSISTED sketch with additive appends (r14): the
+    // approximate tier gets the write-once + append + probe story of
+    // the three index tiers — built on the first half of the events,
+    // the rest appended as one more bucket-count file generation
+    // (stored side never read or merged at write time; counts merge at
+    // PROBE time by exact long sums, order-independent). The probe
+    // over the grown sketch must equal qe4's sketch over the full
+    // corpus — qe4's oracle VERBATIM; build+append == one-shot is
+    // spec-gated.
+    "qe8" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val cv = floor(col("value") * 100 + 0.5).cast("long")
+      val n = ev.count()
+      val table = "qe8_sk_" + dirTag(d)
+      buildOnce(table) {
+        Sketches.writeSketchTable(
+          ev.filter(col("event_id") * 2 < n), cv, table)
+        Sketches.appendSketchTable(
+          ev.filter(col("event_id") * 2 >= n), cv, table)
+      }
+      Sketches.quantilesFromSketchTable(s, table, qe4Pcts)
+    })
   )
 
   /** DuckDB oracle for q21b_kmeans_local — the FLOAT-Lloyd per-line
@@ -3152,6 +3175,11 @@ object RelationalQueries {
     // Spark's bin(), no float log2), exact counts, integer rank walk
     "qe4" -> logBucketQuantilesOracleSql,
     "qe5" -> logBucketQuantilesOracleSql,
+
+    // qe8: qe4's oracle verbatim — the persisted build+append sketch's
+    // probe-time merged counts must equal the one-pass sketch over the
+    // full corpus (exact long additions, any order)
+    "qe8" -> logBucketQuantilesOracleSql,
 
     // qe7: the same sketch chain PER GROUP (event_type keys every CTE)
     "qe7" -> {

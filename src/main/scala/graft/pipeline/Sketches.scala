@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mergeable bounded-state quantile sketches — the missing member of the
@@ -161,6 +161,55 @@ object Sketches {
         Seq("g", "est_low"))
       .select("g", "pct", "target_rank", "est_low", "est_high")
   }
+
+  /** Persist a sketch as a table (qe8) — the approximate tier joining
+    * the write-once-probe-many contract of the three index tiers, at a
+    * fraction of their machinery because the sketch is INTEGER-ADDITIVE:
+    * the stored artifact is just `(b_low, b_high, cnt, gen)` bucket
+    * rows, an append lands a new batch's bucket counts as one more file
+    * generation (the stored side is never read, merged, or rewritten —
+    * counts merge AT PROBE TIME by an exact long sum, order-independent
+    * by construction), and the probe's merged table is bit-equal to a
+    * sketch over the union. Crash safety needs no commit protocol: each
+    * append is ONE coalesced single-file write, whose visibility is one
+    * rename ([[graft.pipeline.TextAnalysis.commitBm25Gen]]'s argument)
+    * — a crashed append leaves the exact pre-append state. A RETRIED
+    * append double-counts (counts are additive, not idempotent) — the
+    * caller owns exactly-once per batch; under foreachBatch, use
+    * batchId-derived dedup or accept the qa9 complete-mode form
+    * instead. Deletion is a rebuild by design: a sketch stores no
+    * per-row state to tombstone. */
+  def writeSketchTable(rows: DataFrame, valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit =
+    graft.sources.MapFiles.write(
+      logBucketCounts(rows, valCol, subBits).withColumn("gen", lit(0L))
+        .coalesce(1),
+      "b_low", 1, table)
+
+  /** Append a batch's bucket counts to a persisted sketch — one
+    * sketch-sized single-file write, archive-independent cost. */
+  def appendSketchTable(rows: DataFrame, valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit = {
+    val spark = rows.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — not a sketch table")
+    logBucketCounts(rows, valCol, subBits)
+      .withColumn("gen", lit(graft.sources.MapFiles.freshGen()))
+      .coalesce(1)
+      .write.mode("append").bucketBy(1, "b_low").sortBy("b_low")
+      .saveAsTable(table)
+  }
+
+  /** Quantiles from a persisted sketch: generations merge by exact long
+    * sums (sketch-sized work), then the shared rank walk. The probe of
+    * a build+append table is bit-equal to [[logBucketQuantiles]] over
+    * the union corpus — qe8 shares qe4's oracle on that strength. */
+  def quantilesFromSketchTable(spark: SparkSession, table: String,
+      percents: Seq[Int]): DataFrame =
+    quantilesFromBuckets(
+      spark.table(table).groupBy("b_low", "b_high")
+        .agg(sum("cnt").as("cnt")),
+      percents)
 
   /** [[logBucketQuantiles]] with the VALUES ARRIVING AS A STREAM — the
     * quantile analog of qa9's streaming count-min: the bucket build

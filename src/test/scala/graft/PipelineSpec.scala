@@ -2120,6 +2120,43 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("persisted sketch: build+append probes equal the one-shot sketch; append leaves the stored side unread") {
+    // qe8's law, the additive-merge face: a grown sketch table's
+    // probe-time merged counts are bit-equal to one pass over the
+    // union, and the stored rows are per-generation bucket counts
+    // (the build's plus the batch's own), never a rewritten merge
+    val (a, b) = vals.splitAt(900)
+    try {
+      graft.pipeline.Sketches.writeSketchTable(
+        a.toDF("v"), col("v"), "sk_app_t")
+      graft.pipeline.Sketches.appendSketchTable(
+        b.toDF("v"), col("v"), "sk_app_t")
+      val probed = graft.pipeline.Sketches.quantilesFromSketchTable(
+          spark, "sk_app_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = graft.pipeline.Sketches.logBucketQuantiles(
+          vals.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probed == oneShot)
+      // two generations stored; summed counts == union counts
+      assert(spark.table("sk_app_t").select("gen").distinct().count() == 2)
+      val merged = spark.table("sk_app_t").groupBy("b_low", "b_high")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val direct = graft.pipeline.Sketches.logBucketCounts(
+          vals.toDF("v"), col("v"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(merged == direct)
+      // appending to a missing table fails loudly
+      intercept[Exception] {
+        graft.pipeline.Sketches.appendSketchTable(
+          b.toDF("v"), col("v"), "sk_missing_t")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_app_t")
+    }
+  }
+
   test("logBucketQuantiles: small values are exact (width-1 buckets)") {
     // all values < 2^(subBits+1) -> every bucket is a single value and
     // the sketch degenerates to exact percentiles
