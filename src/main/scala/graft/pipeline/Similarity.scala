@@ -610,8 +610,8 @@ object Similarity {
       spark.createDataFrame(centRows.toSeq).toDF("cell", "cent"),
       "cell", 1, table + "_c")
     import spark.implicits._
-    graft.sources.MapFiles.write(Seq(0L).toDF("gen"), "gen", 1,
-      table + "_g")
+    graft.sources.MapFiles.write(
+      Seq((0L, -1L)).toDF("gen", "batch_key"), "gen", 1, table + "_g")
     quantizer
   }
 
@@ -696,13 +696,50 @@ object Similarity {
   }
 
   /** Step 2 of [[appendIvfAdcIndex]] — the commit: one generation row
-    * appended to `table_g`. */
+    * appended to `table_g`. `batchKey` is the LOGICAL identity of the
+    * operation (−1 for plain batch appends): streaming appends commit
+    * under a deterministic per-micro-batch key so a REPLAYED micro-batch
+    * — foreachBatch's at-least-once window between a commit and the
+    * checkpoint offset write — is detected and skipped instead of
+    * double-appended ([[startStreamAppendIvfAdcIndex]]). The physical
+    * generation stays a fresh random id per ATTEMPT, so a partially
+    * written crashed attempt remains invisible forever even when its
+    * batch is retried under the same key. */
   private[graft] def commitAdcGen(spark: SparkSession, table: String,
-      gen: Long): Unit = {
+      gen: Long, batchKey: Long = -1L): Unit = {
     import spark.implicits._
-    Seq(gen).toDF("gen").coalesce(1)
+    Seq((gen, batchKey)).toDF("gen", "batch_key").coalesce(1)
       .write.mode("append").bucketBy(1, "gen").sortBy("gen")
       .saveAsTable(table + "_g")
+  }
+
+  /** Base of the deterministic streaming commit keys: `base + batchId`.
+    * Spark's micro-batch ids are stable across checkpointed restarts
+    * AND across replays, which is exactly what makes the replay check
+    * sound; they restart at 0 only for a FRESH checkpoint lineage, so
+    * an index accepts one streaming writer lineage between compactions
+    * (compaction clears the committed keys; starting a second lineage
+    * against uncompacted state would collide keys and silently skip
+    * real batches — documented contract, same single-maintenance-writer
+    * family as the swap windows). */
+  private[graft] val streamBatchKeyBase: Long = 1L << 40
+
+  /** The foreachBatch body of [[startStreamAppendIvfAdcIndex]], exposed
+    * for the replay spec: append `batch` under the deterministic key of
+    * `batchId` unless that key is already committed (the replayed-
+    * after-commit case → exact no-op). */
+  private[graft] def streamAppendAdcBatch(batch: DataFrame,
+      batchId: Long, idCol: String, vecCol: String, table: String,
+      dim: Int): Unit = {
+    val spark = batch.sparkSession
+    val key = streamBatchKeyBase + batchId
+    val replayed = !spark.table(table + "_g")
+      .filter(col("batch_key") === key).isEmpty
+    if (!replayed) {
+      val gen = graft.sources.MapFiles.freshGen()
+      appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
+      commitAdcGen(spark, table, gen, key)
+    }
   }
 
   /** [[appendIvfAdcIndex]] with the NEW VECTORS ARRIVING AS A STREAM —
@@ -721,8 +758,14 @@ object Similarity {
     * micro-batches == one one-shot append == a rebuild under the same
     * quantizer, down to stored rows (two-micro-batch MemoryStream
     * spec; qe1 gates the grown index's probe against the
-    * frozen-quantizer ADC oracle). Centroid drift accrues exactly as
-    * in batch appends and stays monitored by the qc3 recall gate. */
+    * frozen-quantizer ADC oracle). foreachBatch is at-least-once: a
+    * crash AFTER a commit but BEFORE the checkpoint offset write
+    * replays the micro-batch, so commits carry a deterministic
+    * per-batch key ([[streamBatchKeyBase]] + batchId) and a replayed
+    * committed batch is detected and skipped — exactly-once index
+    * state under both crash windows ([[streamAppendAdcBatch]],
+    * replay spec-gated). Centroid drift accrues exactly as in batch
+    * appends and stays monitored by the qc3 recall gate. */
   def streamAppendIvfAdcIndex(vecStream: DataFrame, idCol: String,
       vecCol: String, table: String, dim: Int = 64): Unit = {
     val q = startStreamAppendIvfAdcIndex(vecStream, idCol, vecCol, table,
@@ -737,8 +780,8 @@ object Similarity {
       vecCol: String, table: String, dim: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendIvfAdcIndex(batch, idCol, vecCol, table, dim)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAppendAdcBatch(batch, batchId, idCol, vecCol, table, dim)
       }
       .start()
 
@@ -862,10 +905,12 @@ object Similarity {
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
     // the compacted rows are all generation 0, which is committed in
     // every reachable state — stale extra generations are inert, so
-    // each remaining step is individually crash-safe
+    // each remaining step is individually crash-safe; the rewrite also
+    // clears the streaming batch keys, which is what permits a FRESH
+    // streaming lineage after a compaction (streamBatchKeyBase doc)
     import spark.implicits._
-    graft.sources.MapFiles.write(Seq(0L).toDF("gen"), "gen", 1,
-      table + "_g")
+    graft.sources.MapFiles.write(
+      Seq((0L, -1L)).toDF("gen", "batch_key"), "gen", 1, table + "_g")
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     spark.catalog.refreshTable(table)
   }

@@ -43,12 +43,31 @@ object Sketches {
     * = 6.25% at the default. */
   val defaultSubBits = 4
 
-  /** The sketch itself: `(b_low, b_high, cnt)` bucket counts of a
-    * POSITIVE long-valued column (callers quantize doubles to integer
-    * units first — the repo's micro-unit convention — and own the
-    * null/zero policy). One map-side projection plus a bounded
-    * aggregation: the shuffle after partial aggregation carries at most
-    * the bucket-table rows per task, regardless of input size.
+  /** The accepted value domain, ENFORCED (not just documented): the
+    * bucket mapping is only meaningful — and only engine-portable — for
+    * `0 <= v < 2^62`. Zero is fine (bit length 1 in both engines —
+    * `bin(0)` and `printf('%b',0)` are both `"0"` — so it is its own
+    * width-1 exact bucket); BELOW zero, Spark's truncate-toward-zero
+    * `div` and DuckDB's flooring `//` diverge AND the bracketing
+    * invariant breaks (a negative value would land in a bucket that
+    * does not contain it); at/above 2^62, `b_high` wraps through Long
+    * overflow in Spark while DuckDB raises. An out-of-domain value
+    * fails LOUDLY here via `raise_error` (free on the happy path — one
+    * codegen'd branch) instead of silently mis-bucketing. Callers
+    * quantize doubles to integer units first (the repo's micro-unit
+    * convention) and own the null policy. */
+  private def guardedV(valCol: Column): Column = {
+    val v = valCol.cast("long")
+    when(v >= 0L && v < (1L << 62), v).otherwise(raise_error(concat(
+      lit("log-bucket sketch domain is [0, 2^62): got "),
+      v.cast("string"))))
+  }
+
+  /** The shared bucket-mapping + counting core — ONE definition for the
+    * ungrouped (qe4), grouped (qe7), and persisted (qe8) tiers, so the
+    * mapping cannot drift between them. `g` is the (already-aliased
+    * input column, output name) list of group keys; empty for the
+    * ungrouped sketch.
     *
     * Bucket mapping, all integer (no float log2 anywhere): values below
     * `2^(subBits+1)` are their own bucket (width 1, exact); above, the
@@ -58,53 +77,77 @@ object Sketches {
     * `greatest`-guarded so the small-value branch never evaluates a
     * negative shift — DuckDB's `<<` rejects those, and the twins must
     * compute the same expression). */
-  def logBucketCounts(rows: DataFrame, valCol: Column,
-      subBits: Int = defaultSubBits): DataFrame =
-    rows.select(valCol.cast("long").as("v"))
+  private def bucketCounts(rows: DataFrame, g: Seq[(Column, String)],
+      valCol: Column, subBits: Int): DataFrame = {
+    val names = g.map(_._2)
+    rows.select(g.map { case (c, n) => c.as(n) } :+
+        guardedV(valCol).as("v"): _*)
       .withColumn("nb", length(bin(col("v"))))
       .withColumn("p", expr(
         s"shiftleft(cast(1 as bigint), greatest(nb - 1 - $subBits, 0))"))
-      .select(
+      .select(names.map(col) :+
         when(col("nb") <= subBits + 1, col("v"))
-          .otherwise(expr("(v div p) * p")).as("b_low"),
+          .otherwise(expr("(v div p) * p")).as("b_low") :+
         when(col("nb") <= subBits + 1, col("v"))
-          .otherwise(expr("(v div p + 1) * p - 1")).as("b_high"))
-      .groupBy("b_low", "b_high")
+          .otherwise(expr("(v div p + 1) * p - 1")).as("b_high"): _*)
+      .groupBy((names :+ "b_low" :+ "b_high").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
+  }
 
-  /** Quantile extraction from a bucket table: for each requested
-    * percent `p`, the target rank is `ceil(p·N/100)` (exact integer
-    * arithmetic) and the estimate is the first bucket — walking buckets
-    * in value order — whose cumulative count reaches it. The true
-    * p-th-percentile order statistic provably lies inside the returned
-    * `[est_low, est_high]` (the rank walk over value-ordered buckets is
-    * the same walk sorted data would take), so the bracketing claim is
-    * structural, not statistical. Returns
-    * `(pct, target_rank, est_low, est_high)`.
-    *
-    * The cumulative walk is a window over the BUCKET TABLE — bounded
-    * rows by construction — so the single-partition window the repo
-    * bans on corpus-sized data is fine here (the qa8 TakeOrdered
-    * class: post-sketch work is sketch-sized). */
-  def quantilesFromBuckets(buckets: DataFrame, percents: Seq[Int])
-      : DataFrame = {
+  /** The shared rank walk — ONE definition for the ungrouped and
+    * grouped extractions: per group (global when `g` is empty), the
+    * target rank is `ceil(p·N/100)` and the estimate is the first
+    * bucket, in value order, whose cumulative count reaches it. All
+    * work here is over the BUCKET TABLE — bounded rows by construction
+    * — so the windows/joins are sketch-sized (the qa8 TakeOrdered
+    * class), including the single-partition window of the ungrouped
+    * case. */
+  private def quantWalk(buckets: DataFrame, percents: Seq[Int],
+      g: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = buckets.sparkSession
     import spark.implicits._
     val cum = buckets.withColumn("cum",
-      sum("cnt").over(Window.orderBy("b_low")
+      sum("cnt").over(Window.partitionBy(g.map(col): _*).orderBy("b_low")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val total = buckets.agg(coalesce(sum("cnt"), lit(0L)).as("total"))
-    val targets = percents.toDF("pct").crossJoin(broadcast(total))
-      .select(col("pct"),
-        expr("(pct * total + 99) div 100").as("target_rank"))
-    targets.join(broadcast(cum), col("cum") >= col("target_rank"))
-      .groupBy("pct", "target_rank")
+    val totals =
+      if (g.isEmpty) buckets.agg(coalesce(sum("cnt"), lit(0L)).as("total"))
+      else buckets.groupBy(g.map(col): _*)
+        .agg(coalesce(sum("cnt"), lit(0L)).as("total"))
+    val targets = totals.crossJoin(broadcast(percents.toDF("pct")))
+      .select(g.map(col) :+ col("pct") :+
+        expr("(pct * total + 99) div 100").as("target_rank"): _*)
+    targets.join(broadcast(cum),
+        g.map(n => targets(n) === cum(n))
+          .foldLeft(col("cum") >= col("target_rank"))(_ && _))
+      .select(g.map(n => targets(n).as(n)) :+ col("pct") :+
+        col("target_rank") :+ col("b_low"): _*)
+      .groupBy((g :+ "pct" :+ "target_rank").map(col): _*)
       .agg(min("b_low").as("est_low"))
-      .join(broadcast(buckets.select(col("b_low").as("est_low"),
-        col("b_high").as("est_high"))), Seq("est_low"))
-      .select("pct", "target_rank", "est_low", "est_high")
+      .join(broadcast(buckets.select(g.map(col) :+
+        col("b_low").as("est_low") :+ col("b_high").as("est_high"): _*)),
+        g :+ "est_low")
+      .select((g :+ "pct" :+ "target_rank" :+ "est_low" :+ "est_high")
+        .map(col): _*)
   }
+
+  /** The sketch itself: `(b_low, b_high, cnt)` bucket counts of a
+    * long-valued column in the enforced `[1, 2^62)` domain
+    * ([[guardedV]]). One map-side projection plus a bounded
+    * aggregation: the shuffle after partial aggregation carries at most
+    * the bucket-table rows per task, regardless of input size. */
+  def logBucketCounts(rows: DataFrame, valCol: Column,
+      subBits: Int = defaultSubBits): DataFrame =
+    bucketCounts(rows, Seq.empty, valCol, subBits)
+
+  /** Quantile extraction from a bucket table ([[quantWalk]], ungrouped):
+    * the true p-th-percentile order statistic provably lies inside the
+    * returned `[est_low, est_high]` (the rank walk over value-ordered
+    * buckets is the same walk sorted data would take), so the
+    * bracketing claim is structural, not statistical. Returns
+    * `(pct, target_rank, est_low, est_high)`. */
+  def quantilesFromBuckets(buckets: DataFrame, percents: Seq[Int])
+      : DataFrame = quantWalk(buckets, percents, Seq.empty)
 
   /** [[logBucketCounts]] + [[quantilesFromBuckets]] composed — the qe4
     * row's shape: quantile estimates of a positive long column with
@@ -115,52 +158,21 @@ object Sketches {
 
   /** PER-GROUP quantile sketches (qe7) — the dataset-card shape (q96's
     * per-source percentile profile) at sketch-bounded state: one bucket
-    * table per group key, quantiles extracted per group. State is
+    * table per group key, quantiles extracted per group, via the SAME
+    * [[bucketCounts]] mapping and [[quantWalk]] rank walk as the
+    * ungrouped tier (single-sourced — the two cannot drift, and the
+    * spec pins their equality within each key). State is
     * `groups × buckets` — bounded as long as the group domain is (event
-    * types, sources, languages; NOT user ids). The corpus-wide work is
-    * the same single partial-aggregated pass as [[logBucketCounts]],
-    * now keyed `(g, b_low)`; everything after operates on the
-    * sketch-sized table (the post-sketch window partitions by group —
-    * bounded rows per partition by construction). Returns
+    * types, sources, languages; NOT user ids); the post-sketch window
+    * partitions by group, so no corpus-sized partition exists. Returns
     * `(g, pct, target_rank, est_low, est_high)`; groups with no rows
     * vanish (no row, not a null estimate). */
   def groupedLogBucketQuantiles(rows: DataFrame, groupCol: Column,
       valCol: Column, percents: Seq[Int],
-      subBits: Int = defaultSubBits): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = rows.sparkSession
-    import spark.implicits._
-    val buckets = rows
-      .select(groupCol.as("g"), valCol.cast("long").as("v"))
-      .withColumn("nb", length(bin(col("v"))))
-      .withColumn("p", expr(
-        s"shiftleft(cast(1 as bigint), greatest(nb - 1 - $subBits, 0))"))
-      .select(col("g"),
-        when(col("nb") <= subBits + 1, col("v"))
-          .otherwise(expr("(v div p) * p")).as("b_low"),
-        when(col("nb") <= subBits + 1, col("v"))
-          .otherwise(expr("(v div p + 1) * p - 1")).as("b_high"))
-      .groupBy("g", "b_low", "b_high")
-      .agg(count(lit(1)).as("cnt"))
-    val cum = buckets.withColumn("cum",
-      sum("cnt").over(Window.partitionBy("g").orderBy("b_low")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = buckets.groupBy("g")
-      .agg(coalesce(sum("cnt"), lit(0L)).as("total"))
-    val targets = totals.crossJoin(broadcast(percents.toDF("pct")))
-      .select(col("g"), col("pct"),
-        expr("(pct * total + 99) div 100").as("target_rank"))
-    targets.join(broadcast(cum),
-        targets("g") === cum("g") && col("cum") >= col("target_rank"))
-      .select(targets("g").as("g"), col("pct"), col("target_rank"),
-        col("b_low"))
-      .groupBy("g", "pct", "target_rank")
-      .agg(min("b_low").as("est_low"))
-      .join(broadcast(buckets.select(col("g"),
-        col("b_low").as("est_low"), col("b_high").as("est_high"))),
-        Seq("g", "est_low"))
-      .select("g", "pct", "target_rank", "est_low", "est_high")
-  }
+      subBits: Int = defaultSubBits): DataFrame =
+    quantWalk(
+      bucketCounts(rows, Seq((groupCol, "g")), valCol, subBits),
+      percents, Seq("g"))
 
   /** Persist a sketch as a table (qe8) — the approximate tier joining
     * the write-once-probe-many contract of the three index tiers, at a

@@ -475,7 +475,8 @@ object TextAnalysis {
       buckets, table)
     graft.sources.MapFiles.write(
       corpusStats(docs, textCol).select(lit(0L).as("gen"),
-        col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl")),
+        col("n_docs"), coalesce(col("sum_dl"), lit(0L)).as("sum_dl"),
+        lit(-1L).as("batch_key")),
       "gen", 1, table + "_s")
   }
 
@@ -594,14 +595,47 @@ object TextAnalysis {
 
   /** Step 3 of [[appendBm25Index]] / [[deleteBm25Docs]] — the commit:
     * one scalar-delta row appended to `table_s` (single task, single
-    * file, one rename). */
+    * file, one rename). `batchKey` is the operation's LOGICAL identity
+    * (−1 for plain batch operations): streaming appends commit under a
+    * deterministic per-micro-batch key so a replayed committed batch is
+    * detected and skipped — see
+    * [[graft.pipeline.Similarity.streamBatchKeyBase]], the shared
+    * contract of both generation-protocol tiers. */
   private[graft] def commitBm25Gen(spark: SparkSession, table: String,
-      gen: Long, nDocsDelta: Long, sumDlDelta: Long): Unit = {
+      gen: Long, nDocsDelta: Long, sumDlDelta: Long,
+      batchKey: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((gen, nDocsDelta, sumDlDelta)).toDF("gen", "n_docs", "sum_dl")
+    Seq((gen, nDocsDelta, sumDlDelta, batchKey))
+      .toDF("gen", "n_docs", "sum_dl", "batch_key")
       .coalesce(1).write.mode("append")
       .bucketBy(1, "gen").sortBy("gen")
       .saveAsTable(table + "_s")
+  }
+
+  /** The foreachBatch body of [[startStreamAppendBm25Index]], exposed
+    * for the replay spec: run the gated batch append under the
+    * deterministic key of `batchId` unless that key is already
+    * committed (a replayed micro-batch — foreachBatch's at-least-once
+    * window between a commit and the checkpoint offset write — becomes
+    * an exact no-op; a crashed UNCOMMITTED attempt stays invisible and
+    * the retry lands under a fresh physical generation, the existing
+    * argument). */
+  private[graft] def streamAppendBm25Batch(batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String,
+      table: String): Unit = {
+    val spark = batch.sparkSession
+    val key = graft.pipeline.Similarity.streamBatchKeyBase + batchId
+    val replayed = !spark.table(table + "_s")
+      .filter(col("batch_key") === key).isEmpty
+    if (!replayed) {
+      val add = corpusStats(batch, textCol)
+        .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
+        .collect()(0)
+      val gen = freshGen()
+      appendPostingsOnly(batch, idCol, textCol, table, gen)
+      commitBm25Gen(spark, table, gen, add.getLong(0), add.getLong(1),
+        key)
+    }
   }
 
   /** [[appendBm25Index]] with the NEW DOCUMENTS ARRIVING AS A STREAM —
@@ -617,7 +651,12 @@ object TextAnalysis {
     * re-appends under a fresh generation — so K streamed micro-batch
     * appends == one one-shot append == a full rebuild, probe-exact
     * (two-micro-batch MemoryStream spec; qd6 gates the grown index's
-    * probe against qb1's oracle verbatim). */
+    * probe against qb1's oracle verbatim). foreachBatch's OTHER crash
+    * window — replay of an already-committed batch when the crash
+    * lands between the commit and the checkpoint offset write — is
+    * closed by the deterministic per-batch commit key
+    * ([[streamAppendBm25Batch]], replay spec-gated): the replayed
+    * batch sees its key committed and no-ops. */
   def streamAppendBm25Index(docStream: DataFrame, idCol: String,
       textCol: String, table: String): Unit = {
     val q = startStreamAppendBm25Index(docStream, idCol, textCol, table)
@@ -631,8 +670,8 @@ object TextAnalysis {
       textCol: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        appendBm25Index(batch, idCol, textCol, table)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAppendBm25Batch(batch, batchId, idCol, textCol, table)
       }
       .start()
 
@@ -716,9 +755,12 @@ object TextAnalysis {
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
     import spark.implicits._
+    // the scalar collapse also clears the streaming batch keys — what
+    // permits a fresh streaming lineage after a compaction (see
+    // Similarity.streamBatchKeyBase)
     graft.sources.MapFiles.write(
-      Seq((0L, totals.getLong(0), totals.getLong(1)))
-        .toDF("gen", "n_docs", "sum_dl"),
+      Seq((0L, totals.getLong(0), totals.getLong(1), -1L))
+        .toDF("gen", "n_docs", "sum_dl", "batch_key"),
       "gen", 1, table + "_s")
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     // the swap changed the files behind the table's name — drop any

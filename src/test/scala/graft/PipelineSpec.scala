@@ -1061,8 +1061,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(cents("adc_rt_idx") == cents("adc_rt_ref"))
       assert(!spark.catalog.tableExists("adc_rt_idx_t"),
         "retrain should consume the tombstone table")
-      assert(spark.table("adc_rt_idx_g").as[Long].collect().toSeq
-        == Seq(0L), "retrain should reset the generation set")
+      assert(spark.table("adc_rt_idx_g").select("gen").as[Long]
+        .collect().toSeq == Seq(0L),
+        "retrain should reset the generation set")
       val ref = probe("adc_rt_ref")
       assert(ref.nonEmpty && probe("adc_rt_idx") == ref)
     } finally {
@@ -1682,6 +1683,7 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
         .sortBy(r => (r._1, r._2)).toSeq
       assert(rows("bm25_cmp_idx") == rows("bm25_cmp_ref"))
       def scalars(t: String) = spark.table(t + "_s")
+        .select("gen", "n_docs", "sum_dl")
         .as[(Long, Long, Long)].collect().toSeq.sorted
       assert(scalars("bm25_cmp_idx") == scalars("bm25_cmp_ref"))
       val probe = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
@@ -2167,6 +2169,31 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     est.foreach { case (p, target, lo, hi) =>
       assert(lo == hi, s"p$p bucket not exact")
       assert(lo == small.sorted.apply((target - 1).toInt))
+    }
+  }
+
+  test("logBucketCounts: domain [0, 2^62) is enforced — zero is an exact bucket, out-of-domain values fail loudly") {
+    // 0 is legitimate (bit length 1 in BOTH engines — bin(0) and
+    // printf('%b',0) are "0" — so it's its own width-1 bucket; real
+    // data hits it: sf0.1 events quantize 6 rows to exactly 0).
+    // Negative values would silently mis-bucket (Spark's div truncates
+    // toward zero, DuckDB's // floors, and the bracket would not
+    // contain the value); >= 2^62 wraps b_high through Long overflow.
+    // Those must raise, not corrupt.
+    val withZero = Sketches.logBucketCounts(
+        Seq(0L, 0L, 1L, 5L).toDF("v"), col("v"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(withZero.head == ((0L, 0L, 2L)), "zero not its own exact bucket")
+    for (bad <- Seq(-1L, -100L, 1L << 62, Long.MaxValue)) {
+      val e = intercept[Exception] {
+        Sketches.logBucketCounts(Seq(bad, 3L).toDF("v"), col("v"))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("log-bucket sketch domain")),
+        s"out-of-domain $bad did not raise the domain error")
     }
   }
 }

@@ -822,6 +822,80 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("streamed index appends are replay-idempotent AFTER the commit: a re-delivered committed micro-batch is an exact no-op on both protocol tiers") {
+    // foreachBatch is at-least-once — a crash between a batch's commit
+    // and the checkpoint offset write re-delivers the batch with the
+    // SAME batchId. The deterministic per-batch commit key must turn
+    // that replay into a no-op (stored rows, scalars/generations, and
+    // probes all unchanged) on the BM25 and ADC tiers; the minhash
+    // tier is naturally idempotent (gated in its own spec above).
+    import graft.pipeline.{Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    // BM25 tier
+    val base = Seq((1L, "apple banana apple"), (2L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "banana durian"), (4L, "durian apple"))
+      .toDF("doc_id", "text")
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_rp_idx")
+      TextAnalysis.streamAppendBm25Batch(batch, 0L, "doc_id", "text",
+        "bm25_rp_idx")
+      def state() = (
+        spark.table("bm25_rp_idx").count(),
+        spark.table("bm25_rp_idx_s")
+          .agg(org.apache.spark.sql.functions.sum("n_docs"),
+            org.apache.spark.sql.functions.sum("sum_dl"))
+          .as[(Long, Long)].head(),
+        TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext", "bm25_rp_idx",
+            k = 3)
+          .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq)
+      val afterFirst = state()
+      assert(afterFirst._3.nonEmpty)
+      // the replay: same batch, same batchId, key already committed
+      TextAnalysis.streamAppendBm25Batch(batch, 0L, "doc_id", "text",
+        "bm25_rp_idx")
+      assert(state() == afterFirst,
+        "a replayed committed micro-batch changed the BM25 index")
+      // a NEW batchId still lands
+      TextAnalysis.streamAppendBm25Batch(
+        Seq((5L, "fig")).toDF("doc_id", "text"), 1L, "doc_id", "text",
+        "bm25_rp_idx")
+      assert(state()._2._1 == afterFirst._2._1 + 1)
+    } finally {
+      for (t <- Seq("bm25_rp_idx", "bm25_rp_idx_s"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    // ADC tier
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val vb = vecs.filter(col("vec_id") >= 100)
+    try {
+      Similarity.writeIvfAdcIndex(vecs.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "adc_rp_idx", nlist = 4, dim = 64)
+      Similarity.streamAppendAdcBatch(vb, 0L, "vec_id", "embedding",
+        "adc_rp_idx", dim = 64)
+      def astate() = (
+        spark.table("adc_rp_idx").count(),
+        spark.table("adc_rp_idx_g").count(),
+        Similarity.ivfAdcTopKIndexed(
+            vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+            k = 3, nprobe = 2, table = "adc_rp_idx", dim = 64)
+          .select("q_id", "nb_id", "rank")
+          .as[(Long, Long, Int)].collect().sorted.toSeq)
+      val afterFirst = astate()
+      assert(afterFirst._3.nonEmpty)
+      Similarity.streamAppendAdcBatch(vb, 0L, "vec_id", "embedding",
+        "adc_rp_idx", dim = 64)
+      assert(astate() == afterFirst,
+        "a replayed committed micro-batch changed the ADC index")
+    } finally {
+      for (t <- Seq("adc_rp_idx", "adc_rp_idx_c", "adc_rp_idx_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("streamLogBucketQuantiles: the complete-mode state after two micro-batches equals the batch sketch report") {
     // the qe5 contract (qa9's discipline on the quantile tier): the
     // streaming aggregation's state is the bounded bucket table, counts
