@@ -2179,6 +2179,86 @@ object RelationalQueries {
           ev.filter(col("event_id") * 2 >= n), cv, table)
       }
       Sketches.quantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
+    // QF1 — the persisted sketch's appends arriving AS A STREAM (r14),
+    // completing streaming maintenance across all FOUR persisted tiers
+    // (qd6 lexical, qe1 dense, qe2 signature, qf1 approximate): built
+    // on the first half of the events, the second half stream-appended
+    // one bucket-count generation per micro-batch under deterministic
+    // per-batch commit keys (the additive tier is the one place a
+    // replayed micro-batch would DOUBLE-COUNT rather than duplicate
+    // screened rows, so the key rides the generation's own rows and
+    // commits atomically with the counts it guards — replay no-op
+    // spec-gated). The grown sketch's probe must equal qe4's sketch
+    // over the full corpus — qe4's oracle VERBATIM.
+    "qf1" -> ((s, d) => {
+      val table = "qf1_sk_" + dirTag(d)
+      buildOnce(table) {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        val cv = floor(col("value") * 100 + 0.5).cast("long")
+        val n = ev.count()
+        Sketches.writeSketchTable(
+          ev.filter(col("event_id") * 2 < n), cv, table)
+        Sketches.streamAppendSketchTable(
+          Tables.streamOf(s, d, "events")
+            .filter(col("value").isNotNull &&
+              col("event_id") * 2 >= n),
+          floor(col("value") * 100 + 0.5).cast("long"), table)
+      }
+      Sketches.quantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
+    // QF2 — sketch DELETION by additive retraction (r14): the
+    // approximate tier's member of the delete matrix (qd3 lexical /
+    // qd4 dense / qd7 signature), and the cheapest of the four because
+    // the sketch's own algebra is the mechanism — the deleted rows'
+    // bucket counts land NEGATED as one more single-file generation
+    // (no tombstone table, stored side never read) and the probe-time
+    // sum cancels them exactly. The gate is the existing oracle over
+    // the SURVIVING rows: if retraction under- or over-cancelled any
+    // bucket, the rank walk shifts and the row goes red; a negative
+    // merged count (retracting rows never added) fails loudly instead
+    // of probing corrupt state (spec-gated).
+    "qf2" -> ((s, d) => {
+      val table = "qf2_sk_" + dirTag(d)
+      buildOnce(table) {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        val cv = floor(col("value") * 100 + 0.5).cast("long")
+        Sketches.writeSketchTable(ev, cv, table)
+        Sketches.retractSketchTable(
+          ev.filter(col("event_id") % qd3DelMod === qd3DelRes), cv,
+          table)
+      }
+      Sketches.quantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
+    // QF3 — sketch COMPACTION (r14): the approximate tier's member of
+    // the compaction matrix (qd2 lexical / qd4 dense / qd5 signature).
+    // Build + append + retract leaves three file generations; the
+    // compactor rewrites them into one gen-0 file via the probe's own
+    // merge (sketch-sized work — the rewrite cost is independent of
+    // the corpus the sketch summarizes), physically dropping
+    // fully-cancelled buckets. The compacted probe shares qf2's
+    // oracle BY REFERENCE — compaction-loses-nothing in gate form
+    // (same survivor set, now from one file); stored-row identity with
+    // a one-shot rebuild is spec-gated.
+    "qf3" -> ((s, d) => {
+      val table = "qf3_sk_" + dirTag(d)
+      buildOnce(table) {
+        val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        val cv = floor(col("value") * 100 + 0.5).cast("long")
+        val n = ev.count()
+        Sketches.writeSketchTable(
+          ev.filter(col("event_id") * 2 < n), cv, table)
+        Sketches.appendSketchTable(
+          ev.filter(col("event_id") * 2 >= n), cv, table)
+        Sketches.retractSketchTable(
+          ev.filter(col("event_id") % qd3DelMod === qd3DelRes), cv,
+          table)
+        Sketches.compactSketchTable(s, table)
+      }
+      Sketches.quantilesFromSketchTable(s, table, qe4Pcts)
     })
   )
 
@@ -2656,12 +2736,14 @@ object RelationalQueries {
     * counts are exact, and the rank walk is an integer cumulative
     * compare. Every constant interpolates from the same qe4Pcts /
     * Sketches.defaultSubBits fields the Spark side uses. */
-  private def sketchOracleSqlFor(groupExpr: Option[String]): String = {
+  private def sketchOracleSqlFor(groupExpr: Option[String],
+      extraWhere: String = ""): String = {
     val s = graft.pipeline.Sketches.defaultSubBits
     val pcts = qe4Pcts.mkString(", ")
     val gSel = groupExpr.map(e => s"$e AS g, ").getOrElse("")
     val gc = groupExpr.map(_ => "g, ").getOrElse("")
-    val gWhere = groupExpr.map(e => s" AND $e IS NOT NULL").getOrElse("")
+    val gWhere = groupExpr.map(e => s" AND $e IS NOT NULL")
+      .getOrElse("") + extraWhere
     val gPart = groupExpr.map(_ => "PARTITION BY g ").getOrElse("")
     val gJoinCum = groupExpr.map(_ => "c.g = t.g AND ").getOrElse("")
     val gJoinBk = groupExpr.map(_ => "bk.g = sel.g AND ").getOrElse("")
@@ -2698,6 +2780,15 @@ object RelationalQueries {
 
   private lazy val logBucketQuantilesOracleSql: String =
     sketchOracleSqlFor(None)
+
+  /** The sketch chain over the events MINUS the retracted rows — qf2's
+    * gate (and qf3's, by reference): the Spark side reaches this state
+    * by summing a negated generation into the merge, the oracle by
+    * never seeing the rows; bit-equal estimates prove the cancellation
+    * is exact. */
+  private lazy val sketchRetractOracleSql: String =
+    sketchOracleSqlFor(None,
+      extraWhere = s" AND event_id % $qd3DelMod <> $qd3DelRes")
 
   /** qb7's complete oracle (lexical chain + ADC chain + RRF fusion) —
     * shared BY REFERENCE with qc4 (the streaming hybrid twin). */
@@ -3217,6 +3308,16 @@ object RelationalQueries {
     // qe7: the same sketch chain PER GROUP — the one shared builder
     // with event_type keying every CTE
     "qe7" -> sketchOracleSqlFor(Some("event_type")),
+
+    // qf1 (stream-grown sketch): qe4's oracle verbatim — per-micro-
+    // batch streamed appends must lose nothing vs the one-pass sketch
+    "qf1" -> logBucketQuantilesOracleSql,
+    // qf2 (additive retraction): the same chain over the events minus
+    // the retracted rows — exact cancellation in gate form
+    "qf2" -> sketchRetractOracleSql,
+    // qf3 (compacted sketch) shares qf2's oracle BY REFERENCE — the
+    // compaction-loses-nothing claim on the approximate tier
+    "qf3" -> sketchRetractOracleSql,
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,

@@ -177,51 +177,171 @@ object Sketches {
   /** Persist a sketch as a table (qe8) — the approximate tier joining
     * the write-once-probe-many contract of the three index tiers, at a
     * fraction of their machinery because the sketch is INTEGER-ADDITIVE:
-    * the stored artifact is just `(b_low, b_high, cnt, gen)` bucket
-    * rows, an append lands a new batch's bucket counts as one more file
-    * generation (the stored side is never read, merged, or rewritten —
-    * counts merge AT PROBE TIME by an exact long sum, order-independent
-    * by construction), and the probe's merged table is bit-equal to a
-    * sketch over the union. Crash safety needs no commit protocol: each
-    * append is ONE coalesced single-file write, whose visibility is one
-    * rename ([[graft.pipeline.TextAnalysis.commitBm25Gen]]'s argument)
-    * — a crashed append leaves the exact pre-append state. A RETRIED
+    * the stored artifact is just `(b_low, b_high, cnt, gen, batch_key)`
+    * bucket rows, an append lands a new batch's bucket counts as one
+    * more file generation (the stored side is never read, merged, or
+    * rewritten — counts merge AT PROBE TIME by an exact long sum,
+    * order-independent by construction), and the probe's merged table
+    * is bit-equal to a sketch over the union. Crash safety needs no
+    * commit protocol: each append is ONE coalesced single-file write,
+    * whose visibility is one rename
+    * ([[graft.pipeline.TextAnalysis.commitBm25Gen]]'s argument) — a
+    * crashed append leaves the exact pre-append state. A RETRIED BATCH
     * append double-counts (counts are additive, not idempotent) — the
-    * caller owns exactly-once per batch; under foreachBatch, use
-    * batchId-derived dedup or accept the qa9 complete-mode form
-    * instead. Deletion is a rebuild by design: a sketch stores no
-    * per-row state to tombstone. */
+    * batch caller owns exactly-once; STREAMED appends get replay
+    * idempotence from the deterministic per-micro-batch `batch_key`
+    * ([[streamAppendSketchTable]] — the key rides the data rows
+    * themselves, so unlike the BM25/ADC tiers no separate commit table
+    * is needed: the single-file rename lands counts and key
+    * atomically). Deletion is [[retractSketchTable]] (additive
+    * retraction, no tombstones to store); [[compactSketchTable]]
+    * collapses generations. */
   def writeSketchTable(rows: DataFrame, valCol: Column, table: String,
       subBits: Int = defaultSubBits): Unit =
     graft.sources.MapFiles.write(
       logBucketCounts(rows, valCol, subBits).withColumn("gen", lit(0L))
-        .coalesce(1),
+        .withColumn("batch_key", lit(-1L)).coalesce(1),
       "b_low", 1, table)
 
-  /** Append a batch's bucket counts to a persisted sketch — one
-    * sketch-sized single-file write, archive-independent cost. */
-  def appendSketchTable(rows: DataFrame, valCol: Column, table: String,
-      subBits: Int = defaultSubBits): Unit = {
-    val spark = rows.sparkSession
-    require(spark.catalog.tableExists(table),
+  /** Land one generation of (possibly negated) bucket rows — the one
+    * physical append all sketch maintenance shares: a single coalesced
+    * file under a fresh generation id, visible atomically via its one
+    * rename, carrying `batchKey` as the operation's logical identity
+    * (−1 for batch operations). */
+  private def landSketchRows(buckets: DataFrame, table: String,
+      batchKey: Long): Unit = {
+    require(buckets.sparkSession.catalog.tableExists(table),
       s"$table does not exist — not a sketch table")
-    logBucketCounts(rows, valCol, subBits)
+    buckets
       .withColumn("gen", lit(graft.sources.MapFiles.freshGen()))
+      .withColumn("batch_key", lit(batchKey))
       .coalesce(1)
       .write.mode("append").bucketBy(1, "b_low").sortBy("b_low")
       .saveAsTable(table)
   }
 
+  /** Append a batch's bucket counts to a persisted sketch — one
+    * sketch-sized single-file write, archive-independent cost. */
+  def appendSketchTable(rows: DataFrame, valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit =
+    landSketchRows(logBucketCounts(rows, valCol, subBits), table, -1L)
+
+  /** DELETE from a persisted sketch by additive retraction — the
+    * approximate tier's member of the delete matrix (qd3/qd4/qd7),
+    * cheaper than all of them because the sketch's own algebra does
+    * the work: the retracted rows' bucket counts land NEGATED as one
+    * more generation (same single-file atomic append as
+    * [[appendSketchTable]], archive-independent cost, stored side
+    * never read), and the probe-time sum cancels them exactly — the
+    * probe of a build+retract table is bit-equal to a one-shot sketch
+    * over the corpus minus the retracted rows. CONTRACT: `rows` must
+    * be (a sub-multiset of) rows previously added — retracting rows
+    * never added drives some bucket's merged count negative, which the
+    * probe and compactor refuse loudly ([[mergedBuckets]]) rather than
+    * emit a corrupt estimate. Fully-cancelled buckets vanish from the
+    * probe (filtered at merge) and from disk at the next compaction —
+    * the physical-removal analog of qd4's tombstone collapse. */
+  def retractSketchTable(rows: DataFrame, valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit =
+    landSketchRows(
+      logBucketCounts(rows, valCol, subBits)
+        .withColumn("cnt", -col("cnt")),
+      table, -1L)
+
+  /** Probe-time generation merge, shared by the probe and the
+    * compactor: exact long sums per bucket, fully-cancelled buckets
+    * dropped (so retraction leaves no zero-count residue in any
+    * estimate), and a NEGATIVE merged count — only possible by
+    * retracting rows never added — fails loudly instead of walking the
+    * rank over a corrupt table. */
+  private def mergedBuckets(spark: SparkSession, table: String)
+      : DataFrame =
+    spark.table(table).groupBy("b_low", "b_high")
+      .agg(sum("cnt").as("cnt"))
+      .select(col("b_low"), col("b_high"),
+        when(col("cnt") >= 0L, col("cnt")).otherwise(raise_error(concat(
+          lit(s"sketch table $table: negative merged count (retracted " +
+            "rows that were never added) at b_low="),
+          col("b_low").cast("string")))).as("cnt"))
+      .filter(col("cnt") > 0L)
+
   /** Quantiles from a persisted sketch: generations merge by exact long
     * sums (sketch-sized work), then the shared rank walk. The probe of
     * a build+append table is bit-equal to [[logBucketQuantiles]] over
-    * the union corpus — qe8 shares qe4's oracle on that strength. */
+    * the union corpus — qe8 shares qe4's oracle on that strength — and
+    * of a build+retract table to the sketch over the surviving rows
+    * (qf2's gate). */
   def quantilesFromSketchTable(spark: SparkSession, table: String,
       percents: Seq[Int]): DataFrame =
-    quantilesFromBuckets(
-      spark.table(table).groupBy("b_low", "b_high")
-        .agg(sum("cnt").as("cnt")),
-      percents)
+    quantilesFromBuckets(mergedBuckets(spark, table), percents)
+
+  /** Compact a persisted sketch: collapse all generations (appends AND
+    * retractions) into a single gen-0 file — the approximate tier's
+    * member of the compaction matrix (qd2/qd4/qd5). The rewrite is the
+    * probe's own merge ([[mergedBuckets]], sketch-sized), so compacted
+    * == appended == rebuilt is definitional; fully-cancelled buckets
+    * are physically dropped. The swap is the shadow-then-rename
+    * protocol of the other tiers, and the rewrite resets `batch_key`
+    * to −1, which is what permits a FRESH streaming lineage after a
+    * compaction ([[graft.pipeline.Similarity.streamBatchKeyBase]]). */
+  def compactSketchTable(spark: SparkSession, table: String): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — not a sketch table")
+    val shadow = table + "_compact_shadow"
+    graft.sources.MapFiles.write(
+      mergedBuckets(spark, table).withColumn("gen", lit(0L))
+        .withColumn("batch_key", lit(-1L)).coalesce(1),
+      "b_low", 1, shadow)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    spark.catalog.refreshTable(table)
+  }
+
+  /** The foreachBatch body of [[startStreamAppendSketchTable]], exposed
+    * for the replay spec: append `batch`'s bucket counts under the
+    * deterministic key of `batchId` unless that key already appears in
+    * the stored rows — a replayed committed micro-batch (foreachBatch's
+    * at-least-once window between a commit and the checkpoint offset
+    * write) is detected and becomes an exact no-op, closing the
+    * double-count hazard the additive merge would otherwise have. The
+    * key rides the generation's own rows, so detection and the
+    * counts it guards commit in the same single-file rename. */
+  private[graft] def streamAppendSketchBatch(batch: DataFrame,
+      batchId: Long, valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit = {
+    val spark = batch.sparkSession
+    val key = graft.pipeline.Similarity.streamBatchKeyBase + batchId
+    val replayed = !spark.table(table)
+      .filter(col("batch_key") === key).isEmpty
+    if (!replayed)
+      landSketchRows(logBucketCounts(batch, valCol, subBits), table, key)
+  }
+
+  /** [[appendSketchTable]] with the VALUES ARRIVING AS A STREAM — the
+    * approximate tier's twin of qd6/qe1/qe2, completing streaming
+    * appends across all four persisted tiers: each micro-batch lands
+    * its bucket counts as one generation under a deterministic
+    * per-batch commit key, so K streamed micro-batches == one one-shot
+    * append == a rebuild over the union (probe-exact, the additive
+    * merge law), and a replayed committed batch is skipped instead of
+    * double-counted ([[streamAppendSketchBatch]], replay spec-gated).
+    * Blocks until the stream drains. */
+  def streamAppendSketchTable(stream: DataFrame, valCol: Column,
+      table: String, subBits: Int = defaultSubBits): Unit = {
+    val q = startStreamAppendSketchTable(stream, valCol, table, subBits)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of [[streamAppendSketchTable]] —
+    * the caller owns the trigger cadence. */
+  def startStreamAppendSketchTable(stream: DataFrame, valCol: Column,
+      table: String, subBits: Int = defaultSubBits)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAppendSketchBatch(batch, batchId, valCol, table, subBits)
+      }
+      .start()
 
   /** [[logBucketQuantiles]] with the VALUES ARRIVING AS A STREAM — the
     * quantile analog of qa9's streaming count-min: the bucket build

@@ -2196,4 +2196,100 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
         s"out-of-domain $bad did not raise the domain error")
     }
   }
+
+  test("retractSketchTable: additive retraction — probe equals a one-shot over the survivors, cancelled buckets vanish, over-retraction raises") {
+    // the approximate tier's delete: retracted rows' counts land
+    // NEGATED and the probe-time sum cancels them exactly (no
+    // tombstones — the sketch's own algebra IS the delete mechanism)
+    val retract = vals.filter(_ % 5 == 2)
+    val survive = vals.filterNot(_ % 5 == 2)
+    assert(retract.nonEmpty && survive.nonEmpty)
+    try {
+      Sketches.writeSketchTable(vals.toDF("v"), col("v"), "sk_ret_t")
+      Sketches.retractSketchTable(retract.toDF("v"), col("v"), "sk_ret_t")
+      val probed = Sketches.quantilesFromSketchTable(
+          spark, "sk_ret_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.logBucketQuantiles(
+          survive.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probed == oneShot)
+      // merged-bucket view == survivors' sketch exactly — including a
+      // FULLY-cancelled bucket vanishing rather than lingering at 0:
+      // retract every member of the smallest populated bucket too
+      val direct = Sketches.logBucketCounts(
+          survive.toDF("v"), col("v"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val merged = spark.table("sk_ret_t").groupBy("b_low", "b_high")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+        .filter(col("cnt") > 0).as[(Long, Long, Long)]
+        .collect().sorted.toSeq
+      assert(merged == direct)
+      val (lo, hi, _) = direct.head
+      val inBucket = survive.filter(v => v >= lo && v <= hi)
+      Sketches.retractSketchTable(inBucket.toDF("v"), col("v"),
+        "sk_ret_t")
+      val afterFull = Sketches.quantilesFromSketchTable(
+          spark, "sk_ret_t", Seq(50)).collect()
+      val expect = Sketches.logBucketQuantiles(
+          survive.filterNot(v => v >= lo && v <= hi).toDF("v"),
+          col("v"), Seq(50)).collect()
+      assert(afterFull.toSeq == expect.toSeq,
+        "fully-cancelled bucket left residue in the estimate")
+      // retracting rows never added -> negative merged count -> LOUD
+      Sketches.retractSketchTable(inBucket.toDF("v"), col("v"),
+        "sk_ret_t")
+      val e = intercept[Exception] {
+        Sketches.quantilesFromSketchTable(spark, "sk_ret_t", Seq(50))
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("negative merged count")),
+        "over-retraction did not raise")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_ret_t")
+    }
+  }
+
+  test("compactSketchTable: compacted == appended+retracted == rebuilt, one file generation remains, cancelled buckets physically dropped") {
+    val (a, b) = vals.splitAt(900)
+    val retract = vals.filter(_ % 5 == 2)
+    val survive = vals.filterNot(_ % 5 == 2)
+    def tableDir(t: String) = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    def dataFiles(t: String) = tableDir(t).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    try {
+      Sketches.writeSketchTable(a.toDF("v"), col("v"), "sk_cmp_t")
+      Sketches.appendSketchTable(b.toDF("v"), col("v"), "sk_cmp_t")
+      Sketches.retractSketchTable(retract.toDF("v"), col("v"),
+        "sk_cmp_t")
+      Sketches.writeSketchTable(survive.toDF("v"), col("v"),
+        "sk_cmp_ref")
+      val preProbe = Sketches.quantilesFromSketchTable(
+          spark, "sk_cmp_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val before = dataFiles("sk_cmp_t")
+      Sketches.compactSketchTable(spark, "sk_cmp_t")
+      val after = dataFiles("sk_cmp_t")
+      assert(before == 3 && after == 1,
+        s"file generations $before -> $after (expected 3 -> 1)")
+      // compacted stored rows are EXACTLY the one-shot rebuild's —
+      // gen 0, batch_key -1, cancelled buckets physically gone
+      def rows(t: String) = spark.table(t)
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(rows("sk_cmp_t") == rows("sk_cmp_ref"))
+      val postProbe = Sketches.quantilesFromSketchTable(
+          spark, "sk_cmp_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(postProbe.nonEmpty && postProbe == preProbe)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_cmp_t")
+      spark.sql("DROP TABLE IF EXISTS sk_cmp_t_compact_shadow")
+      spark.sql("DROP TABLE IF EXISTS sk_cmp_ref")
+    }
+  }
 }

@@ -924,6 +924,56 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(batch.nonEmpty && streamed == batch,
       s"streamed=$streamed batch=$batch")
   }
+
+  test("streamed sketch appends: K micro-batches == one-shot, and a re-delivered committed micro-batch is an exact no-op") {
+    // the additive sketch is the one tier where a replay does not just
+    // duplicate rows a probe screens out — it DOUBLE-COUNTS. The
+    // per-batch key rides the generation's own rows (single-file atomic
+    // append: detection and the counts it guards commit together), so
+    // the replayed batch must no-op down to stored rows.
+    import graft.pipeline.Sketches
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 600).map(i => (i.toLong * 2654435761L) % 100000L + 1L)
+    val (base, rest) = vals.splitAt(200)
+    val (b1, b2) = rest.splitAt(200)
+    try {
+      Sketches.writeSketchTable(base.toDF("v"), col("v"), "sk_str_t")
+      val ms = MemoryStream[Long](spark)
+      val q = Sketches.startStreamAppendSketchTable(
+        ms.toDF().toDF("v"), col("v"), "sk_str_t")
+      try {
+        ms.addData(b1)
+        q.processAllAvailable()
+        ms.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      def probe() = Sketches.quantilesFromSketchTable(
+          spark, "sk_str_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.logBucketQuantiles(
+          vals.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probe() == oneShot,
+        "streamed appends diverged from the one-shot sketch")
+      def stored() = spark.table("sk_str_t")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      val afterStream = stored()
+      // three generations: the build plus one per micro-batch, the
+      // micro-batches under deterministic streaming keys
+      assert(afterStream.map(_._4).distinct.size == 3)
+      assert(afterStream.map(_._5).distinct.sorted ==
+        Seq(-1L, graft.pipeline.Similarity.streamBatchKeyBase,
+          graft.pipeline.Similarity.streamBatchKeyBase + 1))
+      // the replay: batchId 1 re-delivered after its commit
+      Sketches.streamAppendSketchBatch(b2.toDF("v"), 1L, col("v"),
+        "sk_str_t")
+      assert(stored() == afterStream,
+        "a replayed committed micro-batch changed the sketch table")
+      assert(probe() == oneShot)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_str_t")
+    }
+  }
 }
 
 class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
