@@ -2259,8 +2259,86 @@ object RelationalQueries {
         Sketches.compactSketchTable(s, table)
       }
       Sketches.quantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
+    // QF4 — PERSISTED count-min through its FULL maintenance lifecycle
+    // (r14): the heavy-hitter sketch (qa8/qa9) joins the persisted
+    // tier under the shared MergeTables protocol — built on the first
+    // 400 docs, the rest STREAM-appended one counter generation per
+    // micro-batch (deterministic commit keys, replay no-op
+    // spec-gated), the qd3 deletion set retracted additively, then
+    // everything compacted into one gen-0 file. The probe is the
+    // merged counter table, which must be bit-equal — collisions and
+    // all — to the one-shot sketch over the surviving docs (qa9's
+    // oracle chain over the survivor set). The persisted artifact is
+    // depth x width rows at ANY corpus size.
+    "qf4" -> ((s, d) =>
+      TextAnalysis.countMinFromTable(s, cmTable(s, d))),
+
+    // QF5 — heavy-hitter top-k SERVED from the maintained qf4 table:
+    // the serving probe (qa8's estimate leg) runs over the persisted
+    // merged counters instead of a fresh corpus scan, paying only the
+    // probe-side vocabulary pass plus a broadcast of the bounded
+    // counter table. Estimates — one-sided error, collisions included
+    // — must equal qa8's chain over the survivors: maintenance
+    // (stream-append, retract, compact) lost nothing the serving tier
+    // can see.
+    "qf5" -> ((s, d) =>
+      TextAnalysis.countMinTopKIndexed(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % qd3DelMod =!= qd3DelRes),
+        "text", cmTable(s, d), k = 20, width = qa8Width,
+        depth = qa8Depth)),
+
+    // QF6 — PERSISTED HLL registers (r14): the portable
+    // distinct-count sketch (q07b) joins the persisted tier with the
+    // OTHER merge monoid — registers combine by element-wise MAX,
+    // which is idempotent (replayed appends cannot change any probe,
+    // spec-gated) but not invertible (no retraction; deletion is a
+    // rebuild by contract, the minhash-tier honesty). Built on the
+    // even orderkeys, odd appended, compacted; the probe's estimates
+    // must be bit-equal to q07b's one-shot sketch over the full
+    // lineitem — q07b's oracle VERBATIM (max-merge of split register
+    // tables IS the union's register table).
+    "qf6" -> ((s, d) => {
+      val table = "qf6_hll_" + dirTag(d)
+      buildOnce(table) {
+        val li = Tables.lineitem(s, d)
+        ValueAggregators.writeHllTable(
+          li.filter(col("l_orderkey") % 2 === 0), col("l_suppkey"),
+          col("l_partkey"), table)
+        ValueAggregators.appendHllTable(
+          li.filter(col("l_orderkey") % 2 === 1), col("l_suppkey"),
+          col("l_partkey"), table)
+        ValueAggregators.compactHllTable(s, table)
+      }
+      ValueAggregators.hllEstimateFromTable(s, table)
+        .select(col("key").as("l_suppkey"), col("est"))
     })
   )
+
+  /** The maintained count-min table shared by qf4 (counter-table gate)
+    * and qf5 (serving gate) — ONE artifact through the full lifecycle:
+    * batch build, STREAMED appends under deterministic commit keys,
+    * additive retraction of the qd3 deletion set, compaction. */
+  private def cmTable(s: SparkSession, d: String): String = {
+    val table = "qf4_cm_" + dirTag(d)
+    buildOnce(table) {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeCountMinTable(
+        docs.filter(col("doc_id") < 400), "text", table,
+        width = qa8Width, depth = qa8Depth)
+      TextAnalysis.streamAppendCountMinTable(
+        Tables.streamOf(s, d, "documents")
+          .filter(col("doc_id") >= 400),
+        "text", table, width = qa8Width, depth = qa8Depth)
+      TextAnalysis.retractCountMinDocs(
+        docs.filter(col("doc_id") % qd3DelMod === qd3DelRes), "text",
+        table, width = qa8Width, depth = qa8Depth)
+      TextAnalysis.compactCountMinTable(s, table)
+    }
+    table
+  }
 
   /** DuckDB oracle for q21b_kmeans_local — the FLOAT-Lloyd per-line
     * k-means reproduced BIT FOR BIT, closing the suite's last declared
@@ -2790,6 +2868,45 @@ object RelationalQueries {
     sketchOracleSqlFor(None,
       extraWhere = s" AND event_id % $qd3DelMod <> $qd3DelRes")
 
+  /** The shared CTE chain (tokens → seeded (h,b) coordinates) of every
+    * count-min oracle — ONE builder for the full-corpus rows (qa8/qa9)
+    * and the survivor-set rows over the maintained table (qf4/qf5),
+    * mirroring the single-sourced Spark-side cmCoords. `where` filters
+    * the documents the sketch is built from. */
+  private def cmOracleCtes(where: String): String =
+    s"""w AS (SELECT
+      |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
+      |  FROM documents $where),
+      |tk AS (SELECT unnest(ws) AS tok FROM w),
+      |hb AS (SELECT tok, h,
+      |    ${graft.pipeline.Portable.hash60Sql(
+             "concat('cm', h, ':', tok)")} % $qa8Width AS b
+      |  FROM tk, range(0, $qa8Depth) t(h))"""
+
+  /** The counter TABLE `(h, b, c)` — qa9's gate (and qf4's, over the
+    * survivor set). */
+  private def cmCounterOracleSql(where: String): String =
+    s"""WITH ${cmOracleCtes(where)}
+      |SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2""".stripMargin
+
+  /** The heavy-hitter top-k `(tok, est)` — qa8's gate (and qf5's, over
+    * the survivor set): min-over-counters estimates, deterministic
+    * (est desc, tok) cut. */
+  private def cmTopKOracleSql(where: String): String =
+    s"""WITH ${cmOracleCtes(where)},
+      |cnt AS (SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2),
+      |db AS (SELECT DISTINCT tok, h, b FROM hb),
+      |est AS (SELECT tok, min(c) AS est FROM db JOIN cnt USING (h, b)
+      |  GROUP BY tok)
+      |SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin
+
+  /** q07b's portable-HLL oracle — shared BY REFERENCE with qf6 (the
+    * persisted register table's probe must reproduce the one-shot
+    * estimate bit for bit). */
+  private lazy val hllOracleSql: String =
+    graft.agg.ValueAggregators.portableHllSql("lineitem", "l_suppkey",
+      "CAST(l_partkey AS VARCHAR)", "l_suppkey")
+
   /** qb7's complete oracle (lexical chain + ADC chain + RRF fusion) —
     * shared BY REFERENCE with qc4 (the streaming hybrid twin). */
   private lazy val hybridFuseOracleSql: String = {
@@ -3241,33 +3358,26 @@ object RelationalQueries {
     // qa8: the same seeded counter sketch rebuilt from raw text —
     // buckets, collisions, and the one-sided min-estimates all
     // reproduce, so the approximate values themselves are the gate
-    "qa8" ->
-      s"""WITH w AS (SELECT
-        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
-        |  FROM documents),
-        |tk AS (SELECT unnest(ws) AS tok FROM w),
-        |hb AS (SELECT tok, h,
-        |    ${graft.pipeline.Portable.hash60Sql(
-               "concat('cm', h, ':', tok)")} % $qa8Width AS b
-        |  FROM tk, range(0, $qa8Depth) t(h)),
-        |cnt AS (SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2),
-        |db AS (SELECT DISTINCT tok, h, b FROM hb),
-        |est AS (SELECT tok, min(c) AS est FROM db JOIN cnt USING (h, b)
-        |  GROUP BY tok)
-        |SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin,
+    "qa8" -> cmTopKOracleSql(""),
 
     // qa9: the counter TABLE itself, rebuilt from raw text — the
     // streaming aggregation's final state must equal the batch sketch
-    "qa9" ->
-      s"""WITH w AS (SELECT
-        |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
-        |  FROM documents),
-        |tk AS (SELECT unnest(ws) AS tok FROM w),
-        |hb AS (SELECT tok, h,
-        |    ${graft.pipeline.Portable.hash60Sql(
-               "concat('cm', h, ':', tok)")} % $qa8Width AS b
-        |  FROM tk, range(0, $qa8Depth) t(h))
-        |SELECT h, b, count(*) AS c FROM hb GROUP BY 1, 2""".stripMargin,
+    "qa9" -> cmCounterOracleSql(""),
+
+    // qf4: qa9's counter chain over the SURVIVING docs — the
+    // maintained (stream-appended, retracted, compacted) table's
+    // merged counters must equal the one-shot sketch over the corpus
+    // minus the deleted docs, collisions included
+    "qf4" -> cmCounterOracleSql(
+      s"WHERE doc_id % $qd3DelMod <> $qd3DelRes"),
+    // qf5: qa8's top-k chain over the survivors — serving from the
+    // maintained table loses nothing vs scan-per-run
+    "qf5" -> cmTopKOracleSql(
+      s"WHERE doc_id % $qd3DelMod <> $qd3DelRes"),
+    // qf6 shares q07b's oracle BY REFERENCE: max-merged split register
+    // tables ARE the union's registers, so the persisted probe must
+    // reproduce the one-shot estimate bit for bit
+    "qf6" -> hllOracleSql,
 
     // qb1: the full BM25 computation re-derived in SQL — corpus stats,
     // candidate postings, idf, the quantized ranking. qb3 (persisted
@@ -4287,9 +4397,7 @@ object RelationalQueries {
     // q07b: the portable HLL re-derived in SQL — registers, the
     // exact-integer harmonic sum, and the linear-counting branch, so
     // the oracle reproduces the approximation itself bit for bit
-    "q07b_uniq_approx" ->
-      graft.agg.ValueAggregators.portableHllSql("lineitem", "l_suppkey",
-        "CAST(l_partkey AS VARCHAR)", "l_suppkey"),
+    "q07b_uniq_approx" -> hllOracleSql,
 
     "q08_histogram" ->
       """WITH freq AS (

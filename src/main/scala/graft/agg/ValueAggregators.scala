@@ -63,17 +63,41 @@ object ValueAggregators {
     * standard ~1.04/sqrt(m) (spec-asserted against exact counts).
     * Returns (key, est). */
   def portableHllEstimate(df: DataFrame, key: Column, v: Column,
+      m: Int = 256): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, key, v, m), m)
+
+  /** The register table `(key, b, m_reg)` of [[portableHllEstimate]] —
+    * at most m rows per key regardless of corpus size. Split out so the
+    * PERSISTED tier ([[writeHllTable]]) stores exactly the state the
+    * one-shot estimate derives from: registers are MAX-monoid
+    * ([[graft.pipeline.MergeTables.mergedMax]]), so partial register
+    * tables over any corpus split merge to the full corpus's registers
+    * — the law behind build+append == one-shot. */
+  def hllRegisters(df: DataFrame, key: Column, v: Column,
       m: Int = 256): DataFrame = {
+    require(m >= 128 && (m & (m - 1)) == 0,
+      s"m must be a power of 2 >= 128, got $m")
+    val p = java.lang.Integer.numberOfTrailingZeros(m)
+    val maxRank = 60 - p + 1
+    val h = graft.pipeline.Portable.hash60(v.cast("string"))
+    df.select(key.as("key"), pmod(h, lit(m.toLong)).as("b"),
+        (lit(maxRank) - length(ltrim(bin(shiftright(h, p)), "0"))).as("r"))
+      .groupBy("key", "b").agg(max(col("r")).as("m_reg"))
+  }
+
+  /** The estimation tail of [[portableHllEstimate]] over a register
+    * table — shared verbatim by the one-shot sketch and the
+    * persisted-table probe ([[hllEstimateFromTable]]), so the two
+    * cannot round differently. */
+  def hllEstimateFromRegisters(regs: DataFrame, m: Int = 256)
+      : DataFrame = {
     require(m >= 128 && (m & (m - 1)) == 0,
       s"m must be a power of 2 >= 128, got $m")
     val p = java.lang.Integer.numberOfTrailingZeros(m)
     val maxRank = 60 - p + 1
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val num = alpha * m * m * math.pow(2.0, maxRank)
-    val h = graft.pipeline.Portable.hash60(v.cast("string"))
-    df.select(key.as("key"), pmod(h, lit(m.toLong)).as("b"),
-        (lit(maxRank) - length(ltrim(bin(shiftright(h, p)), "0"))).as("r"))
-      .groupBy("key", "b").agg(max(col("r")).as("m_reg"))
+    regs
       .groupBy("key").agg(count(lit(1)).as("nz"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRank - m_reg)"))
           .as("sp"))
@@ -87,6 +111,54 @@ object ValueAggregators {
             lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
           .otherwise(col("raw"))).cast("long").as("est"))
   }
+
+  /** PERSIST the HLL register table (qf6) — the distinct-count sketch
+    * joining the persisted tier under the shared
+    * [[graft.pipeline.MergeTables]] protocol, with the OTHER merge
+    * monoid: registers combine by element-wise MAX, which is
+    * idempotent, so this tier is the mirror image of the additive
+    * sketches — appends are naturally replay-safe by algebra (max(a,a)
+    * = a; a replayed generation cannot change any probe, spec-gated),
+    * but there is NO retraction (max is not invertible — deleting keys
+    * from the estimate is a rebuild by contract, the same honesty as
+    * the minhash tier's natural-idempotence note). Streamed appends
+    * still use the deterministic batch keys purely as storage hygiene
+    * (a skipped replay writes no duplicate file), not for correctness.
+    * State is ≤ m rows per key at any corpus size. */
+  def writeHllTable(df: DataFrame, key: Column, v: Column,
+      table: String, m: Int = 256): Unit =
+    graft.pipeline.MergeTables.write(hllRegisters(df, key, v, m), "b",
+      table)
+
+  /** Append a batch's registers as one more generation — see
+    * [[writeHllTable]]. */
+  def appendHllTable(df: DataFrame, key: Column, v: Column,
+      table: String, m: Int = 256): Unit =
+    graft.pipeline.MergeTables.append(hllRegisters(df, key, v, m), "b",
+      table)
+
+  /** The probe-time max-merged register table — bit-equal to
+    * [[hllRegisters]] over the union of all written/appended batches. */
+  def hllRegistersFromTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): DataFrame =
+    graft.pipeline.MergeTables.mergedMax(spark, table,
+      Seq("key", "b"), "m_reg")
+
+  /** Distinct-count estimates from a persisted register table — the
+    * shared estimation tail over [[hllRegistersFromTable]]; `m` must be
+    * the build's `m` (the caller owns it, as with count-min's
+    * width/depth). Bit-equal to [[portableHllEstimate]] over the union
+    * corpus — qf6's gate. */
+  def hllEstimateFromTable(spark: org.apache.spark.sql.SparkSession,
+      table: String, m: Int = 256): DataFrame =
+    hllEstimateFromRegisters(hllRegistersFromTable(spark, table), m)
+
+  /** Collapse all register generations into one gen-0 file — see
+    * [[writeHllTable]] and [[graft.pipeline.MergeTables.compact]]. */
+  def compactHllTable(spark: org.apache.spark.sql.SparkSession,
+      table: String): Unit =
+    graft.pipeline.MergeTables.compact(spark, table, "b",
+      hllRegistersFromTable(spark, table))
 
   /** The DuckDB twin of [[portableHllEstimate]] — the full sketch
     * (hash, registers, exact-integer harmonic sum, correction branch)

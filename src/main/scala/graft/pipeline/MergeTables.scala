@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE persisted-table protocol shared by every MERGEABLE-STATE
+  * artifact in the approximate tier — quantile bucket counts
+  * ([[Sketches]]), count-min counters
+  * ([[TextAnalysis.writeCountMinTable]]), and HLL registers
+  * ([[graft.agg.ValueAggregators.writeHllTable]]). All three persist a
+  * bounded keyed-state table whose generations combine under an
+  * associative-commutative merge, so they share one physical story:
+  *
+  *  - a WRITE is `MapFiles.write` of generation 0;
+  *  - an APPEND lands one batch's state as one more single-file
+  *    generation (the stored side is never read, merged, or rewritten
+  *    — generations merge at PROBE time), so its crash safety is the
+  *    file-commit rename itself: a crashed append leaves the exact
+  *    pre-append state, no commit protocol needed
+  *    ([[TextAnalysis.commitBm25Gen]]'s argument);
+  *  - `batch_key` rides the generation's own rows (−1 for batch
+  *    operations, [[streamKey]] for streamed micro-batches), so replay
+  *    detection and the state it guards commit in the same rename —
+  *    unlike the BM25/ADC tiers, no separate commit table exists to
+  *    get out of sync;
+  *  - a COMPACTION rewrites all generations into one gen-0 file via
+  *    the probe's own merge (state-sized work, independent of the
+  *    corpus the state summarizes), through the shadow-then-rename
+  *    swap of the index tiers, clearing batch keys — which is what
+  *    permits a fresh streaming lineage afterward
+  *    ([[Similarity.streamBatchKeyBase]]).
+  *
+  * What DIFFERS per artifact is only the merge monoid, and with it the
+  * delete story: SUM-merged counts ([[mergedSum]]) support deletion by
+  * additive RETRACTION (negated counts cancel exactly; a negative
+  * merged count fails loudly) but double-count a replayed append —
+  * hence the batch keys; MAX-merged registers ([[mergedMax]]) are
+  * naturally replay-IDEMPOTENT (max(a,a) = a) but cannot retract (max
+  * is not invertible — deletion is a rebuild by contract).
+  *
+  * Reference contract: the write-once sorted-artifact story of
+  * `io/MapFile.java:49` plus the aggregate framework's mergeable
+  * partial states (`mapred/lib/aggregate/ValueAggregator.java`). */
+private[graft] object MergeTables {
+
+  /** Write generation 0 — drops any prior table ([[graft.sources.MapFiles.write]]). */
+  def write(state: DataFrame, keyCol: String, table: String): Unit =
+    graft.sources.MapFiles.write(
+      state.withColumn("gen", lit(0L))
+        .withColumn("batch_key", lit(-1L)).coalesce(1),
+      keyCol, 1, table)
+
+  /** Land one batch's state as one single-file generation. */
+  def append(state: DataFrame, keyCol: String, table: String,
+      batchKey: Long = -1L): Unit = {
+    require(state.sparkSession.catalog.tableExists(table),
+      s"$table does not exist — write it before appending")
+    state
+      .withColumn("gen", lit(graft.sources.MapFiles.freshGen()))
+      .withColumn("batch_key", lit(batchKey))
+      .coalesce(1)
+      .write.mode("append").bucketBy(1, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+  }
+
+  /** The deterministic streaming commit key for micro-batch `batchId`
+    * ([[Similarity.streamBatchKeyBase]] — one streaming writer lineage
+    * per table between compactions, the shared contract of all
+    * protocol tiers). */
+  def streamKey(batchId: Long): Long =
+    Similarity.streamBatchKeyBase + batchId
+
+  /** True iff micro-batch `batchId` already committed into `table` —
+    * the replay check of every streamed append ([[streamKey]]). */
+  def replayed(spark: SparkSession, table: String, batchId: Long)
+      : Boolean =
+    !spark.table(table)
+      .filter(col("batch_key") === streamKey(batchId)).isEmpty
+
+  /** Probe-time merge for SUM-monoid state (counts): exact long sums
+    * per key, fully-cancelled keys dropped (retraction leaves no
+    * zero-count residue in any estimate), and a NEGATIVE merged count
+    * — only possible by retracting state never added — fails loudly
+    * instead of probing a corrupt table. */
+  def mergedSum(spark: SparkSession, table: String,
+      keyCols: Seq[String], cntCol: String): DataFrame =
+    spark.table(table).groupBy(keyCols.map(col): _*)
+      .agg(sum(cntCol).as(cntCol))
+      .select(keyCols.map(col) :+
+        when(col(cntCol) >= 0L, col(cntCol)).otherwise(raise_error(
+          concat(lit(s"table $table: negative merged count (retracted " +
+            s"state that was never added) at ${keyCols.head}="),
+          col(keyCols.head).cast("string")))).as(cntCol): _*)
+      .filter(col(cntCol) > 0L)
+
+  /** Probe-time merge for MAX-monoid state (registers): element-wise
+    * max per key. Idempotent by algebra — a replayed generation cannot
+    * change the merge — so this monoid needs no negative guard and has
+    * no retraction. */
+  def mergedMax(spark: SparkSession, table: String,
+      keyCols: Seq[String], valCol: String): DataFrame =
+    spark.table(table).groupBy(keyCols.map(col): _*)
+      .agg(max(valCol).as(valCol))
+
+  /** Rewrite all generations into one gen-0 file: `merged` must be the
+    * probe's own merged view of `table` (so compacted == appended ==
+    * rebuilt is definitional), materialized BEFORE the swap because it
+    * reads the table being replaced. Shadow-then-rename, then
+    * batch keys are gone with the old generations. */
+  def compact(spark: SparkSession, table: String, keyCol: String,
+      merged: DataFrame): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — nothing to compact")
+    val shadow = table + "_compact_shadow"
+    write(merged, keyCol, shadow)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    spark.catalog.refreshTable(table)
+  }
+}

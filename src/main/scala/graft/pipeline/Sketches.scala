@@ -198,33 +198,16 @@ object Sketches {
     * collapses generations. */
   def writeSketchTable(rows: DataFrame, valCol: Column, table: String,
       subBits: Int = defaultSubBits): Unit =
-    graft.sources.MapFiles.write(
-      logBucketCounts(rows, valCol, subBits).withColumn("gen", lit(0L))
-        .withColumn("batch_key", lit(-1L)).coalesce(1),
-      "b_low", 1, table)
-
-  /** Land one generation of (possibly negated) bucket rows — the one
-    * physical append all sketch maintenance shares: a single coalesced
-    * file under a fresh generation id, visible atomically via its one
-    * rename, carrying `batchKey` as the operation's logical identity
-    * (−1 for batch operations). */
-  private def landSketchRows(buckets: DataFrame, table: String,
-      batchKey: Long): Unit = {
-    require(buckets.sparkSession.catalog.tableExists(table),
-      s"$table does not exist — not a sketch table")
-    buckets
-      .withColumn("gen", lit(graft.sources.MapFiles.freshGen()))
-      .withColumn("batch_key", lit(batchKey))
-      .coalesce(1)
-      .write.mode("append").bucketBy(1, "b_low").sortBy("b_low")
-      .saveAsTable(table)
-  }
+    MergeTables.write(logBucketCounts(rows, valCol, subBits), "b_low",
+      table)
 
   /** Append a batch's bucket counts to a persisted sketch — one
-    * sketch-sized single-file write, archive-independent cost. */
+    * sketch-sized single-file write, archive-independent cost
+    * ([[MergeTables.append]]). */
   def appendSketchTable(rows: DataFrame, valCol: Column, table: String,
       subBits: Int = defaultSubBits): Unit =
-    landSketchRows(logBucketCounts(rows, valCol, subBits), table, -1L)
+    MergeTables.append(logBucketCounts(rows, valCol, subBits), "b_low",
+      table)
 
   /** DELETE from a persisted sketch by additive retraction — the
     * approximate tier's member of the delete matrix (qd3/qd4/qd7),
@@ -243,27 +226,18 @@ object Sketches {
     * the physical-removal analog of qd4's tombstone collapse. */
   def retractSketchTable(rows: DataFrame, valCol: Column, table: String,
       subBits: Int = defaultSubBits): Unit =
-    landSketchRows(
+    MergeTables.append(
       logBucketCounts(rows, valCol, subBits)
         .withColumn("cnt", -col("cnt")),
-      table, -1L)
+      "b_low", table)
 
   /** Probe-time generation merge, shared by the probe and the
-    * compactor: exact long sums per bucket, fully-cancelled buckets
-    * dropped (so retraction leaves no zero-count residue in any
-    * estimate), and a NEGATIVE merged count — only possible by
-    * retracting rows never added — fails loudly instead of walking the
-    * rank over a corrupt table. */
+    * compactor ([[MergeTables.mergedSum]]: exact long sums per bucket,
+    * fully-cancelled buckets dropped, negative merged counts fail
+    * loudly). */
   private def mergedBuckets(spark: SparkSession, table: String)
       : DataFrame =
-    spark.table(table).groupBy("b_low", "b_high")
-      .agg(sum("cnt").as("cnt"))
-      .select(col("b_low"), col("b_high"),
-        when(col("cnt") >= 0L, col("cnt")).otherwise(raise_error(concat(
-          lit(s"sketch table $table: negative merged count (retracted " +
-            "rows that were never added) at b_low="),
-          col("b_low").cast("string")))).as("cnt"))
-      .filter(col("cnt") > 0L)
+    MergeTables.mergedSum(spark, table, Seq("b_low", "b_high"), "cnt")
 
   /** Quantiles from a persisted sketch: generations merge by exact long
     * sums (sketch-sized work), then the shared rank walk. The probe of
@@ -284,18 +258,9 @@ object Sketches {
     * protocol of the other tiers, and the rewrite resets `batch_key`
     * to −1, which is what permits a FRESH streaming lineage after a
     * compaction ([[graft.pipeline.Similarity.streamBatchKeyBase]]). */
-  def compactSketchTable(spark: SparkSession, table: String): Unit = {
-    require(spark.catalog.tableExists(table),
-      s"$table does not exist — not a sketch table")
-    val shadow = table + "_compact_shadow"
-    graft.sources.MapFiles.write(
-      mergedBuckets(spark, table).withColumn("gen", lit(0L))
-        .withColumn("batch_key", lit(-1L)).coalesce(1),
-      "b_low", 1, shadow)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
-    spark.catalog.refreshTable(table)
-  }
+  def compactSketchTable(spark: SparkSession, table: String): Unit =
+    MergeTables.compact(spark, table, "b_low",
+      mergedBuckets(spark, table))
 
   /** The foreachBatch body of [[startStreamAppendSketchTable]], exposed
     * for the replay spec: append `batch`'s bucket counts under the
@@ -308,14 +273,10 @@ object Sketches {
     * counts it guards commit in the same single-file rename. */
   private[graft] def streamAppendSketchBatch(batch: DataFrame,
       batchId: Long, valCol: Column, table: String,
-      subBits: Int = defaultSubBits): Unit = {
-    val spark = batch.sparkSession
-    val key = graft.pipeline.Similarity.streamBatchKeyBase + batchId
-    val replayed = !spark.table(table)
-      .filter(col("batch_key") === key).isEmpty
-    if (!replayed)
-      landSketchRows(logBucketCounts(batch, valCol, subBits), table, key)
-  }
+      subBits: Int = defaultSubBits): Unit =
+    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
+      MergeTables.append(logBucketCounts(batch, valCol, subBits),
+        "b_low", table, MergeTables.streamKey(batchId))
 
   /** [[appendSketchTable]] with the VALUES ARRIVING AS A STREAM — the
     * approximate tier's twin of qd6/qe1/qe2, completing streaming

@@ -1152,17 +1152,127 @@ object TextAnalysis {
   def countMinTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int, width: Int = 1024, depth: Int = 4): DataFrame = {
     require(k > 0 && width > 0 && depth > 0, s"k=$k w=$width d=$depth")
-    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
-    val counters = countMinCounters(docs, textCol, width, depth)
+    cmTopKFromCounters(docs, countMinCounters(docs, textCol, width,
+      depth), textCol, k, width, depth)
+  }
+
+  /** The estimate leg shared by the scan-per-run top-k ([[countMinTopK]])
+    * and the persisted-table probe ([[countMinTopKIndexed]]): distinct
+    * tokens of `vocabDocs` → seeded coordinates → min over the
+    * broadcast counter table. One definition, so the serving tier
+    * cannot hash or cut differently from the audit tier. */
+  private def cmTopKFromCounters(vocabDocs: DataFrame,
+      counters: DataFrame, textCol: String, k: Int, width: Int,
+      depth: Int): DataFrame = {
+    graft.functions.VectorOps.ensureRegistered(vocabDocs.sparkSession)
+    val cs = counters
       .select(col("h").as("ch"), col("b").as("cb"), col("c"))
-    val toks = docs.select(explode(words(col(textCol))).as("tok"))
-    val est = toks.distinct()
+    vocabDocs.select(explode(words(col(textCol))).as("tok")).distinct()
       .select(col("tok"), explode(cmCoords(width, depth)).as("x"))
-      .join(broadcast(counters),
+      .join(broadcast(cs),
         col("x.h") === col("ch") && col("x.b") === col("cb"))
       .groupBy("tok").agg(min("c").as("est"))
-    est.orderBy(col("est").desc, col("tok")).limit(k)
+      .orderBy(col("est").desc, col("tok")).limit(k)
   }
+
+  /** PERSIST the count-min counter table (qf4) — the heavy-hitter
+    * sketch joining the persisted tier under the shared
+    * [[MergeTables]] protocol. Counts are SUM-monoid state, so the
+    * tier gets the FULL maintenance lifecycle of the quantile sketch:
+    * single-file generation appends whose cost is independent of both
+    * corpus and archive size ([[appendCountMinTable]]), deletion by
+    * additive retraction ([[retractCountMinDocs]] — negated counts
+    * cancel at the probe-time sum; over-retraction fails loudly),
+    * compaction through the probe's own merge
+    * ([[compactCountMinTable]]), and streamed appends under
+    * deterministic per-batch commit keys
+    * ([[streamAppendCountMinTable]] — the additive monoid is where a
+    * replayed micro-batch double-counts, so the key must ride the
+    * generation's rows). The persisted artifact is depth × width rows
+    * REGARDLESS of corpus size — the cheapest of the persisted tiers
+    * by far. */
+  def writeCountMinTable(docs: DataFrame, textCol: String,
+      table: String, width: Int = 1024, depth: Int = 4): Unit =
+    MergeTables.write(countMinCounters(docs, textCol, width, depth),
+      "b", table)
+
+  /** Append a batch's counters as one more generation — see
+    * [[writeCountMinTable]]. */
+  def appendCountMinTable(docs: DataFrame, textCol: String,
+      table: String, width: Int = 1024, depth: Int = 4): Unit =
+    MergeTables.append(countMinCounters(docs, textCol, width, depth),
+      "b", table)
+
+  /** DELETE documents from a persisted count-min table by additive
+    * retraction: their token counts land negated and cancel exactly at
+    * the probe-time sum — see [[writeCountMinTable]]. CONTRACT: `docs`
+    * must have been added (the [[MergeTables.mergedSum]] negative
+    * guard fails loudly otherwise). */
+  def retractCountMinDocs(docs: DataFrame, textCol: String,
+      table: String, width: Int = 1024, depth: Int = 4): Unit =
+    MergeTables.append(
+      countMinCounters(docs, textCol, width, depth)
+        .withColumn("c", -col("c")),
+      "b", table)
+
+  /** The probe-time merged counter table — bit-equal to
+    * [[countMinCounters]] over the surviving corpus (qf4's gate). */
+  def countMinFromTable(spark: SparkSession, table: String): DataFrame =
+    MergeTables.mergedSum(spark, table, Seq("h", "b"), "c")
+
+  /** Collapse all generations into one gen-0 file — see
+    * [[writeCountMinTable]] and [[MergeTables.compact]]. */
+  def compactCountMinTable(spark: SparkSession, table: String): Unit =
+    MergeTables.compact(spark, table, "b",
+      countMinFromTable(spark, table))
+
+  /** Heavy-hitter top-k SERVED FROM the persisted counter table (qf5)
+    * — [[countMinTopK]]'s estimate leg over [[countMinFromTable]]'s
+    * merged counters instead of a fresh corpus scan: the sketch is
+    * maintained incrementally (appends/retractions/streams) and probes
+    * pay only the vocabulary pass of the probe-side docs plus a
+    * broadcast of the bounded counter table. */
+  def countMinTopKIndexed(vocabDocs: DataFrame, textCol: String,
+      table: String, k: Int, width: Int = 1024, depth: Int = 4)
+      : DataFrame = {
+    require(k > 0, s"k=$k")
+    cmTopKFromCounters(vocabDocs,
+      countMinFromTable(vocabDocs.sparkSession, table), textCol, k,
+      width, depth)
+  }
+
+  /** The foreachBatch body of [[startStreamAppendCountMinTable]],
+    * exposed for the replay spec — the sketch-tier discipline
+    * ([[graft.pipeline.Sketches.streamAppendSketchBatch]]): skip a
+    * micro-batch whose deterministic key already committed. */
+  private[graft] def streamAppendCountMinBatch(batch: DataFrame,
+      batchId: Long, textCol: String, table: String, width: Int,
+      depth: Int): Unit =
+    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
+      MergeTables.append(
+        countMinCounters(batch, textCol, width, depth), "b", table,
+        MergeTables.streamKey(batchId))
+
+  /** [[appendCountMinTable]] with the DOCUMENTS ARRIVING AS A STREAM:
+    * one counter generation per micro-batch under a deterministic
+    * commit key (replay no-op spec-gated). Blocks until drained. */
+  def streamAppendCountMinTable(docStream: DataFrame, textCol: String,
+      table: String, width: Int = 1024, depth: Int = 4): Unit = {
+    val q = startStreamAppendCountMinTable(docStream, textCol, table,
+      width, depth)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of [[streamAppendCountMinTable]]. */
+  def startStreamAppendCountMinTable(docStream: DataFrame,
+      textCol: String, table: String, width: Int = 1024, depth: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAppendCountMinBatch(batch, batchId, textCol, table,
+          width, depth)
+      }
+      .start()
 
   /** Per-source token-length distribution audit (q96) — the dataset-card
     * numbers behind mixing and truncation decisions: how long are this

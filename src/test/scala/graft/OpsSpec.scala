@@ -409,4 +409,59 @@ class PortableHllSpec extends AnyFunSuite with SparkTest {
         col("v"), m = 200)
     }
   }
+
+  test("persisted HLL: build+append+compact == one-shot, replayed appends are no-ops BY ALGEBRA, one file generation after compaction") {
+    // the MAX monoid's two faces: split register tables max-merge to
+    // the union's registers (build+append == one-shot, bit for bit),
+    // and max(a,a) = a makes a re-appended generation invisible to
+    // every probe WITHOUT any replay bookkeeping — the mirror image of
+    // the additive tiers' double-count hazard
+    import graft.agg.ValueAggregators
+    val rows = (0 until 900).map(i => (s"k${i % 3}", s"v${i % 450}"))
+    val df = rows.toDF("k", "v")
+    val (a, b) = (df.filter(col("v").substr(2, 9).cast("int") % 2 === 0),
+      df.filter(col("v").substr(2, 9).cast("int") % 2 === 1))
+    def tableDir(t: String) = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    def dataFiles(t: String) = tableDir(t).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    try {
+      ValueAggregators.writeHllTable(a, col("k"), col("v"), "hll_lc_t")
+      ValueAggregators.appendHllTable(b, col("k"), col("v"), "hll_lc_t")
+      def probe() = ValueAggregators
+        .hllEstimateFromTable(spark, "hll_lc_t")
+        .as[(String, Long)].collect().sorted.toSeq
+      val oneShot = ValueAggregators
+        .portableHllEstimate(df, col("k"), col("v"))
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probe() == oneShot)
+      // merged registers == one-shot registers, exactly
+      def regs() = ValueAggregators
+        .hllRegistersFromTable(spark, "hll_lc_t")
+        .as[(String, Long, Int)].collect().sorted.toSeq
+      val direct = ValueAggregators.hllRegisters(df, col("k"), col("v"))
+        .as[(String, Long, Int)].collect().sorted.toSeq
+      assert(regs() == direct)
+      // replay WITHOUT key bookkeeping: re-append the same batch as a
+      // plain batch append — more stored rows, identical probe
+      ValueAggregators.appendHllTable(b, col("k"), col("v"), "hll_lc_t")
+      assert(regs() == direct && probe() == oneShot,
+        "a duplicated register generation changed the max-merge")
+      assert(dataFiles("hll_lc_t") == 3)
+      ValueAggregators.compactHllTable(spark, "hll_lc_t")
+      assert(dataFiles("hll_lc_t") == 1)
+      // compacted stored rows == a fresh build's, gen and key included
+      ValueAggregators.writeHllTable(df, col("k"), col("v"),
+        "hll_lc_ref")
+      def stored(t: String) = spark.table(t)
+        .as[(String, Long, Int, Long, Long)].collect().sorted.toSeq
+      assert(stored("hll_lc_t") == stored("hll_lc_ref"))
+      assert(probe() == oneShot)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS hll_lc_t")
+      spark.sql("DROP TABLE IF EXISTS hll_lc_t_compact_shadow")
+      spark.sql("DROP TABLE IF EXISTS hll_lc_ref")
+    }
+  }
 }

@@ -1151,6 +1151,68 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     assert(wide.toSeq == expectedOrder)
   }
 
+  test("persisted count-min: append+retract+compact == one-shot over survivors; serving probe matches; over-retraction raises") {
+    import graft.pipeline.TextAnalysis
+    val base = Seq(
+      (0L, "a a a a b b b c c d"),
+      (1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val extra = Seq((2L, "a a b c x y z"), (3L, "d d e y")).toDF(
+      "doc_id", "text")
+    val gone = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val survivors = Seq(
+      (0L, "a a a a b b b c c d"),
+      (2L, "a a b c x y z"),
+      (3L, "d d e y")).toDF("doc_id", "text")
+    def tableDir(t: String) = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    def dataFiles(t: String) = tableDir(t).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    try {
+      TextAnalysis.writeCountMinTable(base, "text", "cm_lc_t",
+        width = 64, depth = 3)
+      TextAnalysis.appendCountMinTable(extra, "text", "cm_lc_t",
+        width = 64, depth = 3)
+      TextAnalysis.retractCountMinDocs(gone, "text", "cm_lc_t",
+        width = 64, depth = 3)
+      def merged() = TextAnalysis.countMinFromTable(spark, "cm_lc_t")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val direct = TextAnalysis.countMinCounters(survivors, "text",
+          width = 64, depth = 3)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(direct.nonEmpty && merged() == direct,
+        "maintained counters diverged from the one-shot sketch")
+      // serving from the table == scan-per-run top-k over survivors
+      val probe = TextAnalysis.countMinTopKIndexed(survivors, "text",
+          "cm_lc_t", k = 12, width = 64, depth = 3)
+        .as[(String, Long)].collect().toSeq
+      val scan = TextAnalysis.countMinTopK(survivors, "doc_id", "text",
+          k = 12, width = 64, depth = 3)
+        .as[(String, Long)].collect().toSeq
+      assert(probe.nonEmpty && probe == scan)
+      // compaction: 3 generations -> 1, merged view unchanged
+      assert(dataFiles("cm_lc_t") == 3)
+      TextAnalysis.compactCountMinTable(spark, "cm_lc_t")
+      assert(dataFiles("cm_lc_t") == 1)
+      assert(merged() == direct)
+      // retracting a doc that was never added -> negative cell -> LOUD
+      // (50 repeats exceed the whole corpus's token count, so the cell
+      // goes negative even if it collides with every real token)
+      TextAnalysis.retractCountMinDocs(
+        Seq((9L, Seq.fill(50)("zzz").mkString(" "))).toDF(
+          "doc_id", "text"), "text",
+        "cm_lc_t", width = 64, depth = 3)
+      val e = intercept[Exception] { merged() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("negative merged count")))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cm_lc_t")
+      spark.sql("DROP TABLE IF EXISTS cm_lc_t_compact_shadow")
+    }
+  }
+
   test("languageId picks the language with most stopword hits") {
     val docs = Seq(
       (0L, "the cat sat of the mat and it is that"),

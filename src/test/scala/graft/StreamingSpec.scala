@@ -974,6 +974,50 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS sk_str_t")
     }
   }
+
+  test("streamed count-min appends: K micro-batches == one-shot, and a re-delivered committed micro-batch is an exact no-op") {
+    // qf4's streaming leg — the same additive-tier discipline as the
+    // quantile sketch, on the heavy-hitter counters
+    import graft.pipeline.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val all = Seq(
+      (0L, "a a a b b c"), (1L, "a b c d e"),
+      (2L, "a a x y"), (3L, "d d e z"))
+    val base = all.take(1)
+    try {
+      TextAnalysis.writeCountMinTable(base.toDF("doc_id", "text"),
+        "text", "cm_str_t", width = 64, depth = 3)
+      val ms = MemoryStream[(Long, String)](spark)
+      val q = TextAnalysis.startStreamAppendCountMinTable(
+        ms.toDF().toDF("doc_id", "text"), "text", "cm_str_t",
+        width = 64, depth = 3)
+      try {
+        ms.addData(all.slice(1, 3))
+        q.processAllAvailable()
+        ms.addData(all.drop(3))
+        q.processAllAvailable()
+      } finally q.stop()
+      def merged() = TextAnalysis.countMinFromTable(spark, "cm_str_t")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val direct = TextAnalysis.countMinCounters(
+          all.toDF("doc_id", "text"), "text", width = 64, depth = 3)
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(direct.nonEmpty && merged() == direct,
+        "streamed counter appends diverged from the one-shot sketch")
+      def stored() = spark.table("cm_str_t")
+        .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+      val afterStream = stored()
+      // the replay: batchId 0 re-delivered after its commit
+      TextAnalysis.streamAppendCountMinBatch(
+        all.slice(1, 3).toDF("doc_id", "text"), 0L, "text", "cm_str_t",
+        width = 64, depth = 3)
+      assert(stored() == afterStream,
+        "a replayed committed micro-batch changed the counter table")
+      assert(merged() == direct)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cm_str_t")
+    }
+  }
 }
 
 class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
