@@ -2314,6 +2314,34 @@ object RelationalQueries {
       }
       ValueAggregators.hllEstimateFromTable(s, table)
         .select(col("key").as("l_suppkey"), col("est"))
+    }),
+
+    // QF7 — the GROUPED sketch persisted (r14): qe7's per-group
+    // quantile profile (the dataset-card shape) maintained as a table
+    // under the shared MergeTables lifecycle instead of recomputed per
+    // run — built on the first half, appended, the qd3 deletion set
+    // retracted per group, compacted. The per-group estimates must
+    // equal qe7's chain over the survivors (the grouped oracle builder
+    // with the deletion WHERE) — maintenance loses nothing in any
+    // group.
+    "qf7" -> ((s, d) => {
+      val table = "qf7_gsk_" + dirTag(d)
+      buildOnce(table) {
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+        val cv = floor(col("value") * 100 + 0.5).cast("long")
+        val g = col("event_type")
+        val n = ev.count()
+        Sketches.writeGroupedSketchTable(
+          ev.filter(col("event_id") * 2 < n), g, cv, table)
+        Sketches.appendGroupedSketchTable(
+          ev.filter(col("event_id") * 2 >= n), g, cv, table)
+        Sketches.retractGroupedSketchTable(
+          ev.filter(col("event_id") % qd3DelMod === qd3DelRes), g, cv,
+          table)
+        Sketches.compactGroupedSketchTable(s, table)
+      }
+      Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
     })
   )
 
@@ -3428,6 +3456,10 @@ object RelationalQueries {
     // qf3 (compacted sketch) shares qf2's oracle BY REFERENCE — the
     // compaction-loses-nothing claim on the approximate tier
     "qf3" -> sketchRetractOracleSql,
+    // qf7 (maintained grouped sketch): qe7's grouped chain over the
+    // events minus the retracted rows — per-group exact cancellation
+    "qf7" -> sketchOracleSqlFor(Some("event_type"),
+      extraWhere = s" AND event_id % $qd3DelMod <> $qd3DelRes"),
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,

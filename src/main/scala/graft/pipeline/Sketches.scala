@@ -114,14 +114,21 @@ object Sketches {
       if (g.isEmpty) buckets.agg(coalesce(sum("cnt"), lit(0L)).as("total"))
       else buckets.groupBy(g.map(col): _*)
         .agg(coalesce(sum("cnt"), lit(0L)).as("total"))
+    // targets and cum share lineage (both derive from `buckets`), so
+    // the group-key equality must compare ALIASED sides — qualified
+    // column refs, not df("col") attribute picks, which carry the same
+    // exprId on both sides of a self-join (Spark disambiguates those
+    // via dataset ids, but only after warning; the alias form is
+    // unambiguous by construction)
     val targets = totals.crossJoin(broadcast(percents.toDF("pct")))
       .select(g.map(col) :+ col("pct") :+
         expr("(pct * total + 99) div 100").as("target_rank"): _*)
-    targets.join(broadcast(cum),
-        g.map(n => targets(n) === cum(n))
-          .foldLeft(col("cum") >= col("target_rank"))(_ && _))
-      .select(g.map(n => targets(n).as(n)) :+ col("pct") :+
-        col("target_rank") :+ col("b_low"): _*)
+      .alias("qt")
+    targets.join(broadcast(cum.alias("qc")),
+        g.map(n => col(s"qt.$n") === col(s"qc.$n"))
+          .foldLeft(col("qc.cum") >= col("qt.target_rank"))(_ && _))
+      .select(g.map(n => col(s"qt.$n").as(n)) :+ col("qt.pct") :+
+        col("qt.target_rank") :+ col("qc.b_low"): _*)
       .groupBy((g :+ "pct" :+ "target_rank").map(col): _*)
       .agg(min("b_low").as("est_low"))
       .join(broadcast(buckets.select(g.map(col) :+
@@ -261,6 +268,60 @@ object Sketches {
   def compactSketchTable(spark: SparkSession, table: String): Unit =
     MergeTables.compact(spark, table, "b_low",
       mergedBuckets(spark, table))
+
+  /** PER-GROUP persisted sketch (qf7) — qe7's grouped sketch under the
+    * same [[MergeTables]] lifecycle as the ungrouped table: the stored
+    * state is `(g, b_low, b_high, cnt)` rows (groups × buckets, bounded
+    * for bounded group domains), appends/retractions land whole
+    * grouped-bucket generations, and the probe merges per
+    * `(g, b_low, b_high)` before the shared grouped rank walk — so the
+    * per-source dataset-card profile (q96's shape) is MAINTAINED
+    * incrementally instead of recomputed per run. Probe-equals-one-shot
+    * rides the same additive law as qe8 (spec-gated; qf7 gates the
+    * grouped estimates over the survivor set). */
+  def writeGroupedSketchTable(rows: DataFrame, groupCol: Column,
+      valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit =
+    MergeTables.write(
+      bucketCounts(rows, Seq((groupCol, "g")), valCol, subBits),
+      "b_low", table)
+
+  /** Append a batch's grouped bucket counts — see
+    * [[writeGroupedSketchTable]]. */
+  def appendGroupedSketchTable(rows: DataFrame, groupCol: Column,
+      valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit =
+    MergeTables.append(
+      bucketCounts(rows, Seq((groupCol, "g")), valCol, subBits),
+      "b_low", table)
+
+  /** Retract rows from a grouped sketch — [[retractSketchTable]]'s
+    * contract per group. */
+  def retractGroupedSketchTable(rows: DataFrame, groupCol: Column,
+      valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit =
+    MergeTables.append(
+      bucketCounts(rows, Seq((groupCol, "g")), valCol, subBits)
+        .withColumn("cnt", -col("cnt")),
+      "b_low", table)
+
+  private def mergedGroupedBuckets(spark: SparkSession, table: String)
+      : DataFrame =
+    MergeTables.mergedSum(spark, table, Seq("g", "b_low", "b_high"),
+      "cnt")
+
+  /** Per-group quantiles from a persisted grouped sketch — the shared
+    * grouped rank walk over the merged generations. */
+  def groupedQuantilesFromSketchTable(spark: SparkSession,
+      table: String, percents: Seq[Int]): DataFrame =
+    quantWalk(mergedGroupedBuckets(spark, table), percents, Seq("g"))
+
+  /** Collapse a grouped sketch's generations — see
+    * [[compactSketchTable]]. */
+  def compactGroupedSketchTable(spark: SparkSession, table: String)
+      : Unit =
+    MergeTables.compact(spark, table, "b_low",
+      mergedGroupedBuckets(spark, table))
 
   /** The foreachBatch body of [[startStreamAppendSketchTable]], exposed
     * for the replay spec: append `batch`'s bucket counts under the

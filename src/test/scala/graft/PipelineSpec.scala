@@ -2315,6 +2315,38 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("grouped persisted sketch: append+retract+compact per group == one-shot grouped sketch over the survivors") {
+    // qf7's law — the grouped tier rides the same additive algebra,
+    // per (g, bucket) key
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", v)
+    }
+    val (x, y) = rows.splitAt(900)
+    val retract = rows.filter(_._2 % 5 == 2)
+    val survive = rows.filterNot(_._2 % 5 == 2)
+    try {
+      Sketches.writeGroupedSketchTable(
+        x.toDF("g", "v"), col("g"), col("v"), "gsk_lc_t")
+      Sketches.appendGroupedSketchTable(
+        y.toDF("g", "v"), col("g"), col("v"), "gsk_lc_t")
+      Sketches.retractGroupedSketchTable(
+        retract.toDF("g", "v"), col("g"), col("v"), "gsk_lc_t")
+      Sketches.compactGroupedSketchTable(spark, "gsk_lc_t")
+      val probed = Sketches.groupedQuantilesFromSketchTable(
+          spark, "gsk_lc_t", Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.groupedLogBucketQuantiles(
+          survive.toDF("g", "v"), col("g"), col("v"), Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.map(_._1).toSet == Set("a", "b", "c"))
+      assert(probed == oneShot,
+        "maintained grouped sketch diverged from the one-shot")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gsk_lc_t")
+      spark.sql("DROP TABLE IF EXISTS gsk_lc_t_compact_shadow")
+    }
+  }
+
   test("compactSketchTable: compacted == appended+retracted == rebuilt, one file generation remains, cancelled buckets physically dropped") {
     val (a, b) = vals.splitAt(900)
     val retract = vals.filter(_ % 5 == 2)

@@ -509,6 +509,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       plan.take(3000))
   }
 
+  test("qf5: serving from the maintained counter table keeps qa8's shape — counters broadcast, TakeOrdered cut, bucketed table scan") {
+    // the persisted tier must not LOSE the scan-per-run tier's plan
+    // guarantees: the merged counter table (bounded rows) reaches the
+    // estimate join as a broadcast, the cut stays per-partition
+    // TakeOrdered, and the counter scan reads the bucketed layout
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val df = SparkEntry.queries("qf5")(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(3000))
+    val all = planNodes(df.queryExecution.executedPlan)
+    assert(all.collect { case e: BroadcastExchangeExec => e }.nonEmpty,
+      plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+  }
+
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {
     // q90's result is checkpointed (materializeThenRelease), so assert on
     // the reconstructed postings + intersection stage, as the q31 test
