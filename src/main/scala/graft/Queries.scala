@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
 import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
-import graft.pipeline.{Curation, Dedup, Multimodal, Quantize, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Curation, Dedup, Multimodal, Quantize, Samples, Similarity, Sketches, TextAnalysis}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -2342,8 +2342,36 @@ object RelationalQueries {
         Sketches.compactGroupedSketchTable(s, table)
       }
       Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
+    // QF8 — deterministic hash-ranked sample, MAINTAINED (r14): the
+    // eval-holdout selection (k docs with the smallest seeded portable
+    // hash — pseudo-random but a pure function of the ids, so re-runs,
+    // engines, and incremental growth all select the same rows) as the
+    // THIRD MergeTables monoid: min-k merges exactly (min-k(A ∪ B) =
+    // min-k of the partial min-k's), is idempotent after id-dedup
+    // (replay-safe by algebra, like the HLL tier), and is
+    // non-invertible (deletion = rebuild by contract). Built on the
+    // first 400 docs, the rest STREAM-appended, compacted; the probe's
+    // k rows — hash values included — must equal the one-shot ranking
+    // over the full corpus, which the oracle re-derives bit for bit.
+    "qf8" -> ((s, d) => {
+      val table = "qf8_smp_" + dirTag(d)
+      buildOnce(table) {
+        val docs = Tables.documents(s, d)
+        Samples.writeSampleTable(
+          docs.filter(col("doc_id") < 400), "doc_id", qf8K, table)
+        Samples.streamAppendSampleTable(
+          Tables.streamOf(s, d, "documents")
+            .filter(col("doc_id") >= 400),
+          "doc_id", qf8K, table)
+        Samples.compactSampleTable(s, table, qf8K)
+      }
+      Samples.sampleFromTable(s, table, qf8K)
     })
   )
+
+  private val qf8K = 25
 
   /** The maintained count-min table shared by qf4 (counter-table gate)
     * and qf5 (serving gate) — ONE artifact through the full lifecycle:
@@ -3460,6 +3488,16 @@ object RelationalQueries {
     // events minus the retracted rows — per-group exact cancellation
     "qf7" -> sketchOracleSqlFor(Some("event_type"),
       extraWhere = s" AND event_id % $qd3DelMod <> $qd3DelRes"),
+    // qf8 (maintained deterministic sample): the one-shot hash ranking
+    // re-derived — k smallest seeded 60-bit hashes over the full
+    // corpus, hash values included, so the maintained min-k's exact
+    // selection is the gate
+    "qf8" ->
+      s"""SELECT id, hk FROM (SELECT doc_id AS id,
+        |    ${graft.pipeline.Portable.hash60Sql(
+               "concat('smp:', CAST(doc_id AS VARCHAR))")} AS hk
+        |  FROM documents)
+        |ORDER BY hk, id LIMIT $qf8K""".stripMargin,
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-ranked sampling — the k documents whose seeded
+  * portable hash is smallest. This is the eval-holdout / inspection
+  * sample a training-data pipeline actually wants: pseudo-random but a
+  * PURE FUNCTION of the ids (re-runs, other engines, and incremental
+  * maintenance all select the same rows — no RNG state, no
+  * partitioning dependence), and a MIN-K monoid, so partial samples
+  * merge exactly: min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)). That law
+  * makes it the third [[MergeTables]] instance beside the SUM tier
+  * (quantile/count-min — invertible, hence retraction) and the MAX
+  * tier (HLL registers — idempotent, hence naturally replay-safe):
+  * min-k is idempotent AFTER id-dedup (the probe distincts stored
+  * rows, so a replayed generation cannot change the sample) and
+  * non-invertible (removing a sampled id cannot be backfilled from
+  * bounded state — deletion is a rebuild by contract, the HLL-tier
+  * honesty).
+  *
+  * Reference contract: `SequenceFileInputFilter.MD5Filter`
+  * (mapred/SequenceFileInputFilter.java:191-208 — hash-derived
+  * deterministic record selection; q19 gates the percent/regex/md5
+  * filters) extended to a FIXED-SIZE selection, and
+  * `lib/InputSampler.java`'s sample-k-records shape. */
+object Samples {
+
+  /** The scan-per-run sample: k smallest `hash60("smp:" + id)` with the
+    * id itself as the (unreachable at 60 bits, but total) tie-break.
+    * Returns `(id, hk)` — the hash rides along so the persisted tier's
+    * probes and the oracle can reproduce the ranking bit for bit. The
+    * cut is a TakeOrdered (per-partition top-k, no global sort
+    * exchange). */
+  def hashSampleTopK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    graft.functions.VectorOps.ensureRegistered(df.sparkSession)
+    df.select(col(idCol).as("id"),
+        Portable.hash60Fast(concat(lit("smp:"),
+          col(idCol).cast("string"))).as("hk"))
+      .orderBy(col("hk"), col("id")).limit(k)
+  }
+
+  /** PERSIST the sample (qf8) — each generation stores one batch's own
+    * min-k candidates (k rows, constant), the probe takes the global
+    * min-k over all generations ([[sampleFromTable]]); the merge law
+    * above makes probe == one-shot over the union definitional. Writes,
+    * appends, compaction, and streamed appends are the shared
+    * [[MergeTables]] lifecycle. */
+  def writeSampleTable(df: DataFrame, idCol: String, k: Int,
+      table: String): Unit =
+    MergeTables.write(hashSampleTopK(df, idCol, k), "hk", table)
+
+  /** Append a batch's min-k candidates — see [[writeSampleTable]]. */
+  def appendSampleTable(df: DataFrame, idCol: String, k: Int,
+      table: String): Unit =
+    MergeTables.append(hashSampleTopK(df, idCol, k), "hk", table)
+
+  /** The maintained sample: global min-k over every stored generation,
+    * id-deduped first so duplicate generations (an unkeyed replay, an
+    * id appearing in two batches) cannot double-select — bit-equal to
+    * [[hashSampleTopK]] over the union of all written/appended batches
+    * (qf8's gate). Bounded work: generations hold ≤ k rows each. */
+  def sampleFromTable(spark: SparkSession, table: String, k: Int)
+      : DataFrame = {
+    require(k > 0, s"k=$k")
+    spark.table(table).select("id", "hk").distinct()
+      .orderBy(col("hk"), col("id")).limit(k)
+  }
+
+  /** Collapse all generations into the current min-k — after
+    * compaction the table IS the sample, one file, k rows. */
+  def compactSampleTable(spark: SparkSession, table: String, k: Int)
+      : Unit =
+    MergeTables.compact(spark, table, "hk",
+      sampleFromTable(spark, table, k))
+
+  /** The foreachBatch body of [[startStreamAppendSampleTable]],
+    * exposed for the replay spec. The batch key is storage hygiene
+    * here (a skipped replay writes no duplicate file); correctness
+    * never depended on it — the probe's id-dedup makes min-k
+    * replay-idempotent by algebra, the MAX-tier argument. */
+  private[graft] def streamAppendSampleBatch(batch: DataFrame,
+      batchId: Long, idCol: String, k: Int, table: String): Unit =
+    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
+      MergeTables.append(hashSampleTopK(batch, idCol, k), "hk", table,
+        MergeTables.streamKey(batchId))
+
+  /** [[appendSampleTable]] with the DOCUMENTS ARRIVING AS A STREAM:
+    * one min-k candidate generation per micro-batch. Blocks until
+    * drained. */
+  def streamAppendSampleTable(docStream: DataFrame, idCol: String,
+      k: Int, table: String): Unit = {
+    val q = startStreamAppendSampleTable(docStream, idCol, k, table)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of [[streamAppendSampleTable]]. */
+  def startStreamAppendSampleTable(docStream: DataFrame, idCol: String,
+      k: Int, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAppendSampleBatch(batch, batchId, idCol, k, table)
+      }
+      .start()
+}

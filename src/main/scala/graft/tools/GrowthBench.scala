@@ -515,6 +515,47 @@ object GrowthBench {
       }
     }
 
+    // bounded-state sketch tier (r14, the qe8/qf claim measured): the
+    // BUILD is the tier's one corpus-scaled pass — asymptotically
+    // linear, but measured at the job-overhead floor even at 10x
+    // (0.6-0.8 s both scales): a map-side projection + bounded
+    // aggregation is that cheap, which IS the tier's selling point.
+    // The persisted artifact is BOUNDED, so the PROBE of a table
+    // summarizing a 10x corpus and a FIXED-batch append onto it must
+    // also sit at exponent ~0 (constant stays constant at the floor).
+    locally {
+      import graft.pipeline.{Sketches, TextAnalysis}
+      def lens(d: String) = Tables.documents(spark, d)
+        .select(length(col("text")).cast("long").as("v"))
+      if (true) { // warm both build shapes + probe shapes off the clock
+        Sketches.writeSketchTable(lens(x1).limit(50), col("v"), "gsk_warm")
+        Sketches.quantilesFromSketchTable(spark, "gsk_warm",
+          Seq(50, 99)).count()
+        TextAnalysis.writeCountMinTable(
+          Tables.documents(spark, x1).limit(50), "text", "gcm_warm")
+        TextAnalysis.countMinFromTable(spark, "gcm_warm").count()
+      }
+      for ((tag, d) <- Seq("1x" -> x1, "10x" -> x10)) {
+        val st = s"gsk_tbl_$tag"; val ct = s"gcm_tbl_$tag"
+        t(s"qe8_sketch_build_$tag") = timeU(s"qe8_sketch_build_$tag") {
+          Sketches.writeSketchTable(lens(d), col("v"), st); ""
+        }
+        t(s"qf4_cm_build_$tag") = timeU(s"qf4_cm_build_$tag") {
+          TextAnalysis.writeCountMinTable(Tables.documents(spark, d),
+            "text", ct); ""
+        }
+        t(s"qf1_sketch_append_$tag") = timeU(s"qf1_sketch_append_$tag") {
+          Sketches.appendSketchTable(lens(x1), col("v"), st); ""
+        }
+        t(s"qe8_sketch_probe_$tag") = time(s"qe8_sketch_probe_$tag",
+          Sketches.quantilesFromSketchTable(spark, st, Seq(50, 90, 99)))
+        t(s"qf5_cm_probe_$tag") = time(s"qf5_cm_probe_$tag",
+          TextAnalysis.countMinTopKIndexed(
+            Tables.documents(spark, x1).filter(col("doc_id") % 100 === 0),
+            "text", ct, k = 20))
+      }
+    }
+
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
       System.err.println(
         f"[growth] exponent $label%-28s ${math.log(tk / t1) / math.log(k)}%5.2f")
@@ -565,6 +606,16 @@ object GrowthBench {
       t("qc1_bm25_append_10x"), 10)
     exp("qc3_adc_append 1x->10x", t("qc3_adc_append_1x"),
       t("qc3_adc_append_10x"), 10)
+    exp("qe8_sketch_build 1x->10x", t("qe8_sketch_build_1x"),
+      t("qe8_sketch_build_10x"), 10)
+    exp("qf4_cm_build 1x->10x", t("qf4_cm_build_1x"),
+      t("qf4_cm_build_10x"), 10)
+    exp("qf1_sketch_append 1x->10x", t("qf1_sketch_append_1x"),
+      t("qf1_sketch_append_10x"), 10)
+    exp("qe8_sketch_probe 1x->10x", t("qe8_sketch_probe_1x"),
+      t("qe8_sketch_probe_10x"), 10)
+    exp("qf5_cm_probe 1x->10x", t("qf5_cm_probe_1x"),
+      t("qf5_cm_probe_10x"), 10)
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +

@@ -2101,6 +2101,74 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
   }
 }
 
+class SamplesSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+  import graft.pipeline.Samples
+
+  private val docs = (1L to 500L).map(i => (i, s"doc $i"))
+
+  test("hashSampleTopK: deterministic, partition-independent, and the min-k merge law holds") {
+    val df = docs.toDF("doc_id", "text")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Samples.hashSampleTopK(d, "doc_id", 20)
+        .as[(Long, Long)].collect().toSeq
+    val s1 = sample(df)
+    assert(s1.size == 20 && s1 == s1.sortBy(r => (r._2, r._1)))
+    // a pure function of the ids: partitioning cannot change it
+    assert(sample(df.repartition(7)) == s1)
+    // min-k(A ∪ B) == min-k over the partial min-k's
+    val (a, b) = docs.splitAt(300)
+    val partials = sample(a.toDF("doc_id", "text")) ++
+      sample(b.toDF("doc_id", "text"))
+    assert(partials.sortBy(r => (r._2, r._1)).take(20) == s1)
+  }
+
+  test("persisted sample: build+append+compact == one-shot; duplicate generations cannot change the sample (idempotent by algebra)") {
+    val (a, b) = docs.splitAt(300)
+    def tableDir(t: String) = new java.io.File(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t)).location)
+    def dataFiles(t: String) = tableDir(t).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    try {
+      Samples.writeSampleTable(a.toDF("doc_id", "text"), "doc_id", 20,
+        "smp_lc_t")
+      Samples.appendSampleTable(b.toDF("doc_id", "text"), "doc_id", 20,
+        "smp_lc_t")
+      def probe() = Samples.sampleFromTable(spark, "smp_lc_t", 20)
+        .as[(Long, Long)].collect().toSeq
+      val oneShot = Samples.hashSampleTopK(
+          docs.toDF("doc_id", "text"), "doc_id", 20)
+        .as[(Long, Long)].collect().toSeq
+      assert(oneShot.size == 20 && probe() == oneShot)
+      // an UNKEYED duplicate generation (the replay the batch keys
+      // exist to avoid storing): id-dedup makes the min-k immune
+      Samples.appendSampleTable(b.toDF("doc_id", "text"), "doc_id", 20,
+        "smp_lc_t")
+      assert(probe() == oneShot,
+        "a duplicated candidate generation changed the sample")
+      // the keyed streamed path skips the replay entirely
+      Samples.streamAppendSampleBatch(b.toDF("doc_id", "text"), 7L,
+        "doc_id", 20, "smp_lc_t")
+      val afterKeyed = spark.table("smp_lc_t").count()
+      Samples.streamAppendSampleBatch(b.toDF("doc_id", "text"), 7L,
+        "doc_id", 20, "smp_lc_t")
+      assert(spark.table("smp_lc_t").count() == afterKeyed,
+        "a keyed replay landed a duplicate file")
+      assert(probe() == oneShot)
+      // compaction: the table becomes the sample itself — one file,
+      // exactly k rows, probe unchanged
+      Samples.compactSampleTable(spark, "smp_lc_t", 20)
+      assert(dataFiles("smp_lc_t") == 1)
+      assert(spark.table("smp_lc_t").count() == 20)
+      assert(probe() == oneShot)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS smp_lc_t")
+      spark.sql("DROP TABLE IF EXISTS smp_lc_t_compact_shadow")
+    }
+  }
+}
+
 class SketchesSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
   import graft.pipeline.Sketches
