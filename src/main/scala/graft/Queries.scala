@@ -2368,10 +2368,33 @@ object RelationalQueries {
         Samples.compactSampleTable(s, table, qf8K)
       }
       Samples.sampleFromTable(s, table, qf8K)
+    }),
+
+    // QF9 — the STRATIFIED maintained sample: per-SOURCE min-k (every
+    // source represented in the holdout — q57's stratified-split shape
+    // as a bounded maintained artifact instead of a per-run pass).
+    // Build on the first 400 docs, append the rest, retract nothing
+    // (min-k is non-invertible), compact; the per-group k rows must
+    // equal the one-shot per-group ranking over the full corpus,
+    // hash values included.
+    "qf9" -> ((s, d) => {
+      val table = "qf9_gsmp_" + dirTag(d)
+      buildOnce(table) {
+        val docs = Tables.documents(s, d)
+        Samples.writeGroupedSampleTable(
+          docs.filter(col("doc_id") < 400), "source", "doc_id", qf9K,
+          table)
+        Samples.appendGroupedSampleTable(
+          docs.filter(col("doc_id") >= 400), "source", "doc_id", qf9K,
+          table)
+        Samples.compactGroupedSampleTable(s, table, qf9K)
+      }
+      Samples.groupedSampleFromTable(s, table, qf9K)
     })
   )
 
   private val qf8K = 25
+  private val qf9K = 7
 
   /** The maintained count-min table shared by qf4 (counter-table gate)
     * and qf5 (serving gate) — ONE artifact through the full lifecycle:
@@ -3498,6 +3521,16 @@ object RelationalQueries {
                "concat('smp:', CAST(doc_id AS VARCHAR))")} AS hk
         |  FROM documents)
         |ORDER BY hk, id LIMIT $qf8K""".stripMargin,
+    // qf9 (maintained stratified sample): the per-group ranking
+    // re-derived — row_number per source over the same seeded hashes
+    "qf9" ->
+      s"""SELECT g, id, hk FROM (SELECT g, id, hk,
+        |    row_number() OVER (PARTITION BY g ORDER BY hk, id) AS rn
+        |  FROM (SELECT source AS g, doc_id AS id,
+        |      ${graft.pipeline.Portable.hash60Sql(
+               "concat('smp:', CAST(doc_id AS VARCHAR))")} AS hk
+        |    FROM documents))
+        |WHERE rn <= $qf9K""".stripMargin,
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,

@@ -75,6 +75,63 @@ object Samples {
     MergeTables.compact(spark, table, "hk",
       sampleFromTable(spark, table, k))
 
+  /** STRATIFIED sample: per group, the k ids with the smallest seeded
+    * hash — the per-source eval holdout (every source represented, the
+    * q57 stratified-split shape as a BOUNDED maintained artifact). The
+    * per-group cut is a row_number window partitioned by the group —
+    * bounded rows per partition for bounded group domains, the qe7
+    * discipline. Same determinism and merge law as [[hashSampleTopK]],
+    * per group. Returns `(g, id, hk)`. */
+  def groupedHashSampleTopK(df: DataFrame, groupCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    graft.functions.VectorOps.ensureRegistered(df.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        Portable.hash60Fast(concat(lit("smp:"),
+          col(idCol).cast("string"))).as("hk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("hk"), col("id"))))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Persist the stratified sample (qf9) — per-batch per-group min-k
+    * candidate generations under the shared [[MergeTables]] lifecycle;
+    * the probe re-cuts the global per-group min-k
+    * ([[groupedSampleFromTable]]). */
+  def writeGroupedSampleTable(df: DataFrame, groupCol: String,
+      idCol: String, k: Int, table: String): Unit =
+    MergeTables.write(groupedHashSampleTopK(df, groupCol, idCol, k),
+      "hk", table)
+
+  /** Append a batch's per-group candidates — see
+    * [[writeGroupedSampleTable]]. */
+  def appendGroupedSampleTable(df: DataFrame, groupCol: String,
+      idCol: String, k: Int, table: String): Unit =
+    MergeTables.append(groupedHashSampleTopK(df, groupCol, idCol, k),
+      "hk", table)
+
+  /** The maintained stratified sample: per-group min-k over every
+    * stored generation, id-deduped first (the [[sampleFromTable]]
+    * idempotence argument, per group). Bit-equal to
+    * [[groupedHashSampleTopK]] over the union (qf9's gate). */
+  def groupedSampleFromTable(spark: SparkSession, table: String, k: Int)
+      : DataFrame = {
+    require(k > 0, s"k=$k")
+    import org.apache.spark.sql.expressions.Window
+    spark.table(table).select("g", "id", "hk").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("hk"), col("id"))))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** Collapse a stratified sample's generations — after compaction the
+    * table IS the per-group sample. */
+  def compactGroupedSampleTable(spark: SparkSession, table: String,
+      k: Int): Unit =
+    MergeTables.compact(spark, table, "hk",
+      groupedSampleFromTable(spark, table, k))
+
   /** The foreachBatch body of [[startStreamAppendSampleTable]],
     * exposed for the replay spec. The batch key is storage hygiene
     * here (a skipped replay writes no duplicate file); correctness

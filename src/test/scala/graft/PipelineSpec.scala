@@ -2167,6 +2167,62 @@ class SamplesSpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS smp_lc_t_compact_shadow")
     }
   }
+
+  test("stratified maintained sample: per-group min-k, build+append+compact == one-shot, every group represented") {
+    val rows = docs.map { case (id, t) =>
+      (s"src${id % 4}", id, t)
+    }
+    val (a, b) = rows.splitAt(300)
+    try {
+      Samples.writeGroupedSampleTable(
+        a.toDF("source", "doc_id", "text"), "source", "doc_id", 5,
+        "gsmp_lc_t")
+      Samples.appendGroupedSampleTable(
+        b.toDF("source", "doc_id", "text"), "source", "doc_id", 5,
+        "gsmp_lc_t")
+      Samples.compactGroupedSampleTable(spark, "gsmp_lc_t", 5)
+      val probed = Samples.groupedSampleFromTable(spark, "gsmp_lc_t", 5)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      val oneShot = Samples.groupedHashSampleTopK(
+          rows.toDF("source", "doc_id", "text"), "source", "doc_id", 5)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(probed == oneShot)
+      assert(probed.map(_._1).distinct.size == 4, "a source vanished")
+      assert(probed.groupBy(_._1).values.forall(_.size == 5))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gsmp_lc_t")
+      spark.sql("DROP TABLE IF EXISTS gsmp_lc_t_compact_shadow")
+    }
+  }
+
+  test("interleaved appenders on the additive tables: merged state is order-independent (exact integer sums)") {
+    // the qe interleave spec's claim, on the MergeTables SUM tier:
+    // two writers' batch appends landing in either interleaving yield
+    // the same merged view (sums commute), so the additive tables need
+    // no writer coordination for appends — only the batch keys for
+    // streamed replays
+    import graft.pipeline.Sketches
+    val a = (1 to 400).map(i => (i.toLong * 7919) % 5000L + 1L)
+    val b = (1 to 400).map(i => (i.toLong * 104729) % 5000L + 1L)
+    val c = (1 to 400).map(i => (i.toLong * 15485863) % 5000L + 1L)
+    def mergedOf(order: Seq[Seq[Long]], t: String) = {
+      Sketches.writeSketchTable(Seq(1L).toDF("v"), col("v"), t)
+      order.foreach(batch =>
+        Sketches.appendSketchTable(batch.toDF("v"), col("v"), t))
+      spark.table(t).groupBy("b_low", "b_high")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+    }
+    try {
+      val abc = mergedOf(Seq(a, b, c), "sk_il_1")
+      val cba = mergedOf(Seq(c, b, a), "sk_il_2")
+      val bac = mergedOf(Seq(b, a, c), "sk_il_3")
+      assert(abc.nonEmpty && abc == cba && abc == bac)
+    } finally {
+      for (t <- Seq("sk_il_1", "sk_il_2", "sk_il_3"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
 
 class SketchesSpec extends AnyFunSuite with SparkTest {
