@@ -2390,6 +2390,34 @@ object RelationalQueries {
         Samples.compactGroupedSampleTable(s, table, qf9K)
       }
       Samples.groupedSampleFromTable(s, table, qf9K)
+    }),
+
+    // QFA — EVENT-TIME windowed maintained profile: the grouped sketch
+    // with the hour bucket as the group key — per-hour value quantiles
+    // as an incrementally-maintained table (the monitoring shape). The
+    // architectural point vs watermarked streaming windows: the
+    // additive algebra absorbs OUT-OF-ORDER arrival exactly — the
+    // id-parity growth split interleaves in event time, so every
+    // appended batch lands in hours the build already wrote, and the
+    // merged state is still bit-equal to the one-shot per-hour profile
+    // (no watermark, no late-data loss, no state eviction deadline —
+    // a late event is one more +1 in its hour's bucket, whenever it
+    // arrives). Hour keys are epoch-hour longs (the q41 portable-window
+    // discipline: both engines floor positive epoch seconds).
+    "qfa" -> ((s, d) => {
+      val table = "qfa_wsk_" + dirTag(d)
+      buildOnce(table) {
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && col("ts").isNotNull)
+        val cv = floor(col("value") * 100 + 0.5).cast("long")
+        val g = expr("unix_timestamp(ts) div 3600")
+        Sketches.writeGroupedSketchTable(
+          ev.filter(col("event_id") % 2 === 0), g, cv, table)
+        Sketches.appendGroupedSketchTable(
+          ev.filter(col("event_id") % 2 === 1), g, cv, table)
+        Sketches.compactGroupedSketchTable(s, table)
+      }
+      Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
     })
   )
 
@@ -3521,6 +3549,11 @@ object RelationalQueries {
                "concat('smp:', CAST(doc_id AS VARCHAR))")} AS hk
         |  FROM documents)
         |ORDER BY hk, id LIMIT $qf8K""".stripMargin,
+    // qfa (event-time windowed profile): the grouped sketch chain with
+    // the epoch-hour as the group key — out-of-order growth must still
+    // merge to the one-shot per-hour profile bit for bit
+    "qfa" -> sketchOracleSqlFor(
+      Some("CAST(floor(epoch(ts)/3600) AS BIGINT)")),
     // qf9 (maintained stratified sample): the per-group ranking
     // re-derived — row_number per source over the same seeded hashes
     "qf9" ->
