@@ -132,6 +132,40 @@ object Samples {
     MergeTables.compact(spark, table, "hk",
       groupedSampleFromTable(spark, table, k))
 
+  /** The foreachBatch body of
+    * [[startStreamAppendGroupedSampleTable]] — the keyed-skip
+    * discipline, per group. */
+  private[graft] def streamAppendGroupedSampleBatch(batch: DataFrame,
+      batchId: Long, groupCol: String, idCol: String, k: Int,
+      table: String): Unit =
+    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
+      MergeTables.append(
+        groupedHashSampleTopK(batch, groupCol, idCol, k), "hk", table,
+        MergeTables.streamKey(batchId))
+
+  /** [[appendGroupedSampleTable]] with the DOCUMENTS ARRIVING AS A
+    * STREAM — per-micro-batch per-group candidates; the probe's
+    * id-dedup keeps even unkeyed replays exact (min-k algebra).
+    * Blocks until drained. */
+  def streamAppendGroupedSampleTable(docStream: DataFrame,
+      groupCol: String, idCol: String, k: Int, table: String): Unit = {
+    val q = startStreamAppendGroupedSampleTable(docStream, groupCol,
+      idCol, k, table)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of
+    * [[streamAppendGroupedSampleTable]]. */
+  def startStreamAppendGroupedSampleTable(docStream: DataFrame,
+      groupCol: String, idCol: String, k: Int, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAppendGroupedSampleBatch(batch, batchId, groupCol, idCol,
+          k, table)
+      }
+      .start()
+
   /** The foreachBatch body of [[startStreamAppendSampleTable]],
     * exposed for the replay spec. The batch key is storage hygiene
     * here (a skipped replay writes no duplicate file); correctness

@@ -323,6 +323,44 @@ object Sketches {
     MergeTables.compact(spark, table, "b_low",
       mergedGroupedBuckets(spark, table))
 
+  /** The foreachBatch body of [[startStreamAppendGroupedSketchTable]],
+    * exposed for the replay spec — [[streamAppendSketchBatch]]'s
+    * discipline on the grouped tier. */
+  private[graft] def streamAppendGroupedSketchBatch(batch: DataFrame,
+      batchId: Long, groupCol: Column, valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit =
+    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
+      MergeTables.append(
+        bucketCounts(batch, Seq((groupCol, "g")), valCol, subBits),
+        "b_low", table, MergeTables.streamKey(batchId))
+
+  /** [[appendGroupedSketchTable]] with the rows ARRIVING AS A STREAM —
+    * one grouped-bucket generation per micro-batch under deterministic
+    * commit keys (replay no-op; the qf1 contract per group). For the
+    * event-time windowed profile (qfa) this is the watermark-free
+    * late-data path: a late event's batch lands one more exact +1 in
+    * its hour's bucket, whenever it arrives. Blocks until drained. */
+  def streamAppendGroupedSketchTable(stream: DataFrame,
+      groupCol: Column, valCol: Column, table: String,
+      subBits: Int = defaultSubBits): Unit = {
+    val q = startStreamAppendGroupedSketchTable(stream, groupCol,
+      valCol, table, subBits)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of
+    * [[streamAppendGroupedSketchTable]]. */
+  def startStreamAppendGroupedSketchTable(stream: DataFrame,
+      groupCol: Column, valCol: Column, table: String,
+      subBits: Int = defaultSubBits)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        streamAppendGroupedSketchBatch(batch, batchId, groupCol,
+          valCol, table, subBits)
+      }
+      .start()
+
   /** The foreachBatch body of [[startStreamAppendSketchTable]], exposed
     * for the replay spec: append `batch`'s bucket counts under the
     * deterministic key of `batchId` unless that key already appears in

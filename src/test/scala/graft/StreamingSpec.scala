@@ -975,6 +975,71 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("grouped streamed appends (sketch + stratified sample): out-of-order micro-batches == one-shot, replays are no-ops") {
+    // the grouped tiers' streaming paths (qfa's late-data story and
+    // the stratified sample's): micro-batches interleaved ACROSS
+    // groups must merge to the one-shot grouped state, and a
+    // re-delivered committed batch must change nothing
+    import graft.pipeline.{Samples, Sketches}
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 600).map(i =>
+      (s"g${i % 3}", i.toLong, (i.toLong * 2654435761L) % 100000L + 1L))
+    val (base, rest) = rows.splitAt(200)
+    val (b1, b2) = rest.splitAt(200)
+    try {
+      // grouped sketch
+      Sketches.writeGroupedSketchTable(base.toDF("g", "id", "v"),
+        col("g"), col("v"), "gsk_str_t")
+      val ms = MemoryStream[(String, Long, Long)](spark)
+      val q = Sketches.startStreamAppendGroupedSketchTable(
+        ms.toDF().toDF("g", "id", "v"), col("g"), col("v"), "gsk_str_t")
+      try {
+        ms.addData(b1); q.processAllAvailable()
+        ms.addData(b2); q.processAllAvailable()
+      } finally q.stop()
+      def probe() = Sketches.groupedQuantilesFromSketchTable(
+          spark, "gsk_str_t", Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.groupedLogBucketQuantiles(
+          rows.toDF("g", "id", "v"), col("g"), col("v"), Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probe() == oneShot)
+      val stored = spark.table("gsk_str_t").count()
+      Sketches.streamAppendGroupedSketchBatch(b2.toDF("g", "id", "v"),
+        1L, col("g"), col("v"), "gsk_str_t")
+      assert(spark.table("gsk_str_t").count() == stored
+        && probe() == oneShot,
+        "a replayed committed micro-batch changed the grouped sketch")
+      // stratified sample
+      Samples.writeGroupedSampleTable(base.toDF("g", "doc_id", "v"),
+        "g", "doc_id", 5, "gsmp_str_t")
+      val ms2 = MemoryStream[(String, Long, Long)](spark)
+      val q2 = Samples.startStreamAppendGroupedSampleTable(
+        ms2.toDF().toDF("g", "doc_id", "v"), "g", "doc_id", 5,
+        "gsmp_str_t")
+      try {
+        ms2.addData(b1); q2.processAllAvailable()
+        ms2.addData(b2); q2.processAllAvailable()
+      } finally q2.stop()
+      def sprobe() = Samples.groupedSampleFromTable(spark,
+          "gsmp_str_t", 5)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      val sOneShot = Samples.groupedHashSampleTopK(
+          rows.toDF("g", "doc_id", "v"), "g", "doc_id", 5)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(sOneShot.nonEmpty && sprobe() == sOneShot)
+      val sstored = spark.table("gsmp_str_t").count()
+      Samples.streamAppendGroupedSampleBatch(b2.toDF("g", "doc_id", "v"),
+        1L, "g", "doc_id", 5, "gsmp_str_t")
+      assert(spark.table("gsmp_str_t").count() == sstored
+        && sprobe() == sOneShot,
+        "a replayed committed micro-batch changed the stratified sample")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gsk_str_t")
+      spark.sql("DROP TABLE IF EXISTS gsmp_str_t")
+    }
+  }
+
   test("streamed count-min appends: K micro-batches == one-shot, and a re-delivered committed micro-batch is an exact no-op") {
     // qf4's streaming leg — the same additive-tier discipline as the
     // quantile sketch, on the heavy-hitter counters
