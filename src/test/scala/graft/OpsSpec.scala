@@ -449,6 +449,15 @@ class PortableHllSpec extends AnyFunSuite with SparkTest {
       assert(regs() == direct && probe() == oneShot,
         "a duplicated register generation changed the max-merge")
       assert(dataFiles("hll_lc_t") == 3)
+      // the KEYED streamed path skips a replay before it even lands
+      ValueAggregators.streamAppendHllBatch(b, 4L, col("k"), col("v"),
+        "hll_lc_t")
+      assert(dataFiles("hll_lc_t") == 4)
+      ValueAggregators.streamAppendHllBatch(b, 4L, col("k"), col("v"),
+        "hll_lc_t")
+      assert(dataFiles("hll_lc_t") == 4,
+        "a keyed replay landed a duplicate register file")
+      assert(regs() == direct && probe() == oneShot)
       ValueAggregators.compactHllTable(spark, "hll_lc_t")
       assert(dataFiles("hll_lc_t") == 1)
       // compacted stored rows == a fresh build's, gen and key included
