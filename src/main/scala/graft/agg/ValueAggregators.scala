@@ -160,36 +160,30 @@ object ValueAggregators {
     graft.pipeline.MergeTables.compact(spark, table, "b",
       hllRegistersFromTable(spark, table))
 
-  /** The foreachBatch body of [[startStreamAppendHllTable]], exposed
-    * for the replay spec. On the MAX tier the batch key is PURE
-    * storage hygiene: even an unkeyed replayed generation could not
-    * change any probe (max is idempotent, spec-proven) — the key just
-    * keeps the replay from landing a duplicate file. */
+  /** The per-micro-batch body of [[startStreamAppendHllTable]],
+    * exposed for the replay spec. On the MAX tier the batch key is
+    * PURE storage hygiene: even an unkeyed replayed generation could
+    * not change any probe (max is idempotent, spec-proven) — the key
+    * just keeps the replay from landing a duplicate file. */
   private[graft] def streamAppendHllBatch(batch: DataFrame,
       batchId: Long, key: Column, v: Column, table: String,
       m: Int = 256): Unit =
-    if (!graft.pipeline.MergeTables.replayed(batch.sparkSession, table,
-        batchId))
-      graft.pipeline.MergeTables.append(hllRegisters(batch, key, v, m),
-        "b", table, graft.pipeline.MergeTables.streamKey(batchId))
+    graft.pipeline.MergeTables.appendBatch(batch, batchId, "b", table,
+      0L)(hllRegisters(_, key, v, m))
 
   /** [[appendHllTable]] with the ROWS ARRIVING AS A STREAM — one
     * register generation per micro-batch. Blocks until drained. */
   def streamAppendHllTable(stream: DataFrame, key: Column, v: Column,
-      table: String, m: Int = 256): Unit = {
-    val q = startStreamAppendHllTable(stream, key, v, table, m)
-    try q.processAllAvailable() finally q.stop()
-  }
+      table: String, m: Int = 256): Unit =
+    graft.pipeline.MergeTables.streamAppendBlocking(stream, "b",
+      table)(hllRegisters(_, key, v, m))
 
   /** The started-but-undrained form of [[streamAppendHllTable]]. */
   def startStreamAppendHllTable(stream: DataFrame, key: Column,
       v: Column, table: String, m: Int = 256)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendHllBatch(batch, batchId, key, v, table, m)
-      }
-      .start()
+    graft.pipeline.MergeTables.streamAppend(stream, "b", table)(
+      hllRegisters(_, key, v, m))
 
   /** The DuckDB twin of [[portableHllEstimate]] — the full sketch
     * (hash, registers, exact-integer harmonic sum, correction branch)

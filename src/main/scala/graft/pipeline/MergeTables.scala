@@ -50,7 +50,10 @@ private[graft] object MergeTables {
         .withColumn("batch_key", lit(-1L)).coalesce(1),
       keyCol, 1, table)
 
-  /** Land one batch's state as one single-file generation. */
+  /** Land one batch's state as one single-file generation. The
+    * `batch_key` column gets a parquet bloom filter so the per-batch
+    * replay probe ([[replayed]]) skips non-matching row groups from
+    * the footer instead of reading every generation's rows. */
   def append(state: DataFrame, keyCol: String, table: String,
       batchKey: Long = -1L): Unit = {
     require(state.sparkSession.catalog.tableExists(table),
@@ -59,23 +62,92 @@ private[graft] object MergeTables {
       .withColumn("gen", lit(graft.sources.MapFiles.freshGen()))
       .withColumn("batch_key", lit(batchKey))
       .coalesce(1)
-      .write.mode("append").bucketBy(1, keyCol).sortBy(keyCol)
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#batch_key", "true")
+      .bucketBy(1, keyCol).sortBy(keyCol)
       .saveAsTable(table)
   }
 
-  /** The deterministic streaming commit key for micro-batch `batchId`
-    * ([[Similarity.streamBatchKeyBase]] — one streaming writer lineage
-    * per table between compactions, the shared contract of all
-    * protocol tiers). */
-  def streamKey(batchId: Long): Long =
-    Similarity.streamBatchKeyBase + batchId
+  /** A fresh streaming LINEAGE id — one per `start()`ed streaming
+    * query. Spark's micro-batch ids restart at 0 for every fresh
+    * checkpoint lineage, so a key derived from the batchId alone would
+    * collide across two sequential streaming queries against the same
+    * table and the second query's first batches would be silently
+    * skipped as "replays" — real data loss. Folding a per-start
+    * lineage id into the key makes sequential lineages collision-free
+    * (no compact-between-lineages restriction), while replay detection
+    * stays exact WITHIN a lineage, which is the only place foreachBatch
+    * can actually re-deliver a batchId through this API (the blocking
+    * wrappers own their checkpoint for the query's whole life). */
+  def freshLineage(): Long =
+    java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(1L, 1L << 20)
 
-  /** True iff micro-batch `batchId` already committed into `table` —
-    * the replay check of every streamed append ([[streamKey]]). */
-  def replayed(spark: SparkSession, table: String, batchId: Long)
+  /** The deterministic streaming commit key of (`lineage`, `batchId`)
+    * ([[Similarity.streamBatchKeyBase]] + lineage·2^20 + batchId —
+    * distinct from every batch key (−1) and across lineages; batchIds
+    * get a 2^20 budget per lineage, far above any real micro-batch
+    * count, and enforced rather than wrapped). */
+  def streamKey(lineage: Long, batchId: Long): Long = {
+    require(lineage >= 0 && lineage < (1L << 20),
+      s"lineage $lineage outside [0, 2^20)")
+    require(batchId >= 0 && batchId < (1L << 20),
+      s"batchId $batchId outside the per-lineage 2^20 key budget")
+    Similarity.streamBatchKeyBase + (lineage << 20) + batchId
+  }
+
+  /** True iff `key` already committed into `table` — the replay check
+    * of every streamed append. Cost: one footer-level probe per stored
+    * generation (bloom on `batch_key`); the compaction contract keeps
+    * the generation count bounded. */
+  def replayed(spark: SparkSession, table: String, key: Long)
       : Boolean =
-    !spark.table(table)
-      .filter(col("batch_key") === streamKey(batchId)).isEmpty
+    !spark.table(table).filter(col("batch_key") === key).isEmpty
+
+  /** The ONE streamed-append loop every MergeTables tier shares:
+    * per micro-batch, derive the tier's state via `stateOf` and land
+    * it under the deterministic (lineage, batchId) key unless that key
+    * already committed. A per-run memo of committed batchIds
+    * short-circuits the table probe when foreachBatch re-delivers
+    * within the run; the table check stays authoritative (it alone
+    * survives a driver restart). Returns the started query — callers
+    * own the trigger cadence. */
+  def streamAppend(stream: DataFrame, keyCol: String, table: String)
+      (stateOf: DataFrame => DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lineage = freshLineage()
+    val committed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!committed.contains(batchId)) {
+          appendBatch(batch, batchId, keyCol, table, lineage)(stateOf)
+          committed.add(batchId)
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** [[streamAppend]]'s body for one micro-batch — exposed (and used
+    * by the tiers' spec-visible `*Batch` functions, which default
+    * `lineage` to 0 so replay specs can re-deliver a batchId
+    * directly). */
+  private[graft] def appendBatch(batch: DataFrame, batchId: Long,
+      keyCol: String, table: String, lineage: Long)
+      (stateOf: DataFrame => DataFrame): Unit = {
+    val key = streamKey(lineage, batchId)
+    if (!replayed(batch.sparkSession, table, key))
+      append(stateOf(batch), keyCol, table, key)
+  }
+
+  /** [[streamAppend]] drained to completion — the blocking form the
+    * tiers' `streamAppend*Table` wrappers share. */
+  def streamAppendBlocking(stream: DataFrame, keyCol: String,
+      table: String)(stateOf: DataFrame => DataFrame): Unit = {
+    val q = streamAppend(stream, keyCol, table)(stateOf)
+    try q.processAllAvailable() finally q.stop()
+  }
 
   /** Probe-time merge for SUM-monoid state (counts): exact long sums
     * per key, fully-cancelled keys dropped (retraction leaves no

@@ -46,34 +46,58 @@ object Samples {
     * min-k over all generations ([[sampleFromTable]]); the merge law
     * above makes probe == one-shot over the union definitional. Writes,
     * appends, compaction, and streamed appends are the shared
-    * [[MergeTables]] lifecycle. */
+    * [[MergeTables]] lifecycle. Each row carries `kcap`, the k its
+    * generation was cut at: a probe deeper than the shallowest stored
+    * cut would return ranks the maintenance discarded — silently wrong
+    * — so [[sampleFromTable]] REFUSES it ([[kcapOf]]) instead of the
+    * count-min tier's documentation-only width/depth contract. */
   def writeSampleTable(df: DataFrame, idCol: String, k: Int,
       table: String): Unit =
-    MergeTables.write(hashSampleTopK(df, idCol, k), "hk", table)
+    MergeTables.write(
+      hashSampleTopK(df, idCol, k).withColumn("kcap", lit(k.toLong)),
+      "hk", table)
 
   /** Append a batch's min-k candidates — see [[writeSampleTable]]. */
   def appendSampleTable(df: DataFrame, idCol: String, k: Int,
       table: String): Unit =
-    MergeTables.append(hashSampleTopK(df, idCol, k), "hk", table)
+    MergeTables.append(
+      hashSampleTopK(df, idCol, k).withColumn("kcap", lit(k.toLong)),
+      "hk", table)
+
+  /** The shallowest cut any stored generation was taken at — the
+    * deepest rank the maintained sample can answer exactly. */
+  private def kcapOf(spark: SparkSession, table: String): Long =
+    spark.table(table).agg(coalesce(min("kcap"), lit(Long.MaxValue)))
+      .head().getLong(0)
 
   /** The maintained sample: global min-k over every stored generation,
     * id-deduped first so duplicate generations (an unkeyed replay, an
     * id appearing in two batches) cannot double-select — bit-equal to
     * [[hashSampleTopK]] over the union of all written/appended batches
-    * (qf8's gate). Bounded work: generations hold ≤ k rows each. */
+    * (qf8's gate). Bounded work: generations hold ≤ k rows each.
+    * Probing deeper than the maintenance cut fails loudly
+    * ([[writeSampleTable]]). */
   def sampleFromTable(spark: SparkSession, table: String, k: Int)
       : DataFrame = {
     require(k > 0, s"k=$k")
+    val cap = kcapOf(spark, table)
+    require(k <= cap,
+      s"probe k=$k exceeds the maintained candidate cut kcap=$cap — " +
+        "ranks beyond the cut were discarded at append time; rebuild " +
+        "with a larger k")
     spark.table(table).select("id", "hk").distinct()
       .orderBy(col("hk"), col("id")).limit(k)
   }
 
   /** Collapse all generations into the current min-k — after
-    * compaction the table IS the sample, one file, k rows. */
+    * compaction the table IS the sample, one file, k rows (and the
+    * new cut: compacting at a smaller k than maintenance deliberately
+    * truncates, and `kcap` records it for future probes). */
   def compactSampleTable(spark: SparkSession, table: String, k: Int)
       : Unit =
     MergeTables.compact(spark, table, "hk",
-      sampleFromTable(spark, table, k))
+      sampleFromTable(spark, table, k)
+        .withColumn("kcap", lit(k.toLong)))
 
   /** STRATIFIED sample: per group, the k ids with the smallest seeded
     * hash — the per-source eval holdout (every source represented, the
@@ -98,26 +122,35 @@ object Samples {
   /** Persist the stratified sample (qf9) — per-batch per-group min-k
     * candidate generations under the shared [[MergeTables]] lifecycle;
     * the probe re-cuts the global per-group min-k
-    * ([[groupedSampleFromTable]]). */
+    * ([[groupedSampleFromTable]]). Carries the [[writeSampleTable]]
+    * `kcap` cut guard. */
   def writeGroupedSampleTable(df: DataFrame, groupCol: String,
       idCol: String, k: Int, table: String): Unit =
-    MergeTables.write(groupedHashSampleTopK(df, groupCol, idCol, k),
+    MergeTables.write(
+      groupedHashSampleTopK(df, groupCol, idCol, k)
+        .withColumn("kcap", lit(k.toLong)),
       "hk", table)
 
   /** Append a batch's per-group candidates — see
     * [[writeGroupedSampleTable]]. */
   def appendGroupedSampleTable(df: DataFrame, groupCol: String,
       idCol: String, k: Int, table: String): Unit =
-    MergeTables.append(groupedHashSampleTopK(df, groupCol, idCol, k),
+    MergeTables.append(
+      groupedHashSampleTopK(df, groupCol, idCol, k)
+        .withColumn("kcap", lit(k.toLong)),
       "hk", table)
 
   /** The maintained stratified sample: per-group min-k over every
     * stored generation, id-deduped first (the [[sampleFromTable]]
     * idempotence argument, per group). Bit-equal to
-    * [[groupedHashSampleTopK]] over the union (qf9's gate). */
+    * [[groupedHashSampleTopK]] over the union (qf9's gate). Probing
+    * deeper than the maintenance cut fails loudly. */
   def groupedSampleFromTable(spark: SparkSession, table: String, k: Int)
       : DataFrame = {
     require(k > 0, s"k=$k")
+    val cap = kcapOf(spark, table)
+    require(k <= cap,
+      s"probe k=$k exceeds the maintained candidate cut kcap=$cap")
     import org.apache.spark.sql.expressions.Window
     spark.table(table).select("g", "id", "hk").distinct()
       .withColumn("rn", row_number().over(
@@ -126,73 +159,71 @@ object Samples {
   }
 
   /** Collapse a stratified sample's generations — after compaction the
-    * table IS the per-group sample. */
+    * table IS the per-group sample (at the new cut `k`, recorded in
+    * `kcap`). */
   def compactGroupedSampleTable(spark: SparkSession, table: String,
       k: Int): Unit =
     MergeTables.compact(spark, table, "hk",
-      groupedSampleFromTable(spark, table, k))
+      groupedSampleFromTable(spark, table, k)
+        .withColumn("kcap", lit(k.toLong)))
 
-  /** The foreachBatch body of
+  /** The per-micro-batch body of
     * [[startStreamAppendGroupedSampleTable]] — the keyed-skip
     * discipline, per group. */
+  private def groupedCandidatesOf(groupCol: String, idCol: String,
+      k: Int): DataFrame => DataFrame =
+    df => groupedHashSampleTopK(df, groupCol, idCol, k)
+      .withColumn("kcap", lit(k.toLong))
+
   private[graft] def streamAppendGroupedSampleBatch(batch: DataFrame,
       batchId: Long, groupCol: String, idCol: String, k: Int,
-      table: String): Unit =
-    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
-      MergeTables.append(
-        groupedHashSampleTopK(batch, groupCol, idCol, k), "hk", table,
-        MergeTables.streamKey(batchId))
+      table: String, lineage: Long = 0L): Unit =
+    MergeTables.appendBatch(batch, batchId, "hk", table, lineage)(
+      groupedCandidatesOf(groupCol, idCol, k))
 
   /** [[appendGroupedSampleTable]] with the DOCUMENTS ARRIVING AS A
     * STREAM — per-micro-batch per-group candidates; the probe's
     * id-dedup keeps even unkeyed replays exact (min-k algebra).
     * Blocks until drained. */
   def streamAppendGroupedSampleTable(docStream: DataFrame,
-      groupCol: String, idCol: String, k: Int, table: String): Unit = {
-    val q = startStreamAppendGroupedSampleTable(docStream, groupCol,
-      idCol, k, table)
-    try q.processAllAvailable() finally q.stop()
-  }
+      groupCol: String, idCol: String, k: Int, table: String): Unit =
+    MergeTables.streamAppendBlocking(docStream, "hk", table)(
+      groupedCandidatesOf(groupCol, idCol, k))
 
   /** The started-but-undrained form of
     * [[streamAppendGroupedSampleTable]]. */
   def startStreamAppendGroupedSampleTable(docStream: DataFrame,
       groupCol: String, idCol: String, k: Int, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendGroupedSampleBatch(batch, batchId, groupCol, idCol,
-          k, table)
-      }
-      .start()
+    MergeTables.streamAppend(docStream, "hk", table)(
+      groupedCandidatesOf(groupCol, idCol, k))
 
-  /** The foreachBatch body of [[startStreamAppendSampleTable]],
+  /** The per-micro-batch body of [[startStreamAppendSampleTable]],
     * exposed for the replay spec. The batch key is storage hygiene
     * here (a skipped replay writes no duplicate file); correctness
     * never depended on it — the probe's id-dedup makes min-k
     * replay-idempotent by algebra, the MAX-tier argument. */
+  private def candidatesOf(idCol: String, k: Int)
+      : DataFrame => DataFrame =
+    df => hashSampleTopK(df, idCol, k).withColumn("kcap", lit(k.toLong))
+
   private[graft] def streamAppendSampleBatch(batch: DataFrame,
       batchId: Long, idCol: String, k: Int, table: String): Unit =
-    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
-      MergeTables.append(hashSampleTopK(batch, idCol, k), "hk", table,
-        MergeTables.streamKey(batchId))
+    MergeTables.appendBatch(batch, batchId, "hk", table, 0L)(
+      candidatesOf(idCol, k))
 
   /** [[appendSampleTable]] with the DOCUMENTS ARRIVING AS A STREAM:
     * one min-k candidate generation per micro-batch. Blocks until
     * drained. */
   def streamAppendSampleTable(docStream: DataFrame, idCol: String,
-      k: Int, table: String): Unit = {
-    val q = startStreamAppendSampleTable(docStream, idCol, k, table)
-    try q.processAllAvailable() finally q.stop()
-  }
+      k: Int, table: String): Unit =
+    MergeTables.streamAppendBlocking(docStream, "hk", table)(
+      candidatesOf(idCol, k))
 
   /** The started-but-undrained form of [[streamAppendSampleTable]]. */
   def startStreamAppendSampleTable(docStream: DataFrame, idCol: String,
       k: Int, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendSampleBatch(batch, batchId, idCol, k, table)
-      }
-      .start()
+    MergeTables.streamAppend(docStream, "hk", table)(
+      candidatesOf(idCol, k))
 }

@@ -713,26 +713,27 @@ object Similarity {
       .saveAsTable(table + "_g")
   }
 
-  /** Base of the deterministic streaming commit keys: `base + batchId`.
+  /** Base of the deterministic streaming commit keys:
+    * `base + lineage·2^20 + batchId` ([[MergeTables.streamKey]]).
     * Spark's micro-batch ids are stable across checkpointed restarts
-    * AND across replays, which is exactly what makes the replay check
-    * sound; they restart at 0 only for a FRESH checkpoint lineage, so
-    * an index accepts one streaming writer lineage between compactions
-    * (compaction clears the committed keys; starting a second lineage
-    * against uncompacted state would collide keys and silently skip
-    * real batches — documented contract, same single-maintenance-writer
-    * family as the swap windows). */
+    * AND across replays, which is what makes the replay check sound
+    * WITHIN a lineage; they restart at 0 for a FRESH checkpoint
+    * lineage, which is why every `start()` folds a fresh lineage id
+    * into its keys ([[MergeTables.freshLineage]]) — without it a
+    * second streaming writer against the same uncompacted index would
+    * see the first lineage's keys and silently skip its own early
+    * batches. Compaction still clears all committed keys. */
   private[graft] val streamBatchKeyBase: Long = 1L << 40
 
   /** The foreachBatch body of [[startStreamAppendIvfAdcIndex]], exposed
     * for the replay spec: append `batch` under the deterministic key of
-    * `batchId` unless that key is already committed (the replayed-
-    * after-commit case → exact no-op). */
+    * (`lineage`, `batchId`) unless that key is already committed (the
+    * replayed-after-commit case → exact no-op). */
   private[graft] def streamAppendAdcBatch(batch: DataFrame,
       batchId: Long, idCol: String, vecCol: String, table: String,
-      dim: Int): Unit = {
+      lineage: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    val key = streamBatchKeyBase + batchId
+    val key = MergeTables.streamKey(lineage, batchId)
     val replayed = !spark.table(table + "_g")
       .filter(col("batch_key") === key).isEmpty
     if (!replayed) {
@@ -778,12 +779,20 @@ object Similarity {
     * micro-batches through it). */
   def startStreamAppendIvfAdcIndex(vecStream: DataFrame, idCol: String,
       vecCol: String, table: String, dim: Int = 64)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // fresh lineage per started query (MergeTables.freshLineage doc):
+    // a second streaming writer's batchIds restart at 0 and must not
+    // collide with the first lineage's committed keys. dim rides the
+    // signature for API symmetry with writeIvfAdcIndex; the append
+    // derives the true dimension from the stored centroids.
+    val lineage = MergeTables.freshLineage()
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendAdcBatch(batch, batchId, idCol, vecCol, table, dim)
+        streamAppendAdcBatch(batch, batchId, idCol, vecCol, table,
+          lineage)
       }
       .start()
+  }
 
   /** RETRAIN a persisted IVF-ADC index — the consumer of the qc3 drift
     * gate's signal, closing the maintenance loop the frozen-centroid

@@ -58,9 +58,12 @@ object Sketches {
     * convention) and own the null policy. */
   private def guardedV(valCol: Column): Column = {
     val v = valCol.cast("long")
+    // coalesce keeps the error message non-null when v itself is NULL
+    // (callers own the null policy = they must filter; an unfiltered
+    // null fails HERE, loudly and legibly, not as a blank exception)
     when(v >= 0L && v < (1L << 62), v).otherwise(raise_error(concat(
       lit("log-bucket sketch domain is [0, 2^62): got "),
-      v.cast("string"))))
+      coalesce(v.cast("string"), lit("NULL")))))
   }
 
   /** The shared bucket-mapping + counting core — ONE definition for the
@@ -139,7 +142,7 @@ object Sketches {
   }
 
   /** The sketch itself: `(b_low, b_high, cnt)` bucket counts of a
-    * long-valued column in the enforced `[1, 2^62)` domain
+    * long-valued column in the enforced `[0, 2^62)` domain
     * ([[guardedV]]). One map-side projection plus a bounded
     * aggregation: the shuffle after partial aggregation carries at most
     * the bucket-table rows per task, regardless of input size. */
@@ -323,30 +326,28 @@ object Sketches {
     MergeTables.compact(spark, table, "b_low",
       mergedGroupedBuckets(spark, table))
 
-  /** The foreachBatch body of [[startStreamAppendGroupedSketchTable]],
-    * exposed for the replay spec — [[streamAppendSketchBatch]]'s
-    * discipline on the grouped tier. */
+  /** The per-micro-batch body of
+    * [[startStreamAppendGroupedSketchTable]], exposed for the replay
+    * spec — [[streamAppendSketchBatch]]'s discipline on the grouped
+    * tier. */
   private[graft] def streamAppendGroupedSketchBatch(batch: DataFrame,
       batchId: Long, groupCol: Column, valCol: Column, table: String,
-      subBits: Int = defaultSubBits): Unit =
-    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
-      MergeTables.append(
-        bucketCounts(batch, Seq((groupCol, "g")), valCol, subBits),
-        "b_low", table, MergeTables.streamKey(batchId))
+      subBits: Int = defaultSubBits, lineage: Long = 0L): Unit =
+    MergeTables.appendBatch(batch, batchId, "b_low", table, lineage)(
+      bucketCounts(_, Seq((groupCol, "g")), valCol, subBits))
 
   /** [[appendGroupedSketchTable]] with the rows ARRIVING AS A STREAM —
     * one grouped-bucket generation per micro-batch under deterministic
-    * commit keys (replay no-op; the qf1 contract per group). For the
-    * event-time windowed profile (qfa) this is the watermark-free
-    * late-data path: a late event's batch lands one more exact +1 in
-    * its hour's bucket, whenever it arrives. Blocks until drained. */
+    * per-lineage commit keys (replay no-op; the qf1 contract per
+    * group). For the event-time windowed profile (qfa) this is the
+    * watermark-free late-data path: a late event's batch lands one
+    * more exact +1 in its hour's bucket, whenever it arrives. Blocks
+    * until drained. */
   def streamAppendGroupedSketchTable(stream: DataFrame,
       groupCol: Column, valCol: Column, table: String,
-      subBits: Int = defaultSubBits): Unit = {
-    val q = startStreamAppendGroupedSketchTable(stream, groupCol,
-      valCol, table, subBits)
-    try q.processAllAvailable() finally q.stop()
-  }
+      subBits: Int = defaultSubBits): Unit =
+    MergeTables.streamAppendBlocking(stream, "b_low", table)(
+      bucketCounts(_, Seq((groupCol, "g")), valCol, subBits))
 
   /** The started-but-undrained form of
     * [[streamAppendGroupedSketchTable]]. */
@@ -354,12 +355,8 @@ object Sketches {
       groupCol: Column, valCol: Column, table: String,
       subBits: Int = defaultSubBits)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendGroupedSketchBatch(batch, batchId, groupCol,
-          valCol, table, subBits)
-      }
-      .start()
+    MergeTables.streamAppend(stream, "b_low", table)(
+      bucketCounts(_, Seq((groupCol, "g")), valCol, subBits))
 
   /** The foreachBatch body of [[startStreamAppendSketchTable]], exposed
     * for the replay spec: append `batch`'s bucket counts under the
@@ -372,36 +369,31 @@ object Sketches {
     * counts it guards commit in the same single-file rename. */
   private[graft] def streamAppendSketchBatch(batch: DataFrame,
       batchId: Long, valCol: Column, table: String,
-      subBits: Int = defaultSubBits): Unit =
-    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
-      MergeTables.append(logBucketCounts(batch, valCol, subBits),
-        "b_low", table, MergeTables.streamKey(batchId))
+      subBits: Int = defaultSubBits, lineage: Long = 0L): Unit =
+    MergeTables.appendBatch(batch, batchId, "b_low", table, lineage)(
+      logBucketCounts(_, valCol, subBits))
 
   /** [[appendSketchTable]] with the VALUES ARRIVING AS A STREAM — the
     * approximate tier's twin of qd6/qe1/qe2, completing streaming
     * appends across all four persisted tiers: each micro-batch lands
     * its bucket counts as one generation under a deterministic
-    * per-batch commit key, so K streamed micro-batches == one one-shot
-    * append == a rebuild over the union (probe-exact, the additive
-    * merge law), and a replayed committed batch is skipped instead of
-    * double-counted ([[streamAppendSketchBatch]], replay spec-gated).
-    * Blocks until the stream drains. */
+    * per-lineage commit key, so K streamed micro-batches == one
+    * one-shot append == a rebuild over the union (probe-exact, the
+    * additive merge law), and a replayed committed batch is skipped
+    * instead of double-counted ([[streamAppendSketchBatch]], replay
+    * spec-gated). Blocks until the stream drains. */
   def streamAppendSketchTable(stream: DataFrame, valCol: Column,
-      table: String, subBits: Int = defaultSubBits): Unit = {
-    val q = startStreamAppendSketchTable(stream, valCol, table, subBits)
-    try q.processAllAvailable() finally q.stop()
-  }
+      table: String, subBits: Int = defaultSubBits): Unit =
+    MergeTables.streamAppendBlocking(stream, "b_low", table)(
+      logBucketCounts(_, valCol, subBits))
 
   /** The started-but-undrained form of [[streamAppendSketchTable]] —
     * the caller owns the trigger cadence. */
   def startStreamAppendSketchTable(stream: DataFrame, valCol: Column,
       table: String, subBits: Int = defaultSubBits)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendSketchBatch(batch, batchId, valCol, table, subBits)
-      }
-      .start()
+    MergeTables.streamAppend(stream, "b_low", table)(
+      logBucketCounts(_, valCol, subBits))
 
   /** [[logBucketQuantiles]] with the VALUES ARRIVING AS A STREAM — the
     * quantile analog of qa9's streaming count-min: the bucket build

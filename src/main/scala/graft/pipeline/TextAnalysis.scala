@@ -621,10 +621,10 @@ object TextAnalysis {
     * the retry lands under a fresh physical generation, the existing
     * argument). */
   private[graft] def streamAppendBm25Batch(batch: DataFrame,
-      batchId: Long, idCol: String, textCol: String,
-      table: String): Unit = {
+      batchId: Long, idCol: String, textCol: String, table: String,
+      lineage: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    val key = graft.pipeline.Similarity.streamBatchKeyBase + batchId
+    val key = MergeTables.streamKey(lineage, batchId)
     val replayed = !spark.table(table + "_s")
       .filter(col("batch_key") === key).isEmpty
     if (!replayed) {
@@ -668,12 +668,19 @@ object TextAnalysis {
     * micro-batches through it). */
   def startStreamAppendBm25Index(docStream: DataFrame, idCol: String,
       textCol: String, table: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // a fresh lineage per started query: batchIds restart at 0 for a
+    // new checkpoint lineage, so without this a SECOND streaming
+    // writer against the same index would see the first lineage's
+    // keys and silently skip its own early batches
+    val lineage = MergeTables.freshLineage()
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendBm25Batch(batch, batchId, idCol, textCol, table)
+        streamAppendBm25Batch(batch, batchId, idCol, textCol, table,
+          lineage)
       }
       .start()
+  }
 
   /** Delete documents from a persisted BM25 index — the takedown /
     * dedup-verdict consumer (the r12 verdict's missing tier). Logical
@@ -1241,38 +1248,31 @@ object TextAnalysis {
       width, depth)
   }
 
-  /** The foreachBatch body of [[startStreamAppendCountMinTable]],
+  /** The per-micro-batch body of [[startStreamAppendCountMinTable]],
     * exposed for the replay spec — the sketch-tier discipline
     * ([[graft.pipeline.Sketches.streamAppendSketchBatch]]): skip a
     * micro-batch whose deterministic key already committed. */
   private[graft] def streamAppendCountMinBatch(batch: DataFrame,
       batchId: Long, textCol: String, table: String, width: Int,
-      depth: Int): Unit =
-    if (!MergeTables.replayed(batch.sparkSession, table, batchId))
-      MergeTables.append(
-        countMinCounters(batch, textCol, width, depth), "b", table,
-        MergeTables.streamKey(batchId))
+      depth: Int, lineage: Long = 0L): Unit =
+    MergeTables.appendBatch(batch, batchId, "b", table, lineage)(
+      countMinCounters(_, textCol, width, depth))
 
   /** [[appendCountMinTable]] with the DOCUMENTS ARRIVING AS A STREAM:
     * one counter generation per micro-batch under a deterministic
-    * commit key (replay no-op spec-gated). Blocks until drained. */
+    * per-lineage commit key (replay no-op spec-gated). Blocks until
+    * drained. */
   def streamAppendCountMinTable(docStream: DataFrame, textCol: String,
-      table: String, width: Int = 1024, depth: Int = 4): Unit = {
-    val q = startStreamAppendCountMinTable(docStream, textCol, table,
-      width, depth)
-    try q.processAllAvailable() finally q.stop()
-  }
+      table: String, width: Int = 1024, depth: Int = 4): Unit =
+    MergeTables.streamAppendBlocking(docStream, "b", table)(
+      countMinCounters(_, textCol, width, depth))
 
   /** The started-but-undrained form of [[streamAppendCountMinTable]]. */
   def startStreamAppendCountMinTable(docStream: DataFrame,
       textCol: String, table: String, width: Int = 1024, depth: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendCountMinBatch(batch, batchId, textCol, table,
-          width, depth)
-      }
-      .start()
+    MergeTables.streamAppend(docStream, "b", table)(
+      countMinCounters(_, textCol, width, depth))
 
   /** Per-source token-length distribution audit (q96) — the dataset-card
     * numbers behind mixing and truncation decisions: how long are this

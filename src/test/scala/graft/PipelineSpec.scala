@@ -2162,6 +2162,13 @@ class SamplesSpec extends AnyFunSuite with SparkTest {
       assert(dataFiles("smp_lc_t") == 1)
       assert(spark.table("smp_lc_t").count() == 20)
       assert(probe() == oneShot)
+      // probing deeper than the maintenance cut REFUSES: ranks beyond
+      // each generation's k were discarded at append time, so a deeper
+      // probe would be silently wrong — kcap makes it loud instead
+      val e = intercept[IllegalArgumentException] {
+        Samples.sampleFromTable(spark, "smp_lc_t", 21)
+      }
+      assert(e.getMessage.contains("kcap"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS smp_lc_t")
       spark.sql("DROP TABLE IF EXISTS smp_lc_t_compact_shadow")

@@ -875,7 +875,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       Similarity.writeIvfAdcIndex(vecs.filter(col("vec_id") < 100),
         "vec_id", "embedding", "adc_rp_idx", nlist = 4, dim = 64)
       Similarity.streamAppendAdcBatch(vb, 0L, "vec_id", "embedding",
-        "adc_rp_idx", dim = 64)
+        "adc_rp_idx")
       def astate() = (
         spark.table("adc_rp_idx").count(),
         spark.table("adc_rp_idx_g").count(),
@@ -887,7 +887,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       val afterFirst = astate()
       assert(afterFirst._3.nonEmpty)
       Similarity.streamAppendAdcBatch(vb, 0L, "vec_id", "embedding",
-        "adc_rp_idx", dim = 64)
+        "adc_rp_idx")
       assert(astate() == afterFirst,
         "a replayed committed micro-batch changed the ADC index")
     } finally {
@@ -959,19 +959,95 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
       val afterStream = stored()
       // three generations: the build plus one per micro-batch, the
-      // micro-batches under deterministic streaming keys
+      // micro-batches under deterministic per-lineage streaming keys
+      // (same lineage, consecutive batchIds)
       assert(afterStream.map(_._4).distinct.size == 3)
-      assert(afterStream.map(_._5).distinct.sorted ==
-        Seq(-1L, graft.pipeline.Similarity.streamBatchKeyBase,
-          graft.pipeline.Similarity.streamBatchKeyBase + 1))
-      // the replay: batchId 1 re-delivered after its commit
+      val keys = afterStream.map(_._5).distinct.sorted
+      assert(keys.head == -1L && keys.size == 3)
+      val streamKeys = keys.filter(_ != -1L)
+      assert(streamKeys.forall(
+        _ >= graft.pipeline.Similarity.streamBatchKeyBase))
+      assert(streamKeys(1) == streamKeys(0) + 1,
+        "two micro-batches of one lineage must use consecutive keys")
+      // the replay: batchId 1 re-delivered after its commit, UNDER THE
+      // SAME LINEAGE (recovered from the stored keys — what a real
+      // foreachBatch replay within the run would carry)
+      val lin = (streamKeys(0) -
+        graft.pipeline.Similarity.streamBatchKeyBase) >> 20
       Sketches.streamAppendSketchBatch(b2.toDF("v"), 1L, col("v"),
-        "sk_str_t")
+        "sk_str_t", lineage = lin)
       assert(stored() == afterStream,
         "a replayed committed micro-batch changed the sketch table")
       assert(probe() == oneShot)
+      // a DIFFERENT lineage's batchId 1 is new data, not a replay —
+      // the keys keep sequential writers from colliding
+      Sketches.streamAppendSketchBatch(b2.toDF("v"), 1L, col("v"),
+        "sk_str_t", lineage = if (lin == 7L) 8L else 7L)
+      assert(stored().size > afterStream.size,
+        "a distinct lineage's batch was wrongly skipped as a replay")
     } finally {
       spark.sql("DROP TABLE IF EXISTS sk_str_t")
+    }
+  }
+
+  test("two sequential streaming lineages against one uncompacted table both land — no cross-lineage key collision") {
+    // micro-batch ids restart at 0 for every fresh checkpoint lineage;
+    // without the per-start lineage id folded into the commit keys,
+    // the second query's first batches would match the first lineage's
+    // keys and be silently skipped as replays — data loss. Gated on an
+    // additive MergeTables tier AND on the BM25 protocol tier.
+    import graft.pipeline.{Sketches, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 600).map(i => (i.toLong * 2654435761L) % 100000L + 1L)
+    val (a, rest) = vals.splitAt(200)
+    val (b, c) = rest.splitAt(200)
+    try {
+      Sketches.writeSketchTable(a.toDF("v"), col("v"), "sk_l2_t")
+      for (batch <- Seq(b, c)) { // one full lineage per batch
+        val ms = MemoryStream[Long](spark)
+        val q = Sketches.startStreamAppendSketchTable(
+          ms.toDF().toDF("v"), col("v"), "sk_l2_t")
+        try { ms.addData(batch); q.processAllAvailable() }
+        finally q.stop()
+      }
+      val probed = Sketches.quantilesFromSketchTable(
+          spark, "sk_l2_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.logBucketQuantiles(
+          vals.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probed == oneShot,
+        "the second lineage's batches were dropped")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_l2_t")
+    }
+    // BM25 protocol tier: same two-sequential-lineage shape
+    val docs = Seq(
+      (1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana durian"), (4L, "durian apple"))
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(docs.take(2).toDF("doc_id", "text"),
+        "doc_id", "text", "bm25_l2_idx")
+      for (batch <- Seq(docs.slice(2, 3), docs.drop(3))) {
+        val ms = MemoryStream[(Long, String)](spark)
+        val q = TextAnalysis.startStreamAppendBm25Index(
+          ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          "bm25_l2_idx")
+        try { ms.addData(batch); q.processAllAvailable() }
+        finally q.stop()
+      }
+      val probe = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_l2_idx", k = 4)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      val direct = TextAnalysis.bm25TopK(docs.toDF("doc_id", "text"),
+          "doc_id", "text", qs, "q_id", "qtext", k = 4)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(direct.nonEmpty && probe == direct,
+        "the second BM25 lineage's batches were dropped")
+    } finally {
+      for (t <- Seq("bm25_l2_idx", "bm25_l2_idx_s"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
 
@@ -1004,9 +1080,15 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
           rows.toDF("g", "id", "v"), col("g"), col("v"), Seq(50, 99))
         .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
       assert(oneShot.nonEmpty && probe() == oneShot)
+      // replay under the run's own lineage, recovered from stored keys
+      def linOf(t: String) = (spark.table(t)
+        .agg(org.apache.spark.sql.functions.max("batch_key"))
+        .head().getLong(0) -
+        graft.pipeline.Similarity.streamBatchKeyBase) >> 20
       val stored = spark.table("gsk_str_t").count()
       Sketches.streamAppendGroupedSketchBatch(b2.toDF("g", "id", "v"),
-        1L, col("g"), col("v"), "gsk_str_t")
+        1L, col("g"), col("v"), "gsk_str_t",
+        lineage = linOf("gsk_str_t"))
       assert(spark.table("gsk_str_t").count() == stored
         && probe() == oneShot,
         "a replayed committed micro-batch changed the grouped sketch")
@@ -1030,7 +1112,8 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       assert(sOneShot.nonEmpty && sprobe() == sOneShot)
       val sstored = spark.table("gsmp_str_t").count()
       Samples.streamAppendGroupedSampleBatch(b2.toDF("g", "doc_id", "v"),
-        1L, "g", "doc_id", 5, "gsmp_str_t")
+        1L, "g", "doc_id", 5, "gsmp_str_t",
+        lineage = linOf("gsmp_str_t"))
       assert(spark.table("gsmp_str_t").count() == sstored
         && sprobe() == sOneShot,
         "a replayed committed micro-batch changed the stratified sample")
@@ -1072,10 +1155,15 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       def stored() = spark.table("cm_str_t")
         .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
       val afterStream = stored()
-      // the replay: batchId 0 re-delivered after its commit
+      // the replay: batchId 0 re-delivered after its commit, under the
+      // run's own lineage (recovered from the stored keys)
+      val lin = (spark.table("cm_str_t")
+        .agg(org.apache.spark.sql.functions.max("batch_key"))
+        .head().getLong(0) -
+        graft.pipeline.Similarity.streamBatchKeyBase) >> 20
       TextAnalysis.streamAppendCountMinBatch(
         all.slice(1, 3).toDF("doc_id", "text"), 0L, "text", "cm_str_t",
-        width = 64, depth = 3)
+        width = 64, depth = 3, lineage = lin)
       assert(stored() == afterStream,
         "a replayed committed micro-batch changed the counter table")
       assert(merged() == direct)
