@@ -84,16 +84,17 @@ private[graft] object MergeTables {
       .nextLong(1L, 1L << 20)
 
   /** The deterministic streaming commit key of (`lineage`, `batchId`)
-    * ([[Similarity.streamBatchKeyBase]] + lineage·2^20 + batchId —
-    * distinct from every batch key (−1) and across lineages; batchIds
-    * get a 2^20 budget per lineage, far above any real micro-batch
-    * count, and enforced rather than wrapped). */
+    * ([[Similarity.streamBatchKeyBase]] + lineage·2^28 + batchId —
+    * distinct from every batch key (−1) and across lineages). The
+    * per-lineage batchId budget is 2^28 (~8.5 years of one-second
+    * triggers) and ENFORCED rather than wrapped; keys stay below
+    * 2^49, far from Long range. */
   def streamKey(lineage: Long, batchId: Long): Long = {
     require(lineage >= 0 && lineage < (1L << 20),
       s"lineage $lineage outside [0, 2^20)")
-    require(batchId >= 0 && batchId < (1L << 20),
-      s"batchId $batchId outside the per-lineage 2^20 key budget")
-    Similarity.streamBatchKeyBase + (lineage << 20) + batchId
+    require(batchId >= 0 && batchId < (1L << 28),
+      s"batchId $batchId outside the per-lineage 2^28 key budget")
+    Similarity.streamBatchKeyBase + (lineage << 28) + batchId
   }
 
   /** True iff `key` already committed into `table` — the replay check

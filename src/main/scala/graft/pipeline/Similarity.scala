@@ -714,7 +714,7 @@ object Similarity {
   }
 
   /** Base of the deterministic streaming commit keys:
-    * `base + lineage·2^20 + batchId` ([[MergeTables.streamKey]]).
+    * `base + lineage·2^28 + batchId` ([[MergeTables.streamKey]]).
     * Spark's micro-batch ids are stable across checkpointed restarts
     * AND across replays, which is what makes the replay check sound
     * WITHIN a lineage; they restart at 0 for a FRESH checkpoint

@@ -973,7 +973,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       // SAME LINEAGE (recovered from the stored keys — what a real
       // foreachBatch replay within the run would carry)
       val lin = (streamKeys(0) -
-        graft.pipeline.Similarity.streamBatchKeyBase) >> 20
+        graft.pipeline.Similarity.streamBatchKeyBase) >> 28
       Sketches.streamAppendSketchBatch(b2.toDF("v"), 1L, col("v"),
         "sk_str_t", lineage = lin)
       assert(stored() == afterStream,
@@ -1084,7 +1084,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       def linOf(t: String) = (spark.table(t)
         .agg(org.apache.spark.sql.functions.max("batch_key"))
         .head().getLong(0) -
-        graft.pipeline.Similarity.streamBatchKeyBase) >> 20
+        graft.pipeline.Similarity.streamBatchKeyBase) >> 28
       val stored = spark.table("gsk_str_t").count()
       Sketches.streamAppendGroupedSketchBatch(b2.toDF("g", "id", "v"),
         1L, col("g"), col("v"), "gsk_str_t",
@@ -1160,7 +1160,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       val lin = (spark.table("cm_str_t")
         .agg(org.apache.spark.sql.functions.max("batch_key"))
         .head().getLong(0) -
-        graft.pipeline.Similarity.streamBatchKeyBase) >> 20
+        graft.pipeline.Similarity.streamBatchKeyBase) >> 28
       TextAnalysis.streamAppendCountMinBatch(
         all.slice(1, 3).toDF("doc_id", "text"), 0L, "text", "cm_str_t",
         width = 64, depth = 3, lineage = lin)
