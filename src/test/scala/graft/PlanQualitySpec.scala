@@ -526,6 +526,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("Bucketed: true"), plan.take(3000))
   }
 
+  test("qfa: the grouped-profile probe has no single-partition stage — the rank walk partitions by group") {
+    // the per-hour profile is the widest grouped sketch (720 groups);
+    // its windows and joins must all partition by the group key — an
+    // Exchange SinglePartition anywhere would be the corpus-funnel
+    // anti-pattern the ungrouped tier is explicitly exempted from
+    // (bounded rows) but the grouped tier must never reintroduce
+    val df = SparkEntry.queries("qfa")(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+  }
+
   test("q90: overlap shuffles carry (source, gram-hash), never the text") {
     // q90's result is checkpointed (materializeThenRelease), so assert on
     // the reconstructed postings + intersection stage, as the q31 test
