@@ -2418,8 +2418,42 @@ object RelationalQueries {
         Sketches.compactGroupedSketchTable(s, table)
       }
       Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
+    // QFB — PER-SOURCE heavy hitters from maintained GROUPED counters:
+    // the dataset-card frequency profile (which tokens dominate each
+    // source) as one incrementally-maintained artifact — groups x
+    // depth x width state at any corpus size, the full SUM-monoid
+    // lifecycle (build, append, per-group retraction, compaction), and
+    // a per-group top-k serving probe with the deterministic
+    // (est desc, tok) cut. The gate is qa8's chain with the source
+    // keying every CTE, over the survivors: per-group collisions and
+    // estimates must reproduce bit for bit.
+    "qfb" -> ((s, d) => {
+      val table = "qfb_gcm_" + dirTag(d)
+      buildOnce(table) {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.writeGroupedCountMinTable(
+          docs.filter(col("doc_id") < 400), "source", "text", table,
+          width = qa8Width, depth = qa8Depth)
+        TextAnalysis.streamAppendGroupedCountMinTable(
+          Tables.streamOf(s, d, "documents")
+            .filter(col("doc_id") >= 400),
+          "source", "text", table, width = qa8Width, depth = qa8Depth)
+        TextAnalysis.retractGroupedCountMinDocs(
+          docs.filter(col("doc_id") % qd3DelMod === qd3DelRes),
+          "source", "text", table, width = qa8Width, depth = qa8Depth)
+        TextAnalysis.compactGroupedCountMinTable(s, table)
+      }
+      TextAnalysis.groupedCountMinTopKIndexed(
+        Tables.documents(s, d)
+          .filter(col("doc_id") % qd3DelMod =!= qd3DelRes),
+        "source", "text", table, k = qfbK, width = qa8Width,
+        depth = qa8Depth)
     })
   )
+
+  private val qfbK = 5
 
   private val qf8K = 25
   private val qf9K = 7
@@ -2976,19 +3010,24 @@ object RelationalQueries {
       extraWhere = s" AND event_id % $qd3DelMod <> $qd3DelRes")
 
   /** The shared CTE chain (tokens → seeded (h,b) coordinates) of every
-    * count-min oracle — ONE builder for the full-corpus rows (qa8/qa9)
-    * and the survivor-set rows over the maintained table (qf4/qf5),
-    * mirroring the single-sourced Spark-side cmCoords. `where` filters
-    * the documents the sketch is built from. */
-  private def cmOracleCtes(where: String): String =
-    s"""w AS (SELECT
+    * count-min oracle — ONE builder for the full-corpus rows (qa8/qa9),
+    * the survivor-set rows over the maintained table (qf4/qf5), and the
+    * grouped chain (qfb), mirroring the single-sourced Spark-side
+    * cmCoords. `where` filters the documents the sketch is built from;
+    * `groupExpr` keys every CTE when present. */
+  private def cmOracleCtes(where: String,
+      groupExpr: Option[String] = None): String = {
+    val gSel = groupExpr.map(e => s"$e AS g, ").getOrElse("")
+    val gc = groupExpr.map(_ => "g, ").getOrElse("")
+    s"""w AS (SELECT $gSel
       |    list_filter(string_split(text,' '), x -> len(x)>0) AS ws
       |  FROM documents $where),
-      |tk AS (SELECT unnest(ws) AS tok FROM w),
-      |hb AS (SELECT tok, h,
+      |tk AS (SELECT ${gc}unnest(ws) AS tok FROM w),
+      |hb AS (SELECT ${gc}tok, h,
       |    ${graft.pipeline.Portable.hash60Sql(
              "concat('cm', h, ':', tok)")} % $qa8Width AS b
       |  FROM tk, range(0, $qa8Depth) t(h))"""
+  }
 
   /** The counter TABLE `(h, b, c)` — qa9's gate (and qf4's, over the
     * survivor set). */
@@ -3006,6 +3045,21 @@ object RelationalQueries {
       |est AS (SELECT tok, min(c) AS est FROM db JOIN cnt USING (h, b)
       |  GROUP BY tok)
       |SELECT tok, est FROM est ORDER BY est DESC, tok LIMIT 20""".stripMargin
+
+  /** The per-group heavy-hitter top-k `(g, tok, est)` — qfb's gate:
+    * the grouped chain, min-over-counters per (g, tok), deterministic
+    * (est desc, tok) cut per group. */
+  private def cmGroupedTopKOracleSql(where: String, k: Int): String =
+    s"""WITH ${cmOracleCtes(where, Some("source"))},
+      |cnt AS (SELECT g, h, b, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+      |db AS (SELECT DISTINCT g, tok, h, b FROM hb),
+      |est AS (SELECT g, tok, min(c) AS est
+      |  FROM db JOIN cnt USING (g, h, b) GROUP BY 1, 2),
+      |rk AS (SELECT g, tok, est,
+      |    row_number() OVER (PARTITION BY g ORDER BY est DESC, tok)
+      |      AS rn
+      |  FROM est)
+      |SELECT g, tok, est FROM rk WHERE rn <= $k""".stripMargin
 
   /** q07b's portable-HLL oracle — shared BY REFERENCE with qf6 (the
     * persisted register table's probe must reproduce the one-shot
@@ -3481,6 +3535,10 @@ object RelationalQueries {
     // maintained table loses nothing vs scan-per-run
     "qf5" -> cmTopKOracleSql(
       s"WHERE doc_id % $qd3DelMod <> $qd3DelRes"),
+    // qfb: the grouped chain over the survivors — per-source heavy
+    // hitters from the maintained grouped counters
+    "qfb" -> cmGroupedTopKOracleSql(
+      s"WHERE doc_id % $qd3DelMod <> $qd3DelRes", qfbK),
     // qf6 shares q07b's oracle BY REFERENCE: max-merged split register
     // tables ARE the union's registers, so the persisted probe must
     // reproduce the one-shot estimate bit for bit

@@ -1248,6 +1248,112 @@ object TextAnalysis {
       width, depth)
   }
 
+  /** PER-GROUP count-min counters — one bounded `depth × width`
+    * counter table per group key (sources, languages; bounded domains,
+    * the qe7 discipline): the per-source token-frequency profile of a
+    * dataset card, at `groups × depth × width` state regardless of
+    * corpus size. Same seeded [[cmCoords]] as the ungrouped sketch, so
+    * the two cannot hash differently. */
+  def groupedCountMinCounters(docs: DataFrame, groupCol: String,
+      textCol: String, width: Int = 1024, depth: Int = 4): DataFrame = {
+    require(width > 0 && depth > 0, s"w=$width d=$depth")
+    graft.functions.VectorOps.ensureRegistered(docs.sparkSession)
+    docs.select(col(groupCol).as("g"),
+        explode(words(col(textCol))).as("tok"))
+      .select(col("g"), explode(cmCoords(width, depth)).as("x"))
+      .groupBy(col("g"), col("x.h").as("h"), col("x.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** PERSIST the grouped counters (qfb) — [[writeCountMinTable]]'s
+    * lifecycle per group under the shared [[MergeTables]] protocol. */
+  def writeGroupedCountMinTable(docs: DataFrame, groupCol: String,
+      textCol: String, table: String, width: Int = 1024,
+      depth: Int = 4): Unit =
+    MergeTables.write(
+      groupedCountMinCounters(docs, groupCol, textCol, width, depth),
+      "b", table)
+
+  /** Append a batch's grouped counters — see
+    * [[writeGroupedCountMinTable]]. */
+  def appendGroupedCountMinTable(docs: DataFrame, groupCol: String,
+      textCol: String, table: String, width: Int = 1024,
+      depth: Int = 4): Unit =
+    MergeTables.append(
+      groupedCountMinCounters(docs, groupCol, textCol, width, depth),
+      "b", table)
+
+  /** Retract documents from the grouped counters — additive, per
+    * group; over-retraction fails loudly ([[MergeTables.mergedSum]]). */
+  def retractGroupedCountMinDocs(docs: DataFrame, groupCol: String,
+      textCol: String, table: String, width: Int = 1024,
+      depth: Int = 4): Unit =
+    MergeTables.append(
+      groupedCountMinCounters(docs, groupCol, textCol, width, depth)
+        .withColumn("c", -col("c")),
+      "b", table)
+
+  /** The probe-time merged grouped counters — bit-equal to
+    * [[groupedCountMinCounters]] over the surviving corpus. */
+  def groupedCountMinFromTable(spark: SparkSession, table: String)
+      : DataFrame =
+    MergeTables.mergedSum(spark, table, Seq("g", "h", "b"), "c")
+
+  /** Collapse the grouped counter generations — see
+    * [[MergeTables.compact]]. */
+  def compactGroupedCountMinTable(spark: SparkSession, table: String)
+      : Unit =
+    MergeTables.compact(spark, table, "b",
+      groupedCountMinFromTable(spark, table))
+
+  /** PER-GROUP heavy-hitter top-k SERVED from the maintained grouped
+    * counters (qfb): per group, the k tokens with the largest
+    * min-over-counters estimates, cut by the deterministic
+    * (est desc, tok) order — the per-source frequency profile of a
+    * dataset card, maintained incrementally instead of recomputed per
+    * run. The per-group cut is a row_number window partitioned by the
+    * group (bounded rows per partition: the group's vocabulary). */
+  def groupedCountMinTopKIndexed(vocabDocs: DataFrame,
+      groupCol: String, textCol: String, table: String, k: Int,
+      width: Int = 1024, depth: Int = 4): DataFrame = {
+    require(k > 0, s"k=$k")
+    graft.functions.VectorOps.ensureRegistered(vocabDocs.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val cs = groupedCountMinFromTable(vocabDocs.sparkSession, table)
+      .select(col("g").as("cg"), col("h").as("ch"), col("b").as("cb"),
+        col("c"))
+    vocabDocs.select(col(groupCol).as("g"),
+        explode(words(col(textCol))).as("tok")).distinct()
+      .select(col("g"), col("tok"),
+        explode(cmCoords(width, depth)).as("x"))
+      .join(broadcast(cs),
+        col("g") === col("cg") && col("x.h") === col("ch") &&
+          col("x.b") === col("cb"))
+      .groupBy("g", "tok").agg(min("c").as("est"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("est").desc, col("tok"))))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
+  /** [[appendGroupedCountMinTable]] with the DOCUMENTS ARRIVING AS A
+    * STREAM — the shared keyed loop ([[MergeTables.streamAppend]]),
+    * one grouped counter generation per micro-batch. Blocks until
+    * drained. */
+  def streamAppendGroupedCountMinTable(docStream: DataFrame,
+      groupCol: String, textCol: String, table: String,
+      width: Int = 1024, depth: Int = 4): Unit =
+    MergeTables.streamAppendBlocking(docStream, "b", table)(
+      groupedCountMinCounters(_, groupCol, textCol, width, depth))
+
+  /** The started-but-undrained form of
+    * [[streamAppendGroupedCountMinTable]]. */
+  def startStreamAppendGroupedCountMinTable(docStream: DataFrame,
+      groupCol: String, textCol: String, table: String,
+      width: Int = 1024, depth: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    MergeTables.streamAppend(docStream, "b", table)(
+      groupedCountMinCounters(_, groupCol, textCol, width, depth))
+
   /** The per-micro-batch body of [[startStreamAppendCountMinTable]],
     * exposed for the replay spec — the sketch-tier discipline
     * ([[graft.pipeline.Sketches.streamAppendSketchBatch]]): skip a

@@ -1213,6 +1213,48 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("grouped persisted count-min: per-group lifecycle == one-shot over survivors, serving cut deterministic per group") {
+    import graft.pipeline.TextAnalysis
+    val base = Seq(
+      ("s1", 0L, "a a a b c"), ("s2", 1L, "x x y"))
+      .toDF("source", "doc_id", "text")
+    val extra = Seq(
+      ("s1", 2L, "a b b"), ("s2", 3L, "x z z z"))
+      .toDF("source", "doc_id", "text")
+    val gone = Seq(("s2", 1L, "x x y")).toDF("source", "doc_id", "text")
+    val survivors = Seq(
+      ("s1", 0L, "a a a b c"), ("s1", 2L, "a b b"),
+      ("s2", 3L, "x z z z")).toDF("source", "doc_id", "text")
+    try {
+      TextAnalysis.writeGroupedCountMinTable(base, "source", "text",
+        "gcm_lc_t", width = 64, depth = 3)
+      TextAnalysis.appendGroupedCountMinTable(extra, "source", "text",
+        "gcm_lc_t", width = 64, depth = 3)
+      TextAnalysis.retractGroupedCountMinDocs(gone, "source", "text",
+        "gcm_lc_t", width = 64, depth = 3)
+      TextAnalysis.compactGroupedCountMinTable(spark, "gcm_lc_t")
+      val merged = TextAnalysis.groupedCountMinFromTable(spark,
+          "gcm_lc_t")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      val direct = TextAnalysis.groupedCountMinCounters(survivors,
+          "source", "text", width = 64, depth = 3)
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(direct.nonEmpty && merged == direct,
+        "maintained grouped counters diverged from the one-shot")
+      // per-group top-2 at a collision-free width: exact counts, and
+      // the (est desc, tok) cut per group
+      val top = TextAnalysis.groupedCountMinTopKIndexed(survivors,
+          "source", "text", "gcm_lc_t", k = 2, width = 64, depth = 3)
+        .as[(String, String, Long)].collect().sorted.toSeq
+      assert(top == Seq(
+        ("s1", "a", 4L), ("s1", "b", 3L),
+        ("s2", "z", 3L), ("s2", "x", 1L)).sorted)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gcm_lc_t")
+      spark.sql("DROP TABLE IF EXISTS gcm_lc_t_compact_shadow")
+    }
+  }
+
   test("languageId picks the language with most stopword hits") {
     val docs = Seq(
       (0L, "the cat sat of the mat and it is that"),
