@@ -4,16 +4,32 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver keeps only the last ~2000 chars of bench stdout; six
   * rounds of `BENCH_r*.json parsed: null` came from this line not
-  * fitting. These asserts make the regression a BUILD failure: adding a
-  * query whose key pushes the line past the window fails here, not at
-  * driver time. */
+  * fitting, and r14 shipped whole-second values for the entire
+  * 158-query suite because even the leanest full-name 1dp line no
+  * longer fit. These asserts make both regressions BUILD failures:
+  * adding a query whose key pushes the primary line past ≥1dp coverage
+  * fails here, not at driver time. */
 class BenchLineSpec extends AnyFunSuite {
 
   private val keys = SparkEntry.queries.keys.toSeq.sorted
+  private val short = Bench.shortIds(keys)
+
+  test("short ids are injective over today's roster, derived by the documented rule") {
+    assert(short.values.toSeq.distinct.size == keys.size,
+      "two queries map to the same short bench key — rename one")
+    // the rule BASELINE.md documents: id up to the first underscore;
+    // the q19 pair disambiguates by the next segment's first letter
+    assert(short("q19_md5_filter") == "q19m")
+    assert(short("q19_percent_filter") == "q19p")
+    keys.filter(k => k.contains('_') && !k.startsWith("q19")).foreach { k =>
+      assert(short(k) == k.takeWhile(_ != '_'), s"$k -> ${short(k)}")
+    }
+    keys.filterNot(_.contains('_')).foreach(k => assert(short(k) == k))
+  }
 
   test("the metric line fits the capture window even on a uniformly slow round") {
-    // every query at 9.9 s (3 chars at 1dp, 2 at the 0dp floor): the
-    // ladder must find SOME rung inside the window
+    // every query at 9.9 s: the ladder must find SOME rung inside the
+    // window
     val slow = keys.map(_ -> Option(9.9))
     val line = Bench.metricLine(slow, Nil, "/root/testdata/sf0.1")
     assert(line.length <= Bench.budget,
@@ -22,98 +38,96 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
   }
 
-  test("today's typical value mix keeps per-query DECIMAL precision") {
-    // modeled on the r7 driver shape: ~1 in 5 queries under 50 ms
-    // (1-char "0"), the rest sub-second (3-char "0.x"). If this falls to
-    // the whole-second rung, a new key is too long — keep new keys to
-    // <= 6 chars (q86-style) or shorten them in the round they appear.
-    val typical = keys.zipWithIndex.map { case (k, i) =>
-      k -> Option(if (i % 5 == 0) 0.04 else 0.2)
-    }
-    val line = Bench.metricLine(typical, Nil, "/root/testdata/sf0.1")
-    assert(line.contains(":0.2"),
-      s"1dp precision lost (${line.length} chars at the chosen rung) — " +
-        "shorten the newest query keys")
-  }
-
-  test("a uniformly 3-char value mix keeps 1dp by dropping at most a quarter of entries") {
-    // the r11 regression this pins: every value "0.x" (no 1-char
-    // sub-50ms entries to save space), which is what a loaded driver
-    // box actually produces — the ladder must escalate the drop cap
-    // rather than surrender the whole suite to whole seconds (BENCH_r11f
-    // measured the 10% cap failing at 118 keys and shipping all-0dp)
+  test("the FULL roster keeps >=1dp for EVERY query in the primary line (the r14 regression)") {
+    // r14: 133/158 values at 0dp. The short-key rung must now carry the
+    // whole suite at >=1dp — sub-second regressions visible again —
+    // even on a uniformly slow sub-second round (no 1-char values to
+    // save space)
     val uniform = keys.map(_ -> Option(0.9))
-    val line = Bench.metricLine(uniform, Nil, "/root/testdata/sf0.1")
+    val (line, keyOf) =
+      Bench.metricLineKeyed(uniform, Nil, "/root/testdata/sf0.1")
     assert(line.length <= Bench.budget, s"${line.length} chars")
-    assert(line.contains(":0.9"),
-      s"fell to the whole-second floor (${line.length} chars) — the " +
-        "drop-cap escalation no longer reaches a fitting 1dp line")
-    val present = keys.count(k => line.contains("\"" + k + "\""))
-    assert(present >= (keys.size * 3) / 4,
-      s"dropped more than a quarter of the suite ($present of ${keys.size})")
+    val covered = keys.count(k => line.contains("\"" + keyOf(k) + "\":0.9"))
+    assert(covered == keys.size,
+      s"only $covered of ${keys.size} queries kept their decimal — " +
+        "the driver's regression signal degraded again")
   }
 
-  test("overflow drops the smallest entries, never the suite's precision") {
-    // two extra short keys model next round's growth: at 96+ keys the
-    // 1dp rung sits within ~10 chars of the window, so growth must land
-    // on the dropping rung — the sub-50 ms entries vanish, every
-    // survivor keeps its decimal, and the headline total still counts
-    // the omitted queries
-    val grown = (keys ++ Seq("q98", "q99")).sorted.zipWithIndex.map {
-      case (k, i) => k -> Option(if (i % 7 == 0) 0.04 else 0.8)
+  test("small SPARK_GRAFT_ONLY subsets keep FULL query names") {
+    // short keys are a fallback, not the default: a roomy line stays
+    // exact-name so local bisection output needs no mapping
+    val few = keys.take(25).map(_ -> Option(0.8))
+    val line = Bench.metricLine(few, Nil, "/x")
+    assert(keys.take(25).forall(k => line.contains("\"" + k + "\":0.8")),
+      line.take(200))
+  }
+
+  test("200-query synthetic roster: >=90% in the primary, 100% with chunked continuations") {
+    // next rounds' growth headroom, pinned: at 200 queries the primary
+    // may drop its smallest entries but every dropped value must be
+    // recovered by a continuation line that independently fits the
+    // window (the r14 single continuation clipped unparseable)
+    val roster = (keys ++ (1 to (200 - keys.size))
+      .map(i => f"qz$i%02d_synthetic_op")).sorted
+    val vals = roster.zipWithIndex.map { case (k, i) =>
+      k -> Option(if (i % 5 == 0) 0.04 else 0.9)
     }
-    val line = Bench.metricLine(grown, Nil, "/x")
+    val (line, keyOf) = Bench.metricLineKeyed(vals, Nil, "/x")
     assert(line.length <= Bench.budget, s"${line.length} chars")
-    assert(line.contains(":0.8"),
-      s"fell to the whole-second floor (${line.length} chars)")
-    // the invariant: drops follow the documented smallest-first order
-    // (value asc, then longest key) — the dropped set must be a PREFIX
-    // of that order, so no entry ever drops while a smaller/longer-keyed
-    // one survives. (At 96 keys no 0.8 entry dropped at all; the suite's
-    // growth to 126 makes the first post-sub-50ms drop legitimate.)
-    val missing = grown.collect { case (k, Some(_)) => k }
-      .filterNot(k => line.contains("\"" + k + "\"")).toSet
-    val order = grown.collect { case (k, Some(v)) => (k, v) }
+    val inPrimary = roster.count(k => line.contains("\"" + keyOf(k) + "\":"))
+    assert(inPrimary >= roster.size * 9 / 10,
+      s"primary carries only $inPrimary of ${roster.size}")
+    assert(line.contains(":0.9"), "primary lost 1dp precision")
+    // drops follow the documented smallest-first order (value asc, then
+    // longest key): the dropped set is a PREFIX of that order
+    val missing = roster.filterNot(k =>
+      line.contains("\"" + keyOf(k) + "\":")).toSet
+    val order = vals.collect { case (k, Some(v)) => (k, v) }
       .sortBy { case (k, v) => (v, -k.length, k) }.map(_._1)
     assert(order.take(missing.size).toSet == missing,
       s"dropped out of order: $missing")
-    // precision must not secretly cost completeness: only a handful of
-    // non-tiny entries may fall before the cap escalates (the bound
-    // grows with the suite — r11 hit 1, r13's six new qd keys made 4
-    // legitimate, r14's qe+qf tiers at 158 keys make 11 — and since
-    // r13 every dropped value is RECOVERED by the metricLines
-    // continuation, gated in its own test below)
-    val smallKeys = grown.collect { case (k, Some(v)) if v == 0.04 => k }
-    assert((missing -- smallKeys.toSet).size <= 11,
-      s"too many full-size entries dropped: ${missing -- smallKeys.toSet}")
-    val total = grown.flatMap(_._2).sum
-    val expect = f"$total%.1f".reverse.dropWhile(_ == '0')
-      .stripPrefix(".").reverse
-    assert(line.contains(s""""value":$expect"""), line.take(60))
-  }
-
-  test("metricLines: the continuation recovers every omitted per-query value, primary stays last") {
-    // the r12 coverage regression (20 of 132 values dropped from the
-    // driver bench map): whenever the primary's fit ladder omits
-    // entries, a continuation line must carry EXACTLY those values so
-    // the two lines together cover 100% of the suite — and both must
-    // fit the capture window independently
-    val uniform = keys.map(_ -> Option(0.9)) // forces drops at 132+ keys
-    val lines = Bench.metricLines(uniform, Nil, "/root/testdata/sf0.1")
-    assert(lines.nonEmpty && lines.last.startsWith("{\"metric\":\"total\""))
+    // continuations recover everything, each fitting on its own
+    val lines = Bench.metricLines(vals, Nil, "/x")
+    assert(lines.last.startsWith("{\"metric\":\"total\""))
     for (l <- lines) assert(l.length <= Bench.budget, s"${l.length} chars")
-    val all = lines.mkString("\n")
-    val covered = keys.count(k => all.contains("\"" + k + "\":0.9"))
-    assert(covered == keys.size,
-      s"continuation left ${keys.size - covered} of ${keys.size} values unrecovered")
-    // a roomy round (no drops) emits ONE line — no spurious extras
-    val fast = keys.take(30).map(_ -> Option(0.2))
-    assert(Bench.metricLines(fast, Nil, "/x").size == 1)
-    // the continuation parses on its own
     lines.init.foreach { c =>
       assert(c.startsWith("{\"metric\":\"total_extra\"") && c.endsWith("}"))
       assert(c.count(_ == '{') == c.count(_ == '}'), c.take(100))
     }
+    val all = lines.mkString("\n")
+    val covered = roster.count(k => all.contains("\"" + keyOf(k) + "\":"))
+    assert(covered == roster.size,
+      s"continuations left ${roster.size - covered} values unrecovered")
+    // a roomy round (no drops) emits ONE line — no spurious extras
+    assert(Bench.metricLines(keys.take(30).map(_ -> Option(0.2)), Nil,
+      "/x").size == 1)
+  }
+
+  test("streaming rows carry incremental-plan seconds in a sproc map, fit-guarded") {
+    // the r14 verdict's item 8: the ~1-2 s query-lifecycle cost
+    // dominates every streaming twin's wall clock; the sproc map makes
+    // the incremental plan's own time visible (lifecycle = wall −
+    // sproc) without ever costing the wall-clock map its coverage
+    val uniform = keys.map(_ -> Option(0.9))
+    val sp = Seq("qe5" -> 0.4, "qa9" -> 1.2, "qc4" -> 0.8)
+    val lines = Bench.metricLines(uniform, Nil, "/x", sp)
+    val main = lines.last
+    assert(main.length <= Bench.budget, s"${main.length} chars")
+    assert(main.contains("\"sproc\":{"), main.takeRight(200))
+    assert(main.contains("\"qa9\":1.2") && main.contains("\"qe5\":0.4"))
+    assert(main.endsWith("}}") || main.endsWith("}"),
+      main.takeRight(10))
+    assert(main.count(_ == '{') == main.count(_ == '}'))
+    // wall-clock coverage never pays for sproc: every query still there
+    assert(keys.forall(k =>
+      main.contains("\"" + Bench.shortIds(keys)(k) + "\":0.9") ||
+        main.contains("\"" + k + "\":0.9")))
+    // when space runs out, sproc truncates largest-first rather than
+    // pushing the line over budget
+    val manySp = keys.take(120).map(k => k -> 2.0)
+    val tight = Bench.metricLines(uniform, Nil, "/x", manySp).last
+    assert(tight.length <= Bench.budget, s"${tight.length} chars")
+    assert(tight.count(_ == '{') == tight.count(_ == '}'))
   }
 
   test("a failed query stays visible in errors at every rung") {
@@ -131,13 +145,13 @@ class BenchLineSpec extends AnyFunSuite {
       tight.takeRight(200))
   }
 
-  test("one failing query with a 200-char message still fits with 1dp values") {
+  test("one failing query with a 200-char message still fits with >=1dp values") {
     // the r10 failure: q95's ~200-char analysis error pushed every rung
     // past the window and the unchecked terminal fallback shipped an
     // unparseable line. Now the message caps at 60 chars, and if that is
     // still too much the errors map degrades to names-only BEFORE any
     // value loses its decimal — the failing query stays identifiable and
-    // every surviving timing keeps 1dp.
+    // every surviving timing keeps its decimal.
     val typical = keys.map(_ -> Option(0.8))
     val msg = "x" * 200
     val line = Bench.metricLine(typical.map {
