@@ -53,9 +53,11 @@ private[graft] object MergeTables {
   /** Land one batch's state as one single-file generation. The
     * `batch_key` column gets a parquet bloom filter so the per-batch
     * replay probe ([[replayed]]) skips non-matching row groups from
-    * the footer instead of reading every generation's rows. */
+    * the footer instead of reading every generation's rows. Recovers
+    * a crashed compaction first ([[recoverCompactCrash]]). */
   def append(state: DataFrame, keyCol: String, table: String,
       batchKey: Long = -1L): Unit = {
+    recoverCompactCrash(state.sparkSession, table)
     require(state.sparkSession.catalog.tableExists(table),
       s"$table does not exist — write it before appending")
     state
@@ -68,30 +70,65 @@ private[graft] object MergeTables {
       .saveAsTable(table)
   }
 
-  /** A fresh streaming LINEAGE id — one per `start()`ed streaming
-    * query. Spark's micro-batch ids restart at 0 for every fresh
-    * checkpoint lineage, so a key derived from the batchId alone would
-    * collide across two sequential streaming queries against the same
-    * table and the second query's first batches would be silently
-    * skipped as "replays" — real data loss. Folding a per-start
-    * lineage id into the key makes sequential lineages collision-free
-    * (no compact-between-lineages restriction), while replay detection
-    * stays exact WITHIN a lineage, which is the only place foreachBatch
-    * can actually re-deliver a batchId through this API (the blocking
-    * wrappers own their checkpoint for the query's whole life). */
-  def freshLineage(): Long =
-    java.util.concurrent.ThreadLocalRandom.current()
-      .nextLong(1L, 1L << 20)
+  /** Per-process registry of the highest lineage id handed out per key
+    * table, so two CONCURRENT streaming queries in one driver can never
+    * draw the same id even before either commits a key. Guarded by
+    * [[allocLineage]]'s synchronization. */
+  private val liveLineages =
+    scala.collection.mutable.Map.empty[String, Long]
+
+  /** Allocate a fresh streaming LINEAGE id — one per `start()`ed
+    * streaming query. Spark's micro-batch ids restart at 0 for every
+    * fresh checkpoint lineage, so a key derived from the batchId alone
+    * would collide across two streaming queries against the same table
+    * and the second query's first batches would be silently skipped as
+    * "replays" — real data loss. Allocation is DETERMINISTIC, not
+    * random (the r14 random draw had a ~2^-20 per-pair silent-skip
+    * collision): the next id is max(highest lineage COMMITTED into
+    * `keyTable`, highest id handed out by this process) + 1 — committed
+    * state makes sequential runs collision-free, the in-process
+    * registry makes concurrent queries in one driver collision-free.
+    * `keyTable` is wherever the tier stores its `batch_key` column:
+    * the state table itself for [[MergeTables]] tiers, `table_s` /
+    * `table_g` for the BM25 / ADC generation-protocol tiers.
+    *
+    * SCOPE (enforced by construction, not luck): two concurrent
+    * streaming writers in SEPARATE driver processes against one table
+    * are outside this protocol — nothing coordinates their registries
+    * until a key commits — and remain a single-writer-process
+    * deployment rule, as on every tier. */
+  def allocLineage(spark: SparkSession, keyTable: String): Long =
+    synchronized {
+      val stored =
+        if (!spark.catalog.tableExists(keyTable)) 0L
+        else {
+          val row = spark.table(keyTable)
+            .filter(col("batch_key") >= Similarity.streamBatchKeyBase)
+            .agg(max("batch_key")).head()
+          // drop the relation this read just cached: the streamed
+          // appends that follow land from micro-batch CLONE sessions,
+          // and a stale file listing cached here would hide their
+          // generations from this session's later probes (observed:
+          // the allocating session read back only pre-stream state)
+          spark.catalog.refreshTable(keyTable)
+          if (row.isNullAt(0)) 0L
+          else (row.getLong(0) - Similarity.streamBatchKeyBase) >> 28
+        }
+      val next = math.max(stored, liveLineages.getOrElse(keyTable, 0L)) + 1
+      liveLineages(keyTable) = next
+      next
+    }
 
   /** The deterministic streaming commit key of (`lineage`, `batchId`)
     * ([[Similarity.streamBatchKeyBase]] + lineage·2^28 + batchId —
     * distinct from every batch key (−1) and across lineages). The
     * per-lineage batchId budget is 2^28 (~8.5 years of one-second
-    * triggers) and ENFORCED rather than wrapped; keys stay below
-    * 2^49, far from Long range. */
+    * triggers) and the lineage budget 2^34 (one allocation per started
+    * query — unreachable), both ENFORCED rather than wrapped; keys
+    * stay below 2^63. */
   def streamKey(lineage: Long, batchId: Long): Long = {
-    require(lineage >= 0 && lineage < (1L << 20),
-      s"lineage $lineage outside [0, 2^20)")
+    require(lineage >= 0 && lineage < (1L << 34),
+      s"lineage $lineage outside [0, 2^34)")
     require(batchId >= 0 && batchId < (1L << 28),
       s"batchId $batchId outside the per-lineage 2^28 key budget")
     Similarity.streamBatchKeyBase + (lineage << 28) + batchId
@@ -112,22 +149,36 @@ private[graft] object MergeTables {
     * short-circuits the table probe when foreachBatch re-delivers
     * within the run; the table check stays authoritative (it alone
     * survives a driver restart). Returns the started query — callers
-    * own the trigger cadence. */
-  def streamAppend(stream: DataFrame, keyCol: String, table: String)
+    * own the trigger cadence.
+    *
+    * Replay exactness holds WITHIN a lineage (the only place
+    * foreachBatch can re-deliver a batchId through this API). A query
+    * that DIES and is re-run from scratch gets a fresh lineage and
+    * re-reads its source from offset 0 — on the additive tiers that
+    * double-counts, by design of the scope. A caller who needs
+    * crash-RESUME instead passes `checkpointLocation` (so Spark resumes
+    * offsets and batchIds) together with the `lineage` id it persisted
+    * from the first run — resumed batchIds then hit the committed keys
+    * of the original lineage and skip exactly. */
+  def streamAppend(stream: DataFrame, keyCol: String, table: String,
+      checkpointLocation: Option[String] = None,
+      lineage: Option[Long] = None)
       (stateOf: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val lineage = freshLineage()
+    val lin = lineage.getOrElse(
+      allocLineage(stream.sparkSession, table))
     val committed =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    stream.writeStream
+    val w = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!committed.contains(batchId)) {
-          appendBatch(batch, batchId, keyCol, table, lineage)(stateOf)
+          appendBatch(batch, batchId, keyCol, table, lin)(stateOf)
           committed.add(batchId)
           ()
         }
       }
-      .start()
+    checkpointLocation.foreach(p => w.option("checkpointLocation", p))
+    w.start()
   }
 
   /** [[streamAppend]]'s body for one micro-batch — exposed (and used
@@ -156,7 +207,8 @@ private[graft] object MergeTables {
     * — only possible by retracting state never added — fails loudly
     * instead of probing a corrupt table. */
   def mergedSum(spark: SparkSession, table: String,
-      keyCols: Seq[String], cntCol: String): DataFrame =
+      keyCols: Seq[String], cntCol: String): DataFrame = {
+    recoverCompactCrash(spark, table)
     spark.table(table).groupBy(keyCols.map(col): _*)
       .agg(sum(cntCol).as(cntCol))
       .select(keyCols.map(col) :+
@@ -165,23 +217,72 @@ private[graft] object MergeTables {
             s"state that was never added) at ${keyCols.head}="),
           col(keyCols.head).cast("string")))).as(cntCol): _*)
       .filter(col(cntCol) > 0L)
+  }
 
   /** Probe-time merge for MAX-monoid state (registers): element-wise
     * max per key. Idempotent by algebra — a replayed generation cannot
     * change the merge — so this monoid needs no negative guard and has
     * no retraction. */
   def mergedMax(spark: SparkSession, table: String,
-      keyCols: Seq[String], valCol: String): DataFrame =
+      keyCols: Seq[String], valCol: String): DataFrame = {
+    recoverCompactCrash(spark, table)
     spark.table(table).groupBy(keyCols.map(col): _*)
       .agg(max(valCol).as(valCol))
+  }
+
+  /** Number of stored generations — the input to the compaction
+    * policy ([[maybeCompact]]) and the quantity every probe's
+    * footer-level replay check scales with. */
+  def generationCount(spark: SparkSession, table: String): Long = {
+    recoverCompactCrash(spark, table)
+    spark.table(table).select("gen").distinct().count()
+  }
+
+  /** Compact iff the stored generation count exceeds `maxGen` — the
+    * auto-compaction trigger the manual compactors lacked (r14 verdict
+    * item 4): maintenance loops call this after appends and the table
+    * never accumulates more than ~maxGen generations, bounding both
+    * the probe-time merge fan-in and [[replayed]]'s per-append
+    * footer probes. Returns true iff it compacted. `merged` is
+    * call-by-name: the probe's merged view is only constructed (and
+    * only reads the table) when the threshold trips. */
+  def maybeCompact(spark: SparkSession, table: String, keyCol: String,
+      maxGen: Int)(merged: => DataFrame): Boolean = {
+    require(maxGen >= 1, s"maxGen=$maxGen")
+    if (generationCount(spark, table) <= maxGen) false
+    else { compact(spark, table, keyCol, merged); true }
+  }
+
+  /** If a prior [[compact]] crashed between its DROP and RENAME —
+    * the one crash window the swap has — the data survives under the
+    * shadow name with no table at the live name. Finishing the rename
+    * IS the recovery (the shadow holds the complete merged state, by
+    * construction), so every write/probe entry point runs this first
+    * and the window heals on next touch instead of stranding the
+    * table. No-op unless exactly that state is found. */
+  private def recoverCompactCrash(spark: SparkSession, table: String)
+      : Unit = {
+    val shadow = table + "_compact_shadow"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(shadow)) {
+      spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+      spark.catalog.refreshTable(table)
+    }
+  }
 
   /** Rewrite all generations into one gen-0 file: `merged` must be the
     * probe's own merged view of `table` (so compacted == appended ==
     * rebuilt is definitional), materialized BEFORE the swap because it
-    * reads the table being replaced. Shadow-then-rename, then
-    * batch keys are gone with the old generations. */
+    * reads the table being replaced. The swap is shadow-write, DROP,
+    * RENAME: a crash before the DROP leaves the old table fully live
+    * (the shadow is invisible to probes and overwritten by the next
+    * compact); a crash BETWEEN the DROP and the RENAME leaves the
+    * complete state under the shadow name, which every entry point
+    * heals on next touch ([[recoverCompactCrash]]). Batch keys are
+    * gone with the old generations. */
   def compact(spark: SparkSession, table: String, keyCol: String,
       merged: DataFrame): Unit = {
+    recoverCompactCrash(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — nothing to compact")
     val shadow = table + "_compact_shadow"

@@ -719,7 +719,7 @@ object Similarity {
     * AND across replays, which is what makes the replay check sound
     * WITHIN a lineage; they restart at 0 for a FRESH checkpoint
     * lineage, which is why every `start()` folds a fresh lineage id
-    * into its keys ([[MergeTables.freshLineage]]) — without it a
+    * into its keys ([[MergeTables.allocLineage]]) — without it a
     * second streaming writer against the same uncompacted index would
     * see the first lineage's keys and silently skip its own early
     * batches. Compaction still clears all committed keys. */
@@ -764,8 +764,14 @@ object Similarity {
     * replays the micro-batch, so commits carry a deterministic
     * per-batch key ([[streamBatchKeyBase]] + batchId) and a replayed
     * committed batch is detected and skipped — exactly-once index
-    * state under both crash windows ([[streamAppendAdcBatch]],
-    * replay spec-gated). Centroid drift accrues exactly as in batch
+    * state under both crash windows WITHIN A LINEAGE, i.e. for the
+    * life of one started query ([[streamAppendAdcBatch]], replay
+    * spec-gated; the [[MergeTables.streamAppend]] scope note). A query
+    * killed and re-RUN from scratch is a fresh lineage re-reading its
+    * source — new vectors re-append under new keys; a caller needing
+    * crash-RESUME wires a checkpointLocation plus its persisted
+    * lineage id through the foreachBatch form, as on the MergeTables
+    * tiers. Centroid drift accrues exactly as in batch
     * appends and stays monitored by the qc3 recall gate. */
   def streamAppendIvfAdcIndex(vecStream: DataFrame, idCol: String,
       vecCol: String, table: String, dim: Int = 64): Unit = {
@@ -780,12 +786,14 @@ object Similarity {
   def startStreamAppendIvfAdcIndex(vecStream: DataFrame, idCol: String,
       vecCol: String, table: String, dim: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // fresh lineage per started query (MergeTables.freshLineage doc):
-    // a second streaming writer's batchIds restart at 0 and must not
+    // deterministic fresh lineage per started query (allocated from
+    // the commit table's own keys — MergeTables.allocLineage doc): a
+    // second streaming writer's batchIds restart at 0 and must not
     // collide with the first lineage's committed keys. dim rides the
     // signature for API symmetry with writeIvfAdcIndex; the append
     // derives the true dimension from the stored centroids.
-    val lineage = MergeTables.freshLineage()
+    val lineage =
+      MergeTables.allocLineage(vecStream.sparkSession, table + "_g")
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         streamAppendAdcBatch(batch, batchId, idCol, vecCol, table,

@@ -272,6 +272,18 @@ object Sketches {
     MergeTables.compact(spark, table, "b_low",
       mergedBuckets(spark, table))
 
+  /** [[compactSketchTable]] iff more than `maxGen` generations have
+    * accumulated — the auto-compaction policy a maintenance loop calls
+    * after its appends ([[MergeTables.maybeCompact]]): probe-time merge
+    * fan-in and the per-append replay probe both scale with the
+    * generation count (measured curve in BASELINE.md), so the loop
+    * bounds them at ~maxGen without a human deciding when. Returns
+    * true iff it compacted. */
+  def maybeCompactSketchTable(spark: SparkSession, table: String,
+      maxGen: Int): Boolean =
+    MergeTables.maybeCompact(spark, table, "b_low", maxGen)(
+      mergedBuckets(spark, table))
+
   /** PER-GROUP persisted sketch (qf7) — qe7's grouped sketch under the
     * same [[MergeTables]] lifecycle as the ungrouped table: the stored
     * state is `(g, b_low, b_high, cnt)` rows (groups × buckets, bounded

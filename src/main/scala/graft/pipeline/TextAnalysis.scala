@@ -669,11 +669,13 @@ object TextAnalysis {
   def startStreamAppendBm25Index(docStream: DataFrame, idCol: String,
       textCol: String, table: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    // a fresh lineage per started query: batchIds restart at 0 for a
-    // new checkpoint lineage, so without this a SECOND streaming
-    // writer against the same index would see the first lineage's
-    // keys and silently skip its own early batches
-    val lineage = MergeTables.freshLineage()
+    // a deterministic fresh lineage per started query (allocated from
+    // the commit table's own keys — MergeTables.allocLineage): batchIds
+    // restart at 0 for a new checkpoint lineage, so without this a
+    // SECOND streaming writer against the same index would see the
+    // first lineage's keys and silently skip its own early batches
+    val lineage =
+      MergeTables.allocLineage(docStream.sparkSession, table + "_s")
     docStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         streamAppendBm25Batch(batch, batchId, idCol, textCol, table,

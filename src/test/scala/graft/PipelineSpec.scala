@@ -2559,4 +2559,75 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS sk_cmp_ref")
     }
   }
+
+  test("a crash between compact's DROP and RENAME heals on the next probe or append") {
+    // compact's one crash window: shadow written, live table dropped,
+    // rename never ran. The shadow holds the COMPLETE merged state by
+    // construction, so recovery = finishing the rename — every entry
+    // point (probe, append, compact, generationCount) does it on next
+    // touch instead of stranding the table under the shadow name.
+    import graft.pipeline.MergeTables
+    val (a, b) = vals.splitAt(1000)
+    try {
+      Sketches.writeSketchTable(a.toDF("v"), col("v"), "sk_crash_t")
+      Sketches.appendSketchTable(b.toDF("v"), col("v"), "sk_crash_t")
+      val preProbe = Sketches.quantilesFromSketchTable(
+          spark, "sk_crash_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      // simulate the crash window by hand: the shadow write and the
+      // DROP are compact()'s own first two steps, verbatim
+      MergeTables.write(
+        MergeTables.mergedSum(spark, "sk_crash_t",
+          Seq("b_low", "b_high"), "cnt"),
+        "b_low", "sk_crash_t_compact_shadow")
+      spark.sql("DROP TABLE `sk_crash_t`")
+      assert(!spark.catalog.tableExists("sk_crash_t"))
+      // next probe heals the window and answers from the merged state
+      val postProbe = Sketches.quantilesFromSketchTable(
+          spark, "sk_crash_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(postProbe.nonEmpty && postProbe == preProbe,
+        "recovered probe diverged from the pre-crash state")
+      assert(spark.catalog.tableExists("sk_crash_t") &&
+        !spark.catalog.tableExists("sk_crash_t_compact_shadow"))
+      // and the healed table accepts appends again
+      Sketches.appendSketchTable(vals.take(50).toDF("v"), col("v"),
+        "sk_crash_t")
+      assert(MergeTables.generationCount(spark, "sk_crash_t") == 2L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_crash_t")
+      spark.sql("DROP TABLE IF EXISTS sk_crash_t_compact_shadow")
+    }
+  }
+
+  test("maybeCompactSketchTable: no-op at or below maxGen, compacts above, probe unchanged") {
+    import graft.pipeline.MergeTables
+    val parts = vals.grouped(500).toSeq // 4 batches
+    try {
+      Sketches.writeSketchTable(parts.head.toDF("v"), col("v"),
+        "sk_auto_t")
+      parts.tail.foreach(p =>
+        Sketches.appendSketchTable(p.toDF("v"), col("v"), "sk_auto_t"))
+      assert(MergeTables.generationCount(spark, "sk_auto_t") == 4L)
+      val preProbe = Sketches.quantilesFromSketchTable(
+          spark, "sk_auto_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      // at the threshold: a no-op (generations untouched)
+      assert(!Sketches.maybeCompactSketchTable(spark, "sk_auto_t", 4))
+      assert(MergeTables.generationCount(spark, "sk_auto_t") == 4L)
+      // above it: compacts to one generation, probe bit-identical
+      assert(Sketches.maybeCompactSketchTable(spark, "sk_auto_t", 3))
+      assert(MergeTables.generationCount(spark, "sk_auto_t") == 1L)
+      val postProbe = Sketches.quantilesFromSketchTable(
+          spark, "sk_auto_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(postProbe == preProbe)
+      // idempotent from here: the compacted table sits below any sane
+      // threshold, so a maintenance loop's repeated calls do nothing
+      assert(!Sketches.maybeCompactSketchTable(spark, "sk_auto_t", 3))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_auto_t")
+      spark.sql("DROP TABLE IF EXISTS sk_auto_t_compact_shadow")
+    }
+  }
 }

@@ -1051,6 +1051,65 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("two CONCURRENT streaming lineages on one table: deterministic distinct ids, no skips, no double-counts") {
+    // the r14 advisory finding: freshLineage() drew RANDOM 20-bit ids,
+    // so two concurrent streaming queries could collide (~2^-20/pair)
+    // and the second query's early batches would be silently skipped
+    // as replays. Allocation is now deterministic — max(committed,
+    // handed-out) + 1 — so two queries started before either commits
+    // still draw distinct consecutive ids, and a later allocation
+    // continues from the COMMITTED keys (sequential-run determinism).
+    import graft.pipeline.{MergeTables, Sketches, Similarity}
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 900).map(i => (i.toLong * 2654435761L) % 100000L + 1L)
+    val (base, rest) = vals.splitAt(300)
+    val (s1, s2) = rest.splitAt(300)
+    try {
+      Sketches.writeSketchTable(base.toDF("v"), col("v"), "sk_cc_t")
+      val ms1 = MemoryStream[Long](spark)
+      val ms2 = MemoryStream[Long](spark)
+      // both queries START (and so allocate) before either commits
+      val q1 = Sketches.startStreamAppendSketchTable(
+        ms1.toDF().toDF("v"), col("v"), "sk_cc_t")
+      val q2 = Sketches.startStreamAppendSketchTable(
+        ms2.toDF().toDF("v"), col("v"), "sk_cc_t")
+      try {
+        // both lineages live at once, batches interleaved (the
+        // single-writer-PROCESS rule serializes only the file commits)
+        ms1.addData(s1.take(150)); q1.processAllAvailable()
+        ms2.addData(s2.take(150)); q2.processAllAvailable()
+        ms1.addData(s1.drop(150)); q1.processAllAvailable()
+        ms2.addData(s2.drop(150)); q2.processAllAvailable()
+      } finally { q1.stop(); q2.stop() }
+      // every micro-batch landed exactly once: 5 generations (build +
+      // 2 per lineage) under 5 DISTINCT keys — a skipped batch would
+      // miss a generation, a double-count would reuse a key's state
+      val stored = spark.table("sk_cc_t")
+        .select("gen", "batch_key").as[(Long, Long)].collect().toSeq
+      assert(stored.map(_._1).distinct.size == 5,
+        s"expected 5 generations, got ${stored.map(_._1).distinct.size}")
+      val keys = stored.map(_._2).distinct.sorted
+      assert(keys.size == 5 && keys.head == -1L)
+      val lineages = keys.filter(_ != -1L)
+        .map(k => (k - Similarity.streamBatchKeyBase) >> 28).distinct.sorted
+      assert(lineages == Seq(1L, 2L),
+        s"expected deterministic lineages 1 and 2, got $lineages")
+      // and the merged probe equals the one-shot over the union — the
+      // value-level no-skip/no-double-count gate
+      val probed = Sketches.quantilesFromSketchTable(
+          spark, "sk_cc_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.logBucketQuantiles(
+          vals.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probed == oneShot)
+      // the next allocation continues deterministically past both
+      assert(MergeTables.allocLineage(spark, "sk_cc_t") == 3L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_cc_t")
+    }
+  }
+
   test("grouped streamed appends (sketch + stratified sample): out-of-order micro-batches == one-shot, replays are no-ops") {
     // the grouped tiers' streaming paths (qfa's late-data story and
     // the stratified sample's): micro-batches interleaved ACROSS
