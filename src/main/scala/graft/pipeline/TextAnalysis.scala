@@ -1202,38 +1202,93 @@ object TextAnalysis {
     * by far. */
   def writeCountMinTable(docs: DataFrame, textCol: String,
       table: String, width: Int = 1024, depth: Int = 4): Unit =
-    MergeTables.write(countMinCounters(docs, textCol, width, depth),
+    MergeTables.write(
+      countMinCounters(docs, textCol, width, depth)
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)),
       "b", table)
 
+  /** The (width, depth) every stored generation was hashed with —
+    * exactly one pair by the [[requireCmParams]] discipline; mixed
+    * params mean a mis-configured append slipped in and the table is
+    * corrupt (fails loudly here, not as garbage estimates). */
+  private def cmParamsOf(spark: SparkSession, table: String)
+      : (Int, Int) = {
+    val rows = spark.table(table).select("w", "dep").distinct()
+      .collect()
+    // drop the relation this read cached: a stream-append guard runs
+    // this in the STARTING session, and a stale file listing cached
+    // here would hide the micro-batch clones' generations from that
+    // session's later probes (the MergeTables.allocLineage discipline)
+    spark.catalog.refreshTable(table)
+    require(rows.length == 1,
+      s"$table holds generations with MIXED count-min params " +
+        rows.map(r => s"(width=${r.getInt(0)}, depth=${r.getInt(1)})")
+          .mkString(", ") +
+        " — counters hashed differently cannot merge; rebuild the table")
+    (rows(0).getInt(0), rows(0).getInt(1))
+  }
+
+  /** Refuse a maintenance operation or probe whose (width, depth)
+    * differ from the table's stored params — the `kcap` discipline of
+    * the sample tier ([[graft.pipeline.Samples.sampleFromTable]]) on
+    * this tier: a mismatched probe would hash tokens into coordinates
+    * the counters never counted and return silently-wrong estimates;
+    * a mismatched append would poison every future probe. */
+  private def requireCmParams(spark: SparkSession, table: String,
+      width: Int, depth: Int): Unit = {
+    val (w, d) = cmParamsOf(spark, table)
+    require(w == width && d == depth,
+      s"count-min params (width=$width, depth=$depth) do not match " +
+        s"$table's stored (width=$w, depth=$d) — a mismatched " +
+        "probe/append hashes to coordinates the counters never " +
+        "counted; use the stored params or rebuild")
+  }
+
   /** Append a batch's counters as one more generation — see
-    * [[writeCountMinTable]]. */
+    * [[writeCountMinTable]]. Refuses params that differ from the
+    * stored generations' ([[requireCmParams]]). */
   def appendCountMinTable(docs: DataFrame, textCol: String,
-      table: String, width: Int = 1024, depth: Int = 4): Unit =
-    MergeTables.append(countMinCounters(docs, textCol, width, depth),
+      table: String, width: Int = 1024, depth: Int = 4): Unit = {
+    requireCmParams(docs.sparkSession, table, width, depth)
+    MergeTables.append(
+      countMinCounters(docs, textCol, width, depth)
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)),
       "b", table)
+  }
 
   /** DELETE documents from a persisted count-min table by additive
     * retraction: their token counts land negated and cancel exactly at
     * the probe-time sum — see [[writeCountMinTable]]. CONTRACT: `docs`
     * must have been added (the [[MergeTables.mergedSum]] negative
-    * guard fails loudly otherwise). */
+    * guard fails loudly otherwise), and the params must match the
+    * stored generations' ([[requireCmParams]]). */
   def retractCountMinDocs(docs: DataFrame, textCol: String,
-      table: String, width: Int = 1024, depth: Int = 4): Unit =
+      table: String, width: Int = 1024, depth: Int = 4): Unit = {
+    requireCmParams(docs.sparkSession, table, width, depth)
     MergeTables.append(
       countMinCounters(docs, textCol, width, depth)
-        .withColumn("c", -col("c")),
+        .withColumn("c", -col("c"))
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)),
       "b", table)
+  }
 
   /** The probe-time merged counter table — bit-equal to
-    * [[countMinCounters]] over the surviving corpus (qf4's gate). */
+    * [[countMinCounters]] over the surviving corpus (qf4's gate).
+    * Param columns merge out here (the guard lives in the
+    * param-taking probes and maintenance ops). */
   def countMinFromTable(spark: SparkSession, table: String): DataFrame =
     MergeTables.mergedSum(spark, table, Seq("h", "b"), "c")
 
   /** Collapse all generations into one gen-0 file — see
-    * [[writeCountMinTable]] and [[MergeTables.compact]]. */
-  def compactCountMinTable(spark: SparkSession, table: String): Unit =
+    * [[writeCountMinTable]] and [[MergeTables.compact]]. The stored
+    * params ride through the rewrite, so the guard survives
+    * compaction. */
+  def compactCountMinTable(spark: SparkSession, table: String): Unit = {
+    val (w, d) = cmParamsOf(spark, table)
     MergeTables.compact(spark, table, "b",
-      countMinFromTable(spark, table))
+      countMinFromTable(spark, table)
+        .withColumn("w", lit(w)).withColumn("dep", lit(d)))
+  }
 
   /** Heavy-hitter top-k SERVED FROM the persisted counter table (qf5)
     * — [[countMinTopK]]'s estimate leg over [[countMinFromTable]]'s
@@ -1245,6 +1300,7 @@ object TextAnalysis {
       table: String, k: Int, width: Int = 1024, depth: Int = 4)
       : DataFrame = {
     require(k > 0, s"k=$k")
+    requireCmParams(vocabDocs.sparkSession, table, width, depth)
     cmTopKFromCounters(vocabDocs,
       countMinFromTable(vocabDocs.sparkSession, table), textCol, k,
       width, depth)
@@ -1268,32 +1324,41 @@ object TextAnalysis {
   }
 
   /** PERSIST the grouped counters (qfb) — [[writeCountMinTable]]'s
-    * lifecycle per group under the shared [[MergeTables]] protocol. */
+    * lifecycle per group under the shared [[MergeTables]] protocol,
+    * including the stored-params guard. */
   def writeGroupedCountMinTable(docs: DataFrame, groupCol: String,
       textCol: String, table: String, width: Int = 1024,
       depth: Int = 4): Unit =
     MergeTables.write(
-      groupedCountMinCounters(docs, groupCol, textCol, width, depth),
+      groupedCountMinCounters(docs, groupCol, textCol, width, depth)
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)),
       "b", table)
 
   /** Append a batch's grouped counters — see
-    * [[writeGroupedCountMinTable]]. */
+    * [[writeGroupedCountMinTable]]; mismatched params refused. */
   def appendGroupedCountMinTable(docs: DataFrame, groupCol: String,
       textCol: String, table: String, width: Int = 1024,
-      depth: Int = 4): Unit =
-    MergeTables.append(
-      groupedCountMinCounters(docs, groupCol, textCol, width, depth),
-      "b", table)
-
-  /** Retract documents from the grouped counters — additive, per
-    * group; over-retraction fails loudly ([[MergeTables.mergedSum]]). */
-  def retractGroupedCountMinDocs(docs: DataFrame, groupCol: String,
-      textCol: String, table: String, width: Int = 1024,
-      depth: Int = 4): Unit =
+      depth: Int = 4): Unit = {
+    requireCmParams(docs.sparkSession, table, width, depth)
     MergeTables.append(
       groupedCountMinCounters(docs, groupCol, textCol, width, depth)
-        .withColumn("c", -col("c")),
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)),
       "b", table)
+  }
+
+  /** Retract documents from the grouped counters — additive, per
+    * group; over-retraction fails loudly ([[MergeTables.mergedSum]]),
+    * mismatched params refused. */
+  def retractGroupedCountMinDocs(docs: DataFrame, groupCol: String,
+      textCol: String, table: String, width: Int = 1024,
+      depth: Int = 4): Unit = {
+    requireCmParams(docs.sparkSession, table, width, depth)
+    MergeTables.append(
+      groupedCountMinCounters(docs, groupCol, textCol, width, depth)
+        .withColumn("c", -col("c"))
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)),
+      "b", table)
+  }
 
   /** The probe-time merged grouped counters — bit-equal to
     * [[groupedCountMinCounters]] over the surviving corpus. */
@@ -1302,11 +1367,15 @@ object TextAnalysis {
     MergeTables.mergedSum(spark, table, Seq("g", "h", "b"), "c")
 
   /** Collapse the grouped counter generations — see
-    * [[MergeTables.compact]]. */
+    * [[MergeTables.compact]]; the stored params ride through the
+    * rewrite. */
   def compactGroupedCountMinTable(spark: SparkSession, table: String)
-      : Unit =
+      : Unit = {
+    val (w, d) = cmParamsOf(spark, table)
     MergeTables.compact(spark, table, "b",
-      groupedCountMinFromTable(spark, table))
+      groupedCountMinFromTable(spark, table)
+        .withColumn("w", lit(w)).withColumn("dep", lit(d)))
+  }
 
   /** PER-GROUP heavy-hitter top-k SERVED from the maintained grouped
     * counters (qfb): per group, the k tokens with the largest
@@ -1319,6 +1388,7 @@ object TextAnalysis {
       groupCol: String, textCol: String, table: String, k: Int,
       width: Int = 1024, depth: Int = 4): DataFrame = {
     require(k > 0, s"k=$k")
+    requireCmParams(vocabDocs.sparkSession, table, width, depth)
     graft.functions.VectorOps.ensureRegistered(vocabDocs.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val cs = groupedCountMinFromTable(vocabDocs.sparkSession, table)
@@ -1343,18 +1413,24 @@ object TextAnalysis {
     * drained. */
   def streamAppendGroupedCountMinTable(docStream: DataFrame,
       groupCol: String, textCol: String, table: String,
-      width: Int = 1024, depth: Int = 4): Unit =
-    MergeTables.streamAppendBlocking(docStream, "b", table)(
-      groupedCountMinCounters(_, groupCol, textCol, width, depth))
+      width: Int = 1024, depth: Int = 4): Unit = {
+    val q = startStreamAppendGroupedCountMinTable(docStream, groupCol,
+      textCol, table, width, depth)
+    try q.processAllAvailable() finally q.stop()
+  }
 
   /** The started-but-undrained form of
-    * [[streamAppendGroupedCountMinTable]]. */
+    * [[streamAppendGroupedCountMinTable]]; mismatched params refused
+    * at start, before any batch lands. */
   def startStreamAppendGroupedCountMinTable(docStream: DataFrame,
       groupCol: String, textCol: String, table: String,
       width: Int = 1024, depth: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireCmParams(docStream.sparkSession, table, width, depth)
     MergeTables.streamAppend(docStream, "b", table)(
-      groupedCountMinCounters(_, groupCol, textCol, width, depth))
+      groupedCountMinCounters(_, groupCol, textCol, width, depth)
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)))
+  }
 
   /** The per-micro-batch body of [[startStreamAppendCountMinTable]],
     * exposed for the replay spec — the sketch-tier discipline
@@ -1364,23 +1440,30 @@ object TextAnalysis {
       batchId: Long, textCol: String, table: String, width: Int,
       depth: Int, lineage: Long = 0L): Unit =
     MergeTables.appendBatch(batch, batchId, "b", table, lineage)(
-      countMinCounters(_, textCol, width, depth))
+      countMinCounters(_, textCol, width, depth)
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)))
 
   /** [[appendCountMinTable]] with the DOCUMENTS ARRIVING AS A STREAM:
     * one counter generation per micro-batch under a deterministic
     * per-lineage commit key (replay no-op spec-gated). Blocks until
     * drained. */
   def streamAppendCountMinTable(docStream: DataFrame, textCol: String,
-      table: String, width: Int = 1024, depth: Int = 4): Unit =
-    MergeTables.streamAppendBlocking(docStream, "b", table)(
-      countMinCounters(_, textCol, width, depth))
+      table: String, width: Int = 1024, depth: Int = 4): Unit = {
+    val q = startStreamAppendCountMinTable(docStream, textCol, table,
+      width, depth)
+    try q.processAllAvailable() finally q.stop()
+  }
 
-  /** The started-but-undrained form of [[streamAppendCountMinTable]]. */
+  /** The started-but-undrained form of [[streamAppendCountMinTable]];
+    * mismatched params refused at start, before any batch lands. */
   def startStreamAppendCountMinTable(docStream: DataFrame,
       textCol: String, table: String, width: Int = 1024, depth: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    requireCmParams(docStream.sparkSession, table, width, depth)
     MergeTables.streamAppend(docStream, "b", table)(
-      countMinCounters(_, textCol, width, depth))
+      countMinCounters(_, textCol, width, depth)
+        .withColumn("w", lit(width)).withColumn("dep", lit(depth)))
+  }
 
   /** Per-source token-length distribution audit (q96) — the dataset-card
     * numbers behind mixing and truncation decisions: how long are this

@@ -1213,6 +1213,68 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("persisted count-min refuses mismatched (width, depth) on probe AND maintenance — the stored-params guard") {
+    // the r14 audit note: width/depth compatibility was
+    // documentation-only. A mismatched probe hashes tokens into
+    // coordinates the counters never counted (silently-wrong
+    // estimates); a mismatched append poisons every future probe.
+    // Params now ride every stored generation and every param-taking
+    // entry point refuses a mismatch loudly — the sample tier's kcap
+    // discipline on this tier.
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((0L, "a a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    try {
+      TextAnalysis.writeCountMinTable(docs, "text", "cm_pg_t",
+        width = 64, depth = 3)
+      def denied(op: => Unit): String = {
+        val e = intercept[IllegalArgumentException](op)
+        assert(e.getMessage.contains("do not match") &&
+          e.getMessage.contains("width=64"), e.getMessage)
+        e.getMessage
+      }
+      denied(TextAnalysis.countMinTopKIndexed(docs, "text", "cm_pg_t",
+        k = 5, width = 128, depth = 3))
+      denied(TextAnalysis.countMinTopKIndexed(docs, "text", "cm_pg_t",
+        k = 5, width = 64, depth = 4))
+      denied(TextAnalysis.appendCountMinTable(docs, "text", "cm_pg_t",
+        width = 128, depth = 3))
+      denied(TextAnalysis.retractCountMinDocs(docs, "text", "cm_pg_t",
+        width = 64, depth = 2))
+      denied(TextAnalysis.startStreamAppendCountMinTable(
+        docs, "text", "cm_pg_t", width = 32, depth = 3))
+      // matching params stay fully functional through the lifecycle,
+      // and the guard SURVIVES compaction (params ride the rewrite)
+      TextAnalysis.appendCountMinTable(docs, "text", "cm_pg_t",
+        width = 64, depth = 3)
+      TextAnalysis.compactCountMinTable(spark, "cm_pg_t")
+      denied(TextAnalysis.countMinTopKIndexed(docs, "text", "cm_pg_t",
+        k = 5, width = 128, depth = 3))
+      val probe = TextAnalysis.countMinTopKIndexed(docs, "text",
+          "cm_pg_t", k = 5, width = 64, depth = 3)
+        .as[(String, Long)].collect().toSeq
+      val scan = TextAnalysis.countMinTopK(
+          docs.union(docs).toDF("doc_id", "text"), "doc_id", "text",
+          k = 5, width = 64, depth = 3)
+        .as[(String, Long)].collect().toSeq
+      assert(probe.nonEmpty && probe == scan,
+        "matching-params probe diverged after the guard landed")
+      // the grouped tier shares the guard
+      val gdocs = Seq(("s1", 0L, "a a b")).toDF("source", "doc_id",
+        "text")
+      TextAnalysis.writeGroupedCountMinTable(gdocs, "source", "text",
+        "gcm_pg_t", width = 64, depth = 3)
+      val eg = intercept[IllegalArgumentException] {
+        TextAnalysis.groupedCountMinTopKIndexed(gdocs, "source",
+          "text", "gcm_pg_t", k = 3, width = 128, depth = 3)
+      }
+      assert(eg.getMessage.contains("do not match"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cm_pg_t")
+      spark.sql("DROP TABLE IF EXISTS cm_pg_t_compact_shadow")
+      spark.sql("DROP TABLE IF EXISTS gcm_pg_t")
+    }
+  }
+
   test("grouped persisted count-min: per-group lifecycle == one-shot over survivors, serving cut deterministic per group") {
     import graft.pipeline.TextAnalysis
     val base = Seq(
