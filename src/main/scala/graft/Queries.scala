@@ -2450,8 +2450,42 @@ object RelationalQueries {
           .filter(col("doc_id") % qd3DelMod =!= qd3DelRes),
         "source", "text", table, k = qfbK, width = qa8Width,
         depth = qa8Depth)
+    }),
+
+    // QFC — qfa WITH RETENTION (r15): the per-hour maintained profile
+    // over an unbounded-time stream cannot keep one group per hour
+    // forever; retireGroupsBefore retracts every expired hour's own
+    // merged bucket counts from STORED state alone (state-sized, no
+    // corpus read — the grouped-retraction machinery fed back on
+    // itself), and compaction removes the expired groups physically
+    // (spec-gated). The gate: the retained profile == the one-shot
+    // grouped sketch over the SURVIVING window — qfa's oracle with the
+    // retention WHERE — so retiring hours [min, min+240) loses nothing
+    // in any surviving hour. State is bounded by the retention window,
+    // not the stream's age.
+    "qfc" -> ((s, d) => {
+      val table = "qfc_ret_" + dirTag(d)
+      buildOnce(table) {
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && col("ts").isNotNull)
+        val cv = floor(col("value") * 100 + 0.5).cast("long")
+        val g = expr("unix_timestamp(ts) div 3600")
+        Sketches.writeGroupedSketchTable(
+          ev.filter(col("event_id") % 2 === 0), g, cv, table)
+        Sketches.appendGroupedSketchTable(
+          ev.filter(col("event_id") % 2 === 1), g, cv, table)
+        val cutoff = ev
+          .agg(min(expr("unix_timestamp(ts) div 3600"))).head()
+          .getLong(0) + qfcRetainAfterHours
+        Sketches.retireGroupsBefore(s, table, cutoff)
+        Sketches.compactGroupedSketchTable(s, table)
+      }
+      Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
     })
   )
+
+  /** qfc's retention horizon: hours below min(hour)+240 retire. */
+  private val qfcRetainAfterHours = 240L
 
   private val qfbK = 5
 
@@ -3612,6 +3646,14 @@ object RelationalQueries {
     // merge to the one-shot per-hour profile bit for bit
     "qfa" -> sketchOracleSqlFor(
       Some("CAST(floor(epoch(ts)/3600) AS BIGINT)")),
+    // qfc (retention): qfa's oracle with the retention WHERE — the
+    // maintained profile after retiring hours [min, min+240) must
+    // equal the one-shot grouped sketch over the surviving window
+    "qfc" -> sketchOracleSqlFor(
+      Some("CAST(floor(epoch(ts)/3600) AS BIGINT)"),
+      extraWhere = " AND CAST(floor(epoch(ts)/3600) AS BIGINT) >= " +
+        "(SELECT CAST(floor(epoch(min(ts))/3600) AS BIGINT) + 240 " +
+        "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)"),
     // qf9 (maintained stratified sample): the per-group ranking
     // re-derived — row_number per source over the same seeded hashes
     "qf9" ->

@@ -325,6 +325,32 @@ object Sketches {
     MergeTables.mergedSum(spark, table, Seq("g", "b_low", "b_high"),
       "cnt")
 
+  /** RETENTION for time-keyed maintained profiles (the qfa shape,
+    * r14 verdict item 3): retract every group whose key sorts below
+    * `cutoff` — "drop hours older than T" — bounding the state of an
+    * unbounded-time stream's profile by the retention window. The
+    * machinery is the grouped retraction the tier already has, fed
+    * from STORED state alone: the expired groups' own merged bucket
+    * counts land negated as one more generation (state-sized work —
+    * no corpus read, no tombstones), the probe-time sum cancels them
+    * to nothing (fully-cancelled buckets drop at merge, so expired
+    * groups vanish from every probe immediately), and the next
+    * compaction removes them physically (spec-gated). Idempotent: a
+    * second call finds nothing left to retract. Only meaningful for
+    * ordered group keys (epoch hours/days — qfa's), not categorical
+    * ones. The expired state is materialized (localCheckpoint, bounded
+    * by the groups × buckets contract) before the append so the write
+    * never scans the table it is appending to. */
+  def retireGroupsBefore(spark: SparkSession, table: String,
+      cutoff: Long): Unit = {
+    val expired = mergedGroupedBuckets(spark, table)
+      .filter(col("g") < cutoff)
+      .withColumn("cnt", -col("cnt"))
+      .localCheckpoint()
+    if (!expired.isEmpty)
+      MergeTables.append(expired, "b_low", table)
+  }
+
   /** Per-group quantiles from a persisted grouped sketch — the shared
     * grouped rank walk over the merged generations. */
   def groupedQuantilesFromSketchTable(spark: SparkSession,

@@ -2662,6 +2662,45 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("retireGroupsBefore: retained profile == one-shot over the surviving window; expired groups physically gone after compaction") {
+    // the qfa retention story (r14 verdict item 3): hour-keyed state
+    // cannot grow one group per hour forever. Retirement retracts the
+    // expired groups' own merged counts from stored state (no corpus
+    // read), probes lose them immediately, compaction removes them
+    // physically, and surviving groups are untouched bit for bit.
+    val rows = (1 to 1200).map(i =>
+      (i.toLong % 10, (i.toLong * 2654435761L) % 100000L + 1L))
+    val (a, b) = rows.splitAt(600)
+    try {
+      Sketches.writeGroupedSketchTable(a.toDF("g", "v"), col("g"),
+        col("v"), "gsk_ret_t")
+      Sketches.appendGroupedSketchTable(b.toDF("g", "v"), col("g"),
+        col("v"), "gsk_ret_t")
+      Sketches.retireGroupsBefore(spark, "gsk_ret_t", 4L)
+      def probe() = Sketches.groupedQuantilesFromSketchTable(
+          spark, "gsk_ret_t", Seq(50, 99))
+        .as[(Long, Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.groupedLogBucketQuantiles(
+          rows.filter(_._1 >= 4L).toDF("g", "v"), col("g"), col("v"),
+          Seq(50, 99))
+        .as[(Long, Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.map(_._1).distinct.sorted == (4L to 9L))
+      assert(probe() == oneShot,
+        "retained profile diverged from the one-shot surviving window")
+      // idempotent: a second retirement finds nothing left
+      Sketches.retireGroupsBefore(spark, "gsk_ret_t", 4L)
+      assert(probe() == oneShot)
+      // compaction removes the expired groups PHYSICALLY
+      Sketches.compactGroupedSketchTable(spark, "gsk_ret_t")
+      assert(spark.table("gsk_ret_t").filter(col("g") < 4L).count() == 0,
+        "expired groups still on disk after compaction")
+      assert(probe() == oneShot)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS gsk_ret_t")
+      spark.sql("DROP TABLE IF EXISTS gsk_ret_t_compact_shadow")
+    }
+  }
+
   test("maybeCompactSketchTable: no-op at or below maxGen, compacts above, probe unchanged") {
     import graft.pipeline.MergeTables
     val parts = vals.grouped(500).toSeq // 4 batches
