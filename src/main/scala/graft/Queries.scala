@@ -2377,20 +2377,8 @@ object RelationalQueries {
     // (min-k is non-invertible), compact; the per-group k rows must
     // equal the one-shot per-group ranking over the full corpus,
     // hash values included.
-    "qf9" -> ((s, d) => {
-      val table = "qf9_gsmp_" + dirTag(d)
-      buildOnce(table) {
-        val docs = Tables.documents(s, d)
-        Samples.writeGroupedSampleTable(
-          docs.filter(col("doc_id") < 400), "source", "doc_id", qf9K,
-          table)
-        Samples.appendGroupedSampleTable(
-          docs.filter(col("doc_id") >= 400), "source", "doc_id", qf9K,
-          table)
-        Samples.compactGroupedSampleTable(s, table, qf9K)
-      }
-      Samples.groupedSampleFromTable(s, table, qf9K)
-    }),
+    "qf9" -> ((s, d) =>
+      Samples.groupedSampleFromTable(s, gsmpTable(s, d), qf9K)),
 
     // QFA — EVENT-TIME windowed maintained profile: the grouped sketch
     // with the hour bucket as the group key — per-hour value quantiles
@@ -2429,28 +2417,12 @@ object RelationalQueries {
     // (est desc, tok) cut. The gate is qa8's chain with the source
     // keying every CTE, over the survivors: per-group collisions and
     // estimates must reproduce bit for bit.
-    "qfb" -> ((s, d) => {
-      val table = "qfb_gcm_" + dirTag(d)
-      buildOnce(table) {
-        val docs = Tables.documents(s, d)
-        TextAnalysis.writeGroupedCountMinTable(
-          docs.filter(col("doc_id") < 400), "source", "text", table,
-          width = qa8Width, depth = qa8Depth)
-        TextAnalysis.streamAppendGroupedCountMinTable(
-          Tables.streamOf(s, d, "documents")
-            .filter(col("doc_id") >= 400),
-          "source", "text", table, width = qa8Width, depth = qa8Depth)
-        TextAnalysis.retractGroupedCountMinDocs(
-          docs.filter(col("doc_id") % qd3DelMod === qd3DelRes),
-          "source", "text", table, width = qa8Width, depth = qa8Depth)
-        TextAnalysis.compactGroupedCountMinTable(s, table)
-      }
+    "qfb" -> ((s, d) =>
       TextAnalysis.groupedCountMinTopKIndexed(
         Tables.documents(s, d)
           .filter(col("doc_id") % qd3DelMod =!= qd3DelRes),
-        "source", "text", table, k = qfbK, width = qa8Width,
-        depth = qa8Depth)
-    }),
+        "source", "text", gcmTable(s, d), k = qfbK, width = qa8Width,
+        depth = qa8Depth)),
 
     // QFC — qfa WITH RETENTION (r15): the per-hour maintained profile
     // over an unbounded-time stream cannot keep one group per hour
@@ -2481,11 +2453,126 @@ object RelationalQueries {
         Sketches.compactGroupedSketchTable(s, table)
       }
       Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
+    // QFD — the DATASET-CARD capstone (r15, the r14 verdict's item 6):
+    // the consumer all four maintained tiers exist for, as ONE gated
+    // row. Per source, from TABLES ONLY — no corpus scan anywhere in
+    // the probe plan (plan-asserted): char-length quantile brackets
+    // from a maintained grouped sketch (survivor set, full lifecycle
+    // incl. retraction), audit-token frequencies from qfb's maintained
+    // grouped count-min counters (literal probe tokens — the one
+    // token-frequency question a sketch can answer without a
+    // vocabulary pass), distinct-token estimates from a maintained
+    // per-source HLL register table (MAX monoid — no retraction by
+    // contract), and the deterministic per-source eval-holdout ids
+    // from qf9's maintained stratified sample. The oracle composes the
+    // four tiers' existing SQL chains verbatim into the same one-row-
+    // per-source card.
+    "qfd" -> ((s, d) => {
+      val lenT = "qfd_len_" + dirTag(d)
+      buildOnce(lenT) {
+        val docs = Tables.documents(s, d)
+        val g = col("source")
+        val v = length(col("text"))
+        Sketches.writeGroupedSketchTable(
+          docs.filter(col("doc_id") < 400), g, v, lenT)
+        Sketches.appendGroupedSketchTable(
+          docs.filter(col("doc_id") >= 400), g, v, lenT)
+        Sketches.retractGroupedSketchTable(
+          docs.filter(col("doc_id") % qd3DelMod === qd3DelRes), g, v,
+          lenT)
+        Sketches.compactGroupedSketchTable(s, lenT)
+      }
+      val hllT = "qfd_hll_" + dirTag(d)
+      buildOnce(hllT) {
+        val words = Tables.documents(s, d).select(
+          col("source"), col("doc_id"),
+          explode(expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("tok"))
+        ValueAggregators.writeHllTable(
+          words.filter(col("doc_id") < 400), col("source"), col("tok"),
+          hllT)
+        ValueAggregators.appendHllTable(
+          words.filter(col("doc_id") >= 400), col("source"),
+          col("tok"), hllT)
+        ValueAggregators.compactHllTable(s, hllT)
+      }
+      val lens = Sketches.groupedQuantilesFromSketchTable(s, lenT,
+          qe4Pcts)
+        .groupBy("g").agg(
+          max(when(col("pct") === 50, col("est_low"))).as("len_p50_lo"),
+          max(when(col("pct") === 50, col("est_high"))).as("len_p50_hi"),
+          max(when(col("pct") === 99, col("est_low"))).as("len_p99_lo"),
+          max(when(col("pct") === 99, col("est_high"))).as("len_p99_hi"))
+      val hh = TextAnalysis.groupedCountMinTokenEstimates(s,
+          gcmTable(s, d), qfdAuditToks, width = qa8Width,
+          depth = qa8Depth)
+        .groupBy("g").agg(
+          max(when(col("tok") === "join", col("est"))).as("est_join"),
+          max(when(col("tok") === "hash", col("est"))).as("est_hash"),
+          max(when(col("tok") === "scan", col("est"))).as("est_scan"))
+      val dt = ValueAggregators.hllEstimateFromTable(s, hllT)
+        .select(col("key").as("g"), col("est").as("distinct_tokens"))
+      val sm = Samples.groupedSampleFromTable(s, gsmpTable(s, d), qf9K)
+        .groupBy("g").agg(concat_ws(",",
+          transform(
+            array_sort(collect_list(struct(col("hk"), col("id")))),
+            x => x.getField("id").cast("string"))).as("holdout_ids"))
+      lens.join(hh, "g").join(dt, "g").join(sm, "g")
+        .select(col("g").as("source"), col("len_p50_lo"),
+          col("len_p50_hi"), col("len_p99_lo"), col("len_p99_hi"),
+          col("est_join"), col("est_hash"), col("est_scan"),
+          col("distinct_tokens"), col("holdout_ids"))
     })
   )
 
   /** qfc's retention horizon: hours below min(hour)+240 retire. */
   private val qfcRetainAfterHours = 240L
+
+  /** qfd's fixed audit-token list — literals, so the card's frequency
+    * leg needs no corpus vocabulary pass. */
+  private val qfdAuditToks = Seq("join", "hash", "scan")
+
+  /** The maintained grouped count-min table shared by qfb (serving
+    * gate) and qfd (dataset-card leg) — one artifact, full lifecycle:
+    * batch build, STREAMED appends, per-group additive retraction of
+    * the qd3 deletion set, compaction. */
+  private def gcmTable(s: SparkSession, d: String): String = {
+    val table = "qfb_gcm_" + dirTag(d)
+    buildOnce(table) {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.writeGroupedCountMinTable(
+        docs.filter(col("doc_id") < 400), "source", "text", table,
+        width = qa8Width, depth = qa8Depth)
+      TextAnalysis.streamAppendGroupedCountMinTable(
+        Tables.streamOf(s, d, "documents")
+          .filter(col("doc_id") >= 400),
+        "source", "text", table, width = qa8Width, depth = qa8Depth)
+      TextAnalysis.retractGroupedCountMinDocs(
+        docs.filter(col("doc_id") % qd3DelMod === qd3DelRes),
+        "source", "text", table, width = qa8Width, depth = qa8Depth)
+      TextAnalysis.compactGroupedCountMinTable(s, table)
+    }
+    table
+  }
+
+  /** The maintained stratified-sample table shared by qf9 (probe gate)
+    * and qfd (holdout leg). */
+  private def gsmpTable(s: SparkSession, d: String): String = {
+    val table = "qf9_gsmp_" + dirTag(d)
+    buildOnce(table) {
+      val docs = Tables.documents(s, d)
+      Samples.writeGroupedSampleTable(
+        docs.filter(col("doc_id") < 400), "source", "doc_id", qf9K,
+        table)
+      Samples.appendGroupedSampleTable(
+        docs.filter(col("doc_id") >= 400), "source", "doc_id", qf9K,
+        table)
+      Samples.compactGroupedSampleTable(s, table, qf9K)
+    }
+    table
+  }
 
   private val qfbK = 5
 
@@ -2990,7 +3077,9 @@ object RelationalQueries {
     * compare. Every constant interpolates from the same qe4Pcts /
     * Sketches.defaultSubBits fields the Spark side uses. */
   private def sketchOracleSqlFor(groupExpr: Option[String],
-      extraWhere: String = ""): String = {
+      extraWhere: String = "", table: String = "events",
+      valExpr: String = "CAST(floor(value*100 + 0.5) AS BIGINT)",
+      baseWhere: String = "value IS NOT NULL"): String = {
     val s = graft.pipeline.Sketches.defaultSubBits
     val pcts = qe4Pcts.mkString(", ")
     val gSel = groupExpr.map(e => s"$e AS g, ").getOrElse("")
@@ -3002,8 +3091,8 @@ object RelationalQueries {
     val gJoinBk = groupExpr.map(_ => "bk.g = sel.g AND ").getOrElse("")
     val gOut = groupExpr.map(_ => "sel.g, ").getOrElse("")
     val gTotGroup = groupExpr.map(_ => " GROUP BY ALL").getOrElse("")
-    s"""WITH cv AS (SELECT ${gSel}CAST(floor(value*100 + 0.5) AS BIGINT) AS v
-      |  FROM events WHERE value IS NOT NULL$gWhere),
+    s"""WITH cv AS (SELECT ${gSel}$valExpr AS v
+      |  FROM $table WHERE $baseWhere$gWhere),
       |b AS (SELECT ${gc}v, length(printf('%b', v)) AS nb FROM cv),
       |m AS (SELECT ${gc}v, nb,
       |    CASE WHEN nb <= ${s + 1} THEN CAST(1 AS BIGINT)
@@ -3094,6 +3183,72 @@ object RelationalQueries {
       |      AS rn
       |  FROM est)
       |SELECT g, tok, est FROM rk WHERE rn <= $k""".stripMargin
+
+  /** qf9's chain — the per-source deterministic holdout ranking,
+    * shared by the qf9 gate and qfd's dataset-card sample leg. */
+  private lazy val qf9ChainOracleSql: String =
+    s"""SELECT g, id, hk FROM (SELECT g, id, hk,
+      |    row_number() OVER (PARTITION BY g ORDER BY hk, id) AS rn
+      |  FROM (SELECT source AS g, doc_id AS id,
+      |      ${graft.pipeline.Portable.hash60Sql(
+             "concat('smp:', CAST(doc_id AS VARCHAR))")} AS hk
+      |    FROM documents))
+      |WHERE rn <= $qf9K""".stripMargin
+
+  /** qfd's dataset-card oracle — the four maintained tiers' existing
+    * SQL chains composed verbatim into one row per source: the grouped
+    * length-sketch chain over the survivor set (the qf7 builder
+    * retargeted at documents/len(text)), the grouped count-min chain
+    * over the survivors probed at the LITERAL audit tokens (coalesce 0
+    * for coordinates no stored token hashed to — count-min's answer
+    * for an unseen coordinate), the portable-HLL chain keyed by source
+    * over all tokens (MAX monoid, no retraction by contract), and the
+    * qf9 holdout ranking aggregated to an ordered id list. */
+  private lazy val qfdOracleSql: String = {
+    val survivors = s"WHERE doc_id % $qd3DelMod <> $qd3DelRes"
+    val lenSql = sketchOracleSqlFor(Some("source"),
+      extraWhere = s" AND doc_id % $qd3DelMod <> $qd3DelRes",
+      table = "documents", valExpr = "len(text)",
+      baseWhere = "text IS NOT NULL")
+    val toks = qfdAuditToks.map(t => s"'$t'").mkString(", ")
+    val hhSql =
+      s"""WITH ${cmOracleCtes(survivors, Some("source"))},
+        |cnt AS (SELECT g, h, b, count(*) AS c FROM hb GROUP BY 1, 2, 3),
+        |gs AS (SELECT DISTINCT g FROM cnt),
+        |at AS (SELECT unnest([$toks]) AS tok),
+        |co AS (SELECT tok, h,
+        |    ${graft.pipeline.Portable.hash60Sql(
+               "concat('cm', h, ':', tok)")} % $qa8Width AS b
+        |  FROM at, range(0, $qa8Depth) t(h)),
+        |est AS (SELECT gs.g, co.tok, min(coalesce(cnt.c, 0)) AS est
+        |  FROM gs CROSS JOIN co
+        |  LEFT JOIN cnt ON cnt.g = gs.g AND cnt.h = co.h AND cnt.b = co.b
+        |  GROUP BY 1, 2)
+        |SELECT g,
+        |  max(CASE WHEN tok = 'join' THEN est END) AS est_join,
+        |  max(CASE WHEN tok = 'hash' THEN est END) AS est_hash,
+        |  max(CASE WHEN tok = 'scan' THEN est END) AS est_scan
+        |FROM est GROUP BY g""".stripMargin
+    val hllSql = graft.agg.ValueAggregators.portableHllSql(
+      "(SELECT source, unnest(list_filter(string_split(text, ' '), " +
+        "x -> len(x) > 0)) AS tok FROM documents)",
+      "source", "tok", "g")
+    s"""SELECT lp.g AS source,
+      |  lp.len_p50_lo, lp.len_p50_hi, lp.len_p99_lo, lp.len_p99_hi,
+      |  hh.est_join, hh.est_hash, hh.est_scan,
+      |  dt.est AS distinct_tokens, sm.holdout_ids
+      |FROM (SELECT g,
+      |    max(CASE WHEN pct = 50 THEN est_low END) AS len_p50_lo,
+      |    max(CASE WHEN pct = 50 THEN est_high END) AS len_p50_hi,
+      |    max(CASE WHEN pct = 99 THEN est_low END) AS len_p99_lo,
+      |    max(CASE WHEN pct = 99 THEN est_high END) AS len_p99_hi
+      |  FROM ($lenSql) GROUP BY g) lp
+      |JOIN ($hhSql) hh ON hh.g = lp.g
+      |JOIN ($hllSql) dt ON dt.g = lp.g
+      |JOIN (SELECT g, string_agg(CAST(id AS VARCHAR), ',' ORDER BY hk, id)
+      |    AS holdout_ids
+      |  FROM ($qf9ChainOracleSql) GROUP BY g) sm ON sm.g = lp.g""".stripMargin
+  }
 
   /** q07b's portable-HLL oracle — shared BY REFERENCE with qf6 (the
     * persisted register table's probe must reproduce the one-shot
@@ -3656,14 +3811,12 @@ object RelationalQueries {
         "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)"),
     // qf9 (maintained stratified sample): the per-group ranking
     // re-derived — row_number per source over the same seeded hashes
-    "qf9" ->
-      s"""SELECT g, id, hk FROM (SELECT g, id, hk,
-        |    row_number() OVER (PARTITION BY g ORDER BY hk, id) AS rn
-        |  FROM (SELECT source AS g, doc_id AS id,
-        |      ${graft.pipeline.Portable.hash60Sql(
-               "concat('smp:', CAST(doc_id AS VARCHAR))")} AS hk
-        |    FROM documents))
-        |WHERE rn <= $qf9K""".stripMargin,
+    "qf9" -> qf9ChainOracleSql,
+    // qfd (dataset card): the four tiers' chains composed — grouped
+    // length sketch over survivors, audit-token count-min estimates
+    // over survivors, per-source HLL over all tokens, stratified
+    // holdout — one row per source
+    "qfd" -> qfdOracleSql,
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,

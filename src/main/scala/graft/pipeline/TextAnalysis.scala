@@ -1407,6 +1407,37 @@ object TextAnalysis {
       .filter(col("rn") <= k).drop("rn")
   }
 
+  /** Per-group estimates for a FIXED, literal token list, served from
+    * the maintained grouped counters with NO corpus scan (the qfd
+    * dataset-card leg): the probe side is `stored groups × audit
+    * tokens × depth` rows — all literals or bounded table state — so
+    * the whole lookup is sketch-sized. A coordinate no stored token
+    * ever hashed to is simply absent from the counters and contributes
+    * 0 (count-min's answer for an unseen coordinate), so estimates are
+    * defined for tokens absent from the corpus too — deterministic and
+    * oracle-reproducible either way. Same seeded [[cmCoords]] as every
+    * other leg. */
+  def groupedCountMinTokenEstimates(spark: SparkSession, table: String,
+      tokens: Seq[String], width: Int = 1024, depth: Int = 4)
+      : DataFrame = {
+    require(tokens.nonEmpty, "no audit tokens")
+    requireCmParams(spark, table, width, depth)
+    graft.functions.VectorOps.ensureRegistered(spark)
+    import spark.implicits._
+    val cs = groupedCountMinFromTable(spark, table)
+      .select(col("g").as("cg"), col("h").as("ch"), col("b").as("cb"),
+        col("c"))
+    val coords = tokens.toDF("tok")
+      .select(col("tok"), explode(cmCoords(width, depth)).as("x"))
+    cs.select(col("cg").as("g")).distinct()
+      .crossJoin(broadcast(coords))
+      .join(broadcast(cs),
+        col("g") === col("cg") && col("x.h") === col("ch") &&
+          col("x.b") === col("cb"),
+        "left")
+      .groupBy("g", "tok").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
   /** [[appendGroupedCountMinTable]] with the DOCUMENTS ARRIVING AS A
     * STREAM — the shared keyed loop ([[MergeTables.streamAppend]]),
     * one grouped counter generation per micro-batch. Blocks until

@@ -1,0 +1,132 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.pipeline.{MergeTables, Sketches, Similarity, TextAnalysis}
+
+/** Probe-cost vs generation-count curve — the measurement behind the
+  * auto-compaction threshold ([[MergeTables.maybeCompact]], r14 verdict
+  * item 4): how much does an uncompacted table's generation count cost
+  * a probe (merge fan-in over more files) and an append (the per-batch
+  * replay check's footer probes)? Run at sf0.1; results recorded in
+  * BASELINE.md, from which the default maxGen is chosen.
+  *
+  * The sketch tier's generations are FABRICATED in two write jobs (the
+  * probe cost depends on files × rows, not on how the files got there;
+  * each fabricated generation is a full sketch-sized bucket table under
+  * its own gen/batch_key, one file per generation exactly as G real
+  * appends would leave). The BM25 tier's generations are REAL appends —
+  * its per-generation cost structure (bucketed postings + commit rows)
+  * is not worth fabricating.
+  */
+object GenCurve {
+  private def med3(f: => Long): (Double, Long) = {
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val rs = Seq(once(), once(), once())
+    (rs.map(_._1).sorted.apply(1), rs.head._2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/gencurve_wh_" + System.nanoTime())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val t = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // ---- sketch tier: fabricated G-generation tables ----
+    val ev = Tables.events(spark, src).filter(col("value").isNotNull)
+    val cv = floor(col("value") * 100 + 0.5).cast("long")
+    val state0 = Sketches.logBucketCounts(ev, cv)
+      .select("b_low", "b_high", "cnt").cache()
+    val skRows = state0.count()
+    System.err.println(s"[gencurve] sketch state rows=$skRows")
+    for (g <- Seq(1, 16, 256, 4096)) {
+      val tbl = s"gc_sk_$g"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      MergeTables.write(state0, "b_low", tbl)
+      if (g > 1) {
+        state0.crossJoin(
+            spark.range(1, g).select(col("id").as("gid")))
+          .withColumn("gen", col("gid"))
+          .withColumn("batch_key",
+            lit(Similarity.streamBatchKeyBase + (1L << 28)) + col("gid"))
+          .select("b_low", "b_high", "cnt", "gen", "batch_key")
+          .repartition(g - 1, col("gen"))
+          .write.mode("append")
+          .option("parquet.bloom.filter.enabled#batch_key", "true")
+          .bucketBy(1, "b_low").sortBy("b_low")
+          .saveAsTable(tbl)
+      }
+      val files = new java.io.File(
+        spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location)
+        .listFiles().count(_.getName.startsWith("part-"))
+      val (probeSec, n) = med3 {
+        Sketches.quantilesFromSketchTable(spark, tbl, Seq(50, 90, 99))
+          .count()
+      }
+      val (replaySec, _) = med3 {
+        if (MergeTables.replayed(spark, tbl,
+          Similarity.streamBatchKeyBase + 7L)) 1L else 0L
+      }
+      t(s"sk_probe_g$g") = probeSec
+      t(s"sk_replay_g$g") = replaySec
+      System.err.println(f"[gencurve] sketch g=$g%-5d files=$files%-5d " +
+        f"probe=$probeSec%6.2f s  replay-check=$replaySec%6.2f s  rows=$n")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+
+    // ---- BM25 tier: real per-generation appends ----
+    val docs = Tables.documents(spark, src).cache()
+    val nDocs = docs.count()
+    val qs = Seq((1L, "data model distributed"),
+      (2L, "training tokens quality")).toDF("q_id", "qtext")
+    for (g <- Seq(1, 16, 256)) {
+      val tbl = s"gc_bm_$g"
+      for (s <- Seq("", "_s", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl$s")
+      // first slice builds the index; g-1 further slices append
+      val bounds = (0 to g).map(i => nDocs * i / g)
+      TextAnalysis.writeBm25Index(
+        docs.filter(col("doc_id") < bounds(1)), "doc_id", "text", tbl)
+      val tApp0 = System.nanoTime()
+      for (i <- 1 until g)
+        TextAnalysis.appendBm25Index(
+          docs.filter(col("doc_id") >= bounds(i) &&
+            col("doc_id") < bounds(i + 1)),
+          "doc_id", "text", tbl)
+      if (g > 1)
+        System.err.println(f"[gencurve] bm25 g=$g%-5d appends took " +
+          f"${(System.nanoTime() - tApp0) / 1e9}%.1f s total")
+      val (probeSec, n) = med3 {
+        TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext", tbl, k = 10)
+          .count()
+      }
+      t(s"bm_probe_g$g") = probeSec
+      System.err.println(
+        f"[gencurve] bm25 g=$g%-5d probe=$probeSec%6.2f s rows=$n")
+      for (s <- Seq("", "_s", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $tbl$s")
+    }
+
+    val json = t.map { case (k, v) =>
+      "\"" + k + "\":" +
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"gencurve","points":$json}""")
+    spark.stop()
+  }
+}

@@ -977,4 +977,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assert(shuffles(conj) <= shuffles(disj),
       s"conjunctive probe added exchanges: ${shuffles(conj)} > ${shuffles(disj)}")
   }
+
+  test("qfd: the dataset card reads ONLY the maintained tables — no corpus scan anywhere in the probe plan") {
+    // the capstone's structural claim: all four legs (length quantiles,
+    // audit-token frequencies, distinct-token estimates, holdout ids)
+    // serve from bounded persisted state, so the card costs table-sized
+    // work no matter the corpus. Every file scan in the executed plan
+    // must be one of the maintained tables — a scan of the documents
+    // parquet (or any testdata path) is the recompute-per-run class
+    // this row exists to rule out. The audit tokens are LITERALS, which
+    // is what makes the frequency leg possible without a vocabulary
+    // pass.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val card = planDf("qfd")
+    val scans = planNodes(card.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan found — assert would be vacuous")
+    // every scan path must be one of the maintained tables (warehouse
+    // paths carry the table name); the corpus would appear as
+    // .../documents.parquet and match nothing here
+    val tables = Seq("qfd_len_", "qfd_hll_", "qfb_gcm_", "qf9_gsmp_")
+    for (s <- scans; p <- s.relation.location.rootPaths)
+      assert(tables.exists(t => p.toString.contains("warehouse") &&
+          p.toString.contains(t)),
+        s"dataset card scans a non-maintained source: $p")
+  }
 }
