@@ -177,8 +177,43 @@ object RelationalQueries {
     * stacks: retrieve DEEPER than the serving k because the relational
     * + phrase screens thin the lists multiplicatively (~29% × ~5% on
     * this corpus). Single-sourced into both engines. */
-  private val qc2LexDepth = 50
-  private val qc2DenseDepth = 10
+  /** qc2's over-retrieval depths, DERIVED from the measured
+    * label-predicate selectivity instead of hand-picked (r15, the
+    * `ivfParams` discipline — parameters from counts): each leg
+    * retrieves `ceil(margin · k_final / sel(label < 3))` candidates so
+    * the expected post-label-screen survivors still cover the fused
+    * top-k at ANY selectivity, clamped to [2k, 200] / [k, 40]. The
+    * lexical leg carries 4× margin (its survivors must also pass the
+    * phrase screen); the dense leg 1× (its candidates are the ADC
+    * top ranks, already the scarce resource). All-INTEGER arithmetic
+    * — `ceil(a/b) = (a + b − 1) div b` — so the oracle's SQL twin
+    * ([[qc2LexDepthSql]]/[[qc2DenseDepthSql]]) derives the identical
+    * numbers from the identical counts. */
+  private[graft] def qc2Depths(s: SparkSession, d: String): (Int, Int) = {
+    val r = Tables.embeddings(s, d).agg(
+      count(lit(1)).cast("long"),
+      count(when(col("label") < 3, lit(1))).cast("long")).head()
+    val (total, pass) = (r.getLong(0), r.getLong(1))
+    require(pass > 0,
+      "label predicate selects nothing — no finite depth survives it")
+    val lex = math.min(200L, math.max(2L * qb2K,
+      (4L * qb2K * total + pass - 1) / pass)).toInt
+    val dense = math.min(40L, math.max(qb2K.toLong,
+      (qb2K.toLong * total + pass - 1) / pass)).toInt
+    (lex, dense)
+  }
+
+  /** The SQL twins of [[qc2Depths]] — scalar subqueries computing the
+    * same integer derivation from the same counts, so the oracle's
+    * depths cannot drift from the Spark side's. */
+  private def qc2LexDepthSql: String =
+    s"(SELECT LEAST(200, GREATEST(${2 * qb2K}, " +
+      s"(4*$qb2K*count(*) + count(*) FILTER (WHERE label < 3) - 1) " +
+      s"// count(*) FILTER (WHERE label < 3))) FROM embeddings)"
+  private def qc2DenseDepthSql: String =
+    s"(SELECT LEAST(40, GREATEST($qb2K, " +
+      s"($qb2K*count(*) + count(*) FILTER (WHERE label < 3) - 1) " +
+      s"// count(*) FILTER (WHERE label < 3))) FROM embeddings)"
 
   /** qd3's deletion predicate (doc_id % mod == res is deleted) —
     * single-sourced into the Spark delete call and the oracle's WHERE. */
@@ -1764,11 +1799,15 @@ object RelationalQueries {
       val vecs = Tables.embeddings(s, d)
       val queries = qb1Queries(docs)
       val (vtable, nprobe) = denseIndex(s, d)
+      // depths derived from the measured label selectivity (qc2Depths)
+      // — the hand constants are gone; the oracle derives the same
+      // numbers from the same counts in SQL
+      val (lexDepth, denseDepth) = qc2Depths(s, d)
       val lex = TextAnalysis.bm25TopKIndexed(queries, "q_id", "qtext",
-        lexIndex(s, d), k = qc2LexDepth, k1 = qb1K1, b = qb1B)
+        lexIndex(s, d), k = lexDepth, k1 = qb1K1, b = qb1B)
       val dense = Similarity.ivfAdcTopKIndexed(
           vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-          k = qc2DenseDepth, nprobe = nprobe, table = vtable, dim = 64)
+          k = denseDepth, nprobe = nprobe, table = vtable, dim = 64)
         .withColumnRenamed("nb_id", "doc_id")
       val allowed = vecs.filter(col("label") < 3)
       // index-restricted phrase probe (no candidate wiring): keeps the
@@ -3852,12 +3891,13 @@ object RelationalQueries {
         |elig AS (SELECT vec_id AS doc_id FROM embeddings WHERE label < 3),
         |la AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
         |    ORDER BY rk) AS rk
-        |  FROM (SELECT q_id, doc_id, rk FROM lexr WHERE rk <= $qc2LexDepth)
+        |  FROM (SELECT q_id, doc_id, rk FROM lexr
+        |    WHERE rk <= $qc2LexDepthSql)
         |  JOIN elig USING (doc_id) JOIN ph USING (q_id, doc_id)),
         |lb AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
         |    ORDER BY rk) AS rk
         |  FROM (SELECT q_id, nb_id AS doc_id, rk FROM r
-        |    WHERE rk <= $qc2DenseDepth AND q_id % 100 = 0)
+        |    WHERE rk <= $qc2DenseDepthSql AND q_id % 100 = 0)
         |  JOIN elig USING (doc_id) JOIN ph USING (q_id, doc_id)),
         |leg AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
         |f AS (SELECT q_id, doc_id, sum(1.0 / ($qb2C + rk)) AS rrf

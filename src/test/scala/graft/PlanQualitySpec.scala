@@ -978,6 +978,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       s"conjunctive probe added exchanges: ${shuffles(conj)} > ${shuffles(disj)}")
   }
 
+  test("qc2 over-retrieval depths derive from the measured label selectivity — integer ceil, clamped, 4x/1x margins") {
+    // the r14 verdict's item 7: the production stack's depths were
+    // hand constants; they now derive from counts (the ivfParams
+    // discipline) so the post-filter k survives at any selectivity.
+    // This pins the derivation — k_final = 5 (qb2K), lexical margin 4x
+    // (its survivors also pass the phrase screen), dense margin 1x,
+    // ceil(a/b) = (a+b-1) div b, clamps [2k,200]/[k,40] — so a drive-by
+    // edit to either engine's formula turns a spec red, not a silent
+    // oracle mismatch.
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, d)
+    val total = vecs.count()
+    val pass = vecs.filter(col("label") < 3).count()
+    val (lex, dense) = RelationalQueries.qc2Depths(spark, d)
+    assert(lex ==
+      math.min(200L, math.max(10L, (20L * total + pass - 1) / pass)).toInt,
+      s"lex depth $lex diverged from the pinned derivation")
+    assert(dense ==
+      math.min(40L, math.max(5L, (5L * total + pass - 1) / pass)).toInt,
+      s"dense depth $dense diverged from the pinned derivation")
+    // sanity of intent: expected label-screen survivors cover the
+    // fused top-k with the documented margins
+    assert(lex.toLong * pass >= 20L * total - pass &&
+      dense.toLong * pass >= 5L * total - pass)
+  }
+
   test("qfd: the dataset card reads ONLY the maintained tables — no corpus scan anywhere in the probe plan") {
     // the capstone's structural claim: all four legs (length quantiles,
     // audit-token frequencies, distinct-token estimates, holdout ids)
