@@ -1211,7 +1211,10 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         .as[(Long, Long, Long)].collect().sorted.toSeq
       assert(direct.nonEmpty && merged() == direct,
         "streamed counter appends diverged from the one-shot sketch")
+      // stored rows now also carry the (w, dep) param-guard columns —
+      // select the protocol columns explicitly
       def stored() = spark.table("cm_str_t")
+        .select("h", "b", "c", "gen", "batch_key")
         .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
       val afterStream = stored()
       // the replay: batchId 0 re-delivered after its commit, under the
