@@ -160,6 +160,15 @@ object ValueAggregators {
     graft.pipeline.MergeTables.compact(spark, table, "b",
       hllRegistersFromTable(spark, table))
 
+  /** [[compactHllTable]] iff more than `maxGen` generations
+    * accumulated — the maintenance-loop policy
+    * ([[graft.pipeline.MergeTables.maybeCompactWith]]). */
+  def maybeCompactHllTable(spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      maxGen: Int = graft.pipeline.MergeTables.defaultMaxGen): Boolean =
+    graft.pipeline.MergeTables.maybeCompactWith(spark, table, maxGen)(
+      compactHllTable(spark, table))
+
   /** The per-micro-batch body of [[startStreamAppendHllTable]],
     * exposed for the replay spec. On the MAX tier the batch key is
     * PURE storage hygiene: even an unkeyed replayed generation could

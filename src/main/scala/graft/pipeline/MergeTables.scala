@@ -247,11 +247,27 @@ private[graft] object MergeTables {
     * call-by-name: the probe's merged view is only constructed (and
     * only reads the table) when the threshold trips. */
   def maybeCompact(spark: SparkSession, table: String, keyCol: String,
-      maxGen: Int)(merged: => DataFrame): Boolean = {
+      maxGen: Int)(merged: => DataFrame): Boolean =
+    maybeCompactWith(spark, table, maxGen)(
+      compact(spark, table, keyCol, merged))
+
+  /** The threshold check alone, for tiers whose compactor is not a
+    * plain [[compact]] call (param-preserving count-min, k-recording
+    * samples): runs `doCompact` iff more than `maxGen` generations
+    * accumulated. */
+  def maybeCompactWith(spark: SparkSession, table: String, maxGen: Int)
+      (doCompact: => Unit): Boolean = {
     require(maxGen >= 1, s"maxGen=$maxGen")
     if (generationCount(spark, table) <= maxGen) false
-    else { compact(spark, table, keyCol, merged); true }
+    else { doCompact; true }
   }
+
+  /** The default compaction threshold: the measured
+    * probe-cost-vs-generation-count curve (BASELINE.md r15) is flat to
+    * ~16 generations, 1.5× at 256, 9× at 4096 — 64 is indistinguishable
+    * from the floor on every tier while amortizing one compaction per
+    * 64 appends to noise. */
+  val defaultMaxGen = 64
 
   /** If a prior [[compact]] crashed between its DROP and RENAME —
     * the one crash window the swap has — the data survives under the

@@ -99,6 +99,14 @@ object Samples {
       sampleFromTable(spark, table, k)
         .withColumn("kcap", lit(k.toLong)))
 
+  /** [[compactSampleTable]] iff more than `maxGen` generations
+    * accumulated — the maintenance-loop policy
+    * ([[MergeTables.maybeCompactWith]]). */
+  def maybeCompactSampleTable(spark: SparkSession, table: String,
+      k: Int, maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+    MergeTables.maybeCompactWith(spark, table, maxGen)(
+      compactSampleTable(spark, table, k))
+
   /** STRATIFIED sample: per group, the k ids with the smallest seeded
     * hash — the per-source eval holdout (every source represented, the
     * q57 stratified-split shape as a BOUNDED maintained artifact). The
@@ -166,6 +174,14 @@ object Samples {
     MergeTables.compact(spark, table, "hk",
       groupedSampleFromTable(spark, table, k)
         .withColumn("kcap", lit(k.toLong)))
+
+  /** [[compactGroupedSampleTable]] under the generation-count
+    * policy. */
+  def maybeCompactGroupedSampleTable(spark: SparkSession,
+      table: String, k: Int,
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+    MergeTables.maybeCompactWith(spark, table, maxGen)(
+      compactGroupedSampleTable(spark, table, k))
 
   /** The per-micro-batch body of
     * [[startStreamAppendGroupedSampleTable]] — the keyed-skip

@@ -280,9 +280,15 @@ object Sketches {
     * bounds them at ~maxGen without a human deciding when. Returns
     * true iff it compacted. */
   def maybeCompactSketchTable(spark: SparkSession, table: String,
-      maxGen: Int): Boolean =
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean =
     MergeTables.maybeCompact(spark, table, "b_low", maxGen)(
       mergedBuckets(spark, table))
+
+  /** [[maybeCompactSketchTable]] for the grouped tier. */
+  def maybeCompactGroupedSketchTable(spark: SparkSession, table: String,
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+    MergeTables.maybeCompactWith(spark, table, maxGen)(
+      compactGroupedSketchTable(spark, table))
 
   /** PER-GROUP persisted sketch (qf7) — qe7's grouped sketch under the
     * same [[MergeTables]] lifecycle as the ungrouped table: the stored

@@ -1290,6 +1290,15 @@ object TextAnalysis {
         .withColumn("w", lit(w)).withColumn("dep", lit(d)))
   }
 
+  /** [[compactCountMinTable]] iff more than `maxGen` generations
+    * accumulated — the maintenance-loop policy
+    * ([[MergeTables.maybeCompactWith]]; threshold from BASELINE.md's
+    * measured curve). */
+  def maybeCompactCountMinTable(spark: SparkSession, table: String,
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+    MergeTables.maybeCompactWith(spark, table, maxGen)(
+      compactCountMinTable(spark, table))
+
   /** Heavy-hitter top-k SERVED FROM the persisted counter table (qf5)
     * — [[countMinTopK]]'s estimate leg over [[countMinFromTable]]'s
     * merged counters instead of a fresh corpus scan: the sketch is
@@ -1376,6 +1385,13 @@ object TextAnalysis {
       groupedCountMinFromTable(spark, table)
         .withColumn("w", lit(w)).withColumn("dep", lit(d)))
   }
+
+  /** [[compactGroupedCountMinTable]] under the generation-count
+    * policy. */
+  def maybeCompactGroupedCountMinTable(spark: SparkSession,
+      table: String, maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+    MergeTables.maybeCompactWith(spark, table, maxGen)(
+      compactGroupedCountMinTable(spark, table))
 
   /** PER-GROUP heavy-hitter top-k SERVED from the maintained grouped
     * counters (qfb): per group, the k tokens with the largest

@@ -1268,6 +1268,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
           "text", "gcm_pg_t", k = 3, width = 128, depth = 3)
       }
       assert(eg.getMessage.contains("do not match"))
+      // the auto-compaction policy on this tier preserves the guard:
+      // below threshold no-op, above it compacts to one generation,
+      // params ride the rewrite
+      import graft.pipeline.MergeTables
+      TextAnalysis.appendCountMinTable(docs, "text", "cm_pg_t",
+        width = 64, depth = 3)
+      val gens = MergeTables.generationCount(spark, "cm_pg_t")
+      assert(!TextAnalysis.maybeCompactCountMinTable(spark, "cm_pg_t",
+        maxGen = gens.toInt))
+      assert(TextAnalysis.maybeCompactCountMinTable(spark, "cm_pg_t",
+        maxGen = gens.toInt - 1))
+      assert(MergeTables.generationCount(spark, "cm_pg_t") == 1L)
+      denied(TextAnalysis.countMinTopKIndexed(docs, "text", "cm_pg_t",
+        k = 5, width = 128, depth = 3))
     } finally {
       spark.sql("DROP TABLE IF EXISTS cm_pg_t")
       spark.sql("DROP TABLE IF EXISTS cm_pg_t_compact_shadow")
