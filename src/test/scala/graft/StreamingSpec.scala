@@ -1110,6 +1110,58 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("crash-RESUME: a restarted query with the same checkpoint and persisted lineage continues exactly — no skip, no double-count") {
+    // the scope the exactly-once claims are now documented with: a
+    // re-RUN from scratch is a fresh lineage by design, but a caller
+    // who persists a checkpointLocation AND its lineage id can resume
+    // a dead query — Spark resumes the offsets/batchIds from the
+    // checkpoint, and the resumed batchIds land under the original
+    // lineage's keys, so an at-least-once re-delivery of the last
+    // committed batch skips exactly and new batches continue the key
+    // sequence.
+    import graft.pipeline.{MergeTables, Sketches, Similarity}
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 900).map(i => (i.toLong * 2654435761L) % 100000L + 1L)
+    val (base, rest) = vals.splitAt(300)
+    val (b1, b2) = rest.splitAt(300)
+    val cp = SparkTest.tmpDir("resume_cp")
+    val lineage = 42L
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      Sketches.logBucketCounts(df, col("v"))
+    try {
+      Sketches.writeSketchTable(base.toDF("v"), col("v"), "sk_rs_t")
+      val ms = MemoryStream[Long](spark)
+      val q1 = MergeTables.streamAppend(ms.toDF().toDF("v"), "b_low",
+        "sk_rs_t", checkpointLocation = Some(cp),
+        lineage = Some(lineage))(stateOf)
+      try { ms.addData(b1); q1.processAllAvailable() } finally q1.stop()
+      // the "crash": q1 is gone; a NEW query resumes from the same
+      // checkpoint with the same persisted lineage id
+      val q2 = MergeTables.streamAppend(ms.toDF().toDF("v"), "b_low",
+        "sk_rs_t", checkpointLocation = Some(cp),
+        lineage = Some(lineage))(stateOf)
+      try { ms.addData(b2); q2.processAllAvailable() } finally q2.stop()
+      val probed = Sketches.quantilesFromSketchTable(
+          spark, "sk_rs_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.logBucketQuantiles(
+          vals.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probed == oneShot,
+        "resumed lineage skipped or double-counted a batch")
+      // keys: every streamed generation under lineage 42, batchIds
+      // CONTINUING (0 then 1), never restarting at 0 twice
+      val keys = spark.table("sk_rs_t").select("batch_key")
+        .as[Long].collect().toSeq.distinct
+        .filter(_ >= Similarity.streamBatchKeyBase).sorted
+      assert(keys == Seq(MergeTables.streamKey(lineage, 0L),
+        MergeTables.streamKey(lineage, 1L)),
+        s"resume did not continue the lineage's key sequence: $keys")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_rs_t")
+    }
+  }
+
   test("grouped streamed appends (sketch + stratified sample): out-of-order micro-batches == one-shot, replays are no-ops") {
     // the grouped tiers' streaming paths (qfa's late-data story and
     // the stratified sample's): micro-batches interleaved ACROSS
