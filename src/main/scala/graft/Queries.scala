@@ -2563,8 +2563,41 @@ object RelationalQueries {
           col("len_p50_hi"), col("len_p99_lo"), col("len_p99_hi"),
           col("est_join"), col("est_hash"), col("est_scan"),
           col("distinct_tokens"), col("holdout_ids"))
+    }),
+
+    // QFE — TAKEDOWN-BY-SOURCE from maintained state (r15): when a
+    // source's license is revoked, its contribution must leave the
+    // maintained artifacts — and on the SUM-monoid tiers it can leave
+    // from STORED state alone (retireCountMinGroups negates the
+    // retired group's own merged counters; no corpus read), with
+    // compaction removing the group physically. The gate: after
+    // build + append + retire(src3) + compact, the per-group top-k
+    // serving probe — run over the UNFILTERED corpus vocabulary, so
+    // the retired group must vanish because its counters are gone,
+    // not because the probe was told — equals the grouped chain over
+    // the corpus minus src3.
+    "qfe" -> ((s, d) => {
+      val table = "qfe_gcm_" + dirTag(d)
+      buildOnce(table) {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.writeGroupedCountMinTable(
+          docs.filter(col("doc_id") < 400), "source", "text", table,
+          width = qa8Width, depth = qa8Depth)
+        TextAnalysis.appendGroupedCountMinTable(
+          docs.filter(col("doc_id") >= 400), "source", "text", table,
+          width = qa8Width, depth = qa8Depth)
+        TextAnalysis.retireCountMinGroups(s, table,
+          Seq(qfeRetiredSource))
+        TextAnalysis.compactGroupedCountMinTable(s, table)
+      }
+      TextAnalysis.groupedCountMinTopKIndexed(
+        Tables.documents(s, d), "source", "text", table, k = qfbK,
+        width = qa8Width, depth = qa8Depth)
     })
   )
+
+  /** qfe's revoked source. */
+  private val qfeRetiredSource = "src3"
 
   /** qfc's retention horizon: hours below min(hour)+240 retire. */
   private val qfcRetainAfterHours = 240L
@@ -3763,6 +3796,11 @@ object RelationalQueries {
     // maintained table loses nothing vs scan-per-run
     "qf5" -> cmTopKOracleSql(
       s"WHERE doc_id % $qd3DelMod <> $qd3DelRes"),
+    // qfe (takedown-by-source): the grouped chain over the corpus
+    // minus the revoked source — the Spark side reaches this state by
+    // cancelling the source's counters from stored state alone
+    "qfe" -> cmGroupedTopKOracleSql(
+      s"WHERE source <> '$qfeRetiredSource'", qfbK),
     // qfb: the grouped chain over the survivors — per-source heavy
     // hitters from the maintained grouped counters
     "qfb" -> cmGroupedTopKOracleSql(

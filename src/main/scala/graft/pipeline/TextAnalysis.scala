@@ -1386,6 +1386,30 @@ object TextAnalysis {
         .withColumn("w", lit(w)).withColumn("dep", lit(d)))
   }
 
+  /** TAKEDOWN whole groups from the maintained grouped counters using
+    * STORED state alone (qfe) — the licensing-removal consumer: when a
+    * source's data must leave the corpus, its contribution leaves
+    * every SUM-monoid artifact without re-reading a byte of corpus.
+    * The retired groups' own merged counters land negated as one more
+    * generation (state-sized work; params ride it so the guard
+    * survives), the probe-time sum cancels them to nothing, and the
+    * next compaction removes them physically — the categorical-key
+    * sibling of [[graft.pipeline.Sketches.retireGroupsBefore]]'s
+    * time-key retention. Idempotent: a second call finds nothing left
+    * to retract. */
+  def retireCountMinGroups(spark: SparkSession, table: String,
+      groups: Seq[String]): Unit = {
+    require(groups.nonEmpty, "no groups to retire")
+    val (w, d) = cmParamsOf(spark, table)
+    val expired = groupedCountMinFromTable(spark, table)
+      .filter(col("g").isin(groups: _*))
+      .withColumn("c", -col("c"))
+      .withColumn("w", lit(w)).withColumn("dep", lit(d))
+      .localCheckpoint()
+    if (!expired.isEmpty)
+      MergeTables.append(expired, "b", table)
+  }
+
   /** [[compactGroupedCountMinTable]] under the generation-count
     * policy. */
   def maybeCompactGroupedCountMinTable(spark: SparkSession,

@@ -2709,6 +2709,26 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       assert(spark.table("gsk_ret_t").filter(col("g") < 4L).count() == 0,
         "expired groups still on disk after compaction")
       assert(probe() == oneShot)
+      // LATE data arriving AFTER its group was retired: the +1 lands
+      // (retention is a policy, not a wall), the group reappears with
+      // ONLY the late counts, and re-running the policy re-expires it
+      // — retention is re-applied by the maintenance loop, exactly
+      // like compaction
+      val late = Seq((2L, 42L), (2L, 77L))
+      Sketches.appendGroupedSketchTable(late.toDF("g", "v"), col("g"),
+        col("v"), "gsk_ret_t")
+      val lateProbe = Sketches.groupedQuantilesFromSketchTable(
+          spark, "gsk_ret_t", Seq(50, 99))
+        .as[(Long, Int, Long, Long, Long)].collect().sorted.toSeq
+      val lateOneShot = Sketches.groupedLogBucketQuantiles(
+          (rows.filter(_._1 >= 4L) ++ late).toDF("g", "v"), col("g"),
+          col("v"), Seq(50, 99))
+        .as[(Long, Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(lateProbe == lateOneShot,
+        "late arrival into a retired group did not land exactly")
+      Sketches.retireGroupsBefore(spark, "gsk_ret_t", 4L)
+      assert(probe() == oneShot,
+        "re-applied retention did not re-expire the late group")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gsk_ret_t")
       spark.sql("DROP TABLE IF EXISTS gsk_ret_t_compact_shadow")
