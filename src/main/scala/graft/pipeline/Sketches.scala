@@ -348,9 +348,23 @@ object Sketches {
     * by the groups × buckets contract) before the append so the write
     * never scans the table it is appending to. */
   def retireGroupsBefore(spark: SparkSession, table: String,
-      cutoff: Long): Unit = {
+      cutoff: Long): Unit =
+    retireGroupsMatching(spark, table, col("g") < cutoff)
+
+  /** TAKEDOWN named groups from a grouped sketch — the categorical-key
+    * form of [[retireGroupsBefore]] (a revoked source leaves the
+    * maintained per-source profile from stored state alone, the qfe
+    * story on this tier). */
+  def retireGroups(spark: SparkSession, table: String,
+      groups: Seq[Any]): Unit = {
+    require(groups.nonEmpty, "no groups to retire")
+    retireGroupsMatching(spark, table, col("g").isin(groups: _*))
+  }
+
+  private def retireGroupsMatching(spark: SparkSession, table: String,
+      pred: Column): Unit = {
     val expired = mergedGroupedBuckets(spark, table)
-      .filter(col("g") < cutoff)
+      .filter(pred)
       .withColumn("cnt", -col("cnt"))
       .localCheckpoint()
     if (!expired.isEmpty)

@@ -656,7 +656,13 @@ object TextAnalysis {
     * lands between the commit and the checkpoint offset write — is
     * closed by the deterministic per-batch commit key
     * ([[streamAppendBm25Batch]], replay spec-gated): the replayed
-    * batch sees its key committed and no-ops. */
+    * batch sees its key committed and no-ops. As on every tier, that
+    * exactness is scoped WITHIN A LINEAGE (one started query's life);
+    * a query re-RUN from scratch is a fresh lineage re-reading its
+    * source, and crash-RESUME callers wire a checkpointLocation plus
+    * their persisted lineage id through the foreachBatch form
+    * ([[MergeTables.streamAppend]]'s scope note, resume spec-gated on
+    * the MergeTables tier). */
   def streamAppendBm25Index(docStream: DataFrame, idCol: String,
       textCol: String, table: String): Unit = {
     val q = startStreamAppendBm25Index(docStream, idCol, textCol, table)

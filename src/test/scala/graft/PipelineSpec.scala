@@ -2729,6 +2729,16 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       Sketches.retireGroupsBefore(spark, "gsk_ret_t", 4L)
       assert(probe() == oneShot,
         "re-applied retention did not re-expire the late group")
+      // the categorical-key form: retire a NAMED surviving group and
+      // the profile equals the one-shot without it (takedown on this
+      // tier, the qfe story)
+      Sketches.retireGroups(spark, "gsk_ret_t", Seq(7L))
+      val without7 = Sketches.groupedLogBucketQuantiles(
+          rows.filter(r => r._1 >= 4L && r._1 != 7L).toDF("g", "v"),
+          col("g"), col("v"), Seq(50, 99))
+        .as[(Long, Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(probe() == without7,
+        "named-group takedown diverged from the one-shot without it")
     } finally {
       spark.sql("DROP TABLE IF EXISTS gsk_ret_t")
       spark.sql("DROP TABLE IF EXISTS gsk_ret_t_compact_shadow")
