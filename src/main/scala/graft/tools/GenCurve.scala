@@ -46,7 +46,12 @@ object GenCurve {
     import spark.implicits._
     val t = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // optional section filter: "gens", "retire", or "all" (default)
+    val sections = if (args.length > 1) args(1) else "all"
+    def run(s: String) = sections == "all" || sections == s
+
     // ---- sketch tier: fabricated G-generation tables ----
+    if (run("gens")) {
     val ev = Tables.events(spark, src).filter(col("value").isNotNull)
     val cv = floor(col("value") * 100 + 0.5).cast("long")
     val state0 = Sketches.logBucketCounts(ev, cv)
@@ -120,6 +125,38 @@ object GenCurve {
         f"[gencurve] bm25 g=$g%-5d probe=$probeSec%6.2f s rows=$n")
       for (s <- Seq("", "_s", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS $tbl$s")
+    }
+    }
+
+    if (run("retire")) {
+    // ---- retention cost: state-sized, corpus-independent ----
+    // retireGroupsBefore reads the MERGED STATE and writes one file,
+    // so its cost scales with groups × buckets, never with the corpus
+    // the state summarizes. Measured: the qfa-shaped hour-keyed table
+    // (~720 groups at sf0.1) vs a fabricated 10× -group table.
+    for ((mult, tag) <- Seq((1, "1x"), (10, "10x"))) {
+      val tbl = s"gc_ret_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val evh = Tables.events(spark, src)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .crossJoin(spark.range(0, mult).select(col("id").as("rep")))
+        .select(
+          (expr("unix_timestamp(ts) div 3600") +
+            col("rep") * 1000000L).as("g"),
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      graft.pipeline.Sketches.writeGroupedSketchTable(
+        evh, col("g"), col("v"), tbl)
+      val groups = spark.table(tbl).select("g").distinct().count()
+      val cutoff = spark.table(tbl).agg(min("g")).head().getLong(0) +
+        240L
+      val t0 = System.nanoTime()
+      graft.pipeline.Sketches.retireGroupsBefore(spark, tbl, cutoff)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        f"[gencurve] retire_$tag%-4s groups=$groups%-6d $sec%6.2f s")
+      t(s"retire_$tag") = sec
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
     }
 
     val json = t.map { case (k, v) =>
