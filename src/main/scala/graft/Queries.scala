@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ops.{FieldSelection, Joins, KeyFieldSort, Sampling, SecondarySort, TextOps}
 import graft.agg.ValueAggregators
 import graft.apps.{KMeans, KMeansLocal, MatMul, Pi}
-import graft.pipeline.{Curation, Dedup, Multimodal, Quantize, Samples, Similarity, Sketches, TextAnalysis}
+import graft.pipeline.{Curation, DatasetCard, Dedup, Multimodal, Quantize, Samples, Similarity, Sketches, TextAnalysis}
 
 /** The SURVEY §2.11 acceptance suite: each entry re-expresses one reference
   * capability (hadoop-gpu operator/example) over the driver's TPC-H-ish
@@ -2537,32 +2537,54 @@ object RelationalQueries {
           col("tok"), hllT)
         ValueAggregators.compactHllTable(s, hllT)
       }
-      val lens = Sketches.groupedQuantilesFromSketchTable(s, lenT,
-          qe4Pcts)
-        .groupBy("g").agg(
-          max(when(col("pct") === 50, col("est_low"))).as("len_p50_lo"),
-          max(when(col("pct") === 50, col("est_high"))).as("len_p50_hi"),
-          max(when(col("pct") === 99, col("est_low"))).as("len_p99_lo"),
-          max(when(col("pct") === 99, col("est_high"))).as("len_p99_hi"))
-      val hh = TextAnalysis.groupedCountMinTokenEstimates(s,
-          gcmTable(s, d), qfdAuditToks, width = qa8Width,
+      DatasetCard.card(s, lenT, gcmTable(s, d), hllT, gsmpTable(s, d),
+        qfdAuditToks, qf9K, qe4Pcts, width = qa8Width,
+        depth = qa8Depth)
+    }),
+
+    // QFF — the SELF-MAINTAINING dataset card: ONE streaming
+    // maintenance loop (DatasetCard.startMaintain) consumes the
+    // document stream and per micro-batch lands one generation in
+    // EACH of the four card tables under one shared replay-guarded
+    // (lineage, batchId) key — the multi-table commit needs no
+    // coordinator because each table's single-file append is
+    // independently idempotent on the key (partial-crash replay
+    // spec-gated). Built from the first 200 docs as batch generation 0
+    // (the tiers' append contract), the rest STREAMED through the
+    // loop, each table compacted after the drain. The gate: the card
+    // served from the self-maintained tables equals the composed
+    // four-chain oracle over the FULL corpus — stream == batch ==
+    // oracle on the whole composition at once.
+    "qff" -> ((s, d) => {
+      val (lenT, cmT, hllT, smpT) = (s"qff_len_${dirTag(d)}",
+        s"qff_cm_${dirTag(d)}", s"qff_hll_${dirTag(d)}",
+        s"qff_smp_${dirTag(d)}")
+      buildOnce(lenT) {
+        val docs = Tables.documents(s, d)
+        val seed = docs.filter(col("doc_id") < 200)
+        Sketches.writeGroupedSketchTable(seed, col("source"),
+          length(col("text")), lenT)
+        TextAnalysis.writeGroupedCountMinTable(seed, "source", "text",
+          cmT, width = qa8Width, depth = qa8Depth)
+        ValueAggregators.writeHllTable(
+          seed.select(col("source"), explode(
+            expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("tok")),
+          col("source"), col("tok"), hllT)
+        Samples.writeGroupedSampleTable(seed, "source", "doc_id",
+          qf9K, smpT)
+        DatasetCard.maintainBlocking(
+          Tables.streamOf(s, d, "documents")
+            .filter(col("doc_id") >= 200),
+          lenT, cmT, hllT, smpT, qf9K, width = qa8Width,
           depth = qa8Depth)
-        .groupBy("g").agg(
-          max(when(col("tok") === "join", col("est"))).as("est_join"),
-          max(when(col("tok") === "hash", col("est"))).as("est_hash"),
-          max(when(col("tok") === "scan", col("est"))).as("est_scan"))
-      val dt = ValueAggregators.hllEstimateFromTable(s, hllT)
-        .select(col("key").as("g"), col("est").as("distinct_tokens"))
-      val sm = Samples.groupedSampleFromTable(s, gsmpTable(s, d), qf9K)
-        .groupBy("g").agg(concat_ws(",",
-          transform(
-            array_sort(collect_list(struct(col("hk"), col("id")))),
-            x => x.getField("id").cast("string"))).as("holdout_ids"))
-      lens.join(hh, "g").join(dt, "g").join(sm, "g")
-        .select(col("g").as("source"), col("len_p50_lo"),
-          col("len_p50_hi"), col("len_p99_lo"), col("len_p99_hi"),
-          col("est_join"), col("est_hash"), col("est_scan"),
-          col("distinct_tokens"), col("holdout_ids"))
+        Sketches.compactGroupedSketchTable(s, lenT)
+        TextAnalysis.compactGroupedCountMinTable(s, cmT)
+        ValueAggregators.compactHllTable(s, hllT)
+        Samples.compactGroupedSampleTable(s, smpT, qf9K)
+      }
+      DatasetCard.card(s, lenT, cmT, hllT, smpT, qfdAuditToks, qf9K,
+        qe4Pcts, width = qa8Width, depth = qa8Depth)
     }),
 
     // QFE — TAKEDOWN-BY-SOURCE from maintained state (r15): when a
@@ -3276,15 +3298,24 @@ object RelationalQueries {
     * for an unseen coordinate), the portable-HLL chain keyed by source
     * over all tokens (MAX monoid, no retraction by contract), and the
     * qf9 holdout ranking aggregated to an ordered id list. */
-  private lazy val qfdOracleSql: String = {
-    val survivors = s"WHERE doc_id % $qd3DelMod <> $qd3DelRes"
+  private lazy val qfdOracleSql: String = cardOracleSql(
+    lenExtraWhere = s" AND doc_id % $qd3DelMod <> $qd3DelRes",
+    hhWhere = s"WHERE doc_id % $qd3DelMod <> $qd3DelRes")
+
+  /** qff's card oracle — the same composition over the FULL corpus
+    * (the self-maintained tables carry no deletions). */
+  private lazy val qffOracleSql: String = cardOracleSql(
+    lenExtraWhere = "", hhWhere = "")
+
+  private def cardOracleSql(lenExtraWhere: String, hhWhere: String)
+      : String = {
     val lenSql = sketchOracleSqlFor(Some("source"),
-      extraWhere = s" AND doc_id % $qd3DelMod <> $qd3DelRes",
+      extraWhere = lenExtraWhere,
       table = "documents", valExpr = "len(text)",
       baseWhere = "text IS NOT NULL")
     val toks = qfdAuditToks.map(t => s"'$t'").mkString(", ")
     val hhSql =
-      s"""WITH ${cmOracleCtes(survivors, Some("source"))},
+      s"""WITH ${cmOracleCtes(hhWhere, Some("source"))},
         |cnt AS (SELECT g, h, b, count(*) AS c FROM hb GROUP BY 1, 2, 3),
         |gs AS (SELECT DISTINCT g FROM cnt),
         |at AS (SELECT unnest([$toks]) AS tok),
@@ -3894,6 +3925,10 @@ object RelationalQueries {
     // over survivors, per-source HLL over all tokens, stratified
     // holdout — one row per source
     "qfd" -> qfdOracleSql,
+    // qff (self-maintaining card): the same composition over the full
+    // corpus — the Spark side reaches it through ONE streaming
+    // maintenance loop feeding all four tables per micro-batch
+    "qff" -> qffOracleSql,
     // qd2 (compacted index) shares qb1's oracle BY REFERENCE — the
     // compaction-loses-nothing claim in gate form
     "qd2" -> bm25TopKOracleSql,

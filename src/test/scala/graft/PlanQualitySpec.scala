@@ -1027,5 +1027,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       assert(tables.exists(t => p.toString.contains("warehouse") &&
           p.toString.contains(t)),
         s"dataset card scans a non-maintained source: $p")
+    // the SELF-MAINTAINED card (qff) serves from its own four tables
+    // with the same structural guarantee
+    val ff = planDf("qff")
+    val ffScans = planNodes(ff.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(ffScans.nonEmpty)
+    for (s <- ffScans; p <- s.relation.location.rootPaths)
+      assert(p.toString.contains("warehouse") &&
+          p.toString.contains("qff_"),
+        s"self-maintained card scans a non-maintained source: $p")
   }
 }

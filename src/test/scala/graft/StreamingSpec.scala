@@ -1162,6 +1162,84 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("self-maintaining card: a partial-crash replay completes exactly — committed tables skip, missing tables append") {
+    // the qff loop's coordinator-free multi-table commit: one shared
+    // (lineage, batchId) key, each table's single-file append
+    // independently idempotent on it. Simulate the crash window — a
+    // batch that landed in TWO of the four tables before dying — by
+    // running two tiers' batch bodies directly, then re-deliver the
+    // whole batch through maintainBatch: the two committed tables must
+    // not change, the two missing ones must land, and every table's
+    // final state equals the no-crash one-shot.
+    import graft.pipeline.{DatasetCard, MergeTables, Samples, Sketches, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 40L).map(i =>
+      (i, s"src${i % 3}", s"tok${i % 7} tok${i % 5} alpha beta"))
+    val (seed, streamed) = docs.splitAt(20)
+    val ts = Seq("card_len_t", "card_cm_t", "card_hll_t", "card_smp_t")
+    def gens(t: String) = spark.table(t).select("gen").distinct().count()
+    try {
+      val sdf = seed.toDF("doc_id", "source", "text")
+      Sketches.writeGroupedSketchTable(sdf, col("source"),
+        length(col("text")), ts(0))
+      TextAnalysis.writeGroupedCountMinTable(sdf, "source", "text",
+        ts(1), width = 64, depth = 3)
+      graft.agg.ValueAggregators.writeHllTable(
+        sdf.select(col("source"), explode(
+          expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .as("tok")), col("source"), col("tok"), ts(2))
+      Samples.writeGroupedSampleTable(sdf, "source", "doc_id", 3, ts(3))
+      val batch = streamed.toDF("doc_id", "source", "text")
+      // the partial crash: sketch and count-min commit batchId 0 under
+      // lineage 9, then the "driver dies"
+      Sketches.streamAppendGroupedSketchBatch(batch, 0L, col("source"),
+        length(col("text")), ts(0), lineage = 9L)
+      MergeTables.appendBatch(batch, 0L, "b", ts(1), 9L)(
+        TextAnalysis.groupedCountMinCounters(_, "source", "text", 64, 3)
+          .withColumn("w", lit(64)).withColumn("dep", lit(3)))
+      assert(gens(ts(0)) == 2 && gens(ts(1)) == 2 &&
+        gens(ts(2)) == 1 && gens(ts(3)) == 1)
+      // the replay: the whole batch re-delivered under the same key
+      DatasetCard.maintainBatch(batch, 0L, ts(0), ts(1), ts(2), ts(3),
+        k = 3, width = 64, depth = 3, lineage = 9L)
+      assert(ts.map(gens) == Seq(2L, 2L, 2L, 2L),
+        "partial-crash replay double-landed or skipped a table")
+      // value-level: the healed card equals the no-crash one-shot card
+      val all = docs.toDF("doc_id", "source", "text")
+      val lenProbe = Sketches.groupedQuantilesFromSketchTable(
+          spark, ts(0), Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
+      val lenOne = Sketches.groupedLogBucketQuantiles(all,
+          col("source"), length(col("text")), Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(lenOne.nonEmpty && lenProbe == lenOne)
+      val cmGrouped = MergeTables.mergedSum(spark, ts(1),
+          Seq("g", "h", "b"), "c")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      val cmOne = TextAnalysis.groupedCountMinCounters(all, "source",
+          "text", 64, 3)
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(cmOne.nonEmpty && cmGrouped == cmOne)
+      val hllProbe = graft.agg.ValueAggregators
+        .hllEstimateFromTable(spark, ts(2))
+        .as[(String, Long)].collect().sorted.toSeq
+      val hllOne = graft.agg.ValueAggregators.portableHllEstimate(
+          all.select(col("source"), explode(
+            expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("tok")), col("source"), col("tok"))
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(hllOne.nonEmpty && hllProbe == hllOne)
+      val smpProbe = Samples.groupedSampleFromTable(spark, ts(3), 3)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      val smpOne = Samples.groupedHashSampleTopK(all, "source",
+          "doc_id", 3)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(smpOne.nonEmpty && smpProbe == smpOne)
+    } finally {
+      ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("grouped streamed appends (sketch + stratified sample): out-of-order micro-batches == one-shot, replays are no-ops") {
     // the grouped tiers' streaming paths (qfa's late-data story and
     // the stratified sample's): micro-batches interleaved ACROSS
