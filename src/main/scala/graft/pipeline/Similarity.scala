@@ -965,6 +965,33 @@ object Similarity {
         (col("hits") / lit(k.toDouble)).as("recall"))
   }
 
+  /** The RETRAIN POLICY — the qc3 drift gate wired to its consumer
+    * (qe3's retrain), the dense tier's analog of the compaction
+    * policy ([[MergeTables.maybeCompact]]): audit the stored index's
+    * recall@k on the caller's query sample and retrain the quantizer
+    * from the live corpus iff the MEAN recall fell below `minRecall`.
+    * The audit's exact leg prices this as a MONITORING-cadence
+    * operation (one brute-force pass over the corpus for the sample),
+    * never per probe — exactly the deployment the r14 drift-curve
+    * measurement prescribed ("the gate watches real traffic"). Returns
+    * (measured mean recall, whether a retrain ran); on retrain the
+    * index is bit-equal to a fresh build over the live corpus (the
+    * gated qe3 claim). */
+  def maybeRetrainIvfAdcIndex(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, table: String, k: Int,
+      nprobe: Int, nlist: Int, minRecall: Double, dim: Int = 64)
+      : (Double, Boolean) = {
+    require(minRecall >= 0.0 && minRecall <= 1.0, s"minRecall=$minRecall")
+    val mean = recallAuditIndexed(vecs, queries, idCol, vecCol, k,
+        nprobe, table, dim)
+      .agg(avg("recall")).head().getDouble(0)
+    if (mean >= minRecall) (mean, false)
+    else {
+      retrainIvfAdcIndex(vecs, idCol, vecCol, table, nlist, dim)
+      (mean, true)
+    }
+  }
+
   /** [[ivfAdcTopK]] probing the PERSISTED index instead of retraining
     * the quantizer and re-packing every code per run — the production
     * ADC retrieval shape (the r8 verdict's #1): centroids read back from

@@ -1073,6 +1073,54 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("maybeRetrainIvfAdcIndex: the drift gate drives the retrain — no-op above the floor, fresh-build state below it") {
+    // the dense tier's policy analog of maybeCompact: the recall audit
+    // (qc3's gate) is the trigger, the qe3 retrain the consumer. Above
+    // the floor the index is untouched (drifted state and all); below
+    // it the retrain leaves exactly the fresh-build state.
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = corpus.count()
+    val build = corpus.filter(col("vec_id") * 2 < n)
+    val (bNlist, bNprobe) = Similarity.ivfParams(build.count())
+    val queries = corpus.filter(col("vec_id") % 100 === 1)
+    def stored() = spark.table("adc_pol_idx")
+      .select(col("cell"), col("id"), hex(col("qc")), col("gen"))
+      .as[(Int, Long, String, Long)].collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndex(build, "vec_id", "embedding",
+        "adc_pol_idx", nlist = bNlist, dim = 64)
+      Similarity.appendIvfAdcIndex(
+        corpus.filter(col("vec_id") * 2 >= n), "vec_id", "embedding",
+        "adc_pol_idx", dim = 64)
+      val drifted = stored()
+      // a floor below the measured recall: policy must NOT touch it
+      val (r1, ran1) = Similarity.maybeRetrainIvfAdcIndex(corpus,
+        queries, "vec_id", "embedding", "adc_pol_idx", k = 3,
+        nprobe = bNprobe, nlist = bNlist, minRecall = 0.0)
+      assert(!ran1 && r1 >= 0.0 && r1 <= 1.0)
+      assert(stored() == drifted, "no-op policy changed the index")
+      // a floor above it: retrain fires and lands fresh-build state
+      val (fNlist, _) = Similarity.ivfParams(n)
+      val (r2, ran2) = Similarity.maybeRetrainIvfAdcIndex(corpus,
+        queries, "vec_id", "embedding", "adc_pol_idx", k = 3,
+        nprobe = bNprobe, nlist = fNlist, minRecall = 1.0)
+      assert(ran2 && r2 == r1,
+        "the audit's measurement changed between policy calls")
+      Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_pol_ref", nlist = fNlist, dim = 64)
+      def rows(t: String) = spark.table(t)
+        .select(col("cell"), col("id"), hex(col("qc")), col("gen"))
+        .as[(Int, Long, String, Long)].collect().sorted.toSeq
+      assert(rows("adc_pol_idx").nonEmpty &&
+        rows("adc_pol_idx") == rows("adc_pol_ref"),
+        "policy retrain diverged from the fresh build")
+    } finally {
+      for (t <- Seq("adc_pol_idx", "adc_pol_ref");
+          sfx <- Seq("", "_c", "_g", "_t", "_rt", "_rt_c", "_rt_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
   test("ADC generation protocol: two INTERLEAVED writers both land — rows first, commits in reverse order, probe sees the union") {
     // the single-maintenance-writer contract holds for compaction and
     // retrain (catalog swaps), but plain APPENDS are two-step
