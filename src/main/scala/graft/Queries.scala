@@ -2494,6 +2494,46 @@ object RelationalQueries {
       Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
     }),
 
+    // QFG — retention operating ONLINE: the qfc policy applied inside
+    // the streaming maintenance loop itself (after every micro-batch),
+    // so the per-hour profile's state stays bounded by the retention
+    // window WHILE the stream runs, not just at maintenance windows.
+    // Safe mid-lineage by construction: a retraction generation
+    // carries batch_key −1, so it can never collide with the lineage's
+    // replay keys, and the retraction reads the freshly-listed merged
+    // state (MergeTables.freshView) so it sees the clone sessions'
+    // just-landed generations. Shares qfc's oracle verbatim: online
+    // retention + compaction must land the exact one-shot profile over
+    // the surviving window.
+    "qfg" -> ((s, d) => {
+      val table = "qfg_wret_" + dirTag(d)
+      buildOnce(table) {
+        val ev = Tables.events(s, d)
+          .filter(col("value").isNotNull && col("ts").isNotNull)
+        val g = expr("unix_timestamp(ts) div 3600")
+        val cv = floor(col("value") * 100 + 0.5).cast("long")
+        val cutoff = ev
+          .agg(min(expr("unix_timestamp(ts) div 3600"))).head()
+          .getLong(0) + qfcRetainAfterHours
+        Sketches.writeGroupedSketchTable(
+          ev.filter(col("event_id") % 4 === 0), g, cv, table)
+        val lineage = graft.pipeline.MergeTables.allocLineage(s, table)
+        val q = Tables.streamOf(s, d, "events")
+          .filter(col("value").isNotNull && col("ts").isNotNull &&
+            col("event_id") % 4 =!= 0)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Sketches.streamAppendGroupedSketchBatch(batch, batchId, g,
+              cv, table, lineage = lineage)
+            Sketches.retireGroupsBefore(s, table, cutoff)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        Sketches.compactGroupedSketchTable(s, table)
+      }
+      Sketches.groupedQuantilesFromSketchTable(s, table, qe4Pcts)
+    }),
+
     // QFD — the DATASET-CARD capstone (r15, the r14 verdict's item 6):
     // the consumer all four maintained tiers exist for, as ONE gated
     // row. Per source, from TABLES ONLY — no corpus scan anywhere in
@@ -3278,6 +3318,16 @@ object RelationalQueries {
       |  FROM est)
       |SELECT g, tok, est FROM rk WHERE rn <= $k""".stripMargin
 
+  /** qfc's retained-profile oracle — the grouped sketch chain over the
+    * surviving retention window, shared BY REFERENCE with qfg (the
+    * online-retention twin must land the identical state). */
+  private lazy val retainedProfileOracleSql: String =
+    sketchOracleSqlFor(
+      Some("CAST(floor(epoch(ts)/3600) AS BIGINT)"),
+      extraWhere = " AND CAST(floor(epoch(ts)/3600) AS BIGINT) >= " +
+        "(SELECT CAST(floor(epoch(min(ts))/3600) AS BIGINT) + 240 " +
+        "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)")
+
   /** qf9's chain — the per-source deterministic holdout ranking,
     * shared by the qf9 gate and qfd's dataset-card sample leg. */
   private lazy val qf9ChainOracleSql: String =
@@ -3912,11 +3962,11 @@ object RelationalQueries {
     // qfc (retention): qfa's oracle with the retention WHERE — the
     // maintained profile after retiring hours [min, min+240) must
     // equal the one-shot grouped sketch over the surviving window
-    "qfc" -> sketchOracleSqlFor(
-      Some("CAST(floor(epoch(ts)/3600) AS BIGINT)"),
-      extraWhere = " AND CAST(floor(epoch(ts)/3600) AS BIGINT) >= " +
-        "(SELECT CAST(floor(epoch(min(ts))/3600) AS BIGINT) + 240 " +
-        "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)"),
+    "qfc" -> retainedProfileOracleSql,
+    // qfg (retention ONLINE, inside the streaming loop) shares qfc's
+    // oracle verbatim: per-batch retirement + compaction must land the
+    // exact one-shot profile over the surviving window
+    "qfg" -> retainedProfileOracleSql,
     // qf9 (maintained stratified sample): the per-group ranking
     // re-derived — row_number per source over the same seeded hashes
     "qf9" -> qf9ChainOracleSql,
