@@ -2551,7 +2551,10 @@ object RelationalQueries {
     "qfd" -> ((s, d) => {
       val lenT = "qfd_len_" + dirTag(d)
       buildOnce(lenT) {
+        // text-null filter matches the oracle's baseWhere: a null text
+        // must be skipped, not raise out of the sketch's domain guard
         val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
         val g = col("source")
         val v = length(col("text"))
         Sketches.writeGroupedSketchTable(
@@ -2602,7 +2605,10 @@ object RelationalQueries {
       buildOnce(lenT) {
         val docs = Tables.documents(s, d)
         val seed = docs.filter(col("doc_id") < 200)
-        Sketches.writeGroupedSketchTable(seed, col("source"),
+        // len leg skips null text (the oracle's baseWhere; the other
+        // legs are null-transparent on both sides)
+        Sketches.writeGroupedSketchTable(
+          seed.filter(col("text").isNotNull), col("source"),
           length(col("text")), lenT)
         TextAnalysis.writeGroupedCountMinTable(seed, "source", "text",
           cmT, width = qa8Width, depth = qa8Depth)
@@ -3325,7 +3331,8 @@ object RelationalQueries {
     sketchOracleSqlFor(
       Some("CAST(floor(epoch(ts)/3600) AS BIGINT)"),
       extraWhere = " AND CAST(floor(epoch(ts)/3600) AS BIGINT) >= " +
-        "(SELECT CAST(floor(epoch(min(ts))/3600) AS BIGINT) + 240 " +
+        "(SELECT CAST(floor(epoch(min(ts))/3600) AS BIGINT) + " +
+        s"$qfcRetainAfterHours " +
         "FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)")
 
   /** qf9's chain — the per-source deterministic holdout ranking,
@@ -3378,9 +3385,9 @@ object RelationalQueries {
         |  LEFT JOIN cnt ON cnt.g = gs.g AND cnt.h = co.h AND cnt.b = co.b
         |  GROUP BY 1, 2)
         |SELECT g,
-        |  max(CASE WHEN tok = 'join' THEN est END) AS est_join,
-        |  max(CASE WHEN tok = 'hash' THEN est END) AS est_hash,
-        |  max(CASE WHEN tok = 'scan' THEN est END) AS est_scan
+        |${qfdAuditToks.map(t =>
+            s"  max(CASE WHEN tok = '$t' THEN est END) AS est_$t")
+            .mkString(",\n")}
         |FROM est GROUP BY g""".stripMargin
     val hllSql = graft.agg.ValueAggregators.portableHllSql(
       "(SELECT source, unnest(list_filter(string_split(text, ' '), " +
@@ -3388,7 +3395,7 @@ object RelationalQueries {
       "source", "tok", "g")
     s"""SELECT lp.g AS source,
       |  lp.len_p50_lo, lp.len_p50_hi, lp.len_p99_lo, lp.len_p99_hi,
-      |  hh.est_join, hh.est_hash, hh.est_scan,
+      |  ${qfdAuditToks.map(t => s"hh.est_$t").mkString(", ")},
       |  dt.est AS distinct_tokens, sm.holdout_ids
       |FROM (SELECT g,
       |    max(CASE WHEN pct = 50 THEN est_low END) AS len_p50_lo,

@@ -30,17 +30,17 @@ object DatasetCard {
 
   /** Start the maintenance loop. The four tables must exist (write
     * their generation 0 from the initial batch corpus first — the
-    * tiers' append contract). One lineage id serves all four tables:
-    * allocation advances every table's registry and takes the max, so
-    * the id is fresh for each (unused smaller ids are never
-    * committed). */
+    * tiers' append contract). One lineage id serves all four tables —
+    * [[MergeTables.allocLineageAcross]] registers it on EVERY table so
+    * a concurrent loop sharing any one of them cannot draw the same
+    * id. */
   def startMaintain(docStream: DataFrame, lenTable: String,
       cmTable: String, hllTable: String, smpTable: String, k: Int,
       width: Int = 1024, depth: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docStream.sparkSession
-    val lineage = Seq(lenTable, cmTable, hllTable, smpTable)
-      .map(MergeTables.allocLineage(spark, _)).max
+    val lineage = MergeTables.allocLineageAcross(spark,
+      Seq(lenTable, cmTable, hllTable, smpTable))
     val committed =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     docStream.writeStream
@@ -62,7 +62,10 @@ object DatasetCard {
       lenTable: String, cmTable: String, hllTable: String,
       smpTable: String, k: Int, width: Int, depth: Int,
       lineage: Long): Unit = {
-    Sketches.streamAppendGroupedSketchBatch(batch, batchId,
+    // len leg skips null text (the card oracle's baseWhere; the other
+    // legs are null-transparent — split/explode skip null text rows)
+    Sketches.streamAppendGroupedSketchBatch(
+      batch.filter(col("text").isNotNull), batchId,
       col("source"), length(col("text")), lenTable, lineage = lineage)
     MergeTables.appendBatch(batch, batchId, "b", cmTable, lineage)(
       TextAnalysis.groupedCountMinCounters(_, "source", "text", width,

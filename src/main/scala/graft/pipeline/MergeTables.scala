@@ -119,6 +119,22 @@ private[graft] object MergeTables {
       next
     }
 
+  /** Allocate ONE lineage id valid across SEVERAL tables (the
+    * multi-table maintenance loop, [[DatasetCard.startMaintain]]): the
+    * max of each table's next id, REGISTERED on every table — without
+    * that registration a concurrent loop sharing one of the tables
+    * could draw the same id (its own table's registry never saw the
+    * max) and its batches would be silently skipped as the other
+    * loop's replays. */
+  def allocLineageAcross(spark: SparkSession, tables: Seq[String])
+      : Long = synchronized {
+    require(tables.nonEmpty, "no tables")
+    val next = tables.map(allocLineage(spark, _)).max
+    tables.foreach(t =>
+      liveLineages(t) = math.max(liveLineages.getOrElse(t, 0L), next))
+    next
+  }
+
   /** The deterministic streaming commit key of (`lineage`, `batchId`)
     * ([[Similarity.streamBatchKeyBase]] + lineage·2^28 + batchId —
     * distinct from every batch key (−1) and across lineages). The
@@ -212,7 +228,8 @@ private[graft] object MergeTables {
     * earlier read in this session would silently hide their
     * generations. Listing is bounded-file work under the compaction
     * contract. */
-  private def freshView(spark: SparkSession, table: String): DataFrame = {
+  private[graft] def freshView(spark: SparkSession, table: String)
+      : DataFrame = {
     recoverCompactCrash(spark, table)
     if (spark.catalog.tableExists(table))
       spark.catalog.refreshTable(table)
@@ -248,11 +265,16 @@ private[graft] object MergeTables {
 
   /** Compact iff the stored generation count exceeds `maxGen` — the
     * auto-compaction trigger the manual compactors lacked (r14 verdict
-    * item 4): maintenance loops call this after appends and the table
-    * never accumulates more than ~maxGen generations, bounding both
-    * the probe-time merge fan-in and [[replayed]]'s per-append
-    * footer probes. Returns true iff it compacted. `merged` is
-    * call-by-name: the probe's merged view is only constructed (and
+    * item 4): run it BETWEEN lineages (batch-append loops, maintenance
+    * windows, after a streaming query stops) and the table never
+    * accumulates more than ~maxGen generations, bounding both the
+    * probe-time merge fan-in and [[replayed]]'s per-append footer
+    * probes. NEVER while a streaming lineage is live on the table:
+    * compaction clears the lineage's committed replay keys, so a
+    * checkpoint-RESUMED query would re-append its already-committed
+    * batches (the within-run memo still guards the running query, but
+    * nothing guards a resume). Returns true iff it compacted. `merged`
+    * is call-by-name: the probe's merged view is only constructed (and
     * only reads the table) when the threshold trips. */
   def maybeCompact(spark: SparkSession, table: String, keyCol: String,
       maxGen: Int)(merged: => DataFrame): Boolean =

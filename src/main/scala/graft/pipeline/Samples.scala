@@ -65,9 +65,12 @@ object Samples {
       "hk", table)
 
   /** The shallowest cut any stored generation was taken at — the
-    * deepest rank the maintained sample can answer exactly. */
+    * deepest rank the maintained sample can answer exactly. Reads via
+    * [[MergeTables.freshView]] (heal a crashed compaction, list fresh)
+    * — this guard is the first read of every probe on this tier. */
   private def kcapOf(spark: SparkSession, table: String): Long =
-    spark.table(table).agg(coalesce(min("kcap"), lit(Long.MaxValue)))
+    MergeTables.freshView(spark, table)
+      .agg(coalesce(min("kcap"), lit(Long.MaxValue)))
       .head().getLong(0)
 
   /** The maintained sample: global min-k over every stored generation,
@@ -85,7 +88,7 @@ object Samples {
       s"probe k=$k exceeds the maintained candidate cut kcap=$cap — " +
         "ranks beyond the cut were discarded at append time; rebuild " +
         "with a larger k")
-    spark.table(table).select("id", "hk").distinct()
+    MergeTables.freshView(spark, table).select("id", "hk").distinct()
       .orderBy(col("hk"), col("id")).limit(k)
   }
 
@@ -160,7 +163,8 @@ object Samples {
     require(k <= cap,
       s"probe k=$k exceeds the maintained candidate cut kcap=$cap")
     import org.apache.spark.sql.expressions.Window
-    spark.table(table).select("g", "id", "hk").distinct()
+    MergeTables.freshView(spark, table).select("g", "id", "hk")
+      .distinct()
       .withColumn("rn", row_number().over(
         Window.partitionBy("g").orderBy(col("hk"), col("id"))))
       .filter(col("rn") <= k).drop("rn")

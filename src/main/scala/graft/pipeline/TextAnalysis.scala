@@ -1219,13 +1219,14 @@ object TextAnalysis {
     * corrupt (fails loudly here, not as garbage estimates). */
   private def cmParamsOf(spark: SparkSession, table: String)
       : (Int, Int) = {
-    val rows = spark.table(table).select("w", "dep").distinct()
-      .collect()
-    // drop the relation this read cached: a stream-append guard runs
-    // this in the STARTING session, and a stale file listing cached
-    // here would hide the micro-batch clones' generations from that
-    // session's later probes (the MergeTables.allocLineage discipline)
-    spark.catalog.refreshTable(table)
+    // freshView: (a) heals a crashed compaction first — this guard is
+    // the FIRST read on every count-min entry point, so without it the
+    // tier would throw table-not-found forever instead of self-healing
+    // — and (b) lists fresh, so a stream-append guard running in the
+    // starting session cannot cache a listing that hides the
+    // micro-batch clones' later generations
+    val rows = MergeTables.freshView(spark, table)
+      .select("w", "dep").distinct().collect()
     require(rows.length == 1,
       s"$table holds generations with MIXED count-min params " +
         rows.map(r => s"(width=${r.getInt(0)}, depth=${r.getInt(1)})")

@@ -14,11 +14,16 @@ import graft.pipeline.{MergeTables, Sketches, Similarity, TextAnalysis}
   *
   * The sketch tier's generations are FABRICATED in two write jobs (the
   * probe cost depends on files × rows, not on how the files got there;
-  * each fabricated generation is a full sketch-sized bucket table under
-  * its own gen/batch_key, one file per generation exactly as G real
-  * appends would leave). The BM25 tier's generations are REAL appends —
-  * its per-generation cost structure (bucketed postings + commit rows)
-  * is not worth fabricating.
+  * each fabricated generation is a full sketch-sized bucket table
+  * under its own gen/batch_key). Generations RANGE-partition into
+  * files, which approximates — but does not exactly equal — the
+  * one-file-per-append layout of real appends, so the ACTUAL file
+  * count is printed per row and recorded beside the generation count
+  * in BASELINE.md: files, not nominal generations, are the cost
+  * driver, and a real append always lands exactly one file. The BM25
+  * tier's generations are REAL appends — its per-generation cost
+  * structure (bucketed postings + commit rows) is not worth
+  * fabricating.
   */
 object GenCurve {
   private def med3(f: => Long): (Double, Long) = {
@@ -69,7 +74,7 @@ object GenCurve {
           .withColumn("batch_key",
             lit(Similarity.streamBatchKeyBase + (1L << 28)) + col("gid"))
           .select("b_low", "b_high", "cnt", "gen", "batch_key")
-          .repartition(g - 1, col("gen"))
+          .repartitionByRange(g - 1, col("gen"))
           .write.mode("append")
           .option("parquet.bloom.filter.enabled#batch_key", "true")
           .bucketBy(1, "b_low").sortBy("b_low")
