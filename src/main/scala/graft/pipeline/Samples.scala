@@ -179,6 +179,27 @@ object Samples {
       groupedSampleFromTable(spark, table, k)
         .withColumn("kcap", lit(k.toLong)))
 
+  /** TAKEDOWN whole groups from a stratified sample table (r15
+    * verdict item 2): min-k is not invertible — a removed id cannot
+    * be backfilled from bounded state — but whole-GROUP removal needs
+    * no inverse: the revoked groups' rows are excluded from a
+    * compaction's rewrite (a FILTERED compaction, the
+    * [[graft.agg.ValueAggregators.retireHllGroups]] move on this
+    * tier), physically gone in one pass. Per-group cuts are
+    * independent, so surviving groups' holdouts are bit-unchanged.
+    * The stored `kcap` cut is preserved (read back, not re-chosen),
+    * so future probes keep the maintenance contract. Idempotent. */
+  def retireSampleGroups(spark: SparkSession, table: String,
+      groups: Seq[Any]): Unit = {
+    require(groups.nonEmpty, "no groups to retire")
+    val cap = kcapOf(spark, table)
+    require(cap < Long.MaxValue, s"$table holds no generations")
+    MergeTables.compact(spark, table, "hk",
+      groupedSampleFromTable(spark, table, cap.toInt)
+        .filter(!col("g").isin(groups: _*))
+        .withColumn("kcap", lit(cap)))
+  }
+
   /** [[compactGroupedSampleTable]] under the generation-count
     * policy. */
   def maybeCompactGroupedSampleTable(spark: SparkSession,

@@ -1225,8 +1225,14 @@ object TextAnalysis {
     // — and (b) lists fresh, so a stream-append guard running in the
     // starting session cannot cache a listing that hides the
     // micro-batch clones' later generations
-    val rows = MergeTables.freshView(spark, table)
-      .select("w", "dep").distinct().collect()
+    val stored = MergeTables.freshView(spark, table)
+    // a table written before the params guard existed has no w/dep
+    // columns — fail with the remedy, not a raw unresolved-column
+    // AnalysisException from the select below (ADVICE r15)
+    require(stored.columns.contains("w") && stored.columns.contains("dep"),
+      s"$table predates the count-min params guard (no stored " +
+        "w/dep columns) — rebuild the table to adopt it")
+    val rows = stored.select("w", "dep").distinct().collect()
     require(rows.length == 1,
       s"$table holds generations with MIXED count-min params " +
         rows.map(r => s"(width=${r.getInt(0)}, depth=${r.getInt(1)})")
@@ -1241,7 +1247,7 @@ object TextAnalysis {
     * this tier: a mismatched probe would hash tokens into coordinates
     * the counters never counted and return silently-wrong estimates;
     * a mismatched append would poison every future probe. */
-  private def requireCmParams(spark: SparkSession, table: String,
+  private[graft] def requireCmParams(spark: SparkSession, table: String,
       width: Int, depth: Int): Unit = {
     val (w, d) = cmParamsOf(spark, table)
     require(w == width && d == depth,

@@ -2823,4 +2823,93 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS sk_auto_t_compact_shadow")
     }
   }
+
+  test("retireSource: the revoked source is PHYSICALLY gone from all four card tables; survivors bit-unchanged; idempotent") {
+    // r15 verdict item 2 — takedown end-to-end from stored state. The
+    // SUM tiers (length sketch, grouped count-min) retract + compact;
+    // the MAX (HLL) and MIN-K (sample) tiers have no inverse, so their
+    // takedown is a FILTERED compaction. Faces: (1) no stored row of
+    // any table carries the revoked group after the call, (2) every
+    // surviving group's probe equals the one-shot over the corpus
+    // minus the source (per-group state independence), (3) a second
+    // retireSource changes nothing.
+    import graft.pipeline.{DatasetCard, MergeTables, Samples, Sketches}
+    import graft.agg.ValueAggregators
+    val docs = (0L until 60L).map(i =>
+      (i, s"src${i % 3}", s"tok${i % 7} tok${i % 5} alpha beta"))
+    val all = docs.toDF("doc_id", "source", "text")
+    val kept = all.filter(col("source") =!= "src1")
+    val ts = Seq("rs_len_t", "rs_cm_t", "rs_hll_t", "rs_smp_t")
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source"), explode(
+        expr("filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+    def storedGroups(t: String, g: String): Set[String] =
+      spark.table(t).select(g).distinct().as[String].collect().toSet
+    def probes(): (Seq[(String, Int, Long, Long, Long)],
+        Seq[(String, Long, Long, Long)], Seq[(String, Long)],
+        Seq[(String, Long, Long)]) = (
+      Sketches.groupedQuantilesFromSketchTable(spark, ts(0), Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq,
+      MergeTables.mergedSum(spark, ts(1), Seq("g", "h", "b"), "c")
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq,
+      ValueAggregators.hllEstimateFromTable(spark, ts(2))
+        .as[(String, Long)].collect().sorted.toSeq,
+      Samples.groupedSampleFromTable(spark, ts(3), 3)
+        .as[(String, Long, Long)].collect().sorted.toSeq)
+    try {
+      val (lo, hi) = (all.filter(col("doc_id") < 30),
+        all.filter(col("doc_id") >= 30))
+      Sketches.writeGroupedSketchTable(lo, col("source"),
+        length(col("text")), ts(0))
+      Sketches.appendGroupedSketchTable(hi, col("source"),
+        length(col("text")), ts(0))
+      graft.pipeline.TextAnalysis.writeGroupedCountMinTable(lo,
+        "source", "text", ts(1), width = 64, depth = 3)
+      graft.pipeline.TextAnalysis.appendGroupedCountMinTable(hi,
+        "source", "text", ts(1), width = 64, depth = 3)
+      ValueAggregators.writeHllTable(toks(lo), col("source"),
+        col("tok"), ts(2))
+      ValueAggregators.appendHllTable(toks(hi), col("source"),
+        col("tok"), ts(2))
+      Samples.writeGroupedSampleTable(lo, "source", "doc_id", 3, ts(3))
+      Samples.appendGroupedSampleTable(hi, "source", "doc_id", 3, ts(3))
+      DatasetCard.retireSource(spark, ts(0), ts(1), ts(2), ts(3),
+        "src1")
+      // (1) physically absent from the STORED rows of every table
+      assert(storedGroups(ts(0), "g") == Set("src0", "src2"))
+      assert(storedGroups(ts(1), "g") == Set("src0", "src2"))
+      assert(storedGroups(ts(2), "key") == Set("src0", "src2"))
+      assert(storedGroups(ts(3), "g") == Set("src0", "src2"))
+      // (2) survivors equal the one-shot over the corpus minus src1
+      val (len1, cm1, hll1, smp1) = probes()
+      val lenOne = Sketches.groupedLogBucketQuantiles(kept,
+          col("source"), length(col("text")), Seq(50, 99))
+        .as[(String, Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(lenOne.nonEmpty && len1 == lenOne)
+      val cmOne = graft.pipeline.TextAnalysis.groupedCountMinCounters(
+          kept, "source", "text", 64, 3)
+        .as[(String, Long, Long, Long)].collect().sorted.toSeq
+      assert(cmOne.nonEmpty && cm1 == cmOne)
+      val hllOne = ValueAggregators.portableHllEstimate(toks(kept),
+          col("source"), col("tok"))
+        .as[(String, Long)].collect().sorted.toSeq
+      assert(hllOne.nonEmpty && hll1 == hllOne)
+      val smpOne = Samples.groupedHashSampleTopK(kept, "source",
+          "doc_id", 3)
+        .as[(String, Long, Long)].collect().sorted.toSeq
+      assert(smpOne.nonEmpty && smp1 == smpOne)
+      // (3) idempotent: nothing left of src1 to remove
+      DatasetCard.retireSource(spark, ts(0), ts(1), ts(2), ts(3),
+        "src1")
+      assert(probes() == ((len1, cm1, hll1, smp1)))
+      // and the card itself serves the survivor set (no loud-guard
+      // trip: all four legs agree on {src0, src2})
+      val card = DatasetCard.card(spark, ts(0), ts(1), ts(2), ts(3),
+        Seq("alpha"), 3, Seq(50, 99), width = 64, depth = 3)
+      assert(card.select("source").as[String].collect().sorted.toSeq ==
+        Seq("src0", "src2"))
+    } finally {
+      ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }

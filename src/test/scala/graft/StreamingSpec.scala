@@ -1401,4 +1401,172 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
       .agg(ValueAggregators.uniqValueCountApprox(col("v"))).collect()(0).getLong(1)
     assert(exact == 10L && math.abs(approx - 10L) <= 1)
   }
+
+  test("ONLINE compaction: mid-lineage maybeCompact carries replay keys as high-water marks; checkpoint-alone resume skips committed batches exactly") {
+    // r15 verdict item 1: compaction used to clear a live lineage's
+    // committed replay keys, so maybeCompact was between-lineages
+    // only. Now the rewrite folds each lineage's max committed batchId
+    // into the table_hwm sidecar, and `replayed` answers from marks as
+    // well as live keys — so (a) a compaction between two of a
+    // lineage's batches loses no replay protection, (b) a
+    // checkpoint-RESUMED query (checkpoint alone — the lineage id is
+    // persisted beside it, r15 item 5) still skips what it committed,
+    // and (c) a re-delivered compacted-away batchId is an exact no-op.
+    import graft.pipeline.{MergeTables, Sketches, Similarity}
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 900).map(i => (i.toLong * 2654435761L) % 100000L + 1L)
+    val (base, rest) = vals.splitAt(300)
+    val (b1, b2) = rest.splitAt(300)
+    val cp = SparkTest.tmpDir("ocomp_cp")
+    def stateOf(df: org.apache.spark.sql.DataFrame) =
+      Sketches.logBucketCounts(df, col("v"))
+    try {
+      Sketches.writeSketchTable(base.toDF("v"), col("v"), "sk_oc_t")
+      val ms = MemoryStream[Long](spark)
+      val q1 = MergeTables.streamAppend(ms.toDF().toDF("v"), "b_low",
+        "sk_oc_t", checkpointLocation = Some(cp))(stateOf)
+      try { ms.addData(b1); q1.processAllAvailable() } finally q1.stop()
+      // the persisted lineage id landed beside the checkpoint
+      assert(MergeTables.lineageAt(spark, cp).contains(1L))
+      // MID-LINEAGE compaction (2 generations > maxGen=1 -> trips)
+      assert(Sketches.maybeCompactSketchTable(spark, "sk_oc_t",
+        maxGen = 1))
+      // live stream keys are gone...
+      val liveKeys = spark.table("sk_oc_t").select("batch_key")
+        .as[Long].collect().filter(_ >= Similarity.streamBatchKeyBase)
+      assert(liveKeys.isEmpty, "compaction left live stream keys")
+      // ...but the lineage's committed batch still reads as replayed,
+      // while uncommitted batchIds and other lineages do not
+      assert(MergeTables.replayed(spark, "sk_oc_t",
+        MergeTables.streamKey(1L, 0L)), "high-water mark lost")
+      assert(!MergeTables.replayed(spark, "sk_oc_t",
+        MergeTables.streamKey(1L, 1L)))
+      assert(!MergeTables.replayed(spark, "sk_oc_t",
+        MergeTables.streamKey(2L, 0L)))
+      // (c) a re-delivery of the compacted-away batchId is a no-op
+      val rowsBefore = spark.table("sk_oc_t").count()
+      Sketches.streamAppendSketchBatch(b1.toDF("v"), 0L, col("v"),
+        "sk_oc_t", lineage = 1L)
+      assert(spark.table("sk_oc_t").count() == rowsBefore,
+        "a compacted-away committed batch was re-appended")
+      // (b) RESUME from the checkpoint ALONE — no lineage argument;
+      // the persisted id is read back, resumed batchIds continue
+      val q2 = MergeTables.streamAppend(ms.toDF().toDF("v"), "b_low",
+        "sk_oc_t", checkpointLocation = Some(cp))(stateOf)
+      try { ms.addData(b2); q2.processAllAvailable() } finally q2.stop()
+      val probed = Sketches.quantilesFromSketchTable(
+          spark, "sk_oc_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.logBucketQuantiles(
+          vals.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probed == oneShot,
+        "online compaction skipped or double-counted a batch")
+      // a mismatched EXPLICIT lineage with an existing checkpoint
+      // refuses loudly instead of silently double-counting
+      val ex = intercept[IllegalArgumentException] {
+        MergeTables.streamAppend(ms.toDF().toDF("v"), "b_low",
+          "sk_oc_t", checkpointLocation = Some(cp),
+          lineage = Some(99L))(stateOf)
+      }
+      assert(ex.getMessage.contains("contradicts"))
+      // a FRESH PROCESS allocating on this table must see the
+      // compacted-away lineage through the marks alone
+      MergeTables.forgetLineages("sk_oc_t")
+      assert(MergeTables.allocLineage(spark, "sk_oc_t") >= 2L,
+        "allocLineage ignored compacted-away lineage marks")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_oc_t")
+      spark.sql("DROP TABLE IF EXISTS sk_oc_t_hwm")
+    }
+  }
+
+  test("writer lease: same-process queries share, a foreign process is refused loudly, steal recovers") {
+    // r15 verdict item 4: allocLineage's registry coordinates
+    // concurrent queries WITHIN one driver; two writer PROCESSES had
+    // only a documented rule. The lease table (atomic catalog CREATE)
+    // enforces it: same-JVM holders refcount one lease, a foreign
+    // token fails with the remedy in the message, stealWriterLease is
+    // the explicit operator override.
+    import graft.pipeline.{MergeTables, Sketches}
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 300).map(i => (i.toLong * 2654435761L) % 1000L + 1L)
+    def leaseGone(): Boolean =
+      !spark.catalog.tableExists("sk_wl_t_wlease")
+    try {
+      Sketches.writeSketchTable(vals.toDF("v"), col("v"), "sk_wl_t")
+      val ms1 = MemoryStream[Long](spark)
+      val ms2 = MemoryStream[Long](spark)
+      val q1 = Sketches.startStreamAppendSketchTable(
+        ms1.toDF().toDF("v"), col("v"), "sk_wl_t")
+      // a SECOND query in the same process shares the lease (no throw)
+      val q2 = Sketches.startStreamAppendSketchTable(
+        ms2.toDF().toDF("v"), col("v"), "sk_wl_t")
+      assert(spark.catalog.tableExists("sk_wl_t_wlease"),
+        "no lease held while two writers stream")
+      try {
+        ms1.addData(vals.take(50)); q1.processAllAvailable()
+        ms2.addData(vals.take(50)); q2.processAllAvailable()
+      } finally { q1.stop(); q2.stop() }
+      // release rides the async termination event — wait it out
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!leaseGone() && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(leaseGone(), "lease not released after both queries ended")
+      // a FOREIGN process's lease (different token) refuses loudly
+      Seq("someone-elses-process").toDF("tok").write
+        .saveAsTable("sk_wl_t_wlease")
+      val ex = intercept[IllegalArgumentException] {
+        MergeTables.acquireWriterLease(spark, "sk_wl_t")
+      }
+      assert(ex.getMessage.contains("held by another process"))
+      // the explicit override clears it; the happy path is unchanged
+      MergeTables.stealWriterLease(spark, "sk_wl_t")
+      MergeTables.acquireWriterLease(spark, "sk_wl_t")
+      assert(spark.catalog.tableExists("sk_wl_t_wlease"))
+      MergeTables.releaseWriterLease(spark, "sk_wl_t")
+      assert(leaseGone())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_wl_t")
+      spark.sql("DROP TABLE IF EXISTS sk_wl_t_wlease")
+    }
+  }
+
+  test("maintainBatch materializes the source micro-batch ONCE across the four card appends") {
+    // r15 verdict item 7: four sequential appends per micro-batch,
+    // each its own Spark job — without the cache the batch's rows
+    // recompute 4x per commit (a re-read from Kafka/files in
+    // production). A row-counting accumulator inside the batch's
+    // lineage observes materializations directly: persist() means the
+    // first append computes and caches, the other three read the
+    // cache.
+    import graft.pipeline.{DatasetCard, Samples, Sketches, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    val acc = spark.sparkContext.longAccumulator("batch_reads")
+    val counted = udf { (id: Long) => acc.add(1L); id }
+    val docs = (0L until 30L).map(i =>
+      (i, s"src${i % 3}", s"tok${i % 7} tok${i % 5} alpha"))
+    val ts = Seq("cb_len_t", "cb_cm_t", "cb_hll_t", "cb_smp_t")
+    try {
+      val sdf = docs.toDF("doc_id", "source", "text")
+      Sketches.writeGroupedSketchTable(sdf, col("source"),
+        length(col("text")), ts(0))
+      TextAnalysis.writeGroupedCountMinTable(sdf,
+        "source", "text", ts(1), width = 64, depth = 3)
+      ValueAggregators.writeHllTable(
+        sdf.select(col("source"), explode(
+          expr("filter(split(text, ' '), x -> length(x) > 0)"))
+          .as("tok")), col("source"), col("tok"), ts(2))
+      Samples.writeGroupedSampleTable(sdf, "source",
+        "doc_id", 3, ts(3))
+      val batch = sdf.withColumn("doc_id", counted(col("doc_id")))
+      DatasetCard.maintainBatch(batch, 0L, ts(0), ts(1), ts(2), ts(3),
+        k = 3, width = 64, depth = 3, lineage = 5L)
+      assert(acc.value == docs.size.toLong,
+        s"batch materialized ${acc.value / docs.size.toDouble}x — " +
+          "expected exactly once (cached across the four appends)")
+    } finally {
+      ts.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
