@@ -41,7 +41,8 @@ object DatasetCard {
     * all four for the loop's lifetime. */
   def startMaintain(docStream: DataFrame, lenTable: String,
       cmTable: String, hllTable: String, smpTable: String, k: Int,
-      width: Int = 1024, depth: Int = 4)
+      width: Int = 1024, depth: Int = 4,
+      maxGen: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = docStream.sparkSession
     TextAnalysis.requireCmParams(spark, cmTable, width, depth)
@@ -55,7 +56,7 @@ object DatasetCard {
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!committed.contains(batchId)) {
             maintainBatch(batch, batchId, lenTable, cmTable, hllTable,
-              smpTable, k, width, depth, lineage)
+              smpTable, k, width, depth, lineage, maxGen)
             committed.add(batchId)
             ()
           }
@@ -74,7 +75,7 @@ object DatasetCard {
   private[graft] def maintainBatch(batch: DataFrame, batchId: Long,
       lenTable: String, cmTable: String, hllTable: String,
       smpTable: String, k: Int, width: Int, depth: Int,
-      lineage: Long): Unit = {
+      lineage: Long, maxGen: Option[Int] = None): Unit = {
     val b = batch.persist()
     try {
       // len leg skips null text (the card oracle's baseWhere; the other
@@ -98,14 +99,30 @@ object DatasetCard {
       b.unpersist()
       ()
     }
+    // the unattended-forever policy (qfl): with maxGen set, each tier
+    // auto-compacts INSIDE the loop once its generation count passes
+    // the threshold — safe mid-lineage since r16 because compaction
+    // carries the lineage's replay high-water mark
+    // ([[MergeTables.hwmTable]]); the loop needs no human to stop it
+    // for maintenance, ever
+    maxGen.foreach { mg =>
+      val spark = batch.sparkSession
+      Sketches.maybeCompactGroupedSketchTable(spark, lenTable, mg)
+      TextAnalysis.maybeCompactGroupedCountMinTable(spark, cmTable, mg)
+      graft.agg.ValueAggregators.maybeCompactHllTable(spark, hllTable,
+        mg)
+      Samples.maybeCompactGroupedSampleTable(spark, smpTable, k, mg)
+      ()
+    }
   }
 
   /** [[startMaintain]] drained to completion. */
   def maintainBlocking(docStream: DataFrame, lenTable: String,
       cmTable: String, hllTable: String, smpTable: String, k: Int,
-      width: Int = 1024, depth: Int = 4): Unit = {
+      width: Int = 1024, depth: Int = 4,
+      maxGen: Option[Int] = None): Unit = {
     val q = startMaintain(docStream, lenTable, cmTable, hllTable,
-      smpTable, k, width, depth)
+      smpTable, k, width, depth, maxGen)
     try q.processAllAvailable() finally q.stop()
   }
 

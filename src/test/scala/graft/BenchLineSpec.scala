@@ -103,6 +103,42 @@ class BenchLineSpec extends AnyFunSuite {
       "/x").size == 1)
   }
 
+  test("r16 growth: 170 realistic-timing queries keep TWO decimals everywhere across primary + continuations") {
+    // the r15 verdict's item 6: at 163 queries the primary sat 60
+    // chars under the window; growth must overflow into the chunked
+    // continuation path at FULL 2dp — the primary sheds its smallest
+    // entries (recovered whole by 2dp continuations), never the whole
+    // suite's second decimal
+    val roster = (keys ++ (1 to math.max(0, 170 - keys.size))
+      .map(i => f"qy$i%02d")).sorted
+    val vals = roster.zipWithIndex.map { case (k, i) =>
+      k -> Option(((i % 37) + 1) * 0.13)
+    }
+    val (_, keyOf) = Bench.metricLineKeyed(vals, Nil, "/x")
+    val lines = Bench.metricLines(vals, Nil, "/x")
+    assert(lines.size >= 2,
+      "170 realistic-timing queries no longer exercise the " +
+        "continuation path — lower the threshold or grow the roster")
+    for (l <- lines) assert(l.length <= Bench.budget, s"${l.length} chars")
+    val all = lines.mkString("\n")
+    vals.foreach { case (k, Some(v)) =>
+      val want = "\"" + keyOf(k) + "\":" + {
+        val s = String.format(java.util.Locale.ROOT, "%.2f",
+          Double.box(v))
+        if (s.contains('.'))
+          s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        else s
+      }
+      assert(all.contains(want),
+        s"$k lost its 2dp value $want across primary+continuations")
+    }
+    // the primary still carries the overwhelming majority itself
+    val inPrimary = roster.count(k =>
+      lines.last.contains("\"" + keyOf(k) + "\":"))
+    assert(inPrimary >= roster.size * 9 / 10,
+      s"primary carries only $inPrimary of ${roster.size}")
+  }
+
   test("streaming rows carry incremental-plan seconds in a sproc map, fit-guarded") {
     // the r14 verdict's item 8: the ~1-2 s query-lifecycle cost
     // dominates every streaming twin's wall clock; the sproc map makes

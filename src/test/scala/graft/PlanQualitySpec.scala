@@ -1004,6 +1004,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       dense.toLong * pass >= 5L * total - pass)
   }
 
+  test("qc2 depth derivation reads ONLY the maintained count table — no embeddings scan per run (r15 verdict item 3)") {
+    // the depths are two integers that change only when the corpus
+    // does; at 100 TB a per-query-batch count(*) over embeddings is a
+    // full column scan for a constant. The derivation now reads a
+    // two-row maintained SUM-monoid table; structurally, no scan in
+    // its plan may touch the corpus parquet.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    RelationalQueries.qc2Depths(spark, d) // builds the table via buildOnce
+    val inputs = RelationalQueries.qc2DepthInputs(spark, d)
+    val scans = planNodes(inputs.queryExecution.executedPlan)
+      .collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, "no file scan found — assert would be vacuous")
+    for (s <- scans; p <- s.relation.location.rootPaths)
+      assert(p.toString.contains("warehouse") &&
+          p.toString.contains("qc2_sel_"),
+        s"qc2 depth derivation scans a non-maintained source: $p")
+  }
+
   test("qfd: the dataset card reads ONLY the maintained tables — no corpus scan anywhere in the probe plan") {
     // the capstone's structural claim: all four legs (length quantiles,
     // audit-token frequencies, distinct-token estimates, holdout ids)
@@ -1027,15 +1045,18 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       assert(tables.exists(t => p.toString.contains("warehouse") &&
           p.toString.contains(t)),
         s"dataset card scans a non-maintained source: $p")
-    // the SELF-MAINTAINED card (qff) serves from its own four tables
+    // the SELF-MAINTAINED card (qff), the POST-TAKEDOWN card (qfi),
+    // and the UNATTENDED card (qfl) serve from their own four tables
     // with the same structural guarantee
-    val ff = planDf("qff")
-    val ffScans = planNodes(ff.queryExecution.executedPlan)
-      .collect { case s: FileSourceScanExec => s }
-    assert(ffScans.nonEmpty)
-    for (s <- ffScans; p <- s.relation.location.rootPaths)
-      assert(p.toString.contains("warehouse") &&
-          p.toString.contains("qff_"),
-        s"self-maintained card scans a non-maintained source: $p")
+    for (q <- Seq("qff", "qfi", "qfl")) {
+      val df = planDf(q)
+      val qScans = planNodes(df.queryExecution.executedPlan)
+        .collect { case s: FileSourceScanExec => s }
+      assert(qScans.nonEmpty)
+      for (s <- qScans; p <- s.relation.location.rootPaths)
+        assert(p.toString.contains("warehouse") &&
+            p.toString.contains(q + "_"),
+          s"$q card scans a non-maintained source: $p")
+    }
   }
 }
