@@ -417,6 +417,12 @@ private[graft] object MergeTables {
       val held = leaseHolds.getOrElse(lease, 0)
       if (held == 0) {
         import spark.implicits._
+        // the protocol's topology is ONE catalog: a live holder is
+        // catalog-visible, so a lease DIRECTORY without a catalog
+        // entry is a killed process's garbage (its metastore died
+        // with it) — clear it, or the create refuses the stale
+        // location instead of acquiring
+        graft.sources.MapFiles.clearStaleLocation(spark, lease)
         try Seq(processToken).toDF("tok").write.saveAsTable(lease)
         catch {
           case _: org.apache.spark.sql.catalyst.analysis
@@ -458,6 +464,7 @@ private[graft] object MergeTables {
     synchronized {
       leaseHolds.remove(table + "_wlease")
       spark.sql(s"DROP TABLE IF EXISTS `${table + "_wlease"}`")
+      graft.sources.MapFiles.clearStaleLocation(spark, table + "_wlease")
       ()
     }
 
