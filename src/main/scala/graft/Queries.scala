@@ -2943,6 +2943,66 @@ object RelationalQueries {
       }
       DatasetCard.card(s, lenT, cmT, hllT, smpT, qfdAuditToks, qf9K,
         qe4Pcts, width = qa8Width, depth = qa8Depth)
+    }),
+
+    // QFM — ONLINE auto-compaction on the LEXICAL INDEX tier (r16):
+    // qfh's replay-marks-survive-compaction story carried to the
+    // generation-protocol indexes, where the replay keys live in the
+    // scalar commit table that compaction collapses. The stream lands
+    // micro-batches on a 2-generation index with maybeCompactBm25Index
+    // in the loop (threshold 2 — trips for real, compacting the live
+    // lineage's own committed key into the table_s_hwm sidecar), and
+    // the grown-and-compacted index must probe back qb1's oracle
+    // VERBATIM — online compaction loses nothing, skips nothing.
+    // Re-delivery of a compacted-away committed batch is spec-gated a
+    // no-op on both index tiers (StreamingSpec).
+    "qfm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val table = "qfm_idx_" + dirTag(d)
+      buildOnce(table) {
+        TextAnalysis.writeBm25Index(docs.filter(col("doc_id") < 200),
+          "doc_id", "text", table)
+        TextAnalysis.appendBm25Index(
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+          "doc_id", "text", table)
+        val q = TextAnalysis.startStreamAppendBm25Index(
+          Tables.streamOf(s, d, "documents")
+            .filter(col("doc_id") >= 400),
+          "doc_id", "text", table, maxGen = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      }
+      TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id", "qtext",
+        table, k = qb1K, k1 = qb1K1, b = qb1B)
+    }),
+
+    // QFN — ONLINE auto-compaction on the DENSE INDEX tier: qfm's
+    // contract on the ADC index (keys in table_g, carried into
+    // table_g_hwm by compactIvfAdcIndex — and by retrainIvfAdcIndex,
+    // whose generation reset has the same exposure). Built on the
+    // first half (quantizer frozen there), grown to 3/4 by a batch
+    // append, the last quarter STREAMED with the in-loop policy
+    // (threshold 2, trips for real); the probe must equal the
+    // frozen-quantizer chain over the full corpus — qe1's oracle
+    // VERBATIM.
+    "qfn" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val (n, nlist, nprobe) = halfParamsFor(s, d)
+      val table = "qfn_idx_" + dirTag(d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndex(vecs.filter(col("vec_id") * 2 < n),
+          "vec_id", "embedding", table, nlist = nlist, dim = 64)
+        Similarity.appendIvfAdcIndex(
+          vecs.filter(col("vec_id") * 2 >= n &&
+            col("vec_id") * 4 < 3 * n),
+          "vec_id", "embedding", table)
+        val q = Similarity.startStreamAppendIvfAdcIndex(
+          Tables.streamOf(s, d, "embeddings")
+            .filter(col("vec_id") * 4 >= 3 * n),
+          "vec_id", "embedding", table, dim = 64, maxGen = Some(2))
+        try q.processAllAvailable() finally q.stop()
+      }
+      Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding", k = 3,
+        nprobe = nprobe, table = table, dim = 64)
     })
   )
 
@@ -3483,6 +3543,21 @@ object RelationalQueries {
     * index), qb4 (streamed queries), and qc1 (appended index), so the
     * "loses nothing / oracle verbatim" claims hold by construction
     * rather than by hand-mirrored text. */
+  /** The frozen-quantizer ADC chain (quantizer trained on the first
+    * half, probed over the full corpus) — shared BY REFERENCE by qe1
+    * (stream-grown index) and qfn (stream-grown WITH in-loop
+    * compaction), so the online-compaction claim is gated against the
+    * identical chain. */
+  private lazy val frozenHalfAdcOracleSql: String =
+    s"""WITH ${adcRankedSql(
+        fracNum = graft.pipeline.Similarity.probeFracEighths(
+          q35cTargetRecall),
+        occ = graft.pipeline.Similarity.defaultOccupancy,
+        iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
+        trainWhere = "WHERE vec_id * 2 < (SELECT count(*) FROM nv)")}
+      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
+      |FROM r WHERE rk <= 3""".stripMargin
+
   private lazy val bm25TopKOracleSql: String =
     s"""WITH $bm25OracleCtes
       |SELECT q_id, doc_id, CAST(rk AS INT) AS rank, score_u
@@ -5048,15 +5123,15 @@ object RelationalQueries {
     // first half — qc3's trainWhere — corpus fully assigned/packed
     // against it, every vector a query), ranked-output form: the
     // stream-grown index must probe exactly like its batch-append twin
-    "qe1" ->
-      s"""WITH ${adcRankedSql(
-          fracNum = graft.pipeline.Similarity.probeFracEighths(
-            q35cTargetRecall),
-          occ = graft.pipeline.Similarity.defaultOccupancy,
-          iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
-          trainWhere = "WHERE vec_id * 2 < (SELECT count(*) FROM nv)")}
-        |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
-        |FROM r WHERE rk <= 3""".stripMargin,
+    "qe1" -> frozenHalfAdcOracleSql,
+    // qfn (online compaction on the dense tier) shares qe1's oracle
+    // BY REFERENCE: in-loop compactions under surviving replay marks
+    // must leave exactly the stream-grown frozen-quantizer index
+    "qfn" -> frozenHalfAdcOracleSql,
+    // qfm (online compaction on the lexical tier): qb1's oracle
+    // verbatim — the qd2/qd6 claims composed, now WITH the compaction
+    // running inside the live lineage
+    "qfm" -> bm25TopKOracleSql,
 
     // qe3: q99's oracle VERBATIM — after the retrain, the
     // drifted-then-rebuilt index must be indistinguishable from a

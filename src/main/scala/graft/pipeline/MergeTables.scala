@@ -54,13 +54,10 @@ private[graft] object MergeTables {
     * the sequence. */
   def write(state: DataFrame, keyCol: String, table: String): Unit = {
     val spark = state.sparkSession
-    val ht = hwmTable(table)
-    spark.sql(s"DROP TABLE IF EXISTS `$ht`")
-    spark.sql(s"DROP TABLE IF EXISTS `${ht}_compact_shadow`")
     // a previous PROCESS's sidecar dir may survive a metastore the
     // current catalog never saw — clear it or the next sidecar swap's
     // RENAME refuses the stale location
-    graft.sources.MapFiles.clearStaleLocation(spark, ht)
+    dropHwms(spark, table)
     graft.sources.MapFiles.write(
       state.withColumn("gen", lit(0L))
         .withColumn("batch_key", lit(-1L)).coalesce(1),
@@ -652,10 +649,24 @@ private[graft] object MergeTables {
     recoverCompactCrash(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — nothing to compact")
-    val ht = hwmTable(table)
+    carryHwms(spark, table)
+    swapIn(spark, merged, keyCol, table)
+  }
+
+  /** Fold every lineage's max committed batchId — live keys of
+    * `keyTable` plus any prior marks — into the [[hwmTable]] sidecar.
+    * The step every key-clearing rewrite runs FIRST: [[compact]] on
+    * the MergeTables tiers, and the index tiers' compactions/retrain
+    * (their keys live in `table_s` / `table_g`). Safe under every
+    * crash ordering because committed-ness is permanent: a crash after
+    * the mark write leaves the old keys live AND marked — both answers
+    * agree. */
+  private[graft] def carryHwms(spark: SparkSession, keyTable: String)
+      : Unit = {
+    val ht = hwmTable(keyTable)
     recoverCompactCrash(spark, ht)
     val base = Similarity.streamBatchKeyBase
-    val live = spark.table(table)
+    val live = spark.table(keyTable)
       .filter(col("batch_key") >= base)
       .select(expr(s"shiftright(batch_key - ${base}L, 28)")
           .as("lineage"),
@@ -673,6 +684,18 @@ private[graft] object MergeTables {
       .groupBy("lineage").agg(max("hwm").as("hwm"))
       .localCheckpoint()
     if (!hwms.isEmpty) swapIn(spark, hwms, "lineage", ht)
-    swapIn(spark, merged, keyCol, table)
+  }
+
+  /** Drop the [[hwmTable]] sidecar (and its shadow, and any stale
+    * location a killed process left) — the step every FRESH BUILD
+    * runs: a brand-new artifact has no committed batches, and stale
+    * marks would make [[replayed]] silently skip a new lineage's
+    * batches if the id sequence ever restarted. */
+  private[graft] def dropHwms(spark: SparkSession, keyTable: String)
+      : Unit = {
+    val ht = hwmTable(keyTable)
+    spark.sql(s"DROP TABLE IF EXISTS `$ht`")
+    spark.sql(s"DROP TABLE IF EXISTS `${ht}_compact_shadow`")
+    graft.sources.MapFiles.clearStaleLocation(spark, ht)
   }
 }

@@ -596,6 +596,9 @@ object Similarity {
       buckets: Int = ivfIndexBuckets): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     VectorOps.ensureRegistered(spark)
+    // a fresh index has no committed batches — stale replay marks from
+    // a previous build at this name must not outlive it
+    MergeTables.dropHwms(spark, table + "_g")
     val quantizer =
       if (cents != null) cents
       else trainCoarseQuantizer(
@@ -722,7 +725,11 @@ object Similarity {
     * into its keys ([[MergeTables.allocLineage]]) — without it a
     * second streaming writer against the same uncompacted index would
     * see the first lineage's keys and silently skip its own early
-    * batches. Compaction still clears all committed keys. */
+    * batches. Compaction clears the live keys but carries each
+    * lineage's high-water mark into the `_hwm` sidecar
+    * ([[MergeTables.carryHwms]], r16), so replay detection — and with
+    * it mid-lineage compaction — survives the rewrite on every
+    * tier. */
   private[graft] val streamBatchKeyBase: Long = 1L << 40
 
   /** The foreachBatch body of [[startStreamAppendIvfAdcIndex]], exposed
@@ -734,9 +741,10 @@ object Similarity {
       lineage: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val key = MergeTables.streamKey(lineage, batchId)
-    val replayed = !spark.table(table + "_g")
-      .filter(col("batch_key") === key).isEmpty
-    if (!replayed) {
+    // live keys OR the compacted-away high-water marks — how replay
+    // exactness survives a mid-lineage compaction or retrain (r16;
+    // marks carried by compactIvfAdcIndex/retrainIvfAdcIndex)
+    if (!MergeTables.replayed(spark, table + "_g", key)) {
       val gen = graft.sources.MapFiles.freshGen()
       appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
       commitAdcGen(spark, table, gen, key)
@@ -784,7 +792,8 @@ object Similarity {
     * the caller owns the trigger cadence (StreamingSpec drives TWO
     * micro-batches through it). */
   def startStreamAppendIvfAdcIndex(vecStream: DataFrame, idCol: String,
-      vecCol: String, table: String, dim: Int = 64)
+      vecCol: String, table: String, dim: Int = 64,
+      maxGen: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // deterministic fresh lineage per started query (allocated from
     // the commit table's own keys — MergeTables.allocLineage doc): a
@@ -792,14 +801,34 @@ object Similarity {
     // collide with the first lineage's committed keys. dim rides the
     // signature for API symmetry with writeIvfAdcIndex; the append
     // derives the true dimension from the stored centroids.
-    val lineage =
-      MergeTables.allocLineage(vecStream.sparkSession, table + "_g")
-    vecStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendAdcBatch(batch, batchId, idCol, vecCol, table,
-          lineage)
-      }
-      .start()
+    val spark = vecStream.sparkSession
+    val lineage = MergeTables.allocLineage(spark, table + "_g")
+    MergeTables.startLeased(spark, Seq(table + "_g"))(
+      vecStream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          streamAppendAdcBatch(batch, batchId, idCol, vecCol, table,
+            lineage)
+          // the unattended policy (qfn): compaction is safe
+          // MID-LINEAGE since r16 — the rewrite carries the replay
+          // high-water marks
+          maxGen.foreach(mg =>
+            maybeCompactIvfAdcIndex(spark, table, mg))
+        }
+        .start())
+  }
+
+  /** [[compactIvfAdcIndex]] iff more than `maxGen` generations have
+    * committed — the auto-compaction policy on the dense index tier
+    * (committed operations = rows of the generation table). Safe
+    * inside a live streaming lineage since r16
+    * ([[compactIvfAdcIndex]] carries the replay marks). Returns true
+    * iff it compacted. */
+  def maybeCompactIvfAdcIndex(spark: SparkSession, table: String,
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean = {
+    require(maxGen >= 1, s"maxGen=$maxGen")
+    spark.catalog.refreshTable(table + "_g")
+    if (spark.table(table + "_g").count() <= maxGen) false
+    else { compactIvfAdcIndex(spark, table); true }
   }
 
   /** RETRAIN a persisted IVF-ADC index — the consumer of the qc3 drift
@@ -845,6 +874,12 @@ object Similarity {
     // shadow table itself, so a crashed prior retrain cannot block this
     val quantizer = writeIvfAdcIndex(live, idCol, vecCol, shadow,
       nlist = nlist, dim = dim)
+    // the retrained rows INCLUDE every committed streamed batch (the
+    // live corpus is the input), so the old keys' high-water marks
+    // must survive the generation reset — a checkpoint-resumed lineage
+    // re-delivering a committed batch post-retrain would otherwise
+    // re-append rows the retrain already packed
+    MergeTables.carryHwms(spark, table + "_g")
     for (suffix <- Seq("", "_c", "_g")) {
       spark.sql(s"DROP TABLE `$table$suffix`")
       spark.sql(s"ALTER TABLE `$shadow$suffix` RENAME TO `$table$suffix`")
@@ -910,6 +945,10 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
+    // carry every streaming lineage's replay high-water mark into the
+    // table_g_hwm sidecar BEFORE the generation reset clears the keys
+    // — what makes this compaction safe inside a live lineage (r16)
+    MergeTables.carryHwms(spark, table + "_g")
     // bucket-preserving read (one scan partition per bucket) -> the
     // bucketed sink plans exchange-free: one compacted file per bucket
     val live = liveAdcRows(spark, table, bucketedRead = true)

@@ -470,6 +470,9 @@ object TextAnalysis {
     * (mapred/MapFileOutputFormat.java:39). */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 16): Unit = {
+    // a fresh index has no committed batches — stale replay marks from
+    // a previous build at this name must not outlive it
+    MergeTables.dropHwms(docs.sparkSession, table + "_s")
     graft.sources.MapFiles.write(
       postings(docs, idCol, textCol).withColumn("gen", lit(0L)), "term",
       buckets, table)
@@ -625,9 +628,10 @@ object TextAnalysis {
       lineage: Long = 0L): Unit = {
     val spark = batch.sparkSession
     val key = MergeTables.streamKey(lineage, batchId)
-    val replayed = !spark.table(table + "_s")
-      .filter(col("batch_key") === key).isEmpty
-    if (!replayed) {
+    // live keys OR the compacted-away high-water marks — how replay
+    // exactness survives a mid-lineage compaction (r16, the qfh story
+    // on this tier; marks carried by compactBm25Index)
+    if (!MergeTables.replayed(spark, table + "_s", key)) {
       val add = corpusStats(batch, textCol)
         .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
         .collect()(0)
@@ -673,21 +677,42 @@ object TextAnalysis {
     * the caller owns the trigger cadence (StreamingSpec drives TWO
     * micro-batches through it). */
   def startStreamAppendBm25Index(docStream: DataFrame, idCol: String,
-      textCol: String, table: String)
+      textCol: String, table: String, maxGen: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     // a deterministic fresh lineage per started query (allocated from
     // the commit table's own keys — MergeTables.allocLineage): batchIds
     // restart at 0 for a new checkpoint lineage, so without this a
     // SECOND streaming writer against the same index would see the
-    // first lineage's keys and silently skip its own early batches
-    val lineage =
-      MergeTables.allocLineage(docStream.sparkSession, table + "_s")
-    docStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        streamAppendBm25Batch(batch, batchId, idCol, textCol, table,
-          lineage)
-      }
-      .start()
+    // first lineage's keys and silently skip its own early batches.
+    // The writer lease on the commit table enforces the
+    // single-writer-process rule for the index's whole tier.
+    val spark = docStream.sparkSession
+    val lineage = MergeTables.allocLineage(spark, table + "_s")
+    MergeTables.startLeased(spark, Seq(table + "_s"))(
+      docStream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          streamAppendBm25Batch(batch, batchId, idCol, textCol, table,
+            lineage)
+          // the unattended policy (qfm): compaction is safe
+          // MID-LINEAGE since r16 — the rewrite carries the replay
+          // high-water marks
+          maxGen.foreach(mg => maybeCompactBm25Index(spark, table, mg))
+        }
+        .start())
+  }
+
+  /** [[compactBm25Index]] iff more than `maxGen` generations have
+    * committed — the auto-compaction policy on the lexical index tier
+    * (committed operations = rows of the scalar table: the build, each
+    * append/streamed batch, each delete). Safe inside a live streaming
+    * lineage since r16 ([[compactBm25Index]] carries the replay
+    * marks). Returns true iff it compacted. */
+  def maybeCompactBm25Index(spark: SparkSession, table: String,
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean = {
+    require(maxGen >= 1, s"maxGen=$maxGen")
+    spark.catalog.refreshTable(table + "_s")
+    if (spark.table(table + "_s").count() <= maxGen) false
+    else { compactBm25Index(spark, table); true }
   }
 
   /** Delete documents from a persisted BM25 index — the takedown /
@@ -757,6 +782,11 @@ object TextAnalysis {
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
     val (live, _) = committedIndex(spark, table, bucketedRead = true)
+    // carry every streaming lineage's replay high-water mark into the
+    // table_s_hwm sidecar BEFORE the scalar collapse clears the keys —
+    // what makes this compaction safe inside a live lineage (r16; the
+    // replay check consults marks as well as live keys)
+    MergeTables.carryHwms(spark, table + "_s")
     val totals = spark.table(table + "_s")
       .agg(coalesce(sum("n_docs"), lit(0L)),
         coalesce(sum("sum_dl"), lit(0L))).collect()(0)
@@ -770,8 +800,9 @@ object TextAnalysis {
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
     import spark.implicits._
-    // the scalar collapse also clears the streaming batch keys — what
-    // permits a fresh streaming lineage after a compaction (see
+    // the scalar collapse clears the live streaming batch keys — their
+    // high-water marks were carried above, so replay detection (and a
+    // fresh lineage's allocation) survive the rewrite (see
     // Similarity.streamBatchKeyBase)
     graft.sources.MapFiles.write(
       Seq((0L, totals.getLong(0), totals.getLong(1), -1L))

@@ -896,6 +896,111 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("index tiers: a MID-LINEAGE compaction carries replay marks — re-delivered committed batches are no-ops on BM25 and ADC") {
+    // the qfh story on the generation-protocol tiers (r16): their
+    // replay keys live in the scalar/generation commit tables that
+    // compaction collapses; compactBm25Index/compactIvfAdcIndex now
+    // fold each lineage's high-water mark into the _hwm sidecar first,
+    // so a committed batch re-delivered AFTER an in-lineage compaction
+    // (the checkpoint-resume window) still skips exactly, a NEW
+    // batchId still lands, and a fresh-process allocation sees the
+    // compacted-away lineage.
+    import graft.pipeline.{MergeTables, Similarity, TextAnalysis}
+    import org.apache.spark.sql.functions.col
+    // BM25 tier
+    val base = Seq((1L, "apple banana apple"), (2L, "apple cherry"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "banana durian"), (4L, "durian apple"))
+      .toDF("doc_id", "text")
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    try {
+      TextAnalysis.writeBm25Index(base, "doc_id", "text", "bm25_oc_idx")
+      TextAnalysis.streamAppendBm25Batch(batch, 0L, "doc_id", "text",
+        "bm25_oc_idx", lineage = 3L)
+      // 2 committed generations > maxGen=1 -> compacts mid-lineage
+      assert(TextAnalysis.maybeCompactBm25Index(spark, "bm25_oc_idx",
+        maxGen = 1))
+      // live keys are gone; the mark answers for the committed batch
+      assert(MergeTables.replayed(spark, "bm25_oc_idx_s",
+        MergeTables.streamKey(3L, 0L)), "BM25 high-water mark lost")
+      assert(!MergeTables.replayed(spark, "bm25_oc_idx_s",
+        MergeTables.streamKey(3L, 1L)))
+      def state() = (
+        spark.table("bm25_oc_idx").count(),
+        spark.table("bm25_oc_idx_s").count(),
+        TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+            "bm25_oc_idx", k = 3)
+          .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq)
+      val afterCompact = state()
+      assert(afterCompact._3.nonEmpty)
+      // the resume-window replay: committed batch, key now a mark only
+      TextAnalysis.streamAppendBm25Batch(batch, 0L, "doc_id", "text",
+        "bm25_oc_idx", lineage = 3L)
+      assert(state() == afterCompact,
+        "a compacted-away committed batch re-appended on BM25")
+      // a NEW batchId of the same lineage still lands
+      TextAnalysis.streamAppendBm25Batch(
+        Seq((5L, "fig")).toDF("doc_id", "text"), 1L, "doc_id", "text",
+        "bm25_oc_idx", lineage = 3L)
+      assert(state()._2 == afterCompact._2 + 1,
+        "a fresh batch was wrongly skipped after compaction")
+      // a fresh process's allocation must clear the marked lineage
+      MergeTables.forgetLineages("bm25_oc_idx_s")
+      assert(MergeTables.allocLineage(spark, "bm25_oc_idx_s") >= 4L)
+    } finally {
+      for (t <- Seq("bm25_oc_idx", "bm25_oc_idx_s", "bm25_oc_idx_s_hwm"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    // ADC tier
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val vb = vecs.filter(col("vec_id") >= 100)
+    try {
+      Similarity.writeIvfAdcIndex(vecs.filter(col("vec_id") < 100),
+        "vec_id", "embedding", "adc_oc_idx", nlist = 4, dim = 64)
+      Similarity.streamAppendAdcBatch(vb, 0L, "vec_id", "embedding",
+        "adc_oc_idx", lineage = 2L)
+      assert(Similarity.maybeCompactIvfAdcIndex(spark, "adc_oc_idx",
+        maxGen = 1))
+      assert(MergeTables.replayed(spark, "adc_oc_idx_g",
+        MergeTables.streamKey(2L, 0L)), "ADC high-water mark lost")
+      def astate() = (
+        spark.table("adc_oc_idx").count(),
+        spark.table("adc_oc_idx_g").count(),
+        Similarity.ivfAdcTopKIndexed(
+            vecs.filter(col("vec_id") % 50 === 0), "vec_id",
+            "embedding", k = 3, nprobe = 2, table = "adc_oc_idx",
+            dim = 64)
+          .select("q_id", "nb_id", "rank")
+          .as[(Long, Long, Int)].collect().sorted.toSeq)
+      val afterCompact = astate()
+      assert(afterCompact._3.nonEmpty)
+      Similarity.streamAppendAdcBatch(vb, 0L, "vec_id", "embedding",
+        "adc_oc_idx", lineage = 2L)
+      assert(astate() == afterCompact,
+        "a compacted-away committed batch re-appended on ADC")
+      MergeTables.forgetLineages("adc_oc_idx_g")
+      assert(MergeTables.allocLineage(spark, "adc_oc_idx_g") >= 3L)
+      // RETRAIN has the same exposure (its generation reset clears
+      // keys) and the same fix: the retrained rows include every
+      // committed streamed batch, so the replay must stay a no-op
+      Similarity.retrainIvfAdcIndex(vecs, "vec_id", "embedding",
+        "adc_oc_idx", nlist = 4, dim = 64)
+      val afterRetrain = astate()
+      assert(afterRetrain._1 == 200L,
+        "retrain did not pack the full live corpus")
+      Similarity.streamAppendAdcBatch(vb, 0L, "vec_id", "embedding",
+        "adc_oc_idx", lineage = 2L)
+      assert(astate() == afterRetrain,
+        "a committed batch re-appended after a retrain cleared its key")
+    } finally {
+      for (t <- Seq("adc_oc_idx", "adc_oc_idx_c", "adc_oc_idx_g",
+          "adc_oc_idx_g_hwm"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("streamLogBucketQuantiles: the complete-mode state after two micro-batches equals the batch sketch report") {
     // the qe5 contract (qa9's discipline on the quantile tier): the
     // streaming aggregation's state is the bounded bucket table, counts
