@@ -777,6 +777,14 @@ object TextAnalysis {
     * compacted == appended == one-shot rebuild, stored rows and probe
     * results identical (spec + qd2's oracle row). */
   def compactBm25Index(spark: SparkSession, table: String): Unit = {
+    // list fresh before the rewrite: an in-loop compaction runs in the
+    // MAIN session while the batches landed from micro-batch CLONE
+    // sessions — a stale relation cached here would silently compact
+    // away the just-streamed generations (the session relation-cache
+    // trap, MergeTables.freshView's argument)
+    for (s <- Seq("", "_s", "_t")
+         if spark.catalog.tableExists(table + s))
+      spark.catalog.refreshTable(table + s)
     val buckets = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
