@@ -340,6 +340,11 @@ object Bench {
         }
         .find(_.length <= budget)
     }
+    // the escalating drop-cap ladder, shared by the 2dp and 1dp drop
+    // rungs so the two cannot escalate differently
+    def dropRungs(dp: Int): Option[String] = Seq(10, 7, 5, 4).iterator
+      .flatMap(f => droppingSmallest(dp, errMode = 1, maxDropFrac = f))
+      .nextOption()
     val fullRungs = Seq(line(3, true), line(2, true), line(1, true),
       line(2, false), line(1, false), line(1, false, lean = 1),
       line(1, false, lean = 2),
@@ -361,9 +366,7 @@ object Bench {
       // lines (r16 — the first rung past the full-coverage window, so
       // suite growth costs a few sub-0.2s entries a line hop, never
       // every query its second decimal)
-      .orElse(Seq(10, 7, 5, 4).iterator
-        .flatMap(f => droppingSmallest(2, errMode = 1, maxDropFrac = f))
-        .nextOption().map((_, short)))
+      .orElse(dropRungs(2).map((_, short)))
       // full-coverage 1dp rungs: only reachable when even 75% of the
       // suite no longer fits at 2dp
       .orElse(Seq(line(1, true, keyOf = short),
@@ -372,9 +375,7 @@ object Bench {
       // escalate the drop cap (10% -> ~14% -> 20% -> 25%) before any
       // whole-second rung: a quarter of the suite's cheapest sub-0.2s
       // entries is a far better loss than every query's decimal
-      .orElse(Seq(10, 7, 5, 4).iterator
-        .flatMap(f => droppingSmallest(1, errMode = 1, maxDropFrac = f))
-        .nextOption().map((_, short)))
+      .orElse(dropRungs(1).map((_, short)))
       .orElse { // whole-second floors, every one fit-CHECKED
         Seq(line(0, false, lean = 2, errMode = 1, keyOf = short),
           line(0, false, lean = 2, errMode = 2, keyOf = short))

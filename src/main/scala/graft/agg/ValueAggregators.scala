@@ -173,10 +173,14 @@ object ValueAggregators {
   def retireHllGroups(spark: org.apache.spark.sql.SparkSession,
       table: String, groups: Seq[Any]): Unit = {
     require(groups.nonEmpty, "no groups to retire")
+    val key = org.apache.spark.sql.functions.col("key")
+    // null-SAFE keep predicate: a null group key makes `!isin` NULL,
+    // which a plain filter would DROP — silently destroying the null
+    // group's registers when an unrelated source is retired. Null keys
+    // were not named, so they survive.
     graft.pipeline.MergeTables.compact(spark, table, "b",
       hllRegistersFromTable(spark, table)
-        .filter(!org.apache.spark.sql.functions.col("key")
-          .isin(groups: _*)))
+        .filter(key.isNull || !key.isin(groups: _*)))
   }
 
   /** [[compactHllTable]] iff more than `maxGen` generations

@@ -64,13 +64,36 @@ private[graft] object MergeTables {
       keyCol, 1, table)
   }
 
+  /** Per-table in-process mutation locks: a COMPACTION's
+    * read-merge-swap must not interleave with another same-process
+    * writer's APPEND on the same table — a generation landing between
+    * the compaction's merged-view read and its DROP/RENAME swap would
+    * be silently deleted by the swap (the second writer's in-run memo
+    * then never re-appends it). The writer lease already excludes
+    * other PROCESSES, and foreachBatch serializes one query's own
+    * appends with its own in-loop compactions — this lock closes the
+    * remaining window: two queries of ONE driver sharing a table
+    * (explicitly supported via the refcounted lease). Appends hold it
+    * for one single-file write; compactions for the state-sized
+    * rewrite. Shared with the index tiers' compactors
+    * ([[withTableLock]]). */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Run `body` holding `table`'s in-process mutation lock. */
+  private[graft] def withTableLock[A](table: String)(body: => A): A =
+    tableLocks.computeIfAbsent(table, _ => new Object)
+      .synchronized(body)
+
   /** Land one batch's state as one single-file generation. The
     * `batch_key` column gets a parquet bloom filter so the per-batch
     * replay probe ([[replayed]]) skips non-matching row groups from
     * the footer instead of reading every generation's rows. Recovers
-    * a crashed compaction first ([[recoverCompactCrash]]). */
+    * a crashed compaction first ([[recoverCompactCrash]]). Holds the
+    * table's mutation lock so a concurrent same-process compaction
+    * cannot swap this generation away mid-landing. */
   def append(state: DataFrame, keyCol: String, table: String,
-      batchKey: Long = -1L): Unit = {
+      batchKey: Long = -1L): Unit = withTableLock(table) {
     recoverCompactCrash(state.sparkSession, table)
     require(state.sparkSession.catalog.tableExists(table),
       s"$table does not exist — write it before appending")
@@ -91,19 +114,19 @@ private[graft] object MergeTables {
   private val liveLineages =
     scala.collection.mutable.Map.empty[String, Long]
 
-  /** Record `lin` as handed out for `table` — the registry update every
-    * path that puts a lineage in play must make, INCLUDING a
-    * caller-supplied lineage (the crash-RESUME path): without it a
-    * concurrent [[allocLineage]] on the same table could draw the
-    * identical id before the resumed lineage commits a key (stored max
-    * = id − 1, fresh registry) and its batches would be silently
-    * skipped as replays (ADVICE r15). */
   /** Test hook: forget the in-process allocations for `table`, so a
     * spec can exercise what a FRESH PROCESS would derive from
     * committed state alone (live keys + compacted-away marks). */
   private[graft] def forgetLineages(table: String): Unit =
     synchronized { liveLineages.remove(table); () }
 
+  /** Record `lin` as handed out for `table` — the registry update
+    * every path that puts a lineage in play must make, INCLUDING a
+    * caller-supplied or checkpoint-persisted lineage (the
+    * crash-RESUME path): without it a concurrent [[allocLineage]] on
+    * the same table could draw the identical id before the resumed
+    * lineage commits a key and its batches would be silently skipped
+    * as replays (ADVICE r15). */
   private[graft] def registerLineage(table: String, lin: Long): Unit =
     synchronized {
       liveLineages(table) = math.max(liveLineages.getOrElse(table, 0L), lin)
@@ -343,9 +366,17 @@ private[graft] object MergeTables {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
+      val body =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      // the write is temp+rename, so a corrupt body means manual
+      // tampering, not a crash — refuse with the remedy rather than a
+      // raw NumberFormatException that reads like a protocol bug
+      require(body.nonEmpty && body.forall(_.isDigit),
+        s"$p does not hold a lineage id (got '${body.take(40)}') — " +
+          "delete the file to re-initialize the checkpoint's lineage")
+      Some(body.toLong)
     }
   }
 
@@ -353,12 +384,20 @@ private[graft] object MergeTables {
       lin: Long): Unit = {
     val p = lineagePath(cp)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // overwrite=false: two queries racing to initialize one checkpoint
-    // is caller error — fail on the create, not by silently clobbering
-    val out = fs.create(p, false)
+    // temp write + rename: a crash mid-write must never leave a
+    // partial file at the final name (an empty id would strand every
+    // future resume). rename-to-missing is the atomic step; it fails
+    // if the final name appeared meanwhile (two queries racing to
+    // initialize one checkpoint is caller error — fail loudly, never
+    // silently clobber).
+    val tmp = new org.apache.hadoop.fs.Path(cp,
+      "graft_lineage.tmp")
+    val out = fs.create(tmp, true)
     try out.write(lin.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    require(fs.rename(tmp, p),
+      s"could not persist lineage id at $p (already initialized?)")
   }
 
   private def lineagePath(cp: String) =
@@ -414,12 +453,25 @@ private[graft] object MergeTables {
       val held = leaseHolds.getOrElse(lease, 0)
       if (held == 0) {
         import spark.implicits._
-        // the protocol's topology is ONE catalog: a live holder is
-        // catalog-visible, so a lease DIRECTORY without a catalog
-        // entry is a killed process's garbage (its metastore died
-        // with it) — clear it, or the create refuses the stale
-        // location instead of acquiring
-        graft.sources.MapFiles.clearStaleLocation(spark, lease)
+        // a lease DIRECTORY the catalog doesn't know means a holder
+        // from ANOTHER metastore lifetime — a live writer process with
+        // its own catalog over this shared warehouse, or a killed one.
+        // Either way the single-writer rule says REFUSE with the
+        // holder's token and the steal remedy; only a token-less dir
+        // (a half-created husk with no committed row) is garbage to
+        // clear. This keeps the enforcement real in the
+        // per-process-metastore topology instead of silently deleting
+        // a live holder's lease.
+        if (!spark.catalog.tableExists(lease)) {
+          foreignLeaseToken(spark, lease).foreach { tok =>
+            throw new IllegalArgumentException(
+              s"writer lease on $table is held by another process " +
+                s"(token $tok, from a different catalog lifetime) — " +
+                "stop the other writer, or stealWriterLease if it " +
+                "crashed")
+          }
+          graft.sources.MapFiles.clearStaleLocation(spark, lease)
+        }
         try Seq(processToken).toDF("tok").write.saveAsTable(lease)
         catch {
           case _: org.apache.spark.sql.catalyst.analysis
@@ -438,6 +490,23 @@ private[graft] object MergeTables {
       }
       leaseHolds(lease) = held + 1
     }
+
+  /** The token committed in a lease DIRECTORY the current catalog
+    * does not know (a holder from another metastore lifetime), if
+    * any — None when no dir, no parquet, or no committed row exists
+    * (a half-created husk, safe to clear). */
+  private def foreignLeaseToken(spark: SparkSession, lease: String)
+      : Option[String] =
+    try {
+      val db = spark.catalog.currentDatabase
+      val parent = new org.apache.hadoop.fs.Path(
+        new java.net.URI(spark.catalog.getDatabase(db).locationUri))
+      val loc = new org.apache.hadoop.fs.Path(parent, lease.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) None
+      else spark.read.parquet(loc.toString).select("tok")
+        .head(1).headOption.map(_.getString(0))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Release one hold on `table`'s writer lease; the catalog row drops
     * with the last hold. Never throws — release runs on query
@@ -645,11 +714,18 @@ private[graft] object MergeTables {
     * marked — both answers agree). This is what licenses
     * [[maybeCompact]] inside a live streaming lineage. */
   def compact(spark: SparkSession, table: String, keyCol: String,
-      merged: DataFrame): Unit = {
+      merged: => DataFrame): Unit = withTableLock(table) {
     recoverCompactCrash(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — nothing to compact")
     carryHwms(spark, table)
+    // `merged` is BY-NAME and must be: Spark snapshots a table's file
+    // listing when the DataFrame is CONSTRUCTED, so a merged view built
+    // before this lock was taken would not see a generation another
+    // writer landed in between — and the swap's DROP would delete it
+    // (observed: an interleaved writer's batch vanished with nothing
+    // thrown). Constructed here, under the lock, the tier's
+    // freshView-based merge re-lists and the rewrite is complete.
     swapIn(spark, merged, keyCol, table)
   }
 
@@ -666,7 +742,11 @@ private[graft] object MergeTables {
     val ht = hwmTable(keyTable)
     recoverCompactCrash(spark, ht)
     val base = Similarity.streamBatchKeyBase
-    val live = spark.table(keyTable)
+    // freshView, not spark.table: the session's cached relation may
+    // hold a file-listing snapshot taken before the caller's lock —
+    // missing a key another writer committed in between, whose mark
+    // would then be lost with the rewrite
+    val live = freshView(spark, keyTable)
       .filter(col("batch_key") >= base)
       .select(expr(s"shiftright(batch_key - ${base}L, 28)")
           .as("lineage"),

@@ -194,9 +194,11 @@ object Samples {
     require(groups.nonEmpty, "no groups to retire")
     val cap = kcapOf(spark, table)
     require(cap < Long.MaxValue, s"$table holds no generations")
+    // null-SAFE keep predicate (the retireHllGroups argument): a null
+    // stratum was not named, so its holdout must survive the rewrite
     MergeTables.compact(spark, table, "hk",
       groupedSampleFromTable(spark, table, cap.toInt)
-        .filter(!col("g").isin(groups: _*))
+        .filter(col("g").isNull || !col("g").isin(groups: _*))
         .withColumn("kcap", lit(cap)))
   }
 

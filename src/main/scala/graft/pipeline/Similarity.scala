@@ -666,7 +666,8 @@ object Similarity {
     * reclaims them physically (spec-gated by killing the writer
     * between steps). */
   def appendIvfAdcIndex(newVecs: DataFrame, idCol: String, vecCol: String,
-      table: String, dim: Int = 64): Unit = {
+      table: String, dim: Int = 64): Unit =
+      MergeTables.withTableLock(table) {
     val spark = newVecs.sparkSession
     require(spark.catalog.tableExists(table + "_g"),
       s"$table has no generation table — not an ADC index")
@@ -743,12 +744,15 @@ object Similarity {
     val key = MergeTables.streamKey(lineage, batchId)
     // live keys OR the compacted-away high-water marks — how replay
     // exactness survives a mid-lineage compaction or retrain (r16;
-    // marks carried by compactIvfAdcIndex/retrainIvfAdcIndex)
-    if (!MergeTables.replayed(spark, table + "_g", key)) {
-      val gen = graft.sources.MapFiles.freshGen()
-      appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
-      commitAdcGen(spark, table, gen, key)
-    }
+    // marks carried by compactIvfAdcIndex/retrainIvfAdcIndex). The
+    // table lock keeps a concurrent same-process query's compaction
+    // from swapping this landing generation away.
+    if (!MergeTables.replayed(spark, table + "_g", key))
+      MergeTables.withTableLock(table) {
+        val gen = graft.sources.MapFiles.freshGen()
+        appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
+        commitAdcGen(spark, table, gen, key)
+      }
   }
 
   /** [[appendIvfAdcIndex]] with the NEW VECTORS ARRIVING AS A STREAM —
@@ -879,13 +883,18 @@ object Similarity {
     // must survive the generation reset — a checkpoint-resumed lineage
     // re-delivering a committed batch post-retrain would otherwise
     // re-append rows the retrain already packed
-    MergeTables.carryHwms(spark, table + "_g")
-    for (suffix <- Seq("", "_c", "_g")) {
-      spark.sql(s"DROP TABLE `$table$suffix`")
-      spark.sql(s"ALTER TABLE `$shadow$suffix` RENAME TO `$table$suffix`")
+    // the mark carry + swap hold the table's mutation lock so a
+    // concurrent same-process writer's landing generation cannot fall
+    // between the shadow build and the DROPs
+    MergeTables.withTableLock(table) {
+      MergeTables.carryHwms(spark, table + "_g")
+      for (suffix <- Seq("", "_c", "_g")) {
+        spark.sql(s"DROP TABLE `$table$suffix`")
+        spark.sql(s"ALTER TABLE `$shadow$suffix` RENAME TO `$table$suffix`")
+      }
+      spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+      spark.catalog.refreshTable(table)
     }
-    spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
-    spark.catalog.refreshTable(table)
     quantizer
   }
 
@@ -901,7 +910,7 @@ object Similarity {
     * the rows physically. Re-deleting or deleting absent ids is
     * trivially idempotent (membership is a set test). */
   def deleteIvfVecs(spark: SparkSession, table: String, ids: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Unit = MergeTables.withTableLock(table) {
     require(spark.catalog.tableExists(table),
       s"$table does not exist — not an ADC index")
     graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
@@ -940,7 +949,8 @@ object Similarity {
     * tier — run in a maintenance window. Gated: probe-after-compact
     * == probe-before == an index built over the surviving vectors
     * against the same frozen quantizer (spec + qd4's oracle row). */
-  def compactIvfAdcIndex(spark: SparkSession, table: String): Unit = {
+  def compactIvfAdcIndex(spark: SparkSession, table: String): Unit =
+      MergeTables.withTableLock(table) {
     // list fresh before the rewrite: an in-loop compaction runs in the
     // MAIN session while the batches landed from micro-batch CLONE
     // sessions — a stale relation cached here would silently compact

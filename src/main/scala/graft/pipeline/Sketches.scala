@@ -273,13 +273,14 @@ object Sketches {
       mergedBuckets(spark, table))
 
   /** [[compactSketchTable]] iff more than `maxGen` generations have
-    * accumulated — the auto-compaction policy a BATCH maintenance loop
-    * calls after its appends, or an operator runs between streaming
-    * lineages ([[MergeTables.maybeCompact]], incl. the never-mid-
-    * stream-lineage rule): probe-time merge fan-in and the per-append
-    * replay probe both scale with the generation count (measured curve
-    * in BASELINE.md), so the loop bounds them at ~maxGen without a
-    * human deciding when. Returns true iff it compacted. */
+    * accumulated — the auto-compaction policy a maintenance loop calls
+    * after its appends, INCLUDING inside a live streaming lineage
+    * (since r16 the rewrite carries the lineage's replay high-water
+    * marks — [[MergeTables.maybeCompact]]; qfh gates the composition):
+    * probe-time merge fan-in and the per-append replay probe both
+    * scale with the generation count (measured curve in BASELINE.md),
+    * so the loop bounds them at ~maxGen without a human deciding when.
+    * Returns true iff it compacted. */
   def maybeCompactSketchTable(spark: SparkSession, table: String,
       maxGen: Int = MergeTables.defaultMaxGen): Boolean =
     MergeTables.maybeCompact(spark, table, "b_low", maxGen)(

@@ -564,7 +564,7 @@ object TextAnalysis {
     * −0.10, BASELINE.md). df stays derived from candidate rows at
     * probe time, so no stored statistic can go stale. */
   def appendBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
-      table: String): Unit = {
+      table: String): Unit = MergeTables.withTableLock(table) {
     val spark = newDocs.sparkSession
     require(spark.catalog.tableExists(table + "_s"),
       s"$table has no scalar side table — not a BM25 index")
@@ -630,16 +630,19 @@ object TextAnalysis {
     val key = MergeTables.streamKey(lineage, batchId)
     // live keys OR the compacted-away high-water marks — how replay
     // exactness survives a mid-lineage compaction (r16, the qfh story
-    // on this tier; marks carried by compactBm25Index)
-    if (!MergeTables.replayed(spark, table + "_s", key)) {
-      val add = corpusStats(batch, textCol)
-        .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
-        .collect()(0)
-      val gen = freshGen()
-      appendPostingsOnly(batch, idCol, textCol, table, gen)
-      commitBm25Gen(spark, table, gen, add.getLong(0), add.getLong(1),
-        key)
-    }
+    // on this tier; marks carried by compactBm25Index). The table lock
+    // keeps a concurrent same-process query's compaction from swapping
+    // this landing generation away (MergeTables.withTableLock).
+    if (!MergeTables.replayed(spark, table + "_s", key))
+      MergeTables.withTableLock(table) {
+        val add = corpusStats(batch, textCol)
+          .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
+          .collect()(0)
+        val gen = freshGen()
+        appendPostingsOnly(batch, idCol, textCol, table, gen)
+        commitBm25Gen(spark, table, gen, add.getLong(0),
+          add.getLong(1), key)
+      }
   }
 
   /** [[appendBm25Index]] with the NEW DOCUMENTS ARRIVING AS A STREAM —
@@ -734,7 +737,7 @@ object TextAnalysis {
     * (doc_id, dl) of the victims — paid per delete batch, never per
     * probe. */
   def deleteBm25Docs(spark: SparkSession, table: String, ids: DataFrame,
-      idCol: String): Unit = {
+      idCol: String): Unit = MergeTables.withTableLock(table) {
     require(spark.catalog.tableExists(table + "_s"),
       s"$table has no scalar side table — not a BM25 index")
     val (live, _) = committedIndex(spark, table)
@@ -776,7 +779,8 @@ object TextAnalysis {
     * scalar rewrite lands, and their docs are already gone). Gated:
     * compacted == appended == one-shot rebuild, stored rows and probe
     * results identical (spec + qd2's oracle row). */
-  def compactBm25Index(spark: SparkSession, table: String): Unit = {
+  def compactBm25Index(spark: SparkSession, table: String): Unit =
+      MergeTables.withTableLock(table) {
     // list fresh before the rewrite: an in-loop compaction runs in the
     // MAIN session while the batches landed from micro-batch CLONE
     // sessions — a stale relation cached here would silently compact

@@ -2824,6 +2824,61 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("filtered-compaction takedown preserves NULL-keyed groups (the unnamed stratum is not the retired one)") {
+    // !isin(null) evaluates to NULL, which a plain filter drops — the
+    // original rewrite silently destroyed the null group's registers /
+    // holdout whenever an UNRELATED source was retired. The keep
+    // predicate is now null-safe: null keys were not named, so they
+    // survive bit-unchanged.
+    import graft.pipeline.Samples
+    import graft.agg.ValueAggregators
+    val rows = Seq(
+      (null.asInstanceOf[String], 1L, "alpha beta"),
+      (null.asInstanceOf[String], 2L, "beta gamma"),
+      ("src0", 3L, "alpha alpha"), ("src1", 4L, "gamma delta"))
+    val df = rows.toDF("source", "doc_id", "text")
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("source"), explode(
+        expr("filter(split(text, ' '), x -> length(x) > 0)")).as("tok"))
+    try {
+      ValueAggregators.writeHllTable(toks(df), col("source"),
+        col("tok"), "nt_hll_t")
+      Samples.writeGroupedSampleTable(df, "source", "doc_id", 2,
+        "nt_smp_t")
+      val hllBefore = ValueAggregators
+        .hllEstimateFromTable(spark, "nt_hll_t")
+        .filter(col("key").isNull).as[(String, Long)].collect().toSeq
+      val smpBefore = Samples
+        .groupedSampleFromTable(spark, "nt_smp_t", 2)
+        .filter(col("g").isNull)
+        .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+      assert(hllBefore.nonEmpty && smpBefore.nonEmpty,
+        "setup failed — no null-keyed state to protect")
+      ValueAggregators.retireHllGroups(spark, "nt_hll_t", Seq("src1"))
+      Samples.retireSampleGroups(spark, "nt_smp_t", Seq("src1"))
+      val hllAfter = ValueAggregators
+        .hllEstimateFromTable(spark, "nt_hll_t")
+        .filter(col("key").isNull).as[(String, Long)].collect().toSeq
+      val smpAfter = Samples
+        .groupedSampleFromTable(spark, "nt_smp_t", 2)
+        .filter(col("g").isNull)
+        .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+      assert(hllAfter == hllBefore,
+        "retiring src1 destroyed the null group's HLL registers")
+      assert(smpAfter == smpBefore,
+        "retiring src1 destroyed the null stratum's holdout")
+      // and the named group IS gone on both
+      assert(spark.table("nt_hll_t")
+        .filter(col("key") === "src1").isEmpty)
+      assert(spark.table("nt_smp_t")
+        .filter(col("g") === "src1").isEmpty)
+    } finally {
+      for (t <- Seq("nt_hll_t", "nt_smp_t", "nt_hll_t_hwm",
+          "nt_smp_t_hwm"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("retireSource: the revoked source is PHYSICALLY gone from all four card tables; survivors bit-unchanged; idempotent") {
     // r15 verdict item 2 — takedown end-to-end from stored state. The
     // SUM tiers (length sketch, grouped count-min) retract + compact;

@@ -1637,6 +1637,72 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("a second same-process writer's appends interleaved with another query's IN-LOOP compactions lose nothing") {
+    // the review-found race the table mutation lock closes: query A
+    // compacts in its loop while query B appends — without the lock, a
+    // generation landing between A's merged-view read and its
+    // DROP/RENAME swap is silently deleted (B's in-run memo then never
+    // re-appends it). With MergeTables.withTableLock serializing
+    // same-table mutations, any interleaving ends bit-equal to the
+    // one-shot sketch over the union.
+    import graft.pipeline.{MergeTables, Sketches}
+    import org.apache.spark.sql.functions.col
+    val vals = (1 to 900).map(i => (i.toLong * 2654435761L) % 100000L + 1L)
+    val (base, rest) = vals.splitAt(300)
+    val (sa, sb) = rest.splitAt(300)
+    try {
+      Sketches.writeSketchTable(base.toDF("v"), col("v"), "sk_rc_t")
+      val msA = MemoryStream[Long](spark)
+      val msB = MemoryStream[Long](spark)
+      // A: appends + aggressive in-loop compaction every batch
+      val linA = MergeTables.allocLineage(spark, "sk_rc_t")
+      val qA = msA.toDF().toDF("v").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            batchId: Long) =>
+          Sketches.streamAppendSketchBatch(batch, batchId, col("v"),
+            "sk_rc_t", lineage = linA)
+          Sketches.maybeCompactSketchTable(spark, "sk_rc_t", maxGen = 1)
+          ()
+        }.start()
+      // B: plain streamed appends on the same table
+      val qB = Sketches.startStreamAppendSketchTable(
+        msB.toDF().toDF("v"), col("v"), "sk_rc_t")
+      try {
+        // interleave: both queries live, batches alternating
+        for (i <- 0 until 3) {
+          msA.addData(sa.slice(i * 100, i * 100 + 100))
+          msB.addData(sb.slice(i * 100, i * 100 + 100))
+          qA.processAllAvailable(); qB.processAllAvailable()
+        }
+      } finally { qA.stop(); qB.stop() }
+      val probed = Sketches.quantilesFromSketchTable(
+          spark, "sk_rc_t", Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      val oneShot = Sketches.logBucketQuantiles(
+          vals.toDF("v"), col("v"), Seq(50, 90, 99))
+        .as[(Int, Long, Long, Long)].collect().sorted.toSeq
+      assert(oneShot.nonEmpty && probed == oneShot,
+        "an interleaved compaction dropped a concurrent writer's batch")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sk_rc_t")
+      spark.sql("DROP TABLE IF EXISTS sk_rc_t_hwm")
+    }
+  }
+
+  test("a corrupt checkpoint lineage file refuses loudly with the remedy") {
+    import graft.pipeline.MergeTables
+    val cp = SparkTest.tmpDir("bad_lineage_cp")
+    val p = new org.apache.hadoop.fs.Path(cp, "graft_lineage")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("not-a-number".getBytes) finally out.close()
+    val ex = intercept[IllegalArgumentException] {
+      MergeTables.lineageAt(spark, cp)
+    }
+    assert(ex.getMessage.contains("delete the file"),
+      s"unexpected message: ${ex.getMessage}")
+  }
+
   test("maintainBatch materializes the source micro-batch ONCE across the four card appends") {
     // r15 verdict item 7: four sequential appends per micro-batch,
     // each its own Spark job — without the cache the batch's rows
