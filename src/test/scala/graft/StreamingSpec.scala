@@ -1631,6 +1631,26 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
       assert(spark.catalog.tableExists("sk_wl_t_wlease"))
       MergeTables.releaseWriterLease(spark, "sk_wl_t")
       assert(leaseGone())
+      // a lease DIRECTORY the catalog doesn't know (a holder whose
+      // metastore lifetime is not ours — live writer process or
+      // crashed one) refuses with ITS committed token; steal clears
+      // the dir too
+      val db = spark.catalog.currentDatabase
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(
+          new java.net.URI(spark.catalog.getDatabase(db).locationUri)),
+        "sk_wl_t_wlease")
+      Seq("other-lifetime-token").toDF("tok")
+        .write.parquet(loc.toString)
+      val ex2 = intercept[IllegalArgumentException] {
+        MergeTables.acquireWriterLease(spark, "sk_wl_t")
+      }
+      assert(ex2.getMessage.contains("other-lifetime-token"),
+        s"foreign-dir holder not surfaced: ${ex2.getMessage}")
+      MergeTables.stealWriterLease(spark, "sk_wl_t")
+      MergeTables.acquireWriterLease(spark, "sk_wl_t")
+      MergeTables.releaseWriterLease(spark, "sk_wl_t")
+      assert(leaseGone())
     } finally {
       spark.sql("DROP TABLE IF EXISTS sk_wl_t")
       spark.sql("DROP TABLE IF EXISTS sk_wl_t_wlease")
