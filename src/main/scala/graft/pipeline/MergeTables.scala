@@ -543,7 +543,16 @@ private[graft] object MergeTables {
       tables: Seq[String])(
       start: => org.apache.spark.sql.streaming.StreamingQuery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    tables.foreach(acquireWriterLease(spark, _))
+    // acquire all-or-nothing: a refusal on the Nth table must not
+    // leave the first N−1 leases held forever (a multi-table loop
+    // like startMaintain would otherwise strand them until a steal)
+    val acquired = scala.collection.mutable.ListBuffer[String]()
+    try tables.foreach { t =>
+      acquireWriterLease(spark, t); acquired += t
+    } catch {
+      case e: Throwable =>
+        acquired.foreach(releaseWriterLease(spark, _)); throw e
+    }
     val q =
       try start
       catch {
