@@ -223,7 +223,17 @@ object RelationalQueries {
     graft.pipeline.MergeTables.mergedSum(s, qc2SelTable(s, d),
       Seq("g"), "cnt")
 
-  private[graft] def qc2Depths(s: SparkSession, d: String): (Int, Int) = {
+  /** Memoized per source dir (the denseParams discipline): the stored
+    * counts change only when the corpus does, and the maintained table
+    * is rebuilt per process, so one table read per process serves
+    * every qc2 invocation. */
+  private val qc2DepthsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[graft] def qc2Depths(s: SparkSession, d: String): (Int, Int) =
+    qc2DepthsMemo.computeIfAbsent(dirTag(d), _ => qc2DepthsUncached(s, d))
+
+  private def qc2DepthsUncached(s: SparkSession, d: String): (Int, Int) = {
     val r = qc2DepthInputs(s, d).agg(
       coalesce(sum("cnt"), lit(0L)),
       coalesce(sum(when(col("g") === 1L, col("cnt"))), lit(0L))).head()
