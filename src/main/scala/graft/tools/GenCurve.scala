@@ -164,6 +164,51 @@ object GenCurve {
     }
     }
 
+    if (run("online")) {
+    // ---- in-loop auto-compaction: amortized per-batch cost ----
+    // The unattended loops (qfh/qfk/qfl, r16) run maybeCompact after
+    // every micro-batch. Per batch that costs (a) the generation-count
+    // probe always and (b) one state-sized rewrite every ~maxGen
+    // batches. Measured here: 40 micro-batches streamed into the
+    // qfa-shaped hour-keyed grouped sketch under no policy vs
+    // maxGen 64 (the default — never trips at this depth, so it prices
+    // the pure threshold probe) vs 8 and 2 (aggressive, pricing the
+    // amortized rewrites).
+    val evb = Tables.events(spark, src)
+      .filter(col("value").isNotNull && col("ts").isNotNull)
+      .select(expr("unix_timestamp(ts) div 3600").as("g"),
+        floor(col("value") * 100 + 0.5).cast("long").as("v"))
+      .limit(40000).cache()
+    evb.count()
+    val batches = (0 until 40).map(i =>
+      evb.filter(col("v") % 40 === i).cache())
+    batches.foreach(_.count())
+    for (mg <- Seq(0, 64, 8, 2)) {
+      val tbl = s"gc_ol_$mg"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_hwm")
+      graft.pipeline.Sketches.writeGroupedSketchTable(
+        batches(0), col("g"), col("v"), tbl)
+      val t0 = System.nanoTime()
+      for ((b, i) <- batches.zipWithIndex.drop(1)) {
+        graft.pipeline.Sketches.streamAppendGroupedSketchBatch(
+          b, i.toLong, col("g"), col("v"), tbl, lineage = 1L)
+        if (mg > 0)
+          graft.pipeline.Sketches.maybeCompactGroupedSketchTable(
+            spark, tbl, mg)
+      }
+      val perBatch = (System.nanoTime() - t0) / 1e9 / 39
+      val gens = MergeTables.generationCount(spark, tbl)
+      val tag = if (mg == 0) "none" else mg.toString
+      System.err.println(
+        f"[gencurve] online maxGen=$tag%-5s per-batch=$perBatch%6.3f s " +
+          s"final_gens=$gens")
+      t(s"online_$tag") = perBatch
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_hwm")
+    }
+    }
+
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v)) }
