@@ -419,8 +419,9 @@ object Dedup {
     * exchange) because duplicates are semantically inert here. */
   def appendMinhashIndex(newCorpus: DataFrame, idCol: String,
       textCol: String, table: String, n: Int, numHashes: Int = 24,
-      bands: Int = 6): Unit = {
+      bands: Int = 6): Unit = MergeTables.withTableLock(table) {
     val spark = newCorpus.sparkSession
+    MergeTables.recoverCmpSwapCrash(spark, table)
     val buckets = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
@@ -479,7 +480,13 @@ object Dedup {
     * crash exposure is the two-catalog-op swap window only (run in a
     * maintenance window). Gated: compacted == appended == rebuilt,
     * stored rows and probe results identical (spec + qd5). */
-  def compactMinhashIndex(spark: SparkSession, table: String): Unit = {
+  def compactMinhashIndex(spark: SparkSession, table: String): Unit =
+      MergeTables.withTableLock(table) {
+    // heal a prior crash's swap window, then rewrite under the table's
+    // mutation lock so a concurrent same-process append's band rows
+    // cannot land between the listing and the DROP (the
+    // MergeTables.compact discipline)
+    MergeTables.recoverCmpSwapCrash(spark, table)
     val buckets = spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
@@ -515,7 +522,9 @@ object Dedup {
     * (qd7): the incremental screen over the tombstoned archive equals
     * the scan-per-run pairs over the archive MINUS the deleted docs. */
   def deleteMinhashDocs(spark: SparkSession, table: String,
-      ids: DataFrame, idCol: String): Unit = {
+      ids: DataFrame, idCol: String): Unit =
+      MergeTables.withTableLock(table) {
+    MergeTables.recoverCmpSwapCrash(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — not a minhash index")
     graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
@@ -528,6 +537,10 @@ object Dedup {
     * by compaction so the two cannot disagree on liveness. */
   private def liveMinhashRows(spark: SparkSession, table: String,
       bucketedRead: Boolean = false): DataFrame = {
+    // heal a compactor crash's DROP/RENAME window first (the
+    // committedIndex discipline; this tier's compactor swaps through
+    // the same _cmp shadow)
+    MergeTables.recoverCmpSwapCrash(spark, table)
     val stored =
       if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
       else spark.table(table)

@@ -685,6 +685,30 @@ private[graft] object MergeTables {
     }
   }
 
+  /** Heal the INDEX tiers' compaction swap window (the
+    * [[recoverCompactCrash]] discipline with their `_cmp` shadow
+    * naming): a compactor crash between its DROP and RENAME leaves the
+    * complete rewrite under `table_cmp` with no table at the live name
+    * — finishing the rename IS the recovery. Sound because the side
+    * tables stay consistent either way: the compacted rows are all
+    * generation 0, which is committed in every reachable state of the
+    * scalar/generation tables, and an un-dropped tombstone table is
+    * inert against rows the rewrite already excluded. (The ADC
+    * RETRAIN's multi-table swap is NOT healed here — a partial retrain
+    * leaves rows packed against centroids the `_c` swap hasn't landed,
+    * which no rename can reconcile; it stays the documented
+    * maintenance-window operation.) No-op unless exactly the crash
+    * state is found. */
+  private[graft] def recoverCmpSwapCrash(spark: SparkSession,
+      table: String): Unit = {
+    val shadow = table + "_cmp"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(shadow)) {
+      spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+      spark.catalog.refreshTable(table)
+    }
+  }
+
   /** Shadow-write `df` then swap it in at `table` — the crash-safe
     * replace shared by [[compact]] (the state rewrite) and the
     * high-water-mark sidecar rewrite: a crash before the DROP leaves

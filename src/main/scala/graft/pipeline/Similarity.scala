@@ -669,6 +669,7 @@ object Similarity {
       table: String, dim: Int = 64): Unit =
       MergeTables.withTableLock(table) {
     val spark = newVecs.sparkSession
+    MergeTables.recoverCmpSwapCrash(spark, table)
     require(spark.catalog.tableExists(table + "_g"),
       s"$table has no generation table — not an ADC index")
     val gen = graft.sources.MapFiles.freshGen()
@@ -749,6 +750,7 @@ object Similarity {
     // from swapping this landing generation away.
     if (!MergeTables.replayed(spark, table + "_g", key))
       MergeTables.withTableLock(table) {
+        MergeTables.recoverCmpSwapCrash(spark, table)
         val gen = graft.sources.MapFiles.freshGen()
         appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
         commitAdcGen(spark, table, gen, key)
@@ -830,6 +832,7 @@ object Similarity {
   def maybeCompactIvfAdcIndex(spark: SparkSession, table: String,
       maxGen: Int = MergeTables.defaultMaxGen): Boolean = {
     require(maxGen >= 1, s"maxGen=$maxGen")
+    MergeTables.recoverCmpSwapCrash(spark, table)
     spark.catalog.refreshTable(table + "_g")
     if (spark.table(table + "_g").count() <= maxGen) false
     else { compactIvfAdcIndex(spark, table); true }
@@ -926,6 +929,10 @@ object Similarity {
     * liveness. */
   private def liveAdcRows(spark: SparkSession, table: String,
       bucketedRead: Boolean = false): DataFrame = {
+    // heal a compactor crash's DROP/RENAME window first (the
+    // committedIndex discipline — this read is the first touch of
+    // every probe and delete)
+    MergeTables.recoverCmpSwapCrash(spark, table)
     val stored =
       if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
       else spark.table(table)
@@ -951,6 +958,7 @@ object Similarity {
     * against the same frozen quantizer (spec + qd4's oracle row). */
   def compactIvfAdcIndex(spark: SparkSession, table: String): Unit =
       MergeTables.withTableLock(table) {
+    MergeTables.recoverCmpSwapCrash(spark, table)
     // list fresh before the rewrite: an in-loop compaction runs in the
     // MAIN session while the batches landed from micro-batch CLONE
     // sessions — a stale relation cached here would silently compact

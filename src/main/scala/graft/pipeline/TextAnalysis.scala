@@ -496,6 +496,10 @@ object TextAnalysis {
     * job; orphan files cost only their own read, never correctness. */
   private[graft] def committedIndex(spark: SparkSession, table: String,
       bucketedRead: Boolean = false): (DataFrame, DataFrame) = {
+    // heal a compactor crash's DROP/RENAME window first — with in-loop
+    // compaction (qfm) the window is hit proportionally more often,
+    // and this read is the first touch of every probe/append/delete
+    MergeTables.recoverCmpSwapCrash(spark, table)
     val sTab = spark.table(table + "_s")
     val stats = sTab.agg(sum("n_docs").as("n_docs"),
       sum("sum_dl").as("sum_dl"))
@@ -566,6 +570,7 @@ object TextAnalysis {
   def appendBm25Index(newDocs: DataFrame, idCol: String, textCol: String,
       table: String): Unit = MergeTables.withTableLock(table) {
     val spark = newDocs.sparkSession
+    MergeTables.recoverCmpSwapCrash(spark, table)
     require(spark.catalog.tableExists(table + "_s"),
       s"$table has no scalar side table — not a BM25 index")
     // an all-filtered batch aggregates to (0, null sum) — coalesce
@@ -635,6 +640,7 @@ object TextAnalysis {
     // this landing generation away (MergeTables.withTableLock).
     if (!MergeTables.replayed(spark, table + "_s", key))
       MergeTables.withTableLock(table) {
+        MergeTables.recoverCmpSwapCrash(spark, table)
         val add = corpusStats(batch, textCol)
           .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
           .collect()(0)
@@ -713,6 +719,7 @@ object TextAnalysis {
   def maybeCompactBm25Index(spark: SparkSession, table: String,
       maxGen: Int = MergeTables.defaultMaxGen): Boolean = {
     require(maxGen >= 1, s"maxGen=$maxGen")
+    MergeTables.recoverCmpSwapCrash(spark, table)
     spark.catalog.refreshTable(table + "_s")
     if (spark.table(table + "_s").count() <= maxGen) false
     else { compactBm25Index(spark, table); true }
@@ -781,6 +788,7 @@ object TextAnalysis {
     * results identical (spec + qd2's oracle row). */
   def compactBm25Index(spark: SparkSession, table: String): Unit =
       MergeTables.withTableLock(table) {
+    MergeTables.recoverCmpSwapCrash(spark, table)
     // list fresh before the rewrite: an in-loop compaction runs in the
     // MAIN session while the batches landed from micro-batch CLONE
     // sessions — a stale relation cached here would silently compact

@@ -2824,6 +2824,78 @@ class SketchesSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("index-tier compactor crash window heals on next touch: table absent + _cmp shadow present finishes the rename on all three tiers") {
+    // the MergeTables recoverCompactCrash discipline extended to the
+    // index tiers' _cmp shadow (r16): with in-loop compaction the
+    // DROP/RENAME window is hit proportionally more often, and the
+    // first probe/append/delete after the crash must finish the rename
+    // instead of stranding the index. The crash state is simulated by
+    // renaming the live table to its shadow name — exactly what a
+    // crash between the compactor's DROP and RENAME leaves (the shadow
+    // holds the complete rewrite).
+    import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+    val docs = Seq((1L, "apple banana apple"), (2L, "apple cherry"),
+      (3L, "banana durian"), (4L, "durian apple"))
+      .toDF("doc_id", "text")
+    val qs = Seq((9L, "apple banana")).toDF("q_id", "qtext")
+    // BM25
+    try {
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "hx_bm_idx")
+      val before = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "hx_bm_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(before.nonEmpty)
+      spark.sql("ALTER TABLE hx_bm_idx RENAME TO hx_bm_idx_cmp")
+      val after = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "hx_bm_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(after == before, "BM25 heal lost or changed the index")
+      assert(spark.catalog.tableExists("hx_bm_idx") &&
+        !spark.catalog.tableExists("hx_bm_idx_cmp"))
+    } finally {
+      for (t <- Seq("hx_bm_idx", "hx_bm_idx_cmp", "hx_bm_idx_s"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    // ADC
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    try {
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "hx_adc_idx", nlist = 4, dim = 64)
+      def probe() = Similarity.ivfAdcTopKIndexed(
+          vecs.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+          k = 3, nprobe = 2, table = "hx_adc_idx", dim = 64)
+        .select("q_id", "nb_id", "rank")
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      val before = probe()
+      assert(before.nonEmpty)
+      spark.sql("ALTER TABLE hx_adc_idx RENAME TO hx_adc_idx_cmp")
+      assert(probe() == before, "ADC heal lost or changed the index")
+    } finally {
+      for (t <- Seq("hx_adc_idx", "hx_adc_idx_cmp", "hx_adc_idx_c",
+          "hx_adc_idx_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    // minhash
+    try {
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", "hx_mh_idx",
+        n = 2, numHashes = h, bands = b)
+      val batch = Seq((9L, "apple banana apple")).toDF("doc_id", "text")
+      def screen() = Dedup.incrementalMinhashPairsIndexed(docs, batch,
+          "doc_id", "text", "hx_mh_idx", n = 2, threshold = 0.5,
+          numHashes = h, bands = b)
+        .as[(Long, Long, Double)].collect().sorted.toSeq
+      val before = screen()
+      spark.sql("ALTER TABLE hx_mh_idx RENAME TO hx_mh_idx_cmp")
+      assert(screen() == before, "minhash heal lost or changed the index")
+    } finally {
+      for (t <- Seq("hx_mh_idx", "hx_mh_idx_cmp"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("filtered-compaction takedown preserves NULL-keyed groups (the unnamed stratum is not the retired one)") {
     // !isin(null) evaluates to NULL, which a plain filter drops — the
     // original rewrite silently destroyed the null group's registers /
