@@ -747,14 +747,18 @@ object Similarity {
     // exactness survives a mid-lineage compaction or retrain (r16;
     // marks carried by compactIvfAdcIndex/retrainIvfAdcIndex). The
     // table lock keeps a concurrent same-process query's compaction
-    // from swapping this landing generation away.
-    if (!MergeTables.replayed(spark, table + "_g", key))
-      MergeTables.withTableLock(table) {
+    // from swapping this landing generation away — and it covers the
+    // REPLAY PROBE too (ADVICE r16): probing outside it could observe
+    // (or worse, heal) a concurrent compactor's intentional
+    // DROP->RENAME window mid-swap.
+    MergeTables.withTableLock(table) {
+      if (!MergeTables.replayed(spark, table + "_g", key)) {
         MergeTables.recoverCmpSwapCrash(spark, table)
         val gen = graft.sources.MapFiles.freshGen()
         appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
         commitAdcGen(spark, table, gen, key)
       }
+    }
   }
 
   /** [[appendIvfAdcIndex]] with the NEW VECTORS ARRIVING AS A STREAM —

@@ -637,9 +637,12 @@ object TextAnalysis {
     // exactness survives a mid-lineage compaction (r16, the qfh story
     // on this tier; marks carried by compactBm25Index). The table lock
     // keeps a concurrent same-process query's compaction from swapping
-    // this landing generation away (MergeTables.withTableLock).
-    if (!MergeTables.replayed(spark, table + "_s", key))
-      MergeTables.withTableLock(table) {
+    // this landing generation away (MergeTables.withTableLock) — and
+    // it covers the REPLAY PROBE too (ADVICE r16): probing outside it
+    // could observe (or heal) a concurrent compactor's intentional
+    // DROP->RENAME window mid-swap.
+    MergeTables.withTableLock(table) {
+      if (!MergeTables.replayed(spark, table + "_s", key)) {
         MergeTables.recoverCmpSwapCrash(spark, table)
         val add = corpusStats(batch, textCol)
           .select(col("n_docs"), coalesce(col("sum_dl"), lit(0L)))
@@ -649,6 +652,7 @@ object TextAnalysis {
         commitBm25Gen(spark, table, gen, add.getLong(0),
           add.getLong(1), key)
       }
+    }
   }
 
   /** [[appendBm25Index]] with the NEW DOCUMENTS ARRIVING AS A STREAM —

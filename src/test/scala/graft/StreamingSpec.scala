@@ -1657,6 +1657,76 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("lease liveness: holders renew a heartbeat; adopt-after-TTL takes a silent lease and refuses a renewing one") {
+    // r16 verdict item 1: the lease refused a foreign token
+    // unconditionally, so a CRASHED foreign writer blocked the pipeline
+    // until a human called stealWriterLease. With
+    // graft.lease.adoptAfterMs declared, the acquirer observes the
+    // holder's heartbeat for the TTL: silent -> presumed crashed,
+    // adopted; advancing -> live, refused with the observation. The
+    // reference's own liveness mechanism (JobTracker heartbeats).
+    import graft.pipeline.{MergeTables, Sketches}
+    import org.apache.spark.sql.functions.col
+    def leaseGone(): Boolean =
+      !spark.catalog.tableExists("sk_ll_t_wlease")
+    try {
+      // 0) live holders renew WITHOUT being asked: a streaming append's
+      // lease heartbeat advances on the configured cadence
+      spark.conf.set("graft.lease.renewIntervalMs", "100")
+      Sketches.writeSketchTable(Seq(5L, 9L).toDF("v"), col("v"), "sk_ll_t")
+      val ms = MemoryStream[Long](spark)
+      val q = Sketches.startStreamAppendSketchTable(
+        ms.toDF().toDF("v"), col("v"), "sk_ll_t")
+      try {
+        ms.addData(Seq(7L)); q.processAllAvailable()
+        val dl = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (MergeTables.leaseBeat(spark, "sk_ll_t_wlease") < 1L &&
+            System.nanoTime() < dl)
+          Thread.sleep(50)
+        assert(MergeTables.leaseBeat(spark, "sk_ll_t_wlease") >= 1L,
+          "streaming holder never renewed its lease heartbeat")
+      } finally q.stop()
+      val dl0 = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!leaseGone() && System.nanoTime() < dl0) Thread.sleep(50)
+      assert(leaseGone(), "lease not released after the query ended")
+      // 1) a silent ("crashed") foreign holder: refused without the
+      // policy, ADOPTED with it
+      Seq("crashed-holder").toDF("tok").write.saveAsTable("sk_ll_t_wlease")
+      intercept[IllegalArgumentException] {
+        MergeTables.acquireWriterLease(spark, "sk_ll_t")
+      }
+      spark.conf.set("graft.lease.adoptAfterMs", "400")
+      MergeTables.acquireWriterLease(spark, "sk_ll_t")
+      assert(spark.catalog.tableExists("sk_ll_t_wlease"),
+        "adoption did not re-acquire the lease")
+      MergeTables.releaseWriterLease(spark, "sk_ll_t")
+      assert(leaseGone())
+      // 2) a RENEWING foreign holder stays refused under the same policy
+      Seq("live-holder").toDF("tok").write.saveAsTable("sk_ll_t_wlease")
+      val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val renewer = new Thread(() => {
+        while (renewing.get()) {
+          MergeTables.renewWriterLease(spark, "sk_ll_t")
+          Thread.sleep(100)
+        }
+      })
+      renewer.setDaemon(true); renewer.start()
+      try {
+        val ex = intercept[IllegalArgumentException] {
+          MergeTables.acquireWriterLease(spark, "sk_ll_t")
+        }
+        assert(ex.getMessage.contains("LIVE"),
+          s"renewing holder not recognized as live: ${ex.getMessage}")
+      } finally { renewing.set(false); renewer.join() }
+      MergeTables.stealWriterLease(spark, "sk_ll_t")
+    } finally {
+      spark.conf.unset("graft.lease.adoptAfterMs")
+      spark.conf.unset("graft.lease.renewIntervalMs")
+      spark.sql("DROP TABLE IF EXISTS sk_ll_t")
+      spark.sql("DROP TABLE IF EXISTS sk_ll_t_wlease")
+    }
+  }
+
   test("a second same-process writer's appends interleaved with another query's IN-LOOP compactions lose nothing") {
     // the review-found race the table mutation lock closes: query A
     // compacts in its loop while query B appends — without the lock, a
