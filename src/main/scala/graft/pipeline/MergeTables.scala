@@ -107,6 +107,27 @@ private[graft] object MergeTables {
       .saveAsTable(table)
   }
 
+  /** Idempotent BATCH append — the batch flavor of the streamed replay
+    * machinery (r16 verdict item 5), closing the last at-least-once
+    * seam on the additive tiers: a plain [[append]] retried by the
+    * caller double-counts (SUM-monoid state is not idempotent), so a
+    * caller who may retry names the operation with its own
+    * (lineage, batchId) — allocate the lineage once with
+    * [[allocLineage]], number the batches — and a re-delivery of a
+    * committed key is an exact no-op. The key is the same
+    * [[streamKey]] the streamed appends commit under, so it rides the
+    * generation's own rows, survives compaction through the
+    * high-water-mark sidecar, and can never collide with a streaming
+    * lineage (the id came from the same allocator). Returns true iff
+    * the batch appended (false = already committed). */
+  def appendKeyed(state: DataFrame, keyCol: String, table: String,
+      lineage: Long, batchId: Long): Boolean = withTableLock(table) {
+    registerLineage(table, lineage)
+    val key = streamKey(lineage, batchId)
+    if (replayed(state.sparkSession, table, key)) false
+    else { append(state, keyCol, table, key); true }
+  }
+
   /** Per-process registry of the highest lineage id handed out per key
     * table, so two CONCURRENT streaming queries in one driver can never
     * draw the same id even before either commits a key. Guarded by
@@ -273,9 +294,40 @@ private[graft] object MergeTables {
         val lin = (key - Similarity.streamBatchKeyBase) >> 28
         val batch = (key - Similarity.streamBatchKeyBase) &
           ((1L << 28) - 1)
-        !spark.table(ht)
-          .filter(col("lineage") === lin && col("hwm") >= batch).isEmpty
+        // one bounded read: this lineage's mark plus the retirement
+        // floor row (hwm = Long.MaxValue marks every lineage at/below
+        // its `lineage` as RETIRED — their exact marks were pruned at
+        // compaction, r16 verdict item 4)
+        val rows = spark.table(ht)
+          .filter((col("lineage") === lin && col("hwm") >= batch) ||
+            col("hwm") === Long.MaxValue)
+          .select("lineage", "hwm").collect()
+        val floor = rows.filter(_.getLong(1) == Long.MaxValue)
+          .map(_.getLong(0)).foldLeft(-1L)(math.max)
+        if (lin <= floor) throw new IllegalStateException(
+          s"lineage $lin of $table was retired at compaction (resume " +
+            "horizon graft.hwm.keepLineages) — its exact replay marks " +
+            "are gone, so resuming it could double-count; start a " +
+            "fresh lineage under a new checkpoint")
+        rows.exists(r => r.getLong(0) == lin && r.getLong(1) >= batch)
       }
+    }
+  }
+
+  /** The retirement FLOOR of `keyTable`'s replay marks: every lineage
+    * at/below it was retired at a compaction ([[retireHwms]]) — its
+    * exact marks are gone and [[replayed]]/[[streamAppend]] refuse it.
+    * −1 when nothing was ever retired. */
+  private[graft] def hwmFloor(spark: SparkSession, keyTable: String)
+      : Long = {
+    val ht = hwmTable(keyTable)
+    recoverCompactCrash(spark, ht)
+    if (!spark.catalog.tableExists(ht)) -1L
+    else {
+      spark.catalog.refreshTable(ht)
+      val row = spark.table(ht).filter(col("hwm") === Long.MaxValue)
+        .agg(max("lineage")).head()
+      if (row.isNullAt(0)) -1L else row.getLong(0)
     }
   }
 
@@ -347,6 +399,15 @@ private[graft] object MergeTables {
               s"persisted under checkpoint $cp (lineage $p) — resuming " +
               "under a different lineage would re-append the original " +
               "lineage's committed batches; pass the checkpoint alone")
+          // a lineage RETIRED at compaction (resume horizon) has no
+          // exact replay marks left — refuse the resume up front with
+          // the remedy, rather than throwing mid-batch
+          val f = hwmFloor(spark, table)
+          require(p > f,
+            s"checkpoint $cp resumes lineage $p, which was retired at " +
+              s"compaction (retirement floor $f, graft.hwm.keepLineages)" +
+              " — its replay marks are gone; delete the checkpoint and " +
+              "start a fresh lineage")
           registerLineage(table, p)
           p
         case None =>
@@ -959,11 +1020,61 @@ private[graft] object MergeTables {
         spark.table(ht).select("lineage", "hwm")
       }
     // materialize before the sidecar swap reads-and-replaces it;
-    // bounded by the lineage count (one row per started query, ever)
-    val hwms = prior.unionByName(live)
+    // bounded by the lineage count (one row per started query, ever) —
+    // and with a declared resume horizon (graft.hwm.keepLineages),
+    // RETIRED down to that many newest lineages plus one floor row, so
+    // the unattended loop's last unbounded-growth artifact is bounded
+    // too (r16 verdict item 4)
+    val folded = prior.unionByName(live)
       .groupBy("lineage").agg(max("hwm").as("hwm"))
-      .localCheckpoint()
+    val hwms = spark.conf.getOption("graft.hwm.keepLineages") match {
+      case None => folded.localCheckpoint()
+      case Some(k) => retiredMarks(spark, folded, k.toInt)
+    }
     if (!hwms.isEmpty) swapIn(spark, hwms, "lineage", ht)
+  }
+
+  /** Prune `keyTable`'s replay marks to the `keep` NEWEST lineages,
+    * folding everything older into one FLOOR row
+    * (`(maxRetiredLineage, Long.MaxValue)`): retained lineages keep
+    * exact replay detection; retired ones are REFUSED on resume
+    * ([[replayed]]/[[resolveLineage]]) instead of silently
+    * double-counted, and [[allocLineage]] can never re-issue a retired
+    * id (the floor row keeps the max). The explicit form of the
+    * retirement [[carryHwms]] applies at every compaction when
+    * `graft.hwm.keepLineages` is declared on the session. */
+  def retireHwms(spark: SparkSession, keyTable: String, keep: Int)
+      : Unit = withTableLock(keyTable) {
+    val ht = hwmTable(keyTable)
+    recoverCompactCrash(spark, ht)
+    if (spark.catalog.tableExists(ht)) {
+      spark.catalog.refreshTable(ht)
+      val marks = retiredMarks(spark,
+        spark.table(ht).select("lineage", "hwm"), keep)
+      if (!marks.isEmpty) swapIn(spark, marks, "lineage", ht)
+    }
+  }
+
+  /** `folded` (lineage, hwm) marks with only the `keep` newest REAL
+    * lineages retained and the rest folded into the floor row. Runs on
+    * a driver-side collect — the mark set is lineage-count-bounded by
+    * contract (that bound is the reason retirement exists). */
+  private def retiredMarks(spark: SparkSession, folded: DataFrame,
+      keep: Int): DataFrame = {
+    require(keep >= 0, s"keepLineages=$keep")
+    val rows = folded.collect()
+      .map(r => (r.getAs[Long]("lineage"), r.getAs[Long]("hwm")))
+    val floor0 = rows.filter(_._2 == Long.MaxValue)
+      .map(_._1).foldLeft(-1L)(math.max)
+    val real = rows.filter(_._2 != Long.MaxValue)
+    val kept = real.sortBy(-_._1).take(keep).filter(_._1 > floor0)
+    val retired = real.map(_._1).filterNot(kept.map(_._1).toSet)
+    val floor = (retired :+ floor0).max
+    import spark.implicits._
+    val out =
+      if (floor < 0) kept.toSeq
+      else (kept :+ (floor, Long.MaxValue)).toSeq
+    out.toDF("lineage", "hwm")
   }
 
   /** Drop the [[hwmTable]] sidecar (and its shadow, and any stale

@@ -196,16 +196,19 @@ object Sketches {
     * commit protocol: each append is ONE coalesced single-file write,
     * whose visibility is one rename
     * ([[graft.pipeline.TextAnalysis.commitBm25Gen]]'s argument) — a
-    * crashed append leaves the exact pre-append state. A RETRIED BATCH
-    * append double-counts (counts are additive, not idempotent) — the
-    * batch caller owns exactly-once; STREAMED appends get replay
-    * idempotence from the deterministic per-micro-batch `batch_key`
-    * ([[streamAppendSketchTable]] — the key rides the data rows
-    * themselves, so unlike the BM25/ADC tiers no separate commit table
-    * is needed: the single-file rename lands counts and key
-    * atomically). Deletion is [[retractSketchTable]] (additive
-    * retraction, no tombstones to store); [[compactSketchTable]]
-    * collapses generations. */
+    * crashed append leaves the exact pre-append state. Replay
+    * idempotence (counts are additive, so a re-delivered batch would
+    * otherwise double-count) comes from the deterministic `batch_key`
+    * riding the data rows themselves — so unlike the BM25/ADC tiers no
+    * separate commit table is needed: the single-file rename lands
+    * counts and key atomically. STREAMED appends key their
+    * micro-batches automatically ([[streamAppendSketchTable]]); a
+    * BATCH caller who may retry keys its appends the same way through
+    * [[appendSketchTableKeyed]] (r16 verdict item 5 — the unkeyed
+    * [[appendSketchTable]] remains for callers whose delivery is
+    * already exactly-once). Deletion is [[retractSketchTable]]
+    * (additive retraction, no tombstones to store);
+    * [[compactSketchTable]] collapses generations. */
   def writeSketchTable(rows: DataFrame, valCol: Column, table: String,
       subBits: Int = defaultSubBits): Unit =
     MergeTables.write(logBucketCounts(rows, valCol, subBits), "b_low",
@@ -218,6 +221,19 @@ object Sketches {
       subBits: Int = defaultSubBits): Unit =
     MergeTables.append(logBucketCounts(rows, valCol, subBits), "b_low",
       table)
+
+  /** [[appendSketchTable]] under a caller-supplied idempotence key
+    * ([[MergeTables.appendKeyed]]): allocate a lineage once
+    * ([[MergeTables.allocLineage]]), number the batches, and a RETRIED
+    * delivery of a committed batch is an exact no-op — the probe after
+    * a retry is bit-equal to the probe after a single delivery, across
+    * compactions too (the key survives into the high-water-mark
+    * sidecar). Returns true iff the batch appended. */
+  def appendSketchTableKeyed(rows: DataFrame, valCol: Column,
+      table: String, lineage: Long, batchId: Long,
+      subBits: Int = defaultSubBits): Boolean =
+    MergeTables.appendKeyed(logBucketCounts(rows, valCol, subBits),
+      "b_low", table, lineage, batchId)
 
   /** DELETE from a persisted sketch by additive retraction — the
     * approximate tier's member of the delete matrix (qd3/qd4/qd7),

@@ -1727,6 +1727,106 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("keyed batch append: a retried delivery is an exact no-op, across a compaction too") {
+    // r16 verdict item 5: plain batch appends on the additive tiers
+    // double-counted when retried (the caller owned exactly-once).
+    // appendKeyed names the operation with the same (lineage, batchId)
+    // machinery the streamed appends use — a re-delivery of a
+    // committed key probes bit-identical, and the key survives the
+    // compaction rewrite through the high-water-mark sidecar.
+    import graft.pipeline.{MergeTables, Sketches}
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 200).map(i => (i.toLong * 48271) % 900L + 1L)
+    val batch = (1 to 80).map(i => (i.toLong * 69621) % 900L + 1L)
+    val pcts = Seq(50, 90, 99)
+    def probe(t: String) =
+      Sketches.quantilesFromSketchTable(spark, t, pcts).collect().toSeq
+    try {
+      Sketches.writeSketchTable(base.toDF("v"), col("v"), "sk_ik_t")
+      val lin = MergeTables.allocLineage(spark, "sk_ik_t")
+      assert(Sketches.appendSketchTableKeyed(
+        batch.toDF("v"), col("v"), "sk_ik_t", lin, 0L))
+      val once = probe("sk_ik_t")
+      // the retried delivery: an exact no-op, not a double-count
+      assert(!Sketches.appendSketchTableKeyed(
+        batch.toDF("v"), col("v"), "sk_ik_t", lin, 0L))
+      assert(probe("sk_ik_t") == once,
+        "retried keyed batch append changed the probe")
+      // the key survives the compaction rewrite (hwm sidecar)
+      Sketches.compactSketchTable(spark, "sk_ik_t")
+      assert(!Sketches.appendSketchTableKeyed(
+        batch.toDF("v"), col("v"), "sk_ik_t", lin, 0L),
+        "keyed append re-appended after compaction — key lost in rewrite")
+      assert(probe("sk_ik_t") == once)
+      // and the grown sketch equals the one-shot over the union
+      Sketches.writeSketchTable((base ++ batch).toDF("v"), col("v"),
+        "sk_ik_ora")
+      assert(probe("sk_ik_ora") == once,
+        "keyed append's probe drifted from the one-shot sketch")
+    } finally {
+      for (t <- Seq("sk_ik_t", "sk_ik_t_hwm", "sk_ik_ora", "sk_ik_ora_hwm"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("hwm retirement: marks beyond the horizon fold into a floor; retained lineages skip exactly; retired ids never re-issue") {
+    // r16 verdict item 4: the hwm sidecar grew one row per lineage
+    // FOREVER — the unattended loop's last unbounded artifact. With
+    // graft.hwm.keepLineages declared, compaction keeps the newest K
+    // lineages' exact marks and folds the rest into one floor row:
+    // retained lineages still skip exactly, retired ones are refused
+    // loudly on replay/resume (never silently double-counted), and
+    // allocLineage can never re-issue a retired id.
+    import graft.pipeline.{MergeTables, Sketches}
+    import org.apache.spark.sql.functions.col
+    val pcts = Seq(50, 99)
+    def probe() =
+      Sketches.quantilesFromSketchTable(spark, "sk_rh_t", pcts)
+        .collect().toSeq
+    def marks() = spark.table("sk_rh_t_hwm").select("lineage", "hwm")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      Sketches.writeSketchTable(Seq(10L, 20L).toDF("v"), col("v"),
+        "sk_rh_t")
+      for (lin <- 1L to 4L)
+        assert(Sketches.appendSketchTableKeyed(
+          Seq(lin * 100L).toDF("v"), col("v"), "sk_rh_t", lin, 0L))
+      val grown = probe()
+      spark.conf.set("graft.hwm.keepLineages", "2")
+      Sketches.compactSketchTable(spark, "sk_rh_t")
+      assert(probe() == grown, "compaction changed the probe")
+      // beyond-horizon marks vanished into the floor row
+      assert(marks() == Set((3L, 0L), (4L, 0L), (2L, Long.MaxValue)),
+        s"unexpected retired mark set: ${marks()}")
+      // within the horizon: replay detection stays EXACT
+      assert(!Sketches.appendSketchTableKeyed(
+        Seq(300L).toDF("v"), col("v"), "sk_rh_t", 3L, 0L),
+        "retained lineage's committed batch re-appended")
+      assert(probe() == grown)
+      // beyond the horizon: refused loudly, never silently re-counted
+      val ex = intercept[IllegalStateException] {
+        Sketches.appendSketchTableKeyed(
+          Seq(100L).toDF("v"), col("v"), "sk_rh_t", 1L, 0L)
+      }
+      assert(ex.getMessage.contains("retired"), ex.getMessage)
+      assert(probe() == grown)
+      // a fresh process can never re-issue a retired lineage id: the
+      // floor row keeps the max for the committed-state derivation
+      MergeTables.forgetLineages("sk_rh_t")
+      assert(MergeTables.allocLineage(spark, "sk_rh_t") >= 5L,
+        "allocLineage re-issued at/below the retirement floor")
+      // the floor survives further compactions
+      Sketches.appendSketchTable(Seq(500L).toDF("v"), col("v"), "sk_rh_t")
+      Sketches.compactSketchTable(spark, "sk_rh_t")
+      assert(marks().contains((2L, Long.MaxValue)),
+        "retirement floor lost in a later compaction")
+    } finally {
+      spark.conf.unset("graft.hwm.keepLineages")
+      spark.sql("DROP TABLE IF EXISTS sk_rh_t")
+      spark.sql("DROP TABLE IF EXISTS sk_rh_t_hwm")
+    }
+  }
+
   test("a second same-process writer's appends interleaved with another query's IN-LOOP compactions lose nothing") {
     // the review-found race the table mutation lock closes: query A
     // compacts in its loop while query B appends — without the lock, a
