@@ -900,8 +900,8 @@ private[graft] object MergeTables {
     * and the window heals on next touch instead of stranding the
     * table. No-op unless exactly that state is found. Also applied to
     * the [[hwmTable]] sidecar, which swap-writes the same way. */
-  private def recoverCompactCrash(spark: SparkSession, table: String)
-      : Unit = {
+  private[graft] def recoverCompactCrash(spark: SparkSession,
+      table: String): Unit = {
     val shadow = table + "_compact_shadow"
     if (!spark.catalog.tableExists(table) &&
         spark.catalog.tableExists(shadow)) {
@@ -916,14 +916,14 @@ private[graft] object MergeTables {
     * complete rewrite under `table_cmp` with no table at the live name
     * — finishing the rename IS the recovery. Sound because the side
     * tables stay consistent either way: the compacted rows are all
-    * generation 0, which is committed in every reachable state of the
-    * scalar/generation tables, and an un-dropped tombstone table is
-    * inert against rows the rewrite already excluded. (The ADC
-    * RETRAIN's multi-table swap is NOT healed here — a partial retrain
-    * leaves rows packed against centroids the `_c` swap hasn't landed,
-    * which no rename can reconcile; it stays the documented
-    * maintenance-window operation.) No-op unless exactly the crash
-    * state is found. */
+    * generation 0 of the active epoch, which is committed in every
+    * reachable state of the scalar/generation tables, and an
+    * un-dropped tombstone table is inert against rows the rewrite
+    * already excluded. (Since r17 the ADC RETRAIN needs no heal of its
+    * own: its only swap is `table_g`'s — the single commit point —
+    * healed by [[recoverCompactCrash]] like every sidecar's; every
+    * other retrain land is inert until that flip.) No-op unless
+    * exactly the crash state is found. */
   private[graft] def recoverCmpSwapCrash(spark: SparkSession,
       table: String): Unit = {
     val shadow = table + "_cmp"
@@ -942,15 +942,22 @@ private[graft] object MergeTables {
     * leaves the complete state under the shadow name, healed on next
     * touch ([[recoverCompactCrash]]). */
   private def swapIn(spark: SparkSession, df: DataFrame,
+      keyCol: String, table: String): Unit =
+    swapInKeyed(spark,
+      df.withColumn("gen", lit(0L)).withColumn("batch_key", lit(-1L)),
+      keyCol, table)
+
+  /** [[swapIn]] for a frame that already carries its own protocol
+    * columns — the shared shadow-then-rename replace, healed by
+    * [[recoverCompactCrash]]. Used directly by the ADC retrain's
+    * single-commit `table_g` flip. */
+  private[graft] def swapInKeyed(spark: SparkSession, df: DataFrame,
       keyCol: String, table: String): Unit = {
     val shadow = table + "_compact_shadow"
     // MapFiles.write DROPs + stale-cleans the shadow name itself, so a
     // stale shadow directory left by a process killed mid-swap under a
     // different metastore lifetime cannot refuse this write
-    graft.sources.MapFiles.write(
-      df.withColumn("gen", lit(0L))
-        .withColumn("batch_key", lit(-1L)).coalesce(1),
-      keyCol, 1, shadow)
+    graft.sources.MapFiles.write(df.coalesce(1), keyCol, 1, shadow)
     if (spark.catalog.tableExists(table))
       spark.sql(s"DROP TABLE `$table`")
     else

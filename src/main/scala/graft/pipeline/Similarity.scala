@@ -604,18 +604,45 @@ object Similarity {
       else trainCoarseQuantizer(
         trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
         vecCol, nlist, dim)
+    // epoch 0: rows, centroids, generations and tombstones all carry
+    // the quantizer EPOCH — retrain bumps it and commits the bump with
+    // ONE table_g swap ([[retrainIvfAdcIndex]]); probes filter every
+    // side to the active epoch, so a half-landed retrain is invisible
     graft.sources.MapFiles.write(
       packedRows(vecs, idCol, vecCol, quantizer)
-        .withColumn("gen", lit(0L)),
+        .withColumn("gen", lit(0L)).withColumn("epoch", lit(0L)),
       "cell", buckets, table)
-    val centRows = quantizer.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
     graft.sources.MapFiles.write(
-      spark.createDataFrame(centRows.toSeq).toDF("cell", "cent"),
-      "cell", 1, table + "_c")
+      centroidRows(spark, quantizer, 0L), "cell", 1, table + "_c")
     import spark.implicits._
     graft.sources.MapFiles.write(
-      Seq((0L, -1L)).toDF("gen", "batch_key"), "gen", 1, table + "_g")
+      Seq((0L, -1L, 0L)).toDF("gen", "batch_key", "epoch"), "gen", 1,
+      table + "_g")
     quantizer
+  }
+
+  /** The (cell, cent, epoch) rows of one trained quantizer — shared by
+    * build and retrain so the stored form cannot diverge. */
+  private def centroidRows(spark: SparkSession,
+      quantizer: Array[Array[Double]], epoch: Long): DataFrame =
+    spark.createDataFrame(
+        quantizer.zipWithIndex.map { case (c, i) => (i, c.toSeq, epoch) }
+          .toSeq)
+      .toDF("cell", "cent", "epoch")
+
+  /** The ACTIVE quantizer epoch of a persisted ADC index — the single
+    * epoch on `table_g`'s committed-generation rows (appends commit
+    * under it; retrain's one-swap commit replaces it wholesale, so the
+    * table is single-epoch in every reachable state). Epochs exist for
+    * one reason: to give RETRAIN a single commit point — the new
+    * epoch's rows, centroids and generation set all land inert, and
+    * this value flipping IS the retrain (r16 verdict item 2). */
+  private[graft] def activeAdcEpoch(spark: SparkSession, table: String)
+      : Long = {
+    MergeTables.recoverCompactCrash(spark, table + "_g")
+    spark.catalog.refreshTable(table + "_g")
+    val row = spark.table(table + "_g").agg(max("epoch")).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
   }
 
   /** The packed (cell, id, qc, scale) rows of one vector set against a
@@ -632,11 +659,19 @@ object Similarity {
 
   /** The persisted quantizer of [[writeIvfAdcIndex]], read back in cell
     * order — an nlist-row collect, the same bounded driver state
-    * [[trainCoarseQuantizer]] holds. */
+    * [[trainCoarseQuantizer]] holds. Reads the ACTIVE epoch's rows: a
+    * crashed retrain's centroids sit inert under a never-activated
+    * epoch. */
   def readIvfCentroids(spark: SparkSession, table: String)
       : Array[Array[Double]] =
-    spark.table(table + "_c").orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+    readIvfCentroidsAt(spark, table, activeAdcEpoch(spark, table))
+
+  private def readIvfCentroidsAt(spark: SparkSession, table: String,
+      epoch: Long): Array[Array[Double]] = {
+    spark.catalog.refreshTable(table + "_c")
+    spark.table(table + "_c").filter(col("epoch") === epoch)
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
+  }
 
   /** Append a vector batch to a persisted IVF-ADC index (qc3): the
     * archive-maintenance story for [[writeIvfAdcIndex]]'s write-once
@@ -670,6 +705,9 @@ object Similarity {
       MergeTables.withTableLock(table) {
     val spark = newVecs.sparkSession
     MergeTables.recoverCmpSwapCrash(spark, table)
+    // a retrain killed inside its commit swap leaves table_g under the
+    // shadow name — finish that rename before existence checks
+    MergeTables.recoverCompactCrash(spark, table + "_g")
     require(spark.catalog.tableExists(table + "_g"),
       s"$table has no generation table — not an ADC index")
     val gen = graft.sources.MapFiles.freshGen()
@@ -690,10 +728,11 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
-    val quantizer = readIvfCentroids(spark, table)
+    val epoch = activeAdcEpoch(spark, table)
+    val quantizer = readIvfCentroidsAt(spark, table, epoch)
     require(quantizer.nonEmpty, s"$table has no stored centroids")
     packedRows(newVecs, idCol, vecCol, quantizer)
-      .withColumn("gen", lit(gen))
+      .withColumn("gen", lit(gen)).withColumn("epoch", lit(epoch))
       .write.mode("append")
       .option("parquet.bloom.filter.enabled#cell", "true")
       .bucketBy(buckets, "cell").sortBy("cell")
@@ -713,7 +752,8 @@ object Similarity {
   private[graft] def commitAdcGen(spark: SparkSession, table: String,
       gen: Long, batchKey: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((gen, batchKey)).toDF("gen", "batch_key").coalesce(1)
+    Seq((gen, batchKey, activeAdcEpoch(spark, table)))
+      .toDF("gen", "batch_key", "epoch").coalesce(1)
       .write.mode("append").bucketBy(1, "gen").sortBy("gen")
       .saveAsTable(table + "_g")
   }
@@ -834,9 +874,11 @@ object Similarity {
     * ([[compactIvfAdcIndex]] carries the replay marks). Returns true
     * iff it compacted. */
   def maybeCompactIvfAdcIndex(spark: SparkSession, table: String,
-      maxGen: Int = MergeTables.defaultMaxGen): Boolean = {
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+      MergeTables.withTableLock(table) {
     require(maxGen >= 1, s"maxGen=$maxGen")
     MergeTables.recoverCmpSwapCrash(spark, table)
+    MergeTables.recoverCompactCrash(spark, table + "_g")
     spark.catalog.refreshTable(table + "_g")
     if (spark.table(table + "_g").count() <= maxGen) false
     else { compactIvfAdcIndex(spark, table); true }
@@ -853,55 +895,102 @@ object Similarity {
     * swaps in via the shadow-table protocol, dropping tombstones and
     * collapsing generations to one.
     *
-    * The retrained state is BY CONSTRUCTION the one-shot
+    * The retrained PROBE state is BY CONSTRUCTION the one-shot
     * [[writeIvfAdcIndex]] state over the live corpus — same training
-    * sample, same Lloyd loop, same packing, the identical code path
-    * into a shadow name — so qe3 gates it against the full-corpus ADC
-    * oracle VERBATIM (the q99 chain): a drifted 2×-grown index probes
-    * back bit-equal to a fresh build after the retrain. Cost: one
-    * training pass + one corpus re-pack + the bucketed write — the
-    * full-rebuild price, paid when the drift gate says so, never per
-    * probe or per append.
+    * sample, same Lloyd loop, same packing functions — so qe3 gates it
+    * against the full-corpus ADC oracle VERBATIM (the q99 chain): a
+    * drifted 2×-grown index probes back bit-equal to a fresh build
+    * after the retrain. Cost: one training pass + one corpus re-pack +
+    * the bucketed write — the full-rebuild price, paid when the drift
+    * gate says so, never per probe or per append.
     *
-    * Crash exposure: the multi-table swap (rows, then centroids, then
-    * generations) is wider than compaction's single DROP/RENAME pair —
-    * a maintenance-window operation, documented as such. A crash
-    * BEFORE the first DROP leaves the old index fully intact (the
-    * shadow tables are invisible to probes). Returns the new
+    * ATOMICITY (r16 verdict item 2 — the pre-r17 retrain was a
+    * three-table swap a crash could leave unhealable): everything new
+    * lands INERT first — the new quantizer's centroids under a fresh
+    * EPOCH (allocated as max stored epoch + 1, so a crashed attempt's
+    * orphans can never be adopted by a retry), then every re-packed
+    * live row as (gen 0, new epoch) appends into the existing cell
+    * buckets, then the replay high-water marks carry — and the ONE
+    * commit point is `table_g`'s shadow-then-rename swap to the new
+    * epoch's generation set. Probes resolve centroids, rows and
+    * tombstones through the active epoch, so every pre-commit crash
+    * leaves the old index bit-exact and every post-commit crash the
+    * new one; the swap window itself heals on next writer touch like
+    * every compaction's ([[MergeTables.recoverCompactCrash]]). Old
+    * epochs' rows stay physically present but epoch-pruned at the scan
+    * (parquet row-group stats skip their files) until the next
+    * [[compactIvfAdcIndex]] reclaims them. The whole operation holds
+    * the table's mutation lock — INCLUDING the live-corpus read and
+    * re-pack (ADVICE r16: a same-process streamed batch committing
+    * between an unlocked re-pack and the swap would be dropped by the
+    * swap while its carried mark said committed — permanent silent
+    * loss); concurrent same-process appends block for the retrain's
+    * duration rather than lose data, and other PROCESSES stay excluded
+    * by the writer lease as everywhere on this tier. Returns the new
     * quantizer. */
   def retrainIvfAdcIndex(vecs: DataFrame, idCol: String, vecCol: String,
-      table: String, nlist: Int, dim: Int = 64): Array[Array[Double]] = {
+      table: String, nlist: Int, dim: Int = 64): Array[Array[Double]] =
+      MergeTables.withTableLock(table) {
     val spark = vecs.sparkSession
+    VectorOps.ensureRegistered(spark)
+    MergeTables.recoverCmpSwapCrash(spark, table)
+    MergeTables.recoverCompactCrash(spark, table + "_g")
     require(spark.catalog.tableExists(table + "_g"),
       s"$table has no generation table — not an ADC index")
+    val epoch = activeAdcEpoch(spark, table)
+    // the attempt's epoch comes from the CENTROID table's max (not the
+    // active epoch): a crashed attempt leaves its centroids behind, so
+    // the retry allocates PAST them and can never adopt the orphan's
+    // half-landed rows
+    spark.catalog.refreshTable(table + "_c")
+    val attempt = 1L + math.max(epoch,
+      spark.table(table + "_c").agg(max("epoch")).head().getLong(0))
     val live =
       if (!spark.catalog.tableExists(table + "_t")) vecs
       else vecs.join(
-        broadcast(spark.table(table + "_t").select("id").distinct()
+        broadcast(spark.table(table + "_t")
+          .filter(col("epoch") === epoch).select("id").distinct()
           .withColumnRenamed("id", idCol)),
         Seq(idCol), "left_anti")
-    val shadow = table + "_rt"
-    // writeIvfAdcIndex (via MapFiles.write) drops + stale-cleans each
-    // shadow table itself, so a crashed prior retrain cannot block this
-    val quantizer = writeIvfAdcIndex(live, idCol, vecCol, shadow,
-      nlist = nlist, dim = dim)
+    val quantizer = trainCoarseQuantizer(
+      trainingSample(live, idCol, vecCol, trainingCap(nlist)),
+      vecCol, nlist, dim)
+    // inert land 1: the attempt's centroids FIRST — they are also the
+    // epoch allocation marker a retry must see
+    centroidRows(spark, quantizer, attempt)
+      .write.mode("append").bucketBy(1, "cell").sortBy("cell")
+      .saveAsTable(table + "_c")
+    // inert land 2: every live vector re-packed, as (gen 0, attempt)
+    // into the existing cell buckets — invisible while the active
+    // epoch is not `attempt`. gen 0 keeps the compaction invariant
+    // ("gen 0 of the active epoch is committed in every reachable
+    // state") across the flip.
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(s"$table is not a bucketed index"))
+    packedRows(live, idCol, vecCol, quantizer)
+      .withColumn("gen", lit(0L)).withColumn("epoch", lit(attempt))
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#cell", "true")
+      .bucketBy(buckets, "cell").sortBy("cell")
+      .saveAsTable(table)
     // the retrained rows INCLUDE every committed streamed batch (the
     // live corpus is the input), so the old keys' high-water marks
     // must survive the generation reset — a checkpoint-resumed lineage
     // re-delivering a committed batch post-retrain would otherwise
     // re-append rows the retrain already packed
-    // the mark carry + swap hold the table's mutation lock so a
-    // concurrent same-process writer's landing generation cannot fall
-    // between the shadow build and the DROPs
-    MergeTables.withTableLock(table) {
-      MergeTables.carryHwms(spark, table + "_g")
-      for (suffix <- Seq("", "_c", "_g")) {
-        spark.sql(s"DROP TABLE `$table$suffix`")
-        spark.sql(s"ALTER TABLE `$shadow$suffix` RENAME TO `$table$suffix`")
-      }
-      spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
-      spark.catalog.refreshTable(table)
-    }
+    MergeTables.carryHwms(spark, table + "_g")
+    // THE commit: one swap of the generation set to the new epoch
+    MergeTables.swapInKeyed(spark,
+      { import spark.implicits._
+        Seq((0L, -1L, attempt)).toDF("gen", "batch_key", "epoch") },
+      "gen", table + "_g")
+    // post-commit, inert either way: stale tombstones reference the
+    // RETIRED epoch (probes filter them out) and ids the new rows
+    // never contained
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    spark.catalog.refreshTable(table)
     quantizer
   }
 
@@ -921,7 +1010,12 @@ object Similarity {
     require(spark.catalog.tableExists(table),
       s"$table does not exist — not an ADC index")
     graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
+    // epoch-stamped: a retrain consumes tombstones (its input is the
+    // post-delete live corpus), so rows surviving a crash between its
+    // commit and its tombstone drop must read as RETIRED, not re-apply
+    // to ids a later append legitimately re-adds
     ids.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("epoch", lit(activeAdcEpoch(spark, table)))
       .write.mode("append").saveAsTable(table + "_t")
   }
 
@@ -931,21 +1025,27 @@ object Similarity {
     * cost only their own read) minus tombstones (if any). Shared by
     * every probe and by compaction so the two cannot disagree on
     * liveness. */
-  private def liveAdcRows(spark: SparkSession, table: String,
-      bucketedRead: Boolean = false): DataFrame = {
+  private[graft] def liveAdcRows(spark: SparkSession, table: String,
+      bucketedRead: Boolean = false, epoch: Option[Long] = None)
+      : DataFrame = {
     // heal a compactor crash's DROP/RENAME window first (the
     // committedIndex discipline — this read is the first touch of
     // every probe and delete)
     MergeTables.recoverCmpSwapCrash(spark, table)
-    val stored =
+    val e = epoch.getOrElse(activeAdcEpoch(spark, table))
+    val stored = (
       if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
-      else spark.table(table)
+      else spark.table(table))
+      // active-epoch rows only: retired/orphan epochs' files are
+      // skipped at the scan from their row-group stats
+      .filter(col("epoch") === e)
     val committed = stored.join(
       broadcast(spark.table(table + "_g").select("gen")),
       Seq("gen"), "left_semi")
     if (!spark.catalog.tableExists(table + "_t")) committed
     else committed.join(
-      broadcast(spark.table(table + "_t").select("id").distinct()),
+      broadcast(spark.table(table + "_t").filter(col("epoch") === e)
+        .select("id").distinct()),
       Seq("id"), "left_anti")
   }
 
@@ -975,29 +1075,45 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
+    val epoch = activeAdcEpoch(spark, table)
     // carry every streaming lineage's replay high-water mark into the
     // table_g_hwm sidecar BEFORE the generation reset clears the keys
     // — what makes this compaction safe inside a live lineage (r16)
     MergeTables.carryHwms(spark, table + "_g")
     // bucket-preserving read (one scan partition per bucket) -> the
-    // bucketed sink plans exchange-free: one compacted file per bucket
-    val live = liveAdcRows(spark, table, bucketedRead = true)
+    // bucketed sink plans exchange-free: one compacted file per bucket.
+    // The rewrite also physically reclaims RETIRED/orphan epochs' rows
+    // (liveAdcRows keeps only the active epoch's committed rows).
+    val live = liveAdcRows(spark, table, bucketedRead = true,
+        epoch = Some(epoch))
       .select("cell", "id", "qc", "scale")
-      .withColumn("gen", lit(0L))
+      .withColumn("gen", lit(0L)).withColumn("epoch", lit(epoch))
       .repartition(buckets, col("cell"))
     val shadow = table + "_cmp"
     graft.sources.MapFiles.write(live, "cell", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
-    // the compacted rows are all generation 0, which is committed in
-    // every reachable state — stale extra generations are inert, so
-    // each remaining step is individually crash-safe; the rewrite also
-    // clears the streaming batch keys, which is what permits a FRESH
-    // streaming lineage after a compaction (streamBatchKeyBase doc)
+    // the compacted rows are all (gen 0, active epoch), which is
+    // committed in every reachable state — stale extra generations are
+    // inert, so each remaining step is individually crash-safe; the
+    // rewrite also clears the streaming batch keys, which is what
+    // permits a FRESH streaming lineage after a compaction
+    // (streamBatchKeyBase doc)
     import spark.implicits._
     graft.sources.MapFiles.write(
-      Seq((0L, -1L)).toDF("gen", "batch_key"), "gen", 1, table + "_g")
+      Seq((0L, -1L, epoch)).toDF("gen", "batch_key", "epoch"), "gen", 1,
+      table + "_g")
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    // centroid GC, last and optional (inert rows either way): retired
+    // or orphan epochs' centroids — nlist rows per retrain attempt —
+    // leave with the rewrite. Materialized first: the rewrite replaces
+    // the table it reads.
+    spark.catalog.refreshTable(table + "_c")
+    if (spark.table(table + "_c").select("epoch").distinct().count() > 1)
+      graft.sources.MapFiles.write(
+        spark.table(table + "_c").filter(col("epoch") === epoch)
+          .localCheckpoint(),
+        "cell", 1, table + "_c")
     spark.catalog.refreshTable(table)
   }
 
@@ -1144,13 +1260,17 @@ object Similarity {
       buckets: Int = ivfIndexBuckets): DataFrame = {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)
-    val cents = readIvfCentroids(spark, table)
+    // one epoch resolution per probe plan, threaded to centroids and
+    // rows so the two can never straddle a retrain's flip
+    val epoch = activeAdcEpoch(spark, table)
+    val cents = readIvfCentroidsAt(spark, table, epoch)
     val probes = queries.select(col(idCol).as("q_id"),
         VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
           .as("q_qc"),
         explode(nearestCells(col(vecCol), cents, nprobe)).as("cell"))
       .repartition(buckets, col("cell"))
-    probes.join(liveAdcRows(spark, table), Seq("cell"))
+    probes.join(liveAdcRows(spark, table, epoch = Some(epoch)),
+        Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("nb_id"),
         VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),

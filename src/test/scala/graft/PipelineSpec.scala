@@ -1023,10 +1023,11 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
 
   test("retrainIvfAdcIndex: retrain == one-shot build over the live corpus, consuming tombstones and resetting generations") {
     // the qe3 contract plus the deletion face: a drifted
-    // build+append+delete index retrains into EXACTLY the state a
+    // build+append+delete index retrains into EXACTLY the live state a
     // fresh writeIvfAdcIndex over the survivors would produce — codes,
-    // centroids, generation set, and probe — and the tombstone table
-    // is consumed by the swap
+    // centroids, generation set, and probe — the tombstone table is
+    // consumed by the epoch flip, and the next compaction physically
+    // reclaims the retired epoch's rows down to the fresh build's
     val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = corpus.count()
     val build = corpus.filter(col("vec_id") * 2 < n)
@@ -1039,7 +1040,13 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         k = 3, nprobe = fNprobe, table = t, dim = 64)
       .select("q_id", "nb_id", "rank")
       .as[(Long, Long, Int)].collect().sorted.toSeq
-    def rows(t: String) = spark.table(t)
+    // the PROBE-VISIBLE rows: what retrain must land exactly (the
+    // retired epoch's dead rows stay physical until compaction)
+    def liveRows(t: String) = Similarity.liveAdcRows(spark, t)
+      .select(col("cell"), col("id"), hex(col("qc")), col("scale"),
+        col("gen"))
+      .as[(Int, Long, String, Double, Long)].collect().sorted.toSeq
+    def rawRows(t: String) = spark.table(t)
       .select(col("cell"), col("id"), hex(col("qc")), col("scale"),
         col("gen"))
       .as[(Int, Long, String, Double, Long)].collect().sorted.toSeq
@@ -1054,10 +1061,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         "adc_rt_idx", nlist = fNlist, dim = 64)
       Similarity.writeIvfAdcIndex(survivors, "vec_id", "embedding",
         "adc_rt_ref", nlist = fNlist, dim = 64)
-      assert(rows("adc_rt_idx").nonEmpty &&
-        rows("adc_rt_idx") == rows("adc_rt_ref"))
-      def cents(t: String) = spark.table(t + "_c").orderBy("cell")
-        .as[(Int, Seq[Double])].collect().toSeq
+      assert(liveRows("adc_rt_idx").nonEmpty &&
+        liveRows("adc_rt_idx") == liveRows("adc_rt_ref"))
+      def cents(t: String) = {
+        val e = Similarity.activeAdcEpoch(spark, t)
+        spark.table(t + "_c").filter(col("epoch") === e).orderBy("cell")
+          .select("cell", "cent")
+          .as[(Int, Seq[Double])].collect().toSeq
+      }
       assert(cents("adc_rt_idx") == cents("adc_rt_ref"))
       assert(!spark.catalog.tableExists("adc_rt_idx_t"),
         "retrain should consume the tombstone table")
@@ -1066,9 +1077,84 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         "retrain should reset the generation set")
       val ref = probe("adc_rt_ref")
       assert(ref.nonEmpty && probe("adc_rt_idx") == ref)
+      // the next compaction physically reclaims the retired epoch:
+      // raw stored rows collapse to exactly the fresh build's
+      Similarity.compactIvfAdcIndex(spark, "adc_rt_idx")
+      assert(rawRows("adc_rt_idx") == rawRows("adc_rt_ref"),
+        "compaction did not reclaim the retired epoch's rows")
+      assert(probe("adc_rt_idx") == ref)
     } finally {
       for (t <- Seq("adc_rt_idx", "adc_rt_ref");
-          sfx <- Seq("", "_c", "_g", "_t", "_rt", "_rt_c", "_rt_g"))
+          sfx <- Seq("", "_c", "_g", "_t", "_cmp", "_g_compact_shadow"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
+  test("retrain atomicity: a writer killed between any two lands leaves probes bit-identical pre-state; the flip window heals to post-state") {
+    // r16 verdict item 2: the pre-r17 retrain was a three-table swap a
+    // crash could leave unhealable (rows packed against centroids that
+    // never landed). Now everything lands INERT under a fresh epoch and
+    // table_g's one swap is THE commit: every pre-commit crash state
+    // probes bit-identical to the old index, the swap window itself
+    // heals on next writer touch, and a retried retrain lands the
+    // fresh-build state without adopting the orphan attempt.
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 400)
+    val build = corpus.filter(col("vec_id") < 300)
+    val queries = corpus.filter(col("vec_id") % 50 === 1)
+    def probe() = Similarity.ivfAdcTopKIndexed(
+        queries, "vec_id", "embedding",
+        k = 3, nprobe = 2, table = "adc_cr_idx", dim = 64)
+      .select("q_id", "nb_id", "rank")
+      .as[(Long, Long, Int)].collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndex(build, "vec_id", "embedding",
+        "adc_cr_idx", nlist = 4, dim = 64)
+      Similarity.appendIvfAdcIndex(corpus.filter(col("vec_id") >= 300),
+        "vec_id", "embedding", "adc_cr_idx", dim = 64)
+      val pre = probe()
+      assert(pre.nonEmpty)
+      // CRASH STATE A — killed after the centroid land: orphan epoch-1
+      // centroids, nothing else. Probes stay on the old epoch.
+      Seq((0, Seq.fill(64)(9.9), 1L), (1, Seq.fill(64)(-9.9), 1L))
+        .toDF("cell", "cent", "epoch")
+        .write.mode("append").bucketBy(1, "cell").sortBy("cell")
+        .saveAsTable("adc_cr_idx_c")
+      assert(probe() == pre, "orphan centroids leaked into the probe")
+      // CRASH STATE B — killed after the row land too: orphan epoch-1
+      // rows (gen 0 of a NEVER-ACTIVATED epoch). Still invisible.
+      spark.table("adc_cr_idx").limit(50)
+        .withColumn("epoch", lit(1L)).localCheckpoint()
+        .write.mode("append")
+        .bucketBy(Similarity.ivfIndexBuckets, "cell").sortBy("cell")
+        .saveAsTable("adc_cr_idx")
+      spark.catalog.refreshTable("adc_cr_idx")
+      assert(probe() == pre, "orphan epoch rows leaked into the probe")
+      // the RETRY: allocates PAST the orphan epoch (cannot adopt its
+      // half-landed state) and lands the fresh-build probe state
+      Similarity.retrainIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_cr_idx", nlist = 4, dim = 64)
+      assert(Similarity.activeAdcEpoch(spark, "adc_cr_idx") == 2L,
+        "retry adopted the crashed attempt's epoch")
+      Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
+        "adc_cr_ref", nlist = 4, dim = 64)
+      val post = Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+          "embedding", k = 3, nprobe = 2, table = "adc_cr_ref", dim = 64)
+        .select("q_id", "nb_id", "rank")
+        .as[(Long, Long, Int)].collect().sorted.toSeq
+      assert(probe() == post, "retried retrain diverged from fresh build")
+      // CRASH STATE C — killed INSIDE the commit swap (table_g dropped,
+      // shadow complete): the next writer touch heals to POST-state
+      spark.sql("ALTER TABLE adc_cr_idx_g RENAME TO " +
+        "adc_cr_idx_g_compact_shadow")
+      Similarity.appendIvfAdcIndex(corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "adc_cr_idx", dim = 64)
+      assert(spark.catalog.tableExists("adc_cr_idx_g"),
+        "the flip window did not heal on writer touch")
+      assert(Similarity.activeAdcEpoch(spark, "adc_cr_idx") == 2L)
+    } finally {
+      for (t <- Seq("adc_cr_idx", "adc_cr_ref");
+          sfx <- Seq("", "_c", "_g", "_t", "_cmp", "_g_compact_shadow"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
     }
   }
@@ -1108,15 +1194,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         "the audit's measurement changed between policy calls")
       Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
         "adc_pol_ref", nlist = fNlist, dim = 64)
-      def rows(t: String) = spark.table(t)
+      def liveRows(t: String) = Similarity.liveAdcRows(spark, t)
         .select(col("cell"), col("id"), hex(col("qc")), col("gen"))
         .as[(Int, Long, String, Long)].collect().sorted.toSeq
-      assert(rows("adc_pol_idx").nonEmpty &&
-        rows("adc_pol_idx") == rows("adc_pol_ref"),
+      assert(liveRows("adc_pol_idx").nonEmpty &&
+        liveRows("adc_pol_idx") == liveRows("adc_pol_ref"),
         "policy retrain diverged from the fresh build")
     } finally {
       for (t <- Seq("adc_pol_idx", "adc_pol_ref");
-          sfx <- Seq("", "_c", "_g", "_t", "_rt", "_rt_c", "_rt_g"))
+          sfx <- Seq("", "_c", "_g", "_t", "_g_compact_shadow"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
     }
   }

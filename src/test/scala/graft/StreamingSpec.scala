@@ -966,7 +966,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       assert(MergeTables.replayed(spark, "adc_oc_idx_g",
         MergeTables.streamKey(2L, 0L)), "ADC high-water mark lost")
       def astate() = (
-        spark.table("adc_oc_idx").count(),
+        Similarity.liveAdcRows(spark, "adc_oc_idx").count(),
         spark.table("adc_oc_idx_g").count(),
         Similarity.ivfAdcTopKIndexed(
             vecs.filter(col("vec_id") % 50 === 0), "vec_id",
