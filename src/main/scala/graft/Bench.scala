@@ -144,18 +144,16 @@ object Bench {
     * 2000-char tail for the head to survive. */
   private[graft] val budget = 1998
 
-  /** Full-coverage primary rungs stop THIS far short of the window
-    * (r16, verdict item 6): r15's primary sat 60 chars under the cap,
-    * so the round the roster grew past it would have been the round
-    * the continuation path ran for the first time in production —
-    * untested against the real driver. The headroom makes the
-    * drop-smallest + 2dp-continuation path engage BEFORE the cliff
-    * (at today's roster, a handful of sub-0.2s entries hop to a
-    * continuation line), so the multi-line parse is exercised every
-    * round while the primary keeps 2dp for everything that matters.
-    * Drop rungs and floors still use the full window — once entries
-    * are shed, exact fit is the right target. */
-  private[graft] val primaryHeadroom = 150
+  /** Extra slack the full-coverage primary rungs leave under the
+    * window. ZERO since r17 (r16 verdict item 6): r16 set 150 to force
+    * the continuation path to run in production — and the driver's
+    * parsed map then MISSED the continuation entry (BENCH_r16 recovered
+    * 169/170), proving continuations never merge driver-side. The
+    * primary line is the only map the record keeps, so it must carry
+    * 100% of the roster; continuations remain strictly an overflow
+    * guarantee (every line parses, nothing silently truncates) for a
+    * roster that genuinely no longer fits. */
+  private[graft] val primaryHeadroom = 0
 
   /** SHORT bench keys — the r14 verdict's top item: at 158 queries even
     * the leanest full-name 1dp line measures ~2600 chars and the round
@@ -356,9 +354,14 @@ object Bench {
     val fullCovBudget = budget - primaryHeadroom
     fullRungs.find(_.length <= fullCovBudget).map((_, fullKey))
       // SHORT-key rungs: every query present, richest precision first —
-      // this is where the 163-query r15 suite landed (2dp, full
-      // metadata)
-      .orElse(Seq(line(3, true, keyOf = short), line(2, true, keyOf = short))
+      // this is where the 170-query suite lands (2dp). The LEAN 2dp
+      // rungs (metadata shed before coverage or precision) exist so a
+      // grown roster keeps 100% coverage at 2dp as long as physically
+      // possible — the primary is the only map the driver's record
+      // keeps (r16 verdict item 6)
+      .orElse(Seq(line(3, true, keyOf = short), line(2, true, keyOf = short),
+        line(2, false, keyOf = short),
+        line(2, false, lean = 2, errMode = 1, keyOf = short))
         .find(_.length <= fullCovBudget).map((_, short)))
       // keep 2dp by SHEDDING the smallest entries (escalating cap
       // 10% -> ~14% -> 20% -> 25%) before degrading the whole suite to

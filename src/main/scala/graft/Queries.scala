@@ -201,7 +201,7 @@ object RelationalQueries {
     * subplan). The oracle's SQL twins re-derive the same integers from
     * the same counts via DuckDB's corpus aggregate — equal by the same
     * law, the discipline of every maintained-tier oracle. */
-  private def qc2SelTable(s: SparkSession, d: String): String = {
+  private[graft] def qc2SelTable(s: SparkSession, d: String): String = {
     val table = "qc2_sel_" + dirTag(d)
     buildOnce(table) {
       val emb = Tables.embeddings(s, d)
@@ -223,15 +223,23 @@ object RelationalQueries {
     graft.pipeline.MergeTables.mergedSum(s, qc2SelTable(s, d),
       Seq("g"), "cnt")
 
-  /** Memoized per source dir (the denseParams discipline): the stored
-    * counts change only when the corpus does, and the maintained table
-    * is rebuilt per process, so one table read per process serves
-    * every qc2 invocation. */
+  /** Memoized per (source dir, count-table generation count) — the
+    * denseParams discipline, with the generation count as the
+    * staleness key (r16 verdict item 8): the stored counts change only
+    * when someone APPENDS to (or compacts) the maintained table, and
+    * every such mutation changes its generation set, so a grown corpus
+    * invalidates the memo instead of serving depths derived from the
+    * old counts for the process lifetime. The key read is one distinct
+    * over the two-row table — noise next to the derivation it saves. */
   private val qc2DepthsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Int, Int)]()
 
-  private[graft] def qc2Depths(s: SparkSession, d: String): (Int, Int) =
-    qc2DepthsMemo.computeIfAbsent(dirTag(d), _ => qc2DepthsUncached(s, d))
+  private[graft] def qc2Depths(s: SparkSession, d: String): (Int, Int) = {
+    val gens = graft.pipeline.MergeTables.generationCount(s,
+      qc2SelTable(s, d))
+    qc2DepthsMemo.computeIfAbsent((dirTag(d), gens),
+      _ => qc2DepthsUncached(s, d))
+  }
 
   private def qc2DepthsUncached(s: SparkSession, d: String): (Int, Int) = {
     val r = qc2DepthInputs(s, d).agg(

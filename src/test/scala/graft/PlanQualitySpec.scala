@@ -1022,6 +1022,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
         s"qc2 depth derivation scans a non-maintained source: $p")
   }
 
+  test("qc2 depth memo invalidates when the maintained count table grows (r16 verdict item 8)") {
+    // the memo was keyed by source dir alone: fine under an immutable
+    // corpus, silently stale the moment the engine's own append story
+    // grows the count table in-place. It is now keyed by the table's
+    // generation count, so a mutation re-derives the depths.
+    import graft.pipeline.MergeTables
+    import spark.implicits._
+    val before = RelationalQueries.qc2Depths(spark, d)
+    val table = RelationalQueries.qc2SelTable(spark, d)
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, d)
+    val (total, pass) = (vecs.count(),
+      vecs.filter(col("label") < 3).count())
+    // grow the PASS group tenfold past the corpus: the selectivity
+    // ratio collapses toward 1, which must move both depths
+    val x = 10L * total
+    try {
+      MergeTables.append(Seq((1L, x)).toDF("g", "cnt"), "g", table)
+      val after = RelationalQueries.qc2Depths(spark, d)
+      val (t2, p2) = (total + x, pass + x)
+      assert(after == (
+          math.min(200L, math.max(10L, (20L * t2 + p2 - 1) / p2)).toInt,
+          math.min(40L, math.max(5L, (5L * t2 + p2 - 1) / p2)).toInt),
+        s"depths $after not re-derived from the grown counts")
+      assert(after != before,
+        "the growth was supposed to move the depths — vacuous test")
+    } finally {
+      // additive RETRACTION restores the stored counts exactly; the
+      // generation count moves again, so the memo re-derives
+      MergeTables.append(Seq((1L, -x)).toDF("g", "cnt"), "g", table)
+    }
+    assert(RelationalQueries.qc2Depths(spark, d) == before,
+      "retraction did not restore the original depths")
+  }
+
   test("qfd: the dataset card reads ONLY the maintained tables — no corpus scan anywhere in the probe plan") {
     // the capstone's structural claim: all four legs (length quantiles,
     // audit-token frequencies, distinct-token estimates, holdout ids)
