@@ -556,6 +556,116 @@ object GrowthBench {
       }
     }
 
+    // ---- one decade further: the 100x tier (r16 verdict item 3) ----
+    // every 100 TB claim extrapolated from a 10x measurement; this adds
+    // the next decade for exactly the paths production pays per batch —
+    // the three persisted index tiers' probes and appends, the
+    // bounded-state tiers, and the REAL qb7/qc2 serving stacks (the
+    // registry query bodies verbatim, indexes built untimed on first
+    // call). Deliberately skipped at 100x: the quadratic-by-design
+    // demo rows (exact all-pairs, wide-angle LSH) whose exponents are
+    // already documented as oracle-only shapes. Guarded by an env
+    // toggle: the extra decade costs corpus-sized index builds.
+    val x100opt =
+      if (!sys.env.get("SPARK_GRAFT_GROWTH_X100").contains("1")) None
+      else Some(gen(100))
+    x100opt.foreach { x100 =>
+      import graft.pipeline.{Sketches, TextAnalysis}
+      Tables.documents(spark, x100).count()
+      Tables.embeddings(spark, x100).count()
+      val (h, b) = Dedup.minhashParams(0.8, 0.95, maxHashes = 24)
+      val batch = evalSplit(x1)._2
+      // minhash archive tier: index build untimed, FIXED 1x batch probe
+      val c100 = evalSplit(x100)._1
+      Dedup.writeMinhashIndex(c100, "doc_id", "text", "g86_idx_100x",
+        n = 3, numHashes = h, bands = b)
+      t("q86_probe_100x") = time("q86_probe_100x",
+        Dedup.incrementalMinhashPairsIndexed(c100, batch, "doc_id",
+          "text", "g86_idx_100x", n = 3, threshold = 0.8, numHashes = h,
+          bands = b))
+      // BM25 postings tier: FIXED 1x panel probe, then the fixed-batch
+      // append (order matters — the append mutates the index)
+      def bmPanel(dir: String) = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(filter(split(col("text"), " "),
+            w => length(w) > 0), 1, 8), " ").as("qtext"))
+      TextAnalysis.writeBm25Index(Tables.documents(spark, x100),
+        "doc_id", "text", "gqb3_idx_100x")
+      t("qb3_probe_100x") = time("qb3_probe_100x",
+        TextAnalysis.bm25TopKIndexed(bmPanel(x1), "q_id", "qtext",
+          "gqb3_idx_100x", k = 10))
+      val appDocs = Tables.documents(spark, x1)
+        .withColumn("doc_id", col("doc_id") + lit(910000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", "$1_aq"))
+      t("qc1_bm25_append_100x") = timeU("qc1_bm25_append_100x") {
+        TextAnalysis.appendBm25Index(appDocs, "doc_id", "text",
+          "gqb3_idx_100x")
+        ""
+      }
+      // ADC tier: fresh indexes at BOTH scales (the earlier 1x index
+      // was mutated by its append row), occupancy-constant params from
+      // each corpus's own count — the production serving contract —
+      // probed by the FIXED 1x panel, then the fixed-batch append
+      val appVecs = Tables.embeddings(spark, x1)
+        .withColumn("vec_id", col("vec_id") + lit(910000000L))
+        .withColumn("embedding", expr(
+          "transform(sequence(0, 63), i -> " +
+          "cast(pmod(hash(vec_id, 78, i), 2000) / 1000.0d - 1.0d as float))"))
+      val panel = Tables.embeddings(spark, x1)
+        .filter(col("vec_id") % 100 === 0)
+      for ((tag, d) <- Seq("1x" -> x1, "100x" -> x100)) {
+        val emb = Tables.embeddings(spark, d)
+        val (nl, np) = Similarity.ivfParams(emb.count())
+        Similarity.writeIvfAdcIndex(emb, "vec_id", "embedding",
+          s"gadcp_idx_$tag", nlist = nl, dim = 64)
+        if (tag == "1x") // warm the probe plan shape off the clock
+          Similarity.ivfAdcTopKIndexed(panel, "vec_id", "embedding",
+            k = 3, nprobe = np, table = "gadcp_idx_1x", dim = 64).count()
+        t(s"qadc_probe_$tag") = time(s"qadc_probe_$tag",
+          Similarity.ivfAdcTopKIndexed(panel, "vec_id", "embedding",
+            k = 3, nprobe = np, table = s"gadcp_idx_$tag", dim = 64))
+      }
+      t("qc3_adc_append_100x") = timeU("qc3_adc_append_100x") {
+        Similarity.appendIvfAdcIndex(appVecs, "vec_id", "embedding",
+          "gadcp_idx_100x", dim = 64)
+        ""
+      }
+      // bounded-state tiers at the next decade
+      def lens(d: String) = Tables.documents(spark, d)
+        .select(length(col("text")).cast("long").as("v"))
+      t("qe8_sketch_build_100x") = timeU("qe8_sketch_build_100x") {
+        Sketches.writeSketchTable(lens(x100), col("v"), "gsk_tbl_100x"); ""
+      }
+      t("qf4_cm_build_100x") = timeU("qf4_cm_build_100x") {
+        TextAnalysis.writeCountMinTable(Tables.documents(spark, x100),
+          "text", "gcm_tbl_100x"); ""
+      }
+      t("qf1_sketch_append_100x") = timeU("qf1_sketch_append_100x") {
+        Sketches.appendSketchTable(lens(x1), col("v"), "gsk_tbl_100x"); ""
+      }
+      t("qe8_sketch_probe_100x") = time("qe8_sketch_probe_100x",
+        Sketches.quantilesFromSketchTable(spark, "gsk_tbl_100x",
+          Seq(50, 90, 99)))
+      t("qf5_cm_probe_100x") = time("qf5_cm_probe_100x",
+        TextAnalysis.countMinTopKIndexed(
+          Tables.documents(spark, x1).filter(col("doc_id") % 100 === 0),
+          "text", "gcm_tbl_100x", k = 20))
+      // the REAL serving stacks, registry bodies verbatim: panels are
+      // PROPORTIONAL (qb1Queries samples the corpus), so flat per-query
+      // work reads as exponent ~1 — the claim under test. First call
+      // builds the persisted indexes via buildOnce, untimed; the timed
+      // run is pure serving.
+      for ((tag, d) <- Seq("1x" -> x1, "100x" -> x100)) {
+        graft.SparkEntry.queries("qb7")(spark, d).count()
+        t(s"qb7_stack_$tag") = time(s"qb7_stack_$tag",
+          graft.SparkEntry.queries("qb7")(spark, d))
+        graft.SparkEntry.queries("qc2")(spark, d).count()
+        t(s"qc2_stack_$tag") = time(s"qc2_stack_$tag",
+          graft.SparkEntry.queries("qc2")(spark, d))
+      }
+    }
+
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
       System.err.println(
         f"[growth] exponent $label%-28s ${math.log(tk / t1) / math.log(k)}%5.2f")
@@ -616,6 +726,30 @@ object GrowthBench {
       t("qe8_sketch_probe_10x"), 10)
     exp("qf5_cm_probe 1x->10x", t("qf5_cm_probe_1x"),
       t("qf5_cm_probe_10x"), 10)
+    if (x100opt.isDefined) {
+      System.err.println(
+        "[growth] --- one decade further: 1x -> 100x exponents ---")
+      exp("q86_probe 1x->100x", t("q86_probe_1x"), t("q86_probe_100x"), 100)
+      exp("qb3_probe 1x->100x", t("qb3_probe_1x"), t("qb3_probe_100x"), 100)
+      exp("qc1_bm25_append 1x->100x", t("qc1_bm25_append_1x"),
+        t("qc1_bm25_append_100x"), 100)
+      exp("qadc_probe 1x->100x", t("qadc_probe_1x"),
+        t("qadc_probe_100x"), 100)
+      exp("qc3_adc_append 1x->100x", t("qc3_adc_append_1x"),
+        t("qc3_adc_append_100x"), 100)
+      exp("qe8_sketch_build 1x->100x", t("qe8_sketch_build_1x"),
+        t("qe8_sketch_build_100x"), 100)
+      exp("qf4_cm_build 1x->100x", t("qf4_cm_build_1x"),
+        t("qf4_cm_build_100x"), 100)
+      exp("qf1_sketch_append 1x->100x", t("qf1_sketch_append_1x"),
+        t("qf1_sketch_append_100x"), 100)
+      exp("qe8_sketch_probe 1x->100x", t("qe8_sketch_probe_1x"),
+        t("qe8_sketch_probe_100x"), 100)
+      exp("qf5_cm_probe 1x->100x", t("qf5_cm_probe_1x"),
+        t("qf5_cm_probe_100x"), 100)
+      exp("qb7_stack 1x->100x", t("qb7_stack_1x"), t("qb7_stack_100x"), 100)
+      exp("qc2_stack 1x->100x", t("qc2_stack_1x"), t("qc2_stack_100x"), 100)
+    }
 
     val json = t.map { case (k, v) =>
       "\"" + k + "\":" +
