@@ -501,7 +501,8 @@ object Dedup {
     val shadow = table + "_cmp"
     graft.sources.MapFiles.write(live, "bkey", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    // tolerant: a probe's heal may have completed this rename already
+    MergeTables.renameInto(spark, shadow, table)
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     spark.catalog.refreshTable(table)
   }

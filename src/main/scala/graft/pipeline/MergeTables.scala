@@ -904,10 +904,26 @@ private[graft] object MergeTables {
       table: String): Unit = {
     val shadow = table + "_compact_shadow"
     if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(shadow)) {
-      spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
-      spark.catalog.refreshTable(table)
+        spark.catalog.tableExists(shadow))
+      renameInto(spark, shadow, table)
+  }
+
+  /** Finish a shadow swap's RENAME, tolerating a concurrent finisher:
+    * a probe-path heal ([[recoverCompactCrash]]/[[recoverCmpSwapCrash]]
+    * — probes hold no lock) can land inside a swapper's DROP→RENAME
+    * window and complete the rename first, in which case the loser's
+    * rename throws while exactly the state it wanted already holds —
+    * re-check and accept instead of reporting a completed swap as a
+    * failure. Throws only when the live name is still missing (a real
+    * failure). */
+  private[graft] def renameInto(spark: SparkSession, shadow: String,
+      table: String): Unit = {
+    try spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        if (!spark.catalog.tableExists(table)) throw e
     }
+    spark.catalog.refreshTable(table)
   }
 
   /** Heal the INDEX tiers' compaction swap window (the
@@ -928,10 +944,8 @@ private[graft] object MergeTables {
       table: String): Unit = {
     val shadow = table + "_cmp"
     if (!spark.catalog.tableExists(table) &&
-        spark.catalog.tableExists(shadow)) {
-      spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
-      spark.catalog.refreshTable(table)
-    }
+        spark.catalog.tableExists(shadow))
+      renameInto(spark, shadow, table)
   }
 
   /** Shadow-write `df` then swap it in at `table` — the crash-safe
@@ -965,8 +979,7 @@ private[graft] object MergeTables {
       // dir may survive its metastore — the RENAME refuses a stale
       // location the catalog doesn't know
       graft.sources.MapFiles.clearStaleLocation(spark, table)
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
-    spark.catalog.refreshTable(table)
+    renameInto(spark, shadow, table)
   }
 
   /** Rewrite all generations into one gen-0 file: `merged` must be the
@@ -1049,7 +1062,11 @@ private[graft] object MergeTables {
     * double-counted, and [[allocLineage]] can never re-issue a retired
     * id (the floor row keeps the max). The explicit form of the
     * retirement [[carryHwms]] applies at every compaction when
-    * `graft.hwm.keepLineages` is declared on the session. */
+    * `graft.hwm.keepLineages` is declared on the session. Declare a
+    * horizon LARGER than the number of concurrently live lineages: an
+    * active lineage retired mid-stream fails its next batch loudly
+    * (the refusal above) — by design, but a correctly sized horizon
+    * never retires a live writer. */
   def retireHwms(spark: SparkSession, keyTable: String, keep: Int)
       : Unit = withTableLock(keyTable) {
     val ht = hwmTable(keyTable)

@@ -1053,13 +1053,15 @@ object Similarity {
     * physically removing tombstoned vectors — the dense-tier
     * compaction beside [[graft.pipeline.TextAnalysis.compactBm25Index]]
     * (reference analog: the MapFile sorted-single-file rewrite,
-    * io/MapFile.java:49). The centroid table is untouched (the
-    * quantizer stays frozen — re-clustering is a retrain decision,
-    * gated separately by the qc3 drift audit). Crash exposure: only
-    * the two-catalog-op DROP/RENAME swap window, as on the lexical
-    * tier — run in a maintenance window. Gated: probe-after-compact
-    * == probe-before == an index built over the surviving vectors
-    * against the same frozen quantizer (spec + qd4's oracle row). */
+    * io/MapFile.java:49). The quantizer stays frozen — re-clustering
+    * is a retrain decision, gated separately by the qc3 drift audit —
+    * but retired/orphan epochs' centroid rows (nlist per retrain
+    * attempt) are GC'd with the rewrite. Crash exposure: only the
+    * two-catalog-op DROP/RENAME swap window, as on the lexical tier,
+    * healed on next touch ([[MergeTables.recoverCmpSwapCrash]], r16).
+    * Gated: probe-after-compact == probe-before == an index built over
+    * the surviving vectors against the same frozen quantizer (spec +
+    * qd4's oracle row). */
   def compactIvfAdcIndex(spark: SparkSession, table: String): Unit =
       MergeTables.withTableLock(table) {
     MergeTables.recoverCmpSwapCrash(spark, table)
@@ -1092,7 +1094,8 @@ object Similarity {
     val shadow = table + "_cmp"
     graft.sources.MapFiles.write(live, "cell", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    // tolerant: a probe's heal may have completed this rename already
+    MergeTables.renameInto(spark, shadow, table)
     // the compacted rows are all (gen 0, active epoch), which is
     // committed in every reachable state — stale extra generations are
     // inert, so each remaining step is individually crash-safe; the

@@ -822,7 +822,8 @@ object TextAnalysis {
         .repartition(buckets, col("term")),
       "term", buckets, shadow)
     spark.sql(s"DROP TABLE `$table`")
-    spark.sql(s"ALTER TABLE `$shadow` RENAME TO `$table`")
+    // tolerant: a probe's heal may have completed this rename already
+    MergeTables.renameInto(spark, shadow, table)
     import spark.implicits._
     // the scalar collapse clears the live streaming batch keys — their
     // high-water marks were carried above, so replay detection (and a
