@@ -373,10 +373,17 @@ object Dedup {
     * (mapred/MapFileOutputFormat.java:39). */
   def writeMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
       table: String, n: Int, numHashes: Int = 24, bands: Int = 6,
-      buckets: Int = 16): Unit =
+      buckets: Int = 16): Unit = {
+    // a fresh index has no deletions — a stale tombstone table from a
+    // previous build at this name would silently delete the fresh
+    // build's signatures at matching ids
+    corpus.sparkSession.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    graft.sources.MapFiles.clearStaleLocation(corpus.sparkSession,
+      table + "_t")
     graft.sources.MapFiles.write(
       indexRows(corpus, idCol, textCol, n, numHashes, bands),
       "bkey", buckets, table)
+  }
 
   /** The banded signature index rows `(bkey, id, n)` of one document
     * set — shared by [[writeMinhashIndex]] and [[appendMinhashIndex]]

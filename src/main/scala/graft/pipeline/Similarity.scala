@@ -596,9 +596,13 @@ object Similarity {
       buckets: Int = ivfIndexBuckets): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     VectorOps.ensureRegistered(spark)
-    // a fresh index has no committed batches — stale replay marks from
-    // a previous build at this name must not outlive it
+    // a fresh index has no committed batches and no deletions — stale
+    // replay marks OR tombstones from a previous build at this name
+    // must not outlive it (leftover tombstones would silently delete
+    // the fresh build's rows at matching ids)
     MergeTables.dropHwms(spark, table + "_g")
+    spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
     val quantizer =
       if (cents != null) cents
       else trainCoarseQuantizer(

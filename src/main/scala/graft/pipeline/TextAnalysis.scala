@@ -470,9 +470,14 @@ object TextAnalysis {
     * (mapred/MapFileOutputFormat.java:39). */
   def writeBm25Index(docs: DataFrame, idCol: String, textCol: String,
       table: String, buckets: Int = 16): Unit = {
-    // a fresh index has no committed batches — stale replay marks from
-    // a previous build at this name must not outlive it
+    // a fresh index has no committed batches and no deletions — stale
+    // replay marks OR tombstones from a previous build at this name
+    // must not outlive it (leftover tombstones would silently delete
+    // the fresh build's postings at matching ids)
     MergeTables.dropHwms(docs.sparkSession, table + "_s")
+    docs.sparkSession.sql(s"DROP TABLE IF EXISTS `${table}_t`")
+    graft.sources.MapFiles.clearStaleLocation(docs.sparkSession,
+      table + "_t")
     graft.sources.MapFiles.write(
       postings(docs, idCol, textCol).withColumn("gen", lit(0L)), "term",
       buckets, table)

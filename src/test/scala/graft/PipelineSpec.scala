@@ -1159,6 +1159,50 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("a fresh index build consumes leftover tombstones on all three tiers (a rebuild is never silently pre-deleted)") {
+    // build -> delete -> REBUILD at the same name: the fresh index
+    // serves the full corpus again. Before r17 a leftover _t table
+    // survived the rebuild and silently deleted the fresh build's rows
+    // at matching ids (the same class as the stale replay marks
+    // dropHwms already cleared).
+    import graft.pipeline.{Dedup, TextAnalysis}
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 200)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 100)
+    try {
+      // dense tier: live rows must cover the whole corpus post-rebuild
+      val cents = Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "reb_adc", nlist = 4, dim = 64)
+      Similarity.deleteIvfVecs(spark, "reb_adc",
+        vecs.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id")
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "reb_adc", nlist = 4, dim = 64, cents = cents)
+      assert(!spark.catalog.tableExists("reb_adc_t"),
+        "ADC rebuild left the stale tombstone table")
+      assert(Similarity.liveAdcRows(spark, "reb_adc").count() ==
+        vecs.count(), "ADC rebuild silently pre-deleted ids")
+      // lexical tier
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "reb_bm")
+      TextAnalysis.deleteBm25Docs(spark, "reb_bm",
+        docs.filter(col("doc_id") % 3 === 0).select("doc_id"), "doc_id")
+      TextAnalysis.writeBm25Index(docs, "doc_id", "text", "reb_bm")
+      assert(!spark.catalog.tableExists("reb_bm_t"),
+        "BM25 rebuild left the stale tombstone table")
+      // signature tier
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", "reb_mh", n = 3)
+      Dedup.deleteMinhashDocs(spark, "reb_mh",
+        docs.filter(col("doc_id") % 3 === 0).select("doc_id"), "doc_id")
+      Dedup.writeMinhashIndex(docs, "doc_id", "text", "reb_mh", n = 3)
+      assert(!spark.catalog.tableExists("reb_mh_t"),
+        "minhash rebuild left the stale tombstone table")
+    } finally {
+      for (t <- Seq("reb_adc", "reb_bm", "reb_mh");
+          sfx <- Seq("", "_c", "_g", "_s", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
   test("maybeRetrainIvfAdcIndex: the drift gate drives the retrain — no-op above the floor, fresh-build state below it") {
     // the dense tier's policy analog of maybeCompact: the recall audit
     // (qc3's gate) is the trigger, the qe3 retrain the consumer. Above
