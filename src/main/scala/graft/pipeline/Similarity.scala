@@ -672,6 +672,8 @@ object Similarity {
 
   private def readIvfCentroidsAt(spark: SparkSession, table: String,
       epoch: Long): Array[Array[Double]] = {
+    // heal a compactor killed inside the centroid-GC swap window
+    MergeTables.recoverCompactCrash(spark, table + "_c")
     spark.catalog.refreshTable(table + "_c")
     spark.table(table + "_c").filter(col("epoch") === epoch)
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
@@ -1023,12 +1025,17 @@ object Similarity {
       .write.mode("append").saveAsTable(table + "_t")
   }
 
-  /** The probe-visible rows of a persisted ADC index: rows of
-    * COMMITTED generations (lazy broadcast semi-join against the tiny
-    * `table_g` set — no driver collect, orphans of crashed appends
-    * cost only their own read) minus tombstones (if any). Shared by
-    * every probe and by compaction so the two cannot disagree on
-    * liveness. */
+  /** The probe-visible rows of a persisted ADC index: the ACTIVE
+    * epoch's rows of COMMITTED generations (lazy broadcast semi-join
+    * against the tiny `table_g` set — no driver collect, orphans of
+    * crashed appends cost only their own read) minus the active
+    * epoch's tombstones (if any). Shared by every probe and by
+    * compaction so the two cannot disagree on liveness. Lockless
+    * reader note: a probe whose plan resolved the epoch immediately
+    * before a retrain's flip lands serves, for that one run, at worst
+    * the old epoch's gen-0 subset (gen 0 is the one generation id
+    * both epochs commit) — a consistent stale view, never a mix of
+    * quantizers. */
   private[graft] def liveAdcRows(spark: SparkSession, table: String,
       bucketedRead: Boolean = false, epoch: Option[Long] = None)
       : DataFrame = {
@@ -1113,14 +1120,16 @@ object Similarity {
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     // centroid GC, last and optional (inert rows either way): retired
     // or orphan epochs' centroids — nlist rows per retrain attempt —
-    // leave with the rewrite. Materialized first: the rewrite replaces
-    // the table it reads.
+    // leave with the rewrite. Materialized first (the rewrite replaces
+    // the table it reads) and swapped through the healed shadow
+    // protocol: a plain drop+recreate would open an unhealable
+    // no-centroids window, the exact class the r17 retrain closed.
     spark.catalog.refreshTable(table + "_c")
     if (spark.table(table + "_c").select("epoch").distinct().count() > 1)
-      graft.sources.MapFiles.write(
+      MergeTables.swapInKeyed(spark,
         spark.table(table + "_c").filter(col("epoch") === epoch)
           .localCheckpoint(),
-        "cell", 1, table + "_c")
+        "cell", table + "_c")
     spark.catalog.refreshTable(table)
   }
 

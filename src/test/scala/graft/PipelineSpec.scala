@@ -1152,9 +1152,19 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(spark.catalog.tableExists("adc_cr_idx_g"),
         "the flip window did not heal on writer touch")
       assert(Similarity.activeAdcEpoch(spark, "adc_cr_idx") == 2L)
+      // CRASH STATE D — a compactor killed inside the centroid-GC swap
+      // (table_c dropped, its shadow complete): heals on the next read
+      Similarity.compactIvfAdcIndex(spark, "adc_cr_idx")
+      spark.sql("ALTER TABLE adc_cr_idx_c RENAME TO " +
+        "adc_cr_idx_c_compact_shadow")
+      val cents2 = Similarity.readIvfCentroids(spark, "adc_cr_idx")
+      assert(cents2.length == 4 &&
+        spark.catalog.tableExists("adc_cr_idx_c"),
+        "the centroid-GC swap window did not heal on read")
     } finally {
       for (t <- Seq("adc_cr_idx", "adc_cr_ref");
-          sfx <- Seq("", "_c", "_g", "_t", "_cmp", "_g_compact_shadow"))
+          sfx <- Seq("", "_c", "_g", "_t", "_cmp", "_g_compact_shadow",
+            "_c_compact_shadow"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
     }
   }
