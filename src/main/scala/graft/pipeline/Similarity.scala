@@ -1112,10 +1112,12 @@ object Similarity {
     // inert, so each remaining step is individually crash-safe; the
     // rewrite also clears the streaming batch keys, which is what
     // permits a FRESH streaming lineage after a compaction
-    // (streamBatchKeyBase doc)
+    // (streamBatchKeyBase doc). Swap-written (r17): a plain
+    // drop+recreate would open an unhealable no-generations window — a
+    // crash inside it stranded the index
     import spark.implicits._
-    graft.sources.MapFiles.write(
-      Seq((0L, -1L, epoch)).toDF("gen", "batch_key", "epoch"), "gen", 1,
+    MergeTables.swapInKeyed(spark,
+      Seq((0L, -1L, epoch)).toDF("gen", "batch_key", "epoch"), "gen",
       table + "_g")
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     // centroid GC, last and optional (inert rows either way): retired

@@ -503,8 +503,10 @@ object TextAnalysis {
       bucketedRead: Boolean = false): (DataFrame, DataFrame) = {
     // heal a compactor crash's DROP/RENAME window first — with in-loop
     // compaction (qfm) the window is hit proportionally more often,
-    // and this read is the first touch of every probe/append/delete
+    // and this read is the first touch of every probe/append/delete.
+    // The scalar table's own collapse swap (r17) heals the same way.
     MergeTables.recoverCmpSwapCrash(spark, table)
+    MergeTables.recoverCompactCrash(spark, table + "_s")
     val sTab = spark.table(table + "_s")
     val stats = sTab.agg(sum("n_docs").as("n_docs"),
       sum("sum_dl").as("sum_dl"))
@@ -833,11 +835,13 @@ object TextAnalysis {
     // the scalar collapse clears the live streaming batch keys — their
     // high-water marks were carried above, so replay detection (and a
     // fresh lineage's allocation) survive the rewrite (see
-    // Similarity.streamBatchKeyBase)
-    graft.sources.MapFiles.write(
+    // Similarity.streamBatchKeyBase). Swap-written (r17): a plain
+    // drop+recreate would open an unhealable no-scalars window — a
+    // crash inside it stranded the index (committedIndex requires _s)
+    MergeTables.swapInKeyed(spark,
       Seq((0L, totals.getLong(0), totals.getLong(1), -1L))
         .toDF("gen", "n_docs", "sum_dl", "batch_key"),
-      "gen", 1, table + "_s")
+      "gen", table + "_s")
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     // the swap changed the files behind the table's name — drop any
     // stale relation-cache entry so the next probe relists

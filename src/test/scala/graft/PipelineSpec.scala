@@ -2061,11 +2061,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
           qs, "q_id", "qtext", k = 3)
         .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
       assert(probe.nonEmpty && probe == direct)
+      // a compactor killed inside the SCALAR collapse's swap window
+      // (table_s dropped, its shadow complete — r17: the collapse is
+      // swap-written, a drop+recreate window stranded the index):
+      // probes heal it on first touch
+      spark.sql("ALTER TABLE bm25_cmp_idx_s RENAME TO " +
+        "bm25_cmp_idx_s_compact_shadow")
+      val healed = TextAnalysis.bm25TopKIndexed(qs, "q_id", "qtext",
+          "bm25_cmp_idx", k = 3)
+        .as[(Long, Long, Int, Long)].collect().sortBy(_._3).toSeq
+      assert(healed == direct &&
+        spark.catalog.tableExists("bm25_cmp_idx_s"),
+        "the scalar-collapse swap window did not heal on probe")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx")
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_s")
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_t")
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_cmp")
+      spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_s_compact_shadow")
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_ref")
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_ref_s")
     }
