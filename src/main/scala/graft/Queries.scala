@@ -223,22 +223,27 @@ object RelationalQueries {
     graft.pipeline.MergeTables.mergedSum(s, qc2SelTable(s, d),
       Seq("g"), "cnt")
 
-  /** Memoized per (source dir, count-table generation count) — the
-    * denseParams discipline, with the generation count as the
-    * staleness key (r16 verdict item 8): the stored counts change only
-    * when someone APPENDS to (or compacts) the maintained table, and
-    * every such mutation changes its generation set, so a grown corpus
-    * invalidates the memo instead of serving depths derived from the
-    * old counts for the process lifetime. The key read is one distinct
-    * over the two-row table — noise next to the derivation it saves. */
+  /** Memoized per source dir, keyed by the count table's FILE SNAPSHOT
+    * (the sorted input-file list) — the denseParams discipline with a
+    * content-addressed staleness key (r16 verdict item 8, re-keyed:
+    * the first fix used the generation COUNT, which is not injective —
+    * a compaction collapses the table back to one generation, colliding
+    * with the pre-append entry and serving stale depths). Every
+    * mutation of the maintained table — append, compaction, filtered
+    * retirement — adds or rewrites part files, so the snapshot changes
+    * exactly when the stored counts can. One slot per dir (superseded
+    * snapshots are evicted by replacement, so the memo is bounded by
+    * the number of source dirs, not the mutation count). The key read
+    * is a driver-side file listing — metadata-only, noise next to the
+    * derivation it saves. */
   private val qc2DepthsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), (Int, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, (Int, Int))]()
 
   private[graft] def qc2Depths(s: SparkSession, d: String): (Int, Int) = {
-    val gens = graft.pipeline.MergeTables.generationCount(s,
-      qc2SelTable(s, d))
-    qc2DepthsMemo.computeIfAbsent((dirTag(d), gens),
-      _ => qc2DepthsUncached(s, d))
+    val snap = s.table(qc2SelTable(s, d)).inputFiles.sorted.mkString("\n")
+    qc2DepthsMemo.compute(dirTag(d), (_, prev) =>
+      if (prev != null && prev._1 == snap) prev
+      else (snap, qc2DepthsUncached(s, d)))._2
   }
 
   private def qc2DepthsUncached(s: SparkSession, d: String): (Int, Int) = {

@@ -530,12 +530,22 @@ private[graft] object MergeTables {
     * with [[stealWriterLease]], never silently. With
     * `graft.lease.adoptAfterMs` set on the session, a foreign holder's
     * HEARTBEAT ([[renewWriterLease]] — live holders renew from
-    * [[startLeased]]'s renewal loop) is observed for that long OUTSIDE
-    * the allocation monitor: a beat that advances means a live writer
+    * [[startLeased]]'s renewal loop) is observed OUTSIDE the
+    * allocation monitor: a beat that advances means a live writer
     * (refused, with the observation in the message); a silent one is
     * presumed crashed and its lease is adopted — the steal becomes
     * declared policy instead of a human call, which is what lets an
-    * unattended pipeline survive a crashed foreign writer. Reference
+    * unattended pipeline survive a crashed foreign writer. Two guards
+    * keep adoption from ever firing on a LIVE holder: (a) it applies
+    * only to holders that DECLARED a heartbeat cadence into the lease
+    * directory ([[startLeased]] writes `_renew_<ms>` plus beat 0
+    * before its query starts) — a batch mutator declares none, and
+    * its silence is not evidence of a crash, so it keeps the original
+    * refuse-until-stolen contract; (b) the observation window is at
+    * least TWO of the HOLDER's declared cadences, whatever the
+    * acquirer's TTL says — the acquirer's conf cannot know the
+    * holder's interval, and a window shorter than one cadence would
+    * read a live holder's between-beats gap as a crash. Reference
     * contract: liveness-by-heartbeat is the reference's own master
     * mechanism (mapred/JobTracker.java:2504 heartbeat). */
   def acquireWriterLease(spark: SparkSession, table: String): Unit =
@@ -545,8 +555,17 @@ private[graft] object MergeTables {
         spark.conf.getOption("graft.lease.adoptAfterMs") match {
           case None => throw e
           case Some(msStr) =>
-            val ms = msStr.toLong
             val lease = table + "_wlease"
+            val declared = leaseRenewDeclared(spark, lease).getOrElse(
+              throw new IllegalArgumentException(
+                s"writer lease on $table is held by a process (token " +
+                  s"${e.heldToken}) that declared no heartbeat cadence " +
+                  "— a batch mutator, or a holder crashed before its " +
+                  "first renewal; silence is not evidence of a crash " +
+                  "for such a holder, so the graft.lease.adoptAfterMs " +
+                  "policy does not apply. Stop the other writer, or " +
+                  "stealWriterLease if it crashed", e))
+            val ms = math.max(msStr.toLong, 2L * declared)
             // observe WITHOUT the object monitor: a production TTL is
             // minutes, and the monitor also serializes every lineage
             // allocation in the process
@@ -559,9 +578,9 @@ private[graft] object MergeTables {
                 s"${ms}ms) — stop the other writer; stealWriterLease " +
                 "would lose its in-flight batches", e)
             System.err.println(s"[graft] adopting writer lease on " +
-              s"$table: holder (token ${e.heldToken}) sent no heartbeat " +
-              s"within ${ms}ms — presumed crashed (graft.lease." +
-              "adoptAfterMs policy)")
+              s"$table: holder (token ${e.heldToken}) declared a " +
+              s"${declared}ms heartbeat but sent none within ${ms}ms — " +
+              "presumed crashed (graft.lease.adoptAfterMs policy)")
             stealWriterLease(spark, table)
             // a SECOND foreign refusal here (a new live holder appeared
             // during the steal) propagates — adoption never loops
@@ -607,34 +626,38 @@ private[graft] object MergeTables {
             // both racers passed the foreign-dir probe (no dir existed
             // yet), then the winner's directory refuses the loser's
             // create with a LOCATION-collision error, not a catalog-row
-            // collision — translate it to the standard refusal, reading
-            // the winner's now-committed token
-            val tok = foreignLeaseToken(spark, lease)
-              .getOrElse("not yet readable")
-            throw new IllegalArgumentException(
-              s"writer lease on $table is held by another process " +
-                s"(token $tok) — two concurrent writer processes on one " +
-                "table would silently skip each other's batches as " +
-                "replays; stop the other writer, or stealWriterLease " +
-                "if it crashed", e)
+            // collision — translate it to the standard FOREIGN refusal
+            // (the typed one, so the adoption policy applies if the
+            // winner later crashes), reading the winner's now-committed
+            // token
+            val ex = new ForeignLeaseException(table,
+              foreignLeaseToken(spark, lease).getOrElse("not yet readable"),
+              ", which committed the shared location first")
+            ex.initCause(e)
+            throw ex
         }
         // ADVICE r16: in the per-process-metastore topology BOTH racers
         // can saveAsTable successfully in their own catalogs (the
         // winner's parquet may not be committed at the shared location
         // when the loser probes), so catalog success is not the arbiter
         // — what COMMITTED at the shared warehouse location is. Require
-        // it to be exactly our token; on mismatch refuse with the
-        // standard message. The refusal leaves our catalog row in place
-        // deliberately: dropping it would delete the shared directory
-        // under the other holder — stealWriterLease clears everything
-        // when the operator decides.
+        // it to be exactly our token; on mismatch refuse with the typed
+        // foreign refusal. Before refusing, delete OUR OWN token
+        // file(s) from the shared location — leaving them would wedge
+        // the winner-crashed recovery forever (every later acquirer
+        // reads TWO committed tokens, a state neither the token check
+        // nor adoption can resolve). File-level surgery deliberately:
+        // dropping our catalog ROW would delete the whole shared
+        // directory under the winner, so the husk row stays (harmless —
+        // a retry in this process hits the TableAlreadyExists path and
+        // reads the winner's token).
         val committed = leaseTokensAt(spark, lease)
-        require(committed == Seq(processToken),
-          s"writer lease on $table is held by another process (committed " +
-            s"token(s) ${committed.filterNot(_ == processToken)
-              .mkString(", ")}) — the shared warehouse location holds a " +
-            "token this process did not write; stop the other writer, " +
-            "or stealWriterLease if it crashed")
+        if (committed != Seq(processToken)) {
+          dropOwnCommittedToken(spark, lease)
+          throw new ForeignLeaseException(table,
+            committed.filterNot(_ == processToken).mkString(", "),
+            ", committed at the shared warehouse location")
+        }
       }
       leaseHolds(lease) = held + 1
     }
@@ -643,7 +666,7 @@ private[graft] object MergeTables {
     * location — the arbiter of the first-creation race (two per-process
     * catalogs can both record a create; the filesystem holds what
     * actually landed). Empty when the directory does not exist. */
-  private def leaseTokensAt(spark: SparkSession, lease: String)
+  private[graft] def leaseTokensAt(spark: SparkSession, lease: String)
       : Seq[String] = {
     val loc = leaseLoc(spark, lease)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -655,7 +678,7 @@ private[graft] object MergeTables {
   /** The lease table's shared warehouse directory — the one location
     * both the token parquet and the heartbeat files live at, visible
     * across per-process catalogs. */
-  private def leaseLoc(spark: SparkSession, lease: String)
+  private[graft] def leaseLoc(spark: SparkSession, lease: String)
       : org.apache.hadoop.fs.Path = {
     val db = spark.catalog.currentDatabase
     val parent = new org.apache.hadoop.fs.Path(
@@ -702,6 +725,62 @@ private[graft] object MergeTables {
             fs.delete(s.getPath, false)
         }
       }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Delete THIS process's committed token file(s) from `lease`'s
+    * shared location — the loser's cleanup after the both-committed
+    * race. Reads each data file individually (they are one-row token
+    * parquets) and removes only those holding exactly our token; the
+    * winner's files and every underscore-prefixed control file are
+    * untouched. Best-effort: a failure here only re-surfaces as the
+    * two-token refusal on the next acquire. */
+  private[graft] def dropOwnCommittedToken(spark: SparkSession, lease: String)
+      : Unit =
+    try {
+      val loc = leaseLoc(spark, lease)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.listStatus(loc).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) {
+          val toks =
+            try spark.read.parquet(st.getPath.toString).select("tok")
+              .distinct().collect().map(_.getString(0)).toSeq
+            catch { case scala.util.control.NonFatal(_) => Seq.empty }
+          if (toks == Seq(processToken)) fs.delete(st.getPath, false)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The heartbeat cadence the lease's holder DECLARED (`_renew_<ms>`
+    * control file, written by [[startLeased]] before its query
+    * starts), if any — the adoption policy's applicability gate: no
+    * declaration means the holder never promised beats, so its silence
+    * proves nothing. Max wins if several landed (restarts with a
+    * changed conf). */
+  private[graft] def leaseRenewDeclared(spark: SparkSession,
+      lease: String): Option[Long] =
+    try {
+      val loc = leaseLoc(spark, lease)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(loc)) None
+      else {
+        val ds = fs.listStatus(loc).iterator.map(_.getPath.getName)
+          .filter(_.startsWith("_renew_"))
+          .map(_.stripPrefix("_renew_").toLong).toSeq
+        if (ds.isEmpty) None else Some(ds.max)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Declare this holder's heartbeat cadence into the lease directory
+    * (see [[leaseRenewDeclared]]). Best-effort like renewal. */
+  private[graft] def declareRenewInterval(spark: SparkSession,
+      table: String, ms: Long): Unit =
+    try {
+      val loc = leaseLoc(spark, table + "_wlease")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc))
+        fs.create(new org.apache.hadoop.fs.Path(loc, f"_renew_$ms%019d"),
+          true).close()
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The token committed in a lease DIRECTORY the current catalog
@@ -767,6 +846,18 @@ private[graft] object MergeTables {
       case e: Throwable =>
         acquired.foreach(releaseWriterLease(spark, _)); throw e
     }
+    val renewEvery = spark.conf
+      .getOption("graft.lease.renewIntervalMs").map(_.toLong)
+      .getOrElse(15000L)
+    // declare the cadence + land beat 0 BEFORE the query starts:
+    // adoption applies only to holders that declared a cadence, and
+    // the first SCHEDULED beat is one full interval away — without
+    // these, a live holder would be adoptable during startup and
+    // during its first renewal interval
+    tables.foreach { t =>
+      declareRenewInterval(spark, t, renewEvery)
+      renewWriterLease(spark, t)
+    }
     val q =
       try start
       catch {
@@ -776,9 +867,6 @@ private[graft] object MergeTables {
     // heartbeat renewal for the query's lifetime: what makes this
     // holder distinguishable from a crashed one to an acquirer running
     // the graft.lease.adoptAfterMs adoption policy (r16 verdict item 1)
-    val renewEvery = spark.conf
-      .getOption("graft.lease.renewIntervalMs").map(_.toLong)
-      .getOrElse(15000L)
     val renewal = leaseRenewer.scheduleAtFixedRate(
       () => tables.foreach(renewWriterLease(spark, _)),
       renewEvery, renewEvery, java.util.concurrent.TimeUnit.MILLISECONDS)

@@ -717,14 +717,18 @@ object Similarity {
     require(spark.catalog.tableExists(table + "_g"),
       s"$table has no generation table — not an ADC index")
     val gen = graft.sources.MapFiles.freshGen()
-    appendAdcRowsOnly(newVecs, idCol, vecCol, table, gen)
-    commitAdcGen(spark, table, gen)
+    val epoch = appendAdcRowsOnly(newVecs, idCol, vecCol, table, gen)
+    commitAdcGen(spark, table, gen, epoch)
   }
 
   /** Step 1 of [[appendIvfAdcIndex]] — the row append WITHOUT the
-    * commit. Package-visible for the atomicity spec. */
+    * commit. Returns the active epoch the rows packed against, which
+    * the caller's [[commitAdcGen]] commits under (ONE epoch resolution
+    * per append, and the two steps cannot straddle a flip — both run
+    * under the caller's table lock). Package-visible for the
+    * atomicity spec. */
   private[graft] def appendAdcRowsOnly(newVecs: DataFrame, idCol: String,
-      vecCol: String, table: String, gen: Long): Unit = {
+      vecCol: String, table: String, gen: Long): Long = {
     val spark = newVecs.sparkSession
     VectorOps.ensureRegistered(spark)
     // bucket count from the table's own metadata (the appendBm25Index
@@ -737,13 +741,23 @@ object Similarity {
     val epoch = activeAdcEpoch(spark, table)
     val quantizer = readIvfCentroidsAt(spark, table, epoch)
     require(quantizer.nonEmpty, s"$table has no stored centroids")
-    packedRows(newVecs, idCol, vecCol, quantizer)
+    writePackedRows(newVecs, idCol, vecCol, table, quantizer, gen, epoch,
+      buckets)
+    epoch
+  }
+
+  /** The ONE bucketed packed-row append — shared by [[appendAdcRowsOnly]]
+    * and [[retrainIvfAdcIndex]]'s re-pack so the two write paths cannot
+    * silently diverge (options, layout, columns). */
+  private def writePackedRows(vecs: DataFrame, idCol: String,
+      vecCol: String, table: String, quantizer: Array[Array[Double]],
+      gen: Long, epoch: Long, buckets: Int): Unit =
+    packedRows(vecs, idCol, vecCol, quantizer)
       .withColumn("gen", lit(gen)).withColumn("epoch", lit(epoch))
       .write.mode("append")
       .option("parquet.bloom.filter.enabled#cell", "true")
       .bucketBy(buckets, "cell").sortBy("cell")
       .saveAsTable(table)
-  }
 
   /** Step 2 of [[appendIvfAdcIndex]] — the commit: one generation row
     * appended to `table_g`. `batchKey` is the LOGICAL identity of the
@@ -756,9 +770,9 @@ object Similarity {
     * written crashed attempt remains invisible forever even when its
     * batch is retried under the same key. */
   private[graft] def commitAdcGen(spark: SparkSession, table: String,
-      gen: Long, batchKey: Long = -1L): Unit = {
+      gen: Long, epoch: Long, batchKey: Long = -1L): Unit = {
     import spark.implicits._
-    Seq((gen, batchKey, activeAdcEpoch(spark, table)))
+    Seq((gen, batchKey, epoch))
       .toDF("gen", "batch_key", "epoch").coalesce(1)
       .write.mode("append").bucketBy(1, "gen").sortBy("gen")
       .saveAsTable(table + "_g")
@@ -801,8 +815,8 @@ object Similarity {
       if (!MergeTables.replayed(spark, table + "_g", key)) {
         MergeTables.recoverCmpSwapCrash(spark, table)
         val gen = graft.sources.MapFiles.freshGen()
-        appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
-        commitAdcGen(spark, table, gen, key)
+        val epoch = appendAdcRowsOnly(batch, idCol, vecCol, table, gen)
+        commitAdcGen(spark, table, gen, epoch, key)
       }
     }
   }
@@ -975,12 +989,8 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
-    packedRows(live, idCol, vecCol, quantizer)
-      .withColumn("gen", lit(0L)).withColumn("epoch", lit(attempt))
-      .write.mode("append")
-      .option("parquet.bloom.filter.enabled#cell", "true")
-      .bucketBy(buckets, "cell").sortBy("cell")
-      .saveAsTable(table)
+    writePackedRows(live, idCol, vecCol, table, quantizer, gen = 0L,
+      epoch = attempt, buckets = buckets)
     // the retrained rows INCLUDE every committed streamed batch (the
     // live corpus is the input), so the old keys' high-water marks
     // must survive the generation reset — a checkpoint-resumed lineage
@@ -1146,14 +1156,20 @@ object Similarity {
     * identical — the approximate list broadcasts at sample × k rows. */
   def recallAuditIndexed(vecs: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int, table: String,
-      dim: Int = 64): DataFrame = {
-    val approx = ivfAdcTopKIndexed(queries, idCol, vecCol, k, nprobe,
-        table, dim)
-      .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
+      dim: Int = 64): DataFrame =
+    recallVsExact(exactMipsTopK(vecs, queries, idCol, vecCol, k),
+      queries, idCol, vecCol, k, nprobe, table, dim)
+
+  /** The audit's exact leg — brute-force MIPS top-k of `queries`
+    * against the corpus, (q_id, nb_id) rows. One sampled-panel-sized
+    * corpus pass; split out so [[tuneNprobe]] pays it ONCE across its
+    * whole search instead of once per probed candidate. */
+  private def exactMipsTopK(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val corpus = vecs.select(col(idCol).as("id"),
       col(vecCol).as("v"))
     val qs = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
-    val exact = broadcast(qs).crossJoin(corpus)
+    broadcast(qs).crossJoin(corpus)
       .filter(col("q_id") =!= col("id"))
       .withColumn("d", dot(col("qv"), col("v")))
       .withColumn("rank", row_number().over(
@@ -1161,11 +1177,83 @@ object Similarity {
           .partitionBy("q_id").orderBy(col("d").desc, col("id"))))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("id").as("nb_id"))
+  }
+
+  /** Per-query recall of the indexed probe at `nprobe` against a
+    * precomputed exact leg — the body [[recallAuditIndexed]] and
+    * [[tuneNprobe]] share. */
+  private def recallVsExact(exact: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int, table: String,
+      dim: Int): DataFrame = {
+    val approx = ivfAdcTopKIndexed(queries, idCol, vecCol, k, nprobe,
+        table, dim)
+      .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
     exact.join(broadcast(approx), Seq("q_id", "nb_id"), "left_outer")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .select(col("q_id"), col("hits"),
         (col("hits") / lit(k.toDouble)).as("recall"))
+  }
+
+  /** Recall-gated ABSOLUTE nprobe — the scale dial the second-decade
+    * growth measurement prescribes (BASELINE.md r17): [[ivfParams]]'
+    * fraction law probes `frac × nlist` cells because on CLUSTERLESS
+    * vectors recall tracks the probed fraction of the corpus — per-query
+    * candidates are then linear in corpus size (the measured 0.44
+    * exponent on the hash-random growth corpus, documented as the IVF
+    * recall contract, not a plan defect). On REAL clustered embeddings
+    * — low intrinsic dimension, neighbors inside the query's own
+    * cluster neighborhood — a FIXED nprobe already covers the top-k
+    * ball at every corpus size (occupancy-constant nlist shrinks cells
+    * at the same rate nearest-neighbor distances shrink), so the right
+    * production dial is an absolute nprobe tuned against a measured
+    * recall gate, probed work per query = nprobe × occupancy =
+    * CONSTANT. This derives that dial: the smallest nprobe (up to
+    * quantization-tie non-monotonicity) whose measured mean recall@k
+    * on the caller's query sample meets `targetRecall`, by doubling
+    * then binary search — ~2·log2(nlist) audits, each one
+    * sampled-panel-sized, with the exact brute-force leg paid ONCE for
+    * the whole search. The same monitoring-cadence machinery as the
+    * retrain gate ([[maybeRetrainIvfAdcIndex]]): run it when the drift
+    * audit runs, never per probe.
+    *
+    * Returns (nprobe, measured mean recall at it). If even probing all
+    * `nlist` cells misses the target, returns (nlist, that recall) —
+    * the residual shortfall is pure int8-quantization ranking error,
+    * which no amount of probing fixes (re-rank or retrain territory:
+    * [[ivfAdcRerank]], [[retrainIvfAdcIndex]]). */
+  def tuneNprobe(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String, targetRecall: Double,
+      dim: Int = 64): (Int, Double) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall")
+    val spark = vecs.sparkSession
+    val nlist = readIvfCentroids(spark, table).length
+    require(nlist > 0, s"$table has no stored centroids")
+    // one exact pass for the whole search; sample × k rows, pinned so
+    // every audit reuses it instead of re-scanning the corpus
+    val exact = exactMipsTopK(vecs, queries, idCol, vecCol, k)
+      .localCheckpoint()
+    def recallAt(np: Int): Double =
+      recallVsExact(exact, queries, idCol, vecCol, k, np, table, dim)
+        .agg(avg("recall")).head().getDouble(0)
+    var lo = 1
+    var hi = 1
+    var rHi = recallAt(1)
+    if (rHi >= targetRecall) return (1, rHi)
+    while (rHi < targetRecall && hi < nlist) {
+      lo = hi
+      hi = math.min(nlist, hi * 2)
+      rHi = recallAt(hi)
+    }
+    if (rHi < targetRecall) return (nlist, rHi) // quantization-bounded
+    // recall(lo) < target <= recall(hi)
+    while (hi - lo > 1) {
+      val mid = lo + (hi - lo) / 2
+      val r = recallAt(mid)
+      if (r >= targetRecall) { hi = mid; rHi = r } else lo = mid
+    }
+    (hi, rHi)
   }
 
   /** The RETRAIN POLICY — the qc3 drift gate wired to its consumer

@@ -728,9 +728,17 @@ object TextAnalysis {
     * lineage since r16 ([[compactBm25Index]] carries the replay
     * marks). Returns true iff it compacted. */
   def maybeCompactBm25Index(spark: SparkSession, table: String,
-      maxGen: Int = MergeTables.defaultMaxGen): Boolean = {
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+      MergeTables.withTableLock(table) {
+    // lock + heal BOTH swap windows before the threshold read, like the
+    // ADC sibling: the scalar table now swap-writes through its own
+    // shadow (a compactor crash between its DROP and RENAME would make
+    // the refresh/count throw instead of healing), and an unlocked
+    // threshold probe could race a concurrent same-process compactor's
+    // intentional DROP->RENAME window mid-swap
     require(maxGen >= 1, s"maxGen=$maxGen")
     MergeTables.recoverCmpSwapCrash(spark, table)
+    MergeTables.recoverCompactCrash(spark, table + "_s")
     spark.catalog.refreshTable(table + "_s")
     if (spark.table(table + "_s").count() <= maxGen) false
     else { compactBm25Index(spark, table); true }

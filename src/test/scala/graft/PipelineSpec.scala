@@ -1285,12 +1285,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         "embedding", "adc_ilv_idx", nlist = 4, dim = 64)
       val (genA, genB) = (7001L, 7002L)
       // writer A rows, writer B rows, B commits, then A commits
-      Similarity.appendAdcRowsOnly(a, "vec_id", "embedding",
+      val epA = Similarity.appendAdcRowsOnly(a, "vec_id", "embedding",
         "adc_ilv_idx", genA)
-      Similarity.appendAdcRowsOnly(b, "vec_id", "embedding",
+      val epB = Similarity.appendAdcRowsOnly(b, "vec_id", "embedding",
         "adc_ilv_idx", genB)
-      Similarity.commitAdcGen(spark, "adc_ilv_idx", genB)
-      Similarity.commitAdcGen(spark, "adc_ilv_idx", genA)
+      Similarity.commitAdcGen(spark, "adc_ilv_idx", genB, epB)
+      Similarity.commitAdcGen(spark, "adc_ilv_idx", genA, epA)
       Similarity.writeIvfAdcIndex(corpus, "vec_id", "embedding",
         "adc_ilv_ref", nlist = 4, dim = 64, cents = cents)
       val ref = probe("adc_ilv_ref")
@@ -1300,6 +1300,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       for (t <- Seq("adc_ilv_idx", "adc_ilv_ref");
           sfx <- Seq("", "_c", "_g"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
+  test("tuneNprobe: recall-gated absolute nprobe meets the target with fewer probed cells than the fraction law on clustered vectors") {
+    // clustered corpus, LOW INTRINSIC DIMENSION (cluster centers vary
+    // in all 64 dims; within-cluster noise lives in the first 4) — the
+    // real-embedding geometry where a FIXED nprobe covers the top-k
+    // ball. The fraction law (ivfParams) is the clusterless worst-case
+    // floor; here it over-probes, and the tuned dial must come in
+    // under it while the measured recall still clears the gate.
+    val n = 800
+    val clusters = 16
+    val vecs = spark.range(n).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      s"pmod(hash(pmod(id, $clusters), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600) / 1000.0d" +
+      " - 0.3d ELSE 0.0d END as float))").as("embedding"))
+    val queries = vecs.filter(col("vec_id") % 40 === 0) // 20 queries
+    val (nlist, fracNp) = Similarity.ivfParams(n.toLong)
+    val target = 0.8
+    try {
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "adc_tune_idx", nlist = nlist, dim = 64)
+      val (np, recall) = Similarity.tuneNprobe(vecs, queries, "vec_id",
+        "embedding", k = 3, "adc_tune_idx", targetRecall = target)
+      assert(recall >= target, s"tuned recall $recall below $target")
+      assert(np < fracNp,
+        s"tuned nprobe $np not below the fraction law's $fracNp " +
+          s"(nlist=$nlist) — no clustered-data win")
+      // the returned recall is the independent audit's number at np —
+      // the tuner reports measurements, not estimates
+      def auditAt(p: Int): Double = Similarity.recallAuditIndexed(
+          vecs, queries, "vec_id", "embedding", 3, p, "adc_tune_idx")
+        .agg(avg("recall")).head().getDouble(0)
+      // tolerance: the per-query recalls are bit-identical; only the
+      // MEAN's summation order differs (the tuner averages over a
+      // localCheckpointed exact leg with its own partitioning)
+      assert(math.abs(auditAt(np) - recall) < 1e-9,
+        "tuneNprobe's recall disagrees with recallAuditIndexed at np")
+      // minimality up to the binary search's invariant: the cell count
+      // one below the returned dial measured UNDER the target
+      if (np > 1)
+        assert(auditAt(np - 1) < target,
+          s"np-1=${np - 1} already meets the target — not minimal")
+    } finally {
+      for (sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS adc_tune_idx$sfx")
     }
   }
 }
@@ -2073,6 +2120,17 @@ class TextAnalysisSpec extends AnyFunSuite with SparkTest {
       assert(healed == direct &&
         spark.catalog.tableExists("bm25_cmp_idx_s"),
         "the scalar-collapse swap window did not heal on probe")
+      // the POLICY entry point hits the same window on first touch of
+      // an unattended loop — it must heal the scalar table before its
+      // threshold read, not throw table-not-found (the ADC sibling's
+      // lock+heal discipline)
+      spark.sql("ALTER TABLE bm25_cmp_idx_s RENAME TO " +
+        "bm25_cmp_idx_s_compact_shadow")
+      assert(!TextAnalysis.maybeCompactBm25Index(spark, "bm25_cmp_idx",
+          maxGen = 64),
+        "one compacted generation should not re-trip the threshold")
+      assert(spark.catalog.tableExists("bm25_cmp_idx_s"),
+        "maybeCompactBm25Index did not heal the scalar swap window")
     } finally {
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx")
       spark.sql("DROP TABLE IF EXISTS bm25_cmp_idx_s")

@@ -1026,7 +1026,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     // the memo was keyed by source dir alone: fine under an immutable
     // corpus, silently stale the moment the engine's own append story
     // grows the count table in-place. It is now keyed by the table's
-    // generation count, so a mutation re-derives the depths.
+    // file snapshot, so any mutation re-derives the depths.
     import graft.pipeline.MergeTables
     import spark.implicits._
     val before = RelationalQueries.qc2Depths(spark, d)
@@ -1051,6 +1051,39 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     } finally {
       // additive RETRACTION restores the stored counts exactly; the
       // generation count moves again, so the memo re-derives
+      MergeTables.append(Seq((1L, -x)).toDF("g", "cnt"), "g", table)
+    }
+    assert(RelationalQueries.qc2Depths(spark, d) == before,
+      "retraction did not restore the original depths")
+  }
+
+  test("qc2 depth memo survives a compaction that collapses the generation count (the non-injective-key collision)") {
+    // the first staleness fix keyed the memo by the GENERATION COUNT —
+    // not injective: a compaction collapses the table back to one
+    // generation, colliding with an entry memoized at one generation
+    // earlier in the process and serving depths derived from the OLD
+    // counts. The file-snapshot key changes on every rewrite, so the
+    // sequence compact -> append -> compact must serve the GROWN
+    // depths after the second compaction, not the pre-append memo.
+    import graft.pipeline.MergeTables
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val table = RelationalQueries.qc2SelTable(spark, d)
+    def compactNow(): Unit = MergeTables.compact(spark, table, "g",
+      MergeTables.mergedSum(spark, table, Seq("g"), "cnt"))
+    compactNow() // one generation; memoize the pre-append depths
+    val before = RelationalQueries.qc2Depths(spark, d)
+    val vecs = Tables.embeddings(spark, d)
+    val x = 10L * vecs.count()
+    try {
+      MergeTables.append(Seq((1L, x)).toDF("g", "cnt"), "g", table)
+      val grown = RelationalQueries.qc2Depths(spark, d)
+      assert(grown != before, "growth was supposed to move the depths")
+      compactNow() // back to ONE generation — the colliding key
+      assert(RelationalQueries.qc2Depths(spark, d) == grown,
+        "memo served stale pre-append depths after the generation " +
+          "count collapsed back to a previously-memoized value")
+    } finally {
       MergeTables.append(Seq((1L, -x)).toDF("g", "cnt"), "g", table)
     }
     assert(RelationalQueries.qc2Depths(spark, d) == before,

@@ -1657,6 +1657,34 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("lease race loser removes its own committed token, leaving the winner's readable") {
+    // the both-committed race (two per-process catalogs both saveAsTable
+    // into one shared location): the loser refuses — and must remove
+    // ITS token file(s) before doing so, or every later acquirer reads
+    // TWO committed tokens forever, a state neither the token check nor
+    // the adoption policy can resolve once the winner crashes. The
+    // cleanup is file-level: only files holding exactly our token go;
+    // the winner's file and the control files stay.
+    import graft.pipeline.MergeTables
+    try {
+      MergeTables.acquireWriterLease(spark, "sk_rc_t")
+      val loc = MergeTables.leaseLoc(spark, "sk_rc_t_wlease")
+      // the racer's token file lands beside ours (what the shared
+      // location holds after both saveAsTable committed)
+      Seq("foreign-racer").toDF("tok").coalesce(1)
+        .write.mode("append").parquet(loc.toString)
+      assert(MergeTables.leaseTokensAt(spark, "sk_rc_t_wlease")
+          .size == 2, "race state not constructed")
+      MergeTables.dropOwnCommittedToken(spark, "sk_rc_t_wlease")
+      assert(MergeTables.leaseTokensAt(spark, "sk_rc_t_wlease")
+          == Seq("foreign-racer"),
+        "loser cleanup did not leave exactly the winner's token")
+    } finally {
+      MergeTables.stealWriterLease(spark, "sk_rc_t")
+      spark.sql("DROP TABLE IF EXISTS sk_rc_t_wlease")
+    }
+  }
+
   test("lease liveness: holders renew a heartbeat; adopt-after-TTL takes a silent lease and refuses a renewing one") {
     // r16 verdict item 1: the lease refused a foreign token
     // unconditionally, so a CRASHED foreign writer blocked the pipeline
@@ -1690,12 +1718,20 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
       while (!leaseGone() && System.nanoTime() < dl0) Thread.sleep(50)
       assert(leaseGone(), "lease not released after the query ended")
       // 1) a silent ("crashed") foreign holder: refused without the
-      // policy, ADOPTED with it
+      // policy; with the policy, refused UNTIL the holder's heartbeat
+      // declaration is present (a holder that never declared a cadence
+      // — a batch mutator — proves nothing by silence), then ADOPTED
       Seq("crashed-holder").toDF("tok").write.saveAsTable("sk_ll_t_wlease")
       intercept[IllegalArgumentException] {
         MergeTables.acquireWriterLease(spark, "sk_ll_t")
       }
       spark.conf.set("graft.lease.adoptAfterMs", "400")
+      val noDecl = intercept[IllegalArgumentException] {
+        MergeTables.acquireWriterLease(spark, "sk_ll_t")
+      }
+      assert(noDecl.getMessage.contains("declared no heartbeat"),
+        s"undeclared holder was not refused as such: ${noDecl.getMessage}")
+      MergeTables.declareRenewInterval(spark, "sk_ll_t", 100L)
       MergeTables.acquireWriterLease(spark, "sk_ll_t")
       assert(spark.catalog.tableExists("sk_ll_t_wlease"),
         "adoption did not re-acquire the lease")
@@ -1703,6 +1739,7 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
       assert(leaseGone())
       // 2) a RENEWING foreign holder stays refused under the same policy
       Seq("live-holder").toDF("tok").write.saveAsTable("sk_ll_t_wlease")
+      MergeTables.declareRenewInterval(spark, "sk_ll_t", 100L)
       val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
       val renewer = new Thread(() => {
         while (renewing.get()) {
@@ -1718,6 +1755,27 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
         assert(ex.getMessage.contains("LIVE"),
           s"renewing holder not recognized as live: ${ex.getMessage}")
       } finally { renewing.set(false); renewer.join() }
+      MergeTables.stealWriterLease(spark, "sk_ll_t")
+      // 3) the observation window is clamped to TWO of the HOLDER's
+      // declared cadences: an acquirer whose TTL is shorter than one
+      // cadence must still see a live holder's next beat instead of
+      // reading the between-beats gap as a crash
+      Seq("slow-holder").toDF("tok").write.saveAsTable("sk_ll_t_wlease")
+      MergeTables.declareRenewInterval(spark, "sk_ll_t", 400L)
+      spark.conf.set("graft.lease.adoptAfterMs", "50")
+      val lateBeat = new Thread(() => {
+        Thread.sleep(300)
+        MergeTables.renewWriterLease(spark, "sk_ll_t")
+      })
+      lateBeat.setDaemon(true); lateBeat.start()
+      try {
+        val ex = intercept[IllegalArgumentException] {
+          MergeTables.acquireWriterLease(spark, "sk_ll_t")
+        }
+        assert(ex.getMessage.contains("LIVE"),
+          "a 50ms TTL adopted a live holder beating on its declared " +
+            s"400ms cadence: ${ex.getMessage}")
+      } finally lateBeat.join()
       MergeTables.stealWriterLease(spark, "sk_ll_t")
     } finally {
       spark.conf.unset("graft.lease.adoptAfterMs")
