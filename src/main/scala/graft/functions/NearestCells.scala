@@ -100,12 +100,28 @@ object NearestCells {
     call_function("nearest_cells", vec,
       typedLit(cents.map(_.toSeq).toSeq), lit(nprobe))
 
+  /** The first `k` POSITIONS of a (key, id) argsort — ascending by
+    * `Double.compare` on the key (NaN last), ties to the lower id.
+    * The large-k selection shared by the flat kernel's nprobe > 64
+    * path and [[NearestCellsHier]]'s; boxed index sort, so callers
+    * keep small-k selections on their scan paths. */
+  private[functions] def sortedPrefixPositions(keys: Array[Double],
+      idOf: Int => Int, k: Int): Array[Int] = {
+    val idx = Array.tabulate[Integer](keys.length)(Integer.valueOf)
+    java.util.Arrays.sort(idx, (x: Integer, y: Integer) => {
+      val cd = java.lang.Double.compare(keys(x), keys(y))
+      if (cd != 0) cd else Integer.compare(idOf(x), idOf(y))
+    })
+    Array.tabulate(k)(j => idx(j).intValue())
+  }
+
   /** Tight-loop kernel shared by eval and generated code. */
   def nearest(a: ArrayData, isFloat: Boolean, flat: Array[Double],
       norms2: Array[Double], dim: Int, nprobe: Int): Array[Int] = {
     val nlist = norms2.length
     val n = math.min(a.numElements(), dim)
     val dists = new Array[Double](nlist)
+    var anyNaN = false
     var c = 0
     while (c < nlist) {
       var s = 0.0
@@ -113,10 +129,22 @@ object NearestCells {
       var i = 0
       if (isFloat) while (i < n) { s += a.getFloat(i) * flat(off + i); i += 1 }
       else while (i < n) { s += a.getDouble(i) * flat(off + i); i += 1 }
-      dists(c) = norms2(c) - 2.0 * s
+      val d = norms2(c) - 2.0 * s
+      if (d != d) anyNaN = true
+      dists(c) = d
       c += 1
     }
     val k = math.min(nprobe, nlist)
+    // selection is O(k x nlist): fine at probe-sized k, quadratic at the
+    // fraction law's k ~ nlist/2 (19M compares per row at nlist=6250).
+    // For large k, a full (dist, idx) index sort is the same ordering —
+    // ascending distance, ties to the lower cell id — in O(nlist log
+    // nlist). Equivalence holds only NaN-free (the scan's seed rule puts
+    // a first-unused NaN cell AHEAD of finite ones; a sort would put it
+    // last), so any NaN falls back to the scan. NaN distances require
+    // NaN centroids — a pathology, not a path worth optimizing.
+    if (k > 64 && !anyNaN)
+      return sortedPrefixPositions(dists, i => i, k)
     val out = new Array[Int](k)
     val used = new Array[Boolean](nlist)
     var j = 0

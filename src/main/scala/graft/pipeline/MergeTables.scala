@@ -616,9 +616,16 @@ private[graft] object MergeTables {
           case _: org.apache.spark.sql.catalyst.analysis
               .TableAlreadyExistsException =>
             spark.catalog.refreshTable(lease)
-            val tok = spark.table(lease).select("tok").head().getString(0)
-            if (tok != processToken)
-              throw new ForeignLeaseException(table, tok, "")
+            val toks = spark.table(lease).select("tok").limit(1).collect()
+            if (toks.isEmpty) {
+              // a husk row over an empty location (a crashed holder's
+              // create that never committed a token): clear and retake
+              spark.sql(s"DROP TABLE IF EXISTS `$lease`")
+              graft.sources.MapFiles.clearStaleLocation(spark, lease)
+              Seq(processToken).toDF("tok").write.saveAsTable(lease)
+            } else if (toks(0).getString(0) != processToken)
+              throw new ForeignLeaseException(table,
+                toks(0).getString(0), "")
           // same-JVM leftover (a crashed query in this process):
           // adopt it — the registry still coordinates our queries
           case e: org.apache.spark.sql.AnalysisException =>
@@ -653,10 +660,22 @@ private[graft] object MergeTables {
         // reads the winner's token).
         val committed = leaseTokensAt(spark, lease)
         if (committed != Seq(processToken)) {
-          dropOwnCommittedToken(spark, lease)
-          throw new ForeignLeaseException(table,
-            committed.filterNot(_ == processToken).mkString(", "),
-            ", committed at the shared warehouse location")
+          // deterministic arbitration of the SYMMETRIC race (both
+          // committed, both observing two tokens): the smallest token
+          // wins and proceeds; every loser deletes its own file and
+          // refuses. Without a tie-break, both sides deleting leaves
+          // ZERO tokens — an unreadable husk no retry or adoption can
+          // resolve. Readers agree by construction: foreignLeaseToken
+          // reads the SORTED head, i.e. the same winner.
+          if (!(committed.nonEmpty && committed.min == processToken)) {
+            dropOwnCommittedToken(spark, lease)
+            throw new ForeignLeaseException(table,
+              committed.filterNot(_ == processToken) match {
+                case Seq() => "unreadable"
+                case other => other.mkString(", ")
+              },
+              ", committed at the shared warehouse location")
+          }
         }
       }
       leaseHolds(lease) = held + 1

@@ -352,13 +352,27 @@ object Similarity {
     * instead of one-per-iteration; at sample sizes the arithmetic is
     * microseconds and the Spark jobs were pure overhead.
     *
-    * Deterministic throughout: init = first nlist sample points under
+    * Deterministic throughout: init = nlist sample points under
     * lexicographic order (actual data points — seeded random unit
     * vectors sit far from an uncentered corpus and collapse most points
     * into one cell, making the candidate join quadratic again); ties and
-    * empty cells resolve identically across runs. */
+    * empty cells resolve identically across runs.
+    *
+    * `init` picks WHICH sorted sample points seed the cells. `"first"`
+    * (default, and the form every SQL oracle unrolls — do not change it
+    * under an oracle-gated path) takes the lexicographic PREFIX: fine
+    * on diffuse corpora, but on well-separated CLUSTERED corpora the
+    * prefix clumps into whichever cluster sorts lowest, and Lloyd
+    * iterations cannot migrate centroids across separated clusters —
+    * the surviving giant multi-cluster cells inflate the probe dial
+    * ([[tuneNprobe]]) with useless candidates. `"strided"` takes every
+    * (len/nlist)-th sorted point instead — still fully deterministic,
+    * but spread across the value range so each cluster attracts seeds
+    * proportional to its mass. Production clustered-corpus builds
+    * pre-train with it and pass `cents` into [[writeIvfAdcIndex]]. */
   def trainCoarseQuantizer(vecs: DataFrame, vecCol: String, nlist: Int,
-      dim: Int, iters: Int = defaultLloydIters): Array[Array[Double]] = {
+      dim: Int, iters: Int = defaultLloydIters,
+      init: String = "first"): Array[Array[Double]] = {
     import scala.math.Ordering.Implicits._
     val data = vecs
       .select(transform(col(vecCol), _.cast("double")).as("v"))
@@ -369,9 +383,16 @@ object Similarity {
     data.find(_.length != dim).foreach(v => throw new IllegalArgumentException(
       s"vector of length ${v.length} does not match dim=$dim"))
     var cents: Array[Array[Double]] =
-      if (data.length >= nlist) data.take(nlist).map(_.clone())
-      else data.map(_.clone()) ++ Array.tabulate(nlist - data.length, dim)(
-        (c, d) => Portable.unitFromSeed(s"ivf_${c}_$d"))
+      if (data.length < nlist)
+        data.map(_.clone()) ++ Array.tabulate(nlist - data.length, dim)(
+          (c, d) => Portable.unitFromSeed(s"ivf_${c}_$d"))
+      else init match {
+        case "first" => data.take(nlist).map(_.clone())
+        case "strided" => Array.tabulate(nlist)(c =>
+          data(((c.toLong * data.length) / nlist).toInt).clone())
+        case other => throw new IllegalArgumentException(
+          s"init=$other (expected first|strided)")
+      }
     for (_ <- 0 until iters) {
       val sums = Array.ofDim[Double](nlist, dim)
       val counts = new Array[Long](nlist)
@@ -601,6 +622,11 @@ object Similarity {
     // must not outlive it (leftover tombstones would silently delete
     // the fresh build's rows at matching ids)
     MergeTables.dropHwms(spark, table + "_g")
+    // and no stale quantizer broadcasts: a same-name rebuild restarts
+    // epochs at 0, so (table, epoch) alone would hit the OLD memo and
+    // probes would silently rank against the previous quantizer
+    Option(quantBcMemo.remove(table)).foreach(_._2.unpersist(false))
+    Option(hierBcMemo.remove(table)).foreach(_._2.unpersist(false))
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     graft.sources.MapFiles.clearStaleLocation(spark, table + "_t")
     val quantizer =
@@ -1184,15 +1210,62 @@ object Similarity {
     * [[tuneNprobe]] share. */
   private def recallVsExact(exact: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int, table: String,
-      dim: Int): DataFrame = {
-    val approx = ivfAdcTopKIndexed(queries, idCol, vecCol, k, nprobe,
-        table, dim)
+      dim: Int): DataFrame =
+    recallOfApprox(exact,
+      ivfAdcTopKIndexed(queries, idCol, vecCol, k, nprobe, table, dim), k)
+
+  /** Per-query recall of ANY approximate (q_id, nb_id) result against
+    * a precomputed exact leg — shared by the flat and two-level
+    * audits/tuners. */
+  private def recallOfApprox(exact: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    val hits = approx
       .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
-    exact.join(broadcast(approx), Seq("q_id", "nb_id"), "left_outer")
+    exact.join(broadcast(hits), Seq("q_id", "nb_id"), "left_outer")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
       .select(col("q_id"), col("hits"),
         (col("hits") / lit(k.toDouble)).as("recall"))
+  }
+
+  /** The ADC-EXHAUSTIVE top-k — every live stored row scored for every
+    * query, no cell restriction: what probing all `nlist` cells would
+    * return, i.e. the QUANTIZER'S CEILING. [[tuneNprobe]] takes it as
+    * the `reference` to dial PROBING loss in isolation: the two loss
+    * sources of an IVF-ADC index are separately dialed — cell
+    * selection by nprobe/gprobe, quantization by re-rank depth or a
+    * retrain ([[ivfAdcRerank]], [[maybeRetrainIvfAdcIndex]]) — and on
+    * corpora whose neighbor margins sit at the int8 noise floor,
+    * end-to-end recall is quantization-bounded no matter the probe
+    * dial, so tuning against float-exact MIPS would escalate the probe
+    * for loss it cannot fix. Same ordering as [[ivfAdcTopKIndexed]]
+    * (scaled idot descending, ties to the lower id; spec-gated equal
+    * at `nprobe = nlist`), but ranked through a WINDOW — sort-based,
+    * spilling — because the candidate volume is |panel| × corpus, the
+    * one shape the grouped-collect ranker must never see ([[rankTopK]]
+    * holds per-group arrays in memory: a 200-query panel over a 200k
+    * archive is 40M rows — fine through a sort, an OOM through a
+    * collect). Monitoring-cadence cost, like the audits. */
+  def adcFullTopK(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, table: String, dim: Int = 64): DataFrame = {
+    val spark = queries.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val epoch = activeAdcEpoch(spark, table)
+    val probes = queries.select(col(idCol).as("q_id"),
+      VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
+        .as("q_qc"))
+    probes.crossJoin(
+        liveAdcRows(spark, table, epoch = Some(epoch))
+          .select(col("id"), col("qc"), col("scale")))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("nb_id"),
+        (-VectorOps.i8Dot(col("q_qc"), col("qc")).cast("double") *
+          col("scale")).as("nk"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("nk"), col("nb_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nb_id"))
   }
 
   /** Recall-gated ABSOLUTE nprobe — the scale dial the second-decade
@@ -1217,41 +1290,122 @@ object Similarity {
     * retrain gate ([[maybeRetrainIvfAdcIndex]]): run it when the drift
     * audit runs, never per probe.
     *
-    * Returns (nprobe, measured mean recall at it). If even probing all
-    * `nlist` cells misses the target, returns (nlist, that recall) —
-    * the residual shortfall is pure int8-quantization ranking error,
-    * which no amount of probing fixes (re-rank or retrain territory:
-    * [[ivfAdcRerank]], [[retrainIvfAdcIndex]]). */
+    * Returns (nprobe, measured mean recall at it). If the recall stops
+    * IMPROVING while still under the target — a doubling that buys
+    * less than `minGain` — the search stops and returns the measured
+    * ceiling: the residual shortfall is quantization/assignment
+    * ranking error, which MORE PROBING CANNOT FIX (re-rank or retrain
+    * territory: [[ivfAdcRerank]], [[retrainIvfAdcIndex]]), and
+    * escalating toward an exhaustive probe would turn the audit
+    * corpus-sized for nothing (observed: a 100× tune OOMing the
+    * driver's rank on 400M candidate rows it could never need). The
+    * caller's contract is therefore: recall below target in the
+    * result = probing is not the bottleneck. */
   def tuneNprobe(vecs: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, table: String, targetRecall: Double,
-      dim: Int = 64): (Int, Double) = {
+      dim: Int = 64, minGain: Double = 0.005,
+      reference: DataFrame = null): (Int, Double) = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall=$targetRecall")
     val spark = vecs.sparkSession
     val nlist = readIvfCentroids(spark, table).length
     require(nlist > 0, s"$table has no stored centroids")
     // one exact pass for the whole search; sample × k rows, pinned so
-    // every audit reuses it instead of re-scanning the corpus
-    val exact = exactMipsTopK(vecs, queries, idCol, vecCol, k)
+    // every audit reuses it instead of re-scanning the corpus. The
+    // default reference is the float-exact MIPS top-k (end-to-end
+    // recall); pass [[adcFullTopK]]'s result instead to tune PROBING
+    // loss against the quantizer's own ceiling — the right reference
+    // when neighbor margins sit at the int8 noise floor, where
+    // end-to-end recall is quantization-bounded no matter the dial.
+    val exact = (if (reference != null) reference
+      else exactMipsTopK(vecs, queries, idCol, vecCol, k))
       .localCheckpoint()
-    def recallAt(np: Int): Double =
+    val epoch0 = activeAdcEpoch(spark, table)
+    val res = tuneDial(nlist, targetRecall, minGain)(np =>
       recallVsExact(exact, queries, idCol, vecCol, k, np, table, dim)
-        .agg(avg("recall")).head().getDouble(0)
+        .agg(avg("recall")).head().getDouble(0))
+    requireEpochStable(spark, table, epoch0)
+    res
+  }
+
+  /** [[tuneNprobe]] for the TWO-LEVEL probe's group-coverage dial:
+    * the smallest `gprobe` whose [[ivfAdcTopKIndexedHier]] at the
+    * caller's (already tuned) `nprobe` meets `targetRecall` on the
+    * query sample. The natural `reference` is the FLAT probe's result
+    * at the same nprobe — then the measured quantity is exactly the
+    * loss the sqrt-scan level introduces, zero by construction at
+    * `gprobe` = group count; null falls back to float-exact MIPS like
+    * [[tuneNprobe]]. Same doubling + binary search + plateau cutoff. */
+  def tuneGprobe(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, table: String,
+      targetRecall: Double, dim: Int = 64, minGain: Double = 0.005,
+      reference: DataFrame = null): (Int, Double) = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall")
+    val spark = vecs.sparkSession
+    val nlist = readIvfCentroids(spark, table).length
+    require(nlist > 0, s"$table has no stored centroids")
+    val groups = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val exact = (if (reference != null) reference
+      else exactMipsTopK(vecs, queries, idCol, vecCol, k))
+      .localCheckpoint()
+    val epoch0 = activeAdcEpoch(spark, table)
+    val res = tuneDial(groups, targetRecall, minGain)(gp =>
+      recallOfApprox(exact,
+          ivfAdcTopKIndexedHier(queries, idCol, vecCol, k, nprobe, gp,
+            table, dim), k)
+        .agg(avg("recall")).head().getDouble(0))
+    requireEpochStable(spark, table, epoch0)
+    res
+  }
+
+  /** Fail LOUDLY if a retrain flipped the index's epoch during a
+    * multi-audit tune: each audit's probe resolves the epoch per plan
+    * (the probe path's own discipline), so a mid-tune flip would mix
+    * recalls measured against different quantizers and the returned
+    * dial would describe no actual index state. The lock cannot be
+    * held for a minutes-long tune (it would block every append), so
+    * the tuners verify instead: stale result → loud error → rerun. */
+  private def requireEpochStable(spark: SparkSession, table: String,
+      epoch0: Long): Unit = {
+    val now = activeAdcEpoch(spark, table)
+    require(now == epoch0,
+      s"$table was retrained mid-tune (epoch $epoch0 -> $now): the " +
+        "measured recalls mix quantizers — rerun the tune against the " +
+        "new epoch")
+  }
+
+  /** Doubling + binary search for the smallest dial value in [1, max]
+    * whose measured recall meets `target`, with the plateau cutoff —
+    * the shared machinery of [[tuneNprobe]] and [[tuneGprobe]]. */
+  private def tuneDial(max: Int, target: Double, minGain: Double)(
+      recallAt: Int => Double): (Int, Double) = {
     var lo = 1
     var hi = 1
     var rHi = recallAt(1)
-    if (rHi >= targetRecall) return (1, rHi)
-    while (rHi < targetRecall && hi < nlist) {
+    if (rHi >= target) return (1, rHi)
+    // the plateau cutoff waits for TWO consecutive dry doublings: a
+    // single sub-minGain (or negative — recall is non-monotone up to
+    // quantization ties) step can precede large gains, e.g. when the
+    // first extra cells land in the same wrong cluster; one more
+    // doubling distinguishes a flat spot from the ceiling at the cost
+    // of at most 4x-past-the-knee audit candidates
+    var dry = 0
+    while (rHi < target && hi < max) {
+      val prev = rHi
       lo = hi
-      hi = math.min(nlist, hi * 2)
+      hi = math.min(max, hi * 2)
       rHi = recallAt(hi)
+      dry = if (rHi - prev < minGain) dry + 1 else 0
+      if (rHi < target && dry >= 2)
+        return (hi, rHi) // ceiling reached — this dial is not the bottleneck
     }
-    if (rHi < targetRecall) return (nlist, rHi) // quantization-bounded
+    if (rHi < target) return (max, rHi) // bounded by the other dials
     // recall(lo) < target <= recall(hi)
     while (hi - lo > 1) {
       val mid = lo + (hi - lo) / 2
       val r = recallAt(mid)
-      if (r >= targetRecall) { hi = mid; rHi = r } else lo = mid
+      if (r >= target) { hi = mid; rHi = r } else lo = mid
     }
     (hi, rHi)
   }
@@ -1361,27 +1515,165 @@ object Similarity {
     * against the stored bucketed table, pre-rank. Package-visible so
     * PlanQualitySpec can assert the stored side scans `Bucketed: true`
     * with exactly one (probe-side) exchange. */
+  /** Process-level broadcast memos: ONE shipped quantizer (and, for
+    * the two-level path, one grouping) per (table, epoch). The probe
+    * expressions carry only the broadcast HANDLE, so a serving batch's
+    * plan is nlist-INDEPENDENT — the literal form serialized the
+    * centroid arrays into every stage's task binary of every probe
+    * plan (measured ~0.4 µs/cell/plan; ~0.5 GB per plan at a 10^6-cell
+    * shard). A retrain's epoch flip swaps the entry and unpersists the
+    * old broadcast (non-blocking — in-flight plans holding the old
+    * handle just re-fetch). */
+  private val quantBcMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.broadcast.Broadcast[
+      graft.functions.NearestCellsBc.Quantizer])]()
+  private val hierBcMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.broadcast.Broadcast[
+      graft.functions.NearestCellsHier.Grouping])]()
+
+  private def memoBc[T: scala.reflect.ClassTag](
+      memo: java.util.concurrent.ConcurrentHashMap[
+        String, (Long, org.apache.spark.broadcast.Broadcast[T])],
+      spark: SparkSession, table: String, epoch: Long)(make: => T)
+      : org.apache.spark.broadcast.Broadcast[T] =
+    memo.compute(table, (_, prev) =>
+      if (prev != null && prev._1 == epoch) prev
+      else {
+        if (prev != null) prev._2.unpersist(false)
+        (epoch, spark.sparkContext.broadcast(make))
+      })._2
+
   private[graft] def adcProbeCandidates(queries: DataFrame, idCol: String,
       vecCol: String, nprobe: Int, table: String,
       buckets: Int = ivfIndexBuckets): DataFrame = {
+    val spark = queries.sparkSession
+    def bcFor(epoch: Long, cents: () => Array[Array[Double]]) =
+      memoBc(quantBcMemo, spark, table, epoch)(
+        graft.functions.NearestCellsBc.quantizerOf(cents()))
+    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets)(
+      (vec, epoch, cents) =>
+        graft.functions.NearestCellsBc(vec, bcFor(epoch, cents), nprobe),
+      (epoch, cents) => {
+        val q = bcFor(epoch, cents).value
+        v => graft.functions.NearestCells.nearest(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          isFloat = false, q.flat, q.norms2, q.dim, nprobe)
+      })
+  }
+
+  /** [[adcProbeCandidates]] with the cell selection pluggable — the
+    * shared body of the flat and two-level probe paths, so the join
+    * shape (epoch threading, bucket co-partitioning, vector-free
+    * candidate rows) cannot diverge between them. `cellsOf` maps
+    * (query vector, stored centroids) to the array of cell ids the
+    * query probes. */
+  private def adcProbeCandidatesVia(queries: DataFrame, idCol: String,
+      vecCol: String, table: String, buckets: Int)(
+      cellsOf: (Column, Long, () => Array[Array[Double]]) => Column,
+      localCells: (Long, () => Array[Array[Double]])
+        => Array[Double] => Array[Int]): DataFrame = {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)
     // one epoch resolution per probe plan, threaded to centroids and
     // rows so the two can never straddle a retrain's flip
     val epoch = activeAdcEpoch(spark, table)
-    val cents = readIvfCentroidsAt(spark, table, epoch)
+    // LAZY centroid read: the nlist-row collect is only needed when the
+    // (table, epoch) broadcast memo misses — a warm serving batch's
+    // plan never touches the centroid table at all
+    lazy val centsLazy = readIvfCentroidsAt(spark, table, epoch)
+    val centsF = () => centsLazy
     val probes = queries.select(col(idCol).as("q_id"),
         VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
           .as("q_qc"),
-        explode(nearestCells(col(vecCol), cents, nprobe)).as("cell"))
+        explode(cellsOf(col(vecCol), epoch, centsF)).as("cell"))
       .repartition(buckets, col("cell"))
-    probes.join(liveAdcRows(spark, table, epoch = Some(epoch)),
-        Seq("cell"))
+    // CELL PUSHDOWN (the lexical tier's term-In discipline applied to
+    // the dense tier): the join alone never prunes the stored PARQUET —
+    // every probe batch was paying a corpus-sized scan of the codes
+    // (measured: the tuned-dial growth exponent stayed ~0.47 with
+    // CONSTANT candidates, all of it the stored side emerging from the
+    // floor). The probed cell set is query-batch-sized by construction
+    // (|queries| × nprobe ids, distinct-capped at nlist) and is derived
+    // DRIVER-SIDE from the collected query vectors with the SAME kernel
+    // the plan runs (bit-identical selection: float→double widening is
+    // exact) — one local pass, deliberately NOT a second Spark job,
+    // which would re-pay the nlist×dim centroid literal's plan and
+    // task-binary cost. The In filter reaches the scan, where the
+    // bucketed layout's cell bloom filter + sorted min/max skip
+    // non-probed row groups — probe I/O becomes candidate-sized, not
+    // corpus-sized. Batch plans only (a streaming probe side cannot be
+    // collected; the stream-static per-micro-batch join keeps the
+    // join-only shape), and skipped when the set stops being selective
+    // (the fraction-law regime probes most cells — an In list that
+    // size prunes nothing and bloats the plan). Result-identical by
+    // construction: a stored row whose cell no probe emits can never
+    // join.
+    val stored = liveAdcRows(spark, table, epoch = Some(epoch))
+    val prunable =
+      if (queries.isStreaming) stored
+      else {
+        val sel = localCells(epoch, centsF)
+        val cellSet = queries.select(col(vecCol)).collect().iterator
+          .filterNot(_.isNullAt(0))
+          .flatMap(r =>
+            sel(r.getSeq[Number](0).map(_.doubleValue()).toArray))
+          .toSet
+        if (cellSet.size > 4096) stored
+        else stored.filter(
+          col("cell").isin(cellSet.toSeq.sorted.map(Int.box): _*))
+      }
+    probes.join(prunable, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("nb_id"),
         VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),
         col("scale"))
   }
+
+  /** [[ivfAdcTopKIndexedHier]]'s candidate stage — package-visible for
+    * the plan spec, like [[adcProbeCandidates]]. */
+  private[graft] def adcProbeCandidatesHier(queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int, gprobe: Int,
+      table: String, buckets: Int = ivfIndexBuckets): DataFrame = {
+    val spark = queries.sparkSession
+    def bcFor(epoch: Long, cents: () => Array[Array[Double]]) =
+      memoBc(hierBcMemo, spark, table, epoch)(
+        graft.functions.NearestCellsHier.group(cents()))
+    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets)(
+      (vec, epoch, cents) =>
+        graft.functions.NearestCellsBc.hier(vec, bcFor(epoch, cents),
+          gprobe, nprobe),
+      (epoch, cents) => {
+        val h = bcFor(epoch, cents).value
+        v => graft.functions.NearestCellsHier.nearest(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          isFloat = false, h, gprobe, nprobe)
+      })
+  }
+
+  /** [[ivfAdcTopKIndexed]] with TWO-LEVEL cell selection
+    * ([[graft.functions.NearestCellsHier]]): the probe scans
+    * ceil(sqrt(nlist)) group centroids and only the `gprobe` nearest
+    * groups' member cells — O(sqrt(nlist)) coarse work per query
+    * instead of the flat scan's O(nlist), the term that turns linear
+    * in the corpus under the occupancy-constant law (nlist ~ n/32: at
+    * a 10^6-cell production shard the flat scan is 64M multiplies per
+    * query; two-level is ~128k). Everything after cell selection is
+    * [[adcProbeCandidates]]' shape verbatim (shared body): one
+    * query-sized exchange co-partitioned with the bucketed stored
+    * side, int8 codes through the join, never a vector.
+    *
+    * OPT-IN serving path: `gprobe` < group count changes WHICH cells
+    * are probed, so results can differ from the flat fraction law —
+    * recall is a measured, gated quantity here exactly like nprobe's
+    * ([[recallAuditIndexed]]; with `gprobe` = group count the output
+    * is bit-identical to [[ivfAdcTopKIndexed]], spec-gated). Never
+    * substituted under an oracle-gated query. */
+  def ivfAdcTopKIndexedHier(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nprobe: Int, gprobe: Int, table: String,
+      dim: Int = 64, buckets: Int = ivfIndexBuckets): DataFrame =
+    rankByScaledIdot(
+      adcProbeCandidatesHier(queries, idCol, vecCol, nprobe, gprobe,
+        table, buckets), k)
 
   /** Two-stage quantized retrieval (qa1) — the composition
     * [[Quantize]]'s Scaladoc promises, closed: [[ivfAdcTopK]] generates

@@ -666,6 +666,115 @@ object GrowthBench {
       }
     }
 
+    // ---- the TUNED-ABSOLUTE-NPROBE tier on CLUSTERED vectors ----
+    // qadc_probe's 0.44 exponent above is the clusterless recall
+    // contract: the fraction law probes frac x nlist cells, so
+    // candidates per query are linear in the corpus — on hash-random
+    // vectors no inverted file does better. REAL embeddings are
+    // clustered with low intrinsic dimension; there the production dial
+    // is tuneNprobe's recall-gated ABSOLUTE nprobe and per-query probe
+    // work is nprobe x occupancy = constant. This tier measures that
+    // claim across the same two decades: clustered corpora at 1x and
+    // 100x, the dial tuned by the recall gate at EACH scale, the FIXED
+    // 1x panel probing at it. The corpus grows like real data grows —
+    // MORE CONTENT MODES at fixed mode size (64 clusters per 2000
+    // vectors, ~31 members each, centers over all 64 dims, within-
+    // cluster noise in the first 4) — not by densifying fixed blobs: a
+    // density-growth variant was measured first and its within-cluster
+    // dot margins shrink below the constant int8 noise floor, turning
+    // even the QUANTIZER-CEILING top-k into a cluster-wide lottery
+    // (the tuned dial inflated to ~one cluster's cell count; recorded
+    // in BASELINE.md — that regime is re-rank territory, not probing).
+    // Guarded separately: the 100x index build pays the full
+    // driver-Lloyd price.
+    val tunedOpt =
+      if (!sys.env.get("SPARK_GRAFT_GROWTH_TUNED").contains("1")) None
+      else Some(())
+    tunedOpt.foreach { _ =>
+      def genClustered(k: Int): String = {
+        val out = s"$base/clm$k"
+        val ok = new java.io.File(s"$out/_OK")
+        if (!ok.exists()) {
+          spark.range(2000L * k).select(col("id").as("vec_id"), expr(
+            "transform(sequence(0, 63), i -> cast(" +
+            s"pmod(hash(pmod(id, ${64L * k}), 17, i), 2000) / 1000.0d - 1.0d" +
+            " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600)" +
+            " / 1000.0d - 0.3d ELSE 0.0d END as float))").as("embedding"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+          ok.getParentFile.mkdirs(); ok.createNewFile()
+        }
+        out
+      }
+      val target = 0.8
+      val panel1x = spark.read
+        .parquet(s"${genClustered(1)}/embeddings.parquet")
+        .filter(col("vec_id") % 100 === 0) // FIXED 20-query panel
+      for ((tag, k) <- Seq("1x" -> 1, "100x" -> 100)) {
+        val emb = spark.read
+          .parquet(s"${genClustered(k)}/embeddings.parquet")
+        val cnt = emb.count()
+        val (nl, fracNp) = Similarity.ivfParams(cnt)
+        // strided init: on separated clusters the default lexicographic-
+        // prefix seeds clump and leave multi-cluster cells that inflate
+        // the dial (trainCoarseQuantizer doc) — the clustered-corpus
+        // build contract is pre-trained spread seeds
+        val cents = Similarity.trainCoarseQuantizer(
+          Similarity.trainingSample(emb, "vec_id", "embedding",
+            Similarity.trainingCap(nl)),
+          "embedding", nl, 64, init = "strided")
+        Similarity.writeIvfAdcIndex(emb, "vec_id", "embedding",
+          s"gtuned_idx_$tag", nlist = nl, dim = 64, cents = cents)
+        // tune on a BOUNDED sample (~200 queries at any scale) — the
+        // monitoring-cadence shape; a corpus-proportional panel turns
+        // each audit's candidate set corpus-sized. The reference is
+        // the QUANTIZER CEILING (adcFullTopK): nprobe dials probing
+        // loss; quantization loss is re-rank/retrain territory, and on
+        // a dense synthetic whose neighbor margins sit at the int8
+        // noise floor a float-exact target would escalate the probe
+        // for loss it cannot fix (Similarity.tuneNprobe doc)
+        val tunePanel = emb.filter(
+          col("vec_id") % lit(math.max(100L, cnt / 200L)) === 0)
+        val t0 = System.nanoTime()
+        val ref = Similarity.adcFullTopK(tunePanel, "vec_id",
+          "embedding", k = 3, s"gtuned_idx_$tag")
+        val (np, rec) = Similarity.tuneNprobe(emb, tunePanel, "vec_id",
+          "embedding", k = 3, s"gtuned_idx_$tag", targetRecall = target,
+          reference = ref)
+        System.err.println(f"[growth] qadc_tuned_dial_$tag%-14s " +
+          f"nprobe=$np of nlist=$nl (fraction law: $fracNp) " +
+          f"probe-recall=$rec%.3f tune=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        t(s"qadc_tuned_np_$tag") = np.toDouble
+        t(s"qadc_tuned_recall_$tag") = rec
+        if (tag == "1x") // warm the probe plan shape off the clock
+          Similarity.ivfAdcTopKIndexed(panel1x, "vec_id", "embedding",
+            k = 3, nprobe = np, table = "gtuned_idx_1x", dim = 64).count()
+        t(s"qadc_tuned_probe_$tag") = time(s"qadc_tuned_probe_$tag",
+          Similarity.ivfAdcTopKIndexed(panel1x, "vec_id", "embedding",
+            k = 3, nprobe = np, table = s"gtuned_idx_$tag", dim = 64))
+        // the TWO-LEVEL dial at the same gate: gprobe tuned against
+        // the flat probe at the tuned np (the measured quantity is
+        // exactly the sqrt-level's loss), then the FIXED panel timed
+        // through the hier path
+        val flatRef = Similarity.ivfAdcTopKIndexed(tunePanel, "vec_id",
+            "embedding", k = 3, nprobe = np,
+            table = s"gtuned_idx_$tag", dim = 64)
+          .select("q_id", "nb_id")
+        val (gp, gRec) = Similarity.tuneGprobe(emb, tunePanel, "vec_id",
+          "embedding", k = 3, nprobe = np, s"gtuned_idx_$tag",
+          targetRecall = target, reference = flatRef)
+        System.err.println(f"[growth] qadc_hier_dial_$tag%-15s " +
+          f"gprobe=$gp of ~${math.ceil(math.sqrt(nl.toDouble)).toInt} " +
+          f"groups, recall-vs-flat=$gRec%.3f")
+        t(s"qadc_hier_gp_$tag") = gp.toDouble
+        t(s"qadc_hier_recall_$tag") = gRec
+        t(s"qadc_hier_probe_$tag") = time(s"qadc_hier_probe_$tag",
+          Similarity.ivfAdcTopKIndexedHier(panel1x, "vec_id",
+            "embedding", k = 3, nprobe = np, gprobe = gp,
+            table = s"gtuned_idx_$tag", dim = 64))
+      }
+    }
+
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
       System.err.println(
         f"[growth] exponent $label%-28s ${math.log(tk / t1) / math.log(k)}%5.2f")
@@ -749,6 +858,14 @@ object GrowthBench {
         t("qf5_cm_probe_100x"), 100)
       exp("qb7_stack 1x->100x", t("qb7_stack_1x"), t("qb7_stack_100x"), 100)
       exp("qc2_stack 1x->100x", t("qc2_stack_1x"), t("qc2_stack_100x"), 100)
+    }
+    if (tunedOpt.isDefined) {
+      System.err.println(
+        "[growth] --- tuned absolute nprobe on CLUSTERED vectors ---")
+      exp("qadc_tuned_probe 1x->100x", t("qadc_tuned_probe_1x"),
+        t("qadc_tuned_probe_100x"), 100)
+      exp("qadc_hier_probe 1x->100x", t("qadc_hier_probe_1x"),
+        t("qadc_hier_probe_100x"), 100)
     }
 
     val json = t.map { case (k, v) =>

@@ -1344,9 +1344,143 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       if (np > 1)
         assert(auditAt(np - 1) < target,
           s"np-1=${np - 1} already meets the target — not minimal")
+      // the quantizer-ceiling reference: adcFullTopK's window rank is
+      // bit-equal to the collect rank's pairs at nprobe = nlist (the
+      // spill-safe twin loses nothing)...
+      val full = Similarity.adcFullTopK(queries, "vec_id", "embedding",
+        k = 3, "adc_tune_idx")
+        .as[(Long, Long)].collect().toSet
+      val flat = Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+          "embedding", k = 3, nprobe = nlist, table = "adc_tune_idx",
+          dim = 64)
+        .select("q_id", "nb_id").as[(Long, Long)].collect().toSet
+      assert(full == flat,
+        "adcFullTopK diverged from the exhaustive flat probe")
+      // ...and tuning AGAINST it dials pure probing loss: recall 1.0
+      // is reachable by construction, and the tuned dial stays at or
+      // under the end-to-end one (same candidates, ceiling reference)
+      val (npRef, recRef) = Similarity.tuneNprobe(vecs, queries,
+        "vec_id", "embedding", k = 3, "adc_tune_idx",
+        targetRecall = target, reference = Similarity.adcFullTopK(
+          queries, "vec_id", "embedding", k = 3, "adc_tune_idx"))
+      assert(recRef >= target && npRef < fracNp,
+        s"ceiling-referenced tune (np=$npRef, recall=$recRef) did not " +
+          s"meet the gate under the fraction law's $fracNp")
     } finally {
       for (sfx <- Seq("", "_c", "_g", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS adc_tune_idx$sfx")
+    }
+  }
+
+  test("a same-name index REBUILD invalidates the memoized quantizer broadcast — probes rank against the new quantizer") {
+    // the probe expressions ride a broadcast memoized per (table,
+    // epoch); a rebuild restarts epochs at 0, so without explicit
+    // invalidation a warm process would silently probe the OLD
+    // quantizer. Two corpora with different cluster layouts at the
+    // same table name must probe like their own fresh builds.
+    val a = spark.range(300).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 11, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 13, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val b = spark.range(300).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 41, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 43, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val queries = b.filter(col("vec_id") % 30 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndex(a, "vec_id", "embedding",
+        "adc_rbld_idx", nlist = 10, dim = 64)
+      // warm the (table, epoch) memo on corpus A's quantizer
+      Similarity.ivfAdcTopKIndexed(queries, "vec_id", "embedding",
+        k = 3, nprobe = 2, table = "adc_rbld_idx", dim = 64).count()
+      // REBUILD at the same name over corpus B
+      Similarity.writeIvfAdcIndex(b, "vec_id", "embedding",
+        "adc_rbld_idx", nlist = 10, dim = 64)
+      Similarity.writeIvfAdcIndex(b, "vec_id", "embedding",
+        "adc_rbld_ref", nlist = 10, dim = 64)
+      val got = rows(Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+        "embedding", k = 3, nprobe = 2, table = "adc_rbld_idx",
+        dim = 64))
+      val ref = rows(Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+        "embedding", k = 3, nprobe = 2, table = "adc_rbld_ref",
+        dim = 64))
+      assert(ref.nonEmpty && got == ref,
+        "rebuilt index probed against a stale memoized quantizer")
+    } finally {
+      for (t <- Seq("adc_rbld_idx", "adc_rbld_ref");
+          sfx <- Seq("", "_c", "_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
+  test("ivfAdcTopKIndexedHier: full group coverage is bit-identical to the flat probe; the sqrt-scan dial keeps measured recall") {
+    // the two-level probe replaces the flat O(nlist) coarse scan with
+    // O(sqrt(nlist)) — at full gprobe it must lose NOTHING (bit-equal
+    // results), and at a partial gprobe its recall is a measured dial
+    // like nprobe's. Same clustered recipe as the tuneNprobe spec.
+    val n = 800
+    val clusters = 16
+    val vecs = spark.range(n).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      s"pmod(hash(pmod(id, $clusters), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600) / 1000.0d" +
+      " - 0.3d ELSE 0.0d END as float))").as("embedding"))
+    val queries = vecs.filter(col("vec_id") % 40 === 0)
+    val (nlist, _) = Similarity.ivfParams(n.toLong)
+    val g = math.ceil(math.sqrt(nlist.toDouble)).toInt
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id").as[(Long, Long)].collect().toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "adc_hier_idx", nlist = nlist, dim = 64)
+      // exhaustive ADC reference: every cell probed on both paths
+      val flatFull = rows(Similarity.ivfAdcTopKIndexed(queries,
+        "vec_id", "embedding", k = 3, nprobe = nlist,
+        table = "adc_hier_idx", dim = 64))
+      val hierFull = rows(Similarity.ivfAdcTopKIndexedHier(queries,
+        "vec_id", "embedding", k = 3, nprobe = nlist, gprobe = g,
+        table = "adc_hier_idx", dim = 64))
+      assert(flatFull.nonEmpty && hierFull == flatFull,
+        "full-coverage two-level probe diverged from the flat probe")
+      // the sqrt dial: probe 2 of ceil(sqrt(nlist)) groups — measured
+      // recall against the exhaustive ADC reference stays above the
+      // gate on clustered vectors (neighbors live in the query's own
+      // group neighborhood)
+      val hier = pairs(Similarity.ivfAdcTopKIndexedHier(queries,
+        "vec_id", "embedding", k = 3, nprobe = 8, gprobe = 2,
+        table = "adc_hier_idx", dim = 64))
+      val ref = pairs(Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+        "embedding", k = 3, nprobe = nlist, table = "adc_hier_idx",
+        dim = 64))
+      val recall = hier.intersect(ref).size.toDouble / ref.size
+      assert(recall >= 0.8,
+        f"two-level recall $recall%.3f below 0.8 at gprobe=2 of $g")
+      // the group dial derives itself like nprobe does: smallest
+      // gprobe meeting the gate against the FLAT probe at the same
+      // nprobe — the measured quantity is exactly the loss the
+      // sqrt-scan level introduces, zero at full coverage by
+      // construction, so the search always terminates at or under g
+      val flatAtNp = Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+          "embedding", k = 3, nprobe = 8, table = "adc_hier_idx",
+          dim = 64)
+        .select("q_id", "nb_id")
+      val (gp, gRec) = Similarity.tuneGprobe(vecs, queries, "vec_id",
+        "embedding", k = 3, nprobe = 8, "adc_hier_idx",
+        targetRecall = 0.9, reference = flatAtNp)
+      assert(gRec >= 0.9 && gp <= g,
+        f"tuned gprobe=$gp of $g at recall $gRec%.3f did not meet the " +
+          "0.9 gate vs the flat probe")
+    } finally {
+      for (sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS adc_hier_idx$sfx")
     }
   }
 }

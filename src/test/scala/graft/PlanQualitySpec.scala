@@ -385,6 +385,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       val p = cands.queryExecution.executedPlan.toString
         .split("== Initial Plan ==")(0)
       assert(p.contains("Bucketed: true"), p.take(4000))
+      // the probed-cell In filter must reach the stored parquet scan
+      // (row-group pruning via the cell bloom filter + sorted min/max):
+      // without it every probe batch pays a corpus-sized codes scan
+      assert(p.linesIterator.exists(l =>
+          l.contains("PushedFilters") && l.contains("In(cell")),
+        "probed-cell set not pushed into the stored scan:\n" + p.take(4000))
       val exchanges = p.linesIterator
         .count(_.contains("Exchange hashpartitioning"))
       assert(exchanges <= 1,
@@ -400,6 +406,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
       spark.sql("DROP TABLE IF EXISTS q99_plan_idx")
       spark.sql("DROP TABLE IF EXISTS q99_plan_idx_c")
       spark.sql("DROP TABLE IF EXISTS q99_plan_idx_g")
+    }
+  }
+
+  test("two-level ADC probe keeps the flat path's plan shape — bucketed stored side, one probe-side exchange, vector-free") {
+    // ivfAdcTopKIndexedHier shares adcProbeCandidates' body; this pins
+    // that the pluggable cell selection did not change the join shape
+    // (the scale contract is the SHAPE, not the cell list)
+    import graft.pipeline.Similarity
+    val vecs = Tables.embeddings(spark, d)
+    val (nlist, nprobe) = Similarity.ivfParams(vecs.count())
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "qhier_plan_idx", nlist = nlist)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cands = Similarity.adcProbeCandidatesHier(vecs, "vec_id",
+        "embedding", nprobe, gprobe = 2, "qhier_plan_idx")
+      cands.collect()
+      val p = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains("Bucketed: true"), p.take(4000))
+      val exchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1,
+        s"stored ADC index side re-shuffled ($exchanges exchanges):\n" +
+          p.take(4000))
+      val exLines = p.linesIterator.filter(_.contains("Exchange"))
+        .mkString("\n")
+      assert(!exLines.contains("embedding#") && !exLines.contains(", v#"),
+        exLines)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS qhier_plan_idx")
+      spark.sql("DROP TABLE IF EXISTS qhier_plan_idx_c")
+      spark.sql("DROP TABLE IF EXISTS qhier_plan_idx_g")
     }
   }
 

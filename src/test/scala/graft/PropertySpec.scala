@@ -133,6 +133,95 @@ object NearestCellsProps extends Properties("NearestCells") {
       }.sortBy(identity).take(math.min(nprobe, cents.length)).map(_._2).toSeq
       got == expect
     }
+
+  // nprobe > 64 takes the index-sort path (the scan's selection is
+  // O(nprobe x nlist) — quadratic at the fraction law's nprobe); the
+  // two paths must order identically, ties to the lower cell id.
+  // Duplicate centroids are generated deliberately (small value range)
+  // so tie-breaks are actually exercised.
+  private val bigCases = for {
+    dim <- Gen.choose(1, 3)
+    nlist <- Gen.choose(65, 160)
+    nprobe <- Gen.choose(65, 160)
+    vec <- Gen.listOfN(dim, Gen.choose(-3, 3).map(_.toDouble))
+    cents <- Gen.listOfN(nlist,
+      Gen.listOfN(dim, Gen.choose(-3, 3).map(_.toDouble)))
+  } yield (vec.toArray, cents.map(_.toArray).toArray, nprobe)
+
+  property("large-nprobe sort path equals the same naive argsort") =
+    forAll(bigCases) { case (vec, cents, nprobe) =>
+      val dim = vec.length
+      val got = NearestCells.nearest(new GenericArrayData(vec),
+        isFloat = false, cents.flatten, cents.map(_.map(x => x * x).sum),
+        dim, nprobe).toSeq
+      val expect = cents.zipWithIndex.map { case (c, i) =>
+        val key = c.map(x => x * x).sum -
+          2.0 * c.zip(vec).map { case (a, b) => a * b }.sum
+        (key, i)
+      }.sortBy(identity).take(math.min(nprobe, cents.length)).map(_._2).toSeq
+      got == expect
+    }
+}
+
+object NearestCellsHierProps extends Properties("NearestCellsHier") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import graft.functions.NearestCellsHier
+
+  // nlist/nprobe ranges straddle the kernel's 64-candidate selection
+  // switch, so BOTH the scan and the sort paths are exercised
+  private val cases = for {
+    dim <- Gen.choose(1, 6)
+    nlist <- Gen.choose(1, 140)
+    nprobe <- Gen.choose(1, 140)
+    gprobe <- Gen.choose(1, 14)
+    vec <- Gen.listOfN(dim, Gen.choose(-50, 50).map(_.toDouble))
+    cents <- Gen.listOfN(nlist,
+      Gen.listOfN(dim, Gen.choose(-50, 50).map(_.toDouble)))
+  } yield (vec.toArray, cents.map(_.toArray).toArray, gprobe, nprobe)
+
+  // with gprobe covering EVERY group, the candidate set is every cell
+  // (the grouping partitions the cells exactly once) and the two-level
+  // kernel must reproduce the flat argsort bit-for-bit
+  property("full group coverage equals the flat argsort by (distance, cell)") =
+    forAll(cases) { case (vec, cents, _, nprobe) =>
+      val h = NearestCellsHier.group(cents)
+      val got = NearestCellsHier.nearest(new GenericArrayData(vec),
+        isFloat = false, h, h.groups, nprobe).toSeq
+      val expect = cents.zipWithIndex.map { case (c, i) =>
+        val key = c.map(x => x * x).sum -
+          2.0 * c.zip(vec).map { case (a, b) => a * b }.sum
+        (key, i)
+      }.sortBy(identity).take(math.min(nprobe, cents.length)).map(_._2).toSeq
+      got == expect
+    }
+
+  // partial coverage: the kernel must equal a naive re-derivation FROM
+  // THE SAME GROUPING — top-gprobe groups by (distance, group id), then
+  // their member cells argsorted by (distance, cell id)
+  property("partial group coverage equals the naive two-level selection") =
+    forAll(cases) { case (vec, cents, gprobe, nprobe) =>
+      val h = NearestCellsHier.group(cents)
+      val got = NearestCellsHier.nearest(new GenericArrayData(vec),
+        isFloat = false, h, gprobe, nprobe).toSeq
+      val dim = vec.length
+      def dist(flat: Array[Double], norms2: Array[Double], j: Int)
+          : Double = {
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += vec(i) * flat(j * dim + i); i += 1 }
+        norms2(j) - 2.0 * s
+      }
+      val gp = math.min(gprobe, h.groups)
+      val groupsPicked = (0 until h.groups)
+        .map(j => (dist(h.groupFlat, h.groupNorms2, j), j))
+        .sortBy(identity).take(gp).map(_._2)
+      val cand = groupsPicked.flatMap(grp =>
+        (h.offsets(grp) until h.offsets(grp + 1)).map(p =>
+          (dist(h.cellFlat, h.cellNorms2, p), h.cellIds(p))))
+      val expect = cand.sortBy(identity)
+        .take(math.min(nprobe, cand.length)).map(_._2)
+      got == expect
+    }
 }
 
 object SignBucketsProps extends Properties("SignBuckets") {
