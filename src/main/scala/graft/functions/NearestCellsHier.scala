@@ -33,9 +33,16 @@ import org.apache.spark.sql.types._
   * cells are probed, so it is an opt-in serving path, never silently
   * swapped under an oracle-gated query.
   *
-  * The grouping is computed ONCE on the driver (inside `doGenCode`,
-  * where the centroid literal folds) and ships to executors as a
-  * codegen reference object — never per task. */
+  * On the CODEGEN path the grouping is computed once on the driver
+  * (inside `doGenCode`, where the centroid literal folds) and ships
+  * to executors as a reference object. CAVEAT — interpreted fallback
+  * (wholeStage codegen off, or a compile failure): the lazy grouping
+  * re-derives per deserialized expression instance, i.e. potentially
+  * per task. This literal form is therefore the spec/convenience
+  * form; the SERVING path is [[NearestCellsHierBcExpr]], whose
+  * grouping rides a broadcast and is computed exactly once per
+  * (table, epoch) regardless of execution mode
+  * ([[graft.pipeline.Similarity.ivfAdcTopKIndexedHier]] uses it). */
 case class NearestCellsHierExpr(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
 

@@ -619,10 +619,28 @@ private[graft] object MergeTables {
             val toks = spark.table(lease).select("tok").limit(1).collect()
             if (toks.isEmpty) {
               // a husk row over an empty location (a crashed holder's
-              // create that never committed a token): clear and retake
-              spark.sql(s"DROP TABLE IF EXISTS `$lease`")
-              graft.sources.MapFiles.clearStaleLocation(spark, lease)
-              Seq(processToken).toDF("tok").write.saveAsTable(lease)
+              // create that never committed a token): retake by
+              // APPENDING our token — never by DROP+recreate, which
+              // would delete the shared directory out from under a
+              // foreign holder that committed between our emptiness
+              // read and the drop (destroying the very evidence the
+              // committed-token arbitration below resolves such races
+              // with). If both-committed results, the min-token
+              // arbitration decides as usual.
+              try Seq(processToken).toDF("tok").write.mode("append")
+                .saveAsTable(lease)
+              catch {
+                case e2: org.apache.spark.sql.AnalysisException =>
+                  // the husk changed under us (a concurrent steal or
+                  // retake): the typed refusal keeps the caller's
+                  // adoption/retry flow intact
+                  val ex = new ForeignLeaseException(table,
+                    foreignLeaseToken(spark, lease)
+                      .getOrElse("not yet readable"),
+                    ", which retook the husk first")
+                  ex.initCause(e2)
+                  throw ex
+              }
             } else if (toks(0).getString(0) != processToken)
               throw new ForeignLeaseException(table,
                 toks(0).getString(0), "")

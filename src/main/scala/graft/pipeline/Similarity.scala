@@ -1247,13 +1247,18 @@ object Similarity {
     * archive is 40M rows — fine through a sort, an OOM through a
     * collect). Monitoring-cadence cost, like the audits. */
   def adcFullTopK(queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, table: String, dim: Int = 64): DataFrame = {
+      k: Int, table: String): DataFrame = {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)
     val epoch = activeAdcEpoch(spark, table)
     val probes = queries.select(col(idCol).as("q_id"),
       VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
         .as("q_qc"))
+      // a null vector packs to a null code and would rank FIRST under
+      // the ascending window (nulls-first) — the flat probe drops such
+      // queries entirely (null cells explode to nothing), and this
+      // reference must match it
+      .filter(col("q_qc").isNotNull)
     probes.crossJoin(
         liveAdcRows(spark, table, epoch = Some(epoch))
           .select(col("id"), col("qc"), col("scale")))
@@ -1317,10 +1322,15 @@ object Similarity {
     // loss against the quantizer's own ceiling — the right reference
     // when neighbor margins sit at the int8 noise floor, where
     // end-to-end recall is quantization-bounded no matter the dial.
+    // epoch captured BEFORE the reference materializes: the
+    // localCheckpoint can take minutes at monitoring panel sizes, and
+    // a flip inside it must fail the stability check, not slip past
+    // it (a CALLER-built reference should be constructed immediately
+    // before this call for the same reason)
+    val epoch0 = activeAdcEpoch(spark, table)
     val exact = (if (reference != null) reference
       else exactMipsTopK(vecs, queries, idCol, vecCol, k))
       .localCheckpoint()
-    val epoch0 = activeAdcEpoch(spark, table)
     val res = tuneDial(nlist, targetRecall, minGain)(np =>
       recallVsExact(exact, queries, idCol, vecCol, k, np, table, dim)
         .agg(avg("recall")).head().getDouble(0))
@@ -1346,10 +1356,10 @@ object Similarity {
     val nlist = readIvfCentroids(spark, table).length
     require(nlist > 0, s"$table has no stored centroids")
     val groups = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val epoch0 = activeAdcEpoch(spark, table) // before the checkpoint
     val exact = (if (reference != null) reference
       else exactMipsTopK(vecs, queries, idCol, vecCol, k))
       .localCheckpoint()
-    val epoch0 = activeAdcEpoch(spark, table)
     val res = tuneDial(groups, targetRecall, minGain)(gp =>
       recallOfApprox(exact,
           ivfAdcTopKIndexedHier(queries, idCol, vecCol, k, nprobe, gp,
@@ -1525,36 +1535,36 @@ object Similarity {
     * old broadcast (non-blocking — in-flight plans holding the old
     * handle just re-fetch). */
   private val quantBcMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, org.apache.spark.broadcast.Broadcast[
+    String, (String, org.apache.spark.broadcast.Broadcast[
       graft.functions.NearestCellsBc.Quantizer])]()
   private val hierBcMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, org.apache.spark.broadcast.Broadcast[
+    String, (String, org.apache.spark.broadcast.Broadcast[
       graft.functions.NearestCellsHier.Grouping])]()
 
   private def memoBc[T: scala.reflect.ClassTag](
       memo: java.util.concurrent.ConcurrentHashMap[
-        String, (Long, org.apache.spark.broadcast.Broadcast[T])],
-      spark: SparkSession, table: String, epoch: Long)(make: => T)
+        String, (String, org.apache.spark.broadcast.Broadcast[T])],
+      spark: SparkSession, table: String, key: String)(make: => T)
       : org.apache.spark.broadcast.Broadcast[T] =
     memo.compute(table, (_, prev) =>
-      if (prev != null && prev._1 == epoch) prev
+      if (prev != null && prev._1 == key) prev
       else {
         if (prev != null) prev._2.unpersist(false)
-        (epoch, spark.sparkContext.broadcast(make))
+        (key, spark.sparkContext.broadcast(make))
       })._2
 
   private[graft] def adcProbeCandidates(queries: DataFrame, idCol: String,
       vecCol: String, nprobe: Int, table: String,
       buckets: Int = ivfIndexBuckets): DataFrame = {
     val spark = queries.sparkSession
-    def bcFor(epoch: Long, cents: () => Array[Array[Double]]) =
-      memoBc(quantBcMemo, spark, table, epoch)(
+    def bcFor(key: String, cents: () => Array[Array[Double]]) =
+      memoBc(quantBcMemo, spark, table, key)(
         graft.functions.NearestCellsBc.quantizerOf(cents()))
     adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets)(
-      (vec, epoch, cents) =>
-        graft.functions.NearestCellsBc(vec, bcFor(epoch, cents), nprobe),
-      (epoch, cents) => {
-        val q = bcFor(epoch, cents).value
+      (vec, key, cents) =>
+        graft.functions.NearestCellsBc(vec, bcFor(key, cents), nprobe),
+      (key, cents) => {
+        val q = bcFor(key, cents).value
         v => graft.functions.NearestCells.nearest(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
           isFloat = false, q.flat, q.norms2, q.dim, nprobe)
@@ -1569,59 +1579,90 @@ object Similarity {
     * query probes. */
   private def adcProbeCandidatesVia(queries: DataFrame, idCol: String,
       vecCol: String, table: String, buckets: Int)(
-      cellsOf: (Column, Long, () => Array[Array[Double]]) => Column,
-      localCells: (Long, () => Array[Array[Double]])
+      cellsOf: (Column, String, () => Array[Array[Double]]) => Column,
+      localCells: (String, () => Array[Array[Double]])
         => Array[Double] => Array[Int]): DataFrame = {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)
     // one epoch resolution per probe plan, threaded to centroids and
     // rows so the two can never straddle a retrain's flip
     val epoch = activeAdcEpoch(spark, table)
-    // LAZY centroid read: the nlist-row collect is only needed when the
-    // (table, epoch) broadcast memo misses — a warm serving batch's
-    // plan never touches the centroid table at all
+    // the broadcast-memo key: epoch PLUS the centroid table's file
+    // snapshot. Epoch alone is not unique across same-name REBUILDS —
+    // in-process ones invalidate the memo explicitly, but ANOTHER
+    // process's rebuild (the per-process-catalog topology) restarts
+    // epochs at 0 and would silently serve the old quantizer; any
+    // rewrite of the centroids changes their part files. Metadata-only
+    // and corpus-independent (the centroid table is nlist-row).
+    val quantKey = {
+      val c = table + "_c"
+      MergeTables.recoverCompactCrash(spark, c)
+      if (spark.catalog.tableExists(c)) spark.catalog.refreshTable(c)
+      epoch + ":" + spark.table(c).inputFiles.sorted.mkString(",")
+    }
+    // LAZY centroid read: the nlist-row collect is only needed when
+    // the broadcast memo misses — a warm serving batch's plan never
+    // reads the centroid ROWS at all (the file listing above is its
+    // only metadata touch)
     lazy val centsLazy = readIvfCentroidsAt(spark, table, epoch)
     val centsF = () => centsLazy
-    val probes = queries.select(col(idCol).as("q_id"),
-        VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
-          .as("q_qc"),
-        explode(cellsOf(col(vecCol), epoch, centsF)).as("cell"))
-      .repartition(buckets, col("cell"))
     // CELL PUSHDOWN (the lexical tier's term-In discipline applied to
     // the dense tier): the join alone never prunes the stored PARQUET —
     // every probe batch was paying a corpus-sized scan of the codes
     // (measured: the tuned-dial growth exponent stayed ~0.47 with
     // CONSTANT candidates, all of it the stored side emerging from the
-    // floor). The probed cell set is query-batch-sized by construction
-    // (|queries| × nprobe ids, distinct-capped at nlist) and is derived
-    // DRIVER-SIDE from the collected query vectors with the SAME kernel
-    // the plan runs (bit-identical selection: float→double widening is
-    // exact) — one local pass, deliberately NOT a second Spark job,
-    // which would re-pay the nlist×dim centroid literal's plan and
-    // task-binary cost. The In filter reaches the scan, where the
-    // bucketed layout's cell bloom filter + sorted min/max skip
-    // non-probed row groups — probe I/O becomes candidate-sized, not
-    // corpus-sized. Batch plans only (a streaming probe side cannot be
-    // collected; the stream-static per-micro-batch join keeps the
-    // join-only shape), and skipped when the set stops being selective
-    // (the fraction-law regime probes most cells — an In list that
-    // size prunes nothing and bloats the plan). Result-identical by
+    // floor). A BOUNDED snapshot of the query side (limit-probed, so a
+    // backfill-sized panel costs one truncated scan, never a driver
+    // OOM) becomes BOTH the probe source and the input to the
+    // driver-side cell derivation — one materialization, so a
+    // nondeterministic query source (a sample(), a growing table)
+    // cannot diverge between the In set and the joined probes. Cells
+    // are derived with the SAME kernel the plan runs (bit-identical:
+    // float→double widening is exact; null elements read as 0.0 like
+    // the unsafe-row getters) — deliberately NOT a second Spark job,
+    // which would re-pay the quantizer's plan-side costs. The In
+    // filter reaches the scan, where the bucketed layout's cell bloom
+    // filter + sorted min/max skip non-probed row groups — probe I/O
+    // becomes candidate-sized, not corpus-sized. Batch plans only (a
+    // streaming probe side cannot be collected), and skipped when the
+    // query side outgrows the snapshot cap or the set stops being
+    // selective (the fraction-law regime probes most cells — an In
+    // list that size prunes nothing). Result-identical by
     // construction: a stored row whose cell no probe emits can never
     // join.
-    val stored = liveAdcRows(spark, table, epoch = Some(epoch))
-    val prunable =
-      if (queries.isStreaming) stored
+    val snapped: Option[Array[org.apache.spark.sql.Row]] =
+      if (queries.isStreaming) None
       else {
-        val sel = localCells(epoch, centsF)
-        val cellSet = queries.select(col(vecCol)).collect().iterator
-          .filterNot(_.isNullAt(0))
-          .flatMap(r =>
-            sel(r.getSeq[Number](0).map(_.doubleValue()).toArray))
+        val rows = queries.select(col(idCol), col(vecCol))
+          .limit(maxPushdownQueries + 1).collect()
+        if (rows.length > maxPushdownQueries) None else Some(rows)
+      }
+    val probeSrc = snapped match {
+      case Some(rows) => spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        queries.select(col(idCol), col(vecCol)).schema)
+      case None => queries
+    }
+    val probes = probeSrc.select(col(idCol).as("q_id"),
+        VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
+          .as("q_qc"),
+        explode(cellsOf(col(vecCol), quantKey, centsF)).as("cell"))
+      .repartition(buckets, col("cell"))
+    val stored = liveAdcRows(spark, table, epoch = Some(epoch))
+    val prunable = snapped match {
+      case None => stored
+      case Some(rows) =>
+        val sel = localCells(quantKey, centsF)
+        val vecIdx = 1 // (idCol, vecCol) projection above
+        val cellSet = rows.iterator
+          .filterNot(_.isNullAt(vecIdx))
+          .flatMap(r => sel(r.getSeq[Number](vecIdx)
+            .map(x => if (x == null) 0.0 else x.doubleValue()).toArray))
           .toSet
         if (cellSet.size > 4096) stored
         else stored.filter(
           col("cell").isin(cellSet.toSeq.sorted.map(Int.box): _*))
-      }
+    }
     probes.join(prunable, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("nb_id"),
@@ -1629,21 +1670,28 @@ object Similarity {
         col("scale"))
   }
 
+  /** Snapshot cap for the probe-side cell pushdown: a query batch up
+    * to this many rows is collected once (≤ ~16 MB of 64-float
+    * vectors) and drives both the probe plan and the pushed In set; a
+    * larger batch keeps the join-only shape, distributed end to
+    * end. */
+  private val maxPushdownQueries = 65536
+
   /** [[ivfAdcTopKIndexedHier]]'s candidate stage — package-visible for
     * the plan spec, like [[adcProbeCandidates]]. */
   private[graft] def adcProbeCandidatesHier(queries: DataFrame,
       idCol: String, vecCol: String, nprobe: Int, gprobe: Int,
       table: String, buckets: Int = ivfIndexBuckets): DataFrame = {
     val spark = queries.sparkSession
-    def bcFor(epoch: Long, cents: () => Array[Array[Double]]) =
-      memoBc(hierBcMemo, spark, table, epoch)(
+    def bcFor(key: String, cents: () => Array[Array[Double]]) =
+      memoBc(hierBcMemo, spark, table, key)(
         graft.functions.NearestCellsHier.group(cents()))
     adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets)(
-      (vec, epoch, cents) =>
-        graft.functions.NearestCellsBc.hier(vec, bcFor(epoch, cents),
+      (vec, key, cents) =>
+        graft.functions.NearestCellsBc.hier(vec, bcFor(key, cents),
           gprobe, nprobe),
-      (epoch, cents) => {
-        val h = bcFor(epoch, cents).value
+      (key, cents) => {
+        val h = bcFor(key, cents).value
         v => graft.functions.NearestCellsHier.nearest(
           new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
           isFloat = false, h, gprobe, nprobe)
