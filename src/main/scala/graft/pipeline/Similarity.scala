@@ -638,8 +638,12 @@ object Similarity {
     // the quantizer EPOCH — retrain bumps it and commits the bump with
     // ONE table_g swap ([[retrainIvfAdcIndex]]); probes filter every
     // side to the active epoch, so a half-landed retrain is invisible
+    // fresh quantizer, broadcast ad hoc for the one build plan (the
+    // probe/append memo keys on the POST-write table state)
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.NearestCellsBc.quantizerOf(quantizer))
     graft.sources.MapFiles.write(
-      packedRows(vecs, idCol, vecCol, quantizer)
+      packedRows(vecs, idCol, vecCol, bc)
         .withColumn("gen", lit(0L)).withColumn("epoch", lit(0L)),
       "cell", buckets, table)
     graft.sources.MapFiles.write(
@@ -676,13 +680,19 @@ object Similarity {
   }
 
   /** The packed (cell, id, qc, scale) rows of one vector set against a
-    * frozen quantizer — shared by build and append so the two cannot
-    * code differently. */
+    * frozen quantizer — shared by build, append and retrain so the
+    * write paths cannot code differently. The quantizer rides a
+    * BROADCAST like the probes' ([[adcQuantBc]]): assignment is a
+    * batch-cadence operation too (one plan per append/micro-batch),
+    * and a literal would re-ship the centroid arrays with every
+    * batch's task binary. */
   private def packedRows(vecs: DataFrame, idCol: String, vecCol: String,
-      quantizer: Array[Array[Double]]): DataFrame = {
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsBc.Quantizer]): DataFrame = {
     val sc = VectorOps.maxAbs(col(vecCol))
     vecs.select(
-      element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
+      element_at(graft.functions.NearestCellsBc(col(vecCol), bc, 1), 1)
+        .as("cell"),
       col(idCol).as("id"),
       VectorOps.packQuant(col(vecCol), sc).as("qc"), sc.as("scale"))
   }
@@ -765,9 +775,9 @@ object Similarity {
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
     val epoch = activeAdcEpoch(spark, table)
-    val quantizer = readIvfCentroidsAt(spark, table, epoch)
-    require(quantizer.nonEmpty, s"$table has no stored centroids")
-    writePackedRows(newVecs, idCol, vecCol, table, quantizer, gen, epoch,
+    val bc = adcQuantBc(spark, table, epoch)
+    require(bc.value.norms2.nonEmpty, s"$table has no stored centroids")
+    writePackedRows(newVecs, idCol, vecCol, table, bc, gen, epoch,
       buckets)
     epoch
   }
@@ -776,9 +786,11 @@ object Similarity {
     * and [[retrainIvfAdcIndex]]'s re-pack so the two write paths cannot
     * silently diverge (options, layout, columns). */
   private def writePackedRows(vecs: DataFrame, idCol: String,
-      vecCol: String, table: String, quantizer: Array[Array[Double]],
+      vecCol: String, table: String,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsBc.Quantizer],
       gen: Long, epoch: Long, buckets: Int): Unit =
-    packedRows(vecs, idCol, vecCol, quantizer)
+    packedRows(vecs, idCol, vecCol, bc)
       .withColumn("gen", lit(gen)).withColumn("epoch", lit(epoch))
       .write.mode("append")
       .option("parquet.bloom.filter.enabled#cell", "true")
@@ -1015,8 +1027,10 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
-    writePackedRows(live, idCol, vecCol, table, quantizer, gen = 0L,
-      epoch = attempt, buckets = buckets)
+    writePackedRows(live, idCol, vecCol, table,
+      spark.sparkContext.broadcast(
+        graft.functions.NearestCellsBc.quantizerOf(quantizer)),
+      gen = 0L, epoch = attempt, buckets = buckets)
     // the retrained rows INCLUDE every committed streamed batch (the
     // live corpus is the input), so the old keys' high-water marks
     // must survive the generation reset — a checkpoint-resumed lineage
@@ -1557,18 +1571,53 @@ object Similarity {
       vecCol: String, nprobe: Int, table: String,
       buckets: Int = ivfIndexBuckets): DataFrame = {
     val spark = queries.sparkSession
-    def bcFor(key: String, cents: () => Array[Array[Double]]) =
-      memoBc(quantBcMemo, spark, table, key)(
-        graft.functions.NearestCellsBc.quantizerOf(cents()))
-    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets)(
-      (vec, key, cents) =>
-        graft.functions.NearestCellsBc(vec, bcFor(key, cents), nprobe),
-      (key, cents) => {
-        val q = bcFor(key, cents).value
-        v => graft.functions.NearestCells.nearest(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
-          isFloat = false, q.flat, q.norms2, q.dim, nprobe)
-      })
+    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets) {
+      epoch =>
+        val bc = adcQuantBc(spark, table, epoch)
+        (vec => graft.functions.NearestCellsBc(vec, bc, nprobe),
+          v => {
+            val q = bc.value
+            graft.functions.NearestCells.nearest(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+              isFloat = false, q.flat, q.norms2, q.dim, nprobe)
+          })
+    }
+  }
+
+  /** The memoized per-(table, state) quantizer broadcast — shared by
+    * the probe paths AND the append's assignment, so every
+    * batch-cadence operation on the index is nlist-independent after
+    * the first touch of an epoch. */
+  private[graft] def adcQuantBc(spark: SparkSession, table: String,
+      epoch: Long): org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsBc.Quantizer] =
+    memoBc(quantBcMemo, spark, table, quantStateKey(spark, table, epoch))(
+      graft.functions.NearestCellsBc.quantizerOf(
+        readIvfCentroidsAt(spark, table, epoch)))
+
+  /** [[adcQuantBc]] for the two-level grouping (its construction runs
+    * Lloyd over the centroids — paid only on the hier path's memo
+    * miss). */
+  private def adcHierBc(spark: SparkSession, table: String,
+      epoch: Long): org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsHier.Grouping] =
+    memoBc(hierBcMemo, spark, table, quantStateKey(spark, table, epoch))(
+      graft.functions.NearestCellsHier.group(
+        readIvfCentroidsAt(spark, table, epoch)))
+
+  /** The broadcast-memo key: epoch PLUS the centroid table's file
+    * snapshot. Epoch alone is not unique across same-name REBUILDS —
+    // in-process ones invalidate the memo explicitly, but ANOTHER
+    * process's rebuild (the per-process-catalog topology) restarts
+    * epochs at 0 and would silently serve the old quantizer; any
+    * rewrite of the centroids changes their part files. Metadata-only
+    * and corpus-independent (the centroid table is nlist-row). */
+  private def quantStateKey(spark: SparkSession, table: String,
+      epoch: Long): String = {
+    val c = table + "_c"
+    MergeTables.recoverCompactCrash(spark, c)
+    if (spark.catalog.tableExists(c)) spark.catalog.refreshTable(c)
+    epoch + ":" + spark.table(c).inputFiles.sorted.mkString(",")
   }
 
   /** [[adcProbeCandidates]] with the cell selection pluggable — the
@@ -1579,33 +1628,18 @@ object Similarity {
     * query probes. */
   private def adcProbeCandidatesVia(queries: DataFrame, idCol: String,
       vecCol: String, table: String, buckets: Int)(
-      cellsOf: (Column, String, () => Array[Array[Double]]) => Column,
-      localCells: (String, () => Array[Array[Double]])
-        => Array[Double] => Array[Int]): DataFrame = {
+      probeFns: Long => (Column => Column, Array[Double] => Array[Int]))
+      : DataFrame = {
     val spark = queries.sparkSession
     VectorOps.ensureRegistered(spark)
     // one epoch resolution per probe plan, threaded to centroids and
-    // rows so the two can never straddle a retrain's flip
+    // rows so the two can never straddle a retrain's flip. probeFns
+    // resolves the memoized quantizer broadcast for it ONCE
+    // ([[adcQuantBc]] — a warm serving batch's plan never reads the
+    // centroid ROWS, only the key's metadata listing) and returns the
+    // plan-side cell column plus the driver-side twin kernel.
     val epoch = activeAdcEpoch(spark, table)
-    // the broadcast-memo key: epoch PLUS the centroid table's file
-    // snapshot. Epoch alone is not unique across same-name REBUILDS —
-    // in-process ones invalidate the memo explicitly, but ANOTHER
-    // process's rebuild (the per-process-catalog topology) restarts
-    // epochs at 0 and would silently serve the old quantizer; any
-    // rewrite of the centroids changes their part files. Metadata-only
-    // and corpus-independent (the centroid table is nlist-row).
-    val quantKey = {
-      val c = table + "_c"
-      MergeTables.recoverCompactCrash(spark, c)
-      if (spark.catalog.tableExists(c)) spark.catalog.refreshTable(c)
-      epoch + ":" + spark.table(c).inputFiles.sorted.mkString(",")
-    }
-    // LAZY centroid read: the nlist-row collect is only needed when
-    // the broadcast memo misses — a warm serving batch's plan never
-    // reads the centroid ROWS at all (the file listing above is its
-    // only metadata touch)
-    lazy val centsLazy = readIvfCentroidsAt(spark, table, epoch)
-    val centsF = () => centsLazy
+    val (cellsOf, localSel) = probeFns(epoch)
     // CELL PUSHDOWN (the lexical tier's term-In discipline applied to
     // the dense tier): the join alone never prunes the stored PARQUET —
     // every probe batch was paying a corpus-sized scan of the codes
@@ -1646,17 +1680,16 @@ object Similarity {
     val probes = probeSrc.select(col(idCol).as("q_id"),
         VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
           .as("q_qc"),
-        explode(cellsOf(col(vecCol), quantKey, centsF)).as("cell"))
+        explode(cellsOf(col(vecCol))).as("cell"))
       .repartition(buckets, col("cell"))
     val stored = liveAdcRows(spark, table, epoch = Some(epoch))
     val prunable = snapped match {
       case None => stored
       case Some(rows) =>
-        val sel = localCells(quantKey, centsF)
         val vecIdx = 1 // (idCol, vecCol) projection above
         val cellSet = rows.iterator
           .filterNot(_.isNullAt(vecIdx))
-          .flatMap(r => sel(r.getSeq[Number](vecIdx)
+          .flatMap(r => localSel(r.getSeq[Number](vecIdx)
             .map(x => if (x == null) 0.0 else x.doubleValue()).toArray))
           .toSet
         if (cellSet.size > 4096) stored
@@ -1683,19 +1716,15 @@ object Similarity {
       idCol: String, vecCol: String, nprobe: Int, gprobe: Int,
       table: String, buckets: Int = ivfIndexBuckets): DataFrame = {
     val spark = queries.sparkSession
-    def bcFor(key: String, cents: () => Array[Array[Double]]) =
-      memoBc(hierBcMemo, spark, table, key)(
-        graft.functions.NearestCellsHier.group(cents()))
-    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets)(
-      (vec, key, cents) =>
-        graft.functions.NearestCellsBc.hier(vec, bcFor(key, cents),
-          gprobe, nprobe),
-      (key, cents) => {
-        val h = bcFor(key, cents).value
-        v => graft.functions.NearestCellsHier.nearest(
-          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
-          isFloat = false, h, gprobe, nprobe)
-      })
+    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets) {
+      epoch =>
+        val bc = adcHierBc(spark, table, epoch)
+        (vec => graft.functions.NearestCellsBc.hier(vec, bc, gprobe,
+            nprobe),
+          v => graft.functions.NearestCellsHier.nearest(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+            isFloat = false, bc.value, gprobe, nprobe))
+    }
   }
 
   /** [[ivfAdcTopKIndexed]] with TWO-LEVEL cell selection
