@@ -639,13 +639,16 @@ object Similarity {
     // ONE table_g swap ([[retrainIvfAdcIndex]]); probes filter every
     // side to the active epoch, so a half-landed retrain is invisible
     // fresh quantizer, broadcast ad hoc for the one build plan (the
-    // probe/append memo keys on the POST-write table state)
+    // probe/append memo keys on the POST-write table state) and
+    // unpersisted after it — a pinned dead quantizer is ~0.5 GB of
+    // executor block space at a 10^6-cell shard
     val bc = spark.sparkContext.broadcast(
       graft.functions.NearestCellsBc.quantizerOf(quantizer))
-    graft.sources.MapFiles.write(
+    try graft.sources.MapFiles.write(
       packedRows(vecs, idCol, vecCol, bc)
         .withColumn("gen", lit(0L)).withColumn("epoch", lit(0L)),
       "cell", buckets, table)
+    finally bc.unpersist(false)
     graft.sources.MapFiles.write(
       centroidRows(spark, quantizer, 0L), "cell", 1, table + "_c")
     import spark.implicits._
@@ -1027,10 +1030,11 @@ object Similarity {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
       .bucketSpec.map(_.numBuckets).getOrElse(
         throw new IllegalStateException(s"$table is not a bucketed index"))
-    writePackedRows(live, idCol, vecCol, table,
-      spark.sparkContext.broadcast(
-        graft.functions.NearestCellsBc.quantizerOf(quantizer)),
+    val packBc = spark.sparkContext.broadcast(
+      graft.functions.NearestCellsBc.quantizerOf(quantizer))
+    try writePackedRows(live, idCol, vecCol, table, packBc,
       gen = 0L, epoch = attempt, buckets = buckets)
+    finally packBc.unpersist(false)
     // the retrained rows INCLUDE every committed streamed batch (the
     // live corpus is the input), so the old keys' high-water marks
     // must survive the generation reset — a checkpoint-resumed lineage
@@ -1593,7 +1597,7 @@ object Similarity {
         graft.functions.NearestCellsBc.Quantizer] =
     memoBc(quantBcMemo, spark, table, quantStateKey(spark, table, epoch))(
       graft.functions.NearestCellsBc.quantizerOf(
-        readIvfCentroidsAt(spark, table, epoch)))
+        readIvfCentroidsFresh(spark, table, epoch)))
 
   /** [[adcQuantBc]] for the two-level grouping (its construction runs
     * Lloyd over the centroids — paid only on the hier path's memo
@@ -1603,11 +1607,11 @@ object Similarity {
         graft.functions.NearestCellsHier.Grouping] =
     memoBc(hierBcMemo, spark, table, quantStateKey(spark, table, epoch))(
       graft.functions.NearestCellsHier.group(
-        readIvfCentroidsAt(spark, table, epoch)))
+        readIvfCentroidsFresh(spark, table, epoch)))
 
   /** The broadcast-memo key: epoch PLUS the centroid table's file
     * snapshot. Epoch alone is not unique across same-name REBUILDS —
-    // in-process ones invalidate the memo explicitly, but ANOTHER
+    * in-process ones invalidate the memo explicitly, but ANOTHER
     * process's rebuild (the per-process-catalog topology) restarts
     * epochs at 0 and would silently serve the old quantizer; any
     * rewrite of the centroids changes their part files. Metadata-only
@@ -1617,15 +1621,28 @@ object Similarity {
     val c = table + "_c"
     MergeTables.recoverCompactCrash(spark, c)
     if (spark.catalog.tableExists(c)) spark.catalog.refreshTable(c)
-    epoch + ":" + spark.table(c).inputFiles.sorted.mkString(",")
+    // the application id scopes the key to THIS SparkContext: a
+    // broadcast memoized under a stopped context is a dead handle, and
+    // a same-JVM session restart with unchanged table state would
+    // otherwise serve it to the first append/probe after recovery
+    spark.sparkContext.applicationId + ":" + epoch + ":" +
+      spark.table(c).inputFiles.sorted.mkString(",")
   }
+
+  /** [[readIvfCentroidsAt]] minus the heal + refresh — for the memo
+    * miss path, where [[quantStateKey]] just did both. */
+  private def readIvfCentroidsFresh(spark: SparkSession, table: String,
+      epoch: Long): Array[Array[Double]] =
+    spark.table(table + "_c").filter(col("epoch") === epoch)
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)
 
   /** [[adcProbeCandidates]] with the cell selection pluggable — the
     * shared body of the flat and two-level probe paths, so the join
     * shape (epoch threading, bucket co-partitioning, vector-free
-    * candidate rows) cannot diverge between them. `cellsOf` maps
-    * (query vector, stored centroids) to the array of cell ids the
-    * query probes. */
+    * candidate rows) cannot diverge between them. `probeFns` receives
+    * the resolved epoch and returns the pair (plan-side cell column
+    * factory, driver-side twin kernel for the pushdown's cell set) —
+    * both backed by the same memoized quantizer broadcast. */
   private def adcProbeCandidatesVia(queries: DataFrame, idCol: String,
       vecCol: String, table: String, buckets: Int)(
       probeFns: Long => (Column => Column, Array[Double] => Array[Int]))
