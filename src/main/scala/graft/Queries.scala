@@ -240,7 +240,12 @@ object RelationalQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, (Int, Int))]()
 
   private[graft] def qc2Depths(s: SparkSession, d: String): (Int, Int) = {
-    val snap = s.table(qc2SelTable(s, d)).inputFiles.sorted.mkString("\n")
+    // freshInputFiles, not a bare inputFiles read (ADVICE r17): the
+    // bare listing threw table-not-found after a compactor crashed
+    // mid-swap (no heal) and could stay stale across another session's
+    // append (cached relation), re-serving stale depths despite the key
+    val snap = graft.pipeline.MergeTables
+      .freshInputFiles(s, qc2SelTable(s, d)).mkString("\n")
     qc2DepthsMemo.compute(dirTag(d), (_, prev) =>
       if (prev != null && prev._1 == snap) prev
       else (snap, qc2DepthsUncached(s, d)))._2
@@ -340,6 +345,75 @@ object RelationalQueries {
       .select(col("doc_id").as("q_id"),
         array_join(slice(filter(split(col("text"), " "),
           w => length(w) > 0), 1, nTerms), " ").as("qtext"))
+
+  /** qb7's hybrid stack with the DENSE LEG pluggable (r17 verdict item
+    * 1): `denseLeg(queryVecs, k)` produces the (q_id, nb_id, rank)
+    * candidate list. The registry row passes the oracle-gated
+    * fraction-law probe; [[qb7Tuned]] passes the tuned broadcast/hier
+    * probe. ONE body, so serving mode can differ from the gated row in
+    * NOTHING but the dense probe. */
+  private[graft] def qb7Stack(s: SparkSession, d: String,
+      denseLeg: (DataFrame, Int) => DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lex = TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id",
+      "qtext", lexIndex(s, d), k = qb1K, k1 = qb1K1, b = qb1B)
+    val dense = denseLeg(
+        Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0), 3)
+      .withColumnRenamed("nb_id", "doc_id")
+    Similarity.rrfFuse(Seq(lex, dense), "q_id", "doc_id", "rank",
+      k = qb2K, c = qb2C)
+  }
+
+  /** The TUNED SERVING twin of qb7: the same stack body probing the
+    * caller's persisted index through [[Similarity.ivfAdcTopKIndexedHier]]
+    * at recall-gated absolute dials ([[Similarity.tuneNprobe]] /
+    * [[Similarity.tuneGprobe]] at monitoring cadence, never per query).
+    * OPT-IN serving path — a measured-recall operator (its agreement
+    * with the fraction-law stack is itself a gated GrowthBench number),
+    * never substituted under the oracle-gated qb7 row. */
+  private[graft] def qb7Tuned(s: SparkSession, d: String,
+      vtable: String, nprobe: Int, gprobe: Int): DataFrame =
+    qb7Stack(s, d, (q, k) => Similarity.ivfAdcTopKIndexedHier(q,
+      "vec_id", "embedding", k, nprobe, gprobe, vtable, dim = 64))
+
+  /** qc2's production stack with the DENSE LEG pluggable — same
+    * single-body contract as [[qb7Stack]]. */
+  private[graft] def qc2Stack(s: SparkSession, d: String,
+      denseLeg: (DataFrame, Int) => DataFrame): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val vecs = Tables.embeddings(s, d)
+    val queries = qb1Queries(docs)
+    // depths derived from the measured label selectivity (qc2Depths)
+    // — the hand constants are gone; the oracle derives the same
+    // numbers from the same counts in SQL
+    val (lexDepth, denseDepth) = qc2Depths(s, d)
+    val lex = TextAnalysis.bm25TopKIndexed(queries, "q_id", "qtext",
+      lexIndex(s, d), k = lexDepth, k1 = qb1K1, b = qb1B)
+    val dense = denseLeg(vecs.filter(col("vec_id") % 100 === 0),
+        denseDepth)
+      .withColumnRenamed("nb_id", "doc_id")
+    val allowed = vecs.filter(col("label") < 3)
+    // index-restricted phrase probe (no candidate wiring): keeps the
+    // whole stack one lazy pipelined DAG — wiring the legs into the
+    // probe's candidate set measured ~40% slower whether
+    // checkpointed (serialized stages) or lazy (duplicated leg
+    // subtrees); the index restriction alone already reads only the
+    // phrase terms' posting rows, never the corpus
+    val phrase = TextAnalysis.phraseMatchesIndexed(queries, "q_id",
+      "qtext", lexIndex(s, d))
+    def screen(leg: DataFrame) =
+      Similarity.screenCandidates(leg, "q_id", "doc_id", "rank",
+        allowed, "vec_id", phrase, "q_id", "doc_id")
+    Similarity.rrfFuse(Seq(screen(lex), screen(dense)),
+      "q_id", "doc_id", "rank", k = qb2K, c = qb2C)
+  }
+
+  /** The TUNED SERVING twin of qc2 — [[qb7Tuned]]'s contract on the
+    * full screened stack. */
+  private[graft] def qc2Tuned(s: SparkSession, d: String,
+      vtable: String, nprobe: Int, gprobe: Int): DataFrame =
+    qc2Stack(s, d, (q, k) => Similarity.ivfAdcTopKIndexedHier(q,
+      "vec_id", "embedding", k, nprobe, gprobe, vtable, dim = 64))
 
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
@@ -1676,17 +1750,9 @@ object RelationalQueries {
     // dense chain's queries post-rank is exact: per-query ranking is
     // independent of the query set).
     "qb7" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val lex = TextAnalysis.bm25TopKIndexed(qb1Queries(docs), "q_id",
-        "qtext", lexIndex(s, d), k = qb1K, k1 = qb1K1, b = qb1B)
       val (vtable, nprobe) = denseIndex(s, d)
-      val dense = Similarity.ivfAdcTopKIndexed(
-          Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0),
-          "vec_id", "embedding",
-          k = 3, nprobe = nprobe, table = vtable, dim = 64)
-        .withColumnRenamed("nb_id", "doc_id")
-      Similarity.rrfFuse(Seq(lex, dense), "q_id", "doc_id", "rank",
-        k = qb2K, c = qb2C)
+      qb7Stack(s, d, (q, k) => Similarity.ivfAdcTopKIndexed(q,
+        "vec_id", "embedding", k, nprobe, vtable, dim = 64))
     }),
 
     // QB3 — qb1 against a PERSISTED postings index (the third persisted
@@ -1852,34 +1918,9 @@ object RelationalQueries {
     // chain, and the label predicate in SQL — unchanged by the indexed
     // verification, which is gated equal to the scan path.
     "qc2" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val vecs = Tables.embeddings(s, d)
-      val queries = qb1Queries(docs)
       val (vtable, nprobe) = denseIndex(s, d)
-      // depths derived from the measured label selectivity (qc2Depths)
-      // — the hand constants are gone; the oracle derives the same
-      // numbers from the same counts in SQL
-      val (lexDepth, denseDepth) = qc2Depths(s, d)
-      val lex = TextAnalysis.bm25TopKIndexed(queries, "q_id", "qtext",
-        lexIndex(s, d), k = lexDepth, k1 = qb1K1, b = qb1B)
-      val dense = Similarity.ivfAdcTopKIndexed(
-          vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-          k = denseDepth, nprobe = nprobe, table = vtable, dim = 64)
-        .withColumnRenamed("nb_id", "doc_id")
-      val allowed = vecs.filter(col("label") < 3)
-      // index-restricted phrase probe (no candidate wiring): keeps the
-      // whole stack one lazy pipelined DAG — wiring the legs into the
-      // probe's candidate set measured ~40% slower whether
-      // checkpointed (serialized stages) or lazy (duplicated leg
-      // subtrees); the index restriction alone already reads only the
-      // phrase terms' posting rows, never the corpus
-      val phrase = TextAnalysis.phraseMatchesIndexed(queries, "q_id",
-        "qtext", lexIndex(s, d))
-      def screen(leg: org.apache.spark.sql.DataFrame) =
-        Similarity.screenCandidates(leg, "q_id", "doc_id", "rank",
-          allowed, "vec_id", phrase, "q_id", "doc_id")
-      Similarity.rrfFuse(Seq(screen(lex), screen(dense)),
-        "q_id", "doc_id", "rank", k = qb2K, c = qb2C)
+      qc2Stack(s, d, (q, k) => Similarity.ivfAdcTopKIndexed(q,
+        "vec_id", "embedding", k, nprobe, vtable, dim = 64))
     }),
 
     // QC3 — IVF index DRIFT audit: build the ADC index on the FIRST
@@ -3026,8 +3067,41 @@ object RelationalQueries {
       }
       Similarity.ivfAdcTopKIndexed(vecs, "vec_id", "embedding", k = 3,
         nprobe = nprobe, table = table, dim = 64)
+    }),
+
+    // QG1 — the SHARDED persisted ADC index (r17 verdict item 3;
+    // BASELINE.md's named 100 TB dial): ids content-hash into
+    // qg1Shards shard tables, each with its OWN quantizer trained on
+    // its own rows (occupancy-constant nlist from the shard count) and
+    // its own epoch/lifecycle; probes fan out to every shard at that
+    // shard's fraction-law nprobe and ONE global rank merges the
+    // candidate union. The reference's partitioned-lookup pattern
+    // (mapred/MapFileOutputFormat.java:39,115 — getEntry routes by the
+    // job partitioner across the partitioned MapFile array; the shard
+    // law IS HashPartitioner's `value % partitions`). The oracle
+    // re-derives every shard's training set, Lloyd rounds, assignment
+    // and quantized candidates as one suffixed CTE chain per shard and
+    // merges with the identical global ranking — the fan-out/merge
+    // provably loses nothing vs full re-derivation.
+    "qg1" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val table = "qg1_idx_" + dirTag(d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+          table, nShards = qg1Shards, dim = 64,
+          targetRecall = q35cTargetRecall)
+      }
+      Similarity.ivfAdcTopKIndexedSharded(vecs, "vec_id", "embedding",
+        k = 3, table = table, dim = 64,
+        targetRecall = q35cTargetRecall)
     })
   )
+
+  /** qg1's shard count — single-sourced into the Spark routing and the
+    * oracle's per-shard chains (each extra shard adds a full suffixed
+    * CTE chain to the SQL, so keep small at oracle scale; production
+    * dials it by corpus size). */
+  private val qg1Shards = 2
 
   /** qfe's revoked source. */
   private val qfeRetiredSource = "src3"
@@ -3360,49 +3434,55 @@ object RelationalQueries {
     * nprobe cells; the q88 SemDeDup oracle consumes `asg` only. One
     * definition so the twins cannot drift. */
   private def ivfCellsSql(fracNum: Int, occ: Int, iters: Int,
-      dim: Int, trainWhere: String = ""): String = {
+      dim: Int, trainWhere: String = "", sfx: String = "",
+      withNv: Boolean = true): String = {
+    // `sfx` suffixes every CTE name so MULTIPLE chains can coexist in
+    // one query (the sharded oracle emits one per shard); `withNv`
+    // false skips the shared nv definition (emitted once by the first
+    // chain). Default ("" / true) is byte-identical to the historical
+    // single-chain form.
     // probe fraction as the exact binary fracNum/8, matching ivfParams
     val sqDist = s"list_sum(list_transform(range($dim), " +
       "i -> (s.e[i+1]-c.cent[i+1])*(s.e[i+1]-c.cent[i+1])))"
     val probeKey = s"c.cn2 - 2*list_sum(list_transform(range($dim), " +
       "i -> v.e[i+1]*c.cent[i+1]))"
     val lloyd = (1 to iters).map { t =>
-      val prev = if (t == 1) "c0" else s"c${t - 1}"
-      s"""a$t AS (SELECT sid, e, cell FROM (
+      val prev = if (t == 1) s"c0$sfx" else s"c${t - 1}$sfx"
+      s"""a$t$sfx AS (SELECT sid, e, cell FROM (
         |    SELECT s.sid, s.e, c.cell, row_number() OVER (PARTITION BY s.sid
         |        ORDER BY $sqDist, c.cell) AS rk
-        |    FROM samp s CROSS JOIN $prev c) WHERE rk = 1),
-        |m$t AS (SELECT cell, list(av ORDER BY i) AS cent FROM (
+        |    FROM samp$sfx s CROSS JOIN $prev c) WHERE rk = 1),
+        |m$t$sfx AS (SELECT cell, list(av ORDER BY i) AS cent FROM (
         |    SELECT cell, i, list_sum(list(e[i] ORDER BY e))/count(*) AS av
-        |    FROM a$t, range(1, ${dim + 1}) t(i) GROUP BY cell, i)
+        |    FROM a$t$sfx, range(1, ${dim + 1}) t(i) GROUP BY cell, i)
         |  GROUP BY cell),
-        |c$t AS (SELECT c.cell, coalesce(m.cent, c.cent) AS cent
-        |  FROM $prev c LEFT JOIN m$t m USING (cell)),""".stripMargin
+        |c$t$sfx AS (SELECT c.cell, coalesce(m.cent, c.cent) AS cent
+        |  FROM $prev c LEFT JOIN m$t$sfx m USING (cell)),""".stripMargin
     }.mkString("\n")
-    s"""$embedNormSql,
-      |tv AS (SELECT * FROM nv $trainWhere),
-      |p AS (SELECT count(*) AS n,
+    val nvPart = if (withNv) s"$embedNormSql,\n" else ""
+    s"""${nvPart}tv$sfx AS (SELECT * FROM nv $trainWhere),
+      |p$sfx AS (SELECT count(*) AS n,
       |    GREATEST(1, LEAST(count(*), (count(*) + ${occ - 1}) // $occ))
-      |      AS nlist FROM tv),
-      |p2 AS (SELECT n, nlist,
+      |      AS nlist FROM tv$sfx),
+      |p2$sfx AS (SELECT n, nlist,
       |    GREATEST(1, LEAST(nlist,
       |      CAST(ceil(($fracNum * nlist) / 8.0) AS BIGINT))) AS nprobe,
-      |    LEAST(2147483647, GREATEST(nlist * 64, 4096)) AS cap FROM p),
-      |samp AS (SELECT vec_id AS sid, e FROM (
+      |    LEAST(2147483647, GREATEST(nlist * 64, 4096)) AS cap FROM p$sfx),
+      |samp$sfx AS (SELECT vec_id AS sid, e FROM (
       |    SELECT vec_id, e, row_number() OVER (ORDER BY
       |      ${graft.pipeline.Portable.hash60Sql("CAST(vec_id AS VARCHAR)")}, vec_id) AS rn
-      |    FROM tv) WHERE rn <= (SELECT cap FROM p2)),
-      |c0 AS (SELECT rn - 1 AS cell, e AS cent FROM (
-      |    SELECT e, row_number() OVER (ORDER BY e) AS rn FROM samp)
-      |  WHERE rn <= (SELECT nlist FROM p2)),
+      |    FROM tv$sfx) WHERE rn <= (SELECT cap FROM p2$sfx)),
+      |c0$sfx AS (SELECT rn - 1 AS cell, e AS cent FROM (
+      |    SELECT e, row_number() OVER (ORDER BY e) AS rn FROM samp$sfx)
+      |  WHERE rn <= (SELECT nlist FROM p2$sfx)),
       |$lloyd
-      |cn AS (SELECT cell, cent,
-      |    list_sum(list_transform(cent, x -> x*x)) AS cn2 FROM c$iters),
-      |rnk AS (SELECT v.vec_id, v.e, v.nrm, c.cell,
+      |cn$sfx AS (SELECT cell, cent,
+      |    list_sum(list_transform(cent, x -> x*x)) AS cn2 FROM c$iters$sfx),
+      |rnk$sfx AS (SELECT v.vec_id, v.e, v.nrm, c.cell,
       |    row_number() OVER (PARTITION BY v.vec_id
       |      ORDER BY $probeKey, c.cell) AS rk
-      |  FROM nv v CROSS JOIN cn c),
-      |asg AS (SELECT vec_id, e, nrm, cell FROM rnk WHERE rk = 1)""".stripMargin
+      |  FROM nv v CROSS JOIN cn$sfx c),
+      |asg$sfx AS (SELECT vec_id, e, nrm, cell FROM rnk$sfx WHERE rk = 1)""".stripMargin
   }
 
   /** The shared quantized-candidate chain of the q89/q99/qa1 oracles —
@@ -3414,29 +3494,30 @@ object RelationalQueries {
     * drift. */
   private def adcRankedSql(fracNum: Int, occ: Int, iters: Int,
       dim: Int, trainWhere: String = "", probeCond: String = "",
-      candCond: String = ""): String =
-    s"""${ivfCellsSql(fracNum, occ, iters, dim, trainWhere)},
-      |qz AS (SELECT vec_id, scale,
+      candCond: String = "", sfx: String = "", withNv: Boolean = true)
+      : String =
+    s"""${ivfCellsSql(fracNum, occ, iters, dim, trainWhere, sfx, withNv)},
+      |qz$sfx AS (SELECT vec_id, scale,
       |    CASE WHEN scale > 0 THEN list_transform(e, x ->
       |        CAST(GREATEST(-127.0, LEAST(127.0,
       |          round(x / scale * 127.0))) AS INT))
       |      ELSE list_transform(e, x -> 0) END AS qc
       |  FROM (SELECT vec_id, e,
-      |      list_max(list_transform(e, x -> abs(x))) AS scale FROM asg)),
-      |prb AS (SELECT vec_id AS q_id, cell FROM rnk
-      |  WHERE rk <= (SELECT nprobe FROM p2)$probeCond),
-      |cand AS (SELECT p.q_id, a.vec_id AS nb_id,
+      |      list_max(list_transform(e, x -> abs(x))) AS scale FROM asg$sfx)),
+      |prb$sfx AS (SELECT vec_id AS q_id, cell FROM rnk$sfx
+      |  WHERE rk <= (SELECT nprobe FROM p2$sfx)$probeCond),
+      |cand$sfx AS (SELECT p.q_id, a.vec_id AS nb_id,
       |    CAST(list_sum(list_transform(range($dim),
       |      i -> CAST(qa.qc[i+1] AS BIGINT) * qb.qc[i+1])) AS BIGINT)
       |      AS idot,
       |    qb.scale AS nscale
-      |  FROM prb p JOIN asg a USING (cell)
-      |    JOIN qz qa ON qa.vec_id = p.q_id
-      |    JOIN qz qb ON qb.vec_id = a.vec_id
+      |  FROM prb$sfx p JOIN asg$sfx a USING (cell)
+      |    JOIN qz$sfx qa ON qa.vec_id = p.q_id
+      |    JOIN qz$sfx qb ON qb.vec_id = a.vec_id
       |  WHERE p.q_id <> a.vec_id$candCond),
-      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |r$sfx AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |    ORDER BY CAST(idot AS DOUBLE) * nscale DESC, nb_id) AS rk
-      |  FROM cand)""".stripMargin
+      |  FROM cand$sfx)""".stripMargin
 
   /** DuckDB twin of [[Similarity.ivfAdcTopK]] (q89) — and, verbatim, of
     * [[Similarity.ivfAdcTopKIndexed]] (q99), whose contract is that the
@@ -3466,6 +3547,38 @@ object RelationalQueries {
       |    ORDER BY cos DESC, nb_id) AS rk FROM rs)
       |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, cos
       |FROM rr WHERE rk <= $k""".stripMargin
+
+  /** DuckDB twin of [[Similarity.ivfAdcTopKIndexedSharded]] (qg1): one
+    * suffixed ADC chain per shard — the quantizer trained on the
+    * shard's own rows (`trainWhere` on the shard predicate, so each
+    * chain's p/p2 derive that shard's occupancy-constant nlist and
+    * fraction-law nprobe exactly as the Spark build does from the
+    * shard count), EVERY vector probing each shard's centroids, stored
+    * candidates restricted to the shard's own rows (`candCond` — the
+    * shard law is `vec_id % nShards`, HashPartitioner's function, so
+    * the restriction is the stored shard bit-for-bit) — then ONE
+    * global rank over the UNION of the per-shard candidate sets, the
+    * identical key and tie-break as the single-table chain. Shards
+    * partition the corpus, so the union is duplicate-free by
+    * construction. */
+  private def shardedAdcOracleSql(k: Int, nShards: Int, fracNum: Int,
+      occ: Int, iters: Int, dim: Int): String = {
+    val chains = (0 until nShards).map { s =>
+      adcRankedSql(fracNum, occ, iters, dim,
+        trainWhere = s"WHERE vec_id % $nShards = $s",
+        candCond = s" AND a.vec_id % $nShards = $s",
+        sfx = s"_s$s", withNv = s == 0)
+    }.mkString(",\n")
+    val union = (0 until nShards)
+      .map(s => s"SELECT * FROM cand_s$s").mkString(" UNION ALL ")
+    s"""WITH $chains,
+      |allc AS ($union),
+      |gr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY CAST(idot AS DOUBLE) * nscale DESC, nb_id) AS rk
+      |  FROM allc)
+      |SELECT q_id, nb_id, CAST(rk AS INT) AS rank, idot
+      |FROM gr WHERE rk <= $k""".stripMargin
+  }
 
   /** DuckDB twin of [[Similarity.semDedup]] (q88): the shared IVF cell
     * chain, then the within-cell smaller-id-neighbor rule. Output is
@@ -5151,6 +5264,14 @@ object RelationalQueries {
     // BY REFERENCE: in-loop compactions under surviving replay marks
     // must leave exactly the stream-grown frozen-quantizer index
     "qfn" -> frozenHalfAdcOracleSql,
+
+    // qg1: the sharded fan-out/merge — per-shard chains, one global
+    // rank (q99's contract at nShards tables)
+    "qg1" -> shardedAdcOracleSql(k = 3, nShards = qg1Shards,
+      fracNum = graft.pipeline.Similarity.probeFracEighths(
+        q35cTargetRecall),
+      occ = graft.pipeline.Similarity.defaultOccupancy,
+      iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
     // qfm (online compaction on the lexical tier): qb1's oracle
     // verbatim — the qd2/qd6 claims composed, now WITH the compaction
     // running inside the live lineage

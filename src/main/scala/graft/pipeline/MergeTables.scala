@@ -504,6 +504,15 @@ private[graft] object MergeTables {
     * last releases. */
   private val leaseHolds = scala.collection.mutable.Map.empty[String, Int]
 
+  /** In-flight adoption observations: lease → (holder token, beat at
+    * observation start, deadline nanos). The liveness window SPANS
+    * acquire calls instead of being slept out inside one (r17 verdict
+    * item 6); entries for a departed holder are inert — a different
+    * token restarts the observation, and tokens are per-JVM UUIDs,
+    * never reused. */
+  private val adoptObs = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Long)]()
+
   /** A foreign holder's refusal, carrying the token so the adoption
     * path ([[acquireWriterLease]]) can observe its heartbeat. Extends
     * the same exception family the refusal always threw, so a caller
@@ -530,12 +539,15 @@ private[graft] object MergeTables {
     * with [[stealWriterLease]], never silently. With
     * `graft.lease.adoptAfterMs` set on the session, a foreign holder's
     * HEARTBEAT ([[renewWriterLease]] — live holders renew from
-    * [[startLeased]]'s renewal loop) is observed OUTSIDE the
-    * allocation monitor: a beat that advances means a live writer
-    * (refused, with the observation in the message); a silent one is
-    * presumed crashed and its lease is adopted — the steal becomes
-    * declared policy instead of a human call, which is what lets an
-    * unattended pipeline survive a crashed foreign writer. Two guards
+    * [[startLeased]]'s renewal loop) is observed across a DEADLINE
+    * WINDOW that spans acquire calls (r17 verdict item 6 — no call
+    * sleeps): the first refused acquire records the holder's beat and
+    * a deadline and refuses with that in the message; a later acquire
+    * finding the beat advanced refuses it as LIVE, one past the
+    * deadline with the beat still silent presumes a crash and adopts —
+    * the steal becomes declared policy instead of a human call, which
+    * is what lets an unattended pipeline survive a crashed foreign
+    * writer without its loop stalling for the window. Two guards
     * keep adoption from ever firing on a LIVE holder: (a) it applies
     * only to holders that DECLARED a heartbeat cadence into the lease
     * directory ([[startLeased]] writes `_renew_<ms>` plus beat 0
@@ -566,21 +578,55 @@ private[graft] object MergeTables {
                   "policy does not apply. Stop the other writer, or " +
                   "stealWriterLease if it crashed", e))
             val ms = math.max(msStr.toLong, 2L * declared)
-            // observe WITHOUT the object monitor: a production TTL is
-            // minutes, and the monitor also serializes every lineage
-            // allocation in the process
-            val b0 = leaseBeat(spark, lease)
-            Thread.sleep(ms)
+            // DEADLINE-BASED observation (r17 verdict item 6): the old
+            // shape slept the whole window inside this call — correct,
+            // but a production TTL is minutes and the sleeping caller
+            // is exactly the unattended loop the policy exists to keep
+            // alive. Now the FIRST refused acquire records the observed
+            // beat plus a deadline and refuses (typed, so the caller's
+            // existing retry flow is unchanged); any LATER acquire
+            // completes the observation — a beat that advanced at any
+            // point means a live holder (refused, observation cleared),
+            // silence past the deadline means adoption. No call ever
+            // sleeps; the window spans the caller's own retry cadence,
+            // which for an unattended loop is its batch cadence. Runs
+            // outside the allocation monitor like the sleep did.
+            val obs = adoptObs.get(lease)
+            if (obs == null || obs._1 != e.heldToken) {
+              adoptObs.put(lease, (e.heldToken,
+                leaseBeat(spark, lease),
+                System.nanoTime() + ms * 1000000L))
+              val ex = new ForeignLeaseException(table, e.heldToken,
+                s", now under heartbeat observation: still silent at " +
+                  s"the next acquire after ${ms}ms -> presumed crashed " +
+                  "and adopted (graft.lease.adoptAfterMs)")
+              ex.initCause(e)
+              throw ex
+            }
+            val (tok, b0, deadline) = obs
             val b1 = leaseBeat(spark, lease)
-            if (b1 != b0) throw new IllegalArgumentException(
-              s"writer lease on $table is held by a LIVE process (token " +
-                s"${e.heldToken}: heartbeat advanced $b0 -> $b1 within " +
-                s"${ms}ms) — stop the other writer; stealWriterLease " +
-                "would lose its in-flight batches", e)
+            if (b1 != b0) {
+              adoptObs.remove(lease)
+              throw new IllegalArgumentException(
+                s"writer lease on $table is held by a LIVE process " +
+                  s"(token $tok: heartbeat advanced $b0 -> $b1 within " +
+                  "the observation window) — stop the other writer; " +
+                  "stealWriterLease would lose its in-flight batches", e)
+            }
+            if (System.nanoTime() < deadline) {
+              val left = (deadline - System.nanoTime()) / 1000000L
+              val ex = new ForeignLeaseException(table, tok,
+                s", under heartbeat observation: ${left}ms left before " +
+                  "a silent holder is presumed crashed " +
+                  "(graft.lease.adoptAfterMs)")
+              ex.initCause(e)
+              throw ex
+            }
+            adoptObs.remove(lease)
             System.err.println(s"[graft] adopting writer lease on " +
-              s"$table: holder (token ${e.heldToken}) declared a " +
-              s"${declared}ms heartbeat but sent none within ${ms}ms — " +
-              "presumed crashed (graft.lease.adoptAfterMs policy)")
+              s"$table: holder (token $tok) declared a ${declared}ms " +
+              s"heartbeat but sent none across the ${ms}ms observation " +
+              "window — presumed crashed (graft.lease.adoptAfterMs)")
             stealWriterLease(spark, table)
             // a SECOND foreign refusal here (a new live holder appeared
             // during the steal) propagates — adoption never loops
@@ -953,6 +999,21 @@ private[graft] object MergeTables {
       spark.catalog.refreshTable(table)
     spark.table(table)
   }
+
+  /** [[freshView]]'s file snapshot: the crash-recovered, catalog-fresh
+    * sorted part-file listing of `table` — the content-addressed
+    * staleness key for anything memoized against the table's stored
+    * state (every mutation under the write/append/compact protocol
+    * rewrites or adds part files). A snapshot read WITHOUT this
+    * discipline inherits both of freshView's failure modes: the first
+    * read after a compactor crashed mid-swap throws table-not-found
+    * where the heal recovers it, and a relation cached by an earlier
+    * read in this session keeps the listing unchanged across another
+    * session's append (ADVICE r17). Metadata-only, bounded-file work
+    * under the compaction contract. */
+  private[graft] def freshInputFiles(spark: SparkSession, table: String)
+      : Seq[String] =
+    freshView(spark, table).inputFiles.toSeq.sorted
 
   def mergedSum(spark: SparkSession, table: String,
       keyCols: Seq[String], cntCol: String): DataFrame = {

@@ -1051,6 +1051,10 @@ object Similarity {
     // never contained
     spark.sql(s"DROP TABLE IF EXISTS `${table}_t`")
     spark.catalog.refreshTable(table)
+    // hygiene for TTL-cached serving loops in THIS process: the flip
+    // re-keys by epoch anyway, but dropping the retired entries now
+    // frees them and covers a same-epoch re-listing race exactly
+    invalidateQuantKeyCache(table)
     quantizer
   }
 
@@ -1187,6 +1191,150 @@ object Similarity {
           .localCheckpoint(),
         "cell", table + "_c")
     spark.catalog.refreshTable(table)
+    // the GC rewrote the centroid part files (content unchanged for
+    // the active epoch): drop any TTL-cached listings so the next
+    // probe re-keys instead of re-listing at expiry
+    invalidateQuantKeyCache(table)
+  }
+
+  // ==================== sharded ADC index ====================
+  // The 100 TB dial BASELINE.md names (r17 verdict item 3): one
+  // writeIvfAdcIndex tier PER CONTENT SHARD, each with its own
+  // quantizer, epoch, and full lifecycle (append / delete / compact /
+  // retrain all delegate per shard). The single-table design tops out
+  // at one quantizer's nlist and one table's bucket count; sharding
+  // multiplies both, keeps every quantizer's training local to its
+  // shard, and fans probes out — the reference's own partitioned-lookup
+  // pattern (mapred/MapFileOutputFormat.java:39,115: getEntry routes a
+  // key by the job partitioner across the partitioned MapFile array).
+
+  /** Shard routing: `pmod(id, nShards)` — for integer keys this IS the
+    * reference partitioner's law (HashPartitioner of an IntWritable is
+    * `value % partitions`, the exact function
+    * MapFileOutputFormat.getEntry replays at lookup). Deterministic,
+    * balanced for dense id spaces, and trivially reproducible by an
+    * external SQL oracle. */
+  private def shardOf(idCol: String, nShards: Int): Column =
+    pmod(col(idCol), lit(nShards.toLong))
+
+  /** A shard's own index table name. */
+  def shardTable(table: String, s: Int): String = s"${table}_s$s"
+
+  private def readShardCount(spark: SparkSession, table: String): Int = {
+    val t = table + "_sh"
+    require(spark.catalog.tableExists(t),
+      s"$table has no shard sidecar — not a sharded ADC index")
+    spark.table(t).head().getInt(0)
+  }
+
+  /** Build the SHARDED persisted ADC index: route by [[shardOf]], build
+    * one [[writeIvfAdcIndex]] tier per shard (occupancy-constant nlist
+    * from each shard's OWN count — the same derivation a single-table
+    * build uses on its whole corpus), then commit the shard count as a
+    * one-row sidecar so probes and lifecycle ops are self-describing.
+    * Every shard must be non-empty (an empty shard has nothing to train
+    * a quantizer on — choose fewer shards). */
+  def writeIvfAdcIndexSharded(vecs: DataFrame, idCol: String,
+      vecCol: String, table: String, nShards: Int, dim: Int = 64,
+      targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets)
+      : Unit = {
+    require(nShards >= 1, s"nShards=$nShards")
+    val spark = vecs.sparkSession
+    for (s <- 0 until nShards) {
+      val sub = vecs.filter(shardOf(idCol, nShards) === s)
+      val n = sub.count()
+      require(n > 0, s"shard $s of $nShards is empty — id space too " +
+        "sparse for this shard count")
+      val (nlist, _) = ivfParams(n, targetRecall)
+      writeIvfAdcIndex(sub, idCol, vecCol, shardTable(table, s), nlist,
+        dim, buckets = buckets)
+    }
+    import spark.implicits._
+    // a previous JVM's sidecar directory survives in the shared
+    // warehouse while this session's catalog has no row for it —
+    // overwrite-mode saveAsTable refuses the orphan location, so clear
+    // it first (the MapFiles.write discipline)
+    graft.sources.MapFiles.clearStaleLocation(spark, table + "_sh")
+    Seq(nShards).toDF("nshards").write.mode("overwrite")
+      .saveAsTable(table + "_sh")
+  }
+
+  /** Probe the sharded index: every query probes EVERY shard's own
+    * quantizer at that shard's fraction-law nprobe (derived from its
+    * STORED nlist — no corpus count at probe time), the per-shard
+    * candidate sets union, and ONE global rank merges them — exact by
+    * construction (shards partition the corpus, so the union is the
+    * complete fraction-law candidate set and a stored row appears from
+    * exactly one shard). Per-query coarse work is sum(nprobe_s) with
+    * nprobe_s ~ frac·nlist_s and sum(nlist_s) = nlist — the fan-out
+    * costs what the single table cost, while write/maintenance
+    * parallelism and per-quantizer training locality scale with the
+    * shard count. The rank itself moves only candidate rows (panel ×
+    * sum of nprobe_s·occupancy), never a vector. */
+  def ivfAdcTopKIndexedSharded(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String, dim: Int = 64,
+      targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    val nShards = readShardCount(spark, table)
+    val frac = probeFracEighths(targetRecall) / 8.0
+    val cands = (0 until nShards).map { s =>
+      val st = shardTable(table, s)
+      val nlist = adcQuantBc(spark, st, activeAdcEpoch(spark, st))
+        .value.norms2.length
+      require(nlist > 0, s"$st has no stored centroids")
+      val np = math.max(1L, math.min(nlist.toLong,
+        math.ceil(frac * nlist).toLong)).toInt
+      adcProbeCandidates(queries, idCol, vecCol, np, st, buckets)
+    }.reduce(_ unionAll _)
+    rankByScaledIdot(cands, k)
+  }
+
+  /** Append to the sharded index: route the batch by the SAME shard law
+    * the build used, one frozen-quantizer [[appendIvfAdcIndex]] per
+    * shard. A shard with no rows in the batch gets an empty committed
+    * generation — harmless, and the routing stays branch-free. */
+  def appendIvfAdcIndexSharded(newVecs: DataFrame, idCol: String,
+      vecCol: String, table: String, dim: Int = 64): Unit = {
+    val spark = newVecs.sparkSession
+    val nShards = readShardCount(spark, table)
+    for (s <- 0 until nShards)
+      appendIvfAdcIndex(newVecs.filter(shardOf(idCol, nShards) === s),
+        idCol, vecCol, shardTable(table, s), dim)
+  }
+
+  /** Delete ids from the sharded index: tombstones route to their own
+    * shard (an id's rows live in exactly one), so no shard's probe
+    * anti-join carries another shard's delete set. */
+  def deleteIvfVecsSharded(spark: SparkSession, table: String,
+      ids: DataFrame, idCol: String): Unit = {
+    val nShards = readShardCount(spark, table)
+    for (s <- 0 until nShards)
+      deleteIvfVecs(spark, shardTable(table, s),
+        ids.filter(shardOf(idCol, nShards) === s), idCol)
+  }
+
+  /** Compact every shard — each shard's own epoch/generation protocol,
+    * unchanged. */
+  def compactIvfAdcIndexSharded(spark: SparkSession, table: String)
+      : Unit =
+    (0 until readShardCount(spark, table))
+      .foreach(s => compactIvfAdcIndex(spark, shardTable(table, s)))
+
+  /** Retrain every shard's quantizer from its own live rows —
+    * occupancy-constant nlist from the shard's live count, each shard
+    * under its own epoch-flip commit ([[retrainIvfAdcIndex]]). */
+  def retrainIvfAdcIndexSharded(vecs: DataFrame, idCol: String,
+      vecCol: String, table: String, dim: Int = 64,
+      targetRecall: Double = 0.8): Unit = {
+    val spark = vecs.sparkSession
+    val nShards = readShardCount(spark, table)
+    for (s <- 0 until nShards) {
+      val sub = vecs.filter(shardOf(idCol, nShards) === s)
+      val (nlist, _) = ivfParams(math.max(1L, sub.count()), targetRecall)
+      retrainIvfAdcIndex(sub, idCol, vecCol, shardTable(table, s),
+        nlist, dim)
+    }
   }
 
   /** Recall audit of a PERSISTED ADC index (qc3's drift gate): the
@@ -1340,19 +1488,20 @@ object Similarity {
     // loss against the quantizer's own ceiling — the right reference
     // when neighbor margins sit at the int8 noise floor, where
     // end-to-end recall is quantization-bounded no matter the dial.
-    // epoch captured BEFORE the reference materializes: the
+    // quantizer state captured BEFORE the reference materializes: the
     // localCheckpoint can take minutes at monitoring panel sizes, and
     // a flip inside it must fail the stability check, not slip past
     // it (a CALLER-built reference should be constructed immediately
     // before this call for the same reason)
-    val epoch0 = activeAdcEpoch(spark, table)
+    val state0 = quantStateKey(spark, table,
+      activeAdcEpoch(spark, table), fresh = true)
     val exact = (if (reference != null) reference
       else exactMipsTopK(vecs, queries, idCol, vecCol, k))
       .localCheckpoint()
     val res = tuneDial(nlist, targetRecall, minGain)(np =>
       recallVsExact(exact, queries, idCol, vecCol, k, np, table, dim)
         .agg(avg("recall")).head().getDouble(0))
-    requireEpochStable(spark, table, epoch0)
+    requireQuantStable(spark, table, state0)
     res
   }
 
@@ -1374,7 +1523,8 @@ object Similarity {
     val nlist = readIvfCentroids(spark, table).length
     require(nlist > 0, s"$table has no stored centroids")
     val groups = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
-    val epoch0 = activeAdcEpoch(spark, table) // before the checkpoint
+    val state0 = quantStateKey(spark, table, // before the checkpoint
+      activeAdcEpoch(spark, table), fresh = true)
     val exact = (if (reference != null) reference
       else exactMipsTopK(vecs, queries, idCol, vecCol, k))
       .localCheckpoint()
@@ -1383,7 +1533,7 @@ object Similarity {
           ivfAdcTopKIndexedHier(queries, idCol, vecCol, k, nprobe, gp,
             table, dim), k)
         .agg(avg("recall")).head().getDouble(0))
-    requireEpochStable(spark, table, epoch0)
+    requireQuantStable(spark, table, state0)
     res
   }
 
@@ -1393,14 +1543,27 @@ object Similarity {
     * recalls measured against different quantizers and the returned
     * dial would describe no actual index state. The lock cannot be
     * held for a minutes-long tune (it would block every append), so
-    * the tuners verify instead: stale result → loud error → rerun. */
-  private def requireEpochStable(spark: SparkSession, table: String,
-      epoch0: Long): Unit = {
-    val now = activeAdcEpoch(spark, table)
-    require(now == epoch0,
-      s"$table was retrained mid-tune (epoch $epoch0 -> $now): the " +
-        "measured recalls mix quantizers — rerun the tune against the " +
-        "new epoch")
+    * the tuners verify instead: stale result → loud error → rerun.
+    * The comparison is the full [[quantStateKey]] (centroid file
+    * snapshot), not the epoch number alone (ADVICE r17): a concurrent
+    * same-name rebuild by ANOTHER process restarts epochs at 0, so a
+    * mid-tune external rebuild can present a MATCHING epoch number
+    * over a different quantizer — the file snapshot cannot. */
+  /** The current quantizer state key, cache-bypassing — what the
+    * tuners capture at start and verify at end. */
+  private[graft] def quantStateNow(spark: SparkSession, table: String)
+      : String =
+    quantStateKey(spark, table, activeAdcEpoch(spark, table),
+      fresh = true)
+
+  private[graft] def requireQuantStable(spark: SparkSession, table: String,
+      state0: String): Unit = {
+    val now = quantStateKey(spark, table, activeAdcEpoch(spark, table),
+      fresh = true)
+    require(now == state0,
+      s"$table was retrained or rebuilt mid-tune (quantizer state " +
+        s"changed: $state0 -> $now): the measured recalls mix " +
+        "quantizers — rerun the tune against the new index state")
   }
 
   /** Doubling + binary search for the smallest dial value in [1, max]
@@ -1609,24 +1772,65 @@ object Similarity {
       graft.functions.NearestCellsHier.group(
         readIvfCentroidsFresh(spark, table, epoch)))
 
+  /** TTL cache over [[quantStateKey]]'s catalog listing, keyed by
+    * (application, table, epoch) → (listed-at nanos, key) — the
+    * serving metadata floor (r17 verdict item 5). The age test runs
+    * against the CURRENT conf TTL at read time, so lowering (or
+    * clearing) the TTL takes effect on the very next plan instead of
+    * whenever old entries happen to expire. Bounded: one live entry
+    * per probed (table, epoch); superseded epochs are evicted on
+    * their first post-flip miss. */
+  private val quantKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Drop any cached [[quantStateKey]] listings for `table` — the
+    * explicit invalidation hook for a serving loop that learns of a
+    * FOREIGN rebuild out of band (its own mutators key by epoch and a
+    * retrain flips it, so they need no hook). The next probe re-lists
+    * the centroid files and re-keys the quantizer broadcast. */
+  def invalidateQuantKeyCache(table: String): Unit = {
+    val it = quantKeyCache.keySet().iterator()
+    while (it.hasNext) if (it.next().contains(":" + table + ":")) it.remove()
+  }
+
   /** The broadcast-memo key: epoch PLUS the centroid table's file
     * snapshot. Epoch alone is not unique across same-name REBUILDS —
     * in-process ones invalidate the memo explicitly, but ANOTHER
     * process's rebuild (the per-process-catalog topology) restarts
     * epochs at 0 and would silently serve the old quantizer; any
     * rewrite of the centroids changes their part files. Metadata-only
-    * and corpus-independent (the centroid table is nlist-row). */
+    * and corpus-independent (the centroid table is nlist-row) — but
+    * still a catalog refresh + file listing PER PLAN, which at high
+    * serving QPS becomes the per-plan floor (r17 verdict). Setting
+    * `graft.adc.quantKeyTtlMs` > 0 serves the listing from a bounded
+    * cache for that long: a warm serving loop pays metadata once per
+    * TTL instead of once per plan, at the documented cost that a
+    * foreign same-epoch rebuild is detected at the NEXT expiry (or an
+    * explicit [[invalidateQuantKeyCache]]) instead of the next plan.
+    * Default 0 = list per plan, the exact pre-cache semantics — the
+    * oracle-gated rows keep it. `fresh = true` bypasses the cache
+    * (tune-time stability checks must see the actual state). */
   private def quantStateKey(spark: SparkSession, table: String,
-      epoch: Long): String = {
-    val c = table + "_c"
-    MergeTables.recoverCompactCrash(spark, c)
-    if (spark.catalog.tableExists(c)) spark.catalog.refreshTable(c)
+      epoch: Long, fresh: Boolean = false): String = {
+    val ttlMs =
+      if (fresh) 0L
+      else spark.conf.getOption("graft.adc.quantKeyTtlMs")
+        .map(_.toLong).getOrElse(0L)
+    val ck = spark.sparkContext.applicationId + ":" + table + ":" + epoch
+    if (ttlMs > 0L) {
+      val hit = quantKeyCache.get(ck)
+      if (hit != null &&
+          System.nanoTime() - hit._1 < ttlMs * 1000000L) return hit._2
+    }
     // the application id scopes the key to THIS SparkContext: a
     // broadcast memoized under a stopped context is a dead handle, and
     // a same-JVM session restart with unchanged table state would
     // otherwise serve it to the first append/probe after recovery
-    spark.sparkContext.applicationId + ":" + epoch + ":" +
-      spark.table(c).inputFiles.sorted.mkString(",")
+    val key = spark.sparkContext.applicationId + ":" + epoch + ":" +
+      MergeTables.freshInputFiles(spark, table + "_c").mkString(",")
+    if (ttlMs > 0L) quantKeyCache.put(ck, (System.nanoTime(), key))
+    else quantKeyCache.remove(ck)
+    key
   }
 
   /** [[readIvfCentroidsAt]] minus the heal + refresh — for the memo
@@ -1681,8 +1885,16 @@ object Similarity {
     // list that size prunes nothing). Result-identical by
     // construction: a stored row whose cell no probe emits can never
     // join.
+    // the snapshot collect runs a Spark job at DataFrame-CONSTRUCTION
+    // time (ADVICE r17) — bounded (≤ maxPushdownQueries+1 rows), but a
+    // plan-construction-only caller (a plan spec, a lazily composed
+    // pipeline that may never execute) can opt out via
+    // graft.adc.pushdown=false and keep the join-only shape,
+    // distributed end to end with zero eager work
     val snapped: Option[Array[org.apache.spark.sql.Row]] =
-      if (queries.isStreaming) None
+      if (queries.isStreaming ||
+          spark.conf.getOption("graft.adc.pushdown").contains("false"))
+        None
       else {
         val rows = queries.select(col(idCol), col(vecCol))
           .limit(maxPushdownQueries + 1).collect()
@@ -1809,6 +2021,108 @@ object Similarity {
       .select(col("q_id"), col("nb_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
     rankTopK(rescored, k)
+  }
+
+  /** [[ivfAdcRerank]] against a PERSISTED index: [[ivfAdcTopKIndexed]]
+    * generates the per-query top-`depth` candidates over the stored
+    * int8 codes, then ONLY those survivors join the full float vectors
+    * for a FULL-PRECISION re-rank to top-`k` — the escalation target
+    * of [[tuneServing]]. The re-rank objective is the exact DOT, not
+    * cosine: the ADC tier IS a maximum-inner-product tier (its ranking
+    * key is the quantized dot), so its escalation must be the same
+    * objective at full precision — the loss it removes is exactly the
+    * int8 quantization error (qa1's cosine re-rank serves the
+    * [[bruteForceTopK]] composition instead). Same scale shape as
+    * qa1's: the corpus float vectors never enter an exchange (scored
+    * in their own scan); the only float payload that moves is the
+    * query vectors riding a candidate-scale broadcast (`n_queries ×
+    * depth` rows). Output: (q_id, nb_id, rank, score). */
+  def ivfAdcRerankIndexed(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, depth: Int, nprobe: Int,
+      table: String, dim: Int = 64): DataFrame = {
+    require(depth >= k, s"depth=$depth < k=$k")
+    val survivors = ivfAdcTopKIndexed(queries, idCol, vecCol, depth,
+      nprobe, table, dim).select(col("q_id"), col("nb_id"))
+    val qs = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val withQ = qs.join(broadcast(survivors), Seq("q_id"))
+      .select(col("q_id"), col("nb_id"), col("qv"))
+    val rescored = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(withQ), col("id") === col("nb_id"))
+      .select(col("q_id"), col("nb_id"),
+        dot(col("qv"), col("v")).as("cos"))
+    rankTopK(rescored, k)
+      .withColumnRenamed("cos", "score")
+  }
+
+  /** A tuned ANN serving decision — what [[tuneServing]] returns.
+    * `recall` is always the MEASURED mean recall@k of the decided
+    * path on the caller's query sample, against the float-exact
+    * end-to-end reference. */
+  sealed trait AnnServing { def nprobe: Int; def recall: Double }
+  /** Probe-only serving: the tuned nprobe met the recall gate. */
+  final case class ProbeServing(nprobe: Int, recall: Double)
+    extends AnnServing
+  /** Probe + exact re-rank serving: the probe dial PLATEAUED below the
+    * gate (loss probing cannot fix — quantization/assignment ranking
+    * error, the density regime), so the policy escalated to
+    * [[ivfAdcRerankIndexed]] at the tuned `depth`. A `recall` still
+    * below the gate here means even full-precision re-ranking of the
+    * probed candidates cannot reach it — cell coverage itself is the
+    * residual, which is retrain territory
+    * ([[maybeRetrainIvfAdcIndex]]). */
+  final case class RerankServing(nprobe: Int, depth: Int, recall: Double)
+    extends AnnServing
+
+  /** THE SERVING POLICY (r17 verdict item 2) — [[tuneNprobe]]'s
+    * plateau signal wired to its consumer, the way the qc3 drift gate
+    * is wired to qe3's retrain: tune the probe dial against the
+    * FLOAT-EXACT end-to-end reference (deliberately not the quantizer
+    * ceiling: the policy's whole point is to see the quantization loss
+    * the ceiling reference excludes, because re-ranking can fix it);
+    * if the dial meets `targetRecall`, serve probe-only. If the dial
+    * PLATEAUS below it — the regime the r17 growth measurement
+    * documented as "re-rank territory" in prose (density-growth: dial
+    * inflated to ~a cluster's cell count, recall stuck at 0.815) —
+    * escalate: tune a re-rank depth (doubling multiples of k through
+    * the same [[tuneDial]] machinery, each audit candidate-scale)
+    * for [[ivfAdcRerankIndexed]] at the plateaued nprobe, and return
+    * the priced escalation instead of the deficient dial.
+    *
+    * Monitoring-cadence like the tuners it composes: ONE exact
+    * brute-force leg for the whole search (panel-sized), run when the
+    * drift audit runs, never per probe. The quantizer-state guard
+    * spans the whole policy run (a mid-policy retrain fails loudly).
+    * `maxDepthFactor` bounds the escalation at `maxDepthFactor × k`
+    * candidates per query — re-rank cost is linear in it, so the cap
+    * is the caller's price ceiling. */
+  def tuneServing(vecs: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String, targetRecall: Double,
+      dim: Int = 64, minGain: Double = 0.005, maxDepthFactor: Int = 32)
+      : AnnServing = {
+    require(maxDepthFactor >= 1, s"maxDepthFactor=$maxDepthFactor")
+    val spark = vecs.sparkSession
+    val state0 = quantStateNow(spark, table)
+    val exact = exactMipsTopK(vecs, queries, idCol, vecCol, k)
+      .localCheckpoint()
+    val (np, probeRecall) = tuneNprobe(vecs, queries, idCol, vecCol, k,
+      table, targetRecall, dim, minGain, reference = exact)
+    val res =
+      if (probeRecall >= targetRecall) ProbeServing(np, probeRecall)
+      else {
+        // depth = k (re-ranking exactly k candidates) reorders but
+        // cannot change recall, so the dial is the MULTIPLIER over k,
+        // starting where the probe left off
+        val (mult, rerankRecall) =
+          tuneDial(maxDepthFactor, targetRecall, minGain)(m =>
+            recallOfApprox(exact,
+                ivfAdcRerankIndexed(vecs, queries, idCol, vecCol, k,
+                  depth = m * k, nprobe = np, table, dim), k)
+              .agg(avg("recall")).head().getDouble(0))
+        RerankServing(np, mult * k, rerankRecall)
+      }
+    requireQuantStable(spark, table, state0)
+    res
   }
 
   /** SemDeDup-style semantic deduplication: partition the corpus into

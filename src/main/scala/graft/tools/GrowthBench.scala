@@ -556,6 +556,27 @@ object GrowthBench {
       }
     }
 
+    // ---- sharded ADC index: probe cost flat in shard count (r17
+    // verdict item 3) ---- same corpus, same fixed panel, 1 vs 8
+    // shards: per-shard nlist shrinks ~1/S while the fan-out adds S
+    // probes of 1/S coarse work each — total probe cost must be ~flat
+    // (exponent vs shard count ~0), which is what makes the shard
+    // count a pure write/maintenance-parallelism dial.
+    locally {
+      val emb = Tables.embeddings(spark, x1)
+      val panel = emb.filter(col("vec_id") % 100 === 0)
+      for (sh <- Seq(1, 8)) {
+        Similarity.writeIvfAdcIndexSharded(emb, "vec_id", "embedding",
+          s"gshard_idx_$sh", nShards = sh, dim = 64)
+        if (sh == 1) // warm the fan-out plan shape off the clock
+          Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
+            "embedding", k = 3, s"gshard_idx_$sh").count()
+        t(s"qshard_probe_s$sh") = time(s"qshard_probe_s$sh",
+          Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
+            "embedding", k = 3, s"gshard_idx_$sh"))
+      }
+    }
+
     // ---- one decade further: the 100x tier (r16 verdict item 3) ----
     // every 100 TB claim extrapolated from a 10x measurement; this adds
     // the next decade for exactly the paths production pays per batch —
@@ -773,6 +794,103 @@ object GrowthBench {
             "embedding", k = 3, nprobe = np, gprobe = gp,
             table = s"gtuned_idx_$tag", dim = 64))
       }
+
+      // ---- TUNED SERVING STACKS (r17 verdict item 1) ----
+      // the qb7/qc2 bodies with the dense leg through the tuned
+      // broadcast/hier probe, measured on CLUSTERED corpora carrying
+      // documents + labels, against the fraction-law probe of the
+      // SAME strided index — the timed pairs differ in NOTHING but
+      // the dense probe mode (one shared stack body, Queries.scala).
+      // Panels are PROPORTIONAL (qb1Queries samples docs; the dense
+      // leg samples embeddings), the qb7/qc2_stack philosophy: flat
+      // per-query work reads as exponent ~1, and the tuned pair must
+      // come in BELOW the fraction pair's exponent because its
+      // per-query candidate work is dial-constant instead of
+      // fraction-law linear. The recall gate is the serving OUTPUT'S
+      // per-query agreement with the fraction-law stack (the qa4/qb5
+      // agreement machinery) — recorded beside the times.
+      def genStack(k: Int): String = {
+        val out = s"$base/stk$k"
+        val ok = new java.io.File(s"$out/_OK")
+        if (!ok.exists()) {
+          spark.read.parquet(s"${gen(k)}/documents.parquet")
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/documents.parquet")
+          spark.range(2000L * k).select(col("id").as("vec_id"), expr(
+            "transform(sequence(0, 63), i -> cast(" +
+            s"pmod(hash(pmod(id, ${64L * k}), 17, i), 2000) / 1000.0d" +
+            " - 1.0d + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600)" +
+            " / 1000.0d - 0.3d ELSE 0.0d END as float))").as("embedding"),
+            pmod(hash(col("id"), lit(7)), lit(10)).cast("int")
+              .as("label"))
+            .repartition(32)
+            .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+          ok.getParentFile.mkdirs(); ok.createNewFile()
+        }
+        out
+      }
+      for ((tag, k) <- Seq("1x" -> 1, "100x" -> 100)) {
+        val d = genStack(k)
+        val emb = Tables.embeddings(spark, d)
+        val cnt = emb.count()
+        val (nl, fracNp) = Similarity.ivfParams(cnt)
+        val cents = Similarity.trainCoarseQuantizer(
+          Similarity.trainingSample(emb, "vec_id", "embedding",
+            Similarity.trainingCap(nl)),
+          "embedding", nl, 64, init = "strided")
+        Similarity.writeIvfAdcIndex(emb, "vec_id", "embedding",
+          s"gstk_idx_$tag", nlist = nl, dim = 64, cents = cents)
+        val tunePanel = emb.filter(
+          col("vec_id") % lit(math.max(100L, cnt / 200L)) === 0)
+        val ceil0 = Similarity.adcFullTopK(tunePanel, "vec_id",
+          "embedding", k = 3, s"gstk_idx_$tag")
+        val (np, rec) = Similarity.tuneNprobe(emb, tunePanel, "vec_id",
+          "embedding", k = 3, s"gstk_idx_$tag", targetRecall = 0.8,
+          reference = ceil0)
+        val flatRef = Similarity.ivfAdcTopKIndexed(tunePanel, "vec_id",
+            "embedding", k = 3, nprobe = np, table = s"gstk_idx_$tag",
+            dim = 64).select("q_id", "nb_id")
+        val (gp, gRec) = Similarity.tuneGprobe(emb, tunePanel, "vec_id",
+          "embedding", k = 3, nprobe = np, s"gstk_idx_$tag",
+          targetRecall = 0.8, reference = flatRef)
+        System.err.println(f"[growth] stack dials $tag%-5s np=$np " +
+          f"gp=$gp probe-recall=$rec%.3f hier-recall=$gRec%.3f " +
+          f"(fraction law np=$fracNp)")
+        def frac(q: DataFrame, kk: Int): DataFrame =
+          Similarity.ivfAdcTopKIndexed(q, "vec_id", "embedding", kk,
+            fracNp, s"gstk_idx_$tag", dim = 64)
+        // warm: the first call of each shape builds the lex index and
+        // the qc2 count table (buildOnce, untimed) and compiles the
+        // stack's plan
+        graft.RelationalQueries.qb7Stack(spark, d, frac).count()
+        t(s"qb7_stack_frac_$tag") = time(s"qb7_stack_frac_$tag",
+          graft.RelationalQueries.qb7Stack(spark, d, frac))
+        graft.RelationalQueries.qb7Tuned(spark, d, s"gstk_idx_$tag",
+          np, gp).count()
+        t(s"qb7_stack_tuned_$tag") = time(s"qb7_stack_tuned_$tag",
+          graft.RelationalQueries.qb7Tuned(spark, d, s"gstk_idx_$tag",
+            np, gp))
+        graft.RelationalQueries.qc2Stack(spark, d, frac).count()
+        t(s"qc2_stack_frac_$tag") = time(s"qc2_stack_frac_$tag",
+          graft.RelationalQueries.qc2Stack(spark, d, frac))
+        graft.RelationalQueries.qc2Tuned(spark, d, s"gstk_idx_$tag",
+          np, gp).count()
+        t(s"qc2_stack_tuned_$tag") = time(s"qc2_stack_tuned_$tag",
+          graft.RelationalQueries.qc2Tuned(spark, d, s"gstk_idx_$tag",
+            np, gp))
+        def agree(a: DataFrame, b: DataFrame): Double =
+          Similarity.retrievalAgreement(a, b, "q_id", "doc_id")
+            .agg((sum("n_both") / sum("n_b")).cast("double"))
+            .head().getDouble(0)
+        t(s"qb7_stack_agree_$tag") = agree(
+          graft.RelationalQueries.qb7Tuned(spark, d, s"gstk_idx_$tag",
+            np, gp),
+          graft.RelationalQueries.qb7Stack(spark, d, frac))
+        t(s"qc2_stack_agree_$tag") = agree(
+          graft.RelationalQueries.qc2Tuned(spark, d, s"gstk_idx_$tag",
+            np, gp),
+          graft.RelationalQueries.qc2Stack(spark, d, frac))
+      }
     }
 
     def exp(label: String, t1: Double, tk: Double, k: Double): Unit =
@@ -835,6 +953,8 @@ object GrowthBench {
       t("qe8_sketch_probe_10x"), 10)
     exp("qf5_cm_probe 1x->10x", t("qf5_cm_probe_1x"),
       t("qf5_cm_probe_10x"), 10)
+    exp("qshard_probe s1->s8", t("qshard_probe_s1"),
+      t("qshard_probe_s8"), 8)
     if (x100opt.isDefined) {
       System.err.println(
         "[growth] --- one decade further: 1x -> 100x exponents ---")
@@ -866,6 +986,20 @@ object GrowthBench {
         t("qadc_tuned_probe_100x"), 100)
       exp("qadc_hier_probe 1x->100x", t("qadc_hier_probe_1x"),
         t("qadc_hier_probe_100x"), 100)
+      exp("qb7_stack_frac 1x->100x", t("qb7_stack_frac_1x"),
+        t("qb7_stack_frac_100x"), 100)
+      exp("qb7_stack_tuned 1x->100x", t("qb7_stack_tuned_1x"),
+        t("qb7_stack_tuned_100x"), 100)
+      exp("qc2_stack_frac 1x->100x", t("qc2_stack_frac_1x"),
+        t("qc2_stack_frac_100x"), 100)
+      exp("qc2_stack_tuned 1x->100x", t("qc2_stack_tuned_1x"),
+        t("qc2_stack_tuned_100x"), 100)
+      System.err.println(
+        f"[growth] stack agreement (tuned vs fraction-law, frac of " +
+        f"fused top-k shared): qb7 1x=${t("qb7_stack_agree_1x")}%.3f " +
+        f"100x=${t("qb7_stack_agree_100x")}%.3f  qc2 " +
+        f"1x=${t("qc2_stack_agree_1x")}%.3f " +
+        f"100x=${t("qc2_stack_agree_100x")}%.3f")
     }
 
     val json = t.map { case (k, v) =>

@@ -111,6 +111,71 @@ class HybridExecutorSpec extends AnyFunSuite with SparkTest {
       rejected.getMessage)
   }
 
+  test("measured-alpha: a SparkListener feeds REAL task times into the policy, and the split flips when the measured timings flip") {
+    // r17 verdict item 4: the policy ran on injected timings; the
+    // reference's scheduler consumes MEASURED means
+    // (JobInProgress.java:338-364, fed by TaskTracker heartbeats).
+    // Here the heartbeat stream is the listener bus: the k-means map
+    // body runs as the CPU variant and a sleep-padded twin as the
+    // simulated accelerator, each under its device job group; the
+    // profile is read from measured TaskEnd durations only, and the
+    // α-split must follow whichever device the MEASUREMENTS say is
+    // faster — flipping when they flip.
+    import graft.apps.KMeansLocal
+    val listener = new TaskTimeListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lines = KMeansLocal.fixtureLines(spark, 6, 3, 40)
+        .repartition(4).cache()
+      lines.count() // pin: measured runs must not bill the fixture gen
+      def body(padMs: Long)
+          : Iterator[(String, String)] => Iterator[(String, Int, Int, Int)] =
+        it => {
+          if (padMs > 0) Thread.sleep(padMs)
+          it.flatMap { case (k, v) => KMeansLocal.centroidsOfLine(k, v) }
+        }
+      def await(cpu: Long, gpu: Long): Unit = {
+        val dl = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while ((listener.taskCounts._1 < cpu ||
+            listener.taskCounts._2 < gpu) && System.nanoTime() < dl)
+          Thread.sleep(20)
+        assert(listener.taskCounts._1 >= cpu &&
+          listener.taskCounts._2 >= gpu,
+          s"listener saw ${listener.taskCounts}, wanted ($cpu, $gpu)")
+      }
+      def measureAndSplit(cpuPad: Long, gpuPad: Long): (Int, Int) = {
+        listener.reset()
+        val c = MeasuredAlpha.measured(spark, "cpu") {
+          lines.mapPartitions(body(cpuPad)).collect() }
+        val g = MeasuredAlpha.measured(spark, "gpu") {
+          lines.mapPartitions(body(gpuPad)).collect() }
+        assert(c.toSet == g.toSet && c.nonEmpty,
+          "variant choice changed results")
+        await(4, 4)
+        val p = listener.profile(nCpu = 4, nGpu = 4)
+        // the profile is MEASURED: the padded device's mean must carry
+        // the pad (300ms over a ~ms body)
+        if (gpuPad > cpuPad)
+          assert(p.gpuMeanSec > p.cpuMeanSec && p.alpha < 1.0,
+            s"pad not visible in measured profile: $p")
+        else
+          assert(p.cpuMeanSec > p.gpuMeanSec && p.alpha > 1.0,
+            s"pad not visible in measured profile: $p")
+        HybridPolicy.split(40, p)
+      }
+      // scenario 1: the accelerator is genuinely (measurably) faster
+      val (x1, y1) = measureAndSplit(cpuPad = 300L, gpuPad = 0L)
+      assert(y1 > x1,
+        s"measured-faster accelerator got the smaller share: ($x1, $y1)")
+      // scenario 2: the SAME code with the pad flipped — only the
+      // measurements changed, and the decision must flip with them
+      val (x2, y2) = measureAndSplit(cpuPad = 0L, gpuPad = 300L)
+      assert(x2 > y2,
+        s"measured-slower accelerator kept the larger share: ($x2, $y2)")
+      lines.unpersist()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("AccelSwapRule swaps a registered UDF variant when policy says go") {
     Accel.install(spark)
     val cpuFn = (x: Long) => x + 1

@@ -162,6 +162,36 @@ class BenchLineSpec extends AnyFunSuite {
     assert(tight.count(_ == '{') == tight.count(_ == '}'))
   }
 
+  test("high-variance rows carry their observed spread in a spread map, fit-guarded and spill-chunked") {
+    // r17 verdict item 8: qb7's ±0.5 s band made round-over-round
+    // regressions unadjudicable; BENCH now records each noisy row's
+    // own observed spread beside its median, never at the cost of the
+    // wall-clock map's coverage
+    val uniform = keys.map(_ -> Option(0.9))
+    val spr = Seq("qb7" -> 0.5, "qc2" -> 0.3)
+    val lines = Bench.metricLines(uniform, Nil, "/x", Nil, spr)
+    val main = lines.last
+    assert(main.length <= Bench.budget, s"${main.length} chars")
+    assert(main.contains("\"spread\":{"), main.takeRight(200))
+    assert(main.contains("\"qb7\":0.5") && main.contains("\"qc2\":0.3"))
+    assert(main.count(_ == '{') == main.count(_ == '}'))
+    // wall-clock coverage never pays for spread
+    assert(keys.forall(k =>
+      main.contains("\"" + Bench.shortIds(keys)(k) + "\":0.9") ||
+        main.contains("\"" + k + "\":0.9")))
+    // overflow spills into its own parseable continuation, never over
+    // budget
+    val many = keys.take(150).map(k => k -> 1.5)
+    val tLines = Bench.metricLines(uniform, Nil, "/x", Nil, many)
+    assert(tLines.forall(_.length <= Bench.budget))
+    assert(tLines.forall(l => l.count(_ == '{') == l.count(_ == '}')))
+    val all = tLines.mkString("\n")
+    assert(many.forall { case (k, _) =>
+      all.contains("\"" + Bench.shortIds(keys)(k) + "\":1.5") ||
+        all.contains("\"" + k + "\":1.5") },
+      "a spread entry vanished instead of spilling")
+  }
+
   test("a failed query stays visible in errors at every rung") {
     // roomy line (few keys): the message itself survives
     val typical = keys.take(20).map(_ -> Option(0.2))

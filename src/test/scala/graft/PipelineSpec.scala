@@ -1372,6 +1372,145 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("sharded ADC index: one shard equals the single table; append/delete/compact delegate per shard and lose nothing") {
+    // r17 verdict item 3. Gates: (a) nShards=1 is bit-identical to the
+    // unsharded probe (the fan-out/merge adds nothing at the
+    // degenerate point); (b) appends route by the shard law and become
+    // visible; (c) deletes route and disappear; (d) compaction leaves
+    // the probe bit-identical while collapsing generations per shard.
+    // The N>1 fan-out/merge itself is oracle-gated (qg1).
+    val vecs = spark.range(600).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 12), 19, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 31, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val first = vecs.filter(col("vec_id") < 400)
+    val rest = vecs.filter(col("vec_id") >= 400)
+    val queries = vecs.filter(col("vec_id") % 30 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      // (a) degenerate point: nShards = 1 == the plain indexed probe
+      Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+        "shrd1_idx", nShards = 1, dim = 64)
+      val (_, np) = Similarity.ivfParams(600L)
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "shrd_ref", nlist = Similarity.ivfParams(600L)._1, dim = 64)
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries, "vec_id",
+          "embedding", k = 3, "shrd1_idx")) ==
+        rows(Similarity.ivfAdcTopKIndexed(queries, "vec_id",
+          "embedding", k = 3, nprobe = np, table = "shrd_ref")),
+        "nShards=1 diverged from the single-table probe")
+      // (b) lifecycle at nShards = 3: build on the first 400, append
+      // the rest — appended ids must be probe-visible in their shards
+      Similarity.writeIvfAdcIndexSharded(first, "vec_id", "embedding",
+        "shrd3_idx", nShards = 3, dim = 64)
+      Similarity.appendIvfAdcIndexSharded(rest, "vec_id", "embedding",
+        "shrd3_idx")
+      val afterAppend = rows(Similarity.ivfAdcTopKIndexedSharded(
+        queries, "vec_id", "embedding", k = 3, "shrd3_idx"))
+      assert(afterAppend.exists(_._2 >= 400),
+        "appended rows never surfaced as neighbors")
+      // (c) routed deletes: every appended id tombstones in its own
+      // shard and vanishes from the candidates
+      Similarity.deleteIvfVecsSharded(spark, "shrd3_idx",
+        rest.select(col("vec_id")), "vec_id")
+      val afterDelete = rows(Similarity.ivfAdcTopKIndexedSharded(
+        queries, "vec_id", "embedding", k = 3, "shrd3_idx"))
+      assert(!afterDelete.exists(_._2 >= 400),
+        "deleted rows still served as neighbors")
+      // (d) compaction: physical removal + generation collapse per
+      // shard, probe bit-identical
+      Similarity.compactIvfAdcIndexSharded(spark, "shrd3_idx")
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries, "vec_id",
+          "embedding", k = 3, "shrd3_idx")) == afterDelete,
+        "compaction changed the sharded probe")
+      for (s <- 0 until 3) {
+        val st = Similarity.shardTable("shrd3_idx", s)
+        assert(spark.table(st).select("gen").distinct().count() == 1L,
+          s"$st not collapsed to one generation")
+        assert(spark.table(st).filter(col("id") >= 400).count() == 0L,
+          s"$st still physically holds deleted rows")
+      }
+    } finally {
+      for (t <- Seq("shrd1_idx_s0", "shrd3_idx_s0", "shrd3_idx_s1",
+          "shrd3_idx_s2", "shrd_ref");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      spark.sql("DROP TABLE IF EXISTS shrd1_idx_sh")
+      spark.sql("DROP TABLE IF EXISTS shrd3_idx_sh")
+    }
+  }
+
+  test("tuneServing: probe-only on mode-growth clusters; the probe plateau escalates to a tuned re-rank in the density regime") {
+    // r17 verdict item 2: tuneNprobe's plateau cutoff DETECTED the
+    // density regime (loss probing cannot fix) but the operator was
+    // told "re-rank territory" in prose. tuneServing is the policy:
+    // dial meets the gate -> ProbeServing; dial plateaus below it ->
+    // RerankServing whose measured recall reaches the gate, priced by
+    // its tuned depth.
+    val target = 0.8
+    // (a) the mode-growth geometry (the tuneNprobe spec's corpus):
+    // within-cluster margins well above the int8 noise floor — probing
+    // alone reaches the gate, the policy must NOT escalate
+    val clustered = spark.range(800).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 16), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600) / 1000.0d" +
+      " - 0.3d ELSE 0.0d END as float))").as("embedding"))
+    // (b) the density geometry: 8 clusters whose members differ by
+    // ~1e-4 epsilons — far below the int8 quantization step (~8e-3),
+    // so ADC ranks within a cluster by tie-break, not similarity, and
+    // NO nprobe fixes it; exact re-rank of a deep-enough candidate
+    // list does
+    val dense = spark.range(400).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 29, i), 200) / 1000000.0d as float))")
+      .as("embedding"))
+    try {
+      Similarity.writeIvfAdcIndex(clustered, "vec_id", "embedding",
+        "srv_cl_idx", nlist = Similarity.ivfParams(800L)._1, dim = 64)
+      Similarity.tuneServing(clustered,
+          clustered.filter(col("vec_id") % 40 === 0), "vec_id",
+          "embedding", k = 3, "srv_cl_idx", targetRecall = target) match {
+        case Similarity.ProbeServing(np, rec) =>
+          assert(rec >= target, s"probe-only recall $rec below $target")
+          assert(np >= 1 && np <= Similarity.ivfParams(800L)._1)
+        case other => fail(
+          s"clustered corpus escalated needlessly: $other")
+      }
+      Similarity.writeIvfAdcIndex(dense, "vec_id", "embedding",
+        "srv_dn_idx", nlist = Similarity.ivfParams(400L)._1, dim = 64)
+      Similarity.tuneServing(dense,
+          dense.filter(col("vec_id") % 20 === 0), "vec_id",
+          "embedding", k = 3, "srv_dn_idx", targetRecall = target) match {
+        case Similarity.RerankServing(np, depth, rec) =>
+          assert(rec >= target,
+            s"escalated path still below the gate: recall $rec at " +
+              s"depth $depth (np=$np)")
+          assert(depth > 3 && depth <= 32 * 3,
+            s"depth $depth outside the tuned range")
+          // the decision is honest: the probe path alone really is
+          // deficient at the plateaued dial
+          val probeOnly = Similarity.recallAuditIndexed(dense,
+              dense.filter(col("vec_id") % 20 === 0), "vec_id",
+              "embedding", 3, np, "srv_dn_idx")
+            .agg(avg("recall")).head().getDouble(0)
+          assert(probeOnly < target,
+            s"probe-only recall $probeOnly met the target — the " +
+              "escalation was unnecessary and the corpus is vacuous")
+        case other => fail(
+          s"density corpus did not escalate: $other")
+      }
+    } finally {
+      for (t <- Seq("srv_cl_idx", "srv_dn_idx");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
   test("a same-name index REBUILD invalidates the memoized quantizer broadcast — probes rank against the new quantizer") {
     // the probe expressions ride a broadcast memoized per (table,
     // epoch); a rebuild restarts epochs at 0, so without explicit
@@ -1415,6 +1554,108 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       for (t <- Seq("adc_rbld_idx", "adc_rbld_ref");
           sfx <- Seq("", "_c", "_g"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
+  test("quantizer state-key TTL cache: a warm cache hides a rebuild only until the next invalidation point — hook or expiry") {
+    // r17 verdict item 5: graft.adc.quantKeyTtlMs > 0 serves the
+    // centroid-file listing from a cache so a high-QPS serving loop
+    // stops paying a catalog refresh + listing per plan. The documented
+    // trade is that a foreign same-epoch rebuild is seen only at the
+    // next invalidation point; this pins BOTH halves — the staleness
+    // window exists (the cache is real), and both invalidation points
+    // (explicit hook, TTL expiry) end it.
+    val a = spark.range(300).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 11, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 13, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val b = spark.range(300).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 41, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 43, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val queries = b.filter(col("vec_id") % 30 === 0)
+    def rows(table: String) = Similarity.ivfAdcTopKIndexed(queries,
+        "vec_id", "embedding", k = 3, nprobe = 2, table = table,
+        dim = 64)
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    // a FOREIGN rebuild: another process drops and rebuilds the index
+    // at the same name — our catalog sees new tables/files at the same
+    // epoch number, but OUR memos are untouched (writeIvfAdcIndex in
+    // this process clears them, which is why an in-process rebuild is
+    // always detected; the cache trade only exists for foreign ones).
+    // Simulated by swapping the three tables' contents through the
+    // catalog without the write path.
+    def foreignSwapFrom(src: String): Unit =
+      for (sfx <- Seq("", "_c", "_g")) {
+        val staged = spark.table(src + sfx).localCheckpoint()
+        spark.sql(s"DROP TABLE IF EXISTS adc_ttl_idx$sfx")
+        staged.write.saveAsTable("adc_ttl_idx" + sfx)
+      }
+    try {
+      Similarity.writeIvfAdcIndex(a, "vec_id", "embedding",
+        "adc_ttl_idx", nlist = 10, dim = 64)
+      spark.conf.set("graft.adc.quantKeyTtlMs", "3600000")
+      rows("adc_ttl_idx") // warm the key cache + quantizer memo on A
+      Similarity.writeIvfAdcIndex(b, "vec_id", "embedding",
+        "adc_ttl_b", nlist = 10, dim = 64)
+      foreignSwapFrom("adc_ttl_b")
+      val ref = rows("adc_ttl_b")
+      assert(rows("adc_ttl_idx") != ref,
+        "the TTL cache did not serve the cached listing — the probe " +
+          "re-listed per plan, so the cache saves nothing")
+      // invalidation point 1: the explicit hook
+      Similarity.invalidateQuantKeyCache("adc_ttl_idx")
+      assert(rows("adc_ttl_idx") == ref,
+        "rebuild not detected after invalidateQuantKeyCache")
+      // invalidation point 2: TTL expiry — foreign-swap back to corpus
+      // A's index under a short TTL, wait past it; the probe must
+      // re-key and rank like A's own fresh build
+      spark.conf.set("graft.adc.quantKeyTtlMs", "100")
+      rows("adc_ttl_idx") // re-warm the cache on B's state
+      Similarity.writeIvfAdcIndex(a, "vec_id", "embedding",
+        "adc_ttl_a2", nlist = 10, dim = 64)
+      foreignSwapFrom("adc_ttl_a2")
+      Thread.sleep(150)
+      assert(rows("adc_ttl_idx") == rows("adc_ttl_a2"),
+        "rebuild not detected after the TTL expired")
+    } finally {
+      spark.conf.unset("graft.adc.quantKeyTtlMs")
+      for (t <- Seq("adc_ttl_idx", "adc_ttl_b", "adc_ttl_a2");
+          sfx <- Seq("", "_c", "_g"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
+  test("requireQuantStable: a mid-tune same-name rebuild fails the tune even when the epoch NUMBER matches") {
+    // ADVICE r17: the stability guard compared only the epoch number,
+    // but a rebuild restarts epochs at 0 — a mid-tune external rebuild
+    // with a matching number passed the guard and the returned dial
+    // mixed recalls measured against different quantizers. The guard
+    // now compares the centroid FILE SNAPSHOT.
+    val a = spark.range(200).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 11, i), 2000) / 1000.0d - 1.0d as float))")
+      .as("embedding"))
+    try {
+      Similarity.writeIvfAdcIndex(a, "vec_id", "embedding",
+        "adc_stbl_idx", nlist = 8, dim = 64)
+      val s0 = Similarity.quantStateNow(spark, "adc_stbl_idx")
+      Similarity.requireQuantStable(spark, "adc_stbl_idx", s0) // no-op
+      // same-name rebuild: epoch numbers restart, files differ
+      Similarity.writeIvfAdcIndex(a, "vec_id", "embedding",
+        "adc_stbl_idx", nlist = 8, dim = 64)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.requireQuantStable(spark, "adc_stbl_idx", s0)
+      }
+      assert(ex.getMessage.contains("mix"),
+        s"rebuild with matching epoch number passed the guard: " +
+          ex.getMessage)
+    } finally {
+      for (sfx <- Seq("", "_c", "_g"))
+        spark.sql(s"DROP TABLE IF EXISTS adc_stbl_idx$sfx")
     }
   }
 

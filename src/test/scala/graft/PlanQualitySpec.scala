@@ -409,6 +409,43 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("graft.adc.pushdown=false keeps the join-only probe shape — no eager snapshot job, identical results") {
+    // ADVICE r17: the probe-side cell snapshot collects (bounded) query
+    // rows at DataFrame-CONSTRUCTION time; a plan-construction-only
+    // caller opts out via conf and must get (a) a stored scan WITHOUT
+    // the In(cell) filter (the distributed join-only shape — proving
+    // the vector snapshot was never taken, since the In set is derived
+    // only from it), and (b) the same rows when executed.
+    import graft.pipeline.Similarity
+    val vecs = Tables.embeddings(spark, d)
+    val (nlist, nprobe) = Similarity.ivfParams(vecs.count())
+    try {
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "qpd_plan_idx", nlist = nlist)
+      val withPush = Similarity.ivfAdcTopKIndexed(vecs, "vec_id",
+          "embedding", k = 3, nprobe = nprobe, table = "qpd_plan_idx")
+        .select("q_id", "nb_id", "rank").collect().map(_.toString).sorted
+      spark.conf.set("graft.adc.pushdown", "false")
+      val cands = Similarity.adcProbeCandidates(vecs, "vec_id",
+        "embedding", nprobe, "qpd_plan_idx")
+      cands.collect()
+      val p = cands.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("In(cell"),
+        "pushdown=false still pushed a cell In set:\n" + p.take(4000))
+      val noPush = Similarity.ivfAdcTopKIndexed(vecs, "vec_id",
+          "embedding", k = 3, nprobe = nprobe, table = "qpd_plan_idx")
+        .select("q_id", "nb_id", "rank").collect().map(_.toString).sorted
+      assert(noPush.nonEmpty && (noPush.toSeq == withPush.toSeq),
+        "join-only shape diverged from the pushdown shape")
+    } finally {
+      spark.conf.unset("graft.adc.pushdown")
+      spark.sql("DROP TABLE IF EXISTS qpd_plan_idx")
+      spark.sql("DROP TABLE IF EXISTS qpd_plan_idx_c")
+      spark.sql("DROP TABLE IF EXISTS qpd_plan_idx_g")
+    }
+  }
+
   test("two-level ADC probe keeps the flat path's plan shape — bucketed stored side, one probe-side exchange, vector-free") {
     // ivfAdcTopKIndexedHier shares adcProbeCandidates' body; this pins
     // that the pluggable cell selection did not change the join shape
@@ -1129,6 +1166,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
     assert(RelationalQueries.qc2Depths(spark, d) == before,
       "retraction did not restore the original depths")
+  }
+
+  test("qc2 depth snapshot read heals a crashed compaction on the count table (ADVICE r17)") {
+    // the snapshot key was read with a bare inputFiles listing: the
+    // first read after a compactor crashed mid-swap (shadow written,
+    // live table dropped) threw table-not-found where every other
+    // consumer of the maintained tier heals the window first. The read
+    // now goes through MergeTables.freshInputFiles.
+    import graft.pipeline.MergeTables
+    val before = RelationalQueries.qc2Depths(spark, d)
+    val table = RelationalQueries.qc2SelTable(spark, d)
+    // crash window by hand: compact's shadow write + DROP, no rename
+    MergeTables.write(
+      MergeTables.mergedSum(spark, table, Seq("g"), "cnt"),
+      "g", table + "_compact_shadow")
+    spark.sql(s"DROP TABLE `$table`")
+    assert(!spark.catalog.tableExists(table))
+    assert(RelationalQueries.qc2Depths(spark, d) == before,
+      "depth derivation did not heal the crashed compaction")
+    assert(spark.catalog.tableExists(table) &&
+      !spark.catalog.tableExists(table + "_compact_shadow"))
   }
 
   test("qfd: the dataset card reads ONLY the maintained tables — no corpus scan anywhere in the probe plan") {

@@ -1720,26 +1720,51 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
       // 1) a silent ("crashed") foreign holder: refused without the
       // policy; with the policy, refused UNTIL the holder's heartbeat
       // declaration is present (a holder that never declared a cadence
-      // — a batch mutator — proves nothing by silence), then ADOPTED
+      // — a batch mutator — proves nothing by silence). The adoption
+      // itself is DEADLINE-BASED (r17 verdict item 6): the first
+      // acquire records the observation and refuses WITHOUT sleeping;
+      // an acquire past the deadline adopts.
       Seq("crashed-holder").toDF("tok").write.saveAsTable("sk_ll_t_wlease")
       intercept[IllegalArgumentException] {
         MergeTables.acquireWriterLease(spark, "sk_ll_t")
       }
-      spark.conf.set("graft.lease.adoptAfterMs", "400")
+      spark.conf.set("graft.lease.adoptAfterMs", "2000")
       val noDecl = intercept[IllegalArgumentException] {
         MergeTables.acquireWriterLease(spark, "sk_ll_t")
       }
       assert(noDecl.getMessage.contains("declared no heartbeat"),
         s"undeclared holder was not refused as such: ${noDecl.getMessage}")
       MergeTables.declareRenewInterval(spark, "sk_ll_t", 100L)
+      val t0 = System.nanoTime()
+      val starting = intercept[IllegalArgumentException] {
+        MergeTables.acquireWriterLease(spark, "sk_ll_t")
+      }
+      val callMs = (System.nanoTime() - t0) / 1000000L
+      assert(starting.getMessage.contains("observation"),
+        s"first policy acquire did not start an observation: " +
+          starting.getMessage)
+      assert(callMs < 1500,
+        s"observing acquire blocked ${callMs}ms — the call slept out " +
+          "the window instead of recording a deadline")
+      // before the deadline: still refused, still without sleeping
+      val waiting = intercept[IllegalArgumentException] {
+        MergeTables.acquireWriterLease(spark, "sk_ll_t")
+      }
+      assert(waiting.getMessage.contains("ms left"),
+        s"pre-deadline acquire did not report the window: " +
+          waiting.getMessage)
+      Thread.sleep(2100) // straddle the deadline
       MergeTables.acquireWriterLease(spark, "sk_ll_t")
       assert(spark.catalog.tableExists("sk_ll_t_wlease"),
         "adoption did not re-acquire the lease")
       MergeTables.releaseWriterLease(spark, "sk_ll_t")
       assert(leaseGone())
-      // 2) a RENEWING foreign holder stays refused under the same policy
+      // 2) a RENEWING foreign holder stays refused under the same
+      // policy: the observation starts, and the next acquire sees the
+      // advanced beat — LIVE
       Seq("live-holder").toDF("tok").write.saveAsTable("sk_ll_t_wlease")
       MergeTables.declareRenewInterval(spark, "sk_ll_t", 100L)
+      spark.conf.set("graft.lease.adoptAfterMs", "400")
       val renewing = new java.util.concurrent.atomic.AtomicBoolean(true)
       val renewer = new Thread(() => {
         while (renewing.get()) {
@@ -1749,6 +1774,10 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
       })
       renewer.setDaemon(true); renewer.start()
       try {
+        intercept[IllegalArgumentException] { // starts the observation
+          MergeTables.acquireWriterLease(spark, "sk_ll_t")
+        }
+        Thread.sleep(500) // past the deadline; the holder kept beating
         val ex = intercept[IllegalArgumentException] {
           MergeTables.acquireWriterLease(spark, "sk_ll_t")
         }
@@ -1769,6 +1798,12 @@ class ValueAggregatorsSpec extends AnyFunSuite with SparkTest {
       })
       lateBeat.setDaemon(true); lateBeat.start()
       try {
+        intercept[IllegalArgumentException] { // starts the observation
+          MergeTables.acquireWriterLease(spark, "sk_ll_t")
+        }
+        // past the CLAMPED 800ms deadline (2 x 400ms cadence), by when
+        // the late 300ms beat has landed
+        Thread.sleep(900)
         val ex = intercept[IllegalArgumentException] {
           MergeTables.acquireWriterLease(spark, "sk_ll_t")
         }
