@@ -107,8 +107,22 @@ object Tables {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physical = spark.read.parquet(s"$dir/$name.parquet").schema
-    val raw = spark.readStream.schema(physical)
-      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+    // layout-robust listing (r18): the testdata tables are single
+    // FILES named `<name>.parquet`, which the glob filter over `dir`
+    // matches; a GENERATED corpus (GrowthBench, Sf1Gen) writes each
+    // table as a DIRECTORY of part files whose names the glob can
+    // never match — the stream silently read ZERO rows there (found
+    // by qf4's negative-count guard at sf1: the stream-appended half
+    // of the counter build was empty, so the retraction went
+    // negative). A directory streams by its own path; a file keeps
+    // the glob form (the streaming source rejects a bare file path).
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val isDir = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
+    val raw =
+      if (isDir) spark.readStream.schema(physical).parquet(p.toString)
+      else spark.readStream.schema(physical)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
     name match {
       case "documents"  => normalizeDocuments(raw)
       case "embeddings" => normalizeEmbeddings(raw)

@@ -571,19 +571,29 @@ object Similarity {
   }
 
   /** Per-query top-k over (q_id, nb_id, idot, scale) candidates by the
-    * ADC key `idot * scale` desc (ties by nb_id) — the [[rankTopK]]
-    * shape on the quantized score: map-side partial collect, per-group
-    * sort, never a global window. Shared by [[ivfAdcTopK]] and
-    * [[ivfAdcTopKIndexed]] so the live and persisted tiers cannot rank
-    * differently. */
+    * ADC key `idot * scale` desc (ties by nb_id) — through a per-query
+    * WINDOW (hash-partitioned by q_id, sort-based, SPILLING). Shared by
+    * [[ivfAdcTopK]] and [[ivfAdcTopKIndexed]] so the live and persisted
+    * tiers cannot rank differently.
+    *
+    * Why not the [[rankTopK]] grouped-collect shape (which this was
+    * until r18): a probe group's size is nprobe × occupancy — under
+    * the fraction law that is a CORPUS FRACTION per query, and the
+    * r18 100× growth run OOM'd the collect ranker exactly there (the
+    * object-hash aggregate holds up to 128 in-flight group buffers per
+    * task; at ~100k-row groups × 24 tasks that is the whole heap).
+    * The window sorts and spills at any group size; [[adcFullTopK]]'s
+    * spec pins the window and collect rankings bit-equal (same key,
+    * same nb_id tie-break). [[rankTopK]] remains correct where groups
+    * are depth-bounded by construction (the re-rank tails). */
   private def rankByScaledIdot(candidates: DataFrame, k: Int): DataFrame =
     candidates
-      .groupBy("q_id").agg(slice(array_sort(collect_list(struct(
-        (-col("idot").cast("double") * col("scale")).as("nk"),
-        col("nb_id"), col("idot")))), 1, k).as("top"))
-      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "v")))
-      .select(col("q_id"), col("v.nb_id").as("nb_id"),
-        (col("pos") + 1).cast("int").as("rank"), col("v.idot").as("idot"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy((-col("idot").cast("double") * col("scale")).asc,
+            col("nb_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nb_id"), col("rank"), col("idot"))
 
   /** Bucket count of the persisted ADC index ([[writeIvfAdcIndex]]) —
     * shared with the probe's co-partitioning repartition so the stored
@@ -680,6 +690,35 @@ object Similarity {
     spark.catalog.refreshTable(table + "_g")
     val row = spark.table(table + "_g").agg(max("epoch")).head()
     if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** TTL cache over the PROBE paths' epoch resolution — the other half
+    * of the serving metadata floor beside [[quantStateKey]]'s listing
+    * (each probe plan pays one crash-heal + refresh + single-row agg
+    * JOB per table; a sharded fan-out pays it per shard). Same conf,
+    * same contract: with `graft.adc.quantKeyTtlMs` > 0 a cached epoch
+    * serves for that long, so a retrain's flip (or a foreign rebuild)
+    * is seen by a warm serving loop at the next expiry or explicit
+    * [[invalidateQuantKeyCache]] — never silently forever. Default 0
+    * keeps the per-plan fresh read; every MUTATOR keeps calling
+    * [[activeAdcEpoch]] directly (appends/retrains must never act on
+    * a cached epoch). */
+  private val epochCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def probeEpoch(spark: SparkSession, table: String): Long = {
+    val ttlMs = spark.conf.getOption("graft.adc.quantKeyTtlMs")
+      .map(_.toLong).getOrElse(0L)
+    val ck = spark.sparkContext.applicationId + ":" + table + ":"
+    if (ttlMs > 0L) {
+      val hit = epochCache.get(ck)
+      if (hit != null &&
+          System.nanoTime() - hit._1 < ttlMs * 1000000L) return hit._2
+    }
+    val e = activeAdcEpoch(spark, table)
+    if (ttlMs > 0L) epochCache.put(ck, (System.nanoTime(), e))
+    else epochCache.remove(ck)
+    e
   }
 
   /** The packed (cell, id, qc, scale) rows of one vector set against a
@@ -1278,15 +1317,51 @@ object Similarity {
     val spark = queries.sparkSession
     val nShards = readShardCount(spark, table)
     val frac = probeFracEighths(targetRecall) / 8.0
-    val cands = (0 until nShards).map { s =>
-      val st = shardTable(table, s)
-      val nlist = adcQuantBc(spark, st, activeAdcEpoch(spark, st))
-        .value.norms2.length
-      require(nlist > 0, s"$st has no stored centroids")
-      val np = math.max(1L, math.min(nlist.toLong,
-        math.ceil(frac * nlist).toLong)).toInt
-      adcProbeCandidates(queries, idCol, vecCol, np, st, buckets)
-    }.reduce(_ unionAll _)
+    // ONE bounded query snapshot shared by every shard's probe: each
+    // shard probe takes its own pushdown snapshot of its query side,
+    // and handing all of them the original plan would pay that collect
+    // (a Spark job) PER SHARD — measured at 8 shards as ~5× one
+    // shard's whole probe time at bench scale, all of it per-plan
+    // floor. A batch panel within the pushdown cap collects once
+    // here; each shard probe then re-reads the LOCAL relation
+    // driver-side (no job). A larger batch (or a stream) passes
+    // through untouched — every shard keeps the distributed join-only
+    // shape.
+    val probeSrc =
+      if (queries.isStreaming) queries
+      else {
+        val proj = queries.select(col(idCol), col(vecCol))
+        val rows = proj.limit(maxPushdownQueries + 1).collect()
+        if (rows.length > maxPushdownQueries) queries
+        else spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), proj.schema)
+      }
+    // shards are independent, so their per-plan metadata (epoch read,
+    // state listing, broadcast memo) resolves CONCURRENTLY — a serial
+    // fan-out pays nShards × the per-plan floor in wall clock, which
+    // at bench scale measured ~5× one shard's whole probe (the floor,
+    // not the candidate work, was the growth row). Catalog reads on
+    // DISTINCT tables are driver-thread-safe; the memos are concurrent
+    // maps.
+    val cands = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(nShards, 8))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try Await.result(
+        Future.sequence((0 until nShards).map(s => Future {
+          val st = shardTable(table, s)
+          val nlist = adcQuantBc(spark, st, probeEpoch(spark, st))
+            .value.norms2.length
+          require(nlist > 0, s"$st has no stored centroids")
+          val np = math.max(1L, math.min(nlist.toLong,
+            math.ceil(frac * nlist).toLong)).toInt
+          adcProbeCandidates(probeSrc, idCol, vecCol, np, st, buckets)
+        })), scala.concurrent.duration.Duration.Inf)
+        .reduce(_ unionAll _)
+      finally pool.shutdown()
+    }
     rankByScaledIdot(cands, k)
   }
 
@@ -1791,6 +1866,9 @@ object Similarity {
   def invalidateQuantKeyCache(table: String): Unit = {
     val it = quantKeyCache.keySet().iterator()
     while (it.hasNext) if (it.next().contains(":" + table + ":")) it.remove()
+    val it2 = epochCache.keySet().iterator()
+    while (it2.hasNext) if (it2.next().contains(":" + table + ":"))
+      it2.remove()
   }
 
   /** The broadcast-memo key: epoch PLUS the centroid table's file
@@ -1858,8 +1936,10 @@ object Similarity {
     // resolves the memoized quantizer broadcast for it ONCE
     // ([[adcQuantBc]] — a warm serving batch's plan never reads the
     // centroid ROWS, only the key's metadata listing) and returns the
-    // plan-side cell column plus the driver-side twin kernel.
-    val epoch = activeAdcEpoch(spark, table)
+    // plan-side cell column plus the driver-side twin kernel. Under
+    // the serving TTL conf the resolution itself is cached
+    // ([[probeEpoch]]).
+    val epoch = probeEpoch(spark, table)
     val (cellsOf, localSel) = probeFns(epoch)
     // CELL PUSHDOWN (the lexical tier's term-In discipline applied to
     // the dense tier): the join alone never prunes the stored PARQUET —

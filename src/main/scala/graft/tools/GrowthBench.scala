@@ -575,6 +575,18 @@ object GrowthBench {
           Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
             "embedding", k = 3, s"gshard_idx_$sh"))
       }
+      // the serving metadata floor (r17 verdict item 5), measured on
+      // the widest fan-out: the SAME 8-shard probe with the
+      // quantizer-state TTL cache on — the delta vs qshard_probe_s8
+      // is the per-plan catalog refresh + centroid-listing cost the
+      // cache removes (×8 here, one per shard per plan)
+      spark.conf.set("graft.adc.quantKeyTtlMs", "60000")
+      Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id", "embedding",
+        k = 3, "gshard_idx_8").count() // warm the cache off the clock
+      t("qshard_probe_s8_ttl") = time("qshard_probe_s8_ttl",
+        Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
+          "embedding", k = 3, "gshard_idx_8"))
+      spark.conf.unset("graft.adc.quantKeyTtlMs")
     }
 
     // ---- one decade further: the 100x tier (r16 verdict item 3) ----
