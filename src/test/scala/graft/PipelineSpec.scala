@@ -1629,6 +1629,52 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("an in-process retrain is probe-visible immediately even under the serving TTL cache") {
+    // the TTL trade (a FOREIGN rebuild waits for expiry or the hook)
+    // must not leak onto in-process mutators: retrain and compaction
+    // call invalidateQuantKeyCache, which clears BOTH serving caches —
+    // the state-key listing AND the probe-epoch read — so a warm
+    // serving loop in the same process sees its own retrain's epoch
+    // flip on the very next plan, not at expiry. (Without the epoch
+    // half of the hook, a cached pre-retrain epoch would filter the
+    // stored side to retired rows and the probe would silently serve
+    // nothing.)
+    val a = spark.range(300).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 11, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 13, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val b = spark.range(300).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 41, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 43, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val queries = b.filter(col("vec_id") % 30 === 0)
+    def rows(table: String) = Similarity.ivfAdcTopKIndexed(queries,
+        "vec_id", "embedding", k = 3, nprobe = 2, table = table,
+        dim = 64)
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndex(a, "vec_id", "embedding",
+        "adc_rtl_idx", nlist = 10, dim = 64)
+      spark.conf.set("graft.adc.quantKeyTtlMs", "3600000")
+      rows("adc_rtl_idx") // warm epoch + state-key caches + memo
+      Similarity.retrainIvfAdcIndex(b, "vec_id", "embedding",
+        "adc_rtl_idx", nlist = 10, dim = 64)
+      Similarity.writeIvfAdcIndex(b, "vec_id", "embedding",
+        "adc_rtl_ref", nlist = 10, dim = 64)
+      val got = rows("adc_rtl_idx")
+      assert(got.nonEmpty && got == rows("adc_rtl_ref"),
+        "in-process retrain hidden by the warm serving TTL cache")
+    } finally {
+      spark.conf.unset("graft.adc.quantKeyTtlMs")
+      for (t <- Seq("adc_rtl_idx", "adc_rtl_ref");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+    }
+  }
+
   test("requireQuantStable: a mid-tune same-name rebuild fails the tune even when the epoch NUMBER matches") {
     // ADVICE r17: the stability guard compared only the epoch number,
     // but a rebuild restarts epochs at 0 — a mid-tune external rebuild

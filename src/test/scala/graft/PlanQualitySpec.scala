@@ -500,6 +500,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     assertVectorFreeExchanges(df, allowedBroadcast = Set("qv"))
   }
 
+  test("ivfAdcRerankIndexed: the escalated serving path keeps qa1's scale shape — corpus vectors never enter an exchange") {
+    // tuneServing's escalation target (r18): persisted-index candidates
+    // to depth, full-precision-dot re-rank to k. Same typed-exchange
+    // contract as qa1's: shuffles carry no float array (int8 codes and
+    // scalars only at corpus scale); any float array in a broadcast is
+    // the survivor-derived query vector `qv` at candidate scale, never
+    // the corpus column.
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    val vecs = Tables.embeddings(spark, d)
+    val (nlist, nprobe) = Similarity.ivfParams(vecs.count())
+    try {
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "qri_plan_idx", nlist = nlist)
+      val df = Similarity.ivfAdcRerankIndexed(vecs,
+        vecs.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 3, depth = 10, nprobe = nprobe, "qri_plan_idx")
+      df.collect()
+      assertVectorFreeExchanges(df, allowedBroadcast = Set("qv"))
+    } finally {
+      for (sfx <- Seq("", "_c", "_g"))
+        spark.sql(s"DROP TABLE IF EXISTS qri_plan_idx$sfx")
+    }
+  }
+
   test("qa3: the whitening apply is a pure map-side projection — zero exchanges") {
     // whiten's scale claim: the dim-bounded stats re-enter the plan as
     // literal arrays, so the apply stage is scan -> project; an Exchange
