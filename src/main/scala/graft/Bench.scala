@@ -139,7 +139,7 @@ object Bench {
     // <= 6). The EXACT cap is 1999: line + trailing newline must fit the
     // 2000-char tail for the head to survive.
     val outs = Bench.metricLines(results, errors.toSeq, sfDir,
-      sproc.toSeq, spreads.toSeq)
+      sproc.toSeq, spreads.toSeq, baseRuns)
     for (out <- outs if out.length > Bench.budget)
       System.err.println(s"[bench] WARNING: metric line ${out.length} chars" +
         " exceeds the ~2000-char harness capture window even at the" +
@@ -234,8 +234,8 @@ object Bench {
   private[graft] def metricLines(results: Seq[(String, Option[Double])],
       errors: Seq[(String, String)], sfDir: String,
       sproc: Seq[(String, Double)] = Nil,
-      spread: Seq[(String, Double)] = Nil): Seq[String] = {
-    val (main0, keyOf) = metricLineKeyed(results, errors, sfDir)
+      spread: Seq[(String, Double)] = Nil, runs: Int = 3): Seq[String] = {
+    val (main0, keyOf) = metricLineKeyed(results, errors, sfDir, runs)
     // inline the sproc map into the primary, fit-permitting: entries
     // largest-first, stop at the first that no longer fits — coverage
     // and precision of the wall-clock map always win over sproc
@@ -326,7 +326,7 @@ object Bench {
     * what. Exposed for BenchLineSpec, which fails the build on a roster
     * whose primary line can no longer carry ≥95% of values at ≥1dp. */
   private[graft] def metricLineKeyed(results: Seq[(String, Option[Double])],
-      errors: Seq[(String, String)], sfDir: String)
+      errors: Seq[(String, String)], sfDir: String, runs: Int = 3)
       : (String, String => String) = {
     val short = shortIds((results.map(_._1) ++ errors.map(_._1)).distinct)
     // belt (capture caps at 60) AND suspenders: metricLine re-caps, so a
@@ -347,7 +347,7 @@ object Bench {
         keyOf: String => String = identity): String = {
       val qs = rs.collect { case (k, Some(v)) =>
         "\"" + keyOf(k) + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
-      val mid = if (full) s""","unit":"sec","queries":$qs,"runs":3"""
+      val mid = if (full) s""","unit":"sec","queries":$qs,"runs":$runs"""
         else s""","queries":$qs"""
       val errJson = if (errMode == 0) errFull(keyOf) else errNames(keyOf)
       val tailFields = lean match {
