@@ -415,6 +415,47 @@ object RelationalQueries {
     qc2Stack(s, d, (q, k) => Similarity.ivfAdcTopKIndexedHier(q,
       "vec_id", "embedding", k, nprobe, gprobe, vtable, dim = 64))
 
+  /** Dense leg driven by the PERSISTED serving decision (r18 verdict
+    * item 3): reads [[Similarity.readServingDecision]] — refusing a
+    * stale or missing one LOUDLY — and serves through the mode it
+    * prescribes (flat tuned probe, two-level probe when a gprobe was
+    * stored, or the escalated exact-dot re-rank), with NO exact leg
+    * and no hand-passed dials at serving time. The decision read is
+    * one sidecar row + a metadata state-key check per stack plan. */
+  private[graft] def storedDenseLeg(s: SparkSession, d: String,
+      vtable: String): (DataFrame, Int) => DataFrame = {
+    val (serving, gp) = Similarity.readServingDecision(s, vtable)
+      .getOrElse(throw new IllegalStateException(
+        s"$vtable has no fresh serving decision — the index was " +
+          "retrained/rebuilt since the last tune (or never tuned): " +
+          "run tuneServingPersist at monitoring cadence, then serve"))
+    serving match {
+      case Similarity.RerankServing(np, depth, _) => (q, k) =>
+        Similarity.ivfAdcRerankIndexed(Tables.embeddings(s, d), q,
+            "vec_id", "embedding", k, math.max(depth, k), np, vtable,
+            dim = 64)
+          .select(col("q_id"), col("nb_id"), col("rank"))
+      case Similarity.ProbeServing(np, _) if gp > 0 => (q, k) =>
+        Similarity.ivfAdcTopKIndexedHier(q, "vec_id", "embedding", k,
+          np, gp, vtable, dim = 64)
+      case Similarity.ProbeServing(np, _) => (q, k) =>
+        Similarity.ivfAdcTopKIndexed(q, "vec_id", "embedding", k, np,
+          vtable, dim = 64)
+    }
+  }
+
+  /** [[qb7Tuned]] serving from the STORED decision instead of
+    * hand-passed dials. */
+  private[graft] def qb7TunedStored(s: SparkSession, d: String,
+      vtable: String): DataFrame =
+    qb7Stack(s, d, storedDenseLeg(s, d, vtable))
+
+  /** [[qc2Tuned]] serving from the STORED decision instead of
+    * hand-passed dials. */
+  private[graft] def qc2TunedStored(s: SparkSession, d: String,
+      vtable: String): DataFrame =
+    qc2Stack(s, d, storedDenseLeg(s, d, vtable))
+
   val queries: Map[String, Q] = Map(
     // Q01 — scan + filter (RegexMapper-style predicate; pushed to parquet)
     "q01_filter" -> ((s, d) =>
@@ -3094,6 +3135,35 @@ object RelationalQueries {
       Similarity.ivfAdcTopKIndexedSharded(vecs, "vec_id", "embedding",
         k = 3, table = table, dim = 64,
         targetRecall = q35cTargetRecall)
+    }),
+
+    // QG2 — STREAM-GROWN SHARDED index (r18 verdict item 5): the
+    // sharded build on the first half of the corpus, the second half
+    // ARRIVING AS A STREAM routed per shard under each shard's
+    // generation protocol (one committed generation per (shard,
+    // micro-batch)), then qg1's fan-out/merge probe over the full
+    // corpus. Oracle: qg1's per-shard CTE chains with each shard's
+    // quantizer trained on the FIRST-HALF rows of that shard only
+    // (the frozen-quantizer law qe1 gates on the single table,
+    // composed with the shard law) — stream == batch == oracle at
+    // N shards.
+    "qg2" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val (n, _, _) = halfParamsFor(s, d)
+      val table = "qg2_idx_" + dirTag(d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndexSharded(
+          vecs.filter(col("vec_id") * 2 < n), "vec_id", "embedding",
+          table, nShards = qg1Shards, dim = 64,
+          targetRecall = q35cTargetRecall)
+        Similarity.streamAppendIvfAdcIndexSharded(
+          Tables.streamOf(s, d, "embeddings")
+            .filter(col("vec_id") * 2 >= n),
+          "vec_id", "embedding", table, dim = 64)
+      }
+      Similarity.ivfAdcTopKIndexedSharded(vecs, "vec_id", "embedding",
+        k = 3, table = table, dim = 64,
+        targetRecall = q35cTargetRecall)
     })
   )
 
@@ -3562,10 +3632,11 @@ object RelationalQueries {
     * partition the corpus, so the union is duplicate-free by
     * construction. */
   private def shardedAdcOracleSql(k: Int, nShards: Int, fracNum: Int,
-      occ: Int, iters: Int, dim: Int): String = {
+      occ: Int, iters: Int, dim: Int, trainExtra: String = "")
+      : String = {
     val chains = (0 until nShards).map { s =>
       adcRankedSql(fracNum, occ, iters, dim,
-        trainWhere = s"WHERE vec_id % $nShards = $s",
+        trainWhere = s"WHERE vec_id % $nShards = $s$trainExtra",
         candCond = s" AND a.vec_id % $nShards = $s",
         sfx = s"_s$s", withNv = s == 0)
     }.mkString(",\n")
@@ -5272,6 +5343,16 @@ object RelationalQueries {
         q35cTargetRecall),
       occ = graft.pipeline.Similarity.defaultOccupancy,
       iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
+    // qg2: qg1's per-shard chains with each shard's quantizer trained
+    // on the shard's FIRST-HALF rows only — the frozen-quantizer law
+    // (qe1) composed with the shard law; the streamed growth must
+    // leave exactly this state
+    "qg2" -> shardedAdcOracleSql(k = 3, nShards = qg1Shards,
+      fracNum = graft.pipeline.Similarity.probeFracEighths(
+        q35cTargetRecall),
+      occ = graft.pipeline.Similarity.defaultOccupancy,
+      iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
+      trainExtra = " AND vec_id * 2 < (SELECT count(*) FROM nv)"),
     // qfm (online compaction on the lexical tier): qb1's oracle
     // verbatim — the qd2/qd6 claims composed, now WITH the compaction
     // running inside the live lineage

@@ -70,6 +70,55 @@ object HybridExecutor {
     }
   }
 
+  /** The measure→schedule loop CLOSED end-to-end (r18 verdict item 6):
+    * run `waves` rounds of the hybrid operator, recomputing the device
+    * split BEFORE EVERY WAVE from the listener's MEASURED profile —
+    * the reference recomputes y per heartbeat
+    * (JobQueueTaskScheduler.java:171-214 consuming
+    * JobInProgress.java:338-364 mean task times); until r19 the
+    * measured profile fed the policy in a spec but no job re-split
+    * mid-run. Each wave's two branches run as separately
+    * job-group-tagged ACTIONS (the heartbeat-visible unit
+    * [[TaskTimeListener]] attributes), and the loop drains the async
+    * listener bus before the next wave's profile read — so wave N+1's
+    * split follows what waves 1..N actually measured, shifting when
+    * the measurements shift. Returns the per-wave (gpuPartitions,
+    * results); the result set is split-invariant (both bodies are
+    * semantically equal by contract), which is what makes mid-run
+    * re-splitting safe. */
+  def measuredWaves[T, U: scala.reflect.ClassTag](
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[T],
+      cpu: Iterator[T] => Iterator[U],
+      accel: Iterator[T] => Iterator[U],
+      listener: TaskTimeListener,
+      nCpu: Int, nGpu: Int, waves: Int,
+      defaultMean: Double = 1.0): Seq[(Int, Array[U])] = {
+    val nPart = rdd.getNumPartitions
+    var expCpu = 0L
+    var expGpu = 0L
+    (1 to waves).map { _ =>
+      val profile = listener.profile(nCpu, nGpu, defaultMean)
+      val (_, gpuParts) = HybridPolicy.split(nPart, profile)
+      val accelRdd = org.apache.spark.rdd.PartitionPruningRDD
+        .create(rdd, _ < gpuParts).mapPartitions(accel)
+      val cpuRdd = org.apache.spark.rdd.PartitionPruningRDD
+        .create(rdd, _ >= gpuParts).mapPartitions(cpu)
+      val g = MeasuredAlpha.measured(spark, "gpu")(accelRdd.collect())
+      val c = MeasuredAlpha.measured(spark, "cpu")(cpuRdd.collect())
+      // drain the async event bus up to this wave's task counts, or
+      // the next profile read would under-weigh the wave just run
+      expCpu += nPart - gpuParts
+      expGpu += gpuParts
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while ((listener.taskCounts._1 < expCpu ||
+          listener.taskCounts._2 < expGpu) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(10)
+      (gpuParts, g ++ c)
+    }
+  }
+
   /** Stage-level resource request for the accelerated branch — the
     * Spark-idiomatic form of the fork's GPU slot (the reference models
     * "a GPU" as a dedicated TaskTracker slot type,

@@ -72,18 +72,61 @@ object Multimodal {
     * default SPI honors ImageIO.getUseCache() and spools a temp FILE per
     * call (a disk write per row on the hot path, and an IOException
     * where a bad payload should just mean None). Any decode exception
-    * maps to None. */
+    * maps to None.
+    *
+    * Reader resolution deliberately does NOT go through
+    * `ImageIO.getImageReaders` per row: that walks the JVM-GLOBAL SPI
+    * registry (an AppContext lookup + category iteration under shared
+    * state) and constructs+disposes a fresh `ImageReader` per payload,
+    * which serializes 32 decode threads on the registry at scale —
+    * measured as q40b's 18.8x sf0.1->sf1 knee in BASELINE §r18. Instead
+    * the SPI list is snapshotted once per JVM ([[readerSpis]], same
+    * registry ordering `getImageReaders` iterates) and reader INSTANCES
+    * are cached thread-local per SPI ([[localReaders]]) — selection
+    * semantics are identical (first SPI whose `canDecodeInput` accepts
+    * the stream wins), but the steady-state per-row cost is one
+    * `canDecodeInput` sniff + `setInput`/`reset`, no global state. */
+  private lazy val readerSpis: Array[javax.imageio.spi.ImageReaderSpi] = {
+    val it = javax.imageio.spi.IIORegistry.getDefaultInstance
+      .getServiceProviders(classOf[javax.imageio.spi.ImageReaderSpi], true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[javax.imageio.spi.ImageReaderSpi]
+    while (it.hasNext) buf += it.next()
+    buf.toArray
+  }
+
+  /** One reusable `ImageReader` per (thread, SPI). Spark executor
+    * threads are pooled and long-lived, so a cached reader amortizes
+    * across every task the thread runs; readers are small (a few KB of
+    * parse state) and bounded by the installed-codec count (~7 in this
+    * JDK). `reset()` between rows detaches the input without disposing. */
+  private val localReaders =
+    new ThreadLocal[java.util.HashMap[javax.imageio.spi.ImageReaderSpi, javax.imageio.ImageReader]] {
+      override def initialValue() =
+        new java.util.HashMap[javax.imageio.spi.ImageReaderSpi, javax.imageio.ImageReader]()
+    }
+
   private def withReader[T](payload: Array[Byte])(
       f: javax.imageio.ImageReader => Option[T]): Option[T] = {
     var iis: javax.imageio.stream.ImageInputStream = null
     try {
       iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
+      var spi: javax.imageio.spi.ImageReaderSpi = null
+      var i = 0
+      val spis = readerSpis
+      while (spi == null && i < spis.length) {
+        // canDecodeInput is required by spec to mark/reset the stream;
+        // a throwing SPI just means "not this format"
+        if (try spis(i).canDecodeInput(iis)
+            catch { case scala.util.control.NonFatal(_) => false }) spi = spis(i)
+        i += 1
+      }
+      if (spi == null) None
       else {
-        val r = readers.next()
-        try { r.setInput(iis, true, true); f(r) } finally r.dispose()
+        val cache = localReaders.get()
+        var r = cache.get(spi)
+        if (r == null) { r = spi.createReaderInstance(); cache.put(spi, r) }
+        try { r.setInput(iis, true, true); f(r) } finally r.reset()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
     finally if (iis != null) iis.close()
@@ -391,17 +434,30 @@ object Multimodal {
     try {
       iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      // same cached-SPI / thread-local-reader discipline as [[withReader]]
+      // (per-row ImageIO registry walks serialize at scale), restricted
+      // to SPIs that accept the payload AND produce a GIF reader
       var out: Option[Seq[(Int, Int)]] = None
-      while (out.isEmpty && readers.hasNext) {
-        val r = readers.next()
-        try {
-          if (r.getFormatName.equalsIgnoreCase("gif")) {
-            r.setInput(iis, false, true)
-            val n = r.getNumImages(true)
-            out = Some((0 until n).map(i => (r.getWidth(i), r.getHeight(i))))
-          }
-        } finally r.dispose()
+      var i = 0
+      val spis = readerSpis
+      while (out.isEmpty && i < spis.length) {
+        val spi = spis(i)
+        val accepts =
+          try spi.canDecodeInput(iis)
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (accepts) {
+          val cache = localReaders.get()
+          var r = cache.get(spi)
+          if (r == null) { r = spi.createReaderInstance(); cache.put(spi, r) }
+          try {
+            if (r.getFormatName.equalsIgnoreCase("gif")) {
+              r.setInput(iis, false, true)
+              val n = r.getNumImages(true)
+              out = Some((0 until n).map(k => (r.getWidth(k), r.getHeight(k))))
+            }
+          } finally r.reset()
+        }
+        i += 1
       }
       out
     } catch { case scala.util.control.NonFatal(_) => None }

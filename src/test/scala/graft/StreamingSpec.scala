@@ -700,6 +700,97 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(sunk.toSeq == (1L to 200L), s"got ${sunk.length} rows")
   }
 
+  test("streamAppendIvfAdcIndexSharded: micro-batches route per shard with one generation per (shard, batch); replay marks carry across a reshard") {
+    // r18 verdict item 5 (+ item 4's mark carry): a corpus streaming
+    // into a SHARDED index is the 100 TB default. Gates: (a) two
+    // streamed micro-batches through the real query equal the one-shot
+    // sharded batch append down to per-shard stored rows; (b) each
+    // shard committed one generation per micro-batch (plus its build
+    // gen); (c) a replayed committed (lineage, batch) is an exact
+    // no-op per shard; (d) it STAYS a no-op after a reshard — the
+    // folded replay marks carried into every new shard.
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.{col, hex}
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val build = corpus.filter(col("vec_id") < 150)
+    val batch = corpus.filter(col("vec_id") >= 150)
+    val batchRows = batch
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    def stored(t: String) = spark.table(t)
+      .select(col("cell"), col("id"), hex(col("qc")), col("scale"))
+      .as[(Int, Long, String, Double)].collect().sorted.toSeq
+    try {
+      // (a) the real streaming query, two micro-batches
+      Similarity.writeIvfAdcIndexSharded(build, "vec_id", "embedding",
+        "sstr_idx", nShards = 2, dim = 64)
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val q = Similarity.startStreamAppendIvfAdcIndexSharded(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "sstr_idx", dim = 64)
+      try {
+        ms.addData(batchRows.take(batchRows.size / 2))
+        q.processAllAvailable()
+        ms.addData(batchRows.drop(batchRows.size / 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      Similarity.writeIvfAdcIndexSharded(build, "vec_id", "embedding",
+        "sstr_one", nShards = 2, dim = 64)
+      Similarity.appendIvfAdcIndexSharded(batch, "vec_id", "embedding",
+        "sstr_one")
+      for (s <- 0 until 2) {
+        assert(stored(s"sstr_idx_s$s") == stored(s"sstr_one_s$s"),
+          s"stream-grown shard $s diverged from the one-shot append")
+        // (b) build gen + one gen per micro-batch, in EVERY shard
+        assert(spark.table(s"sstr_idx_s${s}_g").count() >= 3L,
+          s"shard $s missing per-micro-batch generations")
+      }
+      // (c) replay: an exact no-op per shard — first against the LIVE
+      // committed key, then after a MID-LINEAGE per-shard compaction
+      // (keys cleared, marks carried: qfn's discipline per shard)
+      Similarity.writeIvfAdcIndexSharded(build, "vec_id", "embedding",
+        "sstr_rp", nShards = 2, dim = 64)
+      Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
+        "vec_id", "embedding", "sstr_rp", lineage = 1L)
+      val grown = (0 until 2).map(s => stored(s"sstr_rp_s$s"))
+      Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
+        "vec_id", "embedding", "sstr_rp", lineage = 1L)
+      for (s <- 0 until 2)
+        assert(stored(s"sstr_rp_s$s") == grown(s),
+          s"replayed batch re-appended into shard $s")
+      Similarity.compactIvfAdcIndexSharded(spark, "sstr_rp")
+      Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
+        "vec_id", "embedding", "sstr_rp", lineage = 1L)
+      for (s <- 0 until 2)
+        assert(stored(s"sstr_rp_s$s") == grown(s),
+          s"replay refused only by live keys — shard $s's compaction " +
+            "lost the carried mark")
+      // (d) replay across a reshard: marks carried into every new
+      // shard, so the same committed key is still refused — the
+      // resharded index stays bit-equal to a fresh build over the
+      // full corpus
+      Similarity.reshardIvfAdcIndex(corpus, "vec_id", "embedding",
+        "sstr_rp", newShards = 3, dim = 64)
+      val resharded = (0 until 3).map(s => stored(s"sstr_rp_r1_s$s"))
+      Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
+        "vec_id", "embedding", "sstr_rp", lineage = 1L)
+      for (s <- 0 until 3)
+        assert(stored(s"sstr_rp_r1_s$s") == resharded(s),
+          s"replayed committed batch re-appended into resharded " +
+            s"shard $s — marks were not carried")
+    } finally {
+      for (t <- Seq("sstr_idx_s0", "sstr_idx_s1", "sstr_one_s0",
+          "sstr_one_s1", "sstr_rp_s0", "sstr_rp_s1", "sstr_rp_r1_s0",
+          "sstr_rp_r1_s1", "sstr_rp_r1_s2");
+          sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      for (t <- Seq("sstr_idx_sh", "sstr_one_sh", "sstr_rp_sh"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("streamAppendIvfAdcIndex: two streamed micro-batch appends equal the one-shot append and the frozen-quantizer rebuild") {
     // the qe1 contract (qd6's shape on the dense tier): each
     // micro-batch commits its own generation against the STORED frozen
