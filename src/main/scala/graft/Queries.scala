@@ -3164,8 +3164,43 @@ object RelationalQueries {
       Similarity.ivfAdcTopKIndexedSharded(vecs, "vec_id", "embedding",
         k = 3, table = table, dim = 64,
         targetRecall = q35cTargetRecall)
+    }),
+
+    // QG3 — RESHARD, oracle-gated end to end (r18 verdict item 4):
+    // build the 2-shard index, tombstone every vec_id % 10 == 7,
+    // reshard to 3 shards (survivors routed under NEW per-shard
+    // quantizers, one sidecar-swap commit), then the standard fan-out
+    // probe with the FULL corpus as queries. Oracle: the fresh-build
+    // law the reshard spec pins — 3 per-shard chains over the
+    // SURVIVORS (train and candidates both restricted to
+    // % 10 <> 7), every vector (deleted ones included) still probing.
+    // The 2-shard starting point and the delete are invisible in the
+    // final state BY THE RESHARD CONTRACT — which is exactly what
+    // this row gates.
+    "qg3" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val table = "qg3_idx_" + dirTag(d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+          table, nShards = qg1Shards, dim = 64,
+          targetRecall = q35cTargetRecall)
+        Similarity.deleteIvfVecsSharded(s, table,
+          vecs.filter(col("vec_id") % 10 === qg3DelRes)
+            .select(col("vec_id")), "vec_id")
+        Similarity.reshardIvfAdcIndex(vecs, "vec_id", "embedding",
+          table, newShards = qg3NewShards, dim = 64,
+          targetRecall = q35cTargetRecall)
+      }
+      Similarity.ivfAdcTopKIndexedSharded(vecs, "vec_id", "embedding",
+        k = 3, table = table, dim = 64,
+        targetRecall = q35cTargetRecall)
     })
   )
+
+  /** qg3's reshard target and delete residue — single-sourced into the
+    * Spark lifecycle and the oracle predicates. */
+  private val qg3NewShards = 3
+  private val qg3DelRes = 7
 
   /** qg1's shard count — single-sourced into the Spark routing and the
     * oracle's per-shard chains (each extra shard adds a full suffixed
@@ -3632,12 +3667,12 @@ object RelationalQueries {
     * partition the corpus, so the union is duplicate-free by
     * construction. */
   private def shardedAdcOracleSql(k: Int, nShards: Int, fracNum: Int,
-      occ: Int, iters: Int, dim: Int, trainExtra: String = "")
-      : String = {
+      occ: Int, iters: Int, dim: Int, trainExtra: String = "",
+      candExtra: String = ""): String = {
     val chains = (0 until nShards).map { s =>
       adcRankedSql(fracNum, occ, iters, dim,
         trainWhere = s"WHERE vec_id % $nShards = $s$trainExtra",
-        candCond = s" AND a.vec_id % $nShards = $s",
+        candCond = s" AND a.vec_id % $nShards = $s$candExtra",
         sfx = s"_s$s", withNv = s == 0)
     }.mkString(",\n")
     val union = (0 until nShards)
@@ -5353,6 +5388,17 @@ object RelationalQueries {
       occ = graft.pipeline.Similarity.defaultOccupancy,
       iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
       trainExtra = " AND vec_id * 2 < (SELECT count(*) FROM nv)"),
+    // qg3: the fresh-survivor law at the NEW shard count — the reshard
+    // contract (reshard == fresh sharded build over survivors) makes
+    // the 2-shard start and the tombstones invisible; train and
+    // candidates both restrict to the survivors, all vectors query
+    "qg3" -> shardedAdcOracleSql(k = 3, nShards = qg3NewShards,
+      fracNum = graft.pipeline.Similarity.probeFracEighths(
+        q35cTargetRecall),
+      occ = graft.pipeline.Similarity.defaultOccupancy,
+      iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
+      trainExtra = s" AND vec_id % 10 <> $qg3DelRes",
+      candExtra = s" AND a.vec_id % 10 <> $qg3DelRes"),
     // qfm (online compaction on the lexical tier): qb1's oracle
     // verbatim — the qd2/qd6 claims composed, now WITH the compaction
     // running inside the live lineage

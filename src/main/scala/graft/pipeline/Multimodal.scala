@@ -385,9 +385,32 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // NOT ImageIO.write: that walks the writer SPI registry and
+    // constructs+disposes a fresh ImageWriter per call — the writer-side
+    // twin of the per-row reader-registry contention [[withReader]]
+    // removes (q40b synthesizes one PNG per row, so the encode path is
+    // just as hot as the decode path)
+    val cache = localWriters.get()
+    var pw = cache.get("png")
+    if (pw == null) {
+      pw = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+      cache.put("png", pw)
+    }
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      pw.setOutput(ios)
+      pw.write(img)
+    } finally { pw.reset(); ios.close() }
     bos.toByteArray
   }
+
+  /** One reusable `ImageWriter` per (thread, format) — [[localReaders]]'
+    * discipline on the encode side. */
+  private val localWriters =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageWriter]] {
+      override def initialValue() =
+        new java.util.HashMap[String, javax.imageio.ImageWriter]()
+    }
 
   /** Deterministic mixed-modality media corpus derived from a text
     * table: three of every four rows carry a real [[gradientPng]]

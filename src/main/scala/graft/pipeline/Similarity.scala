@@ -1431,6 +1431,81 @@ object Similarity {
     }
   }
 
+  /** The CONCATENATED quantizer-state key of every shard (plus the
+    * sidecar's own meta) — what the persisted shard dials are keyed
+    * by: any single shard's retrain, a reshard (generation/count
+    * change), or a rebuild changes it. */
+  private def shardStateKey(spark: SparkSession, table: String)
+      : String = {
+    val (n, g) = readShardMeta(spark, table)
+    (0 until n)
+      .map(s => quantStateNow(spark, shardTableAt(table, g, s)))
+      .mkString("|") + s"|n=$n|g=$g"
+  }
+
+  /** Persist [[tuneShardDials]]' per-shard dials — the sharded twin of
+    * [[writeServingDecision]], composing the r18 verdict's items 1+3:
+    * without it a sharded serving session re-pays every shard's
+    * ceiling leg per process. One row per shard in the swap-written
+    * `<table>_serve` sidecar, keyed by [[shardStateKey]] so ANY
+    * shard's retrain, a reshard, or a rebuild refuses the stored
+    * dials stale at read. */
+  def writeShardDials(spark: SparkSession, table: String,
+      dials: Seq[ShardDials]): Unit = {
+    import spark.implicits._
+    val key = shardStateKey(spark, table)
+    MergeTables.swapInKeyed(spark,
+      dials.zipWithIndex.map { case (d, s) =>
+        (s, d.nprobe, d.probeRecall, d.gprobe, d.hierRecall, key)
+      }.toDF("shard", "nprobe", "probe_recall", "gprobe",
+        "hier_recall", "state_key"),
+      "shard", table + "_serve")
+  }
+
+  /** Read the persisted per-shard dials, REFUSING them stale —
+    * [[readServingDecision]]'s contract on the sharded tier: None
+    * when nothing is stored or any shard's quantizer state changed
+    * since the tune. Metadata + one sidecar read; no ceiling leg. */
+  def readShardDials(spark: SparkSession, table: String)
+      : Option[Seq[ShardDials]] = {
+    val t = table + "_serve"
+    MergeTables.recoverCompactCrash(spark, t)
+    if (!spark.catalog.tableExists(t)) return None
+    spark.catalog.refreshTable(t)
+    val rows = spark.table(t)
+      .select("shard", "nprobe", "probe_recall", "gprobe",
+        "hier_recall", "state_key")
+      .collect().sortBy(_.getInt(0))
+    if (rows.isEmpty) None
+    else if (rows.head.getString(5) != shardStateKey(spark, table)) None
+    else Some(rows.map(r => ShardDials(r.getInt(1), r.getDouble(2),
+      r.getInt(3), r.getDouble(4))).toSeq)
+  }
+
+  /** [[tuneShardDials]] + [[writeShardDials]] — the monitoring-cadence
+    * loop of the sharded serving deployment. */
+  def tuneShardDialsPersist(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String, targetRecall: Double,
+      dim: Int = 64, minGain: Double = 0.005): Seq[ShardDials] = {
+    val dials = tuneShardDials(queries, idCol, vecCol, k, table,
+      targetRecall, dim, minGain)
+    writeShardDials(queries.sparkSession, table, dials)
+    dials
+  }
+
+  /** [[ivfAdcTopKIndexedShardedTuned]] serving from the STORED
+    * per-shard dials — refusing stale ones loudly, like the stacks'
+    * stored-decision path. */
+  def ivfAdcTopKIndexedShardedTuned(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String): DataFrame =
+    ivfAdcTopKIndexedShardedTuned(queries, idCol, vecCol, k, table,
+      readShardDials(queries.sparkSession, table).getOrElse(
+        throw new IllegalStateException(
+          s"$table has no fresh per-shard dials — a shard was " +
+            "retrained, the index was resharded/rebuilt, or it was " +
+            "never tuned: run tuneShardDialsPersist at monitoring " +
+            "cadence, then serve")))
+
   /** TUNED serving probe of the SHARDED index (r18 verdict item 1):
     * [[ivfAdcTopKIndexedSharded]]'s exact fan-out/merge shape — shared
     * bounded query snapshot, concurrent per-shard plan construction,

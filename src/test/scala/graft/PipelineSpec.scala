@@ -1602,13 +1602,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         Similarity.ivfAdcTopKIndexedShardedTuned(queries, "vec_id",
           "embedding", k = 3, "shtn4_idx", dials)
       }
+      // (e) persisted per-shard dials (items 1+3 composed): round-trip,
+      // stored-dials serving identical to explicit dials, and ANY
+      // shard's retrain refuses the stored dials stale
+      Similarity.writeShardDials(spark, "shtn4_idx", dials4)
+      assert(Similarity.readShardDials(spark, "shtn4_idx")
+        .contains(dials4), "per-shard dials did not round-trip")
+      assert(rows(Similarity.ivfAdcTopKIndexedShardedTuned(queries,
+          "vec_id", "embedding", k = 3, "shtn4_idx")) == rows(tuned),
+        "stored-dials serving diverged from explicit dials")
+      Similarity.retrainIvfAdcIndex(
+        vecs.filter(col("vec_id") % 4 === 1), "vec_id", "embedding",
+        Similarity.shardTable("shtn4_idx", 1),
+        nlist = Similarity.ivfParams(200L)._1, dim = 64)
+      assert(Similarity.readShardDials(spark, "shtn4_idx").isEmpty,
+        "stale per-shard dials served after one shard's retrain")
+      intercept[IllegalStateException] {
+        Similarity.ivfAdcTopKIndexedShardedTuned(queries, "vec_id",
+          "embedding", k = 3, "shtn4_idx")
+      }
     } finally {
       for (t <- Seq("shtn1_idx_s0", "shtn4_idx_s0", "shtn4_idx_s1",
           "shtn4_idx_s2", "shtn4_idx_s3", "shtn_ref");
           sfx <- Seq("", "_c", "_g", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
-      spark.sql("DROP TABLE IF EXISTS shtn1_idx_sh")
-      spark.sql("DROP TABLE IF EXISTS shtn4_idx_sh")
+      for (t <- Seq("shtn1_idx_sh", "shtn4_idx_sh", "shtn4_idx_serve",
+          "shtn4_idx_serve_compact_shadow"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
     }
   }
 
