@@ -1501,6 +1501,17 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(spark.table("rsh_idx_r1_s0").filter(col("id") === 900)
         .count() == 1L, // 900 % 3 == 0 — routed into the NEW layout
         "post-reshard append did not land in the new layout")
+      // (e) a FRESH BUILD over a resharded index replaces the whole
+      // layout — the reshard generation's differently-named tables
+      // must not survive as orphans
+      Similarity.writeIvfAdcIndexSharded(survivors, "vec_id",
+        "embedding", "rsh_idx", nShards = 2, dim = 64)
+      for (s <- 0 until 3)
+        assert(!spark.catalog.tableExists(s"rsh_idx_r1_s$s"),
+          s"rebuild orphaned the resharded table rsh_idx_r1_s$s")
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+          "vec_id", "embedding", k = 3, "rsh_idx")).nonEmpty,
+        "rebuild over the resharded index does not probe")
     } finally {
       for (t <- Seq("rsh_idx_s0", "rsh_idx_s1", "rsh_idx_r1_s0",
           "rsh_idx_r1_s1", "rsh_idx_r1_s2", "rsh_ref_s0", "rsh_ref_s1",

@@ -780,6 +780,16 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         assert(stored(s"sstr_rp_r1_s$s") == resharded(s),
           s"replayed committed batch re-appended into resharded " +
             s"shard $s — marks were not carried")
+      // a NEW batch of the same lineage still lands post-reshard
+      // (the carried marks refuse only committed keys, and routing
+      // resolves the new layout)
+      val extra = corpus.filter(col("vec_id") < 30)
+        .withColumn("vec_id", col("vec_id") + 500L)
+      Similarity.streamAppendAdcBatchSharded(extra, batchId = 1L,
+        "vec_id", "embedding", "sstr_rp", lineage = 1L)
+      assert((0 until 3).map(s => spark.table(s"sstr_rp_r1_s$s")
+          .filter(col("id") >= 500).count()).sum == 30L,
+        "a fresh post-reshard batch did not land in the new layout")
     } finally {
       for (t <- Seq("sstr_idx_s0", "sstr_idx_s1", "sstr_one_s0",
           "sstr_one_s1", "sstr_rp_s0", "sstr_rp_s1", "sstr_rp_r1_s0",
