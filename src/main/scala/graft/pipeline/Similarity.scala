@@ -1313,6 +1313,34 @@ object Similarity {
   private def readShardCount(spark: SparkSession, table: String): Int =
     readShardMeta(spark, table)._1
 
+  /** Sweep shard tables of every reshard generation OTHER than
+    * `liveGen` — the heal for a reshard's one non-atomic residue: its
+    * post-commit GC. A crash between the sidecar commit and the GC
+    * leaves the retired generation's tables orphaned (inert — no
+    * reader resolves them — but residue), and a crashed ATTEMPT
+    * leaves its next-generation tables half-built; both match the
+    * generation-name grammar and neither is the live generation, so
+    * one catalog sweep at the next reshard/build entry removes them.
+    * Regex-precise (NOT a `_s*` glob, which would eat the `_sh` and
+    * `_serve` sidecars). */
+  private def dropStaleShardGens(spark: SparkSession, table: String,
+      liveGen: Long): Unit = {
+    val q = java.util.regex.Pattern.quote(table)
+    val gen0 = s"^${q}_s\\d+(_c|_g|_g_hwm|_t)?$$".r
+    val genR = s"^${q}_r(\\d+)_s\\d+(_c|_g|_g_hwm|_t)?$$".r
+    spark.sessionState.catalog
+      .listTables(spark.catalog.currentDatabase).map(_.table)
+      .foreach { t =>
+        val gen: Option[Long] = t match {
+          case genR(g, _) => Some(g.toLong)
+          case gen0(_)    => Some(0L)
+          case _          => None
+        }
+        if (gen.exists(_ != liveGen))
+          spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      }
+  }
+
   /** Build the SHARDED persisted ADC index: route by [[shardOf]], build
     * one [[writeIvfAdcIndex]] tier per shard (occupancy-constant nlist
     * from each shard's OWN count — the same derivation a single-table
@@ -1327,17 +1355,14 @@ object Similarity {
     require(nShards >= 1, s"nShards=$nShards")
     val spark = vecs.sparkSession
     requireNonNegIds(vecs, idCol, "writeIvfAdcIndexSharded")
-    // a fresh build replaces ANY previous layout at this name — if a
-    // reshard generation > 0 is live, its differently-named shard
-    // tables would otherwise be orphaned by the sidecar overwrite
-    if (spark.catalog.tableExists(table + "_sh")) {
-      val (oldN, oldG) = readShardMeta(spark, table)
-      if (oldG > 0L)
-        for (s <- 0 until oldN;
-            sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
-          spark.sql(
-            s"DROP TABLE IF EXISTS `${shardTableAt(table, oldG, s)}$sfx`")
-    }
+    // a fresh build replaces ANY previous layout at this name: sweep
+    // EVERY generation's shard tables (liveGen = -1 keeps nothing) —
+    // a live reshard generation, a crashed attempt's half-build, a
+    // crashed GC's orphans, and the gen-0 tables of a previous build
+    // at a LARGER shard count (rebuilding 8 -> 2 would otherwise
+    // orphan s2..s7, which the per-table overwrite never touches)
+    if (spark.catalog.tableExists(table + "_sh"))
+      dropStaleShardGens(spark, table, liveGen = -1L)
     for (s <- 0 until nShards) {
       val sub = vecs.filter(shardOf(idCol, nShards) === s)
       val n = sub.count()
@@ -1755,6 +1780,11 @@ object Similarity {
     requireNonNegIds(vecs, idCol, "reshardIvfAdcIndex")
     val (oldShards, g) = readShardMeta(spark, table)
     val g2 = g + 1L
+    // heal residue first: a previous reshard's crashed post-commit GC
+    // (or a crashed attempt's half-built next generation) leaves
+    // inert tables no reader resolves — swept here, where the next
+    // writer already holds the lock
+    dropStaleShardGens(spark, table, liveGen = g)
     // survivors: the live corpus minus every old shard's tombstones at
     // that shard's ACTIVE epoch (an id lives in exactly one shard, so
     // the union is the global delete set) — retrainIvfAdcIndex's

@@ -1512,6 +1512,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
           "vec_id", "embedding", k = 3, "rsh_idx")).nonEmpty,
         "rebuild over the resharded index does not probe")
+      // (f) the generation sweep heals crash residue: a stale
+      // generation's table (a crashed GC's orphan) goes at the next
+      // reshard's entry, and a fresh build at a SMALLER shard count
+      // leaves no other generation's tables behind
+      spark.range(1).toDF("x").write.saveAsTable("rsh_idx_r7_s0")
+      Similarity.reshardIvfAdcIndex(survivors, "vec_id", "embedding",
+        "rsh_idx", newShards = 2, dim = 64)
+      assert(!spark.catalog.tableExists("rsh_idx_r7_s0"),
+        "stale-generation orphan survived the reshard entry sweep")
+      Similarity.writeIvfAdcIndexSharded(survivors, "vec_id",
+        "embedding", "rsh_idx", nShards = 1, dim = 64)
+      assert(!spark.catalog.tableExists("rsh_idx_r1_s0") &&
+        !spark.catalog.tableExists("rsh_idx_s1"),
+        "fresh build left another generation's tables behind")
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+          "vec_id", "embedding", k = 3, "rsh_idx")).nonEmpty)
     } finally {
       for (t <- Seq("rsh_idx_s0", "rsh_idx_s1", "rsh_idx_r1_s0",
           "rsh_idx_r1_s1", "rsh_idx_r1_s2", "rsh_ref_s0", "rsh_ref_s1",
