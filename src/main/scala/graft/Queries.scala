@@ -3194,6 +3194,29 @@ object RelationalQueries {
       Similarity.ivfAdcTopKIndexedSharded(vecs, "vec_id", "embedding",
         k = 3, table = table, dim = 64,
         targetRecall = q35cTargetRecall)
+    }),
+
+    // QG4 — STREAMED queries against the SHARDED index (qa6's serving
+    // shape on the fan-out tier): the query vectors arrive as a
+    // stream, each micro-batch fans across every shard inside ONE
+    // streaming query (the N-branch plan is constructed once per
+    // start — the amortization of the per-shard plan floor), per-batch
+    // rank exact. Shares qg1's index AND qg1's oracle verbatim:
+    // stream == batch == oracle at N shards.
+    "qg4" -> ((s, d) => {
+      val vecs = Tables.embeddings(s, d)
+      val table = "qg1_idx_" + dirTag(d)
+      buildOnce(table) {
+        Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+          table, nShards = qg1Shards, dim = 64,
+          targetRecall = q35cTargetRecall)
+      }
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_qg4_${s.sparkContext.applicationId}").getAbsolutePath
+      Similarity.streamAdcTopKSharded(
+        Tables.streamOf(s, d, "embeddings"), "vec_id", "embedding",
+        k = 3, table = table, sinkDir = sink,
+        dim = 64, targetRecall = q35cTargetRecall)
     })
   )
 
@@ -5399,6 +5422,13 @@ object RelationalQueries {
       iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64,
       trainExtra = s" AND vec_id % 10 <> $qg3DelRes",
       candExtra = s" AND a.vec_id % 10 <> $qg3DelRes"),
+    // qg4 (streamed queries against the sharded index) shares qg1's
+    // oracle BY REFERENCE: stream == batch == oracle at N shards
+    "qg4" -> shardedAdcOracleSql(k = 3, nShards = qg1Shards,
+      fracNum = graft.pipeline.Similarity.probeFracEighths(
+        q35cTargetRecall),
+      occ = graft.pipeline.Similarity.defaultOccupancy,
+      iters = graft.pipeline.Similarity.defaultLloydIters, dim = 64),
     // qfm (online compaction on the lexical tier): qb1's oracle
     // verbatim — the qd2/qd6 claims composed, now WITH the compaction
     // running inside the live lineage

@@ -1625,6 +1625,69 @@ object Similarity {
     rankByScaledIdot(cands, k)
   }
 
+  /** Streaming queries against the SHARDED index — [[streamAdcTopK]]'s
+    * serving shape (qa6) on the fan-out tier, and the amortization
+    * answer to the per-shard PLAN floor: a batch fan-out constructs
+    * and analyzes the N-branch plan per panel (~0.1 s/shard of pure
+    * driver work — the measured qshard floor), while a streaming
+    * query constructs it ONCE per `start()` and every micro-batch
+    * reuses the incrementalized logical plan — the deployment shape
+    * for high-QPS serving at large shard counts. Candidate generation
+    * fans each micro-batch across every shard INSIDE the one
+    * streaming query (per-shard stream-static joins against the
+    * bucketed stored tables, the qa6 plan shape per branch); the
+    * per-batch rank is EXACT for the same reason qa6's is — the
+    * static sides emit a candidate row only for a probe row of the
+    * current batch, so a query's entire merged candidate set lives in
+    * the one micro-batch that carried it. Drains the stream and reads
+    * the sink back; the `start` form owns the trigger cadence. Gate:
+    * qg4 shares qg1's oracle verbatim (stream == batch == oracle at N
+    * shards — the q70s/qa6/qe1 discipline). */
+  def streamAdcTopKSharded(stream: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String, sinkDir: String,
+      dim: Int = 64, targetRecall: Double = 0.8,
+      buckets: Int = ivfIndexBuckets): DataFrame = {
+    val q = startStreamAdcTopKSharded(stream, idCol, vecCol, k, table,
+      sinkDir, dim, targetRecall, buckets)
+    try q.processAllAvailable() finally q.stop()
+    stream.sparkSession.read.parquet(sinkDir)
+  }
+
+  /** The started-but-undrained form of [[streamAdcTopKSharded]] —
+    * schema-initialized overwrite first (reruns replace; an empty
+    * stream reads back empty and well-typed), one appended rank per
+    * micro-batch. */
+  def startStreamAdcTopKSharded(stream: DataFrame, idCol: String,
+      vecCol: String, k: Int, table: String, sinkDir: String,
+      dim: Int = 64, targetRecall: Double = 0.8,
+      buckets: Int = ivfIndexBuckets)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = stream.sparkSession
+    val (nShards, g) = readShardMeta(spark, table)
+    val frac = probeFracEighths(targetRecall) / 8.0
+    def candsOf(src: DataFrame): DataFrame =
+      (0 until nShards).map { s =>
+        val st = shardTableAt(table, g, s)
+        val nlist = adcQuantBc(spark, st, probeEpoch(spark, st))
+          .value.norms2.length
+        require(nlist > 0, s"$st has no stored centroids")
+        val np = math.max(1L, math.min(nlist.toLong,
+          math.ceil(frac * nlist).toLong)).toInt
+        adcProbeCandidates(src, idCol, vecCol, np, st, buckets)
+      }.reduce(_ unionAll _)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      stream.schema)
+    rankByScaledIdot(candsOf(empty), k)
+      .write.mode("overwrite").parquet(sinkDir)
+    candsOf(stream)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        rankByScaledIdot(batch, k).write.mode("append").parquet(sinkDir)
+      }
+      .start()
+  }
+
   /** Append to the sharded index: route the batch by the SAME shard law
     * the build used, one frozen-quantizer [[appendIvfAdcIndex]] per
     * shard. A shard with no rows in the batch gets an empty committed

@@ -801,6 +801,53 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("streamAdcTopKSharded: two micro-batches of streamed queries equal the one-shot sharded probe on their union") {
+    // qa6's per-batch-rank-is-exact argument on the FAN-OUT tier: each
+    // shard's stream-static join emits candidates only for the current
+    // batch's probe rows, and the union across shards stays within the
+    // batch — so per-batch ranking IS global ranking, and the
+    // stream-served results must be bit-equal to the one-shot sharded
+    // probe over the union of both batches.
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.col
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val qs = corpus.filter(col("vec_id") % 20 === 0)
+    val qRows = qs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val sink = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sqtest_${spark.sparkContext.applicationId}")
+      .getAbsolutePath
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndexSharded(corpus, "vec_id", "embedding",
+        "sq_idx", nShards = 2, dim = 64)
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val q = Similarity.startStreamAdcTopKSharded(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        k = 3, "sq_idx", sink)
+      try {
+        ms.addData(qRows.take(qRows.size / 2))
+        q.processAllAvailable()
+        ms.addData(qRows.drop(qRows.size / 2))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = rows(spark.read.parquet(sink))
+      assert(streamed.nonEmpty &&
+        streamed == rows(Similarity.ivfAdcTopKIndexedSharded(qs,
+          "vec_id", "embedding", k = 3, "sq_idx")),
+        "streamed sharded probe diverged from the one-shot fan-out")
+    } finally {
+      for (t <- Seq("sq_idx_s0", "sq_idx_s1");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      spark.sql("DROP TABLE IF EXISTS sq_idx_sh")
+    }
+  }
+
   test("streamAppendIvfAdcIndex: two streamed micro-batch appends equal the one-shot append and the frozen-quantizer rebuild") {
     // the qe1 contract (qd6's shape on the dense tier): each
     // micro-batch commits its own generation against the STORED frozen
