@@ -1626,23 +1626,30 @@ object Similarity {
   }
 
   /** Streaming queries against the SHARDED index — [[streamAdcTopK]]'s
-    * serving shape (qa6) on the fan-out tier, and the amortization
-    * answer to the per-shard PLAN floor: a batch fan-out constructs
-    * and analyzes the N-branch plan per panel (~0.1 s/shard of pure
-    * driver work — the measured qshard floor), while a streaming
-    * query constructs it ONCE per `start()` and every micro-batch
-    * reuses the incrementalized logical plan — the deployment shape
-    * for high-QPS serving at large shard counts. Candidate generation
-    * fans each micro-batch across every shard INSIDE the one
-    * streaming query (per-shard stream-static joins against the
-    * bucketed stored tables, the qa6 plan shape per branch); the
-    * per-batch rank is EXACT for the same reason qa6's is — the
-    * static sides emit a candidate row only for a probe row of the
-    * current batch, so a query's entire merged candidate set lives in
-    * the one micro-batch that carried it. Drains the stream and reads
-    * the sink back; the `start` form owns the trigger cadence. Gate:
-    * qg4 shares qg1's oracle verbatim (stream == batch == oracle at N
-    * shards — the q70s/qa6/qe1 discipline). */
+    * serving shape (qa6) on the fan-out tier: query vectors arriving
+    * as a stream fan across every shard INSIDE the one streaming
+    * query (per-shard stream-static joins against the bucketed stored
+    * tables, the qa6 plan shape per branch); the per-batch rank is
+    * EXACT for the same reason qa6's is — the static sides emit a
+    * candidate row only for a probe row of the current batch, so a
+    * query's entire merged candidate set lives in the one micro-batch
+    * that carried it. Drains the stream and reads the sink back; the
+    * `start` form owns the trigger cadence. Gate: qg4 shares qg1's
+    * oracle verbatim (stream == batch == oracle at N shards — the
+    * q70s/qa6/qe1 discipline).
+    *
+    * MEASURED, so the claim stays honest (GrowthBench
+    * qshard_stream_batch_s8 vs qshard_oneshot_s8: 1.31 vs 1.24 s —
+    * ratio 1.0): this form does NOT amortize the per-shard plan floor
+    * at bench scale. The hypothesis was that a started query pays
+    * Catalyst once; in fact micro-batch incremental execution re-runs
+    * analysis/optimization per batch, so only THIS method's own
+    * fan-out construction (memo lookups, epoch reads, the shared
+    * snapshot) is once-per-start — and the TTL cache had already made
+    * that part small. The value of the streamed form is the serving
+    * SHAPE (an arriving query feed served exactly), not a floor
+    * optimization; the floor itself lives in per-batch re-planning
+    * and would need plan-level caching Spark does not expose. */
   def streamAdcTopKSharded(stream: DataFrame, idCol: String,
       vecCol: String, k: Int, table: String, sinkDir: String,
       dim: Int = 64, targetRecall: Double = 0.8,

@@ -590,6 +590,45 @@ object GrowthBench {
       t("qshard_probe_s8_ttl") = time("qshard_probe_s8_ttl",
         Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
           "embedding", k = 3, "gshard_idx_8"))
+      // the serving AMORTIZATION of the per-shard plan floor (r19):
+      // the same panel as repeated micro-batches through ONE started
+      // streaming fan-out (plan constructed once) vs repeated
+      // one-shot fan-outs (each re-pays construction). Both warm,
+      // both under the TTL; 5 rounds each, per-round seconds.
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import spark.implicits._
+        val panelRows = panel
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])].collect().toSeq
+        val sink = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_gshard_stream_${spark.sparkContext.applicationId}")
+          .getAbsolutePath
+        val ms = MemoryStream[(Long, Array[Float])](spark)
+        val q = Similarity.startStreamAdcTopKSharded(
+          ms.toDF().toDF("vec_id", "embedding"), "vec_id",
+          "embedding", k = 3, "gshard_idx_8", sink)
+        try {
+          ms.addData(panelRows) // batch 1 warms the started plan
+          q.processAllAvailable()
+          val t0 = System.nanoTime()
+          for (_ <- 1 to 5) {
+            ms.addData(panelRows); q.processAllAvailable()
+          }
+          t("qshard_stream_batch_s8") = (System.nanoTime() - t0) / 5e9
+        } finally q.stop()
+        val t1 = System.nanoTime()
+        for (_ <- 1 to 5)
+          Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
+            "embedding", k = 3, "gshard_idx_8").count()
+        t("qshard_oneshot_s8") = (System.nanoTime() - t1) / 5e9
+        System.err.println(f"[growth] qshard stream-vs-oneshot s8: " +
+          f"per-batch ${t("qshard_stream_batch_s8")}%.2f s vs " +
+          f"per-probe ${t("qshard_oneshot_s8")}%.2f s " +
+          f"(plan-floor amortization " +
+          f"${t("qshard_oneshot_s8") / t("qshard_stream_batch_s8")}%.1fx)")
+      }
       spark.conf.unset("graft.adc.quantKeyTtlMs")
     }
 
