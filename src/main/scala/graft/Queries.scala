@@ -3111,12 +3111,15 @@ object RelationalQueries {
     }),
 
     // QG1 — the SHARDED persisted ADC index (r17 verdict item 3;
-    // BASELINE.md's named 100 TB dial): ids content-hash into
-    // qg1Shards shard tables, each with its OWN quantizer trained on
-    // its own rows (occupancy-constant nlist from the shard count) and
-    // its own epoch/lifecycle; probes fan out to every shard at that
-    // shard's fraction-law nprobe and ONE global rank merges the
-    // candidate union. The reference's partitioned-lookup pattern
+    // BASELINE.md's named 100 TB dial; ONE-TABLE one-plan layout since
+    // r20): ids content-hash into qg1Shards shards, each with its OWN
+    // quantizer trained on its own rows (occupancy-constant nlist from
+    // the shard count) and its own epoch/lifecycle — but all shards'
+    // packed rows live in ONE bucketed table keyed by the global cell
+    // id, so the probe is ONE plan (one scan, one join) at any shard
+    // count; every query still probes every shard at that shard's
+    // fraction-law nprobe and ONE global rank merges the candidate
+    // union. The reference's partitioned-lookup pattern
     // (mapred/MapFileOutputFormat.java:39,115 — getEntry routes by the
     // job partitioner across the partitioned MapFile array; the shard
     // law IS HashPartitioner's `value % partitions`). The oracle
@@ -3198,11 +3201,13 @@ object RelationalQueries {
 
     // QG4 — STREAMED queries against the SHARDED index (qa6's serving
     // shape on the fan-out tier): the query vectors arrive as a
-    // stream, each micro-batch fans across every shard inside ONE
-    // streaming query (the N-branch plan is constructed once per
-    // start — the amortization of the per-shard plan floor), per-batch
-    // rank exact. Shares qg1's index AND qg1's oracle verbatim:
-    // stream == batch == oracle at N shards.
+    // stream, each micro-batch probing every shard inside ONE
+    // stream-static join (the r20 one-table layout — r19 measured
+    // that the old N-branch streaming plan did NOT amortize the
+    // per-shard floor, which was per-branch execution; now there is
+    // no per-shard branch at all), per-batch rank exact. Shares qg1's
+    // index AND qg1's oracle verbatim: stream == batch == oracle at
+    // N shards.
     "qg4" -> ((s, d) => {
       val vecs = Tables.embeddings(s, d)
       val table = "qg1_idx_" + dirTag(d)

@@ -93,29 +93,104 @@ object HybridExecutor {
       accel: Iterator[T] => Iterator[U],
       listener: TaskTimeListener,
       nCpu: Int, nGpu: Int, waves: Int,
-      defaultMean: Double = 1.0): Seq[(Int, Array[U])] = {
+      defaultMean: Double = 1.0): Seq[(Int, Array[U])] =
+    waveLoop(spark, rdd, listener, nCpu, nGpu, waves, defaultMean) {
+      (accelRdd, cpuRdd) =>
+        // DEMO-SCALE API: both branches collect to the driver — right
+        // for the k-means-fixture scale the accelerator demo runs at,
+        // wrong for data scale ([[measuredWavesDistributed]])
+        val g = MeasuredAlpha.measured(spark, "gpu")(
+          accelRdd.mapPartitions(accel).collect())
+        val c = MeasuredAlpha.measured(spark, "cpu")(
+          cpuRdd.mapPartitions(cpu).collect())
+        g ++ c
+    }
+
+  /** [[measuredWaves]] at DATA SCALE (r19 verdict item 5): the same
+    * measure→re-split loop with each wave's branches consumed as
+    * distributed ACTIONS — nothing but the listener's metrics and the
+    * per-wave row counts ever reach the driver. `sinkOf(wave, device)`
+    * returns a parquet path when the wave's branch outputs should
+    * persist (the production shape: each wave writes its device's
+    * results); None counts rows instead. Returns the per-wave
+    * (gpuPartitions, rows) trajectory — split-shift semantics
+    * identical to [[measuredWaves]] by construction (shared loop;
+    * spec-gated on the same body). */
+  def measuredWavesDistributed[T, U: Encoder: scala.reflect.ClassTag](
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[T],
+      cpu: Iterator[T] => Iterator[U],
+      accel: Iterator[T] => Iterator[U],
+      listener: TaskTimeListener,
+      nCpu: Int, nGpu: Int, waves: Int,
+      defaultMean: Double = 1.0,
+      sinkOf: (Int, String) => Option[String] = (_, _) => None)
+      : Seq[(Int, Long)] = {
+    var wave = 0
+    waveLoop(spark, rdd, listener, nCpu, nGpu, waves, defaultMean) {
+      (accelRdd, cpuRdd) =>
+        wave += 1
+        def drain(device: String,
+            branch: org.apache.spark.rdd.RDD[U]): Long =
+          MeasuredAlpha.measured(spark, device)(
+            sinkOf(wave, device) match {
+              case None => branch.count()
+              case Some(path) =>
+                val ds = spark.createDataset(branch)(
+                  implicitly[Encoder[U]])
+                ds.write.mode("overwrite").parquet(path)
+                spark.read.parquet(path).count()
+            })
+        drain("gpu", accelRdd.mapPartitions(accel)) +
+          drain("cpu", cpuRdd.mapPartitions(cpu))
+    }
+  }
+
+  /** The shared wave loop of [[measuredWaves]] and
+    * [[measuredWavesDistributed]]: re-read the measured profile, split,
+    * prune the two partition ranges, hand them to `runWave`, then drain
+    * the async listener bus by THIS WAVE'S OWN COUNT DELTA —
+    * snapshotting [[TaskTimeListener.taskCounts]] before the wave
+    * instead of accumulating expected totals, so speculative or
+    * retried tasks from earlier waves can no longer satisfy the gate
+    * before this wave's events actually land (ADVICE r19). A tripped
+    * drain deadline is LOGGED (the next wave then runs on an
+    * under-weighted profile — degraded, but visibly so, never
+    * silently). */
+  private def waveLoop[T, A](
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[T],
+      listener: TaskTimeListener,
+      nCpu: Int, nGpu: Int, waves: Int, defaultMean: Double)(
+      runWave: (org.apache.spark.rdd.RDD[T],
+        org.apache.spark.rdd.RDD[T]) => A): Seq[(Int, A)] = {
     val nPart = rdd.getNumPartitions
-    var expCpu = 0L
-    var expGpu = 0L
-    (1 to waves).map { _ =>
+    (1 to waves).map { w =>
       val profile = listener.profile(nCpu, nGpu, defaultMean)
       val (_, gpuParts) = HybridPolicy.split(nPart, profile)
+      val (cpu0, gpu0) = listener.taskCounts
       val accelRdd = org.apache.spark.rdd.PartitionPruningRDD
-        .create(rdd, _ < gpuParts).mapPartitions(accel)
+        .create(rdd, _ < gpuParts)
       val cpuRdd = org.apache.spark.rdd.PartitionPruningRDD
-        .create(rdd, _ >= gpuParts).mapPartitions(cpu)
-      val g = MeasuredAlpha.measured(spark, "gpu")(accelRdd.collect())
-      val c = MeasuredAlpha.measured(spark, "cpu")(cpuRdd.collect())
-      // drain the async event bus up to this wave's task counts, or
-      // the next profile read would under-weigh the wave just run
-      expCpu += nPart - gpuParts
-      expGpu += gpuParts
+        .create(rdd, _ >= gpuParts)
+      val res = runWave(accelRdd, cpuRdd)
+      // drain the async event bus until THIS wave's task deltas land,
+      // or the next profile read would under-weigh the wave just run
+      val expCpu = (nPart - gpuParts).toLong
+      val expGpu = gpuParts.toLong
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while ((listener.taskCounts._1 < expCpu ||
-          listener.taskCounts._2 < expGpu) &&
+      while ((listener.taskCounts._1 - cpu0 < expCpu ||
+          listener.taskCounts._2 - gpu0 < expGpu) &&
           System.nanoTime() < deadline)
         Thread.sleep(10)
-      (gpuParts, g ++ c)
+      if (listener.taskCounts._1 - cpu0 < expCpu ||
+          listener.taskCounts._2 - gpu0 < expGpu)
+        System.err.println(s"[graft.accel] wave $w drain deadline " +
+          s"tripped: saw ${listener.taskCounts._1 - cpu0}/" +
+          s"${listener.taskCounts._2 - gpu0} of $expCpu cpu/$expGpu " +
+          "gpu task events within 30s — the next wave's profile is " +
+          "under-weighted")
+      (gpuParts, res)
     }
   }
 

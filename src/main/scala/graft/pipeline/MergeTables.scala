@@ -890,6 +890,31 @@ private[graft] object MergeTables {
       ()
     }
 
+  /** REFUSE an operation while ANY writer lease on `table` is live —
+    * in-process (a started streaming lineage of this driver: the lease
+    * is refcount-re-entrant, so acquiring it would NOT refuse) or
+    * foreign (another process's committed token, this catalog or
+    * another lifetime's directory). The guard structural rewrites
+    * (e.g. a reshard) run BEFORE touching tables a streaming writer's
+    * lease protects — turning the old "stop the query first" doc
+    * comment into enforced code (r19 verdict item 4). */
+  private[graft] def requireNoWriterLease(spark: SparkSession,
+      table: String, op: String): Unit = {
+    val lease = table + "_wlease"
+    val holder: Option[String] = synchronized {
+      if (leaseHolds.getOrElse(lease, 0) > 0)
+        Some("this process (a live streaming query)")
+      else if (spark.catalog.tableExists(lease)) {
+        spark.catalog.refreshTable(lease)
+        spark.table(lease).select("tok").limit(1).collect()
+          .headOption.map(r => s"token ${r.getString(0)}")
+      } else foreignLeaseToken(spark, lease)
+        .map(t => s"token $t, from a different catalog lifetime")
+    }
+    holder.foreach(h => throw new IllegalStateException(
+      s"$op — refused: the writer lease on $table is held by $h"))
+  }
+
   /** Operator override: forcibly clear a lease left by a crashed
     * writer process. Explicit by design — the loud failure plus this
     * call replaces the silent collision. */

@@ -1237,16 +1237,48 @@ object Similarity {
     invalidateQuantKeyCache(table)
   }
 
-  // ==================== sharded ADC index ====================
-  // The 100 TB dial BASELINE.md names (r17 verdict item 3): one
-  // writeIvfAdcIndex tier PER CONTENT SHARD, each with its own
-  // quantizer, epoch, and full lifecycle (append / delete / compact /
-  // retrain all delegate per shard). The single-table design tops out
-  // at one quantizer's nlist and one table's bucket count; sharding
-  // multiplies both, keeps every quantizer's training local to its
-  // shard, and fans probes out — the reference's own partitioned-lookup
-  // pattern (mapred/MapFileOutputFormat.java:39,115: getEntry routes a
-  // key by the job partitioner across the partitioned MapFile array).
+  // ============ sharded ADC index (one-plan, one-table layout) ============
+  // The 100 TB horizontal dial (r17 verdict item 3), re-laid in r20 as
+  // ONE physical table so the probe is ONE Catalyst plan at any shard
+  // count (r19 verdict item 1). The r17-r19 layout was one full
+  // writeIvfAdcIndex tier PER SHARD and the probe a per-shard plan
+  // fan-out; that paid a MEASURED ~0.1 s/shard of per-branch EXECUTION
+  // floor (N bucketed scans, N broadcasts, N exchanges — task count
+  // linear in the shard count; decomposed r20: construction ~0.25 s and
+  // Catalyst planning ~0.15 s both FLAT in shards, execution 0.9/1.9/3.4 s
+  // at s8/s16/s32), re-paid per probe batch and per micro-batch (the r19
+  // streaming-amortization measurement falsified plan reuse). Now the
+  // fan-out is DATA: rows carry their shard and a GLOBAL cell id
+  // `gcell = shard·2^32 + cell` ([[graft.functions.NearestCellsSharded]]),
+  // all shards' packed rows live in ONE bucketed table, every shard's
+  // quantizer rides ONE broadcast, and a probe is one scan + one join +
+  // one rank regardless of shard count. Each shard KEEPS its own
+  // quantizer, epoch, nlist and dials — sharding still multiplies
+  // training locality and write parallelism — but the per-shard state
+  // is rows and broadcast slices, not tables and plan branches.
+  // Reference contract: MapFileOutputFormat opens the partitioned
+  // reader set ONCE and every getEntry routes within it
+  // (mapred/MapFileOutputFormat.java:93-107) — the reader set is state,
+  // not per-probe construction.
+  //
+  // Physical layout at reshard generation g (generation 0 omits `_r{g}`):
+  //   <table>_r{g}_sv        (gcell, shard, cell, id, qc, scale, gen, epoch)
+  //                          bucketed+sorted+bloomed by gcell
+  //   <table>_r{g}_sv_c      (shard, cell, cent, epoch) — all quantizers
+  //   <table>_r{g}_sv_g      (shard, gen, batch_key, epoch) — committed
+  //                          generations, one row per shard per commit
+  //   <table>_r{g}_sv_t      (shard, id, epoch) — tombstones
+  //   <table>_r{g}_sv_g_hwm  (lineage, hwm) — replay marks
+  //   <table>_sh             (nshards, rsgen) — THE routing sidecar
+  //   <table>_serve          per-shard serving rows (dials/mode/depth)
+  //
+  // Protocol inheritance: generation commits, epoch flips, tombstones,
+  // replay marks and crash heals are the single-table tier's protocol
+  // verbatim, with shard as a KEY COLUMN instead of a table-name
+  // suffix. One change is an improvement: an append/stream batch
+  // commits ALL shards' generation rows in ONE single-file append, so
+  // the old per-shard partial-commit crash window no longer exists
+  // (a batch is committed for every shard or for none).
 
   /** Shard routing: `pmod(id, nShards)` — for integer keys this IS the
     * reference partitioner's law (HashPartitioner of an IntWritable is
@@ -1255,19 +1287,23 @@ object Similarity {
     * balanced for dense id spaces, and trivially reproducible by an
     * external SQL oracle.
     *
-    * NON-NEGATIVE ids only (enforced by every sharded mutator via
-    * [[requireNonNegIds]], ADVICE r18): for a negative id `pmod`
-    * (always-positive) and the `%` a SQL oracle or Java's
-    * HashPartitioner computes (sign-of-dividend) route to DIFFERENT
-    * shards, so the claimed oracle parity and partitioner equivalence
-    * both silently break. Enforcing the precondition loudly at write
-    * time beats widening the oracle predicate — the testdata and every
-    * real corpus here key by unsigned-style row ids. */
+    * NON-NEGATIVE ids only (enforced by every sharded mutator —
+    * [[requireNonNegIds]] for batch-sized mutations,
+    * [[shardCountsChecked]]'s fused pass for corpus-sized builds):
+    * for a negative id `pmod` (always-positive) and the `%` a SQL
+    * oracle or Java's HashPartitioner computes (sign-of-dividend)
+    * route to DIFFERENT shards, so the claimed oracle parity and
+    * partitioner equivalence both silently break. */
   private def shardOf(idCol: String, nShards: Int): Column =
     pmod(col(idCol), lit(nShards.toLong))
 
   /** Loud precondition of the sharded tier's routing law — see
-    * [[shardOf]]. One metadata-cheap min() agg per mutation batch. */
+    * [[shardOf]]. ONE min() aggregation job over the caller's frame —
+    * batch-sized for appends/deletes, but a FULL PASS on a filtered/
+    * joined corpus frame (min/max pushdown cannot serve those), which
+    * is why the corpus-sized entry points (build/reshard) fold the
+    * check into [[shardCountsChecked]]'s routing pass instead of
+    * calling this (ADVICE r19). */
   private def requireNonNegIds(df: DataFrame, idCol: String,
       op: String): Unit = {
     val row = df.agg(min(col(idCol)).cast("long")).head()
@@ -1276,19 +1312,51 @@ object Similarity {
         "pmod routing and the oracle's sign-of-dividend % diverge below 0")
   }
 
-  /** A shard's own index table name (the ORIGINAL, reshard-generation-0
-    * layout — kept as the public name because qg1's oracle and the
-    * lifecycle specs address shards through it). */
-  def shardTable(table: String, s: Int): String = shardTableAt(table, 0L, s)
+  /** Per-shard routed counts AND the id-sign check in ONE corpus pass
+    * (ADVICE r19: the old separate min() agg re-scanned the corpus) —
+    * the build/reshard entry derives each shard's occupancy-constant
+    * nlist from exactly this. Fails loudly on a negative id or an
+    * empty shard (nothing to train that shard's quantizer on — choose
+    * fewer shards). */
+  private def shardCountsChecked(vecs: DataFrame, idCol: String,
+      nShards: Int, op: String): Array[Long] = {
+    val rows = vecs.groupBy(shardOf(idCol, nShards).cast("int").as("s"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).cast("long").as("m"))
+      .collect()
+    val counts = new Array[Long](nShards)
+    rows.foreach { r =>
+      require(!r.isNullAt(2) && r.getLong(2) >= 0L,
+        s"$op: sharded ADC ids must be non-negative (min ${r.get(2)}) " +
+          "— pmod routing and the oracle's sign-of-dividend % diverge " +
+          "below 0")
+      counts(r.getInt(0)) = r.getLong(1)
+    }
+    (0 until nShards).foreach(s => require(counts(s) > 0,
+      s"$op: shard $s of $nShards is empty — id space too sparse for " +
+        "this shard count"))
+    counts
+  }
 
-  /** Shard table name at reshard generation `rsgen`: generation 0 is
-    * the build's `table_sN`; a [[reshardIvfAdcIndex]] lands generation
-    * g > 0 under `table_r{g}_sN` — the one level of naming indirection
-    * that gives RESHARD a single commit point (the sidecar swap flips
-    * every probe to the new layout atomically; per-table renames of N
-    * tables cannot). */
-  private def shardTableAt(table: String, rsgen: Long, s: Int): String =
-    if (rsgen == 0L) s"${table}_s$s" else s"${table}_r${rsgen}_s$s"
+  /** The sharded index's ONE data table at reshard generation `rsgen`:
+    * generation 0 is the build's `table_sv`; a [[reshardIvfAdcIndex]]
+    * lands generation g > 0 under `table_r{g}_sv` — the one level of
+    * naming indirection that gives RESHARD a single commit point (the
+    * `_sh` sidecar swap flips every probe/mutator to the new layout
+    * atomically). */
+  private def svDataTable(table: String, rsgen: Long): String =
+    if (rsgen == 0L) s"${table}_sv" else s"${table}_r${rsgen}_sv"
+
+  /** ENFORCE the generation-name-grammar reservation at build time
+    * (ADVICE r19, medium): [[dropStaleShardGens]] sweeps every catalog
+    * name matching `<table>(_r<g>)?_sv(...)`, so a sharded index whose
+    * OWN name ends in `_r<g>` or `_sv` would make another index's
+    * sweep (or its own) ambiguous. Refusing the name at build beats
+    * silently destroying a colliding index at the next rebuild. */
+  private def requireShardableName(table: String): Unit =
+    require(!table.matches(".*_r\\d+$") && !table.endsWith("_sv"),
+      s"$table: sharded index names ending in _r<g> or _sv are " +
+        "reserved by the reshard-generation name grammar — pick " +
+        "another name")
 
   /** (shard count, reshard generation) from the sidecar — every
     * sharded entry point resolves layout through this one read. A
@@ -1313,21 +1381,22 @@ object Similarity {
   private def readShardCount(spark: SparkSession, table: String): Int =
     readShardMeta(spark, table)._1
 
-  /** Sweep shard tables of every reshard generation OTHER than
-    * `liveGen` — the heal for a reshard's one non-atomic residue: its
-    * post-commit GC. A crash between the sidecar commit and the GC
+  /** Sweep the one-table layouts of every reshard generation OTHER
+    * than `liveGen` — the heal for a reshard's one non-atomic residue:
+    * its post-commit GC. A crash between the sidecar commit and the GC
     * leaves the retired generation's tables orphaned (inert — no
-    * reader resolves them — but residue), and a crashed ATTEMPT
-    * leaves its next-generation tables half-built; both match the
+    * reader resolves them — but residue), and a crashed ATTEMPT leaves
+    * its next-generation tables half-built; both match the
     * generation-name grammar and neither is the live generation, so
     * one catalog sweep at the next reshard/build entry removes them.
-    * Regex-precise (NOT a `_s*` glob, which would eat the `_sh` and
-    * `_serve` sidecars). */
+    * Regex-precise (NOT a glob — `_sh` and `_serve` must survive), and
+    * the grammar is RESERVED at build time ([[requireShardableName]],
+    * ADVICE r19) so no unrelated index can sit inside it. */
   private def dropStaleShardGens(spark: SparkSession, table: String,
       liveGen: Long): Unit = {
     val q = java.util.regex.Pattern.quote(table)
-    val gen0 = s"^${q}_s\\d+(_c|_g|_g_hwm|_t)?$$".r
-    val genR = s"^${q}_r(\\d+)_s\\d+(_c|_g|_g_hwm|_t)?$$".r
+    val gen0 = s"^${q}_sv(_c|_g|_g_hwm|_t|_cmp)?$$".r
+    val genR = s"^${q}_r(\\d+)_sv(_c|_g|_g_hwm|_t|_cmp)?$$".r
     spark.sessionState.catalog
       .listTables(spark.catalog.currentDatabase).map(_.table)
       .foreach { t =>
@@ -1341,37 +1410,291 @@ object Similarity {
       }
   }
 
-  /** Build the SHARDED persisted ADC index: route by [[shardOf]], build
-    * one [[writeIvfAdcIndex]] tier per shard (occupancy-constant nlist
-    * from each shard's OWN count — the same derivation a single-table
-    * build uses on its whole corpus), then commit the shard count as a
-    * one-row sidecar so probes and lifecycle ops are self-describing.
-    * Every shard must be non-empty (an empty shard has nothing to train
-    * a quantizer on — choose fewer shards). */
+  /** One probe/mutation's resolved view of the sharded index:
+    * generation layout plus the per-shard PROTOCOL state — active
+    * epoch per shard and the committed (shard, gen, epoch) set — from
+    * ONE read of the `_g` table (the single-table tier paid one epoch
+    * job PER SHARD here). The `_g` row count is compaction-bounded, so
+    * the collect is protocol-sized, never corpus-sized. */
+  private[graft] final case class SvState(table: String, nShards: Int,
+      rsgen: Long, dataT: String, epochs: Array[Long],
+      committed: Array[(Int, Long, Long)])
+
+  /** TTL cache over [[svState]]'s protocol read — the sharded twin of
+    * [[epochCache]]/[[quantKeyCache]], same conf
+    * (`graft.adc.quantKeyTtlMs`), same contract: a foreign process's
+    * mutation inside a TTL window is seen at the next expiry or an
+    * explicit [[invalidateQuantKeyCache]]; mutators always read fresh.
+    * Default 0 = fresh per plan (the oracle-gated rows keep it). */
+  private val svStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, SvState)]()
+
+  private def svState(spark: SparkSession, table: String,
+      fresh: Boolean = false): SvState = {
+    val ttlMs =
+      if (fresh) 0L
+      else spark.conf.getOption("graft.adc.quantKeyTtlMs")
+        .map(_.toLong).getOrElse(0L)
+    val ck = spark.sparkContext.applicationId + ":" + table + ":"
+    if (ttlMs > 0L) {
+      val hit = svStateCache.get(ck)
+      if (hit != null &&
+          System.nanoTime() - hit._1 < ttlMs * 1000000L) return hit._2
+    }
+    val (nShards, rsgen) = readShardMeta(spark, table)
+    val dataT = svDataTable(table, rsgen)
+    val gt = dataT + "_g"
+    MergeTables.recoverCmpSwapCrash(spark, dataT)
+    MergeTables.recoverCompactCrash(spark, gt)
+    require(spark.catalog.tableExists(gt),
+      s"$table has no generation table at $gt — not a sharded ADC index")
+    spark.catalog.refreshTable(gt)
+    val rows = spark.table(gt)
+      .select(col("shard").cast("int"), col("gen"), col("epoch"))
+      .collect()
+    val epochs = Array.fill(nShards)(-1L)
+    rows.foreach { r =>
+      val s = r.getInt(0)
+      if (r.getLong(2) > epochs(s)) epochs(s) = r.getLong(2)
+    }
+    (0 until nShards).foreach(s => require(epochs(s) >= 0L,
+      s"$table: shard $s has no committed generations — corrupt index"))
+    val committed = rows.iterator
+      .filter(r => r.getLong(2) == epochs(r.getInt(0)))
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toArray
+    val st = SvState(table, nShards, rsgen, dataT, epochs, committed)
+    if (ttlMs > 0L) svStateCache.put(ck, (System.nanoTime(), st))
+    else svStateCache.remove(ck)
+    st
+  }
+
+  /** Drop every in-process cached handle on a sharded index — state
+    * TTL entries, quantizer-listing TTL entries and the combined
+    * broadcasts — after any layout/epoch mutation. */
+  private def invalidateSvCaches(table: String, dataT: String): Unit = {
+    val it = svStateCache.keySet().iterator()
+    while (it.hasNext) if (it.next().contains(":" + table + ":"))
+      it.remove()
+    Option(svQuantMemo.remove(dataT)).foreach(_._2.unpersist(false))
+    Option(svHierMemo.remove(dataT)).foreach(_._2.unpersist(false))
+    invalidateQuantKeyCache(dataT)
+  }
+
+  /** The combined-broadcast memo key: per-shard active epochs PLUS the
+    * centroid table's file snapshot — ONE listing for every shard
+    * (the per-shard layout paid one per shard), TTL-served like
+    * [[quantStateKey]]'s and scoped to this SparkContext for the same
+    * dead-handle reason. */
+  private def svQuantKey(spark: SparkSession, st: SvState,
+      fresh: Boolean = false): String = {
+    val ttlMs =
+      if (fresh) 0L
+      else spark.conf.getOption("graft.adc.quantKeyTtlMs")
+        .map(_.toLong).getOrElse(0L)
+    val ck = spark.sparkContext.applicationId + ":" + st.dataT + ":" +
+      st.epochs.mkString(",")
+    if (ttlMs > 0L) {
+      val hit = quantKeyCache.get(ck)
+      if (hit != null &&
+          System.nanoTime() - hit._1 < ttlMs * 1000000L) return hit._2
+    }
+    val key = spark.sparkContext.applicationId + ":" +
+      st.epochs.mkString(",") + ":" +
+      MergeTables.freshInputFiles(spark, st.dataT + "_c").mkString(",")
+    if (ttlMs > 0L) {
+      quantKeyCache.put(ck, (System.nanoTime(), key))
+      evictOtherEpochs(quantKeyCache,
+        spark.sparkContext.applicationId, st.dataT, ck)
+    } else quantKeyCache.remove(ck)
+    key
+  }
+
+  /** The PERSISTED serving-state key of a sharded index: per-shard
+    * epochs + the centroid file snapshot + layout meta, WITHOUT the
+    * application id — stored dials must survive a driver restart (the
+    * whole point of persisting them), while the broadcast MEMO keys
+    * keep the app id for dead-handle scoping. Any shard's retrain, a
+    * reshard, a rebuild or a centroid GC changes it. */
+  private def svStateKey(spark: SparkSession, st: SvState): String =
+    st.epochs.mkString(",") + "|" +
+      MergeTables.freshInputFiles(spark, st.dataT + "_c").mkString(",") +
+      s"|n=${st.nShards}|g=${st.rsgen}"
+
+  /** Every shard's centroids at its active epoch, read in ONE pass of
+    * the shared `_c` table (nlist-bounded rows, the same driver state
+    * the trainers hold). */
+  private def readSvCentroids(spark: SparkSession, st: SvState)
+      : Array[Array[Array[Double]]] = {
+    MergeTables.recoverCompactCrash(spark, st.dataT + "_c")
+    spark.catalog.refreshTable(st.dataT + "_c")
+    val rows = spark.table(st.dataT + "_c")
+      .select(col("shard").cast("int"), col("cell"), col("cent"),
+        col("epoch"))
+      .collect()
+    (0 until st.nShards).map { s =>
+      val cs = rows.filter(r =>
+          r.getInt(0) == s && r.getLong(3) == st.epochs(s))
+        .sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      require(cs.nonEmpty, s"${st.table}: shard $s has no stored " +
+        s"centroids at epoch ${st.epochs(s)}")
+      cs
+    }.toArray
+  }
+
+  /** Process-level memos of the COMBINED quantizer broadcasts — one
+    * shipped ShardedQuant/ShardedHier per (data table, epochs,
+    * centroid snapshot), the sharded twins of [[quantBcMemo]]. */
+  private val svQuantMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.broadcast.Broadcast[
+      graft.functions.NearestCellsSharded.ShardedQuant])]()
+  private val svHierMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.broadcast.Broadcast[
+      graft.functions.NearestCellsSharded.ShardedHier])]()
+
+  private def svQuantBc(spark: SparkSession, st: SvState)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsSharded.ShardedQuant] =
+    memoBc(svQuantMemo, spark, st.dataT, svQuantKey(spark, st))(
+      graft.functions.NearestCellsSharded.ShardedQuant(
+        readSvCentroids(spark, st)
+          .map(graft.functions.NearestCellsBc.quantizerOf)))
+
+  private def svHierBc(spark: SparkSession, st: SvState)
+      : org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsSharded.ShardedHier] =
+    memoBc(svHierMemo, spark, st.dataT, svQuantKey(spark, st))(
+      graft.functions.NearestCellsSharded.ShardedHier(
+        readSvCentroids(spark, st)
+          .map(graft.functions.NearestCellsHier.group)))
+
+  /** The packed (gcell, shard, cell, id, qc, scale) rows of a
+    * mixed-shard vector frame in ONE pass: each row routes by
+    * [[shardOf]] and assigns to ITS shard's quantizer through the
+    * combined broadcast ([[graft.functions.NearestCellsSharded]]'s
+    * assign kernel — the single-shard kernel on that shard's slice, so
+    * assignment is bit-identical to the retired per-shard pass).
+    * `epochOf(shardCol)` stamps each row with its shard's target epoch
+    * (a map literal at the callers — shards retrain independently). */
+  private def svPackedRows(vecs: DataFrame, idCol: String,
+      vecCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsSharded.ShardedQuant],
+      nShards: Int, gen: Long, epochOf: Column => Column): DataFrame = {
+    val sc = VectorOps.maxAbs(col(vecCol))
+    val shardC = shardOf(idCol, nShards).cast("int")
+    vecs.select(
+        shardC.as("shard"),
+        graft.functions.NearestCellsSharded.assign(col(vecCol), shardC,
+          bc).as("cell"),
+        col(idCol).as("id"),
+        VectorOps.packQuant(col(vecCol), sc).as("qc"), sc.as("scale"))
+      .select(
+        (col("shard").cast("long") * lit(4294967296L) +
+          col("cell").cast("long")).as("gcell"),
+        col("shard"), col("cell"), col("id"), col("qc"), col("scale"))
+      .withColumn("gen", lit(gen))
+      .withColumn("epoch", epochOf(col("shard")))
+  }
+
+  /** A shard→active-epoch map literal from the resolved state — how
+    * write paths stamp mixed-shard batches and probes prune the scan
+    * to active epochs. */
+  private def svEpochMap(st: SvState): Column =
+    typedLit(st.epochs.zipWithIndex.map { case (e, s) => s -> e }.toMap)
+
+  /** Train one shard's coarse quantizer over its routed subset — the
+    * single-table build's derivation verbatim (same sample, same Lloyd
+    * loop, same init), which is what keeps the qg oracles' per-shard
+    * CTE chains valid across the re-layout. */
+  private def svTrainShard(vecs: DataFrame, idCol: String,
+      vecCol: String, nShards: Int, s: Int, n: Long,
+      targetRecall: Double, dim: Int, init: String)
+      : Array[Array[Double]] = {
+    val sub = vecs.filter(shardOf(idCol, nShards) === s)
+    val (nlist, _) = ivfParams(n, targetRecall)
+    trainCoarseQuantizer(
+      trainingSample(sub, idCol, vecCol, trainingCap(nlist)),
+      vecCol, nlist, dim, init = init)
+  }
+
+  /** The (shard, cell, cent, epoch) rows of trained quantizers —
+    * build/retrain/reshard share it so the stored form cannot
+    * diverge. */
+  private def svCentroidRows(spark: SparkSession,
+      quants: Seq[(Int, Array[Array[Double]])], epoch: Long)
+      : DataFrame = {
+    import spark.implicits._
+    quants.flatMap { case (s, cents) =>
+      cents.zipWithIndex.map { case (c, i) => (s, i, c.toSeq, epoch) }
+    }.toDF("shard", "cell", "cent", "epoch")
+  }
+
+  /** Land a complete one-table layout at `dataT` over `vecs` — the
+    * shared body of [[writeIvfAdcIndexSharded]] (generation 0) and
+    * [[reshardIvfAdcIndex]] (the inert next generation): per-shard
+    * training, ONE packed corpus pass through the combined broadcast
+    * (the per-shard layout re-scanned the corpus once per shard), the
+    * bucketed write, centroids and the gen-0 commit rows. */
+  private def svBuildLayout(vecs: DataFrame, idCol: String,
+      vecCol: String, dataT: String, nShards: Int, counts: Array[Long],
+      dim: Int, targetRecall: Double, buckets: Int, init: String)
+      : Unit = {
+    val spark = vecs.sparkSession
+    VectorOps.ensureRegistered(spark)
+    // a fresh layout has no committed batches, no tombstones, no stale
+    // replay marks and no stale broadcasts
+    MergeTables.dropHwms(spark, dataT + "_g")
+    spark.sql(s"DROP TABLE IF EXISTS `${dataT}_t`")
+    graft.sources.MapFiles.clearStaleLocation(spark, dataT + "_t")
+    val quants = (0 until nShards).map(s =>
+      s -> svTrainShard(vecs, idCol, vecCol, nShards, s, counts(s),
+        targetRecall, dim, init))
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.NearestCellsSharded.ShardedQuant(
+        quants.map(q => graft.functions.NearestCellsBc.quantizerOf(q._2))
+          .toArray))
+    try graft.sources.MapFiles.write(
+      svPackedRows(vecs, idCol, vecCol, bc, nShards, gen = 0L,
+        _ => lit(0L)),
+      "gcell", buckets, dataT)
+    finally bc.unpersist(false)
+    graft.sources.MapFiles.write(
+      svCentroidRows(spark, quants, 0L), "cell", 1, dataT + "_c")
+    import spark.implicits._
+    graft.sources.MapFiles.write(
+      (0 until nShards).map(s => (s, 0L, -1L, 0L))
+        .toDF("shard", "gen", "batch_key", "epoch"),
+      "gen", 1, dataT + "_g")
+  }
+
+  /** Build the SHARDED persisted ADC index: route by [[shardOf]],
+    * train one coarse quantizer PER SHARD on its own rows
+    * (occupancy-constant nlist from each shard's OWN count — the same
+    * derivation a single-table build uses on its whole corpus), pack
+    * the whole corpus in ONE pass against the combined broadcast into
+    * ONE bucketed table keyed by the global cell id, then commit the
+    * shard count as the `_sh` sidecar so probes and lifecycle ops are
+    * self-describing. Every shard must be non-empty (an empty shard
+    * has nothing to train a quantizer on — choose fewer shards). */
   def writeIvfAdcIndexSharded(vecs: DataFrame, idCol: String,
       vecCol: String, table: String, nShards: Int, dim: Int = 64,
       targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets,
       init: String = "first"): Unit = {
     require(nShards >= 1, s"nShards=$nShards")
+    requireShardableName(table)
     val spark = vecs.sparkSession
-    requireNonNegIds(vecs, idCol, "writeIvfAdcIndexSharded")
+    // counts + id-sign check in one routed pass (ADVICE r19)
+    val counts = shardCountsChecked(vecs, idCol, nShards,
+      "writeIvfAdcIndexSharded")
     // a fresh build replaces ANY previous layout at this name: sweep
-    // EVERY generation's shard tables (liveGen = -1 keeps nothing) —
-    // a live reshard generation, a crashed attempt's half-build, a
-    // crashed GC's orphans, and the gen-0 tables of a previous build
-    // at a LARGER shard count (rebuilding 8 -> 2 would otherwise
-    // orphan s2..s7, which the per-table overwrite never touches)
-    if (spark.catalog.tableExists(table + "_sh"))
-      dropStaleShardGens(spark, table, liveGen = -1L)
-    for (s <- 0 until nShards) {
-      val sub = vecs.filter(shardOf(idCol, nShards) === s)
-      val n = sub.count()
-      require(n > 0, s"shard $s of $nShards is empty — id space too " +
-        "sparse for this shard count")
-      val (nlist, _) = ivfParams(n, targetRecall)
-      writeIvfAdcIndex(sub, idCol, vecCol, shardTable(table, s), nlist,
-        dim, buckets = buckets, init = init)
-    }
+    // EVERY generation (liveGen = -1 keeps nothing) — a live reshard
+    // generation, a crashed attempt's half-build, a crashed GC's
+    // orphans
+    dropStaleShardGens(spark, table, liveGen = -1L)
+    val dataT = svDataTable(table, 0L)
+    invalidateSvCaches(table, dataT)
+    svBuildLayout(vecs, idCol, vecCol, dataT, nShards, counts, dim,
+      targetRecall, buckets, init)
     import spark.implicits._
     // a previous JVM's sidecar directory survives in the shared
     // warehouse while this session's catalog has no row for it —
@@ -1382,133 +1705,451 @@ object Similarity {
       .saveAsTable(table + "_sh")
   }
 
+  /** The probe-visible rows of the sharded index: active-epoch rows of
+    * committed (shard, gen) pairs minus each shard's active tombstones
+    * — ONE scan + one LOCAL-relation semi-join + one anti-join at ANY
+    * shard count (the per-shard layout planned one scan + two
+    * broadcasts PER SHARD). The commit set rides the already-collected
+    * protocol state ([[svState]]) as a local relation, so liveness
+    * resolution costs the plan nothing beyond the broadcast; the epoch
+    * In-filter reaches the scan and prunes retired/orphan epochs'
+    * files from their row-group stats. */
+  private def svLiveRows(spark: SparkSession, st: SvState,
+      bucketedRead: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val stored = (
+      if (bucketedRead)
+        graft.sources.MapFiles.readBucketed(spark, st.dataT)
+      else spark.table(st.dataT))
+      .filter(col("epoch").isin(
+        st.epochs.distinct.sorted.map(Long.box): _*))
+    val commits = st.committed.toSeq.toDF("shard", "gen", "epoch")
+    val committed = stored.join(broadcast(commits),
+      Seq("shard", "gen", "epoch"), "left_semi")
+    val tt = st.dataT + "_t"
+    if (!spark.catalog.tableExists(tt)) committed
+    else {
+      val actives = st.epochs.zipWithIndex
+        .map { case (e, s) => (s, e) }.toSeq.toDF("shard", "epoch")
+      committed.join(
+        broadcast(spark.table(tt)
+          .join(broadcast(actives), Seq("shard", "epoch"), "left_semi")
+          .select("id").distinct()),
+        Seq("id"), "left_anti")
+    }
+  }
+
+  /** The ONE-PLAN sharded candidate stage — [[adcProbeCandidatesVia]]'s
+    * discipline (bounded query snapshot, gcell In-pushdown with the
+    * driver-side twin kernel, bucket co-partitioning, vector-free
+    * candidate rows) over the one-table layout. `cellsOf` is the
+    * plan-side combined-kernel column (flat or two-level, per-shard
+    * dials baked into the expression), `localSel` its driver twin.
+    * Candidates keep the `shard` column for the served path's
+    * per-shard re-rank branch. */
+  private def svProbeCandidates(queries: DataFrame, idCol: String,
+      vecCol: String, st: SvState, buckets: Int,
+      cellsOf: Column => Column,
+      localSel: Array[Double] => Array[Long]): DataFrame = {
+    val spark = queries.sparkSession
+    VectorOps.ensureRegistered(spark)
+    val snapped: Option[Array[org.apache.spark.sql.Row]] =
+      if (queries.isStreaming ||
+          spark.conf.getOption("graft.adc.pushdown").contains("false"))
+        None
+      else {
+        val rows = queries.select(col(idCol), col(vecCol))
+          .limit(maxPushdownQueries + 1).collect()
+        if (rows.length > maxPushdownQueries) None else Some(rows)
+      }
+    val probeSrc = snapped match {
+      case Some(rows) => spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        queries.select(col(idCol), col(vecCol)).schema)
+      case None => queries
+    }
+    val probes = probeSrc.select(col(idCol).as("q_id"),
+        VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
+          .as("q_qc"),
+        explode(cellsOf(col(vecCol))).as("gcell"))
+      .repartition(buckets, col("gcell"))
+    val stored = svLiveRows(spark, st)
+    val prunable = snapped match {
+      case None => stored
+      case Some(rows) =>
+        val vecIdx = 1 // (idCol, vecCol) projection above
+        val cellSet = rows.iterator
+          .filterNot(_.isNullAt(vecIdx))
+          .flatMap(r => localSel(r.getSeq[Number](vecIdx)
+            .map(x => if (x == null) 0.0 else x.doubleValue()).toArray))
+          .toSet
+        if (cellSet.size > 4096) stored
+        else stored.filter(
+          col("gcell").isin(cellSet.toSeq.sorted.map(Long.box): _*))
+    }
+    probes.join(prunable, Seq("gcell"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id").as("nb_id"),
+        VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),
+        col("scale"), col("shard"))
+  }
+
+  /** Each shard's fraction-law nprobe from its OWN stored nlist — the
+    * oracle-gated probe law, unchanged from the per-shard layout
+    * (what keeps qg1–qg4's per-shard CTE chains valid). */
+  private def svFracNprobes(
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsSharded.ShardedQuant],
+      targetRecall: Double): Array[Int] = {
+    val frac = probeFracEighths(targetRecall) / 8.0
+    bc.value.quants.map { q =>
+      val nlist = q.norms2.length
+      math.max(1L, math.min(nlist.toLong,
+        math.ceil(frac * nlist).toLong)).toInt
+    }
+  }
+
   /** Probe the sharded index: every query probes EVERY shard's own
     * quantizer at that shard's fraction-law nprobe (derived from its
-    * STORED nlist — no corpus count at probe time), the per-shard
-    * candidate sets union, and ONE global rank merges them — exact by
-    * construction (shards partition the corpus, so the union is the
-    * complete fraction-law candidate set and a stored row appears from
-    * exactly one shard). Per-query coarse work is sum(nprobe_s) with
-    * nprobe_s ~ frac·nlist_s and sum(nlist_s) = nlist — the fan-out
-    * costs what the single table cost, while write/maintenance
-    * parallelism and per-quantizer training locality scale with the
-    * shard count. The rank itself moves only candidate rows (panel ×
-    * sum of nprobe_s·occupancy), never a vector. */
+    * STORED nlist — no corpus count at probe time), all shards'
+    * candidates emerge from ONE join on the global cell id, and ONE
+    * global rank merges them — exact by construction (shards partition
+    * the corpus, so the union is the complete fraction-law candidate
+    * set and a stored row appears from exactly one shard). Per-query
+    * coarse work is sum(nprobe_s) with nprobe_s ~ frac·nlist_s and
+    * sum(nlist_s) = nlist — the fan-out costs what the single table
+    * cost, while write/maintenance parallelism and per-quantizer
+    * training locality scale with the shard count. ONE Catalyst plan
+    * at any shard count: scan, broadcasts, exchange and task count are
+    * all shard-count-independent (r19 verdict item 1 — the retired
+    * per-shard plan fan-out paid ~0.1 s/shard of execution floor). */
   def ivfAdcTopKIndexedSharded(queries: DataFrame, idCol: String,
       vecCol: String, k: Int, table: String, dim: Int = 64,
       targetRecall: Double = 0.8, buckets: Int = ivfIndexBuckets)
       : DataFrame = {
     val spark = queries.sparkSession
-    val frac = probeFracEighths(targetRecall) / 8.0
-    shardedFanout(queries, idCol, vecCol, k, table) {
-      (probeSrc, skipSnap, _, st) =>
-        val nlist = adcQuantBc(spark, st, probeEpoch(spark, st))
-          .value.norms2.length
-        require(nlist > 0, s"$st has no stored centroids")
-        val np = math.max(1L, math.min(nlist.toLong,
-          math.ceil(frac * nlist).toLong)).toInt
-        adcProbeCandidates(probeSrc, idCol, vecCol, np, st, buckets,
-          skipPushdown = skipSnap)
-    }
+    val st = svState(spark, table)
+    val bc = svQuantBc(spark, st)
+    val nprobes = svFracNprobes(bc, targetRecall)
+    rankByScaledIdot(svProbeCandidates(queries, idCol, vecCol, st,
+      buckets,
+      v => graft.functions.NearestCellsSharded.flat(v, bc, nprobes),
+      v => graft.functions.NearestCellsSharded.nearestFlat(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        isFloat = false, bc.value, nprobes)), k)
   }
 
   /** Per-shard serving dials of the TUNED sharded probe — what
     * [[tuneShardDials]] derives and [[ivfAdcTopKIndexedShardedTuned]]
     * consumes. `probeRecall`/`hierRecall` are the measured gates the
     * dials were accepted at (nprobe vs the shard's quantizer ceiling,
-    * gprobe vs the shard's flat probe at that nprobe). */
+    * gprobe vs the same ceiling at that nprobe). */
   final case class ShardDials(nprobe: Int, probeRecall: Double,
       gprobe: Int, hierRecall: Double)
 
-  /** Recall-gated ABSOLUTE dials for EVERY shard of a sharded ADC
-    * index — the r18 verdict's missing composition: sharding is the
-    * horizontal 100 TB dial and the tuned/hier probe is the serving
-    * dial, and until now they were mutually exclusive (the sharded
-    * fan-out re-inherited the fraction law's linear candidate growth).
-    * Each shard tunes AGAINST ITS OWN AUDIT, exactly the single-table
-    * discipline ([[tuneNprobe]] / [[tuneGprobe]] at monitoring
-    * cadence), and BOTH dials gate against the shard's quantizer
-    * ceiling ([[adcFullTopK]] on the shard table — probing loss, not
-    * quantization loss): gating gprobe against the flat probe at
-    * nprobe instead (the single-row diagnostic) lets the two gates
-    * COMPOUND — a 0.8-vs-flat hier on a 0.8-vs-ceiling flat is ~0.64
-    * end-to-end, measured exactly that in the spec — while one
-    * end-to-end gate per shard composes across shards: shards
-    * partition the corpus, a global top-k member lives in exactly one
-    * shard and ranks at least as high in that shard's local top-k as
-    * globally. Runs per shard sequentially — each tune is already a
-    * multi-audit Spark workload; `queries` should be the monitoring
-    * panel (~hundreds of rows), never the corpus. */
-  def tuneShardDials(queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, table: String, targetRecall: Double, dim: Int = 64,
-      minGain: Double = 0.005): Seq[ShardDials] = {
+  /** One shard's SERVING decision (r19 verdict item 2 — the
+    * plateau→re-rank escalation composed onto the sharded tier):
+    * `mode` is "probe" (the tuned two-level probe met the end-to-end
+    * gate) or "rerank" (the probe dial PLATEAUED below it — loss
+    * probing cannot fix, the density regime — so the shard escalates
+    * to an exact-dot re-rank of its top-`depth` candidates).
+    * `recall` is the measured end-to-end mean recall@k of the decided
+    * path against the shard's float-exact reference. */
+  final case class ShardServing(mode: String, dials: ShardDials,
+      depth: Int, recall: Double)
+
+  /** The shard-pure candidate leg: the ONE-PLAN probe with every other
+    * shard dialed to 0 (the combined kernel skips them) — what the
+    * per-shard tuner and the served path's re-rank branch rank
+    * against. `gprobe` <= 0 selects the flat kernel. */
+  private def svShardCandidates(queries: DataFrame, idCol: String,
+      vecCol: String, st: SvState, shard: Int, nprobe: Int,
+      gprobe: Int, buckets: Int = ivfIndexBuckets): DataFrame = {
     val spark = queries.sparkSession
-    val (nShards, g) = readShardMeta(spark, table)
-    (0 until nShards).map { s =>
-      val st = shardTableAt(table, g, s)
-      val ceiling = adcFullTopK(queries, idCol, vecCol, k, st)
-      val (np, rec) = tuneNprobe(queries, queries, idCol, vecCol, k,
-        st, targetRecall, dim, minGain, reference = ceiling)
-      val (gp, gRec) = tuneGprobe(queries, queries, idCol, vecCol, k,
-        nprobe = np, st, targetRecall, dim, minGain,
-        reference = ceiling)
-      ShardDials(np, rec, gp, gRec)
+    if (gprobe <= 0) {
+      val bc = svQuantBc(spark, st)
+      val nps = Array.tabulate(st.nShards)(s =>
+        if (s == shard) nprobe else 0)
+      svProbeCandidates(queries, idCol, vecCol, st, buckets,
+        v => graft.functions.NearestCellsSharded.flat(v, bc, nps),
+        v => graft.functions.NearestCellsSharded.nearestFlat(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          isFloat = false, bc.value, nps))
+    } else {
+      val bc = svHierBc(spark, st)
+      val nps = Array.tabulate(st.nShards)(s =>
+        if (s == shard) nprobe else 0)
+      val gps = Array.tabulate(st.nShards)(s =>
+        if (s == shard) gprobe else 0)
+      svProbeCandidates(queries, idCol, vecCol, st, buckets,
+        v => graft.functions.NearestCellsSharded.hier(v, bc, gps, nps),
+        v => graft.functions.NearestCellsSharded.nearestHier(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          isFloat = false, bc.value, gps, nps))
     }
   }
 
-  /** The CONCATENATED quantizer-state key of every shard (plus the
-    * sidecar's own meta) — what the persisted shard dials are keyed
-    * by: any single shard's retrain, a reshard (generation/count
-    * change), or a rebuild changes it. */
-  private def shardStateKey(spark: SparkSession, table: String)
-      : String = {
-    val (n, g) = readShardMeta(spark, table)
-    (0 until n)
-      .map(s => quantStateNow(spark, shardTableAt(table, g, s)))
-      .mkString("|") + s"|n=$n|g=$g"
+  /** One shard's quantizer CEILING — [[adcFullTopK]]'s contract on the
+    * shard: every live stored row of the shard scored for every query
+    * (nprobe = the shard's full nlist), i.e. probing loss excluded,
+    * quantization loss kept. */
+  private def svShardCeiling(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, st: SvState, shard: Int, nlist: Int)
+      : DataFrame =
+    rankByScaledIdot(svShardCandidates(queries, idCol, vecCol, st,
+      shard, nprobe = nlist, gprobe = 0), k)
+      .select(col("q_id"), col("nb_id"))
+
+  /** Run `body(shard)` for every shard on a bounded pool (r19 verdict
+    * item 3 — the per-shard tunes are independent multi-audit Spark
+    * workloads and ran SEQUENTIALLY; concurrent driver threads submit
+    * jobs the scheduler interleaves). Pool width capped like the old
+    * fan-out's. */
+  private def svPerShard[A](nShards: Int)(body: Int => A): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(nShards, 8))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence((0 until nShards).map(s => Future(body(s)))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
   }
 
-  /** Persist [[tuneShardDials]]' per-shard dials — the sharded twin of
-    * [[writeServingDecision]], composing the r18 verdict's items 1+3:
-    * without it a sharded serving session re-pays every shard's
-    * ceiling leg per process. One row per shard in the swap-written
-    * `<table>_serve` sidecar, keyed by [[shardStateKey]] so ANY
-    * shard's retrain, a reshard, or a rebuild refuses the stored
-    * dials stale at read. */
-  def writeShardDials(spark: SparkSession, table: String,
-      dials: Seq[ShardDials]): Unit = {
+  /** Recall-gated ABSOLUTE dials for EVERY shard of a sharded ADC
+    * index — the serving dial composed onto the horizontal dial. Each
+    * shard tunes AGAINST ITS OWN AUDIT, exactly the single-table
+    * discipline ([[tuneNprobe]] / [[tuneGprobe]] at monitoring
+    * cadence), and BOTH dials gate against the shard's quantizer
+    * ceiling ([[svShardCeiling]] — probing loss, not quantization
+    * loss): gating gprobe against the flat probe at nprobe instead
+    * (the single-row diagnostic) lets the two gates COMPOUND — a
+    * 0.8-vs-flat hier on a 0.8-vs-ceiling flat is ~0.64 end-to-end,
+    * measured exactly that in the spec — while one end-to-end gate per
+    * shard composes across shards: shards partition the corpus, a
+    * global top-k member lives in exactly one shard and ranks at least
+    * as high in that shard's local top-k as globally. Shards tune
+    * CONCURRENTLY on a bounded pool (r19 verdict item 3); the
+    * quantizer-state guard spans the whole run. `queries` should be
+    * the monitoring panel (~hundreds of rows), never the corpus. */
+  def tuneShardDials(queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, table: String, targetRecall: Double, dim: Int = 64,
+      minGain: Double = 0.005): Seq[ShardDials] = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall")
+    val spark = queries.sparkSession
+    val st = svState(spark, table, fresh = true)
+    val key0 = svStateKey(spark, st)
+    val nlists = svQuantBc(spark, st).value.quants.map(_.norms2.length)
+    val res = svPerShard(st.nShards) { s =>
+      val ceiling = svShardCeiling(queries, idCol, vecCol, k, st, s,
+        nlists(s)).localCheckpoint()
+      try {
+        val (np, rec) = tuneDial(nlists(s), targetRecall, minGain)(np =>
+          recallOfApprox(ceiling,
+              rankByScaledIdot(svShardCandidates(queries, idCol, vecCol,
+                st, s, np, gprobe = 0), k), k)
+            .agg(avg("recall")).head().getDouble(0))
+        val groups = math.max(1,
+          math.ceil(math.sqrt(nlists(s).toDouble)).toInt)
+        val (gp, gRec) = tuneDial(groups, targetRecall, minGain)(gp =>
+          recallOfApprox(ceiling,
+              rankByScaledIdot(svShardCandidates(queries, idCol, vecCol,
+                st, s, np, gprobe = gp), k), k)
+            .agg(avg("recall")).head().getDouble(0))
+        ShardDials(np, rec, gp, gRec)
+      } finally dropCheckpoint(ceiling)
+    }
+    require(svStateKey(spark, svState(spark, table, fresh = true)) ==
+      key0,
+      s"$table was retrained/resharded/rebuilt mid-tune — the measured " +
+        "recalls mix quantizer states; rerun the tune")
+    res
+  }
+
+  /** One shard's exact-dot RE-RANK leg: the shard-pure flat candidates
+    * at `nprobe` ranked to top-`depth`, then ONLY those survivors join
+    * the full float vectors for the exact dot — [[ivfAdcRerankIndexed]]'s
+    * scale shape (corpus vectors never enter an exchange; the only
+    * float payload moving is the query vectors riding a
+    * candidate-scale broadcast). */
+  private def svShardRerank(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, depth: Int, nprobe: Int,
+      st: SvState, shard: Int): DataFrame = {
+    val survivors = rankByScaledIdot(
+      svShardCandidates(queries, idCol, vecCol, st, shard, nprobe,
+        gprobe = 0), depth)
+      .select(col("q_id"), col("nb_id"))
+    val qs = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val withQ = qs.join(broadcast(survivors), Seq("q_id"))
+      .select(col("q_id"), col("nb_id"), col("qv"))
+    val rescored = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(broadcast(withQ), col("id") === col("nb_id"))
+      .select(col("q_id"), col("nb_id"),
+        dot(col("qv"), col("v")).as("cos"))
+    rankTopK(rescored, k).withColumnRenamed("cos", "score")
+  }
+
+  /** THE PER-SHARD SERVING POLICY (r19 verdict item 2) —
+    * [[tuneServing]] composed onto the sharded tier: each shard tunes
+    * its probe dial against its OWN float-exact end-to-end reference
+    * (deliberately not the quantizer ceiling: the policy exists to see
+    * the quantization loss the ceiling excludes, because re-ranking
+    * can fix it). A shard whose dial meets `targetRecall` serves
+    * probe-mode through the two-level kernel (gprobe tuned against the
+    * shard ceiling, then the end-to-end recall of the hier path
+    * re-measured against the exact leg); a shard whose dial PLATEAUS
+    * below it — the density regime — escalates to the exact-dot
+    * re-rank at a tuned depth ([[svShardRerank]]), per shard, inside
+    * the same fan-out. Monitoring-cadence; shards run concurrently;
+    * the state guard spans the whole policy run. `vecs` is the live
+    * corpus frame (the exact legs and the re-rank audits need the
+    * float vectors). */
+  def tuneShardServing(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, table: String,
+      targetRecall: Double, dim: Int = 64, minGain: Double = 0.005,
+      maxDepthFactor: Int = 32): Seq[ShardServing] = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall=$targetRecall")
+    require(maxDepthFactor >= 1, s"maxDepthFactor=$maxDepthFactor")
+    val spark = queries.sparkSession
+    val st = svState(spark, table, fresh = true)
+    val key0 = svStateKey(spark, st)
+    val nlists = svQuantBc(spark, st).value.quants.map(_.norms2.length)
+    val res = svPerShard(st.nShards) { s =>
+      val exact = exactMipsTopK(
+        vecs.filter(shardOf(idCol, st.nShards) === s), queries, idCol,
+        vecCol, k).localCheckpoint()
+      try {
+        val (np, npRec) = tuneDial(nlists(s), targetRecall, minGain)(
+          np => recallOfApprox(exact,
+              rankByScaledIdot(svShardCandidates(queries, idCol, vecCol,
+                st, s, np, gprobe = 0), k), k)
+            .agg(avg("recall")).head().getDouble(0))
+        if (npRec >= targetRecall) {
+          // probe mode: the serving path is the two-level kernel, so
+          // tune gprobe against the shard CEILING at np (the
+          // tuneShardDials gate), then re-measure the decided path
+          // END-TO-END against the exact leg — the stored recall is
+          // always the decided path's, like tuneServing's
+          val ceiling = svShardCeiling(queries, idCol, vecCol, k, st,
+            s, nlists(s)).localCheckpoint()
+          try {
+            val groups = math.max(1,
+              math.ceil(math.sqrt(nlists(s).toDouble)).toInt)
+            val (gp, gRec) = tuneDial(groups, targetRecall, minGain)(
+              gp => recallOfApprox(ceiling,
+                  rankByScaledIdot(svShardCandidates(queries, idCol,
+                    vecCol, st, s, np, gprobe = gp), k), k)
+                .agg(avg("recall")).head().getDouble(0))
+            val e2e = recallOfApprox(exact,
+                rankByScaledIdot(svShardCandidates(queries, idCol,
+                  vecCol, st, s, np, gprobe = gp), k), k)
+              .agg(avg("recall")).head().getDouble(0)
+            ShardServing("probe", ShardDials(np, npRec, gp, gRec),
+              depth = 0, recall = e2e)
+          } finally dropCheckpoint(ceiling)
+        } else {
+          // density regime: no nprobe fixes it — escalate to the
+          // exact-dot re-rank, depth as a multiplier over k (depth = k
+          // reorders but cannot change recall)
+          val (mult, rrRec) = tuneDial(maxDepthFactor, targetRecall,
+            minGain)(m => recallOfApprox(exact,
+                svShardRerank(vecs, queries, idCol, vecCol, k,
+                  depth = m * k, nprobe = np, st, s), k)
+              .agg(avg("recall")).head().getDouble(0))
+          ShardServing("rerank", ShardDials(np, npRec, 0, 0.0),
+            depth = mult * k, recall = rrRec)
+        }
+      } finally dropCheckpoint(exact)
+    }
+    require(svStateKey(spark, svState(spark, table, fresh = true)) ==
+      key0,
+      s"$table was retrained/resharded/rebuilt mid-policy — rerun")
+    res
+  }
+
+  /** Persist per-shard SERVING rows — one row per shard in the
+    * swap-written `<table>_serve` sidecar, keyed by [[svStateKey]]
+    * (NO application id — stored dials must survive a driver restart)
+    * so ANY shard's retrain, a reshard, or a rebuild refuses the
+    * stored rows stale at read. The sidecar name is SHARED with the
+    * single-table tier's [[writeServingDecision]]; the schemas differ
+    * (per-shard rows carry `shard`), and each writer REFUSES to
+    * overwrite the other tier's rows (r19 verdict item 6 — in correct
+    * use a sharded logical name never names a single-table index, so
+    * the refusal only ever fires on misuse). */
+  def writeShardServing(spark: SparkSession, table: String,
+      servings: Seq[ShardServing]): Unit = {
     import spark.implicits._
-    val key = shardStateKey(spark, table)
+    val t = table + "_serve"
+    MergeTables.recoverCompactCrash(spark, t)
+    if (spark.catalog.tableExists(t)) {
+      spark.catalog.refreshTable(t)
+      require(spark.table(t).schema.fieldNames.contains("shard"),
+        s"$t holds a SINGLE-TABLE serving decision — refusing the " +
+          "sharded write over it (is this name really a sharded index?)")
+    }
+    val key = svStateKey(spark,
+      svState(spark, table, fresh = true))
     MergeTables.swapInKeyed(spark,
-      dials.zipWithIndex.map { case (d, s) =>
-        (s, d.nprobe, d.probeRecall, d.gprobe, d.hierRecall, key)
-      }.toDF("shard", "nprobe", "probe_recall", "gprobe",
-        "hier_recall", "state_key"),
-      "shard", table + "_serve")
+      servings.zipWithIndex.map { case (sv, s) =>
+        (s, sv.mode, sv.dials.nprobe, sv.dials.probeRecall,
+          sv.dials.gprobe, sv.dials.hierRecall, sv.depth, sv.recall,
+          key)
+      }.toDF("shard", "mode", "nprobe", "probe_recall", "gprobe",
+        "hier_recall", "depth", "recall", "state_key"),
+      "shard", t)
   }
 
-  /** Read the persisted per-shard dials, REFUSING them stale —
-    * [[readServingDecision]]'s contract on the sharded tier: None
-    * when nothing is stored or any shard's quantizer state changed
-    * since the tune. Metadata + one sidecar read; no ceiling leg. */
-  def readShardDials(spark: SparkSession, table: String)
-      : Option[Seq[ShardDials]] = {
+  /** Persist [[tuneShardDials]]' probe-only dials — [[writeShardServing]]
+    * with every shard in probe mode (the dial-only loop has no
+    * escalation leg; its hier recall doubles as the recorded serving
+    * recall). */
+  def writeShardDials(spark: SparkSession, table: String,
+      dials: Seq[ShardDials]): Unit =
+    writeShardServing(spark, table,
+      dials.map(d => ShardServing("probe", d, depth = 0,
+        recall = d.hierRecall)))
+
+  /** Read the persisted per-shard serving rows, REFUSING them stale:
+    * None when nothing is stored or any shard's quantizer state
+    * changed since the tune (a retrain, reshard, rebuild or centroid
+    * GC — [[svStateKey]]). Metadata + one sidecar read; no ceiling or
+    * exact leg. */
+  def readShardServing(spark: SparkSession, table: String)
+      : Option[Seq[ShardServing]] = {
     val t = table + "_serve"
     MergeTables.recoverCompactCrash(spark, t)
     if (!spark.catalog.tableExists(t)) return None
     spark.catalog.refreshTable(t)
+    if (!spark.table(t).schema.fieldNames.contains("shard")) return None
     val rows = spark.table(t)
-      .select("shard", "nprobe", "probe_recall", "gprobe",
-        "hier_recall", "state_key")
+      .select("shard", "mode", "nprobe", "probe_recall", "gprobe",
+        "hier_recall", "depth", "recall", "state_key")
       .collect().sortBy(_.getInt(0))
     if (rows.isEmpty) None
-    else if (rows.head.getString(5) != shardStateKey(spark, table)) None
-    else Some(rows.map(r => ShardDials(r.getInt(1), r.getDouble(2),
-      r.getInt(3), r.getDouble(4))).toSeq)
+    else if (rows.head.getString(8) !=
+        svStateKey(spark, svState(spark, table, fresh = true))) None
+    else Some(rows.map(r => ShardServing(r.getString(1),
+      ShardDials(r.getInt(2), r.getDouble(3), r.getInt(4),
+        r.getDouble(5)),
+      r.getInt(6), r.getDouble(7))).toSeq)
   }
 
+  /** Read the persisted rows as probe-only DIALS — None when stale,
+    * absent, OR any shard is escalated (serving an escalated shard
+    * through the probe-only path would silently serve below its gate:
+    * use [[ivfAdcTopKIndexedShardedServed]] instead). */
+  def readShardDials(spark: SparkSession, table: String)
+      : Option[Seq[ShardDials]] =
+    readShardServing(spark, table).filter(_.forall(_.mode == "probe"))
+      .map(_.map(_.dials))
+
   /** [[tuneShardDials]] + [[writeShardDials]] — the monitoring-cadence
-    * loop of the sharded serving deployment. */
+    * loop of the probe-only sharded serving deployment. */
   def tuneShardDialsPersist(queries: DataFrame, idCol: String,
       vecCol: String, k: Int, table: String, targetRecall: Double,
       dim: Int = 64, minGain: Double = 0.005): Seq[ShardDials] = {
@@ -1516,6 +2157,18 @@ object Similarity {
       targetRecall, dim, minGain)
     writeShardDials(queries.sparkSession, table, dials)
     dials
+  }
+
+  /** [[tuneShardServing]] + [[writeShardServing]] — the escalating
+    * monitoring-cadence loop (r19 verdict item 2). */
+  def tuneShardServingPersist(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, table: String,
+      targetRecall: Double, dim: Int = 64, minGain: Double = 0.005,
+      maxDepthFactor: Int = 32): Seq[ShardServing] = {
+    val servings = tuneShardServing(vecs, queries, idCol, vecCol, k,
+      table, targetRecall, dim, minGain, maxDepthFactor)
+    writeShardServing(queries.sparkSession, table, servings)
+    servings
   }
 
   /** [[ivfAdcTopKIndexedShardedTuned]] serving from the STORED
@@ -1526,23 +2179,20 @@ object Similarity {
     ivfAdcTopKIndexedShardedTuned(queries, idCol, vecCol, k, table,
       readShardDials(queries.sparkSession, table).getOrElse(
         throw new IllegalStateException(
-          s"$table has no fresh per-shard dials — a shard was " +
-            "retrained, the index was resharded/rebuilt, or it was " +
-            "never tuned: run tuneShardDialsPersist at monitoring " +
-            "cadence, then serve")))
+          s"$table has no fresh probe-only per-shard dials — a shard " +
+            "was retrained, the index was resharded/rebuilt, it was " +
+            "never tuned, or a shard is ESCALATED (rerank mode: serve " +
+            "through ivfAdcTopKIndexedShardedServed): run " +
+            "tuneShardDialsPersist at monitoring cadence, then serve")))
 
-  /** TUNED serving probe of the SHARDED index (r18 verdict item 1):
-    * [[ivfAdcTopKIndexedSharded]]'s exact fan-out/merge shape — shared
-    * bounded query snapshot, concurrent per-shard plan construction,
-    * one global [[rankByScaledIdot]] merge, the serving TTL honored on
-    * every per-shard metadata read — but each shard probed through the
-    * TWO-LEVEL broadcast selection ([[adcProbeCandidatesHier]]) at its
-    * own recall-gated absolute dials instead of the fraction law.
-    * Per-query work per shard is nprobe_s × occupancy = CONSTANT in
-    * the shard's corpus, and the fan-out adds shards' constants — flat
-    * in both corpus scale and shard count (the GrowthBench
-    * qshard_tuned rows), where the fraction-law fan-out grows linear
-    * candidates per shard.
+  /** TUNED serving probe of the SHARDED index: ONE plan — the shared
+    * bounded query snapshot, one scan, one join, one global
+    * [[rankByScaledIdot]] merge — with each shard selected through the
+    * TWO-LEVEL combined kernel at its own recall-gated absolute dials
+    * instead of the fraction law. Per-query work per shard is
+    * nprobe_s × occupancy = CONSTANT in the shard's corpus, the
+    * fan-out adds shards' constants, and since r20 the PLAN adds
+    * nothing per shard (the GrowthBench qshard rows gate both).
     *
     * OPT-IN serving path like [[ivfAdcTopKIndexedHier]]: recall is a
     * measured, gated quantity (the dials come from [[tuneShardDials]],
@@ -1552,104 +2202,116 @@ object Similarity {
   def ivfAdcTopKIndexedShardedTuned(queries: DataFrame, idCol: String,
       vecCol: String, k: Int, table: String, dials: Seq[ShardDials],
       dim: Int = 64, buckets: Int = ivfIndexBuckets): DataFrame = {
-    val nShards = readShardCount(queries.sparkSession, table)
-    require(dials.length == nShards,
-      s"${dials.length} dials for $nShards shards — tune with " +
+    val spark = queries.sparkSession
+    val st = svState(spark, table)
+    require(dials.length == st.nShards,
+      s"${dials.length} dials for ${st.nShards} shards — tune with " +
         "tuneShardDials against this index")
-    shardedFanout(queries, idCol, vecCol, k, table) {
-      (probeSrc, skipSnap, s, st) =>
-        adcProbeCandidatesHier(probeSrc, idCol, vecCol,
-          dials(s).nprobe, dials(s).gprobe, st, buckets,
-          skipPushdown = skipSnap)
-    }
+    val bc = svHierBc(spark, st)
+    val nps = dials.map(_.nprobe).toArray
+    val gps = dials.map(_.gprobe).toArray
+    rankByScaledIdot(svProbeCandidates(queries, idCol, vecCol, st,
+      buckets,
+      v => graft.functions.NearestCellsSharded.hier(v, bc, gps, nps),
+      v => graft.functions.NearestCellsSharded.nearestHier(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        isFloat = false, bc.value, gps, nps)), k)
   }
 
-  /** The sharded probes' shared fan-out/merge body — the snapshot,
-    * concurrency and merge discipline cannot diverge between the
-    * fraction-law and tuned modes because they run through this one
-    * shape. `perShard(probeSrc, skipSnap, shard, shardTable)` returns
-    * the shard's candidate frame. */
-  private def shardedFanout(queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, table: String)(
-      perShard: (DataFrame, Boolean, Int, String) => DataFrame)
-      : DataFrame = {
+  /** Serve through the STORED per-shard serving rows with PER-SHARD
+    * MODES (r19 verdict item 2): probe-mode shards contribute their
+    * two-level tuned candidates scored by the quantized dot estimate
+    * (idot × scale — [[rankByScaledIdot]]'s key); rerank-mode shards
+    * contribute their top-`depth` flat candidates RE-SCORED by the
+    * exact float dot ([[svShardRerank]]'s join shape, all rerank
+    * shards in ONE branch); one global rank merges on the shared
+    * dot-estimate key (exact where it matters — the density shards
+    * whose quantized margins are noise — and quantized where the gate
+    * said quantized is enough). Still O(1) plan branches in the shard
+    * count: one probe branch + one rerank branch. With every shard in
+    * probe mode the output ranks are [[ivfAdcTopKIndexedShardedTuned]]'s
+    * (same key, same tiebreak; spec-gated). `vecs` is the live corpus
+    * frame (the rerank branch joins full vectors); refuses stale or
+    * missing serving rows loudly. Output: (q_id, nb_id, rank, score).
+    */
+  def ivfAdcTopKIndexedShardedServed(vecs: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, table: String,
+      buckets: Int = ivfIndexBuckets): DataFrame = {
     val spark = queries.sparkSession
-    val (nShards, rsgen) = readShardMeta(spark, table)
-    // ONE bounded query snapshot shared by every shard's probe: each
-    // shard probe takes its own pushdown snapshot of its query side,
-    // and handing all of them the original plan would pay that collect
-    // (a Spark job) PER SHARD — measured at 8 shards as ~5× one
-    // shard's whole probe time at bench scale, all of it per-plan
-    // floor. A batch panel within the pushdown cap collects once
-    // here; each shard probe then re-reads the LOCAL relation
-    // driver-side (no job). A larger batch (or a stream) passes
-    // through untouched — every shard keeps the distributed join-only
-    // shape.
-    // (probeSrc, skip): `skip` tells each shard probe NOT to attempt
-    // its own snapshot — set when the panel is oversize (retrying the
-    // bounded collect nShards times would re-pay the floor per shard)
-    // or when graft.adc.pushdown=false opted out of eager work, which
-    // this shared snapshot honors like the per-shard path does.
-    val (probeSrc, skipShardSnap) =
-      if (queries.isStreaming) (queries, false)
-      else if (spark.conf.getOption("graft.adc.pushdown")
-          .contains("false")) (queries, true)
-      else {
-        val proj = queries.select(col(idCol), col(vecCol))
-        val rows = proj.limit(maxPushdownQueries + 1).collect()
-        if (rows.length > maxPushdownQueries) (queries, true)
-        else (spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), proj.schema), false)
-      }
-    // shards are independent, so their per-plan metadata (epoch read,
-    // state listing, broadcast memo) resolves CONCURRENTLY — a serial
-    // fan-out pays nShards × the per-plan floor in wall clock, which
-    // at bench scale measured ~5× one shard's whole probe (the floor,
-    // not the candidate work, was the growth row). Catalog reads on
-    // DISTINCT tables are driver-thread-safe; the memos are concurrent
-    // maps.
-    val cands = {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(nShards, 8))
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutorService(pool)
-      try Await.result(
-        Future.sequence((0 until nShards).map(s => Future {
-          perShard(probeSrc, skipShardSnap, s,
-            shardTableAt(table, rsgen, s))
-        })), scala.concurrent.duration.Duration.Inf)
-        .reduce(_ unionAll _)
-      finally pool.shutdown()
+    val servings = readShardServing(spark, table).getOrElse(
+      throw new IllegalStateException(
+        s"$table has no fresh per-shard serving rows — a shard was " +
+          "retrained, the index was resharded/rebuilt, or it was " +
+          "never tuned: run tuneShardServingPersist at monitoring " +
+          "cadence, then serve"))
+    val st = svState(spark, table)
+    require(servings.length == st.nShards,
+      s"${servings.length} serving rows for ${st.nShards} shards")
+    val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+    if (servings.exists(_.mode == "probe")) {
+      val bc = svHierBc(spark, st)
+      val nps = servings.map(sv =>
+        if (sv.mode == "probe") sv.dials.nprobe else 0).toArray
+      val gps = servings.map(_.dials.gprobe).toArray
+      parts += svProbeCandidates(queries, idCol, vecCol, st, buckets,
+          v => graft.functions.NearestCellsSharded.hier(v, bc, gps,
+            nps),
+          v => graft.functions.NearestCellsSharded.nearestHier(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+            isFloat = false, bc.value, gps, nps))
+        .select(col("q_id"), col("nb_id"),
+          (col("idot").cast("double") * col("scale")).as("score"))
     }
-    rankByScaledIdot(cands, k)
+    if (servings.exists(_.mode == "rerank")) {
+      val bc = svQuantBc(spark, st)
+      val nps = servings.map(sv =>
+        if (sv.mode == "rerank") sv.dials.nprobe else 0).toArray
+      val cands = svProbeCandidates(queries, idCol, vecCol, st, buckets,
+        v => graft.functions.NearestCellsSharded.flat(v, bc, nps),
+        v => graft.functions.NearestCellsSharded.nearestFlat(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          isFloat = false, bc.value, nps))
+      val depths = typedLit(servings.zipWithIndex.collect {
+        case (sv, s) if sv.mode == "rerank" => s -> sv.depth
+      }.toMap)
+      val survivors = cands
+        .withColumn("r", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id", "shard")
+            .orderBy((-col("idot").cast("double") * col("scale")).asc,
+              col("nb_id").asc)))
+        .filter(col("r") <= element_at(depths, col("shard")))
+        .select(col("q_id"), col("nb_id"))
+      val qs = queries.select(col(idCol).as("q_id"),
+        col(vecCol).as("qv"))
+      val withQ = qs.join(broadcast(survivors), Seq("q_id"))
+        .select(col("q_id"), col("nb_id"), col("qv"))
+      parts += vecs
+        .select(col(idCol).as("id"), col(vecCol).as("v"))
+        .join(broadcast(withQ), col("id") === col("nb_id"))
+        .select(col("q_id"), col("nb_id"),
+          dot(col("qv"), col("v")).as("score"))
+    }
+    parts.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy((-col("score")).asc, col("nb_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nb_id"), col("rank"), col("score"))
   }
 
   /** Streaming queries against the SHARDED index — [[streamAdcTopK]]'s
-    * serving shape (qa6) on the fan-out tier: query vectors arriving
-    * as a stream fan across every shard INSIDE the one streaming
-    * query (per-shard stream-static joins against the bucketed stored
-    * tables, the qa6 plan shape per branch); the per-batch rank is
-    * EXACT for the same reason qa6's is — the static sides emit a
+    * serving shape (qa6) on the one-table layout: query vectors
+    * arriving as a stream probe every shard inside ONE stream-static
+    * join (the qa6 plan shape — since r20 there is no per-shard branch
+    * to construct or re-execute per micro-batch); the per-batch rank
+    * is EXACT for the same reason qa6's is — the static side emits a
     * candidate row only for a probe row of the current batch, so a
     * query's entire merged candidate set lives in the one micro-batch
     * that carried it. Drains the stream and reads the sink back; the
     * `start` form owns the trigger cadence. Gate: qg4 shares qg1's
     * oracle verbatim (stream == batch == oracle at N shards — the
-    * q70s/qa6/qe1 discipline).
-    *
-    * MEASURED, so the claim stays honest (GrowthBench
-    * qshard_stream_batch_s8 vs qshard_oneshot_s8: 1.31 vs 1.24 s —
-    * ratio 1.0): this form does NOT amortize the per-shard plan floor
-    * at bench scale. The hypothesis was that a started query pays
-    * Catalyst once; in fact micro-batch incremental execution re-runs
-    * analysis/optimization per batch, so only THIS method's own
-    * fan-out construction (memo lookups, epoch reads, the shared
-    * snapshot) is once-per-start — and the TTL cache had already made
-    * that part small. The value of the streamed form is the serving
-    * SHAPE (an arriving query feed served exactly), not a floor
-    * optimization; the floor itself lives in per-batch re-planning
-    * and would need plan-level caching Spark does not expose. */
+    * q70s/qa6/qe1 discipline). */
   def streamAdcTopKSharded(stream: DataFrame, idCol: String,
       vecCol: String, k: Int, table: String, sinkDir: String,
       dim: Int = 64, targetRecall: Double = 0.8,
@@ -1670,18 +2332,15 @@ object Similarity {
       buckets: Int = ivfIndexBuckets)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = stream.sparkSession
-    val (nShards, g) = readShardMeta(spark, table)
-    val frac = probeFracEighths(targetRecall) / 8.0
+    val st = svState(spark, table)
+    val bc = svQuantBc(spark, st)
+    val nprobes = svFracNprobes(bc, targetRecall)
     def candsOf(src: DataFrame): DataFrame =
-      (0 until nShards).map { s =>
-        val st = shardTableAt(table, g, s)
-        val nlist = adcQuantBc(spark, st, probeEpoch(spark, st))
-          .value.norms2.length
-        require(nlist > 0, s"$st has no stored centroids")
-        val np = math.max(1L, math.min(nlist.toLong,
-          math.ceil(frac * nlist).toLong)).toInt
-        adcProbeCandidates(src, idCol, vecCol, np, st, buckets)
-      }.reduce(_ unionAll _)
+      svProbeCandidates(src, idCol, vecCol, st, buckets,
+        v => graft.functions.NearestCellsSharded.flat(v, bc, nprobes),
+        v => graft.functions.NearestCellsSharded.nearestFlat(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+          isFloat = false, bc.value, nprobes))
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       stream.schema)
@@ -1695,59 +2354,103 @@ object Similarity {
       .start()
   }
 
-  /** Append to the sharded index: route the batch by the SAME shard law
-    * the build used, one frozen-quantizer [[appendIvfAdcIndex]] per
-    * shard. A shard with no rows in the batch gets an empty committed
-    * generation — harmless, and the routing stays branch-free. */
-  def appendIvfAdcIndexSharded(newVecs: DataFrame, idCol: String,
-      vecCol: String, table: String, dim: Int = 64): Unit = {
+  /** Step 1 of a sharded append — the packed-row write WITHOUT the
+    * commit: one assignment pass of the mixed-shard batch against the
+    * combined broadcast (each row to ITS shard's FROZEN quantizer at
+    * that shard's active epoch), rows landing as new files in the
+    * existing gcell buckets. Package-visible for the atomicity spec. */
+  private[graft] def svAppendRowsOnly(newVecs: DataFrame, idCol: String,
+      vecCol: String, st: SvState, gen: Long): Unit = {
     val spark = newVecs.sparkSession
-    val (nShards, g) = readShardMeta(spark, table)
+    VectorOps.ensureRegistered(spark)
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(st.dataT))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(
+          s"${st.dataT} is not a bucketed index"))
+    val bc = svQuantBc(spark, st)
+    val em = svEpochMap(st)
+    svPackedRows(newVecs, idCol, vecCol, bc, st.nShards, gen,
+        sh => element_at(em, sh))
+      .write.mode("append")
+      .option("parquet.bloom.filter.enabled#gcell", "true")
+      .bucketBy(buckets, "gcell").sortBy("gcell")
+      .saveAsTable(st.dataT)
+  }
+
+  /** Step 2 — the commit: ONE single-file append of every shard's
+    * generation row (shard, gen, batchKey, that shard's epoch). One
+    * file rename = the whole batch commits for EVERY shard or for
+    * none — the per-shard layout's between-shard-commits crash window
+    * no longer exists. */
+  private def svCommitGen(spark: SparkSession, st: SvState, gen: Long,
+      batchKey: Long = -1L): Unit = {
+    import spark.implicits._
+    (0 until st.nShards).map(s => (s, gen, batchKey, st.epochs(s)))
+      .toDF("shard", "gen", "batch_key", "epoch").coalesce(1)
+      .write.mode("append").bucketBy(1, "gen").sortBy("gen")
+      .saveAsTable(st.dataT + "_g")
+  }
+
+  /** Append to the sharded index: ONE routed assignment pass (each
+    * row against its own shard's frozen quantizer), one bucketed row
+    * append, one atomic commit — qe1's frozen-quantizer contract per
+    * shard, at one-table cost. */
+  def appendIvfAdcIndexSharded(newVecs: DataFrame, idCol: String,
+      vecCol: String, table: String, dim: Int = 64): Unit =
+      MergeTables.withTableLock(table) {
+    val spark = newVecs.sparkSession
     requireNonNegIds(newVecs, idCol, "appendIvfAdcIndexSharded")
-    for (s <- 0 until nShards)
-      appendIvfAdcIndex(newVecs.filter(shardOf(idCol, nShards) === s),
-        idCol, vecCol, shardTableAt(table, g, s), dim)
+    val st = svState(spark, table, fresh = true)
+    val gen = graft.sources.MapFiles.freshGen()
+    svAppendRowsOnly(newVecs, idCol, vecCol, st, gen)
+    svCommitGen(spark, st, gen)
   }
 
-  /** Delete ids from the sharded index: tombstones route to their own
-    * shard (an id's rows live in exactly one), so no shard's probe
-    * anti-join carries another shard's delete set. */
+  /** Delete ids from the sharded index: tombstones carry their own
+    * shard and that shard's active epoch (an id's rows live in exactly
+    * one shard; a retrain retires the shard's tombstones by epoch).
+    * The single append IS the commit, as on the single-table tier. */
   def deleteIvfVecsSharded(spark: SparkSession, table: String,
-      ids: DataFrame, idCol: String): Unit = {
-    val (nShards, g) = readShardMeta(spark, table)
+      ids: DataFrame, idCol: String): Unit =
+      MergeTables.withTableLock(table) {
     requireNonNegIds(ids, idCol, "deleteIvfVecsSharded")
-    for (s <- 0 until nShards)
-      deleteIvfVecs(spark, shardTableAt(table, g, s),
-        ids.filter(shardOf(idCol, nShards) === s), idCol)
+    val st = svState(spark, table, fresh = true)
+    graft.sources.MapFiles.clearStaleLocation(spark, st.dataT + "_t")
+    val em = svEpochMap(st)
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("shard", pmod(col("id"), lit(st.nShards.toLong))
+        .cast("int"))
+      .withColumn("epoch", element_at(em, col("shard")))
+      .select("shard", "id", "epoch")
+      .write.mode("append").saveAsTable(st.dataT + "_t")
   }
 
-  /** The foreachBatch body of the SHARDED streaming append (r18
-    * verdict item 5): each micro-batch routed by the shard law and
-    * appended per shard under THAT SHARD's generation protocol with
-    * the SAME (lineage, batchId) key — one committed generation per
-    * (shard, batch), qe1's contract per shard. Replay is exact per
-    * shard: the shard law is deterministic, so a replayed batch
-    * re-routes identically, and each shard's replay check refuses its
-    * own committed key independently — a crash BETWEEN shard commits
-    * re-appends only the shards that had not committed (exactly-once
-    * index state across both foreachBatch crash windows, per shard).
-    * A shard with no rows in the batch commits an empty generation,
-    * keeping the routing branch-free and every shard's key set
-    * identical (what lets lineage allocation read any one shard). */
+  /** The foreachBatch body of the SHARDED streaming append: each
+    * micro-batch appends under the deterministic key of (`lineage`,
+    * `batchId`) unless that key is already committed — and since the
+    * commit is ONE file covering every shard, replay detection is
+    * whole-batch (the per-shard layout's shard-by-shard replay
+    * recovery is no longer needed: there is no state in which some
+    * shards committed a batch and others did not). */
   private[graft] def streamAppendAdcBatchSharded(batch: DataFrame,
       batchId: Long, idCol: String, vecCol: String, table: String,
       lineage: Long = 0L): Unit = {
     val spark = batch.sparkSession
-    val (nShards, g) = readShardMeta(spark, table)
-    for (s <- 0 until nShards)
-      streamAppendAdcBatch(batch.filter(shardOf(idCol, nShards) === s),
-        batchId, idCol, vecCol, shardTableAt(table, g, s), lineage)
+    val key = MergeTables.streamKey(lineage, batchId)
+    MergeTables.withTableLock(table) {
+      val st = svState(spark, table, fresh = true)
+      if (!MergeTables.replayed(spark, st.dataT + "_g", key)) {
+        val gen = graft.sources.MapFiles.freshGen()
+        svAppendRowsOnly(batch, idCol, vecCol, st, gen)
+        svCommitGen(spark, st, gen, key)
+      }
+    }
   }
 
   /** [[streamAppendIvfAdcIndex]] on the SHARDED tier — the corpus
-    * streaming INTO a sharded index, the 100 TB default the r18
-    * verdict named. Drains the available stream and stops; the
-    * `start` form below owns the trigger cadence. */
+    * streaming INTO a sharded index. Drains the available stream and
+    * stops; the `start` form below owns the trigger cadence. */
   def streamAppendIvfAdcIndexSharded(vecStream: DataFrame,
       idCol: String, vecCol: String, table: String, dim: Int = 64)
       : Unit = {
@@ -1758,88 +2461,232 @@ object Similarity {
 
   /** The started-but-undrained form of
     * [[streamAppendIvfAdcIndexSharded]]. One lineage per started
-    * query, allocated ACROSS every shard's key table
-    * ([[MergeTables.allocLineageAcross]] — collision-free even if
-    * some shard ever saw a lineage the others did not), and a reshard
-    * folds the marks into every new shard ([[reshardIvfAdcIndex]]) so
+    * query, allocated from the ONE key table (the per-shard layout
+    * needed a cross-table allocation), and a reshard folds the marks
+    * into the new generation's mark table ([[reshardIvfAdcIndex]]) so
     * the committed-lineage read survives the layout change. `maxGen`
-    * wires the unattended in-loop compaction PER SHARD (qfn's
-    * discipline — each shard compacts under its own epoch/generation
-    * protocol, replay marks carried). The writer lease covers every
-    * shard's key table for the life of the query. A reshard must not
-    * run inside a live sharded streaming lineage — it rewrites the
-    * tables the lease guards (stop the query, reshard, restart; the
+    * wires the unattended in-loop compaction (qfn's discipline —
+    * replay marks carried). The writer lease covers the key table for
+    * the life of the query, and since r20 a reshard REFUSES IN CODE
+    * while the lease is live (stop the query, reshard, restart; the
     * carried marks make the restart replay-exact). */
   def startStreamAppendIvfAdcIndexSharded(vecStream: DataFrame,
       idCol: String, vecCol: String, table: String, dim: Int = 64,
       maxGen: Option[Int] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = vecStream.sparkSession
-    val (nShards, g) = readShardMeta(spark, table)
-    val lineage = MergeTables.allocLineageAcross(spark,
-      (0 until nShards).map(s => shardTableAt(table, g, s) + "_g"))
-    MergeTables.startLeased(spark,
-      (0 until nShards).map(s => shardTableAt(table, g, s) + "_g"))(
+    val st = svState(spark, table, fresh = true)
+    val lineage = MergeTables.allocLineage(spark, st.dataT + "_g")
+    MergeTables.startLeased(spark, Seq(st.dataT + "_g"))(
       vecStream.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           streamAppendAdcBatchSharded(batch, batchId, idCol, vecCol,
             table, lineage)
-          maxGen.foreach(mg => (0 until nShards).foreach(s =>
-            maybeCompactIvfAdcIndex(spark,
-              shardTableAt(table, g, s), mg)))
+          maxGen.foreach(mg =>
+            maybeCompactIvfAdcIndexSharded(spark, table, mg))
         }
         .start())
   }
 
-  /** Compact every shard — each shard's own epoch/generation protocol,
-    * unchanged. */
+  /** [[compactIvfAdcIndexSharded]] iff more than `maxGen` generations
+    * have committed PER SHARD (the `_g` table holds one row per shard
+    * per commit) — the auto-compaction policy on the sharded tier.
+    * Returns true iff it compacted. */
+  def maybeCompactIvfAdcIndexSharded(spark: SparkSession, table: String,
+      maxGen: Int = MergeTables.defaultMaxGen): Boolean =
+      MergeTables.withTableLock(table) {
+    require(maxGen >= 1, s"maxGen=$maxGen")
+    val st = svState(spark, table, fresh = true)
+    spark.catalog.refreshTable(st.dataT + "_g")
+    if (spark.table(st.dataT + "_g").count() <=
+        maxGen.toLong * st.nShards) false
+    else { compactIvfAdcIndexSharded(spark, table); true }
+  }
+
+  /** Rewrite the sharded index's file generations into ONE, physically
+    * removing tombstoned vectors and retired/orphan epochs' rows — the
+    * dense-tier compaction on the one-table layout. Every shard's
+    * quantizer stays frozen; each shard's rows land back under ITS
+    * active epoch (gen 0, which is committed in every reachable
+    * state). One whole-layout rewrite replaces the per-shard layout's
+    * N table rewrites. Replay marks carried first; crash exposure is
+    * the same two-catalog-op DROP/RENAME window, healed on next touch. */
   def compactIvfAdcIndexSharded(spark: SparkSession, table: String)
-      : Unit = {
-    val (nShards, g) = readShardMeta(spark, table)
-    (0 until nShards)
-      .foreach(s => compactIvfAdcIndex(spark, shardTableAt(table, g, s)))
+      : Unit = MergeTables.withTableLock(table) {
+    val st = svState(spark, table, fresh = true)
+    val dataT = st.dataT
+    for (s <- Seq("", "_g", "_t", "_c")
+         if spark.catalog.tableExists(dataT + s))
+      spark.catalog.refreshTable(dataT + s)
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(dataT))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(
+          s"$dataT is not a bucketed index"))
+    // carry every streaming lineage's replay high-water mark BEFORE
+    // the generation reset clears the keys — what makes this
+    // compaction safe inside a live lineage (the r16 discipline)
+    MergeTables.carryHwms(spark, dataT + "_g")
+    val em = svEpochMap(st)
+    // bucket-preserving read -> the bucketed sink plans exchange-free
+    val live = svLiveRows(spark, st, bucketedRead = true)
+      .select("gcell", "shard", "cell", "id", "qc", "scale")
+      .withColumn("gen", lit(0L))
+      .withColumn("epoch", element_at(em, col("shard")))
+      .repartition(buckets, col("gcell"))
+    val shadow = dataT + "_cmp"
+    graft.sources.MapFiles.write(live, "gcell", buckets, shadow)
+    spark.sql(s"DROP TABLE `$dataT`")
+    MergeTables.renameInto(spark, shadow, dataT)
+    import spark.implicits._
+    MergeTables.swapInKeyed(spark,
+      (0 until st.nShards).map(s => (s, 0L, -1L, st.epochs(s)))
+        .toDF("shard", "gen", "batch_key", "epoch"),
+      "gen", dataT + "_g")
+    spark.sql(s"DROP TABLE IF EXISTS `${dataT}_t`")
+    // centroid GC: retired or orphan epochs' centroids leave with the
+    // rewrite — swap-written through the healed shadow protocol
+    spark.catalog.refreshTable(dataT + "_c")
+    val actives = st.epochs.zipWithIndex
+      .map { case (e, s) => (s, e) }.toSeq.toDF("shard", "epoch")
+    if (spark.table(dataT + "_c").select("shard", "epoch").distinct()
+        .count() > st.nShards)
+      MergeTables.swapInKeyed(spark,
+        spark.table(dataT + "_c")
+          .join(broadcast(actives), Seq("shard", "epoch"), "left_semi")
+          .localCheckpoint(),
+        "cell", dataT + "_c")
+    spark.catalog.refreshTable(dataT)
+    invalidateSvCaches(table, dataT)
+  }
+
+  /** RETRAIN ONE SHARD's quantizer — the per-shard maintenance unit
+    * (a drift gate fires per shard; the whole-index loop below is just
+    * this over every shard). The single-table retrain protocol
+    * verbatim, keyed by shard: the attempt epoch allocates past the
+    * shard's centroid max (a crashed attempt's orphans are never
+    * adopted), the shard's live vectors re-pack against the new
+    * quantizer as (gen 0, attempt) — INERT until the commit — and the
+    * commit is one `_g` swap replacing ONLY this shard's generation
+    * rows (other shards' rows, keys included, pass through). The
+    * shard's tombstones are consumed by the survivor rule and retire
+    * by epoch (physically reclaimed at the next compaction). Returns
+    * the new quantizer. */
+  def retrainIvfAdcShard(vecs: DataFrame, idCol: String,
+      vecCol: String, table: String, shard: Int, dim: Int = 64,
+      targetRecall: Double = 0.8): Array[Array[Double]] =
+      MergeTables.withTableLock(table) {
+    val spark = vecs.sparkSession
+    VectorOps.ensureRegistered(spark)
+    requireNonNegIds(vecs, idCol, "retrainIvfAdcShard")
+    val st = svState(spark, table, fresh = true)
+    require(shard >= 0 && shard < st.nShards,
+      s"shard $shard outside [0, ${st.nShards})")
+    val dataT = st.dataT
+    spark.catalog.refreshTable(dataT + "_c")
+    val cMax = spark.table(dataT + "_c").filter(col("shard") === shard)
+      .agg(max("epoch")).head()
+    val attempt = 1L + math.max(st.epochs(shard),
+      if (cMax.isNullAt(0)) -1L else cMax.getLong(0))
+    val sub = vecs.filter(shardOf(idCol, st.nShards) === shard)
+    val live =
+      if (!spark.catalog.tableExists(dataT + "_t")) sub
+      else sub.join(
+        broadcast(spark.table(dataT + "_t")
+          .filter(col("shard") === shard &&
+            col("epoch") === st.epochs(shard))
+          .select("id").distinct().withColumnRenamed("id", idCol)),
+        Seq(idCol), "left_anti")
+    val (nlist, _) = ivfParams(math.max(1L, live.count()), targetRecall)
+    val quantizer = trainCoarseQuantizer(
+      trainingSample(live, idCol, vecCol, trainingCap(nlist)),
+      vecCol, nlist, dim)
+    // inert land 1: the attempt's centroids FIRST — they are also the
+    // epoch allocation marker a retry must see
+    svCentroidRows(spark, Seq(shard -> quantizer), attempt)
+      .write.mode("append").bucketBy(1, "cell").sortBy("cell")
+      .saveAsTable(dataT + "_c")
+    // inert land 2: the shard's live vectors re-packed under (gen 0,
+    // attempt) into the existing gcell buckets
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(dataT))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalStateException(
+          s"$dataT is not a bucketed index"))
+    val bcQ = spark.sparkContext.broadcast(
+      graft.functions.NearestCellsBc.quantizerOf(quantizer))
+    try {
+      val sc = VectorOps.maxAbs(col(vecCol))
+      live.select(
+          lit(shard).as("shard"),
+          element_at(graft.functions.NearestCellsBc(col(vecCol), bcQ,
+            1), 1).as("cell"),
+          col(idCol).as("id"),
+          VectorOps.packQuant(col(vecCol), sc).as("qc"), sc.as("scale"))
+        .select(
+          (col("shard").cast("long") * lit(4294967296L) +
+            col("cell").cast("long")).as("gcell"),
+          col("shard"), col("cell"), col("id"), col("qc"),
+          col("scale"))
+        .withColumn("gen", lit(0L)).withColumn("epoch", lit(attempt))
+        .write.mode("append")
+        .option("parquet.bloom.filter.enabled#gcell", "true")
+        .bucketBy(buckets, "gcell").sortBy("gcell")
+        .saveAsTable(dataT)
+    } finally bcQ.unpersist(false)
+    // committed streamed keys appear on EVERY shard's rows, so this
+    // shard's reset alone cannot lose replay detection — but fold the
+    // marks anyway (belt and braces, and the nShards=1 case needs it)
+    MergeTables.carryHwms(spark, dataT + "_g")
+    // THE commit: one swap replacing this shard's generation rows
+    import spark.implicits._
+    val others = MergeTables.freshView(spark, dataT + "_g")
+      .filter(col("shard") =!= shard)
+      .select(col("shard").cast("int"), col("gen"), col("batch_key"),
+        col("epoch"))
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    MergeTables.swapInKeyed(spark,
+      (others :+ ((shard, 0L, -1L, attempt)))
+        .toSeq.toDF("shard", "gen", "batch_key", "epoch"),
+      "gen", dataT + "_g")
+    spark.catalog.refreshTable(dataT)
+    invalidateSvCaches(table, dataT)
+    quantizer
   }
 
   /** Retrain every shard's quantizer from its own live rows —
     * occupancy-constant nlist from the shard's live count, each shard
-    * under its own epoch-flip commit ([[retrainIvfAdcIndex]]). */
+    * under its own epoch-flip commit ([[retrainIvfAdcShard]]). */
   def retrainIvfAdcIndexSharded(vecs: DataFrame, idCol: String,
       vecCol: String, table: String, dim: Int = 64,
-      targetRecall: Double = 0.8): Unit = {
-    val spark = vecs.sparkSession
-    val (nShards, g) = readShardMeta(spark, table)
-    requireNonNegIds(vecs, idCol, "retrainIvfAdcIndexSharded")
-    for (s <- 0 until nShards) {
-      val sub = vecs.filter(shardOf(idCol, nShards) === s)
-      val (nlist, _) = ivfParams(math.max(1L, sub.count()), targetRecall)
-      retrainIvfAdcIndex(sub, idCol, vecCol, shardTableAt(table, g, s),
-        nlist, dim)
-    }
-  }
+      targetRecall: Double = 0.8): Unit =
+    (0 until readShardCount(vecs.sparkSession, table)).foreach(s =>
+      retrainIvfAdcShard(vecs, idCol, vecCol, table, s, dim,
+        targetRecall))
 
-  /** RESHARD (r18 verdict item 4) — the growth operation the sharded
-    * tier existed for but lacked: when shards outgrow their quantizers
-    * (or more write parallelism is needed), route the LIVE corpus into
-    * a fresh `newShards`-shard layout under new per-shard quantizers.
-    * Semantically reshard(S→S′) IS a fresh
+  /** RESHARD — the growth operation: when shards outgrow their
+    * quantizers (or more write parallelism is needed), route the LIVE
+    * corpus into a fresh `newShards`-shard layout under new per-shard
+    * quantizers. Semantically reshard(S→S′) IS a fresh
     * [[writeIvfAdcIndexSharded]](S′) over the SURVIVORS — the caller's
-    * corpus minus every old shard's live tombstones — down to
-    * bit-equal stored rows (spec-gated), the same contract qe3's
-    * retrain has to a fresh build. What a fresh build would lose and
-    * reshard keeps: (a) ATOMICITY — the new layout lands INERT under
-    * reshard-generation names (`table_r{g}_sN`, [[shardTableAt]]) and
-    * ONE sidecar swap flips every probe/mutator to it (a crash before
-    * the swap leaves the old index fully live; the swap's own window
-    * heals like every sidecar's); and (b) REPLAY MARKS — every old
-    * shard's committed streaming batch keys fold (max per lineage,
-    * floors kept) into EVERY new shard's mark table, so a
-    * checkpoint-resumed lineage re-delivering a committed batch after
-    * the reshard is still refused exactly (a replayed batch routes a
-    * subset of rows to each new shard, so detection must hold on all
-    * of them). Old-generation tables are dropped post-commit — inert
-    * leftovers under a crash either way. Reference analog: growing the
-    * partition count of a partitioned MapFile output is a new job
-    * writing a new partitioned set and swapping the readers' view
+    * corpus minus every shard's live tombstones — down to bit-equal
+    * stored rows (spec-gated), the same contract qe3's retrain has to
+    * a fresh build. What a fresh build would lose and reshard keeps:
+    * (a) ATOMICITY — the new one-table layout lands INERT under the
+    * next reshard-generation name (`table_r{g}_sv`, [[svDataTable]])
+    * and ONE sidecar swap flips every probe/mutator to it; and (b)
+    * REPLAY MARKS — the old generation's committed streaming keys fold
+    * (max per lineage, floors kept) into the new generation's mark
+    * table, so a checkpoint-resumed lineage re-delivering a committed
+    * batch after the reshard is still refused exactly. REFUSES IN CODE
+    * under a live streaming writer lease on the old generation's key
+    * table (r19 verdict item 4 — a doc comment guarded this seam
+    * before): stop the query, reshard, restart. Old-generation tables
+    * are dropped post-commit — inert leftovers under a crash either
+    * way. Reference analog: growing the partition count of a
+    * partitioned MapFile output is a new job writing a new partitioned
+    * set and swapping the readers' view
     * (mapred/MapFileOutputFormat.java:39,101-107). */
   def reshardIvfAdcIndex(vecs: DataFrame, idCol: String, vecCol: String,
       table: String, newShards: Int, dim: Int = 64,
@@ -1847,87 +2694,76 @@ object Similarity {
       init: String = "first"): Unit = MergeTables.withTableLock(table) {
     require(newShards >= 1, s"newShards=$newShards")
     val spark = vecs.sparkSession
-    requireNonNegIds(vecs, idCol, "reshardIvfAdcIndex")
-    val (oldShards, g) = readShardMeta(spark, table)
-    val g2 = g + 1L
+    val st = svState(spark, table, fresh = true)
+    // r19 verdict item 4: the old generation's key table is rewritten
+    // away below — refuse while a live streaming lineage holds it
+    MergeTables.requireNoWriterLease(spark, st.dataT + "_g",
+      "reshardIvfAdcIndex: a live streaming lineage holds this sharded " +
+        "index — stop the query, reshard, then restart (the carried " +
+        "replay marks make the restart replay-exact)")
+    val g2 = st.rsgen + 1L
     // heal residue first: a previous reshard's crashed post-commit GC
-    // (or a crashed attempt's half-built next generation) leaves
-    // inert tables no reader resolves — swept here, where the next
-    // writer already holds the lock
-    dropStaleShardGens(spark, table, liveGen = g)
-    // survivors: the live corpus minus every old shard's tombstones at
+    // (or a crashed attempt's half-built next generation) leaves inert
+    // tables no reader resolves — swept here, under the lock
+    dropStaleShardGens(spark, table, liveGen = st.rsgen)
+    // survivors: the live corpus minus every shard's tombstones at
     // that shard's ACTIVE epoch (an id lives in exactly one shard, so
-    // the union is the global delete set) — retrainIvfAdcIndex's
-    // survivor rule, applied across the fan-out
-    val tombs = (0 until oldShards).flatMap { s =>
-      val st = shardTableAt(table, g, s)
-      if (!spark.catalog.tableExists(st + "_t")) None
-      else {
-        val epoch = activeAdcEpoch(spark, st)
-        Some(spark.table(st + "_t").filter(col("epoch") === epoch)
-          .select("id"))
-      }
-    }
+    // the union is the global delete set)
+    import spark.implicits._
     val survivors =
-      if (tombs.isEmpty) vecs
-      else vecs.join(
-        broadcast(tombs.reduce(_ unionAll _).distinct()
-          .withColumnRenamed("id", idCol)),
-        Seq(idCol), "left_anti")
-    // inert land 1: the fresh layout at the NEXT reshard generation's
+      if (!spark.catalog.tableExists(st.dataT + "_t")) vecs
+      else {
+        val actives = st.epochs.zipWithIndex
+          .map { case (e, s) => (s, e) }.toSeq.toDF("shard", "epoch")
+        vecs.join(
+          broadcast(spark.table(st.dataT + "_t")
+            .join(broadcast(actives), Seq("shard", "epoch"),
+              "left_semi")
+            .select("id").distinct().withColumnRenamed("id", idCol)),
+          Seq(idCol), "left_anti")
+      }
+    // inert land 1: the fresh one-table layout at the NEXT generation's
     // names — invisible to every reader until the sidecar flips
-    for (s <- 0 until newShards) {
-      val sub = survivors.filter(shardOf(idCol, newShards) === s)
-      val n = sub.count()
-      require(n > 0, s"shard $s of $newShards would be empty — id " +
-        "space too sparse for this shard count")
-      val (nlist, _) = ivfParams(n, targetRecall)
-      writeIvfAdcIndex(sub, idCol, vecCol, shardTableAt(table, g2, s),
-        nlist, dim, buckets = buckets, init = init)
-    }
-    // inert land 2: carry the replay marks — all old shards' live
+    val counts = shardCountsChecked(survivors, idCol, newShards,
+      "reshardIvfAdcIndex")
+    val dataT2 = svDataTable(table, g2)
+    svBuildLayout(survivors, idCol, vecCol, dataT2, newShards, counts,
+      dim, targetRecall, buckets, init)
+    // inert land 2: carry the replay marks — the old generation's live
     // stream keys and prior marks, folded to max-per-lineage (floor
-    // rows ride along as MaxValue maxes), written into EVERY new
-    // shard's mark table
+    // rows ride along as MaxValue maxes), into the new generation's
+    // mark table
     val base = streamBatchKeyBase
-    val perShard = (0 until oldShards).map { s =>
-      val kt = shardTableAt(table, g, s) + "_g"
-      val live = MergeTables.freshView(spark, kt)
-        .filter(col("batch_key") >= base)
-        .select(expr(s"shiftright(batch_key - ${base}L, 28)")
-            .as("lineage"),
-          expr(s"(batch_key - ${base}L) & ${(1L << 28) - 1}L")
-            .as("hwm"))
-      val ht = MergeTables.hwmTable(kt)
-      MergeTables.recoverCompactCrash(spark, ht)
-      if (!spark.catalog.tableExists(ht)) live
+    val kt = st.dataT + "_g"
+    val liveKeys = MergeTables.freshView(spark, kt)
+      .filter(col("batch_key") >= base)
+      .select(expr(s"shiftright(batch_key - ${base}L, 28)")
+          .as("lineage"),
+        expr(s"(batch_key - ${base}L) & ${(1L << 28) - 1}L").as("hwm"))
+    val ht = MergeTables.hwmTable(kt)
+    MergeTables.recoverCompactCrash(spark, ht)
+    val withPrior =
+      if (!spark.catalog.tableExists(ht)) liveKeys
       else {
         spark.catalog.refreshTable(ht)
-        live.unionByName(spark.table(ht).select("lineage", "hwm"))
+        liveKeys.unionByName(spark.table(ht).select("lineage", "hwm"))
       }
-    }
-    val folded = perShard.reduce(_ unionByName _)
+    val folded = withPrior
       .groupBy("lineage").agg(max("hwm").as("hwm"))
       .localCheckpoint()
     try {
       if (!folded.isEmpty)
-        for (s <- 0 until newShards)
-          MergeTables.swapInKeyed(spark,
-            folded.withColumn("gen", lit(0L))
-              .withColumn("batch_key", lit(-1L)),
-            "lineage",
-            MergeTables.hwmTable(shardTableAt(table, g2, s) + "_g"))
+        MergeTables.swapInKeyed(spark, folded, "lineage",
+          MergeTables.hwmTable(dataT2 + "_g"))
       // THE commit: one sidecar swap to (newShards, g2)
-      import spark.implicits._
       MergeTables.swapInKeyed(spark,
         Seq((newShards, g2)).toDF("nshards", "rsgen"),
         "nshards", table + "_sh")
     } finally dropCheckpoint(folded)
+    invalidateSvCaches(table, st.dataT)
     // post-commit GC, inert either way
-    for (s <- 0 until oldShards;
-        sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
-      spark.sql(
-        s"DROP TABLE IF EXISTS `${shardTableAt(table, g, s)}$sfx`")
+    for (sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
+      spark.sql(s"DROP TABLE IF EXISTS `${st.dataT}$sfx`")
   }
 
   /** Recall audit of a PERSISTED ADC index (qc3's drift gate): the
@@ -2147,11 +2983,29 @@ object Similarity {
     * mid-tune external rebuild can present a MATCHING epoch number
     * over a different quantizer — the file snapshot cannot. */
   /** The current quantizer state key, cache-bypassing — what the
-    * tuners capture at start and verify at end. */
+    * tuners capture at start and verify at end. Carries the
+    * application id (it shares [[quantStateKey]] with the broadcast
+    * memos) — fine within one tune, wrong for PERSISTED keys
+    * ([[persistedQuantState]]). */
   private[graft] def quantStateNow(spark: SparkSession, table: String)
       : String =
     quantStateKey(spark, table, activeAdcEpoch(spark, table),
       fresh = true)
+
+  /** The quantizer state key WITHOUT the application id — what the
+    * PERSISTED serving decision is keyed by (r20; the sharded tier's
+    * [[svStateKey]] discipline): a stored decision must survive a
+    * driver restart — that is the point of persisting it — while still
+    * refusing stale after any retrain/rebuild/GC (epoch + the centroid
+    * table's file snapshot both change). The pre-r20 key carried the
+    * app id, so every new process silently re-refused a perfectly
+    * fresh stored decision. */
+  private def persistedQuantState(spark: SparkSession, table: String)
+      : String = {
+    val epoch = activeAdcEpoch(spark, table)
+    epoch + ":" +
+      MergeTables.freshInputFiles(spark, table + "_c").mkString(",")
+  }
 
   private[graft] def requireQuantStable(spark: SparkSession, table: String,
       state0: String): Unit = {
@@ -2411,8 +3265,11 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   /** Evict `cache` entries for `table` other than the live key `keep`
-    * — the one-live-entry-per-table bound of [[quantKeyCache]] /
-    * [[epochCache]]. Key format is `appId:table:epochSuffix`. */
+    * — the one-live-entry-per-table bound of [[quantKeyCache]] (its
+    * only call site; [[epochCache]] needs no eviction — its keys carry
+    * an EMPTY epoch suffix, so it is naturally one-entry-per-table —
+    * and wiring it here would be a behavior-free no-op, ADVICE r19).
+    * Key format is `appId:table:epochSuffix`. */
   private def evictOtherEpochs[V](
       cache: java.util.concurrent.ConcurrentHashMap[String, V],
       appId: String, table: String, keep: String): Unit = {
@@ -2792,7 +3649,9 @@ object Similarity {
     * decision lands in `<table>_serve` (one row: mode, nprobe, gprobe,
     * depth, recall, state_key) via the crash-safe shadow swap
     * ([[MergeTables.swapInKeyed]]), KEYED BY THE QUANTIZER STATE
-    * ([[quantStateNow]] — epoch + centroid file snapshot): any
+    * ([[persistedQuantState]] — epoch + centroid file snapshot,
+    * application-independent since r20 so the store survives a
+    * driver restart): any
     * retrain, rebuild or centroid GC changes the key, so the stored
     * decision self-invalidates ([[readServingDecision]]'s stale
     * refusal) instead of silently serving dials tuned against a
@@ -2802,13 +3661,28 @@ object Similarity {
   def writeServingDecision(spark: SparkSession, table: String,
       serving: AnnServing, gprobe: Int = 0): Unit = {
     import spark.implicits._
+    // the `_serve` name is shared with the sharded tier's per-shard
+    // rows (schema carries `shard`) — refuse the cross-write loudly
+    // instead of silently replacing the other tier's store (r19
+    // verdict item 6; in correct use the two tiers never share a name)
+    locally {
+      val t = table + "_serve"
+      MergeTables.recoverCompactCrash(spark, t)
+      if (spark.catalog.tableExists(t)) {
+        spark.catalog.refreshTable(t)
+        require(!spark.table(t).schema.fieldNames.contains("shard"),
+          s"$t holds SHARDED per-shard serving rows — refusing the " +
+            "single-table write over it (is this name really a " +
+            "single-table index?)")
+      }
+    }
     val (mode, depth) = serving match {
       case ProbeServing(_, _)     => ("probe", 0)
       case RerankServing(_, d, _) => ("rerank", d)
     }
     MergeTables.swapInKeyed(spark,
       Seq((mode, serving.nprobe, gprobe, depth, serving.recall,
-        quantStateNow(spark, table)))
+        persistedQuantState(spark, table)))
         .toDF("mode", "nprobe", "gprobe", "depth", "recall",
           "state_key"),
       "mode", table + "_serve")
@@ -2830,7 +3704,8 @@ object Similarity {
     val rows = spark.table(t).collect()
     if (rows.isEmpty) return None
     val r = rows.head
-    if (r.getAs[String]("state_key") != quantStateNow(spark, table)) None
+    if (r.getAs[String]("state_key") !=
+        persistedQuantState(spark, table)) None
     else {
       val np = r.getAs[Int]("nprobe")
       val rec = r.getAs[Double]("recall")

@@ -557,15 +557,20 @@ object GrowthBench {
     }
 
     // ---- sharded ADC index: probe cost flat in shard count (r17
-    // verdict item 3) ---- same corpus, same fixed panel, 1 vs 8
-    // shards: per-shard nlist shrinks ~1/S while the fan-out adds S
-    // probes of 1/S coarse work each — total probe cost must be ~flat
-    // (exponent vs shard count ~0), which is what makes the shard
-    // count a pure write/maintenance-parallelism dial.
+    // verdict item 3; ONE-PLAN layout since r20 — r19 item 1) ----
+    // same corpus, same fixed panel, 1 / 8 / 32 shards: per-shard
+    // nlist shrinks ~1/S while the fan-out adds S probes of 1/S
+    // coarse work each — total probe cost must be ~flat. The s32 row
+    // is the r20 done-gate: the retired per-shard-plan fan-out paid a
+    // measured ~0.1 s/shard of EXECUTION floor (s8/s16/s32 totals
+    // 1.4/2.3/3.8 s — N scans, N broadcasts, N exchanges); the
+    // one-table probe is one scan + one join at any shard count, so
+    // s32 must sit WITH s8 (measured at re-layout: 0.48/0.33/0.28 s
+    // for s8/s16/s32 — flat, 13x at s32).
     locally {
       val emb = Tables.embeddings(spark, x1)
       val panel = emb.filter(col("vec_id") % 100 === 0)
-      for (sh <- Seq(1, 8)) {
+      for (sh <- Seq(1, 8, 32)) {
         Similarity.writeIvfAdcIndexSharded(emb, "vec_id", "embedding",
           s"gshard_idx_$sh", nShards = sh, dim = 64)
         // EVERY variant gets an untimed warm probe before its timed
@@ -590,10 +595,14 @@ object GrowthBench {
       t("qshard_probe_s8_ttl") = time("qshard_probe_s8_ttl",
         Similarity.ivfAdcTopKIndexedSharded(panel, "vec_id",
           "embedding", k = 3, "gshard_idx_8"))
-      // the serving AMORTIZATION of the per-shard plan floor (r19):
-      // the same panel as repeated micro-batches through ONE started
-      // streaming fan-out (plan constructed once) vs repeated
-      // one-shot fan-outs (each re-pays construction). Both warm,
+      // stream-vs-oneshot serving (r19; kept in r20 as the regression
+      // row for the one-plan layout): the same panel as repeated
+      // micro-batches through ONE started streaming fan-out vs
+      // repeated one-shot fan-outs. r19 MEASURED that streaming does
+      // not amortize the old per-shard floor (1.31 vs 1.24 s —
+      // Catalyst re-plans per micro-batch, and the floor was
+      // per-branch EXECUTION anyway); with the r20 one-table layout
+      // both forms should sit well under both numbers. Both warm,
       // both under the TTL; 5 rounds each, per-round seconds.
       locally {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -957,17 +966,22 @@ object GrowthBench {
       // ceiling), the two-level broadcast probe per shard, the
       // serving TTL on every per-shard metadata read. Expected FLAT
       // in both corpus scale (s8: 1x -> 100x) and shard count (1x:
-      // s1 -> s8), with the FUSED qb7 stack output agreeing >= 0.94
-      // with the fraction-law fan-out over the SAME sharded index.
-      // s1 at 100x is deliberately skipped: the spec pins nShards=1
-      // bit-equal to the single-table tuned probe (whose 100x row is
-      // qadc_tuned_probe_100x), and its 200k-row driver Lloyd would
-      // double the tier's build cost to re-measure a pinned identity.
+      // s1 -> s8 -> s32 — the s32 point is the r20 one-plan done-gate:
+      // under the retired per-shard-plan fan-out it paid ~0.1 s/shard
+      // of execution floor and was not even measured; now the probe is
+      // one scan + one join at any shard count), with the FUSED qb7
+      // stack output agreeing >= 0.94 with the fraction-law fan-out
+      // over the SAME sharded index. The tune line also records r19
+      // item 3: tuneShardDials runs its shards CONCURRENTLY on a
+      // bounded pool (was 26 s sequential at 1x/s8). s1/s32 at 100x
+      // are deliberately skipped: nShards=1 is a spec-pinned identity
+      // with the single-table tuned probe, and the 100x tier's cost
+      // budget is the s8 serving point, not a shard-count sweep.
       locally {
         val probePanel = Tables.embeddings(spark, genStack(1))
           .filter(col("vec_id") % 100 === 0) // FIXED 20-query panel
         for ((tag, k) <- Seq("1x" -> 1, "100x" -> 100);
-            sh <- Seq(1, 8) if !(k == 100 && sh == 1)) {
+            sh <- Seq(1, 8, 32) if !(k == 100 && sh != 8)) {
           val d = genStack(k)
           val emb = Tables.embeddings(spark, d)
           val cnt = emb.count()
@@ -1015,7 +1029,9 @@ object GrowthBench {
           f"1x->100x ${math.log(t("qshard_tuned_100x_s8") /
             t("qshard_tuned_1x_s8")) / math.log(100)}%5.2f; " +
           f"s1->s8 fan-out ratio at 1x ${t("qshard_tuned_1x_s8") /
-            t("qshard_tuned_1x_s1")}%4.2f")
+            t("qshard_tuned_1x_s1")}%4.2f; " +
+          f"s8->s32 ratio at 1x ${t("qshard_tuned_1x_s32") /
+            t("qshard_tuned_1x_s8")}%4.2f (one-plan gate: ~1.0)")
       }
     }
 
@@ -1081,6 +1097,8 @@ object GrowthBench {
       t("qf5_cm_probe_10x"), 10)
     exp("qshard_probe s1->s8", t("qshard_probe_s1"),
       t("qshard_probe_s8"), 8)
+    exp("qshard_probe s8->s32", t("qshard_probe_s8"),
+      t("qshard_probe_s32"), 4)
     if (x100opt.isDefined) {
       System.err.println(
         "[growth] --- one decade further: 1x -> 100x exponents ---")

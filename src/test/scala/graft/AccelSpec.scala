@@ -218,6 +218,60 @@ class HybridExecutorSpec extends AnyFunSuite with SparkTest {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("measuredWavesDistributed: the same re-split trajectory with branches consumed as distributed actions — no result collect") {
+    // r19 verdict item 5: measuredWaves collects BOTH branches to the
+    // driver per wave — right at the accelerator demo's fixture scale,
+    // a driver-materialization at data scale. The distributed twin
+    // shares the wave loop (split arithmetic, job-group attribution,
+    // delta-based listener drain) and consumes each branch as a
+    // count/write ACTION: only counts and listener metrics reach the
+    // driver. Gates: (a) the split trajectory has the same measured
+    // shape on the same body (accelerator padded slower -> the split
+    // shifts away from it); (b) every wave's row count equals the
+    // reference body's; (c) a parquet sink wave persists exactly the
+    // reference rows.
+    import graft.apps.KMeansLocal
+    val listener = new TaskTimeListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lines = KMeansLocal.fixtureLines(spark, 8, 3, 40)
+        .repartition(8).cache()
+      lines.count()
+      def body(padMs: Long)
+          : Iterator[(String, String)] => Iterator[(String, Int, Int, Int)] =
+        it => {
+          if (padMs > 0) Thread.sleep(padMs)
+          it.flatMap { case (k, v) => KMeansLocal.centroidsOfLine(k, v) }
+        }
+      val ref = lines.rdd.mapPartitions(body(0)).collect().toSet
+      val sink = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_mwd_${spark.sparkContext.applicationId}")
+        .getAbsolutePath
+      import spark.implicits._
+      val waves = HybridExecutor.measuredWavesDistributed(spark,
+        lines.rdd, cpu = body(0), accel = body(300), listener,
+        nCpu = 4, nGpu = 4, waves = 3,
+        sinkOf = (w, d) =>
+          if (w == 3 && d == "cpu") Some(s"$sink/w$w$d") else None)
+      val splits = waves.map(_._1)
+      assert(splits.head > 0,
+        s"wave 1 gave the accelerator no share: $splits")
+      assert(splits.last < splits.head,
+        s"the split never shifted away from the measured-slower " +
+          s"device: $splits")
+      waves.foreach { case (gp, n) =>
+        assert(n == ref.size.toLong,
+          s"wave at split $gp returned $n rows, expected ${ref.size}") }
+      val persisted = spark.read.parquet(s"$sink/w3cpu")
+        .as[(String, Int, Int, Int)].collect().toSet
+      // wave 3's cpu branch persisted its own partition range's rows —
+      // a subset of the reference, disjoint from nothing it shouldn't be
+      assert(persisted.nonEmpty && persisted.subsetOf(ref),
+        "the sink wave persisted rows outside the reference body")
+      lines.unpersist()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("AccelSwapRule swaps a registered UDF variant when policy says go") {
     Accel.install(spark)
     val cpuFn = (x: Long) => x + 1

@@ -1426,16 +1426,16 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries, "vec_id",
           "embedding", k = 3, "shrd3_idx")) == afterDelete,
         "compaction changed the sharded probe")
-      for (s <- 0 until 3) {
-        val st = Similarity.shardTable("shrd3_idx", s)
-        assert(spark.table(st).select("gen").distinct().count() == 1L,
-          s"$st not collapsed to one generation")
-        assert(spark.table(st).filter(col("id") >= 400).count() == 0L,
-          s"$st still physically holds deleted rows")
-      }
+      // one-table layout: one generation left per shard, no deleted
+      // row physically present in any shard's key range
+      assert(spark.table("shrd3_idx_sv").select("shard", "gen")
+          .distinct().count() == 3L,
+        "shrd3_idx_sv not collapsed to one generation per shard")
+      assert(spark.table("shrd3_idx_sv").filter(col("id") >= 400)
+          .count() == 0L,
+        "shrd3_idx_sv still physically holds deleted rows")
     } finally {
-      for (t <- Seq("shrd1_idx_s0", "shrd3_idx_s0", "shrd3_idx_s1",
-          "shrd3_idx_s2", "shrd_ref");
+      for (t <- Seq("shrd1_idx_sv", "shrd3_idx_sv", "shrd_ref");
           sfx <- Seq("", "_c", "_g", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
       spark.sql("DROP TABLE IF EXISTS shrd1_idx_sh")
@@ -1463,9 +1463,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
       .collect().sorted.toSeq
     def stored(t: String) = spark.table(t)
-      .select(col("cell"), col("id"), hex(col("qc")), col("scale"),
-        col("gen"), col("epoch"))
-      .as[(Int, Long, String, Double, Long, Long)]
+      .select(col("shard"), col("cell"), col("id"), hex(col("qc")),
+        col("scale"), col("gen"), col("epoch"))
+      .as[(Int, Int, Long, String, Double, Long, Long)]
       .collect().sorted.toSeq
     try {
       Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
@@ -1479,9 +1479,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       val survivors = vecs.filter(col("vec_id") % 10 =!= 7)
       Similarity.writeIvfAdcIndexSharded(survivors, "vec_id",
         "embedding", "rsh_ref", nShards = 3, dim = 64)
-      for (s <- 0 until 3)
-        assert(stored(s"rsh_idx_r1_s$s") == stored(s"rsh_ref_s$s"),
-          s"resharded shard $s diverged from the fresh build")
+      assert(stored("rsh_idx_r1_sv") == stored("rsh_ref_sv"),
+        "resharded stored rows diverged from the fresh build")
       // (b) probe bit-equal; (d) tombstoned ids gone
       val probed = rows(Similarity.ivfAdcTopKIndexedSharded(queries,
         "vec_id", "embedding", k = 3, "rsh_idx"))
@@ -1491,14 +1490,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(!probed.exists(_._2 % 10 == 7),
         "a deleted id survived the reshard")
       // (c) old layout gone; lifecycle resolves the new one
-      for (s <- 0 until 2)
-        assert(!spark.catalog.tableExists(s"rsh_idx_s$s"),
-          s"old shard table rsh_idx_s$s survived the commit")
+      assert(!spark.catalog.tableExists("rsh_idx_sv"),
+        "old generation table rsh_idx_sv survived the commit")
       Similarity.appendIvfAdcIndexSharded(
         vecs.filter(col("vec_id") === 7)
           .withColumn("vec_id", lit(900L)),
         "vec_id", "embedding", "rsh_idx")
-      assert(spark.table("rsh_idx_r1_s0").filter(col("id") === 900)
+      assert(spark.table("rsh_idx_r1_sv")
+        .filter(col("id") === 900 && col("shard") === 0)
         .count() == 1L, // 900 % 3 == 0 — routed into the NEW layout
         "post-reshard append did not land in the new layout")
       // (e) a FRESH BUILD over a resharded index replaces the whole
@@ -1506,9 +1505,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       // must not survive as orphans
       Similarity.writeIvfAdcIndexSharded(survivors, "vec_id",
         "embedding", "rsh_idx", nShards = 2, dim = 64)
-      for (s <- 0 until 3)
-        assert(!spark.catalog.tableExists(s"rsh_idx_r1_s$s"),
-          s"rebuild orphaned the resharded table rsh_idx_r1_s$s")
+      assert(!spark.catalog.tableExists("rsh_idx_r1_sv"),
+        "rebuild orphaned the resharded table rsh_idx_r1_sv")
       assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
           "vec_id", "embedding", k = 3, "rsh_idx")).nonEmpty,
         "rebuild over the resharded index does not probe")
@@ -1516,22 +1514,20 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       // generation's table (a crashed GC's orphan) goes at the next
       // reshard's entry, and a fresh build at a SMALLER shard count
       // leaves no other generation's tables behind
-      spark.range(1).toDF("x").write.saveAsTable("rsh_idx_r7_s0")
+      spark.range(1).toDF("x").write.saveAsTable("rsh_idx_r7_sv")
       Similarity.reshardIvfAdcIndex(survivors, "vec_id", "embedding",
         "rsh_idx", newShards = 2, dim = 64)
-      assert(!spark.catalog.tableExists("rsh_idx_r7_s0"),
+      assert(!spark.catalog.tableExists("rsh_idx_r7_sv"),
         "stale-generation orphan survived the reshard entry sweep")
       Similarity.writeIvfAdcIndexSharded(survivors, "vec_id",
         "embedding", "rsh_idx", nShards = 1, dim = 64)
-      assert(!spark.catalog.tableExists("rsh_idx_r1_s0") &&
-        !spark.catalog.tableExists("rsh_idx_s1"),
+      assert(!spark.catalog.tableExists("rsh_idx_r1_sv"),
         "fresh build left another generation's tables behind")
       assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
           "vec_id", "embedding", k = 3, "rsh_idx")).nonEmpty)
     } finally {
-      for (t <- Seq("rsh_idx_s0", "rsh_idx_s1", "rsh_idx_r1_s0",
-          "rsh_idx_r1_s1", "rsh_idx_r1_s2", "rsh_ref_s0", "rsh_ref_s1",
-          "rsh_ref_s2");
+      for (t <- Seq("rsh_idx_sv", "rsh_idx_r1_sv", "rsh_idx_r2_sv",
+          "rsh_ref_sv");
           sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
       spark.sql("DROP TABLE IF EXISTS rsh_idx_sh")
@@ -1638,10 +1634,8 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       assert(rows(Similarity.ivfAdcTopKIndexedShardedTuned(queries,
           "vec_id", "embedding", k = 3, "shtn4_idx")) == rows(tuned),
         "stored-dials serving diverged from explicit dials")
-      Similarity.retrainIvfAdcIndex(
-        vecs.filter(col("vec_id") % 4 === 1), "vec_id", "embedding",
-        Similarity.shardTable("shtn4_idx", 1),
-        nlist = Similarity.ivfParams(200L)._1, dim = 64)
+      Similarity.retrainIvfAdcShard(vecs, "vec_id", "embedding",
+        "shtn4_idx", shard = 1, dim = 64)
       assert(Similarity.readShardDials(spark, "shtn4_idx").isEmpty,
         "stale per-shard dials served after one shard's retrain")
       intercept[IllegalStateException] {
@@ -1649,14 +1643,185 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
           "embedding", k = 3, "shtn4_idx")
       }
     } finally {
-      for (t <- Seq("shtn1_idx_s0", "shtn4_idx_s0", "shtn4_idx_s1",
-          "shtn4_idx_s2", "shtn4_idx_s3", "shtn_ref");
+      for (t <- Seq("shtn1_idx_sv", "shtn4_idx_sv", "shtn_ref");
           sfx <- Seq("", "_c", "_g", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
       for (t <- Seq("shtn1_idx_sh", "shtn4_idx_sh", "shtn4_idx_serve",
           "shtn4_idx_serve_compact_shadow"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
     }
+  }
+
+  test("sharded serving escalation: mode-growth shards stay probe-only; density shards plateau and escalate to a per-shard exact-dot re-rank that clears the gate") {
+    // r19 verdict item 2: tuneServing's plateau->re-rank policy existed
+    // only single-table — a density-regime shard had no path to the
+    // exact-dot re-rank. Gates: (a) on the mode-growth geometry every
+    // shard decides probe mode and the served fan-out's ranks equal the
+    // tuned fan-out's (same key, same tiebreak); (b) on the density
+    // geometry shards ESCALATE, the decision is honest (probe-only
+    // recall at the plateaued dial really is below the gate) and the
+    // served fan-out's measured recall clears it; (c) an escalated
+    // store refuses the probe-only serving entry loudly; (d) stored
+    // serving rows are refused stale after one shard's retrain.
+    val target = 0.8
+    val clustered = spark.range(800).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 16), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600) / 1000.0d" +
+      " - 0.3d ELSE 0.0d END as float))").as("embedding"))
+    val dense = spark.range(400).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 29, i), 200) / 1000000.0d as float))")
+      .as("embedding"))
+    val clPanel = clustered.filter(col("vec_id") % 40 === 0)
+    val dnPanel = dense.filter(col("vec_id") % 20 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      // (a) mode-growth at 2 shards: probe mode everywhere, served ==
+      // tuned down to (q_id, nb_id, rank)
+      Similarity.writeIvfAdcIndexSharded(clustered, "vec_id",
+        "embedding", "esc_cl_idx", nShards = 2, dim = 64)
+      val clServe = Similarity.tuneShardServingPersist(clustered,
+        clPanel, "vec_id", "embedding", k = 3, "esc_cl_idx",
+        targetRecall = target)
+      assert(clServe.forall(_.mode == "probe"),
+        s"mode-growth shards escalated needlessly: $clServe")
+      assert(clServe.forall(_.recall >= target),
+        s"a probe-mode shard's end-to-end recall missed the gate: " +
+          s"$clServe")
+      val served = Similarity.ivfAdcTopKIndexedShardedServed(clustered,
+        clPanel, "vec_id", "embedding", k = 3, "esc_cl_idx")
+      val tuned = Similarity.ivfAdcTopKIndexedShardedTuned(clPanel,
+        "vec_id", "embedding", k = 3, "esc_cl_idx",
+        clServe.map(_.dials))
+      assert(rows(served) == rows(tuned),
+        "all-probe served fan-out diverged from the tuned fan-out")
+      // (b) density at 2 shards (pmod routing halves every cluster, so
+      // the within-cluster 1e-4 epsilon geometry — far below the int8
+      // step — survives per shard): escalation, honesty, gate
+      Similarity.writeIvfAdcIndexSharded(dense, "vec_id", "embedding",
+        "esc_dn_idx", nShards = 2, dim = 64)
+      val dnServe = Similarity.tuneShardServingPersist(dense, dnPanel,
+        "vec_id", "embedding", k = 3, "esc_dn_idx",
+        targetRecall = target)
+      assert(dnServe.forall(_.mode == "rerank"),
+        s"density shards did not escalate: $dnServe")
+      assert(dnServe.forall(sv => sv.recall >= target),
+        s"an escalated shard's recall still missed the gate: $dnServe")
+      assert(dnServe.forall(_.dials.probeRecall < target),
+        s"a shard escalated although its probe met the gate: $dnServe")
+      assert(dnServe.forall(sv => sv.depth > 3 && sv.depth <= 32 * 3),
+        s"a tuned depth left the dial range: $dnServe")
+      // the decision is honest: the probe-only fan-out at the
+      // plateaued dials (gprobe = MaxValue clamps to the full group
+      // count == the flat probe, the hier contract) really is
+      // deficient against the float-exact MIPS reference...
+      val probeOnly = Similarity.retrievalAgreement(
+          Similarity.ivfAdcTopKIndexedShardedTuned(dnPanel, "vec_id",
+            "embedding", k = 3, "esc_dn_idx",
+            dnServe.map(sv => Similarity.ShardDials(sv.dials.nprobe,
+              sv.dials.probeRecall, Int.MaxValue, 0.0))),
+          exactMips(dense, dnPanel), "q_id", "nb_id")
+        .agg((sum("n_both") / sum("n_b")).cast("double"))
+        .head().getDouble(0)
+      assert(probeOnly < target,
+        s"probe-only recall $probeOnly met the target — the " +
+          "escalation was unnecessary and the corpus is vacuous")
+      // ...and the served fan-out (exact-dot re-rank per escalated
+      // shard) clears the composed gate
+      val dnServed = Similarity.ivfAdcTopKIndexedShardedServed(dense,
+        dnPanel, "vec_id", "embedding", k = 3, "esc_dn_idx")
+      val servedRec = Similarity.retrievalAgreement(dnServed,
+          exactMips(dense, dnPanel), "q_id", "nb_id")
+        .agg((sum("n_both") / sum("n_b")).cast("double"))
+        .head().getDouble(0)
+      assert(servedRec >= target - 0.05,
+        f"served fan-out recall $servedRec%.3f below the gate")
+      // (c) escalated store refuses the probe-only entry
+      assert(Similarity.readShardDials(spark, "esc_dn_idx").isEmpty,
+        "an escalated store served probe-only dials")
+      intercept[IllegalStateException] {
+        Similarity.ivfAdcTopKIndexedShardedTuned(dnPanel, "vec_id",
+          "embedding", k = 3, "esc_dn_idx")
+      }
+      // (d) stale refusal after one shard's retrain
+      Similarity.retrainIvfAdcShard(dense, "vec_id", "embedding",
+        "esc_dn_idx", shard = 0, dim = 64)
+      assert(Similarity.readShardServing(spark, "esc_dn_idx").isEmpty,
+        "stale serving rows survived a shard's retrain")
+      intercept[IllegalStateException] {
+        Similarity.ivfAdcTopKIndexedShardedServed(dense, dnPanel,
+          "vec_id", "embedding", k = 3, "esc_dn_idx")
+      }
+    } finally {
+      for (t <- Seq("esc_cl_idx_sv", "esc_dn_idx_sv");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      for (t <- Seq("esc_cl_idx_sh", "esc_dn_idx_sh", "esc_cl_idx_serve",
+          "esc_dn_idx_serve"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("the _serve sidecar refuses cross-tier writes: single-table over sharded rows and sharded over a single-table decision both fail loudly") {
+    // r19 verdict item 6 (audit note 4): writeServingDecision and the
+    // sharded writeShardServing share the `<table>_serve` name with
+    // different schemas — in correct use they can never collide, but a
+    // misuse should refuse at the WRITER, not fail on column selection
+    // at some later read.
+    val vecs = spark.range(200).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 11, i), 2000) / 1000.0d - 1.0d as float))")
+      .as("embedding"))
+    try {
+      Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+        "xw_sh_idx", nShards = 2, dim = 64)
+      Similarity.writeShardDials(spark, "xw_sh_idx",
+        Seq(Similarity.ShardDials(1, 0.9, 1, 0.9),
+          Similarity.ShardDials(1, 0.9, 1, 0.9)))
+      intercept[IllegalArgumentException] {
+        Similarity.writeServingDecision(spark, "xw_sh_idx",
+          Similarity.ProbeServing(1, 0.9))
+      }
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "xw_st_idx", nlist = 4, dim = 64)
+      Similarity.writeServingDecision(spark, "xw_st_idx",
+        Similarity.ProbeServing(1, 0.9))
+      intercept[IllegalArgumentException] {
+        Similarity.writeShardServing(spark, "xw_st_idx",
+          Seq(Similarity.ShardServing("probe",
+            Similarity.ShardDials(1, 0.9, 1, 0.9), 0, 0.9)))
+      }
+    } finally {
+      for (t <- Seq("xw_sh_idx_sv", "xw_st_idx");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      for (t <- Seq("xw_sh_idx_sh", "xw_sh_idx_serve", "xw_st_idx_serve"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  /** Float-exact MIPS top-k as a (q_id, nb_id)-shaped reference — the
+    * escalation spec's exact leg (the library keeps its own private;
+    * the spec re-derives it declaratively). */
+  private def exactMips(vecs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int = 3)
+      : org.apache.spark.sql.DataFrame = {
+    val corpus = vecs.select(col("vec_id").as("id"),
+      col("embedding").as("v"))
+    val qs = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("qv"))
+    broadcast(qs).crossJoin(corpus)
+      .filter(col("q_id") =!= col("id"))
+      .withColumn("d", Similarity.dot(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("id").as("nb_id"))
   }
 
   test("persisted serving decision: stored dials round-trip, a retrain refuses them stale, and the stacks serve from the store with no hand dials") {

@@ -362,6 +362,63 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("qg1: the sharded ADC probe is ONE plan at any shard count — one bucketed _sv scan, gcell In pushed, plan size shard-count-invariant") {
+    // r19 verdict item 1's plan gate: the retired per-shard fan-out
+    // planned one scan + two broadcasts + one exchange PER SHARD
+    // (measured ~0.1 s/shard of execution floor, linear task count);
+    // the one-table layout must plan the SAME tree at 2 and at 8
+    // shards — the probe's cost lives in the dials, never the shard
+    // count. Same discipline as the q99 gate: broadcast disabled so
+    // the candidate join must consume the bucketed layout.
+    import graft.pipeline.Similarity
+    val vecs = Tables.embeddings(spark, d)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val shapes = Seq(2, 8).map { sh =>
+        Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+          s"qg1_plan_idx$sh", nShards = sh, dim = 64)
+        val probe = Similarity.ivfAdcTopKIndexedSharded(vecs.limit(50),
+          "vec_id", "embedding", k = 3, s"qg1_plan_idx$sh")
+        probe.collect()
+        val plan = probe.queryExecution.executedPlan
+        val p = plan.toString.split("== Initial Plan ==")(0)
+        assert(p.contains("Bucketed: true"), p.take(4000))
+        assert(p.linesIterator.exists(l =>
+            l.contains("PushedFilters") && l.contains("In(gcell")),
+          "probed-gcell set not pushed into the stored scan:\n" +
+            p.take(4000))
+        // exactly ONE scan of the one data table — the fan-out is
+        // data, not plan branches
+        val svScans = p.linesIterator.count(l =>
+          l.contains("Scan") && l.contains("_sv") && !l.contains("_sv_"))
+        assert(svScans == 1,
+          s"$svScans scans of the _sv data table at $sh shards:\n" +
+            p.take(4000))
+        // exactly the two structural exchanges — the probe side's
+        // gcell co-partitioning repartition and the global rank's
+        // q_id window exchange; a third would be the stored side
+        // re-shuffling (the bucketed layout lost)
+        val exchanges = p.linesIterator
+          .count(_.contains("Exchange hashpartitioning"))
+        assert(exchanges <= 2,
+          s"stored side re-shuffled at $sh shards:\n" + p.take(4000))
+        // shape fingerprint: node class sequence, dial-independent
+        var nodes = 0
+        plan.foreach(_ => nodes += 1)
+        nodes
+      }
+      assert(shapes(0) == shapes(1),
+        s"plan size changed with the shard count (2 shards: " +
+          s"${shapes(0)} nodes, 8 shards: ${shapes(1)}) — the probe " +
+          "is not one plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      for (sh <- Seq(2, 8); sfx <- Seq("_sv", "_sv_c", "_sv_g",
+          "_sv_t", "_sh"))
+        spark.sql(s"DROP TABLE IF EXISTS qg1_plan_idx$sh$sfx")
+    }
+  }
+
   test("q99: the persisted ADC index joins in bucketed layout — no shuffle on the stored side") {
     // the q86 property applied to vectors: build a real index, probe it
     // with broadcast disabled so the join must choose between shuffling

@@ -720,8 +720,9 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().toSeq
     def stored(t: String) = spark.table(t)
-      .select(col("cell"), col("id"), hex(col("qc")), col("scale"))
-      .as[(Int, Long, String, Double)].collect().sorted.toSeq
+      .select(col("shard"), col("cell"), col("id"), hex(col("qc")),
+        col("scale"))
+      .as[(Int, Int, Long, String, Double)].collect().sorted.toSeq
     try {
       // (a) the real streaming query, two micro-batches
       Similarity.writeIvfAdcIndexSharded(build, "vec_id", "embedding",
@@ -740,13 +741,14 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         "sstr_one", nShards = 2, dim = 64)
       Similarity.appendIvfAdcIndexSharded(batch, "vec_id", "embedding",
         "sstr_one")
-      for (s <- 0 until 2) {
-        assert(stored(s"sstr_idx_s$s") == stored(s"sstr_one_s$s"),
-          s"stream-grown shard $s diverged from the one-shot append")
-        // (b) build gen + one gen per micro-batch, in EVERY shard
-        assert(spark.table(s"sstr_idx_s${s}_g").count() >= 3L,
-          s"shard $s missing per-micro-batch generations")
-      }
+      assert(stored("sstr_idx_sv") == stored("sstr_one_sv"),
+        "stream-grown index diverged from the one-shot append")
+      // (b) build gen + one gen per micro-batch, in EVERY shard (the
+      // one-table commit lands one row per shard per batch)
+      for (s <- 0 until 2)
+        assert(spark.table("sstr_idx_sv_g")
+            .filter(col("shard") === s).count() >= 3L,
+          s"shard $s missing per-micro-batch generation rows")
       // (c) replay: an exact no-op per shard — first against the LIVE
       // committed key, then after a MID-LINEAGE per-shard compaction
       // (keys cleared, marks carried: qfn's discipline per shard)
@@ -754,32 +756,29 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         "sstr_rp", nShards = 2, dim = 64)
       Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
         "vec_id", "embedding", "sstr_rp", lineage = 1L)
-      val grown = (0 until 2).map(s => stored(s"sstr_rp_s$s"))
+      val grown = stored("sstr_rp_sv")
       Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
         "vec_id", "embedding", "sstr_rp", lineage = 1L)
-      for (s <- 0 until 2)
-        assert(stored(s"sstr_rp_s$s") == grown(s),
-          s"replayed batch re-appended into shard $s")
+      assert(stored("sstr_rp_sv") == grown,
+        "replayed batch re-appended")
       Similarity.compactIvfAdcIndexSharded(spark, "sstr_rp")
       Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
         "vec_id", "embedding", "sstr_rp", lineage = 1L)
-      for (s <- 0 until 2)
-        assert(stored(s"sstr_rp_s$s") == grown(s),
-          s"replay refused only by live keys — shard $s's compaction " +
-            "lost the carried mark")
+      assert(stored("sstr_rp_sv") == grown,
+        "replay refused only by live keys — the compaction lost the " +
+          "carried mark")
       // (d) replay across a reshard: marks carried into every new
       // shard, so the same committed key is still refused — the
       // resharded index stays bit-equal to a fresh build over the
       // full corpus
       Similarity.reshardIvfAdcIndex(corpus, "vec_id", "embedding",
         "sstr_rp", newShards = 3, dim = 64)
-      val resharded = (0 until 3).map(s => stored(s"sstr_rp_r1_s$s"))
+      val resharded = stored("sstr_rp_r1_sv")
       Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
         "vec_id", "embedding", "sstr_rp", lineage = 1L)
-      for (s <- 0 until 3)
-        assert(stored(s"sstr_rp_r1_s$s") == resharded(s),
-          s"replayed committed batch re-appended into resharded " +
-            s"shard $s — marks were not carried")
+      assert(stored("sstr_rp_r1_sv") == resharded,
+        "replayed committed batch re-appended into the resharded " +
+          "layout — marks were not carried")
       // a NEW batch of the same lineage still lands post-reshard
       // (the carried marks refuse only committed keys, and routing
       // resolves the new layout)
@@ -787,17 +786,79 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         .withColumn("vec_id", col("vec_id") + 500L)
       Similarity.streamAppendAdcBatchSharded(extra, batchId = 1L,
         "vec_id", "embedding", "sstr_rp", lineage = 1L)
-      assert((0 until 3).map(s => spark.table(s"sstr_rp_r1_s$s")
-          .filter(col("id") >= 500).count()).sum == 30L,
+      assert(spark.table("sstr_rp_r1_sv")
+          .filter(col("id") >= 500).count() == 30L,
         "a fresh post-reshard batch did not land in the new layout")
     } finally {
-      for (t <- Seq("sstr_idx_s0", "sstr_idx_s1", "sstr_one_s0",
-          "sstr_one_s1", "sstr_rp_s0", "sstr_rp_s1", "sstr_rp_r1_s0",
-          "sstr_rp_r1_s1", "sstr_rp_r1_s2");
+      for (t <- Seq("sstr_idx_sv", "sstr_one_sv", "sstr_rp_sv",
+          "sstr_rp_r1_sv");
           sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
       for (t <- Seq("sstr_idx_sh", "sstr_one_sh", "sstr_rp_sh"))
         spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("reshard refuses IN CODE under a live sharded streaming lineage; after stop() it proceeds and the restarted lineage is replay-exact") {
+    // r19 verdict item 4: only a doc comment guarded the
+    // reshard-vs-live-lineage seam — a reshard rewrites the key table
+    // a live writer's lease protects. Gates: (a) reshard during a
+    // started streaming append throws loudly; (b) after stop() the
+    // SAME reshard proceeds; (c) a restarted lineage replaying its
+    // committed batch is an exact no-op (the carried marks), and a
+    // fresh batch lands in the new layout.
+    import graft.pipeline.Similarity
+    import org.apache.spark.sql.functions.{col, hex}
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 300)
+    val build = corpus.filter(col("vec_id") < 200)
+    val batch = corpus.filter(col("vec_id") >= 200)
+    val batchRows = batch.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    def stored(t: String) = spark.table(t)
+      .select(col("shard"), col("cell"), col("id"), hex(col("qc")))
+      .as[(Int, Int, Long, String)].collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndexSharded(build, "vec_id", "embedding",
+        "rlg_idx", nShards = 2, dim = 64)
+      val ms = MemoryStream[(Long, Array[Float])](spark)
+      val q = Similarity.startStreamAppendIvfAdcIndexSharded(
+        ms.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        "rlg_idx", dim = 64)
+      try {
+        ms.addData(batchRows)
+        q.processAllAvailable()
+        // (a) the live lease refuses the reshard
+        val e = intercept[IllegalStateException] {
+          Similarity.reshardIvfAdcIndex(corpus, "vec_id", "embedding",
+            "rlg_idx", newShards = 3, dim = 64)
+        }
+        assert(e.getMessage.contains("writer lease"),
+          s"unexpected refusal: ${e.getMessage}")
+      } finally q.stop()
+      // (b) after stop() the reshard proceeds
+      Similarity.reshardIvfAdcIndex(corpus, "vec_id", "embedding",
+        "rlg_idx", newShards = 3, dim = 64)
+      val resharded = stored("rlg_idx_r1_sv")
+      // (c) the stopped lineage's committed batch replays as a no-op
+      // (lineage 1 was the started query's first allocation)
+      Similarity.streamAppendAdcBatchSharded(batch, batchId = 0L,
+        "vec_id", "embedding", "rlg_idx", lineage = 1L)
+      assert(stored("rlg_idx_r1_sv") == resharded,
+        "a committed batch replayed into the resharded layout")
+      val extra = corpus.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 700L)
+      Similarity.streamAppendAdcBatchSharded(extra, batchId = 1L,
+        "vec_id", "embedding", "rlg_idx", lineage = 1L)
+      assert(spark.table("rlg_idx_r1_sv").filter(col("id") >= 700L)
+          .count() == 20L,
+        "a fresh post-reshard batch did not land")
+    } finally {
+      for (t <- Seq("rlg_idx_sv", "rlg_idx_r1_sv");
+          sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      spark.sql("DROP TABLE IF EXISTS rlg_idx_sh")
     }
   }
 
@@ -841,7 +902,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
           "vec_id", "embedding", k = 3, "sq_idx")),
         "streamed sharded probe diverged from the one-shot fan-out")
     } finally {
-      for (t <- Seq("sq_idx_s0", "sq_idx_s1");
+      for (t <- Seq("sq_idx_sv");
           sfx <- Seq("", "_c", "_g", "_t"))
         spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
       spark.sql("DROP TABLE IF EXISTS sq_idx_sh")
