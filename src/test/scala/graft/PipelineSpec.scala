@@ -1443,6 +1443,85 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("one shard's retrain leaves the one-table index MIXED-EPOCH and exact: equals a fresh build over the live corpus; compaction reclaims the retired epoch") {
+    // The one-table layout's subtlest state (r20): after
+    // retrainIvfAdcShard(0) the ONE data table holds shard 0's rows at
+    // epoch 1 and shard 1's at epoch 0 — liveness, the combined
+    // quantizer broadcast, packing and the probe all resolve PER-SHARD
+    // epochs from one protocol read. Training is deterministic on the
+    // same live rows (same sample, same Lloyd, same nlist derivation),
+    // so the gate is sharp: probe-after-single-shard-retrain must be
+    // BIT-EQUAL to a fresh writeIvfAdcIndexSharded over the live
+    // corpus (the retrain consumed shard 0's tombstones; the fresh
+    // build never saw the deleted ids). Compaction then reclaims the
+    // retired epoch's rows physically without changing the probe.
+    val vecs = spark.range(600).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 12), 19, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 31, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val queries = vecs.filter(col("vec_id") % 30 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+        "mxe_idx", nShards = 2, dim = 64)
+      // delete a few shard-0 ids (even ids route to shard 0), then
+      // retrain ONLY shard 0 — the retrain's survivor rule consumes
+      // the tombstones; shard 1's quantizer and rows stay at epoch 0
+      val dead = vecs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"))
+      Similarity.deleteIvfVecsSharded(spark, "mxe_idx", dead, "vec_id")
+      Similarity.retrainIvfAdcShard(vecs, "vec_id", "embedding",
+        "mxe_idx", shard = 0, dim = 64)
+      // the mixed-epoch physical state is real: two distinct epochs
+      // live in the one table, one per shard
+      val eps = spark.table("mxe_idx_sv").select("shard", "epoch")
+        .distinct().as[(Int, Long)].collect().toSet
+      assert(eps.map(_._1) == Set(0, 1) && eps.size >= 3,
+        s"expected mixed epochs across shards post-retrain, got $eps")
+      val live = vecs.filter(col("vec_id") % 100 =!= 0)
+      Similarity.writeIvfAdcIndexSharded(live, "vec_id", "embedding",
+        "mxe_ref", nShards = 2, dim = 64)
+      val probed = rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+        "vec_id", "embedding", k = 3, "mxe_idx"))
+      assert(probed == rows(Similarity.ivfAdcTopKIndexedSharded(
+        queries, "vec_id", "embedding", k = 3, "mxe_ref")),
+        "mixed-epoch probe diverged from the fresh build over the " +
+          "live corpus")
+      assert(!probed.exists(_._2 % 100 == 0),
+        "a tombstoned-then-retrained id survived as a neighbor")
+      // compaction reclaims the retired epoch physically, probe
+      // bit-unchanged; exactly one (shard, epoch) pair per shard left
+      Similarity.compactIvfAdcIndexSharded(spark, "mxe_idx")
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+          "vec_id", "embedding", k = 3, "mxe_idx")) == probed,
+        "compaction changed the mixed-epoch probe")
+      assert(spark.table("mxe_idx_sv").select("shard", "epoch")
+          .distinct().count() == 2L,
+        "compaction left retired-epoch rows behind")
+      assert(spark.table("mxe_idx_sv_c").select("shard", "epoch")
+          .distinct().count() == 2L,
+        "compaction left retired-epoch centroids behind")
+      // the reserved-name guard refuses grammar-colliding build names
+      intercept[IllegalArgumentException] {
+        Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+          "mxe_r2", nShards = 2, dim = 64)
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+          "mxe_sv", nShards = 2, dim = 64)
+      }
+    } finally {
+      for (t <- Seq("mxe_idx_sv", "mxe_ref_sv");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      spark.sql("DROP TABLE IF EXISTS mxe_idx_sh")
+      spark.sql("DROP TABLE IF EXISTS mxe_ref_sh")
+    }
+  }
+
   test("reshard: S->S' equals a fresh sharded build over the survivors down to stored rows, committed by one sidecar swap") {
     // r18 verdict item 4: the growth event the sharded tier exists for
     // had no operation. Gates: (a) reshard(2->3) over a corpus with
