@@ -1429,7 +1429,7 @@ object Similarity {
   private val svStateCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, SvState)]()
 
-  private def svState(spark: SparkSession, table: String,
+  private[graft] def svState(spark: SparkSession, table: String,
       fresh: Boolean = false): SvState = {
     val ttlMs =
       if (fresh) 0L
@@ -2383,8 +2383,8 @@ object Similarity {
     * file rename = the whole batch commits for EVERY shard or for
     * none — the per-shard layout's between-shard-commits crash window
     * no longer exists. */
-  private def svCommitGen(spark: SparkSession, st: SvState, gen: Long,
-      batchKey: Long = -1L): Unit = {
+  private[graft] def svCommitGen(spark: SparkSession, st: SvState,
+      gen: Long, batchKey: Long = -1L): Unit = {
     import spark.implicits._
     (0 until st.nShards).map(s => (s, gen, batchKey, st.epochs(s)))
       .toDF("shard", "gen", "batch_key", "epoch").coalesce(1)

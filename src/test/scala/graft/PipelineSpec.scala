@@ -1443,6 +1443,73 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("sharded append atomicity: rows landed without the one-file commit stay invisible; the commit makes the whole batch visible; compaction reclaims orphans") {
+    // The v2 commit protocol's two windows, killed between the steps
+    // (the single-table tier's atomicity spec re-pointed at the
+    // one-table layout): (a) svAppendRowsOnly without svCommitGen —
+    // an append crashed before its commit — leaves the probe
+    // BIT-UNCHANGED (the orphan generation's rows never join the
+    // committed set); (b) the retry commits under a FRESH generation
+    // and the probe then equals the one-shot append's; (c) compaction
+    // physically reclaims the orphan rows.
+    val vecs = spark.range(400).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 12), 19, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 31, i), 100) / 1000.0d - 0.05d as float))")
+      .as("embedding"))
+    val build = vecs.filter(col("vec_id") < 300)
+    val batch = vecs.filter(col("vec_id") >= 300)
+    val queries = vecs.filter(col("vec_id") % 30 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "nb_id", "rank").as[(Long, Long, Int)]
+      .collect().sorted.toSeq
+    try {
+      Similarity.writeIvfAdcIndexSharded(build, "vec_id", "embedding",
+        "atm_idx", nShards = 2, dim = 64)
+      val before = rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+        "vec_id", "embedding", k = 3, "atm_idx"))
+      // (a) the crash window: rows land, no commit
+      val st = Similarity.svState(spark, "atm_idx", fresh = true)
+      Similarity.svAppendRowsOnly(batch, "vec_id", "embedding", st,
+        gen = 424242L)
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+          "vec_id", "embedding", k = 3, "atm_idx")) == before,
+        "uncommitted appended rows leaked into the probe")
+      val orphanRows = spark.table("atm_idx_sv")
+        .filter(col("gen") === 424242L).count()
+      assert(orphanRows > 0L, "the crash-window fixture landed no rows")
+      // (b) the retry: the REAL append, fresh generation — visible,
+      // equal to the one-shot append on a twin index
+      Similarity.appendIvfAdcIndexSharded(batch, "vec_id", "embedding",
+        "atm_idx")
+      Similarity.writeIvfAdcIndexSharded(build, "vec_id", "embedding",
+        "atm_ref", nShards = 2, dim = 64)
+      Similarity.appendIvfAdcIndexSharded(batch, "vec_id", "embedding",
+        "atm_ref")
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+          "vec_id", "embedding", k = 3, "atm_idx")) ==
+        rows(Similarity.ivfAdcTopKIndexedSharded(queries, "vec_id",
+          "embedding", k = 3, "atm_ref")),
+        "retried append diverged from the clean one-shot append")
+      // (c) compaction reclaims the orphan generation physically
+      Similarity.compactIvfAdcIndexSharded(spark, "atm_idx")
+      assert(spark.table("atm_idx_sv")
+          .filter(col("gen") === 424242L).count() == 0L,
+        "compaction left the orphan generation's rows behind")
+      assert(rows(Similarity.ivfAdcTopKIndexedSharded(queries,
+          "vec_id", "embedding", k = 3, "atm_idx")) ==
+        rows(Similarity.ivfAdcTopKIndexedSharded(queries, "vec_id",
+          "embedding", k = 3, "atm_ref")),
+        "compaction changed the probe while reclaiming orphans")
+    } finally {
+      for (t <- Seq("atm_idx_sv", "atm_ref_sv");
+          sfx <- Seq("", "_c", "_g", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS $t$sfx")
+      spark.sql("DROP TABLE IF EXISTS atm_idx_sh")
+      spark.sql("DROP TABLE IF EXISTS atm_ref_sh")
+    }
+  }
+
   test("one shard's retrain leaves the one-table index MIXED-EPOCH and exact: equals a fresh build over the live corpus; compaction reclaims the retired epoch") {
     // The one-table layout's subtlest state (r20): after
     // retrainIvfAdcShard(0) the ONE data table holds shard 0's rows at
