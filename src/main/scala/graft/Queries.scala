@@ -401,11 +401,19 @@ object RelationalQueries {
     // phrase terms' posting rows, never the corpus
     val phrase = TextAnalysis.phraseMatchesIndexed(queries, "q_id",
       "qtext", lexIndex(s, d))
-    def screen(leg: DataFrame) =
-      Similarity.screenCandidates(leg, "q_id", "doc_id", "rank",
-        allowed, "vec_id", phrase, "q_id", "doc_id")
-    Similarity.rrfFuse(Seq(screen(lex), screen(dense)),
-      "q_id", "doc_id", "rank", k = qb2K, c = qb2C)
+    // ONE screening pass over both legs (r21): the per-leg
+    // screenCandidates calls each re-executed the phrase probe and the
+    // label-metadata scan (no common-subtree reuse in Spark), so the
+    // stack paid the verification twice. Tag-and-union screens both
+    // legs through a single pruned scan + semi-join and fuses from the
+    // tagged frame — the per-(q_id, leg) window re-rank and the ≤2-term
+    // contribution sum are row- and bit-identical to the per-leg form
+    // (oracle unchanged; plan diff in plans/r21/qc2_{before,after}.txt).
+    val screened = Similarity.screenCandidatesTagged(Seq(lex, dense),
+      "q_id", "doc_id", "rank", allowed, "vec_id", phrase, "q_id",
+      "doc_id")
+    Similarity.rrfFuseTagged(screened, "q_id", "doc_id", "rank",
+      k = qb2K, c = qb2C)
   }
 
   /** The TUNED SERVING twin of qc2 — [[qb7Tuned]]'s contract on the

@@ -3902,17 +3902,27 @@ object Similarity {
     * scaled moves, as with [[rrfFuse]]. */
   def retrievalAgreement(legA: DataFrame, legB: DataFrame, qCol: String,
       idCol: String): DataFrame = {
+    // ONE pass over each leg (r21): the na/nb/nBoth three-aggregate
+    // form referenced each leg twice, and Spark plans no common-subtree
+    // reuse — both retrieval legs EXECUTED twice (qb5's plan carried
+    // 2x qb2's scans; zero ReusedExchange). Tag-and-union computes the
+    // identical integers from a single execution of each leg: per
+    // (q_id, doc_id), ca/cb are the legs' row counts, so sum(ca) is
+    // leg A's row count per query, and sum(ca*cb) equals the inner
+    // join's match count (for rank lists ca, cb are 0/1 and it is the
+    // intersection size). Same rows, same schema, half the work.
     val a = legA.select(col(qCol).as("q_id"),
-      col(idCol).cast("long").as("doc_id"))
+      col(idCol).cast("long").as("doc_id"),
+      lit(1L).as("ca"), lit(0L).as("cb"))
     val b = legB.select(col(qCol).as("q_id"),
-      col(idCol).cast("long").as("doc_id"))
-    val na = a.groupBy("q_id").agg(count(lit(1)).as("n_a"))
-    val nb = b.groupBy("q_id").agg(count(lit(1)).as("n_b"))
-    val nBoth = a.join(b, Seq("q_id", "doc_id"))
-      .groupBy("q_id").agg(count(lit(1)).as("n_both"))
-    na.join(nb, Seq("q_id"), "full_outer")
-      .join(nBoth, Seq("q_id"), "left_outer")
-      .na.fill(0L, Seq("n_a", "n_b", "n_both"))
+      col(idCol).cast("long").as("doc_id"),
+      lit(0L).as("ca"), lit(1L).as("cb"))
+    a.unionByName(b)
+      .groupBy("q_id", "doc_id")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      .groupBy("q_id")
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca") * col("cb")).as("n_both"))
   }
 
   /** Candidate screening for a production retrieval stack (qc2): keep
@@ -3933,19 +3943,38 @@ object Similarity {
     * partitions by query over ≤k survivors each. */
   def screenCandidates(leg: DataFrame, qCol: String, idCol: String,
       rankCol: String, allowed: DataFrame, allowedIdCol: String,
-      verified: DataFrame, vQCol: String, vIdCol: String): DataFrame = {
-    val l = leg.select(col(qCol).as("q_id"),
-      col(idCol).cast("long").as("doc_id"),
-      col(rankCol).as("orig_rank"))
+      verified: DataFrame, vQCol: String, vIdCol: String): DataFrame =
+    screenCandidatesTagged(Seq(leg), qCol, idCol, rankCol, allowed,
+      allowedIdCol, verified, vQCol, vIdCol).drop("leg")
+
+  /** [[screenCandidates]] over SEVERAL legs in ONE pass (r21): the
+    * per-leg form made each leg's caller pay the `allowed` metadata
+    * scan and the whole `verified` subplan ONCE PER LEG — Spark plans
+    * no common-subtree reuse, so qc2's stack executed its phrase probe
+    * twice (plan evidence: plans/r21/qc2_before vs _after). Tagging and
+    * unioning the legs first screens them through a single scan +
+    * semi-join; the re-rank window partitions by (q_id, leg), which on
+    * disjoint leg tags equals each leg's own per-query window row for
+    * row. Output adds the `leg` index column (the input Seq position). */
+  def screenCandidatesTagged(legs: Seq[DataFrame], qCol: String,
+      idCol: String, rankCol: String, allowed: DataFrame,
+      allowedIdCol: String, verified: DataFrame, vQCol: String,
+      vIdCol: String): DataFrame = {
+    require(legs.nonEmpty, "screenCandidatesTagged: no legs")
+    val tagged = legs.zipWithIndex.map { case (leg, i) =>
+      leg.select(col(qCol).as("q_id"),
+        col(idCol).cast("long").as("doc_id"),
+        col(rankCol).as("orig_rank"), lit(i).as("leg"))
+    }.reduce(_ unionByName _)
     val elig = allowed.select(col(allowedIdCol).cast("long").as("doc_id"))
     val pairs = verified.select(col(vQCol).as("q_id"),
       col(vIdCol).cast("long").as("doc_id"))
-    elig.join(broadcast(l), Seq("doc_id"))
+    elig.join(broadcast(tagged), Seq("doc_id"))
       .join(broadcast(pairs), Seq("q_id", "doc_id"), "left_semi")
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id", "leg")
           .orderBy(col("orig_rank"))))
-      .select("q_id", "doc_id", "rank")
+      .select("q_id", "doc_id", "rank", "leg")
   }
 
   /** Hybrid serving (qb7) with the QUERIES AS A STREAM (qc4) — the
@@ -4018,9 +4047,28 @@ object Similarity {
     require(legs.nonEmpty, "rrfFuse: no legs")
     val norm = legs.map(_.select(col(qCol).as("q_id"),
       col(idCol).cast("long").as("doc_id"),
-      (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double")))
-        .as("contrib")))
-    val su = norm.reduce(_ unionByName _)
+      col(rankCol).cast("double").as("rank_d")))
+    rrfFuseUnioned(norm.reduce(_ unionByName _), k, c)
+  }
+
+  /** [[rrfFuse]] over an ALREADY-UNIONED rank frame (r21) — the fusion
+    * tail for callers whose legs arrive pre-tagged in one frame
+    * ([[screenCandidatesTagged]]), so the screened union is planned
+    * once instead of once per leg. Row-for-row the same aggregation
+    * rrfFuse runs on its internal union: contributions per (q_id,
+    * doc_id) are ≤ #legs doubles whose sum is order-independent at two
+    * terms, and the nano-unit quantization + TopK cut are shared. */
+  def rrfFuseTagged(tagged: DataFrame, qCol: String, idCol: String,
+      rankCol: String, k: Int, c: Int = 60): DataFrame =
+    rrfFuseUnioned(tagged.select(col(qCol).as("q_id"),
+      col(idCol).cast("long").as("doc_id"),
+      col(rankCol).cast("double").as("rank_d")), k, c)
+
+  private def rrfFuseUnioned(unioned: DataFrame, k: Int, c: Int)
+      : DataFrame = {
+    val su = unioned
+      .select(col("q_id"), col("doc_id"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank_d"))).as("contrib"))
       .groupBy("q_id", "doc_id").agg(sum("contrib").as("rrf"))
       .withColumn("rrf_u", floor(col("rrf") * 1e9).cast("long"))
     val topk = udaf(new graft.agg.TopKAggregator(k),
