@@ -62,6 +62,21 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val sproc = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spreads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // box-contention attribution (r20 verdict item 5): 1-min loadavg and
+    // hypervisor steal ticks around each query's runs. Both reads are
+    // best-effort (absent outside Linux) and cost microseconds.
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => -1.0 }
+    def stealTicks(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    val loads = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val steals = scala.collection.mutable.LinkedHashMap[String, Double]()
     // base run count (SPARK_GRAFT_RUNS, default 3 — a one-off sf1
     // sweep can run leaner)
     val baseRuns = math.max(1,
@@ -89,6 +104,7 @@ object Bench {
             (None, 0.0)
         }
       }
+      val (ld0, st0) = (load1(), stealTicks())
       var runs = Seq.fill(baseRuns)(once())
       // variance damping (r17 verdict item 8): the serving/streaming
       // rows swing ±0.5 s run-to-run with untouched code (qb7's
@@ -105,6 +121,20 @@ object Bench {
           if (s0.max - s0.min > math.max(0.25, 0.5 * med0))
             runs = runs ++ Seq(once(), once())
         }
+      }
+      // contention during THIS query's window: max loadavg seen, and
+      // stolen CPU-seconds (USER_HZ=100). The bench's own jobs drive
+      // loadavg to ~4-10 on local[32], so loadavg only flags loads
+      // clearly above that self-band; steal is the clean external
+      // signal on a virtualized box (co-tenant VMs never appear in
+      // guest loadavg — observed: a 36 s qb7 spread with loadavg < 5
+      // but 160 stolen CPU-seconds). Quiet rows cost the line nothing.
+      locally {
+        val (ld1, st1) = (load1(), stealTicks())
+        val ld = math.max(ld0, ld1)
+        if (ld0 >= 0 && ld > 12.0) loads(name) = ld
+        if (st0 >= 0 && st1 >= st0 && (st1 - st0) >= 50)
+          steals(name) = (st1 - st0) / 100.0
       }
       val samples = runs.flatMap(_._1)
       // only a fully clean set clears the error: a mix of success and
@@ -139,7 +169,7 @@ object Bench {
     // <= 6). The EXACT cap is 1999: line + trailing newline must fit the
     // 2000-char tail for the head to survive.
     val outs = Bench.metricLines(results, errors.toSeq, sfDir,
-      sproc.toSeq, spreads.toSeq, baseRuns)
+      sproc.toSeq, spreads.toSeq, baseRuns, loads.toSeq, steals.toSeq)
     for (out <- outs if out.length > Bench.budget)
       System.err.println(s"[bench] WARNING: metric line ${out.length} chars" +
         " exceeds the ~2000-char harness capture window even at the" +
@@ -234,45 +264,51 @@ object Bench {
   private[graft] def metricLines(results: Seq[(String, Option[Double])],
       errors: Seq[(String, String)], sfDir: String,
       sproc: Seq[(String, Double)] = Nil,
-      spread: Seq[(String, Double)] = Nil, runs: Int = 3): Seq[String] = {
+      spread: Seq[(String, Double)] = Nil, runs: Int = 3,
+      load: Seq[(String, Double)] = Nil,
+      steal: Seq[(String, Double)] = Nil): Seq[String] = {
     val (main0, keyOf) = metricLineKeyed(results, errors, sfDir, runs)
-    // inline the sproc map into the primary, fit-permitting: entries
+    // inline an auxiliary map into the primary, fit-permitting: entries
     // largest-first, stop at the first that no longer fits — coverage
-    // and precision of the wall-clock map always win over sproc
+    // and precision of the wall-clock map always win over any aux map;
+    // entries that do not fit spill to the caller for a continuation
+    def inline(base: String, field: String, entries: Seq[(String, Double)],
+        spill: scala.collection.mutable.ListBuffer[(String, Double)])
+        : String = {
+      if (entries.isEmpty) return base
+      val body = new StringBuilder
+      var len = base.length + field.length + 6 // ,"<field>":{}
+      entries.sortBy(-_._2).foreach { case (k, v) =>
+        val e = (if (body.isEmpty) "" else ",") +
+          "\"" + keyOf(k) + "\":" + fmt(v, 1)
+        if (len + e.length <= budget) { body.append(e); len += e.length }
+        else spill += (k -> v)
+      }
+      if (body.isEmpty) base
+      else base.dropRight(1) + ",\"" + field + "\":{" + body + "}}"
+    }
     val spilled = scala.collection.mutable.ListBuffer[(String, Double)]()
-    val main1 = if (sproc.isEmpty) main0 else {
-      val body = new StringBuilder
-      var len = main0.length + 11 // ,"sproc":{}
-      sproc.sortBy(-_._2).foreach { case (k, v) =>
-        val e = (if (body.isEmpty) "" else ",") +
-          "\"" + keyOf(k) + "\":" + fmt(v, 1)
-        if (len + e.length <= budget) { body.append(e); len += e.length }
-        else spilled += (k -> v)
-      }
-      if (body.isEmpty) main0
-      else main0.dropRight(1) + ",\"sproc\":{" + body + "}}"
-    }
-    // and the per-query observed noise band (r17 verdict item 8), same
-    // fit-permitting inline — largest spreads first, the rows whose
-    // round-over-round deltas most need the context
+    val main1 = inline(main0, "sproc", sproc, spilled)
+    // the per-query observed noise band (r17 verdict item 8) — largest
+    // spreads first, the rows whose round-over-round deltas most need
+    // the context
     val sprSpill = scala.collection.mutable.ListBuffer[(String, Double)]()
-    val main = if (spread.isEmpty) main1 else {
-      val body = new StringBuilder
-      var len = main1.length + 12 // ,"spread":{}
-      spread.sortBy(-_._2).foreach { case (k, v) =>
-        val e = (if (body.isEmpty) "" else ",") +
-          "\"" + keyOf(k) + "\":" + fmt(v, 1)
-        if (len + e.length <= budget) { body.append(e); len += e.length }
-        else sprSpill += (k -> v)
-      }
-      if (body.isEmpty) main1
-      else main1.dropRight(1) + ",\"spread\":{" + body + "}}"
-    }
+    val main2 = inline(main1, "spread", spread, sprSpill)
+    // box-contention attribution (r20 verdict item 5): per noisy row,
+    // the 1-min loadavg observed at its measurement window and the
+    // CPU-seconds the hypervisor stole during its runs — so a swing
+    // reads as external load AT THE ARTIFACT, not by after-the-fact
+    // solo re-measurement. Spilled entries are dropped, not chunked:
+    // unlike timings these are diagnostics, largest-first is the value.
+    val auxDrop = scala.collection.mutable.ListBuffer[(String, Double)]()
+    val main3 = inline(main2, "load", load, auxDrop)
+    val main = inline(main3, "steal", steal, auxDrop)
     // which present keys the chosen rung omitted: token-match inside
     // the queries object only (everything before any "errors"/"sproc"
     // field, so those entries cannot mask a dropped timing)
     val qEnd = Seq(main.indexOf("\"errors\""), main.indexOf("\"sproc\""),
-        main.indexOf("\"spread\""))
+        main.indexOf("\"spread\""), main.indexOf("\"load\""),
+        main.indexOf("\"steal\""))
       .filter(_ >= 0).minOption.getOrElse(main.length)
     val qpart = main.substring(0, qEnd)
     val dropped = results.collect { case (k, Some(v)) => (k, v) }

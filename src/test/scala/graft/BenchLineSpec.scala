@@ -192,6 +192,35 @@ class BenchLineSpec extends AnyFunSuite {
       "a spread entry vanished instead of spilling")
   }
 
+  test("contended rows carry loadavg and stolen CPU-seconds, fit-guarded, never at coverage's cost") {
+    // r20 verdict item 5: two rounds of adjudication attributed bench
+    // swings to external box load by solo re-measurement; the metric
+    // line now carries the attribution as data — per noisy row, the
+    // 1-min loadavg at its window and the hypervisor steal during its
+    // runs (the clean signal on a virtualized box).
+    val uniform = keys.map(_ -> Option(0.9))
+    val ld = Seq("qb7" -> 14.2, "qa2" -> 13.0)
+    val st = Seq("qb7" -> 160.3, "qc2" -> 1.6)
+    val lines = Bench.metricLines(uniform, Nil, "/x", Nil, Nil, 3, ld, st)
+    val main = lines.last
+    assert(main.length <= Bench.budget, s"${main.length} chars")
+    assert(main.contains("\"load\":{") && main.contains("\"steal\":{"),
+      main.takeRight(300))
+    assert(main.contains("\"qb7\":14.2") && main.contains("\"qb7\":160.3"))
+    assert(main.count(_ == '{') == main.count(_ == '}'))
+    // wall-clock coverage never pays for the diagnostics
+    assert(keys.forall(k =>
+      main.contains("\"" + Bench.shortIds(keys)(k) + "\":0.9") ||
+        main.contains("\"" + k + "\":0.9")))
+    // at a tight budget the maps drop largest-last entries rather than
+    // corrupting the line — diagnostics are droppable, timings are not
+    val many = keys.map(k => k -> 99.9)
+    val tLines = Bench.metricLines(uniform, Nil, "/x", Nil, Nil, 3,
+      many, many)
+    assert(tLines.forall(_.length <= Bench.budget))
+    assert(tLines.forall(l => l.count(_ == '{') == l.count(_ == '}')))
+  }
+
   test("a failed query stays visible in errors at every rung") {
     // roomy line (few keys): the message itself survives
     val typical = keys.take(20).map(_ -> Option(0.2))
