@@ -132,15 +132,21 @@ object HybridExecutor {
         wave += 1
         def drain(device: String,
             branch: org.apache.spark.rdd.RDD[U]): Long =
-          MeasuredAlpha.measured(spark, device)(
-            sinkOf(wave, device) match {
-              case None => branch.count()
-              case Some(path) =>
-                val ds = spark.createDataset(branch)(
-                  implicitly[Encoder[U]])
-                ds.write.mode("overwrite").parquet(path)
-                spark.read.parquet(path).count()
-            })
+          sinkOf(wave, device) match {
+            case None =>
+              MeasuredAlpha.measured(spark, device)(branch.count())
+            case Some(path) =>
+              // only the WRITE is genuine device work — the read-back
+              // count runs OUTSIDE the measured block (ADVICE r20 low:
+              // attributing the read job's tasks to the device job
+              // group inflated its task counts and diluted its mean
+              // task time in the profile driving the next wave's split)
+              val ds = spark.createDataset(branch)(
+                implicitly[Encoder[U]])
+              MeasuredAlpha.measured(spark, device)(
+                ds.write.mode("overwrite").parquet(path))
+              spark.read.parquet(path).count()
+          }
         drain("gpu", accelRdd.mapPartitions(accel)) +
           drain("cpu", cpuRdd.mapPartitions(cpu))
     }

@@ -1686,11 +1686,31 @@ object Similarity {
     // counts + id-sign check in one routed pass (ADVICE r19)
     val counts = shardCountsChecked(vecs, idCol, nShards,
       "writeIvfAdcIndexSharded")
-    // a fresh build replaces ANY previous layout at this name: sweep
-    // EVERY generation (liveGen = -1 keeps nothing) — a live reshard
+    // a rebuild replaces ANY previous layout at this name: sweep EVERY
+    // generation (liveGen = -1 keeps nothing) — a live reshard
     // generation, a crashed attempt's half-build, a crashed GC's
-    // orphans
-    dropStaleShardGens(spark, table, liveGen = -1L)
+    // orphans. The sweep is CONDITIONAL on the `_sh` sidecar (ADVICE
+    // r20 low): requireShardableName reserves the grammar only among
+    // SHARDED names, so without the sidecar a grammar-matching table
+    // (`foo_sv`, …) may be an unrelated committed single-table index —
+    // refuse loudly instead of silently destroying it. A crashed FIRST
+    // build (half-built tables, sidecar never written) trips the same
+    // refusal; its message lists the tables to drop to proceed.
+    if (spark.catalog.tableExists(table + "_sh"))
+      dropStaleShardGens(spark, table, liveGen = -1L)
+    else {
+      val q = java.util.regex.Pattern.quote(table)
+      val grammar = s"^${q}(_r\\d+)?_sv(_c|_g|_g_hwm|_t|_cmp)?$$"
+      val colliding = spark.sessionState.catalog
+        .listTables(spark.catalog.currentDatabase).map(_.table)
+        .filter(_.matches(grammar))
+      require(colliding.isEmpty,
+        s"building sharded index '$table' would sweep existing " +
+          s"tables ${colliding.sorted.mkString(", ")} which no '" +
+          table + "_sh' sidecar claims — they may be an unrelated " +
+          "single-table index (or a crashed first build's residue): " +
+          "drop them explicitly or pick another name")
+    }
     val dataT = svDataTable(table, 0L)
     invalidateSvCaches(table, dataT)
     svBuildLayout(vecs, idCol, vecCol, dataT, nShards, counts, dim,
@@ -1768,9 +1788,14 @@ object Similarity {
         queries.select(col(idCol), col(vecCol)).schema)
       case None => queries
     }
+    // qscale rides along (r21, ADVICE r20 high): the query-side maxAbs
+    // the mixed-mode served merge needs to put quantized estimates on
+    // the exact-dot scale — idot × (scale/127) × (qscale/127) ≈ the
+    // true dot. Probe-only rankings ignore it (per-query constant).
     val probes = probeSrc.select(col(idCol).as("q_id"),
         VectorOps.packQuant(col(vecCol), VectorOps.maxAbs(col(vecCol)))
           .as("q_qc"),
+        VectorOps.maxAbs(col(vecCol)).as("qscale"),
         explode(cellsOf(col(vecCol))).as("gcell"))
       .repartition(buckets, col("gcell"))
     val stored = svLiveRows(spark, st)
@@ -1791,7 +1816,7 @@ object Similarity {
       .filter(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id").as("nb_id"),
         VectorOps.i8Dot(col("q_qc"), col("qc")).as("idot"),
-        col("scale"), col("shard"))
+        col("scale"), col("qscale"), col("shard"))
   }
 
   /** Each shard's fraction-law nprobe from its OWN stored nlist — the
@@ -2028,6 +2053,18 @@ object Similarity {
               rankByScaledIdot(svShardCandidates(queries, idCol, vecCol,
                 st, s, np, gprobe = 0), k), k)
             .agg(avg("recall")).head().getDouble(0))
+        // density regime / last resort: no probe dial meets the gate —
+        // escalate to the exact-dot re-rank, depth as a multiplier
+        // over k (depth = k reorders but cannot change recall)
+        def escalate(): ShardServing = {
+          val (mult, rrRec) = tuneDial(maxDepthFactor, targetRecall,
+            minGain)(m => recallOfApprox(exact,
+                svShardRerank(vecs, queries, idCol, vecCol, k,
+                  depth = m * k, nprobe = np, st, s), k)
+              .agg(avg("recall")).head().getDouble(0))
+          ShardServing("rerank", ShardDials(np, npRec, 0, 0.0),
+            depth = mult * k, recall = rrRec)
+        }
         if (npRec >= targetRecall) {
           // probe mode: the serving path is the two-level kernel, so
           // tune gprobe against the shard CEILING at np (the
@@ -2044,25 +2081,36 @@ object Similarity {
                   rankByScaledIdot(svShardCandidates(queries, idCol,
                     vecCol, st, s, np, gprobe = gp), k), k)
                 .agg(avg("recall")).head().getDouble(0))
-            val e2e = recallOfApprox(exact,
+            def e2eAt(g: Int): Double = recallOfApprox(exact,
                 rankByScaledIdot(svShardCandidates(queries, idCol,
-                  vecCol, st, s, np, gprobe = gp), k), k)
+                  vecCol, st, s, np, gprobe = g), k), k)
               .agg(avg("recall")).head().getDouble(0)
-            ShardServing("probe", ShardDials(np, npRec, gp, gRec),
-              depth = 0, recall = e2e)
+            val e2e = e2eAt(gp)
+            if (e2e >= targetRecall)
+              ShardServing("probe", ShardDials(np, npRec, gp, gRec),
+                depth = 0, recall = e2e)
+            else {
+              // the decided hier path's END-TO-END recall missed the
+              // gate even though the flat dial met it — the compounding
+              // -gates seam (ADVICE r20 medium): never persist a
+              // below-gate probe decision. Fall back to gprobe = the
+              // full group count (the hier kernel's flat-equivalent
+              // clamp) and re-measure; if even that misses — a panel
+              // shift between the two measurements — escalate to the
+              // re-rank leg, which tunes until the gate clears.
+              val e2eFlat = e2eAt(groups)
+              if (e2eFlat >= targetRecall) {
+                val gRecFlat = recallOfApprox(ceiling,
+                    rankByScaledIdot(svShardCandidates(queries, idCol,
+                      vecCol, st, s, np, gprobe = groups), k), k)
+                  .agg(avg("recall")).head().getDouble(0)
+                ShardServing("probe",
+                  ShardDials(np, npRec, groups, gRecFlat),
+                  depth = 0, recall = e2eFlat)
+              } else escalate()
+            }
           } finally dropCheckpoint(ceiling)
-        } else {
-          // density regime: no nprobe fixes it — escalate to the
-          // exact-dot re-rank, depth as a multiplier over k (depth = k
-          // reorders but cannot change recall)
-          val (mult, rrRec) = tuneDial(maxDepthFactor, targetRecall,
-            minGain)(m => recallOfApprox(exact,
-                svShardRerank(vecs, queries, idCol, vecCol, k,
-                  depth = m * k, nprobe = np, st, s), k)
-              .agg(avg("recall")).head().getDouble(0))
-          ShardServing("rerank", ShardDials(np, npRec, 0, 0.0),
-            depth = mult * k, recall = rrRec)
-        }
+        } else escalate()
       } finally dropCheckpoint(exact)
     }
     require(svStateKey(spark, svState(spark, table, fresh = true)) ==
@@ -2248,19 +2296,36 @@ object Similarity {
     require(servings.length == st.nShards,
       s"${servings.length} serving rows for ${st.nShards} shards")
     val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+    val mixedModes = servings.exists(_.mode == "probe") &&
+      servings.exists(_.mode == "rerank")
     if (servings.exists(_.mode == "probe")) {
       val bc = svHierBc(spark, st)
       val nps = servings.map(sv =>
         if (sv.mode == "probe") sv.dials.nprobe else 0).toArray
       val gps = servings.map(_.dials.gprobe).toArray
+      // Scoring (ADVICE r20 high): in a MIXED-MODE index the probe
+      // branch's rows merge into one global rank with the rerank
+      // branch's EXACT float dots, so they must be on the exact-dot
+      // scale — idot × (scale/127) × (qscale/127), the dequantized dot
+      // estimate (error ≤ the int8 reconstruction bound, which is what
+      // the tuned recall gate measures). The raw idot × scale key is
+      // ~127²/qscale times the true dot: positive probe scores would
+      // starve every rerank shard's true top-k out of the merge. With
+      // ONE mode present the branches never meet, and the all-probe
+      // key stays the raw idot × scale — bit-identical ranks to
+      // ivfAdcTopKIndexedShardedTuned (the spec-gated contract).
+      val probeScore =
+        if (mixedModes)
+          col("idot").cast("double") * col("scale") * col("qscale") /
+            lit(127.0 * 127.0)
+        else col("idot").cast("double") * col("scale")
       parts += svProbeCandidates(queries, idCol, vecCol, st, buckets,
           v => graft.functions.NearestCellsSharded.hier(v, bc, gps,
             nps),
           v => graft.functions.NearestCellsSharded.nearestHier(
             new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
             isFloat = false, bc.value, gps, nps))
-        .select(col("q_id"), col("nb_id"),
-          (col("idot").cast("double") * col("scale")).as("score"))
+        .select(col("q_id"), col("nb_id"), probeScore.as("score"))
     }
     if (servings.exists(_.mode == "rerank")) {
       val bc = svQuantBc(spark, st)

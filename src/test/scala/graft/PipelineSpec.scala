@@ -1912,6 +1912,89 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("mixed-mode sharded serving merges probe and rerank branches on one scale: the rerank shard's true neighbors survive the global rank") {
+    // ADVICE r20 (high): probe-branch candidates were scored by the raw
+    // idot × scale key — ~127²/qscale times the true dot — so in a
+    // MIXED-mode index they always outranked the rerank branch's exact
+    // float dots, silently starving every escalated shard's true top-k
+    // out of the merge (the earlier specs covered all-probe and
+    // all-rerank only). The gate: a half-clustered / half-dense corpus
+    // routed by id parity (pmod sharding) tunes into one probe shard +
+    // one rerank shard, and the served fan-out's recall against the
+    // float-exact MIPS reference clears the target — which the
+    // incommensurable merge cannot do (the dense half's queries have
+    // all their true neighbors in the rerank shard).
+    val target = 0.8
+    val mixed = spark.range(800).select(col("id").as("vec_id"), expr(
+      "CASE WHEN pmod(id, 2) = 0 THEN " +
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 16), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + CASE WHEN i < 4 THEN pmod(hash(id, 23, i), 600) / 1000.0d" +
+      " - 0.3d ELSE 0.0d END as float)) ELSE " +
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 17, i), 2000) / 1000.0d - 1.0d" +
+      " + pmod(hash(id, 29, i), 200) / 1000000.0d as float)) END")
+      .as("embedding"))
+    val panel = mixed.filter(
+      col("vec_id") % 40 === 0 || col("vec_id") % 40 === 7)
+    try {
+      Similarity.writeIvfAdcIndexSharded(mixed, "vec_id", "embedding",
+        "mx_idx", nShards = 2, dim = 64)
+      val serve = Similarity.tuneShardServingPersist(mixed, panel,
+        "vec_id", "embedding", k = 3, "mx_idx", targetRecall = target)
+      assert(serve.map(_.mode).toSet == Set("probe", "rerank"),
+        s"corpus did not tune into mixed modes (vacuous gate): $serve")
+      val served = Similarity.ivfAdcTopKIndexedShardedServed(mixed,
+        panel, "vec_id", "embedding", k = 3, "mx_idx")
+      val rec = Similarity.retrievalAgreement(served,
+          exactMips(mixed, panel), "q_id", "nb_id")
+        .agg((sum("n_both") / sum("n_b")).cast("double"))
+        .head().getDouble(0)
+      assert(rec >= target - 0.05,
+        f"mixed-mode served recall $rec%.3f below the gate — the " +
+          "branches merged on incommensurable scales")
+    } finally {
+      for (sfx <- Seq("", "_c", "_g", "_g_hwm", "_t"))
+        spark.sql(s"DROP TABLE IF EXISTS mx_idx_sv$sfx")
+      for (t <- Seq("mx_idx_sh", "mx_idx_serve"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("a sharded build refuses to sweep grammar-matching tables no _sh sidecar claims") {
+    // ADVICE r20 (low): writeIvfAdcIndexSharded swept every catalog
+    // name matching `<table>(_r<g>)?_sv(...)` unconditionally, so
+    // building a sharded index named `foo` silently DROPPED an
+    // unrelated single-table index legitimately named `foo_sv`
+    // (requireShardableName reserves the grammar only among SHARDED
+    // names). The sweep is now conditional on the `_sh` sidecar;
+    // without one the build refuses loudly and the collider survives.
+    val vecs = spark.range(200).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 63), i -> cast(" +
+      "pmod(hash(pmod(id, 8), 11, i), 2000) / 1000.0d - 1.0d as float))")
+      .as("embedding"))
+    try {
+      val (nlist, nprobe) = Similarity.ivfParams(200)
+      Similarity.writeIvfAdcIndex(vecs, "vec_id", "embedding",
+        "swp_sv", nlist = nlist, dim = 64)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.writeIvfAdcIndexSharded(vecs, "vec_id", "embedding",
+          "swp", nShards = 2, dim = 64)
+      }
+      assert(ex.getMessage.contains("swp_sv"), ex.getMessage)
+      // the single-table index survived intact and still probes
+      assert(spark.catalog.tableExists("swp_sv"))
+      assert(Similarity.ivfAdcTopKIndexed(
+        vecs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 3, nprobe = nprobe, table = "swp_sv", dim = 64)
+        .count() > 0)
+    } finally {
+      for (t <- Seq("swp_sv", "swp_sv_c", "swp_sv_g", "swp_sv_t",
+          "swp_sh"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("the _serve sidecar refuses cross-tier writes: single-table over sharded rows and sharded over a single-table decision both fail loudly") {
     // r19 verdict item 6 (audit note 4): writeServingDecision and the
     // sharded writeShardServing share the `<table>_serve` name with
