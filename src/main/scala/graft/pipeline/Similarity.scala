@@ -2409,8 +2409,7 @@ object Similarity {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       stream.schema)
-    rankByScaledIdot(candsOf(empty), k)
-      .write.mode("overwrite").parquet(sinkDir)
+    initEmptySink(rankByScaledIdot(candsOf(empty), k), sinkDir)
     candsOf(stream)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -3208,6 +3207,23 @@ object Similarity {
     stream.sparkSession.read.parquet(sinkDir)
   }
 
+  /** Initialize a streaming sink with a ZERO-ROW parquet of `probe`'s
+    * schema WITHOUT executing its plan (r21): the previous inits ran
+    * the full probe plan over empty input, but the init only exists to
+    * make reruns replace and an empty stream read back well-typed —
+    * analysis (`.schema`) delivers that; executing paid optimizer +
+    * codegen + a real scan/broadcast job + commit per run (~0.3 s on
+    * the qb4 shape). The written footer schema is the analyzed
+    * schema, identical to what executing the empty plan wrote. */
+  private[pipeline] def initEmptySink(probe: DataFrame,
+      sinkDir: String): Unit = {
+    val spark = probe.sparkSession
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        probe.schema)
+      .write.mode("overwrite").parquet(sinkDir)
+  }
+
   /** The started-but-undrained form of [[streamAdcTopK]] — the caller
     * owns the trigger cadence (StreamingSpec drives TWO micro-batches
     * through it to gate the per-batch-rank-is-exact claim). Overwrites
@@ -3221,9 +3237,9 @@ object Similarity {
     val spark = stream.sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], stream.schema)
-    rankByScaledIdot(
-        adcProbeCandidates(empty, idCol, vecCol, nprobe, table, buckets), k)
-      .write.mode("overwrite").parquet(sinkDir)
+    initEmptySink(rankByScaledIdot(
+      adcProbeCandidates(empty, idCol, vecCol, nprobe, table, buckets), k),
+      sinkDir)
     adcProbeCandidates(stream, idCol, vecCol, nprobe, table, buckets)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -4099,7 +4115,7 @@ object Similarity {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       queries.schema)
-    fuse(empty).write.mode("overwrite").parquet(sinkDir)
+    initEmptySink(fuse(empty), sinkDir)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         fuse(batch).write.mode("append").parquet(sinkDir)

@@ -957,8 +957,11 @@ object TextAnalysis {
     val spark = queries.sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], queries.schema)
-    bm25TopKIndexed(empty, qIdCol, qTextCol, table, k, k1, b)
-      .write.mode("overwrite").parquet(sinkDir)
+    // schema-only init (Similarity.initEmptySink's rationale): the
+    // probe plan's ANALYSIS delivers the typed zero-row sink; executing
+    // it over empty input paid optimizer + codegen + a job per run
+    graft.pipeline.Similarity.initEmptySink(
+      bm25TopKIndexed(empty, qIdCol, qTextCol, table, k, k1, b), sinkDir)
     queries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         bm25TopKIndexed(batch, qIdCol, qTextCol, table, k, k1, b)
