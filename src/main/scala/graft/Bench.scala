@@ -298,11 +298,14 @@ object Bench {
     // the 1-min loadavg observed at its measurement window and the
     // CPU-seconds the hypervisor stole during its runs — so a swing
     // reads as external load AT THE ARTIFACT, not by after-the-fact
-    // solo re-measurement. Spilled entries are dropped, not chunked:
-    // unlike timings these are diagnostics, largest-first is the value.
-    val auxDrop = scala.collection.mutable.ListBuffer[(String, Double)]()
-    val main3 = inline(main2, "load", load, auxDrop)
-    val main = inline(main3, "steal", steal, auxDrop)
+    // solo re-measurement. At the full roster the primary line runs
+    // at-budget and has no inline room, so spilled entries CHUNK into
+    // their own continuation lines like spread's (visible in the raw
+    // log even when the harness tail keeps only the primary).
+    val loadSpill = scala.collection.mutable.ListBuffer[(String, Double)]()
+    val stealSpill = scala.collection.mutable.ListBuffer[(String, Double)]()
+    val main3 = inline(main2, "load", load, loadSpill)
+    val main = inline(main3, "steal", steal, stealSpill)
     // which present keys the chosen rung omitted: token-match inside
     // the queries object only (everything before any "errors"/"sproc"
     // field, so those entries cannot mask a dropped timing)
@@ -343,7 +346,11 @@ object Bench {
       chunked(spilled.toSeq, 1,
         sp => "{\"metric\":\"total_extra\",\"sproc\":" + sp + "}") ++
       chunked(sprSpill.toSeq, 1,
-        sp => "{\"metric\":\"total_extra\",\"spread\":" + sp + "}") :+
+        sp => "{\"metric\":\"total_extra\",\"spread\":" + sp + "}") ++
+      chunked(loadSpill.toSeq, 1,
+        sp => "{\"metric\":\"total_extra\",\"load\":" + sp + "}") ++
+      chunked(stealSpill.toSeq, 1,
+        sp => "{\"metric\":\"total_extra\",\"steal\":" + sp + "}") :+
       main
   }
 
