@@ -132,7 +132,13 @@ object Bench {
       locally {
         val (ld1, st1) = (load1(), stealTicks())
         val ld = math.max(ld0, ld1)
-        if (ld0 >= 0 && ld > 12.0) loads(name) = ld
+        // self-load band scales with the configured core count (the
+        // bench's own jobs drive loadavg to ~4-10 on local[32]); gate
+        // on WHICHEVER sample read validly, so a failed pre-run read
+        // cannot discard a valid high post-run reading (ADVICE r21)
+        val loadThresh = math.max(6.0,
+          0.375 * scala.util.Try(cpus.toDouble).getOrElse(32.0))
+        if ((ld0 >= 0 || ld1 >= 0) && ld > loadThresh) loads(name) = ld
         if (st0 >= 0 && st1 >= st0 && (st1 - st0) >= 50)
           steals(name) = (st1 - st0) / 100.0
       }
@@ -287,8 +293,26 @@ object Bench {
       if (body.isEmpty) base
       else base.dropRight(1) + ",\"" + field + "\":{" + body + "}}"
     }
+    // STEAL inlines FIRST (r21 verdict item 2): it is the adjudication
+    // signal — at the full roster the primary runs near budget, the
+    // spilled continuations print before the primary, and the driver's
+    // ~2000-char tail truncates them away (BENCH_r21 carried no steal
+    // map precisely in the run that needed it). Whatever slack the
+    // primary has goes to the top steal windows (capped at 5 inline —
+    // past that the line is attribution, not signal; the rest spill);
+    // sproc/spread/load are diagnostics and take what remains. A
+    // steal-quiet run carries an EXPLICIT empty map, so the artifact
+    // positively asserts "no theft observed" instead of being silent.
+    val stealSpill = scala.collection.mutable.ListBuffer[(String, Double)]()
+    val stealTop = steal.sortBy(-_._2).take(5)
+    stealSpill ++= steal.sortBy(-_._2).drop(5)
+    val mainSt0 = inline(main0, "steal", stealTop, stealSpill)
+    val mainSt =
+      if (steal.isEmpty && mainSt0.length + 12 <= budget)
+        mainSt0.dropRight(1) + ",\"steal\":{}}"
+      else mainSt0
     val spilled = scala.collection.mutable.ListBuffer[(String, Double)]()
-    val main1 = inline(main0, "sproc", sproc, spilled)
+    val main1 = inline(mainSt, "sproc", sproc, spilled)
     // the per-query observed noise band (r17 verdict item 8) — largest
     // spreads first, the rows whose round-over-round deltas most need
     // the context
@@ -298,14 +322,11 @@ object Bench {
     // the 1-min loadavg observed at its measurement window and the
     // CPU-seconds the hypervisor stole during its runs — so a swing
     // reads as external load AT THE ARTIFACT, not by after-the-fact
-    // solo re-measurement. At the full roster the primary line runs
-    // at-budget and has no inline room, so spilled entries CHUNK into
-    // their own continuation lines like spread's (visible in the raw
-    // log even when the harness tail keeps only the primary).
+    // solo re-measurement. Entries the primary has no room for CHUNK
+    // into their own continuation lines (visible in the raw log even
+    // when the harness tail keeps only the primary).
     val loadSpill = scala.collection.mutable.ListBuffer[(String, Double)]()
-    val stealSpill = scala.collection.mutable.ListBuffer[(String, Double)]()
-    val main3 = inline(main2, "load", load, loadSpill)
-    val main = inline(main3, "steal", steal, stealSpill)
+    val main = inline(main2, "load", load, loadSpill)
     // which present keys the chosen rung omitted: token-match inside
     // the queries object only (everything before any "errors"/"sproc"
     // field, so those entries cannot mask a dropped timing)

@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: Plans <sfDir> <outDir> <suffix> <q1,q2,...> [exec]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, names) = args.take(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -221,6 +221,44 @@ class BenchLineSpec extends AnyFunSuite {
     assert(tLines.forall(l => l.count(_ == '{') == l.count(_ == '}')))
   }
 
+  test("the steal map survives into the PRIMARY line at the full at-budget roster (r21 verdict item 2)") {
+    // r21: the steal attribution spilled to continuation lines printed
+    // BEFORE the primary, and the driver's 2000-char tail truncated
+    // them — the one artifact built to explain the contended run
+    // carried no steal map. Steal now takes the primary's slack FIRST
+    // (top windows, capped at 5 inline), ahead of the sproc/spread
+    // diagnostics.
+    val uniform = keys.map(_ -> Option(0.9))
+    val st = Seq("qa9" -> 8.8, "qa7" -> 6.7, "qb7" -> 3.1)
+    val manySp = keys.take(120).map(k => k -> 2.0) // sproc pressure
+    val lines = Bench.metricLines(uniform, Nil, "/root/testdata/sf0.1",
+      manySp, Nil, 3, Nil, st)
+    val main = lines.last
+    assert(main.length <= Bench.budget, s"${main.length} chars")
+    assert(main.contains("\"steal\":{\"qa9\":8.8"),
+      "the top steal window lost the primary's slack to a diagnostic: " +
+        main.takeRight(250))
+    assert(main.count(_ == '{') == main.count(_ == '}'))
+    // wall-clock coverage still never pays for it
+    assert(keys.forall(k =>
+      main.contains("\"" + Bench.shortIds(keys)(k) + "\":0.9") ||
+        main.contains("\"" + k + "\":0.9")))
+    // a steal-QUIET run asserts so explicitly — the artifact must
+    // distinguish "no theft" from "attribution truncated"
+    val quiet = Bench.metricLines(uniform, Nil, "/root/testdata/sf0.1",
+      Nil, Nil, 3, Nil, Nil).last
+    assert(quiet.contains("\"steal\":{}"), quiet.takeRight(120))
+    // past the 5-window inline cap the remainder spills, never vanishes
+    val many = keys.take(9).zipWithIndex.map { case (k, i) => k -> (19.0 - i) }
+    val mLines = Bench.metricLines(uniform, Nil, "/x", Nil, Nil, 3,
+      Nil, many)
+    val all = mLines.mkString("\n")
+    assert(many.forall { case (k, v) =>
+      all.contains("\"" + Bench.shortIds(keys)(k) + "\":" + v.toInt) },
+      "a steal entry vanished")
+    assert(mLines.forall(_.length <= Bench.budget))
+  }
+
   test("a failed query stays visible in errors at every rung") {
     // roomy line (few keys): the message itself survives
     val typical = keys.take(20).map(_ -> Option(0.2))
