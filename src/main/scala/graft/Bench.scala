@@ -273,7 +273,18 @@ object Bench {
       spread: Seq[(String, Double)] = Nil, runs: Int = 3,
       load: Seq[(String, Double)] = Nil,
       steal: Seq[(String, Double)] = Nil): Seq[String] = {
-    val (main0, keyOf) = metricLineKeyed(results, errors, sfDir, runs)
+    // reserve primary-line room for the steal map BEFORE choosing the
+    // rung (r21 verdict item 2): at the full roster the richest rung
+    // runs at-budget and the priority inline alone finds no slack —
+    // BENCH_r21/r22-base both shipped steal only on continuation lines
+    // the harness tail truncates. 34 chars guarantees the field plus
+    // the top two windows; the cost is ~2-3 smallest entries moving to
+    // a recovered continuation, which the verdict prices below losing
+    // the adjudication signal. A steal-quiet run reserves only the 12
+    // chars its explicit empty map needs.
+    val stealReserve = if (steal.nonEmpty) 34 else 12
+    val (main0, keyOf) =
+      metricLineKeyed(results, errors, sfDir, runs, stealReserve)
     // inline an auxiliary map into the primary, fit-permitting: entries
     // largest-first, stop at the first that no longer fits — coverage
     // and precision of the wall-clock map always win over any aux map;
@@ -390,8 +401,11 @@ object Bench {
     * what. Exposed for BenchLineSpec, which fails the build on a roster
     * whose primary line can no longer carry ≥95% of values at ≥1dp. */
   private[graft] def metricLineKeyed(results: Seq[(String, Option[Double])],
-      errors: Seq[(String, String)], sfDir: String, runs: Int = 3)
-      : (String, String => String) = {
+      errors: Seq[(String, String)], sfDir: String, runs: Int = 3,
+      reserve: Int = 0): (String, String => String) = {
+    // `reserve` chars are held back from every rung's fit check so the
+    // caller can inline the steal map afterwards (r21 verdict item 2)
+    val fitBudget = budget - reserve
     val short = shortIds((results.map(_._1) ++ errors.map(_._1)).distinct)
     // belt (capture caps at 60) AND suspenders: metricLine re-caps, so a
     // caller handing it an uncapped message cannot blow the ladder
@@ -446,7 +460,7 @@ object Bench {
             rs = results.filterNot { case (k, _) => gone(k) },
             keyOf = short)
         }
-        .find(_.length <= budget)
+        .find(_.length <= fitBudget)
     }
     // the escalating drop-cap ladder, shared by the 2dp and 1dp drop
     // rungs so the two cannot escalate differently
@@ -461,7 +475,7 @@ object Bench {
       // suite to whole-second values
       line(1, false, lean = 2, errMode = 1))
     val fullKey: String => String = k => k
-    val fullCovBudget = budget - primaryHeadroom
+    val fullCovBudget = fitBudget - primaryHeadroom
     fullRungs.find(_.length <= fullCovBudget).map((_, fullKey))
       // SHORT-key rungs: every query present, richest precision first —
       // this is where the 170-query suite lands (2dp). The LEAN 2dp
@@ -492,7 +506,7 @@ object Bench {
       .orElse { // whole-second floors, every one fit-CHECKED
         Seq(line(0, false, lean = 2, errMode = 1, keyOf = short),
           line(0, false, lean = 2, errMode = 2, keyOf = short))
-          .find(_.length <= budget).map((_, short))
+          .find(_.length <= fitBudget).map((_, short))
       }
       // guaranteed-fit terminal floor: drop entries without the 10% cap
       // (drain to one entry, then to the bare header, which at ~40 chars

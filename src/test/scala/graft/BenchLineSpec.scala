@@ -248,6 +248,24 @@ class BenchLineSpec extends AnyFunSuite {
     val quiet = Bench.metricLines(uniform, Nil, "/root/testdata/sf0.1",
       Nil, Nil, 3, Nil, Nil).last
     assert(quiet.contains("\"steal\":{}"), quiet.takeRight(120))
+    // the r22-base failure case: realistic mixed values push the
+    // richest rung to at-budget, where priority inline alone found no
+    // slack — the reservation must still land the top windows in the
+    // PRIMARY, with any shed timings recovered by continuations
+    val realistic = keys.zipWithIndex.map { case (k, i) =>
+      k -> Option(if (i % 11 == 0) 4.62 else ((i % 37) + 1) * 0.013)
+    }
+    val rLines = Bench.metricLines(realistic, Nil, "/root/testdata/sf0.1",
+      Nil, Nil, 3, Nil, st)
+    val rMain = rLines.last
+    assert(rMain.length <= Bench.budget, s"${rMain.length} chars")
+    assert(rMain.contains("\"steal\":{\"qa9\":8.8"),
+      "steal lost the primary at the at-budget roster: " +
+        rMain.takeRight(200))
+    val rAll = rLines.mkString("\n")
+    realistic.foreach { case (k, Some(v)) =>
+      assert(rAll.contains("\"" + Bench.shortIds(keys)(k) + "\":"),
+        s"$k vanished from primary AND continuations") }
     // past the 5-window inline cap the remainder spills, never vanishes
     val many = keys.take(9).zipWithIndex.map { case (k, i) => k -> (19.0 - i) }
     val mLines = Bench.metricLines(uniform, Nil, "/x", Nil, Nil, 3,
