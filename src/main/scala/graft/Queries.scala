@@ -1721,11 +1721,16 @@ object RelationalQueries {
     // tier (the q70s gate shape).
     "qa9" -> ((s, d) => {
       val stream = Tables.streamOf(s, d, "documents")
-      graft.streaming.EventStreams.runToMemory(
-        TextAnalysis.countMinCounters(stream, "text",
-          width = qa8Width, depth = qa8Depth),
-        "qa9_sink",
-        org.apache.spark.sql.streaming.OutputMode.Complete())
+      // complete-mode state IS the bounded depth × width counter table
+      // — state-store partitions derive from that bound (r22)
+      graft.streaming.EventStreams.withBoundedStateShuffle(s,
+          qa8Depth.toLong * qa8Width) {
+        graft.streaming.EventStreams.runToMemory(
+          TextAnalysis.countMinCounters(stream, "text",
+            width = qa8Width, depth = qa8Depth),
+          "qa9_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
     }),
 
     // QB1 — BM25 lexical top-k retrieval: the sparse leg of hybrid
@@ -1884,11 +1889,16 @@ object RelationalQueries {
       val evalSet = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
       val stream = Tables.streamOf(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      graft.streaming.EventStreams.runToMemory(
-        Curation.cleanCorpusStream(stream, corpus, evalSet,
-          "doc_id", "text", "source"),
-        "q70s_sink",
-        org.apache.spark.sql.streaming.OutputMode.Complete())
+      // the one stateful op is the complete-mode per-source rollup —
+      // state rows = distinct sources, a low-cardinality rollup key by
+      // construction; 4096 is a generous declared bound (r22)
+      graft.streaming.EventStreams.withBoundedStateShuffle(s, 4096L) {
+        graft.streaming.EventStreams.runToMemory(
+          Curation.cleanCorpusStream(stream, corpus, evalSet,
+            "doc_id", "text", "source"),
+          "q70s_sink",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
     }),
 
     // QB8 — NLineInputFormat (mapred/lib/NLineInputFormat.java:59):

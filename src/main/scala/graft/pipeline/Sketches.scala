@@ -485,12 +485,17 @@ object Sketches {
     * Returns the read-back report. */
   def streamLogBucketQuantiles(stream: DataFrame, valCol: Column,
       percents: Seq[Int], sinkDir: String,
-      subBits: Int = defaultSubBits): DataFrame = {
-    val q = startStreamLogBucketQuantiles(stream, valCol, percents,
-      sinkDir, subBits)
-    try q.processAllAvailable() finally q.stop()
-    stream.sparkSession.read.parquet(sinkDir)
-  }
+      subBits: Int = defaultSubBits): DataFrame =
+    // the complete-mode state is the bounded bucket table: ≤62 widths
+    // × 2^subBits sub-buckets — derive the state-store partition count
+    // from that bound, not the session's corpus-scale default
+    graft.streaming.EventStreams.withBoundedStateShuffle(
+        stream.sparkSession, 62L * (1L << subBits)) {
+      val q = startStreamLogBucketQuantiles(stream, valCol, percents,
+        sinkDir, subBits)
+      try q.processAllAvailable() finally q.stop()
+      stream.sparkSession.read.parquet(sinkDir)
+    }
 
   /** The started-but-undrained form of [[streamLogBucketQuantiles]] —
     * the caller owns the trigger cadence. Initializes the sink with a

@@ -171,6 +171,43 @@ object EventStreams {
       cp => writer.option("checkpointLocation", cp)).start()
   }
 
+  /** Run `body` — the construction + drain of a BOUNDED-STATE streaming
+    * query — with `spark.sql.shuffle.partitions` derived from the
+    * operator's own declared state bound instead of the session's
+    * corpus-scale default (r21 verdict item 3).
+    *
+    * Why: streaming state stores are NOT AQE-coalesced — every
+    * micro-batch pays one state-store open/commit task per shuffle
+    * partition, so a core-count-sized setting turns a ~1000-row bounded
+    * state (a quantile sketch, a count-min table, a per-source rollup)
+    * into 32 store lifecycles per trigger. Measured at sf0.1/local[32],
+    * interleaved in one JVM: qe5 2.3 → 1.3 s, qa9 1.5 → 1.0, q70s
+    * 2.1 → 1.8 at the derived count; the 8-core driver run beating the
+    * 32-core run on exactly these rows was the same effect.
+    *
+    * The derivation is scale-adaptive, not a local[32] constant:
+    * partitions = ceil(stateRows / 32768), clamped to [1, session
+    * setting]. It grows with the operator's declared bound (32k
+    * ~32-byte state rows per partition is far below any per-task memory
+    * concern while keeping per-trigger store overhead at the floor) and
+    * never exceeds the session's own corpus-scale knob. The conf is
+    * scoped — set before the query starts, restored when the drain
+    * returns — and is a no-op when the session already sits at or below
+    * the derived count (spec sessions run at 4), so parallel spec
+    * suites sharing one session never observe a mutation. */
+  private[graft] def withBoundedStateShuffle[A](spark: SparkSession,
+      stateRows: Long)(body: => A): A = {
+    val cur = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt).getOrElse(0)
+    val target = math.max(1L, (stateRows + 32767L) / 32768L).toInt
+    if (cur <= target) body
+    else {
+      spark.conf.set("spark.sql.shuffle.partitions", target.toString)
+      try body
+      finally spark.conf.set("spark.sql.shuffle.partitions", cur.toString)
+    }
+  }
+
   /** Convenience: run a streaming query over a memory sink until all
     * available input is processed, return the sink contents. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

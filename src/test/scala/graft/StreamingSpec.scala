@@ -1210,6 +1210,50 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("withBoundedStateShuffle: partitions derive from the state bound, scoped and restored, no-op at or below") {
+    // r22 (r21 verdict item 3): bounded-state streams size their
+    // state-store partition count from the operator's declared state
+    // bound — never a local[32] constant — and the conf mutation is
+    // scoped to the drain and invisible when the session already sits
+    // at or below the derived count.
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "32")
+      var seen = ""
+      EventStreams.withBoundedStateShuffle(spark, 1000L) {
+        seen = spark.conf.get(key)
+      }
+      assert(seen == "1", s"1000 state rows should derive 1, saw $seen")
+      assert(spark.conf.get(key) == "32", "conf not restored")
+      // the bound scales the derivation: 100k rows -> 4 partitions
+      EventStreams.withBoundedStateShuffle(spark, 100000L) {
+        seen = spark.conf.get(key)
+      }
+      assert(seen == "4", s"100k state rows should derive 4, saw $seen")
+      // clamped at the session's own corpus-scale setting
+      EventStreams.withBoundedStateShuffle(spark, 10000000L) {
+        seen = spark.conf.get(key)
+      }
+      assert(seen == "32", s"derived count must clamp at the session " +
+        s"setting, saw $seen")
+      // no-op (no mutation at all) when already at or below the bound
+      spark.conf.set(key, "4")
+      EventStreams.withBoundedStateShuffle(spark, 1000000L) {
+        seen = spark.conf.get(key)
+      }
+      assert(seen == "4", "session at/below the derived count must not " +
+        "be touched")
+      // restore-on-throw: the conf survives a failing drain
+      spark.conf.set(key, "32")
+      intercept[RuntimeException] {
+        EventStreams.withBoundedStateShuffle(spark, 1L)(
+          throw new RuntimeException("boom"))
+      }
+      assert(spark.conf.get(key) == "32", "conf not restored on throw")
+    } finally spark.conf.set(key, orig)
+  }
+
   test("streamLogBucketQuantiles: the complete-mode state after two micro-batches equals the batch sketch report") {
     // the qe5 contract (qa9's discipline on the quantile tier): the
     // streaming aggregation's state is the bounded bucket table, counts
