@@ -130,9 +130,18 @@ object NearestCellsBc {
   final case class Quantizer(flat: Array[Double], norms2: Array[Double],
       dim: Int) extends Serializable
 
-  def quantizerOf(cents: Array[Array[Double]]): Quantizer =
+  def quantizerOf(cents: Array[Array[Double]]): Quantizer = {
+    // the kernel reads the matrix as flat c*dim offsets — a ragged row
+    // would silently misalign every distance ([[NearestCellsExpr]]'s
+    // guard, preserved on the broadcast path), so fail loudly instead
+    if (cents.nonEmpty)
+      cents.find(_.length != cents(0).length).foreach(r =>
+        throw new IllegalArgumentException(
+          s"quantizerOf: ragged centroid matrix (row of length " +
+            s"${r.length} vs ${cents(0).length})"))
     Quantizer(cents.flatten, cents.map(_.map(x => x * x).sum),
       if (cents.isEmpty) 0 else cents(0).length)
+  }
 
   /** Column API over a pre-broadcast quantizer. */
   def apply(vec: Column, bc: Broadcast[Quantizer], nprobe: Int): Column =

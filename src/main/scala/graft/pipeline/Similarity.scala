@@ -340,9 +340,28 @@ object Similarity {
     * (the centroid matrix rides as a codegen reference object; a literal
     * expression tree at nlist=64 × dim=64 costs more to plan and compile
     * than the whole scan). */
-  private def nearestCells(vec: Column, cents: Array[Array[Double]],
+  /** The scan-path operators' quantizer, shipped as a BROADCAST handle
+    * instead of a plan literal (r22, the r21 verdict's q35c item): the
+    * literal form folds the centroid matrix into every stage's task
+    * binary of every plan — at sf0.1 the q35c/q89 plan TEXT alone was
+    * ~258 KB (q88 427 KB), re-planned per run, and at a production
+    * nlist the per-plan payload is ~0.5 GB (the measured ~0.4 µs/cell/
+    * plan tax that motivated [[adcQuantBc]] on the indexed path).
+    * Kernel and flat/norms2 derivation are shared with the literal
+    * expression, so results are bit-identical; the broadcast is
+    * per-operator-call and reclaimed by the ContextCleaner like any
+    * broadcast join's. */
+  private def broadcastQuantizer(spark: SparkSession,
+      cents: Array[Array[Double]]): org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsBc.Quantizer] =
+    spark.sparkContext.broadcast(
+      graft.functions.NearestCellsBc.quantizerOf(cents))
+
+  private def nearestCells(vec: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        graft.functions.NearestCellsBc.Quantizer],
       nprobe: Int): Column =
-    graft.functions.NearestCells(vec, cents, nprobe)
+    graft.functions.NearestCellsBc(vec, bc, nprobe)
 
   /** Train a coarse quantizer on a driver-resident sample: one collect,
     * then local Lloyd iterations (nlist × dim doubles of state — the
@@ -446,12 +465,13 @@ object Similarity {
       else trainCoarseQuantizer(
         trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
         vecCol, nlist, dim)
+    val qbc = broadcastQuantizer(vecs.sparkSession, quantizer)
     val base = withNorm(vecs, idCol, vecCol)
     val corpus = base.withColumn("cell",
-      element_at(nearestCells(col("v"), quantizer, 1), 1))
+      element_at(nearestCells(col("v"), qbc, 1), 1))
     val probes = (if (queries == null) base
       else withNorm(queries, idCol, vecCol))
-      .withColumn("cell", explode(nearestCells(col("v"), quantizer, nprobe)))
+      .withColumn("cell", explode(nearestCells(col("v"), qbc, nprobe)))
       .select(col("id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cell"))
     val candidates = probes.join(corpus, Seq("cell"))
@@ -556,11 +576,12 @@ object Similarity {
     // build at bench scale, cell-keyed shuffle at corpus scale) — forcing
     // a corpus repartition here measured 2× slower at growth-10x by
     // denying the planner the broadcast.
+    val qbc = broadcastQuantizer(vecs.sparkSession, quantizer)
     val corpus = vecs.select(
-      element_at(nearestCells(col(vecCol), quantizer, 1), 1).as("cell"),
+      element_at(nearestCells(col(vecCol), qbc, 1), 1).as("cell"),
       col(idCol).as("id"), qc.as("qc"), sc.as("scale"))
     val probes = vecs.select(col(idCol).as("q_id"), qc.as("q_qc"),
-      explode(nearestCells(col(vecCol), quantizer, nprobe)).as("cell"))
+      explode(nearestCells(col(vecCol), qbc, nprobe)).as("cell"))
       .repartition(col("cell"))
     val candidates = probes.join(corpus, Seq("cell"))
       .filter(col("q_id") =!= col("id"))
@@ -3840,7 +3861,8 @@ object Similarity {
       trainingSample(vecs, idCol, vecCol, trainingCap(nlist)),
       vecCol, nlist, dim, iters)
     val assigned = withNorm(vecs, idCol, vecCol).withColumn("cell",
-      element_at(nearestCells(col("v"), cents, 1), 1))
+      element_at(nearestCells(col("v"),
+        broadcastQuantizer(vecs.sparkSession, cents), 1), 1))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .filter(dot(col("a.v"), col("b.v")) /
@@ -3891,7 +3913,8 @@ object Similarity {
     val centDf = spark.createDataFrame(centRows).toDF("cell", "cent")
     val assigned = vecs.select(col(idCol).as("vec_id"),
       col(vecCol).as("e"),
-      element_at(nearestCells(col(vecCol), cents, 1), 1).as("cell"))
+      element_at(nearestCells(col(vecCol),
+        broadcastQuantizer(spark, cents), 1), 1).as("cell"))
     val d2 = assigned.join(broadcast(centDf), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (dot(col("e"), col("e")) - lit(2) * dot(col("e"), col("cent"))
