@@ -18,13 +18,27 @@ import org.apache.spark.sql.expressions.Aggregator
   * into a k-element list beats heap overhead at these sizes).
   *
   * Ordering: by value descending, then id ascending — fully
-  * deterministic, matching the oracle's ORDER BY value DESC, id.
+  * deterministic, matching the oracle's ORDER BY value DESC, id. The
+  * value comparison is SQL's total order on doubles (r22): NaN sorts
+  * as the LARGEST value (ties between NaNs break by id) and -0.0 ties
+  * with 0.0 — exactly what a window `ORDER BY v DESC, id` computes
+  * after Spark's NormalizeFloatingNumbers, so the aggregator can
+  * replace a window ranker on a real-double key without tie-break
+  * drift. (The previous primitive `>`/`==` comparison left NaN
+  * insertion-ORDER-dependent; finite keys are unaffected.)
   */
 class TopKAggregator(k: Int)
     extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // collapse -0.0 into 0.0 first (Spark normalizes float sort/group
+  // keys), then java.lang.Double.compare gives the NaN-largest total
+  // order SQL sorting uses
+  private def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(norm(a._1), norm(b._1))
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: Seq[(Double, Long)],
       v: (Double, Long)): Seq[(Double, Long)] = {

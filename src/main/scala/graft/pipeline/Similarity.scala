@@ -59,12 +59,21 @@ object Similarity {
     val scored = broadcast(qs).crossJoin(corpus)
       .filter(col("q_id") =!= col("id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    scored
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("q_id").orderBy(col("cos").desc, col("id"))))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("id").as("nb_id"), col("rank"), col("cos"))
+    // per-query cut via the bounded-state TopKAggregator (r22, the r21
+    // verdict's dense-leg item): the window form shuffled and fully
+    // sorted every (query × corpus) candidate row — a corpus-sized sort
+    // per query batch — where the partial-agg path ships ≤k rows per
+    // query per map task. Ranking is identical: the aggregator's key
+    // comparison is the same NaN-largest / -0.0==0.0 total order the
+    // window's `cos DESC, id` sort used (see TopKAggregator), so ties
+    // and degenerate zero-norm rows order bit-identically.
+    val topk = udaf(new graft.agg.TopKAggregator(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    scored.groupBy("q_id")
+      .agg(topk(col("cos"), col("id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "v")))
+      .select(col("q_id"), col("v._2").as("nb_id"),
+        (col("pos") + 1).cast("int").as("rank"), col("v._1").as("cos"))
   }
 
   /** All pairs (id_a < id_b) with cosine >= threshold — embedding-space
