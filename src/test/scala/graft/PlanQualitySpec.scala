@@ -758,6 +758,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkTest {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p.take(4000))
     assert(p.contains("topkaggregator"), p.take(4000))
+    // ADVICE r21: bm25TopK eagerly checkpoints the candidate-postings
+    // frame, so the executed probe plan above starts at the cached RDD
+    // and no longer shows the corpus tokenize/explode/restrict stage —
+    // gate the PRE-CHECKPOINT plan too: the dominant corpus-side stage
+    // must still never move a document body through an exchange, and
+    // the query-term restriction must still broadcast
+    import graft.pipeline.TextAnalysis
+    val docs = Tables.documents(spark, d)
+    val qs = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 100 === 0)
+      .selectExpr("doc_id AS q_id",
+        "array_join(slice(filter(split(text, ' '), w -> length(w) > 0), 1, 8), ' ') AS qtext")
+    val tfPre = TextAnalysis.bm25CandidateTf(docs, "doc_id", "text",
+      TextAnalysis.bm25QueryTerms(qs, "q_id", "qtext"))
+    tfPre.collect()
+    val preNodes = planNodes(tfPre.queryExecution.executedPlan)
+    val preShuffles = preNodes.collect { case e: ShuffleExchangeExec => e }
+    assert(preNodes.collect {
+      case e: BroadcastExchangeExec => e }.nonEmpty,
+      tfPre.queryExecution.executedPlan.toString.take(3000))
+    for (e <- preShuffles; a <- e.output if a.dataType == StringType)
+      assert(a.name == "term",
+        s"pre-checkpoint corpus stage shuffles non-term string $a: " +
+          e.simpleString(20))
   }
 
   test("qb3: the persisted postings index joins in bucketed layout — stored side never re-shuffles, probe exchanges stay candidate-scale") {
