@@ -717,10 +717,14 @@ object Similarity {
     * this value flipping IS the retrain (r16 verdict item 2). */
   private[graft] def activeAdcEpoch(spark: SparkSession, table: String)
       : Long = {
-    MergeTables.recoverCompactCrash(spark, table + "_g")
-    spark.catalog.refreshTable(table + "_g")
-    val row = spark.table(table + "_g").agg(max("epoch")).head()
-    if (row.isNullAt(0)) 0L else row.getLong(0)
+    // driver-side sidecar read (r22): `_g` is protocol-sized (bounded
+    // by the compaction contract), and the max-epoch resolution ran a
+    // full Spark job per probe plan — the serving metadata floor. The
+    // reader takes the same crash-healed fresh listing the job form
+    // scanned, so freshness (TTL=0: every plan sees a foreign
+    // retrain's flip) is unchanged.
+    val rows = graft.sources.SidecarRead.rows(spark, table + "_g")
+    if (rows.isEmpty) 0L else rows.iterator.map(_.getLong("epoch")).max
   }
 
   /** TTL cache over the PROBE paths' epoch resolution — the other half
@@ -1400,12 +1404,11 @@ object Similarity {
     MergeTables.recoverCompactCrash(spark, t)
     require(spark.catalog.tableExists(t),
       s"$table has no shard sidecar — not a sharded ADC index")
-    spark.catalog.refreshTable(t)
-    val row = spark.table(t).head()
-    (row.getInt(row.fieldIndex("nshards")),
-      if (row.schema.fieldNames.contains("rsgen"))
-        row.getLong(row.fieldIndex("rsgen"))
-      else 0L)
+    // driver-side sidecar read (r22): one-row layout table, was a
+    // head() job per probe plan; same healed fresh listing.
+    val row = graft.sources.SidecarRead.rows(spark, t).head
+    (row.getInt("nshards"),
+      if (row.values.contains("rsgen")) row.getLong("rsgen") else 0L)
   }
 
   private def readShardCount(spark: SparkSession, table: String): Int =
@@ -1478,20 +1481,17 @@ object Similarity {
     MergeTables.recoverCompactCrash(spark, gt)
     require(spark.catalog.tableExists(gt),
       s"$table has no generation table at $gt — not a sharded ADC index")
-    spark.catalog.refreshTable(gt)
-    val rows = spark.table(gt)
-      .select(col("shard").cast("int"), col("gen"), col("epoch"))
-      .collect()
+    // driver-side sidecar read (r22): the per-shard protocol rows are
+    // compaction-bounded; the collect here was one blocking job per
+    // probe plan. Same healed fresh listing, identical rows.
+    val rows = graft.sources.SidecarRead.rows(spark, gt)
+      .map(r => (r.getInt("shard"), r.getLong("gen"), r.getLong("epoch")))
     val epochs = Array.fill(nShards)(-1L)
-    rows.foreach { r =>
-      val s = r.getInt(0)
-      if (r.getLong(2) > epochs(s)) epochs(s) = r.getLong(2)
-    }
+    rows.foreach { case (s, _, e) => if (e > epochs(s)) epochs(s) = e }
     (0 until nShards).foreach(s => require(epochs(s) >= 0L,
       s"$table: shard $s has no committed generations — corrupt index"))
     val committed = rows.iterator
-      .filter(r => r.getLong(2) == epochs(r.getInt(0)))
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toArray
+      .filter { case (s, _, e) => e == epochs(s) }.toArray
     val st = SvState(table, nShards, rsgen, dataT, epochs, committed)
     if (ttlMs > 0L) svStateCache.put(ck, (System.nanoTime(), st))
     else svStateCache.remove(ck)
@@ -2202,19 +2202,19 @@ object Similarity {
     val t = table + "_serve"
     MergeTables.recoverCompactCrash(spark, t)
     if (!spark.catalog.tableExists(t)) return None
-    spark.catalog.refreshTable(t)
-    if (!spark.table(t).schema.fieldNames.contains("shard")) return None
-    val rows = spark.table(t)
-      .select("shard", "mode", "nprobe", "probe_recall", "gprobe",
-        "hier_recall", "depth", "recall", "state_key")
-      .collect().sortBy(_.getInt(0))
-    if (rows.isEmpty) None
-    else if (rows.head.getString(8) !=
+    // driver-side sidecar read (r22): per-shard decision rows, was a
+    // collect job per serving-stack plan; same healed fresh listing.
+    // The single-table tier's rows carry no `shard` field — same
+    // refusal as the old schema check, now from the file schema.
+    val rows = graft.sources.SidecarRead.rows(spark, t)
+      .sortBy(r => if (r.fields.contains("shard")) r.getInt("shard") else -1)
+    if (rows.isEmpty || !rows.head.fields.contains("shard")) None
+    else if (rows.head.getString("state_key") !=
         svStateKey(spark, svState(spark, table, fresh = true))) None
-    else Some(rows.map(r => ShardServing(r.getString(1),
-      ShardDials(r.getInt(2), r.getDouble(3), r.getInt(4),
-        r.getDouble(5)),
-      r.getInt(6), r.getDouble(7))).toSeq)
+    else Some(rows.map(r => ShardServing(r.getString("mode"),
+      ShardDials(r.getInt("nprobe"), r.getDouble("probe_recall"),
+        r.getInt("gprobe"), r.getDouble("hier_recall")),
+      r.getInt("depth"), r.getDouble("recall"))).toSeq)
   }
 
   /** Read the persisted rows as probe-only DIALS — None when stale,
@@ -3811,20 +3811,21 @@ object Similarity {
     val t = table + "_serve"
     MergeTables.recoverCompactCrash(spark, t)
     if (!spark.catalog.tableExists(t)) return None
-    spark.catalog.refreshTable(t)
-    val rows = spark.table(t).collect()
+    // driver-side sidecar read (r22): the one-row decision store was a
+    // collect job per serving-stack plan; same healed fresh listing.
+    val rows = graft.sources.SidecarRead.rows(spark, t)
     if (rows.isEmpty) return None
     val r = rows.head
-    if (r.getAs[String]("state_key") !=
+    if (r.getString("state_key") !=
         persistedQuantState(spark, table)) None
     else {
-      val np = r.getAs[Int]("nprobe")
-      val rec = r.getAs[Double]("recall")
+      val np = r.getInt("nprobe")
+      val rec = r.getDouble("recall")
       val serving: AnnServing =
-        if (r.getAs[String]("mode") == "rerank")
-          RerankServing(np, r.getAs[Int]("depth"), rec)
+        if (r.getString("mode") == "rerank")
+          RerankServing(np, r.getInt("depth"), rec)
         else ProbeServing(np, rec)
-      Some((serving, r.getAs[Int]("gprobe")))
+      Some((serving, r.getInt("gprobe")))
     }
   }
 
@@ -4030,12 +4031,17 @@ object Similarity {
     val b = legB.select(col(qCol).as("q_id"),
       col(idCol).cast("long").as("doc_id"),
       lit(0L).as("ca"), lit(1L).as("cb"))
+    // NULL doc_id guard (ADVICE r21): the three-aggregate form's inner
+    // join never matched NULL keys, so a NULL id in both legs counted
+    // toward n_a/n_b but never n_both; groupBy treats NULLs as equal,
+    // so the product term must exclude them explicitly.
     a.unionByName(b)
       .groupBy("q_id", "doc_id")
       .agg(sum("ca").as("ca"), sum("cb").as("cb"))
       .groupBy("q_id")
       .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
-        sum(col("ca") * col("cb")).as("n_both"))
+        sum(when(col("doc_id").isNotNull, col("ca") * col("cb"))
+          .otherwise(lit(0L))).as("n_both"))
   }
 
   /** Candidate screening for a production retrieval stack (qc2): keep
