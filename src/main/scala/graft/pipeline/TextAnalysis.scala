@@ -1114,8 +1114,12 @@ object TextAnalysis {
   def bpeMergeStep(docs: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     // reused by pair counting, the max-id lookup and the final rewrite —
-    // materialize the encode once
-    val enc = vocabEncode(docs, idCol, textCol).localCheckpoint()
+    // computed once. LAZY checkpoint (r22): the pair-count argmax below
+    // is this function's first job and fully materializes the cache
+    // (TakeOrdered runs every child partition), so eagerness only added
+    // a blocking job before it; the max-id collect and the final
+    // rewrite then read the cache exactly as before.
+    val enc = vocabEncode(docs, idCol, textCol).localCheckpoint(false)
     val seqs = enc.select(col("doc_id"),
       transform(split(col("ids"), ","), _.cast("long")).as("arr"))
     val pairs = bpePairCounts(enc) // shared with the bpeTrain loop
@@ -1191,9 +1195,17 @@ object TextAnalysis {
       textCol: String, merges: Int)
       : (DataFrame, DataFrame, Seq[(Long, Long, Long)]) = {
     require(merges >= 1, s"merges=$merges")
+    // seqs stays EAGER: each round references it through two branches
+    // of one job (pairs(rewritten) and pairs(affected)) — lazy caching
+    // could compute the corpus rewrite twice inside that job. counts is
+    // LAZY (r22): its only consumers are the NEXT round's argmax collect
+    // (which fully materializes the cache — TakeOrdered runs every
+    // child partition) and the delta union built after that collect, so
+    // the eager checkpoint job per round bought nothing; the LAST
+    // round's counts never materialize for [[bpeTrain]] at all.
     var seqs = vocabEncode(docs, idCol, textCol)
       .select(col("doc_id"), col("ids")).localCheckpoint()
-    var counts = bpePairCounts(seqs).localCheckpoint()
+    var counts = bpePairCounts(seqs).localCheckpoint(false)
     val baseMax = seqs
       .select(max(array_max(transform(split(col("ids"), ","),
         _.cast("long"))))).head.getLong(0)
@@ -1221,7 +1233,7 @@ object TextAnalysis {
         counts = counts.unionByName(delta)
           .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0)
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy — see the loop preamble
         seqs = seqs.filter(!wrapped.contains(pat))
           .unionByName(rewritten).localCheckpoint()
         round += 1
