@@ -296,9 +296,10 @@ object Dedup {
         .localCheckpoint(true) // reused by the semi-join and both probes
       // verification postings for CANDIDATE docs only — the only shuffle
       // of shingle hashes is near-dup-rate-sized
+      // semi-join build side only — duplicates are semantics-free and
+      // pair-bounded, and the distinct was one more exchange (r22)
       val candIds = candidates
         .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
-        .distinct()
       val ds = shinglePostings(
         docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, n)
         .cache()
@@ -582,8 +583,14 @@ object Dedup {
     val candidates = probeCandidates(spark, table, bsigs, bands, r)
       .distinct()
       .localCheckpoint(true) // reused by both semi-joins, inter and sizes
-    val candA = candidates.select(col("id_a").as(idCol)).distinct()
-    val candB = candidates.select(col("id_b").as(idCol)).distinct()
+    // no distinct on the id lists (r22): they feed LEFT-SEMI joins only,
+    // where duplicate build-side keys are semantics-free — each distinct
+    // was one more exchange + AQE stage in the verification job, and the
+    // undeduped lists stay candidate-bounded (2 ids per checkpointed
+    // pair). The PAIR-level distinct above stays: interOf counts rows
+    // per pair, so duplicate pairs would inflate intersections.
+    val candA = candidates.select(col("id_a").as(idCol))
+    val candB = candidates.select(col("id_b").as(idCol))
     val cds = shinglePostings(corpus.join(candA, Seq(idCol), "left_semi"),
       idCol, textCol, n)
     val bds = shinglePostings(batch.join(candB, Seq(idCol), "left_semi"),
