@@ -1182,9 +1182,15 @@ object Similarity {
       // active-epoch rows only: retired/orphan epochs' files are
       // skipped at the scan from their row-group stats
       .filter(col("epoch") === e)
-    val committed = stored.join(
-      broadcast(spark.table(table + "_g").select("gen")),
-      Seq("gen"), "left_semi")
+    // committed-generation restriction as a pushed In(gen) predicate
+    // (r22): `_g` is protocol-sized and already read driver-side for
+    // the epoch — the broadcast semi-join re-scanned it in-plan per
+    // probe. Same healed fresh listing; row-group stats prune on gen.
+    val gens = graft.sources.SidecarRead.rows(spark, table + "_g")
+      .map(_.getLong("gen")).distinct
+    val committed =
+      if (gens.isEmpty) stored.filter(lit(false))
+      else stored.filter(col("gen").isInCollection(gens))
     if (!spark.catalog.tableExists(table + "_t")) committed
     else committed.join(
       broadcast(spark.table(table + "_t").filter(col("epoch") === e)

@@ -550,20 +550,42 @@ object TextAnalysis {
     // and this read is the first touch of every probe/append/delete.
     // The scalar table's own collapse swap (r17) heals the same way.
     MergeTables.recoverCmpSwapCrash(spark, table)
-    MergeTables.recoverCompactCrash(spark, table + "_s")
-    val sTab = spark.table(table + "_s")
-    val stats = sTab.agg(sum("n_docs").as("n_docs"),
-      sum("sum_dl").as("sum_dl"))
-    val gens = sTab.select("gen")
+    // Driver-side commit-set read (r22): `_s` is protocol-sized (one
+    // delta row per committed operation, collapsed by compaction), and
+    // resolving it IN-PLAN re-scanned the tiny sidecar once per
+    // reference — a hybrid-stack plan carried ~10 `_s` scans and two
+    // committed-generation broadcast semi-joins per probe. The reader
+    // takes the same crash-healed fresh listing the scans read
+    // (SidecarRead → freshView: heal + refresh + fresh listing), adds
+    // NO Spark job (pure driver work, unlike the collect the old
+    // Scaladoc warned against), and the restriction becomes a pushed
+    // In(gen) predicate the bucketed layout's row-group stats prune
+    // on. Freshness is unchanged-or-better: stats and commit set now
+    // come from ONE atomic read at construction (the ADC tier's
+    // epoch-threading discipline), where the in-plan form could
+    // straddle a concurrent append between its scans at execution.
+    val srows = graft.sources.SidecarRead.rows(spark, table + "_s")
+    def sumOpt(f: String): Option[Long] = {
+      val vs = srows.flatMap(_.values.get(f)).collect { case l: Long => l }
+      if (vs.isEmpty) None else Some(vs.sum)
+    }
+    import spark.implicits._
+    val stats = Seq((sumOpt("n_docs"), sumOpt("sum_dl")))
+      .toDF("n_docs", "sum_dl")
+    val gens = srows.map(_.getLong("gen")).distinct
+    // empty commit set (unreachable through the write protocol, but the
+    // old semi-join returned empty rather than throwing — keep that)
+    def committedOnly(df: DataFrame): DataFrame =
+      if (gens.isEmpty) df.filter(lit(false))
+      else df.filter(col("gen").isInCollection(gens))
     val stored =
       if (bucketedRead) graft.sources.MapFiles.readBucketed(spark, table)
       else spark.table(table)
-    val committed = stored
-      .join(broadcast(gens), Seq("gen"), "left_semi")
+    val committed = committedOnly(stored)
     val live =
       if (!spark.catalog.tableExists(table + "_t")) committed
-      else committed.join(broadcast(spark.table(table + "_t")
-          .join(broadcast(gens), Seq("gen"), "left_semi")
+      else committed.join(broadcast(
+          committedOnly(spark.table(table + "_t"))
           .select("doc_id").distinct()),
         Seq("doc_id"), "left_anti")
     (live, stats)
